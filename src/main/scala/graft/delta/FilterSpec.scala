@@ -1,0 +1,236 @@
+package graft.delta
+
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+/** Condition DSL: `(column, operator, value)` with
+  * `operator ∈ {<,=,>,>=,<=,<>,in,not in}`, AND-combined — the
+  * reference's `FilterType` (filter_by_meta.py:78,97-104). Values are
+  * plain JVM values (String, Int, Long, Double, Boolean, LocalDate,
+  * Instant, BigDecimal, null; Seq[_] for `in`/`not in`).
+  */
+final case class Cond(column: String, op: String, value: Any) {
+  require(Cond.Ops.contains(op), s"Unknown operator: $op")
+}
+
+object Cond {
+  val Ops: Set[String] = Set("<", "=", ">", ">=", "<=", "<>", "in", "not in")
+
+  /** Legacy map form ⇒ `=` conjunctions (filter_by_meta.py:101-104). */
+  def fromMap(m: Map[String, Any]): Seq[Cond] =
+    m.map { case (k, v) => Cond(k, "=", v) }.toSeq
+
+  private def toLit(v: Any): Column = v match {
+    case d: LocalDate => lit(java.sql.Date.valueOf(d))
+    case i: Instant => lit(java.sql.Timestamp.from(i))
+    case l: LocalDateTime => lit(java.sql.Timestamp.valueOf(l))
+    case other => lit(other)
+  }
+
+  /** Compile to a Catalyst predicate over the *logical* columns.
+    * `=`/`<>` with NULL become IS [NOT] NULL (sql_utils.py:46-85).
+    * Catalyst pushes the result through the per-file union into each
+    * parquet scan (PushedFilters), so data-level filtering stays
+    * distributed and codegen'd.
+    */
+  def compile(conditions: Seq[Cond]): Column =
+    conditions.foldLeft(lit(true)) { (acc, c) =>
+      val base = col(s"`${c.column.replace("`", "``")}`")
+      val p = (c.op, c.value) match {
+        case ("=", null) => base.isNull
+        case ("<>", null) => base.isNotNull
+        case ("=", v) => base === toLit(v)
+        case ("<>", v) => base =!= toLit(v)
+        case ("<", v) => base < toLit(v)
+        case ("<=", v) => base <= toLit(v)
+        case (">", v) => base > toLit(v)
+        case (">=", v) => base >= toLit(v)
+        case ("in", vs: Seq[_]) => base.isin(vs.map {
+          case d: LocalDate => java.sql.Date.valueOf(d)
+          case i: Instant => java.sql.Timestamp.from(i)
+          case x => x
+        }: _*)
+        case ("not in", vs: Seq[_]) => !base.isin(vs.map {
+          case d: LocalDate => java.sql.Date.valueOf(d)
+          case i: Instant => java.sql.Timestamp.from(i)
+          case x => x
+        }: _*)
+        case (op, v) => throw new IllegalArgumentException(s"Bad condition: $op $v")
+      }
+      acc && p
+    }
+}
+
+/** Driver-side metadata pruning: decide from `add.partitionValues` and the
+  * per-file `stats` zone maps whether a file can be skipped without
+  * changing results. Fail-open: any doubt keeps the file
+  * (filter_by_meta.py:196-198). Spec: `_can_filter`
+  * (filter_by_meta.py:107-198) incl. the string-prefix truncation rule
+  * for string min/max (Delta writers truncate string stats).
+  */
+object FileSkipping {
+
+  /** True ⇒ the file provably contains no matching rows. */
+  def canSkip(
+      action: AddAction,
+      conditions: Seq[Cond],
+      physToField: Map[String, StructField],
+      logToPhys: Map[String, String]): Boolean =
+    try {
+      conditions.exists { c =>
+        val phys = logToPhys.getOrElse(c.column, c.column)
+        val dt = physToField.get(phys).map(_.dataType).getOrElse(StringType)
+        partitionSkip(action, c, phys, dt) || statsSkip(action, c, phys, dt)
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  // ---- partition pruning (filter_by_meta.py:117-154) ----
+
+  private def partitionSkip(a: AddAction, c: Cond, phys: String, dt: DataType): Boolean =
+    a.partitionValues.get(phys) match {
+      case None => false
+      case Some(pvOpt) =>
+        val pv = pvOpt.orNull
+        def ser(v: Any): String = PartitionValues.serialize(v, dt)
+        (c.op, c.value) match {
+          case ("in", vs: Seq[_]) => !vs.map(ser).contains(pv)
+          case ("not in", vs: Seq[_]) => vs.map(ser).contains(pv)
+          case ("=", v) => pv != ser(v)
+          case ("<>", v) => pv == ser(v)
+          case (op, _) if rangeOps(op) && pv == null => true
+          case (op, v) if rangeOps(op) =>
+            // compare in the column's domain, not as strings
+            val cmp = for {
+              pk <- ordKey(dt, PartitionValues.deserialize(pv, dt))
+              vk <- ordKey(dt, v)
+            } yield compareKeys(pk, vk)
+            cmp.exists { x =>
+              op match {
+                case ">" => x <= 0
+                case ">=" => x < 0
+                case "<" => x >= 0
+                case "<=" => x > 0
+              }
+            }
+          case _ => false
+        }
+    }
+
+  private val rangeOps = Set("<", "<=", ">", ">=")
+
+  // ---- stats skipping (filter_by_meta.py:81-94,156-193) ----
+
+  private def statsSkip(a: AddAction, c: Cond, phys: String, dt: DataType): Boolean = {
+    val stats = a.parsedStats.getOrElse(return false)
+    if (stats.numRecords.contains(0L)) return true
+    val numRecords = stats.numRecords
+    val minK = stats.minValues.get(phys).flatMap(jsonKey(dt, _))
+    val maxK = stats.maxValues.get(phys).flatMap(jsonKey(dt, _))
+    val nullCount = stats.nullCount.get(phys)
+    val minStr = stats.minValues.get(phys).collect {
+      case n if n.isTextual => n.asText
+    }
+
+    def valueSkips(v: Any): Boolean = {
+      if (v != null && numRecords.isDefined && numRecords == nullCount) return true
+      if (nullCount.contains(0L) && v == null) return true
+      if (v == null) return false
+      // string stats may be prefix-truncated: compare on the prefix
+      val vAdj: Any = (v, minStr) match {
+        case (s: String, Some(m)) => s.take(m.length)
+        case _ => v
+      }
+      (minK, maxK, ordKey(dt, vAdj)) match {
+        case (Some(mn), Some(mx), Some(vk)) =>
+          compareKeys(vk, mn) < 0 || compareKeys(vk, mx) > 0
+        case _ => false
+      }
+    }
+
+    (c.op, c.value) match {
+      case ("in", vs: Seq[_]) => vs.nonEmpty && vs.forall(valueSkips)
+      case ("=", v) => valueSkips(v)
+      case ("<", v) =>
+        minK.zip(ordKey(dt, v)).exists { case (mn, vk) => compareKeys(vk, mn) <= 0 }
+      case ("<=", v) =>
+        minK.zip(ordKey(dt, v)).exists { case (mn, vk) => compareKeys(vk, mn) < 0 }
+      case (">", v) =>
+        maxK.zip(ordKey(dt, v)).exists { case (mx, vk) => compareKeys(vk, mx) >= 0 }
+      case (">=", v) =>
+        maxK.zip(ordKey(dt, v)).exists { case (mx, vk) => compareKeys(vk, mx) > 0 }
+      case ("not in", vs: Seq[_]) => vs.exists(valueSkips)
+      case _ => false
+    }
+  }
+
+  // ---- comparison domain ----
+  // Everything orderable collapses to BigDecimal (numeric/temporal/bool)
+  // or String; cross-family comparisons abstain (fail-open).
+
+  private def ordKey(dt: DataType, v: Any): Option[Any] = v match {
+    case null => None
+    case _ => dt match {
+      case _: NumericType => Some(toBig(v))
+      case BooleanType => Some(BigDecimal(if (v.asInstanceOf[Boolean]) 1 else 0))
+      case DateType => v match {
+        case d: LocalDate => Some(BigDecimal(d.toEpochDay))
+        case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+        case s: String => Some(BigDecimal(LocalDate.parse(s).toEpochDay))
+        case _ => None
+      }
+      case TimestampType | TimestampNTZType => v match {
+        case i: Instant => Some(BigDecimal(i.toEpochMilli))
+        case t: java.sql.Timestamp => Some(BigDecimal(t.getTime))
+        case l: LocalDateTime => Some(BigDecimal(l.toInstant(ZoneOffset.UTC).toEpochMilli))
+        case s: String => parseTs(s).map(i => BigDecimal(i.toEpochMilli))
+        case _ => None
+      }
+      case StringType => Some(v.toString)
+      case _ => None
+    }
+  }
+
+  private def toBig(v: Any): BigDecimal = v match {
+    case b: BigDecimal => b
+    case b: java.math.BigDecimal => BigDecimal(b)
+    case n: Byte => BigDecimal(n.toInt)
+    case n: Short => BigDecimal(n.toInt)
+    case n: Int => BigDecimal(n)
+    case n: Long => BigDecimal(n)
+    case n: Float => BigDecimal(n.toDouble)
+    case n: Double => BigDecimal(n)
+    case s: String => BigDecimal(s)
+    case other => BigDecimal(other.toString)
+  }
+
+  private def parseTs(s: String): Option[Instant] =
+    try Some(Instant.parse(s))
+    catch {
+      case _: Exception =>
+        try Some(LocalDateTime.parse(s.replace(" ", "T")).toInstant(ZoneOffset.UTC))
+        catch { case _: Exception => None }
+    }
+
+  private def jsonKey(dt: DataType, n: JsonNode): Option[Any] =
+    if (n == null || n.isNull) None
+    else if (n.isNumber) dt match {
+      case StringType => Some(n.asText)
+      case _ => Some(BigDecimal(n.decimalValue))
+    }
+    else if (n.isBoolean) Some(BigDecimal(if (n.asBoolean) 1 else 0))
+    else if (n.isTextual) ordKey(dt, n.asText) match {
+      case some @ Some(_) if dt != StringType => some
+      case _ => Some(n.asText)
+    }
+    else None
+
+  private def compareKeys(a: Any, b: Any): Int = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x, y) => x.toString.compareTo(y.toString)
+  }
+}
