@@ -1,58 +1,30 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+
+import graft.ops.Registry
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every key in [[queries]] is one operator from SURVEY.md §2 (or a
-  * north-star pipeline operator). Keys present in [[oracleSql]] are
-  * hash-checked against DuckDB running the same SQL over the same
-  * parquet tables; keys absent there get a rows-only check.
+  * The operator surface lives in [[graft.ops.Registry]]: each entry is a
+  * Spark implementation plus (when SQL-expressible) the DuckDB oracle
+  * that must hash-match it on the same parquet tables. Delta-protocol
+  * capabilities (log replay, column mapping, pruning, time travel) are
+  * exercised by the fixture test suites under `graft.delta`.
   */
 object SparkEntry {
-
-  /** Read one of the driver-generated tables (TESTDATA.md). */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // TPC-H Q1 shape: map-side partial agg → 6-group final agg. At 100 TB
-    // this is a pure scan + partial-agg pipeline, no shuffle pressure
-    // (6 groups), so the plan is already scale-optimal.
-    "q1_agg" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum("l_quantity").as("sum_qty"),
-          sum("l_extendedprice").as("sum_base_price"),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("sum_disc_price"),
-          avg("l_quantity").as("avg_qty"),
-          avg("l_discount").as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Registry.all.map { case (k, d) => k -> d.fn }
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice) AS sum_base_price,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
-        |  avg(l_quantity) AS avg_qty,
-        |  avg(l_discount) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+    * the same parquet tables. Omitted for non-SQL-expressible ops →
+    * driver records a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    Registry.all.collect { case (k, d) if d.oracle.isDefined => k -> d.oracle.get }
 }

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+import Registry.table
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline. Four levels of "duplicate":
+  *
+  *  - exact bytes          → [[d1_dedup_exact]] (hash group-by)
+  *  - same token bag       → [[d2_dedup_bag]] (order-insensitive hash)
+  *  - similar shingle sets → MinHash + LSH band join ([[d3_minhash_pairs]])
+  *    verified with exact n-gram Jaccard ([[d4_ngram_jaccard]])
+  *  - similar bit profile  → SimHash + banded Hamming join ([[d5_simhash_pairs]])
+  *
+  * Scale design: every candidate-pair generator is blocked (LSH bands /
+  * hash prefixes), never an all-pairs product — the shuffle key is the
+  * bucket id, so cost is Σ bucket², not n². All hashes are seeded and
+  * deterministic.
+  */
+object DedupOps {
+
+  private def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** 3-word shingles; short docs fall back to the whole token array. */
+  private def shingles(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        j => concat_ws(" ", slice(toks, j + 1, lit(3)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+
+  /** k seeded min-hashes of the shingle set. */
+  private def minhashes(sh: Column): Column =
+    array((0 until NumHashes).map { i =>
+      array_min(transform(sh, x => xxhash64(x, lit(i))))
+    }: _*)
+
+  /** doc_id + banded minhash signature, one row per band. */
+  private def bandedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), minhashes(shingles(tokens(col("text")))).as("mh"))
+    docs.select(col("doc_id"), col("mh"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("mh"), b * RowsPerBand + 1, RowsPerBand))
+            .as("sig"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("mh"),
+        col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** Candidate pairs from any band collision, with the minhash-estimated
+    * Jaccard similarity.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val b = bandedDocs(s, dir)
+    val l = b.select(col("band"), col("sig"),
+      col("doc_id").as("doc_a"), col("mh").as("mh_a"))
+    val r = b.select(col("band"), col("sig"),
+      col("doc_id").as("doc_b"), col("mh").as("mh_b"))
+    l.join(r, Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("mh_a"), col("mh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("mh_a"), col("mh_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).cast("double") / NumHashes)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Exact dedup: one representative (min id) per identical text.
+    "d1_dedup_exact" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("text_hash"))
+          .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+          .orderBy("text_hash"),
+      Some("""SELECT md5(text) AS text_hash,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin)),
+
+    // Bag dedup: catches token-shuffled copies via the sorted-distinct-
+    // token fingerprint.
+    "d2_dedup_bag" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy(md5(to_binary(
+            array_join(array_sort(array_distinct(tokens(col("text")))), " "),
+            lit("utf-8"))).as("bag_fp"))
+          .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_docs"))
+          .orderBy("bag_fp"),
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(lower(text), '\s+'))), ' ')) AS bag_fp,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1 ORDER BY bag_fp""".stripMargin)),
+
+    // MinHash+LSH near-dup candidates (not SQL-expressible → rows-only).
+    "d3_minhash_pairs" -> QueryDef(
+      (s, dir) =>
+        minhashPairs(s, dir)
+          .where(col("est_jaccard") >= 0.2)
+          .orderBy("doc_a", "doc_b"),
+      None),
+
+    // Exact n-gram Jaccard verification of the LSH candidates.
+    "d4_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        val sh = table(s, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(shingles(tokens(col("text")))).as("sh"))
+        val cand = minhashPairs(s, dir).select("doc_a", "doc_b")
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))))
+          .where(col("jaccard") >= 0.1)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // SimHash (custom Catalyst expression) + banded Hamming-distance join.
+    "d5_simhash_pairs" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            SimHash64.simhash64(s, tokens(col("text"))).as("sh"))
+        // 4 bands of 16 bits: a pair within Hamming distance 3 must agree
+        // on at least one band (pigeonhole).
+        val banded = docs.select(col("doc_id"), col("sh"),
+          explode(array((0 until 4).map { b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))
+                .as("bits"))
+          }: _*)).as("bk"))
+          .select(col("doc_id"), col("sh"),
+            col("bk.band").as("band"), col("bk.bits").as("bits"))
+        val l = banded.select(col("band"), col("bits"),
+          col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val r = banded.select(col("band"), col("bits"),
+          col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        l.join(r, Seq("band", "bits"))
+          .where(col("doc_a") < col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+          .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+          .where(col("hamming") <= 8)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      None))
+}

@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Registry.table
+
+/** Relational operator surface over the TPC-H-ish tables. Every query is
+  * written scale-first: dimension joins are broadcast (no shuffle of the
+  * fact table), aggregations rely on partial (map-side) aggregation, and
+  * ordering is only applied to already-small results.
+  */
+object Relational {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // TPC-H Q1 shape: scan + 6-group partial agg; shuffle-free at any scale.
+    "q1_agg" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            sum("l_extendedprice").as("sum_base_price"),
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("sum_disc_price"),
+            avg("l_quantity").as("avg_qty"),
+            avg("l_discount").as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Selective filter + narrow projection: Catalyst pushes both into the
+    // scan (PushedFilters + 3-column ReadSchema) — at 100 TB this reads a
+    // fraction of the bytes.
+    "q2_filter_pushdown" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .where(col("l_quantity") > 45 && col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .orderBy("l_orderkey", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_quantity, l_extendedprice""".stripMargin)),
+
+    // Fact ⋈ two dims, both broadcast: zero fact-table shuffle before the
+    // final 5-group agg.
+    "q3_join_broadcast" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+        li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // 4-way star join, every dim broadcast; revenue per nation.
+    "q4_star_join" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val su = table(s, dir, "supplier")
+        val na = table(s, dir, "nation")
+        val re = table(s, dir, "region")
+        li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+          .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
+          .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // Top-K: TakeOrderedAndProject — per-partition heaps, no global sort.
+    "q5_topk" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    "q6_distinct" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .select("l_returnflag", "l_linestatus").distinct()
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Window functions: rank within partition + running sum. One shuffle
+    // on the partition key, then sorted within partitions.
+    "q7_window" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        table(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("running_spend",
+            sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .where(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "running_spend")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, running_spend FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS rn,
+        |    sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS running_spend
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Existence joins: broadcast semi/anti — no fact shuffle.
+    "q8_semi_join" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val big = table(s, dir, "lineitem").where(col("l_quantity") >= 49)
+          .select("l_orderkey")
+        o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    "q9_anti_join" -> QueryDef(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders").select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Rollup: hierarchical aggregation in one pass (partial-agg friendly).
+    "q10_rollup" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Union + dedup across branches.
+    "q11_union" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val hi = o.where(col("o_totalprice") > 400000).select("o_custkey")
+        val pri = o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        hi.union(pri).distinct().orderBy("o_custkey")
+      },
+      Some("""SELECT DISTINCT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) ORDER BY o_custkey""".stripMargin)),
+
+    // Grouped HAVING over a join key (shuffle on l_orderkey, AQE-coalesced).
+    "q12_having" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("total_qty"),
+            countDistinct("l_partkey").as("n_parts"))
+          .where(col("total_qty") > 150)
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, sum(l_quantity) AS total_qty,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        |ORDER BY l_orderkey""".stripMargin)),
+
+    // Scalar-function gauntlet: string/math/date built-ins, all codegen'd.
+    "q13_scalar_funcs" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("brand_u"),
+            length(col("p_name")).as("name_len"),
+            substring(col("p_type"), 1, 5).as("type5"),
+            round(col("p_retailprice") * 1.1, 2).as("price_up"),
+            (col("p_size") % 7).as("size_mod"),
+            abs(col("p_size") - 25).as("size_dist"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  length(p_name) AS name_len,
+        |  substring(p_type, 1, 5) AS type5,
+        |  round(p_retailprice * 1.1, 2) AS price_up,
+        |  p_size % 7 AS size_mod,
+        |  abs(p_size - 25) AS size_dist
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Approximate distinct (HLL) — cardinality sketch; exact count as the
+    // oracle-able companion column is NOT possible, so compare exact only.
+    "q14_agg_stats" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct("l_orderkey").as("exact_orders"),
+            min("l_shipdate").as("first_ship"),
+            max("l_shipdate").as("last_ship"),
+            stddev_samp("l_quantity").as("qty_stddev"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  min(l_shipdate) AS first_ship,
+        |  max(l_shipdate) AS last_ship,
+        |  stddev_samp(l_quantity) AS qty_stddev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
+}

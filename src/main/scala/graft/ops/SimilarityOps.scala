@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Registry.table
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  *  - [[s1_ann_bruteforce]]: exact cosine top-k — broadcast the (small)
+  *    query set, one distributed pass over the corpus, per-partition
+  *    top-k via window rank. The baseline and the oracle-checked one.
+  *  - [[s2_ann_lsh]]: random-hyperplane LSH buckets — the 100 TB path:
+  *    candidate generation is a bucket-key join, cost Σ bucket² instead
+  *    of |queries|×|corpus|.
+  *  - [[s3_embed_neardup]]: near-duplicate vector pairs via the same LSH
+  *    buckets (embedding-cosine dedup).
+  *
+  * Dot products use `zip_with` + `aggregate` over double — codegen'd
+  * built-ins, no UDF.
+  */
+object SimilarityOps {
+
+  private val Dim = 64
+  private val TopK = 5
+  private val NumQueries = 10
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic ±1 hyperplanes: component j of plane i flips on the
+    * parity of xxhash64(i, j) — same on every executor, no state.
+    */
+  private def lshSignature(v: Column, bits: Int): Column = {
+    val planeDots: Seq[Column] = (0 until bits).map { i =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(Dim - 1)),
+          (x, j) => x.cast("double") *
+            (when(pmod(xxhash64(lit(i), j), lit(2)) === 0, 1.0).otherwise(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    planeDots.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "s1_ann_bruteforce" -> QueryDef(
+      (s, dir) => {
+        val emb = corpus(s, dir)
+        val queries = emb.where(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val scored = emb.crossJoin(broadcast(queries))
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qv"), col("embedding")).as("sim"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= TopK)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < $NumQueries),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked
+        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
+    // LSH-bucketed ANN: 8-bit signatures; queries probe only their own
+    // bucket. Rows-only check (bucketing not SQL-mirrorable cheaply).
+    "s2_ann_lsh" -> QueryDef(
+      (s, dir) => {
+        val emb = corpus(s, dir)
+          .withColumn("bucket", lshSignature(col("embedding"), 8))
+        val queries = emb.where(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("bucket"))
+        val scored = emb.join(broadcast(queries), Seq("bucket"))
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qv"), col("embedding")).as("sim"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= TopK)
+          .select("query_id", "rank", "neighbor_id", "sim")
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // Embedding-cosine near-duplicate pairs within LSH buckets.
+    "s3_embed_neardup" -> QueryDef(
+      (s, dir) => {
+        val emb = corpus(s, dir)
+          .withColumn("bucket", lshSignature(col("embedding"), 8))
+        val l = emb.select(col("bucket"), col("vec_id").as("vec_a"),
+          col("embedding").as("va"))
+        val r = emb.select(col("bucket"), col("vec_id").as("vec_b"),
+          col("embedding").as("vb"))
+        l.join(r, Seq("bucket"))
+          .where(col("vec_a") < col("vec_b"))
+          .withColumn("sim", cosine(col("va"), col("vb")))
+          .where(col("sim") >= 0.2)
+          .select("vec_a", "vec_b", "sim")
+          .orderBy("vec_a", "vec_b")
+      },
+      None))
+}
