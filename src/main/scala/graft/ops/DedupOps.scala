@@ -24,12 +24,32 @@ object DedupOps {
 
   private def tokens(c: Column): Column = split(lower(c), "\\s+")
 
-  /** 3-word shingles; short docs fall back to the whole token array. */
+  /** 3-word shingles; short docs fall back to the whole token array.
+    * Only ever applied to a MATERIALIZED token column: expressions
+    * referenced inside a lambda are re-evaluated per element (no CSE in
+    * interpreted higher-order functions), so `slice(tokens(text), …)`
+    * would re-split the full text once per shingle — measured 90s vs 3s
+    * at sf0.1.
+    */
   private def shingles(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(0), size(toks) - 3),
         j => concat_ws(" ", slice(toks, j + 1, lit(3)))))
       .otherwise(array(concat_ws(" ", toks)))
+
+  /** doc_id → shingle array, tokenized once, cached, and repartitioned:
+    * the docs parquet arrives as few splits, and the hash stages are
+    * CPU-bound — spread them over all cores. At 100 TB the same holds:
+    * persist the small shingle/signature relations, never re-derive them
+    * from the corpus.
+    */
+  private def shingleTable(s: SparkSession, dir: String): DataFrame = {
+    val toks = table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache()
+    toks.select(col("doc_id"), shingles(col("toks")).as("sh")).cache()
+  }
 
   private val NumHashes = 32
   private val Bands = 8
@@ -41,10 +61,19 @@ object DedupOps {
       array_min(transform(sh, x => xxhash64(x, lit(i))))
     }: _*)
 
-  /** doc_id + banded minhash signature, one row per band. */
+  /** doc_id + banded minhash signature, one row per band.
+    *
+    * The signature table is cached: without a materialization barrier,
+    * `CollapseProject` inlines the 32-hash minhash expression into every
+    * band struct and both sides of the self-join — recomputing it ~100×
+    * (measured 172s → 3s at sf0.1). At 100 TB this is the same design
+    * decision: persist the tiny signature relation (n_docs × 8 rows of
+    * 24 bytes), never re-derive it from the corpus.
+    */
   private def bandedDocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
-      .select(col("doc_id"), minhashes(shingles(tokens(col("text")))).as("mh"))
+    val docs = shingleTable(s, dir)
+      .select(col("doc_id"), minhashes(col("sh")).as("mh"))
+      .cache()
     docs.select(col("doc_id"), col("mh"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"),
@@ -115,9 +144,8 @@ object DedupOps {
     // Exact n-gram Jaccard verification of the LSH candidates.
     "d4_ngram_jaccard" -> QueryDef(
       (s, dir) => {
-        val sh = table(s, dir, "documents")
-          .select(col("doc_id"),
-            array_distinct(shingles(tokens(col("text")))).as("sh"))
+        val sh = shingleTable(s, dir)
+          .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
         val cand = minhashPairs(s, dir).select("doc_a", "doc_b")
         cand
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")

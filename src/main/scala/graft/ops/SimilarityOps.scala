@@ -38,18 +38,37 @@ object SimilarityOps {
 
   /** Deterministic ±1 hyperplanes: component j of plane i flips on the
     * parity of xxhash64(i, j) — same on every executor, no state.
+    * `table` offsets the plane ids so independent hash tables see
+    * independent hyperplanes.
     */
-  private def lshSignature(v: Column, bits: Int): Column = {
+  private[graft] def lshSignature(v: Column, bits: Int, table: Int = 0): Column = {
     val planeDots: Seq[Column] = (0 until bits).map { i =>
+      val planeId = table * 1024 + i
       val proj = aggregate(
         zip_with(v, sequence(lit(0), lit(Dim - 1)),
           (x, j) => x.cast("double") *
-            (when(pmod(xxhash64(lit(i), j), lit(2)) === 0, 1.0).otherwise(-1.0))),
+            (when(pmod(xxhash64(lit(planeId), j), lit(2)) === 0, 1.0)
+              .otherwise(-1.0))),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     planeDots.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  private val NumTables = 4
+
+  /** One row per (vector, hash table): multi-table LSH trades a constant
+    * factor of signature rows for exponentially better recall — a pair
+    * is a candidate if ANY of the [[NumTables]] independent signatures
+    * collide.
+    */
+  private[graft] def lshTables(df: DataFrame, vecCol: String): DataFrame =
+    df.select(col("*"),
+      explode(array((0 until NumTables).map { t =>
+        struct(lit(t).as("tbl"), lshSignature(col(vecCol), 8, t).as("sig"))
+      }: _*)).as("bk"))
+      .select(col("*"), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+      .drop("bk")
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
@@ -90,13 +109,13 @@ object SimilarityOps {
     // bucket. Rows-only check (bucketing not SQL-mirrorable cheaply).
     "s2_ann_lsh" -> QueryDef(
       (s, dir) => {
-        val emb = corpus(s, dir)
-          .withColumn("bucket", lshSignature(col("embedding"), 8))
-        val queries = emb.where(col("vec_id") < NumQueries)
+        val banded = lshTables(corpus(s, dir), "embedding").cache()
+        val queries = banded.where(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            col("bucket"))
-        val scored = emb.join(broadcast(queries), Seq("bucket"))
+            col("tbl"), col("sig"))
+        val scored = banded.join(broadcast(queries), Seq("tbl", "sig"))
           .where(col("vec_id") =!= col("query_id"))
+          .dropDuplicates("query_id", "vec_id")
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             cosine(col("qv"), col("embedding")).as("sim"))
         val w = Window.partitionBy("query_id")

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event operators
+  * (graft.ops.EventOps): the same logical transforms expressed over an
+  * unbounded source with watermark-bounded state. The reference has no
+  * streaming at all (SURVEY §2.5) — its closest notion is snapshot
+  * isolation + manual `update_incremental`; these are the Spark-native
+  * extension of that idea.
+  *
+  * State-size discipline for 100 TB/day streams: every stateful op here
+  * carries a watermark, so Spark evicts window/session state once the
+  * event-time frontier passes — state is O(active windows × keys), not
+  * O(stream).
+  */
+object EventStreams {
+
+  /** The events schema (streams must declare schemas — no inference). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded read of an events directory (new files = new micro-batch). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
+    * streaming twin of EventOps e1.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Session windows (30-minute gap) per user — streaming twin of
+    * EventOps e2, using Spark's native session_window (state merges
+    * adjacent windows, watermark evicts closed sessions).
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+}

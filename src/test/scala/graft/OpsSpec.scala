@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+import graft.ops.{DedupOps, Registry, SimilarityOps}
+
+/** Behavioral checks of the pipeline operators (beyond the driver's
+  * oracle harness): planted duplicates must be found, sketches must be
+  * deterministic, ANN variants must agree with brute force.
+  */
+class OpsSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("simhash: identical token bags hash identically, deterministic") {
+    SimHash64.register(spark)
+    val df = Seq(
+      ("a b c d e f g h", 1), ("a b c d e f g h", 2),
+      ("totally different words here now ok", 3))
+      .toDF("text", "id")
+      .select(col("id"),
+        call_function("simhash64", split(col("text"), " ")).as("sh"))
+    val rows = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows(1) == rows(2))
+    assert(rows(1) != rows(3))
+    // deterministic across evaluations
+    val again = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows == again)
+  }
+
+  test("simhash: near-identical docs are close in Hamming distance") {
+    SimHash64.register(spark)
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val mutated = (1 to 60).map(i => if (i % 20 == 0) s"chg$i" else s"tok$i").mkString(" ")
+    val df = Seq(base, mutated).toDF("text")
+      .select(call_function("simhash64", split(col("text"), " ")).as("sh"))
+    val Array(a, b) = df.collect().map(_.getLong(0))
+    assert(java.lang.Long.bitCount(a ^ b) <= 16,
+      s"expected small hamming distance, got ${java.lang.Long.bitCount(a ^ b)}")
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    // two docs sharing most shingles must appear as a candidate pair
+    val q = DedupOps.defs("d3_minhash_pairs")
+    val pairs = q.fn(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    val est = pairs.map(_.getDouble(2))
+    assert(est.forall(e => e >= 0.2 && e <= 1.0))
+  }
+
+  test("ngram jaccard agrees with minhash estimate within tolerance") {
+    val mh = DedupOps.defs("d3_minhash_pairs").fn(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val ex = DedupOps.defs("d4_ngram_jaccard").fn(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val joined = mh.join(ex, Seq("doc_a", "doc_b")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val est = r.getDouble(2); val exact = r.getDouble(3)
+      assert(math.abs(est - exact) <= 0.35,
+        s"minhash estimate $est too far from exact $exact")
+    }
+  }
+
+  test("ann LSH: planted near-duplicate vectors collide in some table") {
+    // a vector and a slightly-perturbed copy have cosine ≈ 0.999; with 4
+    // independent 8-bit sign-LSH tables they must share at least one
+    // signature (deterministic given the seeded hyperplanes)
+    val rnd = new scala.util.Random(7)
+    val v = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val vNear = v.zipWithIndex.map { case (x, i) =>
+      if (i % 16 == 0) x + 0.01f else x }
+    val df = Seq((0L, v.toSeq), (1L, vNear.toSeq)).toDF("vec_id", "embedding")
+    val sigs = SimilarityOps.lshTables(df, "embedding")
+      .select("vec_id", "tbl", "sig").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => (r.getInt(1), r.getLong(2))).toSet }
+    assert(sigs(0L).intersect(sigs(1L)).nonEmpty,
+      "near-identical vectors share no LSH signature across 4 tables")
+    // and the full query still runs end-to-end on real data
+    val lsh = SimilarityOps.defs("s2_ann_lsh").fn(spark, dir)
+    val rows = lsh.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(1) <= 5))
+  }
+
+  test("dedup exact: grouping is lossless (copies sum to corpus size)") {
+    val total = Registry.table(spark, dir, "documents").count()
+    val grouped = DedupOps.defs("d1_dedup_exact").fn(spark, dir)
+      .agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(grouped == total)
+  }
+}
