@@ -1,0 +1,284 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.node.JsonNodeFactory
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Minimal Delta transaction-log writer: parquet data files + commit
+  * JSON with per-file partitionValues and footer-derived statistics
+  * (numRecords / minValues / maxValues / nullCount — the zone maps the
+  * scan's file skipping consumes).
+  *
+  * The reference is read-only (its roundtrip tests lean on delta-rs,
+  * tests/test_polars_read.py:42-192); writing is our extension, kept to
+  * the protocol subset the reader supports: reader v1 (v3+timestampNtz
+  * when the schema needs it), no column mapping on write, hive-layout
+  * partitioning whose dir values become `partitionValues`.
+  *
+  * Scale: the data write is a normal distributed `df.write.parquet`;
+  * only the log append (listing the new files + reading their footers)
+  * is driver-side, O(files-in-commit).
+  */
+object DeltaWriter {
+
+  def write(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    require(mode == "overwrite" || mode == "append", s"bad mode $mode")
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+
+    val before = listDataFiles(fs, root)
+    val prior =
+      if (fs.exists(new Path(root, "_delta_log"))) Some(DeltaLog.forPath(spark, path))
+      else None
+    val version = prior.map(_.version + 1).getOrElse(0L)
+
+    // Delta stores timestamps as INT64 micros (INT96, Spark's legacy
+    // default, also carries no usable column statistics)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val oldTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.mode("append").partitionBy(partitionBy: _*).parquet(path)
+    finally oldTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+
+    val after = listDataFiles(fs, root)
+    val newFiles = (after -- before).toSeq.sorted
+
+    val nf = JsonNodeFactory.instance
+    val lines = mutable.ArrayBuffer.empty[String]
+
+    if (version == 0L || mode == "overwrite") {
+      val needsNtz = df.schema.exists(f => hasNtz(f.dataType))
+      val protocol = nf.objectNode()
+      val p = protocol.putObject("protocol")
+      if (needsNtz) {
+        p.put("minReaderVersion", 3).put("minWriterVersion", 7)
+        p.putArray("readerFeatures").add("timestampNtz")
+        p.putArray("writerFeatures").add("timestampNtz")
+      } else p.put("minReaderVersion", 1).put("minWriterVersion", 2)
+      lines += protocol.toString
+
+      val meta = nf.objectNode()
+      val m = meta.putObject("metaData")
+      m.put("id", java.util.UUID.nameUUIDFromBytes(
+        path.getBytes(StandardCharsets.UTF_8)).toString)
+      val fmt = m.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", df.schema.json)
+      val pc = m.putArray("partitionColumns")
+      partitionBy.foreach(pc.add)
+      m.putObject("configuration")
+      m.put("createdTime", System.currentTimeMillis())
+      lines += meta.toString
+    }
+
+    if (mode == "overwrite") prior.foreach(_.liveFiles.foreach { a =>
+      val rm = nf.objectNode()
+      val r = rm.putObject("remove")
+      r.put("path", a.path)
+      r.put("deletionTimestamp", System.currentTimeMillis())
+      r.put("dataChange", true)
+      lines += rm.toString
+    })
+
+    newFiles.foreach { rel =>
+      val f = new Path(root, rel)
+      val status = fs.getFileStatus(f)
+      val addObj = nf.objectNode()
+      val a = addObj.putObject("add")
+      a.put("path", rel)
+      val pv = a.putObject("partitionValues")
+      partitionValuesFromPath(rel).foreach {
+        case (k, Some(v)) => pv.put(k, v)
+        case (k, None) => pv.putNull(k)
+      }
+      a.put("size", status.getLen)
+      a.put("modificationTime", status.getModificationTime)
+      a.put("dataChange", true)
+      footerStats(fs, f, df.schema).foreach(s => a.put("stats", s))
+      lines += addObj.toString
+    }
+
+    val ci = nf.objectNode()
+    val c = ci.putObject("commitInfo")
+    c.put("timestamp", System.currentTimeMillis())
+    c.put("operation", if (mode == "overwrite") "WRITE" else "APPEND")
+    lines += ci.toString
+
+    val logDir = new Path(root, "_delta_log")
+    fs.mkdirs(logDir)
+    val commit = new Path(logDir, f"$version%020d.json")
+    val out = fs.create(commit, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def hasNtz(dt: DataType): Boolean = dt match {
+    case TimestampNTZType => true
+    case s: StructType => s.exists(f => hasNtz(f.dataType))
+    case ArrayType(et, _) => hasNtz(et)
+    case MapType(k, v, _) => hasNtz(k) || hasNtz(v)
+    case _ => false
+  }
+
+  /** Relative paths of all parquet data files under the table root. */
+  private def listDataFiles(fs: FileSystem, root: Path): Set[String] = {
+    if (!fs.exists(root)) return Set.empty
+    val out = mutable.Set.empty[String]
+    val it = fs.listFiles(root, true)
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toUri.getPath
+      if (p.endsWith(".parquet") && !p.contains("/_delta_log/"))
+        out += p.stripPrefix(rootUri + "/")
+    }
+    out.toSet
+  }
+
+  /** `key=value` hive path segments → partitionValues (URL-decoded;
+    * `__HIVE_DEFAULT_PARTITION__` → null).
+    */
+  private[delta] def partitionValuesFromPath(rel: String): Seq[(String, Option[String])] =
+    rel.split("/").dropRight(1).toSeq.filter(_.contains("=")).map { seg =>
+      val i = seg.indexOf('=')
+      val k = java.net.URLDecoder.decode(seg.substring(0, i), "UTF-8")
+      val v = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+      k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
+    }
+
+  /** Per-file stats JSON from the parquet footer (row count + column
+    * chunk min/max/null counts aggregated over row groups). Top-level
+    * primitive columns only; fail-open on anything exotic.
+    */
+  private def footerStats(fs: FileSystem, file: Path, schema: StructType): Option[String] =
+    try {
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(file, fs.getConf))
+      try {
+        val footer = reader.getFooter
+        val blocks = footer.getBlocks
+        val nf = JsonNodeFactory.instance
+        val stats = nf.objectNode()
+        var numRecords = 0L
+        blocks.forEach(b => numRecords += b.getRowCount)
+        stats.put("numRecords", numRecords)
+        val minV = stats.putObject("minValues")
+        val maxV = stats.putObject("maxValues")
+        val nullC = stats.putObject("nullCount")
+
+        val fileSchema = footer.getFileMetaData.getSchema
+        schema.fields.foreach { sf =>
+          val name = sf.name
+          if (fileSchema.containsField(name) &&
+              fileSchema.getType(Seq(name): _*).isPrimitive) {
+            var nulls = 0L
+            var hasNulls = true
+            var min: Option[AnyRef] = None
+            var max: Option[AnyRef] = None
+            val prim = fileSchema.getType(Seq(name): _*).asPrimitiveType()
+            blocks.forEach { b =>
+              b.getColumns.forEach { cc =>
+                if (cc.getPath.toDotString == name) {
+                  val st = cc.getStatistics
+                  if (st == null || !st.isNumNullsSet) hasNulls = false
+                  else nulls += st.getNumNulls
+                  if (st != null && st.hasNonNullValue) {
+                    val (mn, mx) = typedMinMax(
+                      st.genericGetMin.asInstanceOf[AnyRef],
+                      st.genericGetMax.asInstanceOf[AnyRef], prim, sf.dataType)
+                    min = mergeMin(min, mn); max = mergeMax(max, mx)
+                  }
+                }
+              }
+            }
+            if (hasNulls) nullC.put(name, nulls)
+            def putVal(target: com.fasterxml.jackson.databind.node.ObjectNode,
+                v: AnyRef): Unit = v match {
+              case s: String => target.put(name, s)
+              case i: java.lang.Long => target.put(name, i.longValue)
+              case d: java.lang.Double => target.put(name, d.doubleValue)
+              case b: java.math.BigDecimal => target.put(name, b)
+              case _ => ()
+            }
+            min.foreach(putVal(minV, _))
+            max.foreach(putVal(maxV, _))
+          }
+        }
+        Some(stats.toString)
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Convert parquet statistics values to the Delta stats JSON domain:
+    * numbers stay numbers, dates/timestamps become ISO strings, strings
+    * are emitted only when short (no truncation semantics on write).
+    */
+  private def typedMinMax(
+      mn: AnyRef, mx: AnyRef,
+      prim: org.apache.parquet.schema.PrimitiveType,
+      sparkType: DataType): (Option[AnyRef], Option[AnyRef]) = {
+    def conv(v: AnyRef): Option[AnyRef] = (prim.getPrimitiveTypeName, sparkType) match {
+      case (PrimitiveTypeName.INT32, DateType) =>
+        Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue).toString)
+      case (PrimitiveTypeName.INT32, _) | (PrimitiveTypeName.INT64, _)
+          if prim.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+        val ts = prim.getLogicalTypeAnnotation
+          .asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+        val micros = ts.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => v.asInstanceOf[Number].longValue * 1000L
+          case LogicalTypeAnnotation.TimeUnit.MICROS => v.asInstanceOf[Number].longValue
+          case LogicalTypeAnnotation.TimeUnit.NANOS => v.asInstanceOf[Number].longValue / 1000L
+        }
+        Some(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L).toString)
+      case (PrimitiveTypeName.INT32, _) | (PrimitiveTypeName.INT64, _) =>
+        Some(java.lang.Long.valueOf(v.asInstanceOf[Number].longValue))
+      case (PrimitiveTypeName.FLOAT, _) | (PrimitiveTypeName.DOUBLE, _) =>
+        Some(java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue))
+      case (PrimitiveTypeName.BINARY, StringType) =>
+        val s = new String(v.asInstanceOf[org.apache.parquet.io.api.Binary]
+          .getBytes, StandardCharsets.UTF_8)
+        if (s.length <= 64) Some(s) else None
+      case _ => None
+    }
+    (conv(mn), conv(mx))
+  }
+
+  private def mergeMin(cur: Option[AnyRef], v: Option[AnyRef]): Option[AnyRef] =
+    (cur, v) match {
+      case (None, x) => x
+      case (x, None) => x
+      case (Some(a), Some(b)) => Some(if (cmp(a, b) <= 0) a else b)
+    }
+  private def mergeMax(cur: Option[AnyRef], v: Option[AnyRef]): Option[AnyRef] =
+    (cur, v) match {
+      case (None, x) => x
+      case (x, None) => x
+      case (Some(a), Some(b)) => Some(if (cmp(a, b) >= 0) a else b)
+    }
+  private def cmp(a: AnyRef, b: AnyRef): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+    case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => 0
+  }
+}

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -13,13 +13,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * xxhash64 bits); the sign of each tally becomes the output bit. Docs
   * whose simhashes differ in few bits share most tokens.
   *
-  * Implemented as a native Catalyst expression (not a Scala UDF) so the
-  * per-row cost is one tight loop with no serialization; `CodegenFallback`
-  * keeps it inside the generated plan. Null tokens are ignored; a null
-  * array yields null.
+  * Implemented as a native Catalyst expression (not a Scala UDF) with
+  * real `doGenCode`: the generated code calls the static kernel below, so
+  * the expression participates in whole-stage codegen with zero boxing or
+  * serialization per row. Null tokens are ignored; a null array yields
+  * null.
   */
-case class SimHash64(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -30,8 +30,19 @@ case class SimHash64(child: Expression) extends UnaryExpression
         s"simhash64 requires array<string>, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.kernel(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.kernel($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+object SimHash64 {
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def kernel(arr: ArrayData): Long = {
     val tally = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -49,13 +60,8 @@ case class SimHash64(child: Expression) extends UnaryExpression
     var out = 0L
     var b = 0
     while (b < 64) { if (tally(b) > 0) out |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
-}
-
-object SimHash64 {
   /** Register once per session, then usable from both the Column API and
     * SQL (`simhash64(tokens)`).
     */

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.DeltaLake
+import graft.delta.{Cond, DeltaWriter, ScanSettings}
+import Registry.table
+
+/** Driver-facing exercises of the CORE Delta engine: materialize a Delta
+  * table (our writer: commit log + footer stats) from the plain parquet
+  * test data, scan it back through the full pipeline (log replay →
+  * pruning → projection → union), and let DuckDB check the result
+  * against the original table. This puts log replay, partition-value
+  * injection, file skipping and the scan projection under the hash
+  * oracle, not just ScalaTest.
+  */
+object DeltaQueries {
+
+  /** Deterministic per-sfDir staging location. */
+  private def stage(dir: String, name: String): String =
+    s"/tmp/graft_delta_stage/${dir.replaceAll("[^A-Za-z0-9]", "_")}/$name"
+
+  private def ensureLineitemDelta(s: SparkSession, dir: String): String = {
+    val path = stage(dir, "lineitem_delta")
+    // write once per (session, sfDir); Delta overwrite is idempotent anyway
+    val marker = s"graft.delta.staged.$path"
+    if (!s.conf.getOption(marker).contains("1")) {
+      DeltaWriter.write(
+        table(s, dir, "lineitem"), path, partitionBy = Seq("l_returnflag"))
+      s.conf.set(marker, "1")
+    }
+    path
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Partition-pruned Delta scan: only the l_returnflag=R files are
+    // read (pruning is driver-side against partitionValues), then the
+    // quantity filter is pushed into the parquet scan.
+    "x1_delta_scan_pruned" -> QueryDef(
+      (s, dir) => {
+        val path = ensureLineitemDelta(s, dir)
+        DeltaLake.scanDelta(s, path, ScanSettings(
+          conditions = Seq(Cond("l_returnflag", "=", "R"), Cond("l_quantity", ">", 45.0))))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Full-table Delta scan aggregation: partition values come from the
+    // log (not the files) and must aggregate identically to the source.
+    "x2_delta_scan_agg" -> QueryDef(
+      (s, dir) => {
+        val path = ensureLineitemDelta(s, dir)
+        DeltaLake.scanDelta(s, path)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+            sum("l_extendedprice").as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty, sum(l_extendedprice) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Delta scan as a SQL view (the reference's create_view_for_delta
+    // path): register + query through Spark SQL.
+    "x3_delta_view_sql" -> QueryDef(
+      (s, dir) => {
+        val path = ensureLineitemDelta(s, dir)
+        DeltaLake.createViewForDelta(s, path, "lineitem_delta_view")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+                |FROM lineitem_delta_view
+                |WHERE l_quantity BETWEEN 10 AND 20
+                |GROUP BY l_returnflag, l_linestatus
+                |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem WHERE l_quantity BETWEEN 10 AND 20
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)))
+}

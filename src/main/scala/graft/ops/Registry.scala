@@ -18,5 +18,6 @@ object Registry {
 
   def all: Map[String, QueryDef] =
     Relational.defs ++ TextOps.defs ++ DedupOps.defs ++
-      SimilarityOps.defs ++ EventOps.defs ++ MultimodalOps.defs
+      SimilarityOps.defs ++ EventOps.defs ++ MultimodalOps.defs ++
+      DeltaQueries.defs
 }

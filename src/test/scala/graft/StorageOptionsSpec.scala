@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.AzureStorageOptions
+
+/** Ports of the reference's credential-translation unit tests
+  * (tests/test_azure_helper.py:12-49) onto the Hadoop-conf mapping.
+  */
+class StorageOptionsSpec extends AnyFunSuite {
+
+  private val host = "acct.dfs.core.windows.net"
+
+  test("account key → SharedKey auth") {
+    val c = AzureStorageOptions.toHadoopConf(
+      Map("account_name" -> "acct", "account_key" -> "k1"))
+    assert(c(s"fs.azure.account.auth.type.$host") == "SharedKey")
+    assert(c(s"fs.azure.account.key.$host") == "k1")
+  }
+
+  test("connection string is parsed for name and key") {
+    val c = AzureStorageOptions.toHadoopConf(
+      Map("connection_string" ->
+        "DefaultEndpointsProtocol=https;AccountName=acct;AccountKey=csk=="))
+    assert(c(s"fs.azure.account.key.$host") == "csk==")
+  }
+
+  test("sas token → SAS auth") {
+    val c = AzureStorageOptions.toHadoopConf(
+      Map("account_name" -> "acct", "sas_token" -> "sv=2020&sig=x"))
+    assert(c(s"fs.azure.account.auth.type.$host") == "SAS")
+    assert(c(s"fs.azure.sas.fixed.token.$host") == "sv=2020&sig=x")
+  }
+
+  test("service principal → OAuth client credentials") {
+    val c = AzureStorageOptions.toHadoopConf(Map(
+      "account_name" -> "acct", "client_id" -> "cid",
+      "client_secret" -> "sec", "tenant_id" -> "tid"))
+    assert(c(s"fs.azure.account.auth.type.$host") == "OAuth")
+    assert(c(s"fs.azure.account.oauth2.client.endpoint.$host")
+      .contains("tid"))
+  }
+
+  test("emulator defaults to well-known devstore account") {
+    val h = s"${AzureStorageOptions.EmulatorAccountName}.dfs.core.windows.net"
+    val c = AzureStorageOptions.toHadoopConf(Map("use_emulator" -> "1"))
+    assert(c(s"fs.azure.account.key.$h") == AzureStorageOptions.EmulatorAccountKey)
+    assert(c("fs.azure.always.use.https") == "false")
+  }
+
+  test("managed identity chain → MSI provider") {
+    val c = AzureStorageOptions.toHadoopConf(
+      Map("account_name" -> "acct", "chain" -> "managed_identity"))
+    assert(c(s"fs.azure.account.oauth.provider.type.$host")
+      .contains("MsiTokenProvider"))
+  }
+
+  test("anon → no auth entries") {
+    val c = AzureStorageOptions.toHadoopConf(
+      Map("account_name" -> "acct", "anon" -> "true"))
+    assert(!c.contains(s"fs.azure.account.auth.type.$host"))
+  }
+
+  test("az:// and https blob URIs normalize to abfss") {
+    val opts = Map("account_name" -> "acct")
+    assert(AzureStorageOptions.normalizeUri("az://cont/a/b", opts) ==
+      "abfss://cont@acct.dfs.core.windows.net/a/b")
+    assert(AzureStorageOptions.normalizeUri(
+      "https://acct.blob.core.windows.net/cont/a/b", opts) ==
+      "abfss://cont@acct.dfs.core.windows.net/a/b")
+    assert(AzureStorageOptions.normalizeUri("/local/path", opts) == "/local/path")
+  }
+}
