@@ -1,8 +1,8 @@
 package graft.delta
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Scan options — the union of the reference's `PolarsSettings` +
   * scan keyword args (polars.py:42-69,361-378; duckdb.py:374-394).
@@ -14,7 +14,13 @@ final case class ScanSettings(
     distinct: Boolean = false,
     limit: Option[Long] = None,
     version: Option[Long] = None,
-    actionFilter: AddAction => Boolean = _ => true)
+    actionFilter: AddAction => Boolean = _ => true,
+    /** Above this many distinct partition-value tuples the scan switches
+      * from per-partition union branches to ONE multi-path scan joined
+      * (broadcast) with a file→partition-values map — plan size stays
+      * O(1) however many partitions a 100 TB table has.
+      */
+    wideUnionThreshold: Int = 64)
 
 /** Compile a Delta snapshot into a Spark `DataFrame` — the engine's core.
   *
@@ -72,27 +78,64 @@ object DeltaScan {
 
     val base = snap.deltaPath.stripSuffix("/")
 
+    val logToPhys = DeltaSchema.logicalToPhysical(schema)
+    def dataProjection(f: StructField): Column = {
+      val phys = DeltaSchema.physicalName(f)
+      col(s"`${phys.replace("`", "``")}`").cast(f.dataType).as(f.name)
+    }
+
+    val groups: Seq[(Map[String, Option[String]], Seq[AddAction])] =
+      actions.groupBy(_.partitionValues).toSeq
+
     val df =
       if (actions.isEmpty) emptyTyped(spark, StructType(projected))
-      else {
-        // one scan node per distinct partition-value tuple
-        val groups: Seq[(Map[String, Option[String]], Seq[AddAction])] =
-          actions.groupBy(_.partitionValues).toSeq
-        val logToPhys = DeltaSchema.logicalToPhysical(schema)
+      else if (groups.size <= settings.wideUnionThreshold) {
+        // one scan node per distinct partition-value tuple; partition
+        // columns become per-branch constant literals (fold-friendly)
         val parts = groups.map { case (pv, as) =>
           val paths = as.map(a => s"$base/${decodePath(a.path)}")
           val projection: Seq[Column] = projected.map { f =>
             if (partCols.contains(f.name)) {
               val phys = logToPhys.getOrElse(f.name, f.name)
               PartitionValues.toLiteral(pv.get(phys).flatten, f)
-            } else {
-              val phys = DeltaSchema.physicalName(f)
-              col(s"`${phys.replace("`", "``")}`").cast(f.dataType).as(f.name)
-            }
+            } else dataProjection(f)
           }
           spark.read.schema(physReadSchema).parquet(paths: _*).select(projection: _*)
         }
         parts.reduce(_.unionByName(_))
+      } else {
+        // wide-partition path: ONE multi-path scan for every file, and
+        // partition values delivered by a broadcast join on the file name
+        // — constant-size plan regardless of partition count
+        val hconf = spark.sessionState.newHadoopConf()
+        val fileKey = "__graft_file"
+        val paths = actions.map(a => s"$base/${decodePath(a.path)}")
+        val scan = spark.read.schema(physReadSchema).parquet(paths: _*)
+          .withColumn(fileKey, normalizeFileKey(input_file_name()))
+
+        val partFields = projected.filter(f => partCols.contains(f.name))
+        val pvSchema = StructType(
+          StructField(fileKey, org.apache.spark.sql.types.StringType,
+            nullable = false) +: partFields)
+        val rows = actions.map { a =>
+          // join key = decoded, scheme/authority-free path — the same
+          // normalization normalizeFileKey applies to input_file_name()
+          val p = new org.apache.hadoop.fs.Path(s"$base/${decodePath(a.path)}")
+          val uri = p.getFileSystem(hconf).makeQualified(p).toUri.getPath
+          Row.fromSeq(uri +: partFields.map { f =>
+            val phys = logToPhys.getOrElse(f.name, f.name)
+            a.partitionValues.get(phys).flatten
+              .map(v => toJavaSql(PartitionValues.deserialize(v, f.dataType), f))
+              .orNull
+          })
+        }
+        val pvDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), pvSchema)
+        scan.join(broadcast(pvDf), Seq(fileKey))
+          .select(projected.map { f =>
+            if (partCols.contains(f.name)) col(s"`${f.name.replace("`", "``")}`")
+            else dataProjection(f)
+          }: _*)
       }
 
     val filtered =
@@ -107,6 +150,30 @@ object DeltaScan {
     */
   private def emptyTyped(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** input_file_name() yields a percent-encoded URI (`file:///…`);
+    * reduce it to the decoded path component to match the driver-built
+    * keys (scheme and authority dropped on both sides).
+    */
+  private def normalizeFileKey(c: Column): Column =
+    org.apache.spark.sql.functions.url_decode(
+      org.apache.spark.sql.functions.regexp_replace(
+        c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
+
+  /** `createDataFrame` wants java.sql temporal types and scaled decimals. */
+  private def toJavaSql(v: Any, f: StructField): Any = v match {
+    case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+    case i: java.time.Instant => java.sql.Timestamp.from(i)
+    case l: java.time.LocalDateTime =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType) l
+      else java.sql.Timestamp.valueOf(l)
+    case b: java.math.BigDecimal => f.dataType match {
+      case dt: org.apache.spark.sql.types.DecimalType =>
+        b.setScale(dt.scale, java.math.RoundingMode.UNNECESSARY)
+      case _ => b
+    }
+    case other => other
+  }
 
   /** add.path is URL-encoded in the log (spaces etc.). */
   private def decodePath(p: String): String =
