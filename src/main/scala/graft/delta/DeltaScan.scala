@@ -81,7 +81,9 @@ object DeltaScan {
     val logToPhys = DeltaSchema.logicalToPhysical(schema)
     def dataProjection(f: StructField): Column = {
       val phys = DeltaSchema.physicalName(f)
-      col(s"`${phys.replace("`", "``")}`").cast(f.dataType).as(f.name)
+      // cast target is nullability-relaxed: the file relation reports
+      // everything nullable, and Cast refuses nullable→non-nullable
+      col(s"`${phys.replace("`", "``")}`").cast(relax(f.dataType)).as(f.name)
     }
 
     val groups: Seq[(Map[String, Option[String]], Seq[AddAction])] =
@@ -150,6 +152,17 @@ object DeltaScan {
     */
   private def emptyTyped(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Deep nullability relaxation (every field/element/value nullable). */
+  private def relax(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, relax(f.dataType), nullable = true, f.metadata)))
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(relax(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(relax(k), relax(v), valueContainsNull = true)
+    case other => other
+  }
 
   /** input_file_name() yields a percent-encoded URI (`file:///…`);
     * reduce it to the decoded path component to match the driver-built

@@ -117,6 +117,33 @@ class DeltaWriterSpec extends SparkSuite {
     assert(keptTs.isEmpty)
   }
 
+  test("map and struct columns roundtrip (real MapType, not list-of-entries)") {
+    // the reference degrades maps to List(Struct{key,value}) (polars.py:177-190);
+    // Spark has a real MapType — verify it survives write → log → scan
+    val path = tmp()
+    val df = Seq(
+      (1L, Map("a" -> 1, "b" -> 2), ("x", 10.5)),
+      (2L, Map("c" -> 3), ("y", 20.5)))
+      .toDF("id", "m", "s")
+    DeltaWriter.write(df, path)
+    val back = DeltaLake.scanDelta(spark, path).orderBy("id").collect()
+    assert(back(0).getAs[Map[String, Int]]("m") == Map("a" -> 1, "b" -> 2))
+    assert(back(1).getAs[Map[String, Int]]("m") == Map("c" -> 3))
+    assert(back(0).getAs[Row]("s").getString(0) == "x")
+    val schema = DeltaLake.deltaSchema(spark, path)
+    assert(schema("m").dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+  }
+
+  test("actionFilter hook restricts the scan to chosen files") {
+    val path = tmp()
+    DeltaWriter.write(frame.repartitionByRange(3, col("foo")), path)
+    val snap = DeltaLake.deltaMeta(spark, path)
+    val firstFile = snap.liveFiles.head.path
+    val df = DeltaLake.scanDelta(spark, path,
+      ScanSettings(actionFilter = a => a.path == firstFile))
+    assert(df.count() == 3) // one of three range files
+  }
+
   test("null partition values written as HIVE_DEFAULT and read back as null") {
     val path = tmp()
     val df = Seq((1L, Some("A")), (2L, None)).toDF("id", "p")
