@@ -47,4 +47,19 @@ object DeltaLake {
   def isProtocolSupported(snap: DeltaSnapshot): Boolean =
     try { snap.checkProtocolSupported(); true }
     catch { case _: DeltaProtocolError => false }
+
+  /** Append-CDF: the rows added strictly after `sinceVersion` (files
+    * present in the latest snapshot but not at `sinceVersion`) — the
+    * incremental-ETL extension of the reference's `update_incremental`
+    * (delta_meta_retrieval.py:183-200), which refreshes metadata but
+    * cannot say what changed. Removed/rewritten files are not
+    * subtracted (append-only streams).
+    */
+  def scanDeltaChanges(spark: SparkSession, path: String,
+      sinceVersion: Long): DataFrame = {
+    val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
+    val beforePaths = before.liveFiles.map(_.path).toSet
+    DeltaScan.scan(spark, path,
+      ScanSettings(actionFilter = a => !beforePaths.contains(a.path)))
+  }
 }

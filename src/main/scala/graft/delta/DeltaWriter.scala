@@ -130,6 +130,77 @@ object DeltaWriter {
     finally out.close()
   }
 
+  /** Write a `%020d.checkpoint.parquet` + `_last_checkpoint` for the
+    * snapshot's version, so subsequent replays are
+    * O(commits-since-checkpoint) (the reader's checkpoint branch,
+    * spec: delta_meta_retrieval.py:406-440). One row per action,
+    * `add`/`metaData`/`protocol` struct columns — written via a
+    * DataFrame so executors do the encoding.
+    */
+  def writeCheckpoint(snap: DeltaSnapshot): Unit = {
+    val spark = snap.spark
+    val nf = JsonNodeFactory.instance
+    val lines = mutable.ArrayBuffer.empty[String]
+
+    snap.protocol.foreach { p =>
+      val o = nf.objectNode(); val pn = o.putObject("protocol")
+      pn.put("minReaderVersion", p.minReaderVersion)
+      pn.put("minWriterVersion", p.minWriterVersion)
+      p.readerFeatures.foreach { fs =>
+        val arr = pn.putArray("readerFeatures"); fs.foreach(arr.add) }
+      p.writerFeatures.foreach { fs =>
+        val arr = pn.putArray("writerFeatures"); fs.foreach(arr.add) }
+      lines += o.toString
+    }
+    snap.metadata.foreach { m =>
+      val o = nf.objectNode(); val mn = o.putObject("metaData")
+      m.id.foreach(mn.put("id", _))
+      val fmt = mn.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      mn.put("schemaString", m.schemaString)
+      val pc = mn.putArray("partitionColumns"); m.partitionColumns.foreach(pc.add)
+      val cfg = mn.putObject("configuration")
+      m.configuration.foreach { case (k, v) => cfg.put(k, v) }
+      m.createdTime.foreach(mn.put("createdTime", _))
+      lines += o.toString
+    }
+    snap.liveFiles.foreach { a =>
+      val o = nf.objectNode(); val an = o.putObject("add")
+      an.put("path", a.path)
+      val pv = an.putObject("partitionValues")
+      a.partitionValues.foreach {
+        case (k, Some(v)) => pv.put(k, v)
+        case (k, None) => pv.putNull(k)
+      }
+      an.put("size", a.size)
+      an.put("modificationTime", a.modificationTime)
+      an.put("dataChange", true)
+      a.stats.foreach(an.put("stats", _))
+      lines += o.toString
+    }
+
+    // infer the action-struct schema from the JSON lines themselves
+    val ds = spark.createDataset(lines.toSeq)(
+      org.apache.spark.sql.Encoders.STRING)
+    val df = spark.read.json(ds)
+    val logDir = s"${snap.deltaPath.stripSuffix("/")}/_delta_log"
+    val cpName = f"${snap.version}%020d.checkpoint.parquet"
+    val tmpDir = s"$logDir/.checkpoint_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(logDir).getFileSystem(conf)
+    val part = fs.listStatus(new Path(tmpDir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, new Path(logDir, cpName))
+    fs.delete(new Path(tmpDir), true)
+    val lc = nf.objectNode()
+    lc.put("version", snap.version)
+    lc.put("size", lines.size)
+    val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    try out.write((lc.toString + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   private def hasNtz(dt: DataType): Boolean = dt match {
     case TimestampNTZType => true
     case s: StructType => s.exists(f => hasNtz(f.dataType))

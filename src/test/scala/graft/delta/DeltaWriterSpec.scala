@@ -117,6 +117,38 @@ class DeltaWriterSpec extends SparkSuite {
     assert(keptTs.isEmpty)
   }
 
+  test("checkpoint write + replay skips the early JSON commits") {
+    val path = tmp()
+    DeltaWriter.write(frame.where(col("foo") <= 3), path)
+    DeltaWriter.write(frame.where(col("foo") === 4), path, mode = "append")
+    DeltaWriter.write(frame.where(col("foo") === 5), path, mode = "append")
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.version == 2L)
+    DeltaWriter.writeCheckpoint(snap)
+    // one more commit after the checkpoint
+    DeltaWriter.write(frame.where(col("foo") === 6), path, mode = "append")
+
+    // prove the checkpoint path is used: delete the pre-checkpoint JSONs
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to 1L).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_delta_log/" + f"$v%020d.json"), false)
+    }
+    val replayed = DeltaLake.deltaMeta(spark, path)
+    assert(replayed.version == 3L)
+    assert(DeltaLake.scanDelta(spark, path).count() == 6)
+  }
+
+  test("scanDeltaChanges returns exactly the appended rows") {
+    val path = tmp()
+    DeltaWriter.write(frame.where(col("foo") <= 5), path)
+    DeltaWriter.write(frame.where(col("foo") > 5), path, mode = "append")
+    val changes = DeltaLake.scanDeltaChanges(spark, path, sinceVersion = 0L)
+    assert(changes.collect().map(_.getAs[Long]("foo")).sorted.toSeq ==
+      Seq(6L, 7L, 8L, 9L))
+  }
+
   test("map and struct columns roundtrip (real MapType, not list-of-entries)") {
     // the reference degrades maps to List(Struct{key,value}) (polars.py:177-190);
     // Spark has a real MapType — verify it survives write → log → scan
