@@ -10,6 +10,9 @@ import Registry.table
   * fact table), aggregations rely on partial (map-side) aggregation, and
   * ordering is only applied to already-small results.
   */
+final case class LineitemSlice(
+    l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+
 object Relational {
 
   def defs: Map[String, QueryDef] = Map(
@@ -227,6 +230,46 @@ object Relational {
         |  p_size % 7 AS size_mod,
         |  abs(p_size - 25) AS size_dist
         |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Skew-mitigation pattern under oracle check: salt the fact side,
+    // explode the build side — result must equal the plain join. At scale
+    // this (or AQE skew-join) keeps one hot key from pinning one reducer.
+    "q15_salted_join" -> QueryDef(
+      (s, dir) => {
+        val salts = 4
+        val li = table(s, dir, "lineitem")
+          .withColumn("salt", pmod(xxhash64(col("l_linenumber")), lit(salts)))
+        val o = table(s, dir, "orders")
+          .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+        li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Typed Dataset API (case-class Encoder, compile-time fields) — same
+    // result surface as an untyped groupBy, proving Dataset[T] and
+    // DataFrame interoperate freely.
+    "q16_typed_dataset" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ds = table(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+          .as[LineitemSlice]
+        ds.filter(_.l_quantity > 40.0)
+          .groupByKey(_.l_returnflag)
+          .agg(
+            count(lit(1)).as("n").as[Long],
+            sum($"l_quantity").as("sum_qty").as[Double])
+          .toDF("l_returnflag", "n", "sum_qty")
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_quantity > 40.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Approximate distinct (HLL) — cardinality sketch; exact count as the
     // oracle-able companion column is NOT possible, so compare exact only.
