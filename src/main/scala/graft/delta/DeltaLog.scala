@@ -162,7 +162,7 @@ object DeltaLog {
     }
   }
 
-  private[delta] def readCommitJson(
+  private[graft] def readCommitJson(
       spark: SparkSession, deltaPath: String, v: Long): Option[Seq[JsonNode]] =
     readSmallFile(spark, s"${logDir(deltaPath)}/${fmtVersion(v)}.json")
       .map(_.filter(_.nonEmpty).map(ActionCodec.mapper.readTree))

@@ -27,14 +27,12 @@ object SimilarityOps {
   private val TopK = 5
   private val NumQueries = 10
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Fused native kernel (graft.functions.VectorCosine): one pass over
+    * both arrays inside whole-stage codegen, vs five interpreted
+    * HOF traversals for the composed zip_with/aggregate form.
+    */
+  private def cosine(s: SparkSession, a: Column, b: Column): Column =
+    graft.functions.VectorCosine.vectorCosine(s, a, b)
 
   /** Deterministic ±1 hyperplanes: component j of plane i flips on the
     * parity of xxhash64(i, j) — same on every executor, no state.
@@ -83,7 +81,7 @@ object SimilarityOps {
         val scored = emb.crossJoin(broadcast(queries))
           .where(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            cosine(col("qv"), col("embedding")).as("sim"))
+            cosine(s, col("qv"), col("embedding")).as("sim"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("sim").desc, col("neighbor_id"))
         scored.withColumn("rank", row_number().over(w))
@@ -117,7 +115,7 @@ object SimilarityOps {
           .where(col("vec_id") =!= col("query_id"))
           .dropDuplicates("query_id", "vec_id")
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            cosine(col("qv"), col("embedding")).as("sim"))
+            cosine(s, col("qv"), col("embedding")).as("sim"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("sim").desc, col("neighbor_id"))
         scored.withColumn("rank", row_number().over(w))
@@ -138,7 +136,7 @@ object SimilarityOps {
           col("embedding").as("vb"))
         l.join(r, Seq("bucket"))
           .where(col("vec_a") < col("vec_b"))
-          .withColumn("sim", cosine(col("va"), col("vb")))
+          .withColumn("sim", cosine(s, col("va"), col("vb")))
           .where(col("sim") >= 0.2)
           .select("vec_a", "vec_b", "sim")
           .orderBy("vec_a", "vec_b")

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.delta.{ActionCodec, DeltaLog, DeltaScan, ScanSettings}
+
+/** Micro-batch replay of a Delta table's commit history — the
+  * `Trigger.AvailableNow` pattern over our own log reader (the streaming
+  * extension SURVEY §2.5 sketches: "a source replaying commit JSONs").
+  *
+  * Offsets are Delta versions: each batch is the set of files ADDED in
+  * one commit, scanned through the full engine (column mapping,
+  * partition injection). The caller persists the returned version as its
+  * offset and passes it back on the next run — exactly a Structured
+  * Streaming source contract, driven as a library loop so it composes
+  * with any sink (foreachBatch-style) without a custom DataSourceV2.
+  *
+  * Append-oriented: `remove` actions (compaction/overwrite) don't emit
+  * retractions — the standard Delta streaming-source limitation.
+  */
+object DeltaStream {
+
+  /** Process every version after `fromVersion` up to the current table
+    * head; `batchFn(version, df)` runs once per version that added
+    * files. Returns the last version processed (the new offset).
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Long)(batchFn: (Long, DataFrame) => Unit): Long = {
+    val head = DeltaLog.forPath(spark, path).version
+    var v = fromVersion + 1
+    while (v <= head) {
+      val addedPaths = DeltaLog.readCommitJson(spark, path, v)
+        .getOrElse(Nil)
+        .flatMap { n =>
+          Option(n.get("add")).filterNot(_.isNull)
+            .map(a => ActionCodec.parseAdd(a).path)
+        }.toSet
+      if (addedPaths.nonEmpty) {
+        val snap = DeltaLog.forPath(spark, path, Some(v))
+        val batch = DeltaScan.scanSnapshot(snap,
+          ScanSettings(actionFilter = a => addedPaths.contains(a.path)))
+        batchFn(v, batch)
+      }
+      v += 1
+    }
+    head
+  }
+}
