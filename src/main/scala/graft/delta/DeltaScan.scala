@@ -141,7 +141,8 @@ object DeltaScan {
       }
 
     val filtered =
-      if (settings.conditions.nonEmpty) df.where(Cond.compile(settings.conditions))
+      if (settings.conditions.nonEmpty)
+        df.where(Cond.compile(settings.conditions, Some(schema)))
       else df
     val distinct = if (settings.distinct) filtered.distinct() else filtered
     settings.limit.fold(distinct)(n => distinct.limit(n.toInt))

@@ -36,11 +36,41 @@ object Cond {
     * Catalyst pushes the result through the per-file union into each
     * parquet scan (PushedFilters), so data-level filtering stays
     * distributed and codegen'd.
+    *
+    * When `schema` is given, numeric literals against DECIMAL columns
+    * are converted to exact decimal literals (when lossless): a
+    * double-vs-decimal comparison forces `cast(col as double)` which
+    * blocks parquet predicate pushdown; the typed literal keeps the
+    * filter on the scan.
     */
-  def compile(conditions: Seq[Cond]): Column =
+  def compile(conditions: Seq[Cond], schema: Option[StructType] = None): Column =
     conditions.foldLeft(lit(true)) { (acc, c) =>
       val base = col(s"`${c.column.replace("`", "``")}`")
-      val p = (c.op, c.value) match {
+      def decimalize(v: Any): Any = {
+        val dtOpt = schema.flatMap(_.fields.find(_.name == c.column))
+          .map(_.dataType)
+        (dtOpt, v) match {
+          case (Some(d: DecimalType), n @ (_: Double | _: Float | _: Int |
+              _: Long | _: BigDecimal | _: java.math.BigDecimal)) =>
+            try { // exact or bust — rounding would change semantics
+              val bd = n match {
+                case x: Double => BigDecimal(x)
+                case x: Float => BigDecimal(x.toDouble)
+                case x: Int => BigDecimal(x)
+                case x: Long => BigDecimal(x)
+                case x: BigDecimal => x
+                case x: java.math.BigDecimal => BigDecimal(x)
+              }
+              bd.setScale(d.scale).underlying // throws if rounding needed
+            } catch { case _: ArithmeticException => v }
+          case _ => v
+        }
+      }
+      val cv = c.value match {
+        case vs: Seq[_] => vs.map(decimalize)
+        case v => decimalize(v)
+      }
+      val p = (c.op, cv) match {
         case ("=", null) => base.isNull
         case ("<>", null) => base.isNotNull
         case ("=", v) => base === toLit(v)

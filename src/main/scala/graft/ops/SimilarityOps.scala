@@ -125,6 +125,74 @@ object SimilarityOps {
       },
       None),
 
+    // IVF ANN — the other scale path: a coarse quantizer (k-means-lite,
+    // deterministic hash-ordered seeding + one Lloyd step) partitions
+    // the corpus into inverted lists; queries probe only the nprobe
+    // nearest lists. Centroids live on the driver (K×Dim floats — the
+    // classic tiny coarse quantizer); everything else is distributed.
+    "s4_ann_ivf" -> QueryDef(
+      (s, dir) => {
+        val K = 16; val nprobe = 4
+        val emb = corpus(s, dir).cache()
+
+        // seed centroids: hash-ordered corpus sample (deterministic)
+        val seeds: Array[Seq[Double]] = emb
+          .withColumn("h", xxhash64(col("vec_id")))
+          .orderBy("h").limit(K)
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble))
+
+        def nearestCentroid(cents: Array[Seq[Double]], v: Column): Column = {
+          val sims = array(cents.map(c =>
+            cosine(s, typedlit(c), v)): _*)
+          // argmax(sims): 1-based position of the max
+          (array_position(sims, array_max(sims)) - 1).cast("int")
+        }
+
+        // one Lloyd step: assign to seed, recompute per-cluster means
+        val assigned = emb.withColumn("cl", nearestCentroid(seeds, col("embedding")))
+        val means = assigned
+          .select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cl", "pos").agg(avg("x").as("m"))
+          .groupBy("cl").agg(sort_array(collect_list(struct(col("pos"), col("m"))))
+            .as("mv"))
+          .select(col("cl"), col("mv.m").as("centroid"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1))
+          .toMap
+        val centroids: Array[Seq[Double]] =
+          (0 until K).map(i => means.getOrElse(i, seeds(i))).toArray
+
+        // inverted lists: final assignment on the trained centroids
+        val lists = emb.withColumn("cl",
+          nearestCentroid(centroids, col("embedding"))).cache()
+
+        // queries probe their nprobe closest lists
+        val probes = lists.where(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .withColumn("csims", array(centroids.map(c =>
+            cosine(s, typedlit(c), col("qv"))): _*))
+          .withColumn("ranked", sort_array(
+            zip_with(col("csims"), sequence(lit(0), lit(K - 1)),
+              (sim, i) => struct(sim.as("sim"), i.as("idx"))),
+            asc = false))
+          .withColumn("cl", explode(
+            transform(slice(col("ranked"), 1, nprobe), x => x.getField("idx"))))
+          .select("query_id", "qv", "cl")
+
+        val scored = lists.join(broadcast(probes), Seq("cl"))
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(s, col("qv"), col("embedding")).as("sim"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= TopK)
+          .select("query_id", "rank", "neighbor_id", "sim")
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // Embedding-cosine near-duplicate pairs within LSH buckets.
     "s3_embed_neardup" -> QueryDef(
       (s, dir) => {

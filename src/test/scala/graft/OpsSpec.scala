@@ -88,6 +88,19 @@ class OpsSpec extends SparkSuite {
     assert(rows.forall(_.getInt(1) <= 5))
   }
 
+  test("ann IVF: good recall vs brute force on real data") {
+    val bf = SimilarityOps.defs("s1_ann_bruteforce").fn(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.defs("s4_ann_ivf").fn(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    // nprobe=4 of 16 lists must recover a reasonable share of true top-5
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
   test("dedup exact: grouping is lossless (copies sum to corpus size)") {
     val total = Registry.table(spark, dir, "documents").count()
     val grouped = DedupOps.defs("d1_dedup_exact").fn(spark, dir)

@@ -45,6 +45,15 @@ class DeltaScanSpec extends SparkSuite {
     assert(name.length == 1 && name(0).getAs[String]("FirstName") == "Peter")
   }
 
+  test("decimal filters push into the parquet scan as decimal literals") {
+    val df = DeltaLake.scanDelta(spark, fixture("user"),
+      ScanSettings(conditions = Seq(Cond("Age", ">=", 23.0))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(Age,23.000)"),
+      s"decimal predicate not pushed:\n${plan.take(2000)}")
+    assert(df.count() == 2) // semantics unchanged
+  }
+
   test("user: select / exclude fields") {
     val only = DeltaLake.scanDelta(spark, fixture("user"),
       ScanSettings(fields = Some(Seq("User - iD"))))
