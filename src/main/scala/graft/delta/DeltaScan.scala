@@ -15,6 +15,14 @@ final case class ScanSettings(
     limit: Option[Long] = None,
     version: Option[Long] = None,
     actionFilter: AddAction => Boolean = _ => true,
+    /** Target type overrides for timestamp columns — the reference's
+      * `PolarsSettings.timestamp_type` / `timestamp_ntz_type`
+      * (polars.py:42-69): e.g. read all TIMESTAMP columns as
+      * TIMESTAMP_NTZ (or as StringType for export). Applied as a final
+      * cast over the logical schema.
+      */
+    timestampType: Option[DataType] = None,
+    timestampNtzType: Option[DataType] = None,
     /** Above this many distinct partition-value tuples the scan switches
       * from per-partition union branches to ONE multi-path scan joined
       * (broadcast) with a file→partition-values map — plan size stays
@@ -140,10 +148,22 @@ object DeltaScan {
           }: _*)
       }
 
+    val retyped =
+      if (settings.timestampType.isEmpty && settings.timestampNtzType.isEmpty) df
+      else df.select(projected.map { f =>
+        val target = f.dataType match {
+          case org.apache.spark.sql.types.TimestampType => settings.timestampType
+          case org.apache.spark.sql.types.TimestampNTZType => settings.timestampNtzType
+          case _ => None
+        }
+        val c = col(s"`${f.name.replace("`", "``")}`")
+        target.fold(c)(t => c.cast(t).as(f.name))
+      }: _*)
+
     val filtered =
       if (settings.conditions.nonEmpty)
-        df.where(Cond.compile(settings.conditions, Some(schema)))
-      else df
+        retyped.where(Cond.compile(settings.conditions, Some(schema)))
+      else retyped
     val distinct = if (settings.distinct) filtered.distinct() else filtered
     settings.limit.fold(distinct)(n => distinct.limit(n.toInt))
   }

@@ -19,12 +19,12 @@ import org.apache.spark.sql.types._
   */
 object PartitionValues {
 
-  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSS]")
-
-  private def parseLocalDateTime(s: String): LocalDateTime = {
-    val t = if (s.contains("T")) s.replace("T", " ") else s
-    LocalDateTime.parse(t, tsFmt)
-  }
+  /** Delta partition timestamps are `yyyy-MM-dd HH:mm:ss[.f…]` with any
+    * fraction length (writers trim trailing zeros) — ISO parsing accepts
+    * 0-9 fraction digits.
+    */
+  private def parseLocalDateTime(s: String): LocalDateTime =
+    LocalDateTime.parse(if (s.contains("T")) s else s.replace(" ", "T"))
 
   /** Deserialize a partition string to the JVM value Spark's `lit` expects
     * for the given Delta/Spark type.

@@ -182,6 +182,20 @@ object Relational {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // Cube: all grouping-set combinations in one pass.
+    "q17_cube" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, sum(o_totalprice) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
     // Union + dedup across branches.
     "q11_union" -> QueryDef(
       (s, dir) => {

@@ -126,6 +126,14 @@ class DeltaScanSpec extends SparkSuite {
     assert(now.count() > v0.count())
   }
 
+  test("timestamp target-type overrides (reference PolarsSettings)") {
+    import org.apache.spark.sql.types._
+    val df = DeltaLake.scanDelta(spark, fixture("user"),
+      ScanSettings(timestampNtzType = Some(StringType)))
+    assert(df.schema("__timestamp").dataType == StringType)
+    assert(df.count() == 3)
+  }
+
   test("view sink") {
     DeltaLake.createViewForDelta(spark, fixture("user"), "user_view")
     val n = spark.sql("SELECT `FirstName` FROM user_view WHERE `Age` = 23.0").collect()
