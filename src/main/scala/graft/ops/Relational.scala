@@ -285,6 +285,43 @@ object Relational {
         |FROM lineitem WHERE l_quantity > 40.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Bucketed co-located join: both sides pre-bucketed on the join key →
+    // the sort-merge join runs with ZERO shuffle exchanges (verified by
+    // OpsSpec). At 100 TB this is THE way to make a repeated large-large
+    // join cheap: pay the shuffle once at write time.
+    "q18_bucketed_join" -> QueryDef(
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val liTbl = s"li_bkt_$tag"; val oTbl = s"o_bkt_$tag"
+        val marker = s"graft.bucketed.$tag"
+        if (!s.conf.getOption(marker).contains("1")) {
+          val base = s"/tmp/graft_bucketed/$tag"
+          Seq(liTbl, oTbl).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+          table(s, dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice")
+            .write.format("parquet").option("path", s"$base/$liTbl")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable(liTbl)
+          table(s, dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.format("parquet").option("path", s"$base/$oTbl")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable(oTbl)
+          s.conf.set(marker, "1")
+        }
+        val li = s.table(liTbl)
+        val o = s.table(oTbl)
+        li.join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity") * col("l_extendedprice")).as("weighted"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  sum(l_quantity * l_extendedprice) AS weighted
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Approximate distinct (HLL) — cardinality sketch; exact count as the
     // oracle-able companion column is NOT possible, so compare exact only.
     "q14_agg_stats" -> QueryDef(

@@ -101,6 +101,18 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("bucketed join plan has no shuffle exchange before the join") {
+    val df = Registry.all("q18_bucketed_join").fn(spark, dir)
+    df.count() // materialize through AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val joinSection = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1)
+    assert(joinSection.nonEmpty, s"no sort-merge/hash join in:\n${plan.take(1500)}")
+    // exchanges may exist later (groupBy/orderBy) but none below the join
+    assert(!joinSection.mkString.contains("Exchange hashpartitioning"),
+      s"join still shuffles:\n${plan.take(2500)}")
+  }
+
   test("dedup exact: grouping is lossless (copies sum to corpus size)") {
     val total = Registry.table(spark, dir, "documents").count()
     val grouped = DedupOps.defs("d1_dedup_exact").fn(spark, dir)
