@@ -58,8 +58,10 @@ final class DeltaSnapshot(
     * present and additionally reject live files carrying deletion vectors.
     */
   def checkProtocolSupported(): Unit = {
+    // NOT supported: deletionVectors, v2Checkpoint (UUID-named
+    // checkpoints this reader cannot locate)
     val supported = Set("columnMapping", "timestampNtz", "typeWidening",
-      "vacuumProtocolCheck", "v2Checkpoint")
+      "vacuumProtocolCheck")
     protocolOpt.foreach { p =>
       if (p.minReaderVersion >= 3) {
         val unsupported = p.readerFeatures.getOrElse(Nil).filterNot(supported)
@@ -193,26 +195,40 @@ object DeltaLog {
         // time travel below the latest checkpoint: find best earlier one
         val (filesystem, dir) = fs(spark, logDir(deltaPath))
         if (!filesystem.exists(dir)) None
-        else filesystem.listStatus(dir).toSeq
-          .map(_.getPath.getName)
-          .collect {
-            case n if n.endsWith(".checkpoint.parquet") =>
-              n.stripSuffix(".checkpoint.parquet").toLong
-          }
-          .filter(v => version.forall(v <= _))
-          .maxOption
+        else {
+          val cpName = "^(\\d{20})\\.checkpoint(\\..*)?\\.parquet$".r
+          filesystem.listStatus(dir).toSeq
+            .map(_.getPath.getName)
+            .collect { case cpName(v, _) => v.toLong }
+            .filter(v => version.forall(v <= _))
+            .maxOption
+        }
       case None => None
     }
 
     val startVersion: Long = cpVersion match {
       case Some(cv) =>
         try {
-          val cpFile = s"${logDir(deltaPath)}/${fmtVersion(cv)}.checkpoint.parquet"
-          val (filesystem, p) = fs(spark, cpFile)
-          if (!filesystem.exists(p)) throw new FileNotFoundException(cpFile)
+          // single-file or multi-part classic checkpoint
+          // (<v>.checkpoint.parquet / <v>.checkpoint.<i>.<n>.parquet)
+          val single = s"${logDir(deltaPath)}/${fmtVersion(cv)}.checkpoint.parquet"
+          val (filesystem, p) = fs(spark, single)
+          val cpFiles: Seq[String] =
+            if (filesystem.exists(p)) Seq(single)
+            else {
+              val dir = new Path(logDir(deltaPath))
+              val prefix = s"${fmtVersion(cv)}.checkpoint."
+              val parts = filesystem.listStatus(dir).toSeq
+                .map(_.getPath)
+                .filter(q => q.getName.startsWith(prefix) &&
+                  q.getName.endsWith(".parquet"))
+                .sortBy(_.getName)
+              if (parts.isEmpty) throw new FileNotFoundException(single)
+              parts.map(_.toString)
+            }
           // Executors decode the checkpoint; toJSON drops null columns so
           // each row looks exactly like a commit-line action object.
-          val rows = spark.read.parquet(cpFile).toJSON.collect()
+          val rows = spark.read.parquet(cpFiles: _*).toJSON.collect()
           rows.foreach(r => snap.applyActionLine(ActionCodec.mapper.readTree(r), cv))
           cv + 1
         } catch { case _: FileNotFoundException => 0L }
@@ -228,6 +244,13 @@ object DeltaLog {
       }
     }
     if (v > 0) snap.version = v - 1
+    // A checkpoint was advertised but neither it nor commit 0 could be
+    // read (e.g. aged-out JSON commits): raise rather than silently
+    // return an empty table.
+    if (snap.lastMetadata.isEmpty && lastCp.isDefined)
+      throw new FileNotFoundException(
+        s"Cannot reconstruct $deltaPath at version ${version.getOrElse("latest")}: " +
+          "checkpoint unreadable and commit JSONs missing")
     snap
   }
 }

@@ -78,7 +78,15 @@ object DeltaScan {
         schema.fields.toSeq.filterNot(f => settings.excludeFields.contains(f.name))
     }
 
-    val dataFields = projected.filterNot(f => partCols.contains(f.name))
+    // data filters may reference columns outside the projection
+    // (pruning "may still reference any column"): read them too, filter,
+    // then drop them in the final select
+    val condCols = settings.conditions.map(_.column).toSet
+    val readFields: Seq[StructField] = projected ++
+      schema.fields.toSeq.filter(f =>
+        condCols.contains(f.name) && !projected.exists(_.name == f.name))
+
+    val dataFields = readFields.filterNot(f => partCols.contains(f.name))
     val physReadSchema = DeltaSchema.physicalize(StructType(dataFields))
 
     val actions = snap.addActionsFiltered(
@@ -98,13 +106,13 @@ object DeltaScan {
       actions.groupBy(_.partitionValues).toSeq
 
     val df =
-      if (actions.isEmpty) emptyTyped(spark, StructType(projected))
+      if (actions.isEmpty) emptyTyped(spark, StructType(readFields))
       else if (groups.size <= settings.wideUnionThreshold) {
         // one scan node per distinct partition-value tuple; partition
         // columns become per-branch constant literals (fold-friendly)
         val parts = groups.map { case (pv, as) =>
-          val paths = as.map(a => s"$base/${decodePath(a.path)}")
-          val projection: Seq[Column] = projected.map { f =>
+          val paths = as.map(a => resolvePath(base, a.path))
+          val projection: Seq[Column] = readFields.map { f =>
             if (partCols.contains(f.name)) {
               val phys = logToPhys.getOrElse(f.name, f.name)
               PartitionValues.toLiteral(pv.get(phys).flatten, f)
@@ -119,18 +127,18 @@ object DeltaScan {
         // — constant-size plan regardless of partition count
         val hconf = spark.sessionState.newHadoopConf()
         val fileKey = "__graft_file"
-        val paths = actions.map(a => s"$base/${decodePath(a.path)}")
+        val paths = actions.map(a => resolvePath(base, a.path))
         val scan = spark.read.schema(physReadSchema).parquet(paths: _*)
           .withColumn(fileKey, normalizeFileKey(input_file_name()))
 
-        val partFields = projected.filter(f => partCols.contains(f.name))
+        val partFields = readFields.filter(f => partCols.contains(f.name))
         val pvSchema = StructType(
           StructField(fileKey, org.apache.spark.sql.types.StringType,
             nullable = false) +: partFields)
         val rows = actions.map { a =>
           // join key = decoded, scheme/authority-free path — the same
           // normalization normalizeFileKey applies to input_file_name()
-          val p = new org.apache.hadoop.fs.Path(s"$base/${decodePath(a.path)}")
+          val p = new org.apache.hadoop.fs.Path(resolvePath(base, a.path))
           val uri = p.getFileSystem(hconf).makeQualified(p).toUri.getPath
           Row.fromSeq(uri +: partFields.map { f =>
             val phys = logToPhys.getOrElse(f.name, f.name)
@@ -142,15 +150,24 @@ object DeltaScan {
         val pvDf = spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), pvSchema)
         scan.join(broadcast(pvDf), Seq(fileKey))
-          .select(projected.map { f =>
+          .select(readFields.map { f =>
             if (partCols.contains(f.name)) col(s"`${f.name.replace("`", "``")}`")
             else dataProjection(f)
           }: _*)
       }
 
+    val filtered0 =
+      if (settings.conditions.nonEmpty)
+        df.where(Cond.compile(settings.conditions, Some(schema)))
+      else df
+    val narrowed =
+      if (readFields.lengthCompare(projected.size) == 0) filtered0
+      else filtered0.select(projected.map(f =>
+        col(s"`${f.name.replace("`", "``")}`")): _*)
+
     val retyped =
-      if (settings.timestampType.isEmpty && settings.timestampNtzType.isEmpty) df
-      else df.select(projected.map { f =>
+      if (settings.timestampType.isEmpty && settings.timestampNtzType.isEmpty) narrowed
+      else narrowed.select(projected.map { f =>
         val target = f.dataType match {
           case org.apache.spark.sql.types.TimestampType => settings.timestampType
           case org.apache.spark.sql.types.TimestampNTZType => settings.timestampNtzType
@@ -160,12 +177,10 @@ object DeltaScan {
         target.fold(c)(t => c.cast(t).as(f.name))
       }: _*)
 
-    val filtered =
-      if (settings.conditions.nonEmpty)
-        retyped.where(Cond.compile(settings.conditions, Some(schema)))
-      else retyped
-    val distinct = if (settings.distinct) filtered.distinct() else filtered
-    settings.limit.fold(distinct)(n => distinct.limit(n.toInt))
+    val distinct = if (settings.distinct) retyped.distinct() else retyped
+    settings.limit.fold(distinct)(n =>
+      if (n >= Int.MaxValue) distinct // file-level pruning already applied
+      else distinct.limit(n.toInt))
   }
 
   /** Zero live files ⇒ typed empty relation with the full logical schema
@@ -209,8 +224,20 @@ object DeltaScan {
     case other => other
   }
 
-  /** add.path is URL-encoded in the log (spaces etc.). */
-  private def decodePath(p: String): String =
-    if (p.contains("://")) p
-    else java.net.URLDecoder.decode(p, "UTF-8")
+  /** add.path is percent-encoded in the log (spaces etc.). Percent-decode
+    * ONLY — form decoding (URLDecoder) would corrupt literal '+' to a
+    * space.
+    */
+  private[delta] def decodePath(p: String): String =
+    java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+
+  /** The protocol allows absolute add.path URIs (shallow clones /
+    * external files); only relative paths get the table-root prefix.
+    */
+  private[delta] def resolvePath(base: String, rawPath: String): String =
+    if (rawPath.contains("://")) rawPath
+    else {
+      val d = decodePath(rawPath)
+      if (d.startsWith("/")) d else s"$base/$d"
+    }
 }

@@ -230,8 +230,12 @@ object DeltaWriter {
   private[delta] def partitionValuesFromPath(rel: String): Seq[(String, Option[String])] =
     rel.split("/").dropRight(1).toSeq.filter(_.contains("=")).map { seg =>
       val i = seg.indexOf('=')
-      val k = java.net.URLDecoder.decode(seg.substring(0, i), "UTF-8")
-      val v = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+      // percent-decode only — hive escaping never encodes '+', and form
+      // decoding would corrupt it to a space
+      def dec(s: String) =
+        java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+      val k = dec(seg.substring(0, i))
+      val v = dec(seg.substring(i + 1))
       k -> (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
     }
 
@@ -262,6 +266,11 @@ object DeltaWriter {
               fileSchema.getType(Seq(name): _*).isPrimitive) {
             var nulls = 0L
             var hasNulls = true
+            // min/max are only valid file-wide if EVERY row group
+            // contributed statistics — a chunk without them (e.g. large
+            // binaries) would make the merged range too narrow and later
+            // skip files that DO contain matching rows
+            var minMaxComplete = true
             var min: Option[AnyRef] = None
             var max: Option[AnyRef] = None
             val prim = fileSchema.getType(Seq(name): _*).asPrimitiveType()
@@ -271,15 +280,19 @@ object DeltaWriter {
                   val st = cc.getStatistics
                   if (st == null || !st.isNumNullsSet) hasNulls = false
                   else nulls += st.getNumNulls
+                  val allNull = st != null && st.isNumNullsSet &&
+                    st.getNumNulls == b.getRowCount
                   if (st != null && st.hasNonNullValue) {
                     val (mn, mx) = typedMinMax(
                       st.genericGetMin.asInstanceOf[AnyRef],
                       st.genericGetMax.asInstanceOf[AnyRef], prim, sf.dataType)
+                    if (mn.isEmpty || mx.isEmpty) minMaxComplete = false
                     min = mergeMin(min, mn); max = mergeMax(max, mx)
-                  }
+                  } else if (!allNull) minMaxComplete = false
                 }
               }
             }
+            if (!minMaxComplete) { min = None; max = None }
             if (hasNulls) nullC.put(name, nulls)
             def putVal(target: com.fasterxml.jackson.databind.node.ObjectNode,
                 v: AnyRef): Unit = v match {

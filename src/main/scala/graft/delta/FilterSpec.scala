@@ -192,7 +192,17 @@ object FileSkipping {
         maxK.zip(ordKey(dt, v)).exists { case (mx, vk) => compareKeys(vk, mx) >= 0 }
       case (">=", v) =>
         maxK.zip(ordKey(dt, v)).exists { case (mx, vk) => compareKeys(vk, mx) > 0 }
-      case ("not in", vs: Seq[_]) => vs.exists(valueSkips)
+      // `not in` can only be skipped when EVERY row provably equals a
+      // listed value (min==max==v): zone maps rarely prove that, and the
+      // reference's any-value-out-of-range rule is inverted (it would
+      // drop files whose rows all MATCH the predicate) — fail open.
+      case ("not in", vs: Seq[_]) =>
+        (minK, maxK) match {
+          case (Some(mn), Some(mx)) if compareKeys(mn, mx) == 0 &&
+              !nullCount.exists(_ > 0L) =>
+            vs.exists(v => ordKey(dt, v).exists(vk => compareKeys(vk, mn) == 0))
+          case _ => false
+        }
       case _ => false
     }
   }
@@ -212,13 +222,18 @@ object FileSkipping {
         case s: String => Some(BigDecimal(LocalDate.parse(s).toEpochDay))
         case _ => None
       }
-      case TimestampType | TimestampNTZType => v match {
-        case i: Instant => Some(BigDecimal(i.toEpochMilli))
-        case t: java.sql.Timestamp => Some(BigDecimal(t.getTime))
-        case l: LocalDateTime => Some(BigDecimal(l.toInstant(ZoneOffset.UTC).toEpochMilli))
-        case s: String => parseTs(s).map(i => BigDecimal(i.toEpochMilli))
-        case _ => None
-      }
+      case TimestampType | TimestampNTZType =>
+        // microsecond precision — Spark's timestamp resolution; millis
+        // would collapse sub-ms differences and skip files wrongly
+        def micros(i: Instant): BigDecimal =
+          BigDecimal(i.getEpochSecond) * 1000000L + i.getNano / 1000L
+        v match {
+          case i: Instant => Some(micros(i))
+          case t: java.sql.Timestamp => Some(micros(t.toInstant))
+          case l: LocalDateTime => Some(micros(l.toInstant(ZoneOffset.UTC)))
+          case s: String => parseTs(s).map(micros)
+          case _ => None
+        }
       case StringType => Some(v.toString)
       case _ => None
     }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.delta.{ActionCodec, DeltaLog, DeltaScan, ScanSettings}
+import graft.delta.{ActionCodec, DeltaLog, DeltaScan, DeltaSnapshot, ScanSettings}
 
 /** Micro-batch replay of a Delta table's commit history — the
   * `Trigger.AvailableNow` pattern over our own log reader (the streaming
@@ -29,16 +29,24 @@ object DeltaStream {
       path: String,
       fromVersion: Long)(batchFn: (Long, DataFrame) => Unit): Long = {
     val head = DeltaLog.forPath(spark, path).version
+    // ONE snapshot advanced incrementally — O(head) commit reads total,
+    // not a fresh full replay per version
+    val snap =
+      if (fromVersion < 0) new DeltaSnapshot(spark, path)
+      else DeltaLog.forPath(spark, path, Some(fromVersion))
     var v = fromVersion + 1
     while (v <= head) {
-      val addedPaths = DeltaLog.readCommitJson(spark, path, v)
-        .getOrElse(Nil)
-        .flatMap { n =>
-          Option(n.get("add")).filterNot(_.isNull)
-            .map(a => ActionCodec.parseAdd(a).path)
-        }.toSet
+      // each commit is read exactly once: fold it into the snapshot AND
+      // extract this batch's added files from the same lines
+      val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(Nil)
+      val addedPaths = lines.flatMap { n =>
+        Option(n.get("add")).filterNot(_.isNull)
+          .map(a => ActionCodec.parseAdd(a).path)
+      }.toSet
+      lines.foreach(snap.applyActionLine(_, v))
       if (addedPaths.nonEmpty) {
-        val snap = DeltaLog.forPath(spark, path, Some(v))
+        // scanSnapshot resolves the file list eagerly, so the DataFrame
+        // stays valid as the snapshot advances past it
         val batch = DeltaScan.scanSnapshot(snap,
           ScanSettings(actionFilter = a => addedPaths.contains(a.path)))
         batchFn(v, batch)

@@ -117,6 +117,88 @@ class DeltaWriterSpec extends SparkSuite {
     assert(keptTs.isEmpty)
   }
 
+  test("'not in' stats skipping never drops files with matching rows") {
+    val path = tmp()
+    // one file per foo range; every file's rows satisfy foo not in (99)
+    DeltaWriter.write(frame.repartitionByRange(3, col("foo")), path)
+    val snap = DeltaLake.deltaMeta(spark, path)
+    // the inverted rule would prune files whose range excludes 99
+    assert(snap.addActionsFiltered(Seq(Cond("foo", "not in", Seq(99)))).size == 3)
+    val df = DeltaLake.scanDelta(spark, path,
+      ScanSettings(conditions = Seq(Cond("foo", "not in", Seq(99)))))
+    assert(df.count() == 9)
+    // but a provably-all-matching file (min==max==v, no nulls) still skips
+    val single = tmp()
+    DeltaWriter.write(frame.where(col("foo") === 5), single)
+    val s2 = DeltaLake.deltaMeta(spark, single)
+    assert(s2.addActionsFiltered(Seq(Cond("foo", "not in", Seq(5L)))).isEmpty)
+  }
+
+  test("conditions on non-projected columns filter then drop") {
+    val path = tmp()
+    DeltaWriter.write(frame, path)
+    val df = DeltaLake.scanDelta(spark, path, ScanSettings(
+      conditions = Seq(Cond("static_part", "=", "B")),
+      fields = Some(Seq("foo"))))
+    assert(df.columns.toSeq == Seq("foo"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L, 6L))
+  }
+
+  test("literal '+' in partition values and limits above Int.MaxValue") {
+    val path = tmp()
+    val df = Seq((1L, "c++"), (2L, "a b")).toDF("id", "lang")
+    DeltaWriter.write(df, path, partitionBy = Seq("lang"))
+    val back = DeltaLake.scanDelta(spark, path).orderBy("id").collect()
+    assert(back(0).getAs[String]("lang") == "c++")
+    assert(back(1).getAs[String]("lang") == "a b")
+    // pruning matches the literal value too
+    val pruned = DeltaLake.scanDelta(spark, path,
+      ScanSettings(conditions = Seq(Cond("lang", "=", "c++"))))
+    assert(pruned.count() == 1)
+    // Long limit beyond Int range must not wrap negative
+    val lim = DeltaLake.scanDelta(spark, path,
+      ScanSettings(limit = Some(3000000000L)))
+    assert(lim.count() == 2)
+  }
+
+  test("multi-part classic checkpoints replay") {
+    val path = tmp()
+    DeltaWriter.write(frame, path)
+    DeltaWriter.write(frame.where(col("foo") === 1), path, mode = "append")
+    val snap = DeltaLake.deltaMeta(spark, path)
+    DeltaWriter.writeCheckpoint(snap)
+    // rename the single-file checkpoint to the multi-part naming scheme
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val log = s"$path/_delta_log"
+    val single = new org.apache.hadoop.fs.Path(
+      log, f"${1L}%020d.checkpoint.parquet")
+    val multi = new org.apache.hadoop.fs.Path(
+      log, f"${1L}%020d.checkpoint." + "%010d.%010d.parquet".format(1, 1))
+    assert(fs.rename(single, multi))
+    (0L to 1L).foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(log, f"$v%020d.json"), false))
+    val replayed = DeltaLake.deltaMeta(spark, path)
+    assert(replayed.version == 1L)
+    assert(DeltaLake.scanDelta(spark, path).count() == 10)
+  }
+
+  test("unreachable log raises instead of returning an empty table") {
+    val path = tmp()
+    DeltaWriter.write(frame, path)
+    val snap = DeltaLake.deltaMeta(spark, path)
+    DeltaWriter.writeCheckpoint(snap)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val log = s"$path/_delta_log"
+    fs.delete(new org.apache.hadoop.fs.Path(
+      log, f"${0L}%020d.checkpoint.parquet"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(log, f"${0L}%020d.json"), false)
+    intercept[java.io.FileNotFoundException] {
+      DeltaLake.deltaMeta(spark, path)
+    }
+  }
+
   test("checkpoint write + replay skips the early JSON commits") {
     val path = tmp()
     DeltaWriter.write(frame.where(col("foo") <= 3), path)
