@@ -202,12 +202,18 @@ object DeltaScan {
 
   /** input_file_name() yields a percent-encoded URI (`file:///…`);
     * reduce it to the decoded path component to match the driver-built
-    * keys (scheme and authority dropped on both sides).
+    * keys (scheme and authority dropped on both sides). `url_decode` is
+    * FORM decoding — a literal '+' in the path (legal in file names and
+    * partition values) would decode to a space and silently drop every
+    * row of that file at the broadcast join; protect it first, exactly
+    * as [[decodePath]] does.
     */
   private def normalizeFileKey(c: Column): Column =
     org.apache.spark.sql.functions.url_decode(
       org.apache.spark.sql.functions.regexp_replace(
-        c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
+        org.apache.spark.sql.functions.regexp_replace(
+          c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""),
+        "\\+", "%2B"))
 
   /** `createDataFrame` wants java.sql temporal types and scaled decimals. */
   private def toJavaSql(v: Any, f: StructField): Any = v match {

@@ -103,7 +103,7 @@ object DeltaWriter {
       val status = fs.getFileStatus(f)
       val addObj = nf.objectNode()
       val a = addObj.putObject("add")
-      a.put("path", rel)
+      a.put("path", encodePath(rel))
       val pv = a.putObject("partitionValues")
       partitionValuesFromPath(rel).foreach {
         case (k, Some(v)) => pv.put(k, v)
@@ -130,59 +130,82 @@ object DeltaWriter {
     finally out.close()
   }
 
+  /** The protocol-conformant classic-checkpoint schema (PROTOCOL.md
+    * #checkpoint-schema): one row per action, `partitionValues` as
+    * MAP<string,string> (NOT an inferred struct — delta-spark/delta-rs
+    * would fail to parse a struct there), and the `txn`/`remove` columns
+    * present even when empty.
+    */
+  private val checkpointSchema: StructType = {
+    val mapSS = MapType(StringType, StringType, valueContainsNull = true)
+    StructType(Seq(
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", mapSS),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType),
+        StructField("tags", mapSS)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("description", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", mapSS)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", mapSS),
+        StructField("createdTime", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))))))
+  }
+
   /** Write a `%020d.checkpoint.parquet` + `_last_checkpoint` for the
     * snapshot's version, so subsequent replays are
     * O(commits-since-checkpoint) (the reader's checkpoint branch,
-    * spec: delta_meta_retrieval.py:406-440). One row per action,
-    * `add`/`metaData`/`protocol` struct columns — written via a
-    * DataFrame so executors do the encoding.
+    * spec: delta_meta_retrieval.py:406-440). One row per action with the
+    * explicit [[checkpointSchema]] — written via a DataFrame so executors
+    * do the encoding, and parseable by standard Delta readers.
     */
   def writeCheckpoint(snap: DeltaSnapshot): Unit = {
     val spark = snap.spark
-    val nf = JsonNodeFactory.instance
-    val lines = mutable.ArrayBuffer.empty[String]
+    import org.apache.spark.sql.Row
+    val rows = mutable.ArrayBuffer.empty[Row]
 
     snap.protocol.foreach { p =>
-      val o = nf.objectNode(); val pn = o.putObject("protocol")
-      pn.put("minReaderVersion", p.minReaderVersion)
-      pn.put("minWriterVersion", p.minWriterVersion)
-      p.readerFeatures.foreach { fs =>
-        val arr = pn.putArray("readerFeatures"); fs.foreach(arr.add) }
-      p.writerFeatures.foreach { fs =>
-        val arr = pn.putArray("writerFeatures"); fs.foreach(arr.add) }
-      lines += o.toString
+      rows += Row(null, null, null, null,
+        Row(p.minReaderVersion, p.minWriterVersion,
+          p.readerFeatures.orNull, p.writerFeatures.orNull))
     }
     snap.metadata.foreach { m =>
-      val o = nf.objectNode(); val mn = o.putObject("metaData")
-      m.id.foreach(mn.put("id", _))
-      val fmt = mn.putObject("format")
-      fmt.put("provider", "parquet"); fmt.putObject("options")
-      mn.put("schemaString", m.schemaString)
-      val pc = mn.putArray("partitionColumns"); m.partitionColumns.foreach(pc.add)
-      val cfg = mn.putObject("configuration")
-      m.configuration.foreach { case (k, v) => cfg.put(k, v) }
-      m.createdTime.foreach(mn.put("createdTime", _))
-      lines += o.toString
+      rows += Row(null, null, null,
+        Row(m.id.orNull, null, null, Row("parquet", Map.empty[String, String]),
+          m.schemaString, m.partitionColumns, m.configuration,
+          m.createdTime.map(Long.box).orNull),
+        null)
     }
     snap.liveFiles.foreach { a =>
-      val o = nf.objectNode(); val an = o.putObject("add")
-      an.put("path", a.path)
-      val pv = an.putObject("partitionValues")
-      a.partitionValues.foreach {
-        case (k, Some(v)) => pv.put(k, v)
-        case (k, None) => pv.putNull(k)
-      }
-      an.put("size", a.size)
-      an.put("modificationTime", a.modificationTime)
-      an.put("dataChange", true)
-      a.stats.foreach(an.put("stats", _))
-      lines += o.toString
+      rows += Row(null,
+        Row(a.path, a.partitionValues.map { case (k, v) => k -> v.orNull },
+          a.size, a.modificationTime, true, a.stats.orNull, null),
+        null, null, null)
     }
 
-    // infer the action-struct schema from the JSON lines themselves
-    val ds = spark.createDataset(lines.toSeq)(
-      org.apache.spark.sql.Encoders.STRING)
-    val df = spark.read.json(ds)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), checkpointSchema)
     val logDir = s"${snap.deltaPath.stripSuffix("/")}/_delta_log"
     val cpName = f"${snap.version}%020d.checkpoint.parquet"
     val tmpDir = s"$logDir/.checkpoint_tmp"
@@ -191,11 +214,16 @@ object DeltaWriter {
     val fs = new Path(logDir).getFileSystem(conf)
     val part = fs.listStatus(new Path(tmpDir))
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-    fs.rename(part, new Path(logDir, cpName))
+    val target = new Path(logDir, cpName)
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(
+        s"Failed to move checkpoint into place: $part -> $target")
     fs.delete(new Path(tmpDir), true)
+    val nf = JsonNodeFactory.instance
     val lc = nf.objectNode()
     lc.put("version", snap.version)
-    lc.put("size", lines.size)
+    lc.put("size", rows.size)
     val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
     try out.write((lc.toString + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -208,6 +236,18 @@ object DeltaWriter {
     case MapType(k, v, _) => hasNtz(k) || hasNtz(v)
     case _ => false
   }
+
+  /** PROTOCOL.md: `add.path` is the percent-encoded relative path.
+    * Spark hive-escapes special chars in partition dirs (':'→'%3A',
+    * '%'→'%25'), so the on-disk name itself can contain '%' — emitting it
+    * raw would make readers (ours and delta-rs/delta-spark, which all
+    * percent-DECODE add.path) look for a nonexistent file. URI's
+    * multi-arg constructor percent-encodes the path component ('%',
+    * space, non-ASCII) while leaving '/', '+' and unreserved chars —
+    * exactly inverse to [[DeltaScan.decodePath]].
+    */
+  private[delta] def encodePath(rel: String): String =
+    new java.net.URI(null, null, rel, null).getRawPath
 
   /** Relative paths of all parquet data files under the table root. */
   private def listDataFiles(fs: FileSystem, root: Path): Set[String] = {

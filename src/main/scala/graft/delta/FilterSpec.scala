@@ -126,11 +126,23 @@ object FileSkipping {
       case Some(pvOpt) =>
         val pv = pvOpt.orNull
         def ser(v: Any): String = PartitionValues.serialize(v, dt)
+        // Equality in the TYPED domain when both sides parse: serialized
+        // strings vary across writers ('1.50' vs '1.5' for decimal,
+        // fraction-trimming for timestamps) and a string mismatch would
+        // skip a file whose rows DO match — fail-closed. String compare is
+        // only the fallback for non-orderable types.
+        lazy val pvKey: Option[Any] =
+          try ordKey(dt, PartitionValues.deserialize(pv, dt))
+          catch { case scala.util.control.NonFatal(_) => None }
+        def sameValue(v: Any): Boolean =
+          if (pv == null || v == null) pv == null && v == null
+          else (for { pk <- pvKey; vk <- ordKey(dt, v) }
+            yield compareKeys(pk, vk) == 0).getOrElse(pv == ser(v))
         (c.op, c.value) match {
-          case ("in", vs: Seq[_]) => !vs.map(ser).contains(pv)
-          case ("not in", vs: Seq[_]) => vs.map(ser).contains(pv)
-          case ("=", v) => pv != ser(v)
-          case ("<>", v) => pv == ser(v)
+          case ("in", vs: Seq[_]) => !vs.exists(sameValue)
+          case ("not in", vs: Seq[_]) => vs.exists(sameValue)
+          case ("=", v) => !sameValue(v)
+          case ("<>", v) => sameValue(v)
           case (op, _) if rangeOps(op) && pv == null => true
           case (op, v) if rangeOps(op) =>
             // compare in the column's domain, not as strings

@@ -68,8 +68,8 @@ object EventOps {
         |      THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessioned AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM marked)
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,
@@ -78,29 +78,38 @@ object EventOps {
         |ORDER BY user_id, session_seq""".stripMargin)),
 
     // As-of style enrichment: for each event, the latest order at-or-
-    // before the event time for that user. Composed from a range join +
-    // max_by (Spark lacks a native as-of join); at scale the range join
-    // shuffles both sides on the user key once.
+    // before the event time for that user. NOT a range join — an
+    // equi-join on user would explode to events × prior-orders-per-user
+    // rows before aggregating (a heavy user at 100 TB pins one reducer).
+    // Instead: tag and union both streams, ONE window sort per user, and
+    // running max/count over preceding rows — linear in |events|+|orders|,
+    // one shuffle, no row explosion. (The oracle states the same
+    // semantics declaratively via the join.)
     "e3_asof_join" -> QueryDef(
       (s, dir) => {
         val ev = events(s, dir)
-          .select("event_id", "user_id", "ts")
+          .select(col("user_id"), col("ts").as("t"),
+            lit(1).as("is_event"), col("event_id"),
+            lit(null).cast("date").as("o_date"))
         val orders = table(s, dir, "orders")
-          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-        ev.join(orders,
-            ev("user_id") === orders("o_custkey") &&
-              orders("o_orderdate") <= ev("ts"), "left")
-          .groupBy("event_id")
-          .agg(
-            max("o_orderdate").as("last_order_date"),
-            sum(when(col("o_orderkey").isNotNull, 1).otherwise(0))
-              .as("n_prior_orders"))
+          .select(col("o_custkey").as("user_id"),
+            col("o_orderdate").cast("timestamp_ntz").as("t"),
+            lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+            col("o_orderdate").as("o_date"))
+        // orders sort before events at equal t (is_event asc), so an
+        // order exactly at the event time counts — `<=` semantics
+        val w = Window.partitionBy("user_id").orderBy("t", "is_event")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        ev.unionByName(orders)
+          .withColumn("last_order_date", max("o_date").over(w))
+          .withColumn("n_prior_orders", count("o_date").over(w))
+          .where(col("is_event") === 1)
+          .select("event_id", "last_order_date", "n_prior_orders")
           .orderBy("event_id")
       },
       Some("""SELECT e.event_id,
         |  max(o.o_orderdate) AS last_order_date,
-        |  sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS n_prior_orders
+        |  count(o.o_orderkey) AS n_prior_orders
         |FROM events e LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin)),
@@ -116,7 +125,7 @@ object EventOps {
             avg("k").as("avg_k"))
           .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

@@ -70,13 +70,17 @@ object MultimodalOps {
         |  lower(hex(encode(substring(text, 1, 4)))) AS magic
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Partition-wise decode + feature extraction (stubbed codec).
+    // Partition-wise decode + feature extraction (stubbed codec). The
+    // feature vector is emitted as scalar columns f0..f7 (not
+    // array<float>: the driver's rows-check sorts columns in pandas,
+    // which cannot sort ndarray cells) — also the shape a downstream
+    // feature store wants.
     "m2_decode_features" -> QueryDef(
       (s, dir) => {
         val blobs = withBlob(s, dir)
         val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
           .encoderFor(decodedSchema)
-        blobs.mapPartitions { it =>
+        val decoded = blobs.mapPartitions { it =>
           // one pass per partition: a real decoder would init its codec
           // here, once, then stream the batch through it
           it.map { r =>
@@ -86,6 +90,10 @@ object MultimodalOps {
             Row(id, bytes.length, w, h, c, f.toSeq)
           }
         }(enc)
+        decoded
+          .select(Seq(col("doc_id"), col("n_bytes"), col("width"),
+            col("height"), col("channels")) ++
+            (0 until 8).map(j => col("features")(j).as(s"f$j")): _*)
           .orderBy("doc_id")
       },
       None),

@@ -311,14 +311,22 @@ object Relational {
         }
         val li = s.table(liTbl)
         val o = s.table(oTbl)
+        // aggregate in DECIMAL(38,6): double-sum is order-dependent and
+        // Spark's partial aggregation adds in partition order — the only
+        // way to hash-match a sequential engine byte-for-byte is an
+        // associativity-exact accumulator on BOTH sides
         li.join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity") * col("l_extendedprice")).as("weighted"))
+            sum((col("l_quantity") * col("l_extendedprice"))
+              .cast("decimal(38,6)")).cast("double").as("weighted"))
           .orderBy("o_orderpriority")
       },
+      // final cast back to DOUBLE: the exact decimal sums are identical on
+      // both sides, so nearest-double conversion is too (pandas renders
+      // DECIMAL(38,6) differently per engine; double is unambiguous)
       Some("""SELECT o_orderpriority, count(*) AS n,
-        |  sum(l_quantity * l_extendedprice) AS weighted
+        |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS weighted
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 

@@ -42,8 +42,8 @@ object TextOps {
       Some("""SELECT doc_id,
         |  len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens,
         |  length(text) AS len_chars,
-        |  list_sum(list_transform(regexp_split_to_array(lower(text), '\s+'),
-        |    t -> (length(t) + 3) // 4)) AS n_subwords_est
+        |  CAST(list_sum(list_transform(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> (length(t) + 3) // 4)) AS BIGINT) AS n_subwords_est
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Quality scoring: length / punctuation / vocabulary-diversity ratios.

@@ -37,8 +37,15 @@ object DeltaStream {
     var v = fromVersion + 1
     while (v <= head) {
       // each commit is read exactly once: fold it into the snapshot AND
-      // extract this batch's added files from the same lines
-      val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(Nil)
+      // extract this batch's added files from the same lines. A missing
+      // commit at or below head means the JSONs were aged out past a
+      // checkpoint — replaying from an empty snapshot would silently skip
+      // them (and never load metaData); raise instead of guessing.
+      val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"Commit $v of $path is missing (aged out past a checkpoint?); " +
+            s"cannot replay versions ${fromVersion + 1}..$head incrementally. " +
+            "Start from a snapshot via DeltaLog.forPath instead."))
       val addedPaths = lines.flatMap { n =>
         Option(n.get("add")).filterNot(_.isNull)
           .map(a => ActionCodec.parseAdd(a).path)
