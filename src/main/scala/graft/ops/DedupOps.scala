@@ -9,16 +9,25 @@ import Registry.table
 /** Deduplication operators over the `documents` table — the core of a
   * training-data pipeline. Four levels of "duplicate":
   *
-  *  - exact bytes          → [[d1_dedup_exact]] (hash group-by)
-  *  - same token bag       → [[d2_dedup_bag]] (order-insensitive hash)
-  *  - similar shingle sets → MinHash + LSH band join ([[d3_minhash_pairs]])
-  *    verified with exact n-gram Jaccard ([[d4_ngram_jaccard]])
-  *  - similar bit profile  → SimHash + banded Hamming join ([[d5_simhash_pairs]])
+  *  - exact bytes          → [[defs d1_dedup_exact]] (hash group-by)
+  *  - same token bag       → [[defs d2_dedup_bag]] (order-insensitive hash)
+  *  - similar shingle sets → MinHash + LSH band join ([[defs d3_minhash_pairs]])
+  *    verified with exact n-gram Jaccard ([[defs d4_ngram_jaccard]])
+  *  - similar bit profile  → SimHash + banded Hamming join ([[defs d5_simhash_pairs]])
   *
   * Scale design: every candidate-pair generator is blocked (LSH bands /
   * hash prefixes), never an all-pairs product — the shuffle key is the
   * bucket id, so cost is Σ bucket², not n². All hashes are seeded and
   * deterministic.
+  *
+  * Hash primitive: the minhash family uses seeded md5 (lexicographic min
+  * over fixed-width hex), which every engine computes identically — that
+  * is what lets d3/d4 be DuckDB-oracle-checked end to end. A production
+  * deployment chasing the last 2-3× of hash throughput can pass
+  * `fastHash = true` to swap in xxhash64 (same structure, same candidate
+  * semantics — OpsSpec checks the two agree on planted pairs); md5 at
+  * ~0.5 GB/s/core is still far from the bottleneck next to the band
+  * shuffle.
   */
 object DedupOps {
 
@@ -55,10 +64,18 @@ object DedupOps {
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
+  /** One seeded hash of a shingle. md5 (default) is cross-engine exact;
+    * xxhash64 is the fast drop-in (hex-padded so min() stays
+    * lexicographic-consistent within a seed).
+    */
+  private def seededHash(x: Column, seed: Int, fastHash: Boolean): Column =
+    if (fastHash) lpad(hex(xxhash64(x, lit(seed))), 16, "0")
+    else md5(to_binary(concat(x, lit(":" + seed)), lit("utf-8")))
+
   /** k seeded min-hashes of the shingle set. */
-  private def minhashes(sh: Column): Column =
+  private def minhashes(sh: Column, fastHash: Boolean): Column =
     array((0 until NumHashes).map { i =>
-      array_min(transform(sh, x => xxhash64(x, lit(i))))
+      array_min(transform(sh, x => seededHash(x, i, fastHash)))
     }: _*)
 
   /** doc_id + banded minhash signature, one row per band.
@@ -68,17 +85,19 @@ object DedupOps {
     * band struct and both sides of the self-join — recomputing it ~100×
     * (measured 172s → 3s at sf0.1). At 100 TB this is the same design
     * decision: persist the tiny signature relation (n_docs × 8 rows of
-    * 24 bytes), never re-derive it from the corpus.
+    * ~40 bytes), never re-derive it from the corpus.
     */
-  private def bandedDocs(s: SparkSession, dir: String): DataFrame = {
+  private def bandedDocs(
+      s: SparkSession, dir: String, fastHash: Boolean): DataFrame = {
     val docs = shingleTable(s, dir)
-      .select(col("doc_id"), minhashes(col("sh")).as("mh"))
+      .select(col("doc_id"), minhashes(col("sh"), fastHash).as("mh"))
       .cache()
     docs.select(col("doc_id"), col("mh"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("mh"), b * RowsPerBand + 1, RowsPerBand))
-            .as("sig"))
+          md5(to_binary(
+            concat_ws("|", slice(col("mh"), b * RowsPerBand + 1, RowsPerBand)),
+            lit("utf-8"))).as("sig"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("mh"),
         col("bk.band").as("band"), col("bk.sig").as("sig"))
@@ -87,8 +106,9 @@ object DedupOps {
   /** Candidate pairs from any band collision, with the minhash-estimated
     * Jaccard similarity.
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val b = bandedDocs(s, dir)
+  private[graft] def minhashPairs(
+      s: SparkSession, dir: String, fastHash: Boolean = false): DataFrame = {
+    val b = bandedDocs(s, dir, fastHash)
     val l = b.select(col("band"), col("sig"),
       col("doc_id").as("doc_a"), col("mh").as("mh_a"))
     val r = b.select(col("band"), col("sig"),
@@ -103,6 +123,35 @@ object DedupOps {
           (acc, v) => acc + v).cast("double") / NumHashes)
       .select("doc_a", "doc_b", "est_jaccard")
   }
+
+  /** The SQL twin of tokenize → shingle → minhash → band → collide,
+    * shared by the d3/d4 oracles. Yields `pairs(doc_a, doc_b, mh_a,
+    * mh_b)` plus the `sh(doc_id, sh)` shingle relation.
+    */
+  private val pairsSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(tk) >= 3
+       |    THEN [array_to_string(tk[j+1:j+3], ' ') for j in range(len(tk) - 2)]
+       |    ELSE [array_to_string(tk, ' ')] END AS sh
+       |  FROM toks),
+       |mh AS (
+       |  SELECT doc_id,
+       |    [list_min(list_transform(sh, x -> md5(x || ':' || i::VARCHAR)))
+       |     for i in range($NumHashes)] AS mh
+       |  FROM sh),
+       |keyed AS (
+       |  SELECT doc_id, mh, bb.band,
+       |    md5(array_to_string(mh[bb.band*$RowsPerBand+1 : bb.band*$RowsPerBand+$RowsPerBand], '|')) AS sig
+       |  FROM mh CROSS JOIN range($Bands) bb(band)),
+       |pairs AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |    any_value(l.mh) AS mh_a, any_value(r.mh) AS mh_b
+       |  FROM keyed l JOIN keyed r
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |  GROUP BY l.doc_id, r.doc_id)""".stripMargin
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -133,15 +182,24 @@ object DedupOps {
         |FROM documents
         |GROUP BY 1 ORDER BY bag_fp""".stripMargin)),
 
-    // MinHash+LSH near-dup candidates (not SQL-expressible → rows-only).
+    // MinHash+LSH near-dup candidates — oracle-checked: the DuckDB twin
+    // recomputes the identical md5 minhash signatures and band keys.
     "d3_minhash_pairs" -> QueryDef(
       (s, dir) =>
         minhashPairs(s, dir)
           .where(col("est_jaccard") >= 0.2)
           .orderBy("doc_a", "doc_b"),
-      None),
+      Some(s"""WITH $pairsSql,
+        |est AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum([CASE WHEN mh_a[i+1] = mh_b[i+1] THEN 1 ELSE 0 END
+        |      for i in range($NumHashes)]) AS DOUBLE) / $NumHashes AS est_jaccard
+        |  FROM pairs)
+        |SELECT doc_a, doc_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // Exact n-gram Jaccard verification of the LSH candidates.
+    // Exact n-gram Jaccard verification of the LSH candidates —
+    // oracle-checked against DuckDB's list_intersect/list_distinct.
     "d4_ngram_jaccard" -> QueryDef(
       (s, dir) => {
         val sh = shingleTable(s, dir)
@@ -157,7 +215,17 @@ object DedupOps {
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some(s"""WITH $pairsSql,
+        |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+        |jac AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.shd, b.shd))) AS jaccard
+        |  FROM pairs p
+        |  JOIN shd a ON a.doc_id = p.doc_a
+        |  JOIN shd b ON b.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM jac
+        |WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // SimHash (custom Catalyst expression) + banded Hamming-distance join.
     "d5_simhash_pairs" -> QueryDef(

@@ -9,14 +9,24 @@ import Registry.table
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (64-dim float vectors).
   *
-  *  - [[s1_ann_bruteforce]]: exact cosine top-k — broadcast the (small)
-  *    query set, one distributed pass over the corpus, per-partition
-  *    top-k via window rank. The baseline and the oracle-checked one.
-  *  - [[s2_ann_lsh]]: random-hyperplane LSH buckets — the 100 TB path:
-  *    candidate generation is a bucket-key join, cost Σ bucket² instead
-  *    of |queries|×|corpus|.
-  *  - [[s3_embed_neardup]]: near-duplicate vector pairs via the same LSH
-  *    buckets (embedding-cosine dedup).
+  *  - [[defs s1_ann_bruteforce]]: exact cosine top-k — broadcast the
+  *    (small) query set, one distributed pass over the corpus,
+  *    per-partition top-k via window rank. The baseline.
+  *  - [[defs s2_ann_lsh]]: random-hyperplane LSH buckets — the 100 TB
+  *    path: candidate generation is a bucket-key join, cost Σ bucket²
+  *    instead of |queries|×|corpus|.
+  *  - [[defs s3_embed_neardup]]: near-duplicate vector pairs via the
+  *    same LSH buckets (embedding-cosine dedup).
+  *  - [[defs s4_ann_ivf]]: coarse-quantizer inverted lists + nprobe.
+  *
+  * Signature width is NOT fixed: [[derivedBits]] scales it with corpus
+  * size (2^bits buckets sized for ~[[TargetBucket]] vectors), so bucket
+  * population — and the bucket² join cost — stays bounded as the corpus
+  * grows. Hyperplane signs are deterministic MD5-parity constants,
+  * precomputed driver-side and inlined as literal arrays (no per-row
+  * hash calls in the projection loop), and recomputable by any engine —
+  * the DuckDB oracles for s2/s3 derive the same planes in SQL and must
+  * hash-match end to end.
   *
   * Dot products use `zip_with` + `aggregate` over double — codegen'd
   * built-ins, no UDF.
@@ -26,6 +36,70 @@ object SimilarityOps {
   private val Dim = 64
   private val TopK = 5
   private val NumQueries = 10
+  private val NumTables = 4
+
+  /** Bucket-size target for LSH signature sizing: 2^bits ≈ n / target. */
+  private val TargetBucket = 32L
+
+  /** ±1 hyperplane sign for (table, bit, dim): parity of the first hex
+    * char of md5("t:b:j"). Deterministic, seedless, and computable in
+    * plain SQL (`substring(md5(...),1,1)` parity) — which is what lets
+    * the LSH queries be oracle-checked bit-for-bit.
+    */
+  private[graft] def sign(tbl: Int, bit: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$tbl:$bit:$dim".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((((h(0) & 0xFF) >>> 4) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Signature width for a corpus of `n` vectors: smallest `bits` with
+    * 2^bits ≥ n/target, clamped to [4, 20]. Integer arithmetic only, so
+    * the SQL twin (`length(bin(m-1))`) derives the identical value — no
+    * floating log2 edge cases at powers of two.
+    */
+  private[graft] def derivedBits(n: Long, target: Long = TargetBucket): Int = {
+    val m = (n + target - 1) / target
+    val b = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(4, math.min(20, b))
+  }
+
+  /** The same derivation as a DuckDB scalar subquery over the corpus. */
+  private def bitsSql(target: Long = TargetBucket): String =
+    s"""(SELECT GREATEST(4, LEAST(20, CASE WHEN m <= 1 THEN 0
+       |  ELSE length(bin(m - 1)) END))
+       | FROM (SELECT (count(*) + ${target - 1}) // $target AS m FROM embeddings))""".stripMargin
+
+  /** `bits`-bit random-hyperplane signature of vector column `v` for hash
+    * table `tbl`. The sign vectors are literal arrays: one fused
+    * zip_with/aggregate traversal per bit, all multiply-add (the previous
+    * design recomputed xxhash64 per element per plane per row).
+    */
+  private[graft] def lshSignature(v: Column, bits: Int, tbl: Int = 0): Column = {
+    val planeDots: Seq[Column] = (0 until bits).map { i =>
+      val signs: Seq[Double] = (0 until Dim).map(j => sign(tbl, i, j))
+      val proj = aggregate(
+        zip_with(v, typedlit(signs), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    planeDots.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** One row per (vector, hash table): multi-table LSH trades a constant
+    * factor of signature rows for exponentially better recall — a pair
+    * is a candidate if ANY of the `tables` independent signatures
+    * collide. `bits` and `tables` are the scale knobs: widen signatures
+    * as the corpus grows (via [[derivedBits]]), add tables for recall.
+    */
+  private[graft] def lshTables(
+      df: DataFrame, vecCol: String,
+      bits: Int = 8, tables: Int = NumTables): DataFrame =
+    df.select(col("*"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"), lshSignature(col(vecCol), bits, t).as("sig"))
+      }: _*)).as("bk"))
+      .select(col("*"), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+      .drop("bk")
 
   /** Fused native kernel (graft.functions.VectorCosine): one pass over
     * both arrays inside whole-stage codegen, vs five interpreted
@@ -34,42 +108,29 @@ object SimilarityOps {
   private def cosine(s: SparkSession, a: Column, b: Column): Column =
     graft.functions.VectorCosine.vectorCosine(s, a, b)
 
-  /** Deterministic ±1 hyperplanes: component j of plane i flips on the
-    * parity of xxhash64(i, j) — same on every executor, no state.
-    * `table` offsets the plane ids so independent hash tables see
-    * independent hyperplanes.
-    */
-  private[graft] def lshSignature(v: Column, bits: Int, table: Int = 0): Column = {
-    val planeDots: Seq[Column] = (0 until bits).map { i =>
-      val planeId = table * 1024 + i
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(Dim - 1)),
-          (x, j) => x.cast("double") *
-            (when(pmod(xxhash64(lit(planeId), j), lit(2)) === 0, 1.0)
-              .otherwise(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    planeDots.reduce((a, b) => a.bitwiseOR(b))
-  }
-
-  private val NumTables = 4
-
-  /** One row per (vector, hash table): multi-table LSH trades a constant
-    * factor of signature rows for exponentially better recall — a pair
-    * is a candidate if ANY of the [[NumTables]] independent signatures
-    * collide.
-    */
-  private[graft] def lshTables(df: DataFrame, vecCol: String): DataFrame =
-    df.select(col("*"),
-      explode(array((0 until NumTables).map { t =>
-        struct(lit(t).as("tbl"), lshSignature(col(vecCol), 8, t).as("sig"))
-      }: _*)).as("bk"))
-      .select(col("*"), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
-      .drop("bk")
-
   private def corpus(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
+
+  /** The SQL twin of the signature computation: per (vector, table) rows
+    * with the same BIGINT signature. Shared by the s2/s3 oracles.
+    */
+  private def sigSql(tables: Int): String =
+    s"""p AS (SELECT ${bitsSql()} AS nbits),
+       |signs AS (
+       |  SELECT t.tbl, bb.b,
+       |    [CASE WHEN substring(md5(t.tbl::VARCHAR || ':' || bb.b::VARCHAR || ':' || j::VARCHAR), 1, 1)
+       |       IN ('0','2','4','6','8','a','c','e') THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END
+       |     for j in range($Dim)] AS sv
+       |  FROM range($tables) t(tbl)
+       |  CROSS JOIN (SELECT unnest(range((SELECT nbits FROM p))) AS b) bb),
+       |proj AS (
+       |  SELECT e.vec_id, s.tbl, s.b,
+       |    list_sum([e.embedding[j+1]::DOUBLE * s.sv[j+1] for j in range($Dim)]) AS pr
+       |  FROM embeddings e CROSS JOIN signs s),
+       |sig AS (
+       |  SELECT vec_id, tbl,
+       |    sum(CASE WHEN pr >= 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sig
+       |  FROM proj GROUP BY vec_id, tbl)""".stripMargin
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -103,11 +164,14 @@ object SimilarityOps {
         |SELECT query_id, rank, neighbor_id FROM ranked
         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
 
-    // LSH-bucketed ANN: 8-bit signatures; queries probe only their own
-    // bucket. Rows-only check (bucketing not SQL-mirrorable cheaply).
+    // LSH-bucketed ANN: queries probe their own bucket in each of the
+    // hash tables; signature width derived from corpus size. Fully
+    // oracle-checked — the DuckDB twin rebuilds the same hyperplanes.
     "s2_ann_lsh" -> QueryDef(
       (s, dir) => {
-        val banded = lshTables(corpus(s, dir), "embedding").cache()
+        val emb = corpus(s, dir)
+        val bits = derivedBits(emb.count())
+        val banded = lshTables(emb, "embedding", bits).cache()
         val queries = banded.where(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
             col("tbl"), col("sig"))
@@ -120,10 +184,29 @@ object SimilarityOps {
           .orderBy(col("sim").desc, col("neighbor_id"))
         scored.withColumn("rank", row_number().over(w))
           .where(col("rank") <= TopK)
-          .select("query_id", "rank", "neighbor_id", "sim")
+          .select("query_id", "rank", "neighbor_id")
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(s"""WITH ${sigSql(NumTables)},
+        |q AS (SELECT vec_id AS query_id, tbl, sig FROM sig
+        |  WHERE vec_id < $NumQueries),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+        |  FROM sig s JOIN q USING (tbl, sig)
+        |  WHERE s.vec_id <> q.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim
+        |  FROM cand c
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id
+        |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked
+        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
 
     // IVF ANN — the other scale path: a coarse quantizer (k-means-lite,
     // deterministic hash-ordered seeding + one Lloyd step) partitions
@@ -193,11 +276,13 @@ object SimilarityOps {
       },
       None),
 
-    // Embedding-cosine near-duplicate pairs within LSH buckets.
+    // Embedding-cosine near-duplicate pairs within LSH buckets (one
+    // table; width derived from corpus size). Oracle-checked.
     "s3_embed_neardup" -> QueryDef(
       (s, dir) => {
-        val emb = corpus(s, dir)
-          .withColumn("bucket", lshSignature(col("embedding"), 8))
+        val c = corpus(s, dir)
+        val bits = derivedBits(c.count())
+        val emb = c.withColumn("bucket", lshSignature(col("embedding"), bits))
         val l = emb.select(col("bucket"), col("vec_id").as("vec_a"),
           col("embedding").as("va"))
         val r = emb.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -209,5 +294,16 @@ object SimilarityOps {
           .select("vec_a", "vec_b", "sim")
           .orderBy("vec_a", "vec_b")
       },
-      None))
+      Some(s"""WITH ${sigSql(1)},
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        |simmed AS (
+        |  SELECT p.vec_a, p.vec_b,
+        |    list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim
+        |  FROM pairs p
+        |  JOIN embeddings ea ON ea.vec_id = p.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = p.vec_b)
+        |SELECT vec_a, vec_b, sim FROM simmed
+        |WHERE sim >= 0.2 ORDER BY vec_a, vec_b""".stripMargin)))
 }

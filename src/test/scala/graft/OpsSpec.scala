@@ -65,27 +65,54 @@ class OpsSpec extends SparkSuite {
     }
   }
 
-  test("ann LSH: planted near-duplicate vectors collide in some table") {
-    // a vector and a slightly-perturbed copy have cosine ≈ 0.999; with 4
-    // independent 8-bit sign-LSH tables they must share at least one
-    // signature (deterministic given the seeded hyperplanes)
+  test("ann LSH: planted near-duplicates collide at two signature widths") {
+    // a vector and a slightly-perturbed copy have cosine ≈ 0.999; across
+    // 4 independent sign-LSH tables they must share at least one
+    // signature (deterministic given the md5-parity hyperplanes) — at
+    // both a narrow and a wide signature (no hardcoded width anywhere)
     val rnd = new scala.util.Random(7)
     val v = Array.fill(64)(rnd.nextFloat() * 2 - 1)
     val vNear = v.zipWithIndex.map { case (x, i) =>
       if (i % 16 == 0) x + 0.01f else x }
     val df = Seq((0L, v.toSeq), (1L, vNear.toSeq)).toDF("vec_id", "embedding")
-    val sigs = SimilarityOps.lshTables(df, "embedding")
-      .select("vec_id", "tbl", "sig").collect()
-      .groupBy(_.getLong(0))
-      .map { case (id, rows) =>
-        id -> rows.map(r => (r.getInt(1), r.getLong(2))).toSet }
-    assert(sigs(0L).intersect(sigs(1L)).nonEmpty,
-      "near-identical vectors share no LSH signature across 4 tables")
+    for (bits <- Seq(8, 12)) {
+      val sigs = SimilarityOps.lshTables(df, "embedding", bits)
+        .select("vec_id", "tbl", "sig").collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rows) =>
+          id -> rows.map(r => (r.getInt(1), r.getLong(2))).toSet }
+      assert(sigs(0L).intersect(sigs(1L)).nonEmpty,
+        s"near-identical vectors share no LSH signature at $bits bits")
+    }
+    // signature width scales with corpus size, clamped to [4, 20]
+    assert(SimilarityOps.derivedBits(500) == 4)
+    assert(SimilarityOps.derivedBits(100000) == 12)
+    assert(SimilarityOps.derivedBits(1L << 40) == 20)
+    assert(SimilarityOps.derivedBits(1) == 4)
+    // exact at powers of two: 2^bits buckets of exactly TargetBucket
+    assert(SimilarityOps.derivedBits(32 * 16) == 4)
+    assert(SimilarityOps.derivedBits(32 * 16 + 1) == 5)
     // and the full query still runs end-to-end on real data
     val lsh = SimilarityOps.defs("s2_ann_lsh").fn(spark, dir)
     val rows = lsh.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getInt(1) <= 5))
+  }
+
+  test("minhash fast-hash variant finds the same strong candidates") {
+    // the xxhash64 drop-in must agree with the oracle-able md5 default
+    // on confident pairs (est >= 0.5); band-boundary stragglers may vary
+    import graft.ops.DedupOps
+    def strong(fast: Boolean): Set[(Long, Long)] =
+      DedupOps.minhashPairs(spark, dir, fastHash = fast)
+        .where(col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Pairs = strong(fast = false)
+    val xxPairs = strong(fast = true)
+    assert(md5Pairs.nonEmpty)
+    val overlap = md5Pairs.intersect(xxPairs).size.toDouble / md5Pairs.size
+    assert(overlap >= 0.9, s"hash variants disagree: $overlap")
   }
 
   test("ann IVF: good recall vs brute force on real data") {
