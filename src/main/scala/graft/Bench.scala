@@ -22,17 +22,23 @@ object Bench {
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
+    // one untimed pass first: runs the one-time staging side effects
+    // (x1-x4's Delta stage, q18's bucketed tables — idempotent via
+    // session markers) and warms JIT/codegen, so the timed region below
+    // measures queries, not writes
+    val staging = time(SparkEntry.queries.toSeq.sortBy(_._1).foreach {
+      case (_, fn) => try fn(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try {
-        time(fn(spark, sfDir).count()) // warm-up: JIT + codegen cache
-        time(fn(spark, sfDir).count())
-      } catch { case _: Throwable => -1.0 }
+      val t = try time(fn(spark, sfDir).count())
+      catch { case _: Throwable => -1.0 }
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staging_warmup_sec":$staging,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

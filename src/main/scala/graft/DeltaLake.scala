@@ -28,6 +28,17 @@ object DeltaLake {
       settings: ScanSettings = ScanSettings()): Unit =
     scanDelta(spark, path, settings).createOrReplaceTempView(viewName)
 
+  /** The scan as a composable Spark-SQL STRING — `get_sql_for_delta`
+    * (duckdb.py:584-623). `cteWrapName = Some(w)` returns a `WITH … w AS
+    * (…)` prefix for embedding in a larger hand-written query; `None` a
+    * complete statement. See [[graft.delta.DeltaSql]] for the contract.
+    */
+  def deltaSql(spark: SparkSession, path: String,
+      settings: ScanSettings = ScanSettings(),
+      cteWrapName: Option[String] = None,
+      sqlPrefix: String = "delta"): String =
+    DeltaSql.deltaSql(spark, path, settings, cteWrapName, sqlPrefix)
+
   /** Logical (or physical) schema without reading data
     * (polars.py:226-263).
     */

@@ -30,6 +30,8 @@ final case class DeltaMetadata(
   * protocol's `__HIVE_DEFAULT_PARTITION__` convention; `stats` is the raw
   * per-file statistics JSON (parsed lazily). `deletionVector` presence is
   * recorded so the protocol gate can reject files we cannot read.
+  * `legacyPartitionValues` captures top-level `partition.<name>` keys
+  * some legacy writers emit instead of the `partitionValues` object.
   */
 final case class AddAction(
     path: String,
@@ -37,9 +39,22 @@ final case class AddAction(
     size: Long,
     modificationTime: Long,
     stats: Option[String],
-    hasDeletionVector: Boolean) {
+    hasDeletionVector: Boolean,
+    legacyPartitionValues: Map[String, Option[String]] = Map.empty) {
   lazy val parsedStats: Option[FileStats] =
     stats.flatMap(FileStats.fromJson)
+
+  /** Partition value for a column, tolerating all four key shapes legacy
+    * writers produce (reference duckdb.py:474-505, in its order):
+    * `partitionValues[phys]`, `partition.<phys>`,
+    * `partitionValues[logical]`, `partition.<logical>`.
+    * Outer None = key absent everywhere; Some(None) = explicit null.
+    */
+  def partitionValueFor(phys: String, logical: String): Option[Option[String]] =
+    partitionValues.get(phys)
+      .orElse(legacyPartitionValues.get(phys))
+      .orElse(partitionValues.get(logical))
+      .orElse(legacyPartitionValues.get(logical))
 }
 
 /** Per-file statistics from the log (`add.stats` JSON): zone maps used for
@@ -101,7 +116,12 @@ object ActionCodec {
     modificationTime = lng(n, "modificationTime").getOrElse(0L),
     stats = str(n, "stats"),
     hasDeletionVector =
-      Option(n.get("deletionVector")).exists(dv => !dv.isNull && dv.size() > 0))
+      Option(n.get("deletionVector")).exists(dv => !dv.isNull && dv.size() > 0),
+    legacyPartitionValues = n.properties().asScala.collect {
+      case e if e.getKey.startsWith("partition.") =>
+        e.getKey.stripPrefix("partition.") ->
+          (if (e.getValue.isNull) None else Some(e.getValue.asText))
+    }.toMap)
 
   def parseProtocol(n: JsonNode): DeltaProtocol = DeltaProtocol(
     minReaderVersion = lng(n, "minReaderVersion").getOrElse(1L).toInt,

@@ -102,8 +102,20 @@ object DeltaScan {
       col(s"`${phys.replace("`", "``")}`").cast(relax(f.dataType)).as(f.name)
     }
 
+    // resolved partition tuple per file (keyed by physical name),
+    // tolerant of legacy `partition.<name>` key shapes — and the
+    // grouping key, so files whose values live under different key
+    // shapes but agree in value still share one scan branch
+    val partFields: Seq[StructField] =
+      schema.fields.toSeq.filter(f => partCols.contains(f.name))
+    def resolvedPv(a: AddAction): Map[String, Option[String]] =
+      partFields.map { f =>
+        val phys = logToPhys.getOrElse(f.name, f.name)
+        phys -> a.partitionValueFor(phys, f.name).flatten
+      }.toMap
+
     val groups: Seq[(Map[String, Option[String]], Seq[AddAction])] =
-      actions.groupBy(_.partitionValues).toSeq
+      actions.groupBy(resolvedPv).toSeq
 
     val df =
       if (actions.isEmpty) emptyTyped(spark, StructType(readFields))
@@ -115,7 +127,7 @@ object DeltaScan {
           val projection: Seq[Column] = readFields.map { f =>
             if (partCols.contains(f.name)) {
               val phys = logToPhys.getOrElse(f.name, f.name)
-              PartitionValues.toLiteral(pv.get(phys).flatten, f)
+              PartitionValues.toLiteral(pv.getOrElse(phys, None), f)
             } else dataProjection(f)
           }
           spark.read.schema(physReadSchema).parquet(paths: _*).select(projection: _*)
@@ -140,9 +152,10 @@ object DeltaScan {
           // normalization normalizeFileKey applies to input_file_name()
           val p = new org.apache.hadoop.fs.Path(resolvePath(base, a.path))
           val uri = p.getFileSystem(hconf).makeQualified(p).toUri.getPath
+          val pv = resolvedPv(a)
           Row.fromSeq(uri +: partFields.map { f =>
             val phys = logToPhys.getOrElse(f.name, f.name)
-            a.partitionValues.get(phys).flatten
+            pv.getOrElse(phys, None)
               .map(v => toJavaSql(PartitionValues.deserialize(v, f.dataType), f))
               .orNull
           })

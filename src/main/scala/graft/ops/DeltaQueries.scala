@@ -80,5 +80,24 @@ object DeltaQueries {
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem WHERE l_quantity BETWEEN 10 AND 20
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)))
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Delta scan as an EMITTED SQL STRING (the reference's
+    // get_sql_for_delta + cte_wrap composition): the generated WITH
+    // prefix is embedded in a larger hand-written aggregation and run
+    // through spark.sql — partition pruning happens at emission time
+    // (only the l_returnflag=A files appear in the SQL).
+    "x4_delta_sql_string" -> QueryDef(
+      (s, dir) => {
+        val path = ensureLineitemDelta(s, dir)
+        val prefix = DeltaLake.deltaSql(s, path,
+          ScanSettings(conditions = Seq(Cond("l_returnflag", "=", "A"))),
+          cteWrapName = Some("li_sql"))
+        s.sql(prefix + """
+          |SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+          |FROM li_sql GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)))
 }

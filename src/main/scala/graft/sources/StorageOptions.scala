@@ -17,11 +17,23 @@ import org.apache.spark.sql.SparkSession
   * Offline environment: translation is unit-tested; no live Azure test
   * (mirrors the reference's Azurite-only CI).
   */
+/** User-suppliable token credential — the analogue of azure-identity's
+  * `TokenCredential` in the reference's `get_credential` hook
+  * (azure_helper.py:11-33,83-138): the user injects their own credential
+  * for a chain element instead of the built-in environment chains.
+  */
+trait TokenCredential {
+  def getToken(scope: String): String
+}
+
 object AzureStorageOptions {
 
   val EmulatorAccountName = "devstoreaccount1"
   val EmulatorAccountKey: String =
     "Eby8vdM02xNOcqFlqUwJPLlmEtlCDXJ1OUzFT50uSRZ6IFsuFq2UVErCz4I6tq/K1SZFPTOtr/KBHBeksoGMGw=="
+
+  /** The OAuth scope tokens are pre-fetched for (azure_helper.py:8). */
+  val StorageScope = "https://storage.azure.com/.default"
 
   /** Parse an `AccountName=...;AccountKey=...` connection string. */
   private[sources] def parseConnectionString(cs: String): Map[String, String] =
@@ -62,6 +74,12 @@ object AzureStorageOptions {
         case Some(sas) =>
           base += s"fs.azure.account.auth.type.$host" -> "SAS"
           base += s"fs.azure.sas.fixed.token.$host" -> sas
+        case None if opt("token").isDefined =>
+          // pre-fetched bearer token from resolveOptions' credential
+          // chain: Custom auth, token stashed for the deployment's
+          // CustomTokenProviderAdaptee shim (see resolveOptions doc)
+          base += s"fs.azure.account.auth.type.$host" -> "Custom"
+          base += s"fs.graft.azure.static.token.$host" -> opt("token").get
         case None =>
           (opt("client_id"), opt("client_secret"), opt("tenant_id")) match {
             case (Some(cid), Some(secret), Some(tenant)) =>
@@ -106,6 +124,61 @@ object AzureStorageOptions {
 
   def applyTo(conf: Configuration, options: Map[String, String]): Unit =
     toHadoopConf(options).foreach { case (k, v) => conf.set(k, v) }
+
+  /** Resolve (path, options) with a user credential hook — the
+    * reference's `get_storage_options_object_store`
+    * (azure_helper.py:85-138): strip the account host out of
+    * blob/dfs-URL paths into `account_name`, and when a `chain` is
+    * requested (explicitly, or implicitly via `anon=false`), resolve it
+    * element-by-element through `getCredential` — first element the hook
+    * supplies wins — and PRE-FETCH the bearer token into the returned
+    * options as `token`.
+    *
+    * Offline parity note: the reference falls back to azure-identity's
+    * environment chains (cli/env/managed_identity/default) when the hook
+    * returns None for an element; those require a live Azure context, so
+    * here an unresolvable chain raises. Wiring the pre-fetched `token`
+    * into Hadoop-ABFS needs a `CustomTokenProviderAdaptee` shim from
+    * hadoop-azure (not on this classpath); [[toHadoopConf]] marks the
+    * account `Custom`-auth and carries the token under
+    * `fs.graft.azure.static.token.<host>` for such a shim to read.
+    */
+  def resolveOptions(
+      path: String,
+      options: Map[String, String],
+      getCredential: String => Option[TokenCredential] = _ => None)
+      : (String, Map[String, String]) = {
+    val isAzureUrl = path.contains(".blob.core.windows.net") ||
+      path.contains(".dfs.core.windows.net")
+    val (newPath, accountFromUrl) =
+      if (isAzureUrl) {
+        val u = new java.net.URI(path)
+        val account = u.getHost.split('.').head
+        (path.replace(s"${u.getScheme}://${u.getHost}", s"${u.getScheme}://")
+          .replace(":///", "://"), Some(account))
+      } else (path, None)
+
+    val anon = options.get("anon").map(_.toLowerCase)
+    val chainOpt = options.get("chain").orElse(
+      if (anon.exists(Set("0", "false"))) Some("default") else None)
+
+    val resolved = chainOpt match {
+      case Some(chain) =>
+        val cred = chain.split(";").toSeq.flatMap(c => getCredential(c))
+          .headOption.getOrElse(throw new IllegalArgumentException(
+            s"No credential available for chain '$chain' " +
+              "(supply one via getCredential)"))
+        options - "chain" - "anon" + ("token" -> cred.getToken(StorageScope))
+      case None =>
+        if (anon.exists(Set("1", "true"))) options - "anon" else options
+    }
+    val withAccount = accountFromUrl match {
+      case Some(a) if !resolved.contains("account_name") =>
+        resolved + ("account_name" -> a)
+      case _ => resolved
+    }
+    (newPath, withAccount)
+  }
 
   /** `az://container/path` + account → abfss URI, mirroring the
     * reference's path normalization (azure_helper.py:83-138).

@@ -61,6 +61,58 @@ class StorageOptionsSpec extends AnyFunSuite {
     assert(!c.contains(s"fs.azure.account.auth.type.$host"))
   }
 
+  // --- credential hook: reference tests/test_azure_helper.py:12-49 ---
+
+  private object FakeCredential extends graft.sources.TokenCredential {
+    def getToken(scope: String): String = "fake_token"
+  }
+
+  test("credential hook: chain resolves through the user credential") {
+    for (opts <- Seq(Map("chain" -> "default"), Map("anon" -> "false"))) {
+      val (newPath, creds) = AzureStorageOptions.resolveOptions(
+        "az://accountnamethatslong.blob.core.windows.net/testlakedb/td/delta/fake",
+        opts, _ => Some(FakeCredential))
+      assert(!newPath.contains(".blob.core") && !newPath.contains(".dfs.core"))
+      assert(newPath == "az://testlakedb/td/delta/fake")
+      assert(creds("token") == "fake_token")
+      assert(creds("account_name") == "accountnamethatslong")
+
+      val (p2, c2) = AzureStorageOptions.resolveOptions(
+        "abfss://accountnamethatslong.dfs.core.windows.net/testlakedb/td/delta/fake",
+        opts, _ => Some(FakeCredential))
+      assert(p2 == "abfss://testlakedb/td/delta/fake")
+      assert(c2("token") == "fake_token")
+      assert(c2("account_name") == "accountnamethatslong")
+    }
+  }
+
+  test("credential hook: first chain element the hook supplies wins") {
+    var asked = List.empty[String]
+    val (_, creds) = AzureStorageOptions.resolveOptions(
+      "az://c/p", Map("chain" -> "cli;managed_identity", "account_name" -> "a"),
+      c => { asked :+= c; if (c == "managed_identity") Some(FakeCredential) else None })
+    assert(asked == List("cli", "managed_identity"))
+    assert(creds("token") == "fake_token")
+    assert(!creds.contains("chain"))
+  }
+
+  test("credential hook: unresolvable chain raises; anon passes through") {
+    intercept[IllegalArgumentException] {
+      AzureStorageOptions.resolveOptions(
+        "az://c/p", Map("chain" -> "env", "account_name" -> "a"))
+    }
+    val (_, c) = AzureStorageOptions.resolveOptions(
+      "az://c/p", Map("anon" -> "true", "account_name" -> "a"))
+    assert(!c.contains("anon") && !c.contains("token"))
+  }
+
+  test("pre-fetched token maps to Custom auth with stashed token") {
+    val c = AzureStorageOptions.toHadoopConf(
+      Map("account_name" -> "acct", "token" -> "tok123"))
+    assert(c(s"fs.azure.account.auth.type.$host") == "Custom")
+    assert(c(s"fs.graft.azure.static.token.$host") == "tok123")
+  }
+
   test("az:// and https blob URIs normalize to abfss") {
     val opts = Map("account_name" -> "acct")
     assert(AzureStorageOptions.normalizeUri("az://cont/a/b", opts) ==

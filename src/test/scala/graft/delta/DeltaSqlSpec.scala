@@ -1,0 +1,170 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.{DeltaLake, SparkSuite}
+
+/** deltaSql (SQL-string emission) + legacy partition-value key shapes. */
+class DeltaSqlSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_dsql").toString + "/t"
+
+  private def frame = Seq(
+    (1L, "x", "A"), (2L, "y", "A"), (3L, "z", "B"), (4L, "w", "B"))
+    .toDF("id", "payload", "part")
+
+  test("deltaSql: emitted SQL equals the DataFrame scan") {
+    val path = tmp()
+    DeltaWriter.write(frame, path, partitionBy = Seq("part"))
+    val viaSql = spark.sql(DeltaLake.deltaSql(spark, path)).collect()
+      .map(_.toString).sorted.toSeq
+    val viaDf = DeltaLake.scanDelta(spark, path).collect()
+      .map(_.toString).sorted.toSeq
+    assert(viaSql == viaDf && viaSql.size == 4)
+  }
+
+  test("deltaSql: conditions prune files at emission and filter rows") {
+    val path = tmp()
+    DeltaWriter.write(frame, path, partitionBy = Seq("part"))
+    val sql = DeltaLake.deltaSql(spark, path, ScanSettings(
+      conditions = Seq(Cond("part", "=", "A"), Cond("id", ">", 1L)),
+      fields = Some(Seq("id", "part"))))
+    // partition pruning already dropped the B files from the SQL text
+    assert(!sql.contains("part=B"), sql)
+    val rows = spark.sql(sql).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(rows.head.schema.fieldNames.toSeq == Seq("id", "part"))
+    // limit + distinct render too
+    val lim = spark.sql(DeltaLake.deltaSql(spark, path,
+      ScanSettings(distinct = true, limit = Some(2L))))
+    assert(lim.count() == 2)
+  }
+
+  test("deltaSql: cte-wrap prefix composes into a larger query") {
+    val path = tmp()
+    DeltaWriter.write(frame, path, partitionBy = Seq("part"))
+    val prefix = DeltaLake.deltaSql(spark, path, cteWrapName = Some("t"))
+    val out = spark.sql(
+      prefix + "\nSELECT part, count(*) AS n FROM t GROUP BY part ORDER BY part")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("A", 2L), ("B", 2L)))
+  }
+
+  test("deltaSql: zero live files yields a typed empty relation") {
+    val path = tmp()
+    DeltaWriter.write(frame, path)
+    val sql = DeltaLake.deltaSql(spark, path,
+      ScanSettings(actionFilter = _ => false))
+    val df = spark.sql(sql)
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "payload", "part"))
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("deltaSql: null-fills columns a file lacks (schema evolution)") {
+    // hand-crafted: two files with different physical schemas under one
+    // evolved logical schema (our writer doesn't evolve schemas itself)
+    val root = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$root/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$root/$name"))
+    }
+    stageFile(Seq((1L, "x")).toDF("id", "payload"), "f1.parquet")
+    stageFile(Seq((2L, "y", 9.5)).toDF("id", "payload", "score"), "f2.parquet")
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":{}},
+        |{"name":"payload","type":"string","nullable":true,"metadata":{}},
+        |{"name":"score","type":"double","nullable":true,"metadata":{}}]}"""
+        .stripMargin.replace("\n", "")
+    val log =
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{}}}
+         |{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+         |{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.write(Paths.get(s"$root/_delta_log/" + f"${0L}%020d.json"),
+      log.getBytes(StandardCharsets.UTF_8))
+    val rows = spark.sql(DeltaLake.deltaSql(spark, root))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+    // the DataFrame path null-fills identically
+    val viaDf = DeltaLake.scanDelta(spark, root).orderBy("id").collect()
+    assert(viaDf(0).isNullAt(viaDf(0).fieldIndex("score")))
+  }
+
+  /** Hand-craft a log whose add action uses a legacy key shape. */
+  private def writeLegacyTable(
+      addExtra: String, partitionValuesJson: Option[String],
+      schemaJson: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    // one data file with just `id`
+    val stage = s"$root/stage"
+    Seq(1L, 2L).toDF("id").coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(s"$root/f1.parquet"))
+    val pvField = partitionValuesJson.map(p => s""""partitionValues":$p,""").getOrElse("")
+    val log =
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":["p"],"configuration":{}}}
+         |{"add":{"path":"f1.parquet",$pvField$addExtra"size":1,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin
+    Files.createDirectories(Paths.get(s"$root/_delta_log"))
+    Files.write(Paths.get(s"$root/_delta_log/" + f"${0L}%020d.json"),
+      log.getBytes(StandardCharsets.UTF_8))
+    root
+  }
+
+  private val plainSchema =
+    """{"type":"struct","fields":[
+      |{"name":"id","type":"long","nullable":true,"metadata":{}},
+      |{"name":"p","type":"string","nullable":true,"metadata":{}}]}"""
+      .stripMargin.replace("\n", "")
+
+  test("legacy top-level partition.<name> key scans correctly") {
+    val root = writeLegacyTable(""""partition.p":"A",""", None, plainSchema)
+    val rows = DeltaLake.scanDelta(spark, root).orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("p") == "A"))
+    // and through the wide path (same lookup on the broadcast side)
+    val wide = DeltaLake.scanDelta(spark, root, ScanSettings(wideUnionThreshold = 0))
+    assert(wide.collect().forall(_.getAs[String]("p") == "A"))
+  }
+
+  test("partitionValues keyed by LOGICAL name under column mapping") {
+    val mapped =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":{}},
+        |{"name":"p","type":"string","nullable":true,"metadata":{"delta.columnMapping.physicalName":"col-abc123"}}]}"""
+        .stripMargin.replace("\n", "")
+    val root = writeLegacyTable("", Some("""{"p":"B"}"""), mapped)
+    val rows = DeltaLake.scanDelta(spark, root).collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[String]("p") == "B"))
+  }
+
+  test("legacy partition.<logical> key under column mapping") {
+    val mapped =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":{}},
+        |{"name":"p","type":"string","nullable":true,"metadata":{"delta.columnMapping.physicalName":"col-abc123"}}]}"""
+        .stripMargin.replace("\n", "")
+    val root = writeLegacyTable(""""partition.p":"C",""", None, mapped)
+    val rows = DeltaLake.scanDelta(spark, root).collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[String]("p") == "C"))
+    // deltaSql resolves the same legacy shapes
+    val viaSql = spark.sql(DeltaLake.deltaSql(spark, root)).collect()
+    assert(viaSql.forall(_.getAs[String]("p") == "C"))
+  }
+}
