@@ -39,10 +39,17 @@ final case class AddAction(
     size: Long,
     modificationTime: Long,
     stats: Option[String],
-    hasDeletionVector: Boolean,
+    deletionVector: Option[DeletionVectorDescriptor] = None,
     legacyPartitionValues: Map[String, Option[String]] = Map.empty) {
   lazy val parsedStats: Option[FileStats] =
     stats.flatMap(FileStats.fromJson)
+
+  def hasDeletionVector: Boolean = deletionVector.isDefined
+
+  /** Rows the scan actually yields: physical rows minus deleted ones. */
+  def liveRecords: Option[Long] =
+    parsedStats.flatMap(_.numRecords)
+      .map(n => n - deletionVector.map(_.cardinality).getOrElse(0L))
 
   /** Partition value for a column, tolerating all four key shapes legacy
     * writers produce (reference duckdb.py:474-505, in its order):
@@ -115,8 +122,15 @@ object ActionCodec {
     size = lng(n, "size").getOrElse(0L),
     modificationTime = lng(n, "modificationTime").getOrElse(0L),
     stats = str(n, "stats"),
-    hasDeletionVector =
-      Option(n.get("deletionVector")).exists(dv => !dv.isNull && dv.size() > 0),
+    deletionVector = Option(n.get("deletionVector"))
+      .filter(dv => !dv.isNull && dv.size() > 0)
+      .map(dv => DeletionVectorDescriptor(
+        storageType = str(dv, "storageType").getOrElse("u"),
+        pathOrInlineDv = str(dv, "pathOrInlineDv").getOrElse(
+          sys.error("deletionVector without pathOrInlineDv")),
+        offset = lng(dv, "offset").map(_.toInt),
+        sizeInBytes = lng(dv, "sizeInBytes").getOrElse(0L).toInt,
+        cardinality = lng(dv, "cardinality").getOrElse(0L))),
     legacyPartitionValues = n.properties().asScala.collect {
       case e if e.getKey.startsWith("partition.") =>
         e.getKey.stripPrefix("partition.") ->

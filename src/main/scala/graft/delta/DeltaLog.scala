@@ -52,16 +52,16 @@ final class DeltaSnapshot(
     lastCommitInfo.flatMap(_.timestamp).map(java.time.Instant.ofEpochMilli)
 
   /** Protocol gate — refuse tables whose reader features we cannot honor.
-    * Spec: protocol_check.py:7-44, tightened: the reference accepts any
-    * minReaderVersion<=3 table, but reader v3 is exactly where
-    * deletionVectors live, so we check declared readerFeatures whenever
-    * present and additionally reject live files carrying deletion vectors.
+    * Spec: protocol_check.py:7-44. Unlike the reference (which rejects
+    * deletion vectors outright, README.md:39-46), deletionVectors are a
+    * SUPPORTED feature here: the scan applies them (DeltaScan's DV
+    * anti-join) and the writer produces them (DeltaWriter.delete).
     */
   def checkProtocolSupported(): Unit = {
-    // NOT supported: deletionVectors, v2Checkpoint (UUID-named
-    // checkpoints this reader cannot locate)
+    // NOT supported: v2Checkpoint (UUID-named checkpoints this reader
+    // cannot locate)
     val supported = Set("columnMapping", "timestampNtz", "typeWidening",
-      "vacuumProtocolCheck")
+      "vacuumProtocolCheck", "deletionVectors")
     protocolOpt.foreach { p =>
       if (p.minReaderVersion >= 3) {
         val unsupported = p.readerFeatures.getOrElse(Nil).filterNot(supported)
@@ -70,9 +70,6 @@ final class DeltaSnapshot(
             s"Delta table features not supported: ${unsupported.mkString(", ")}")
       }
     }
-    if (addActions.values.exists(_.hasDeletionVector))
-      throw new DeltaProtocolError(
-        "Delta table has files with deletion vectors, which are not supported")
   }
 
   def applyActionLine(node: JsonNode, v: Long): Unit = {
@@ -131,7 +128,8 @@ final class DeltaSnapshot(
             FileSkipping.canSkip(ac, conditions, physToField, logToPhys))) {
         out += ac
         if (conditions.isEmpty) limit.foreach { lim =>
-          ac.parsedStats.flatMap(_.numRecords).foreach { nr =>
+          // count rows the scan will actually yield (minus DV deletions)
+          ac.liveRecords.foreach { nr =>
             total += nr
             if (total >= lim) break = true
           }

@@ -117,6 +117,18 @@ object DeltaScan {
     val groups: Seq[(Map[String, Option[String]], Seq[AddAction])] =
       actions.groupBy(resolvedPv).toSeq
 
+    // deletion vectors: every branch additionally carries the physical
+    // row index + normalized file key, and deleted (file, index) pairs —
+    // expanded from the compact bitmaps on EXECUTORS — are subtracted
+    // with one anti-join after the union
+    val dvActions = actions.filter(_.hasDeletionVector)
+    val fileKey = "__graft_file"
+    val riKey = "__graft_row_index"
+    def dvCols(scanDf: DataFrame): Seq[Column] =
+      if (dvActions.isEmpty) Nil
+      else Seq(normalizeFileKey(input_file_name()).as(fileKey),
+        scanDf.col("_metadata.row_index").as(riKey))
+
     val df =
       if (actions.isEmpty) emptyTyped(spark, StructType(readFields))
       else if (groups.size <= settings.wideUnionThreshold) {
@@ -130,7 +142,8 @@ object DeltaScan {
               PartitionValues.toLiteral(pv.getOrElse(phys, None), f)
             } else dataProjection(f)
           }
-          spark.read.schema(physReadSchema).parquet(paths: _*).select(projection: _*)
+          val scan = spark.read.schema(physReadSchema).parquet(paths: _*)
+          scan.select(projection ++ dvCols(scan): _*)
         }
         parts.reduce(_.unionByName(_))
       } else {
@@ -138,9 +151,10 @@ object DeltaScan {
         // partition values delivered by a broadcast join on the file name
         // — constant-size plan regardless of partition count
         val hconf = spark.sessionState.newHadoopConf()
-        val fileKey = "__graft_file"
         val paths = actions.map(a => resolvePath(base, a.path))
-        val scan = spark.read.schema(physReadSchema).parquet(paths: _*)
+        val scan0 = spark.read.schema(physReadSchema).parquet(paths: _*)
+        val scan = (if (dvActions.isEmpty) scan0
+          else scan0.withColumn(riKey, scan0.col("_metadata.row_index")))
           .withColumn(fileKey, normalizeFileKey(input_file_name()))
 
         val partFields = readFields.filter(f => partCols.contains(f.name))
@@ -162,17 +176,43 @@ object DeltaScan {
         }
         val pvDf = spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), pvSchema)
+        val keep: Seq[Column] =
+          if (dvActions.isEmpty) Nil else Seq(col(fileKey), col(riKey))
         scan.join(broadcast(pvDf), Seq(fileKey))
           .select(readFields.map { f =>
             if (partCols.contains(f.name)) col(s"`${f.name.replace("`", "``")}`")
             else dataProjection(f)
-          }: _*)
+          } ++ keep: _*)
+      }
+
+    // subtract deleted rows: compact bitmap bytes ship to executors (one
+    // row per DV file), expansion to (file, row index) happens there,
+    // then one anti-join — broadcast while the total deleted-row count is
+    // broadcastable, shuffled beyond that
+    val undeleted =
+      if (dvActions.isEmpty || actions.isEmpty) df
+      else {
+        val hconf = spark.sessionState.newHadoopConf()
+        val dvRows: Seq[(String, Array[Byte])] = dvActions.map { a =>
+          val p = new org.apache.hadoop.fs.Path(resolvePath(base, a.path))
+          val uri = p.getFileSystem(hconf).makeQualified(p).toUri.getPath
+          uri -> DeletionVectors.read(spark, base, a.deletionVector.get)
+        }
+        import spark.implicits._
+        val deleted = spark.createDataset(dvRows)
+          .flatMap { case (f, data) =>
+            DeletionVectors.deserializeData(data).iterator.map(i => (f, i)) }
+          .toDF(fileKey, riKey)
+        val totalDeleted = dvActions.flatMap(_.deletionVector).map(_.cardinality).sum
+        val build = if (totalDeleted <= 5000000L) broadcast(deleted) else deleted
+        df.join(build, Seq(fileKey, riKey), "left_anti")
+          .drop(fileKey, riKey)
       }
 
     val filtered0 =
       if (settings.conditions.nonEmpty)
-        df.where(Cond.compile(settings.conditions, Some(schema)))
-      else df
+        undeleted.where(Cond.compile(settings.conditions, Some(schema)))
+      else undeleted
     val narrowed =
       if (readFields.lengthCompare(projected.size) == 0) filtered0
       else filtered0.select(projected.map(f =>
@@ -194,6 +234,55 @@ object DeltaScan {
     settings.limit.fold(distinct)(n =>
       if (n >= Int.MaxValue) distinct // file-level pruning already applied
       else distinct.limit(n.toInt))
+  }
+
+  /** Logical scan of specific files that ALSO exposes `__graft_file`
+    * (normalized path) and `__graft_row_index` (physical row position) —
+    * DeltaWriter.delete's predicate pass. One multi-path scan branch per
+    * partition group, like the main union path; existing deletion
+    * vectors are NOT applied (delete must see all physical rows to merge
+    * bitmaps).
+    */
+  private[graft] def scanWithRowIndex(
+      snap: DeltaSnapshot, actions: Seq[AddAction]): DataFrame = {
+    val spark = snap.spark
+    val schema = snap.schema
+    val partCols = snap.partitionColumns.toSet
+    val logToPhys = DeltaSchema.logicalToPhysical(schema)
+    val dataFields = schema.fields.toSeq.filterNot(f => partCols.contains(f.name))
+    val physReadSchema = DeltaSchema.physicalize(StructType(dataFields))
+    val base = snap.deltaPath.stripSuffix("/")
+    val partFields = schema.fields.toSeq.filter(f => partCols.contains(f.name))
+    def pvOf(a: AddAction): Seq[Option[String]] = partFields.map { f =>
+      val phys = logToPhys.getOrElse(f.name, f.name)
+      a.partitionValueFor(phys, f.name).flatten
+    }
+    val branches = actions.groupBy(pvOf).toSeq.map { case (pv, as) =>
+      val scan = spark.read.schema(physReadSchema)
+        .parquet(as.map(a => resolvePath(base, a.path)): _*)
+      val proj = schema.fields.toSeq.map { f =>
+        if (partCols.contains(f.name))
+          PartitionValues.toLiteral(pv(partFields.indexWhere(_.name == f.name)), f)
+        else {
+          val phys = DeltaSchema.physicalName(f)
+          col(s"`${phys.replace("`", "``")}`").cast(relax(f.dataType)).as(f.name)
+        }
+      }
+      scan.select(proj ++ Seq(
+        normalizeFileKey(input_file_name()).as("__graft_file"),
+        scan.col("_metadata.row_index").as("__graft_row_index")): _*)
+    }
+    branches.reduce(_.unionByName(_))
+  }
+
+  /** The normalized file key [[scanWithRowIndex]] and the DV anti-join
+    * use for a given action — drive-side twin of normalizeFileKey.
+    */
+  private[graft] def fileUri(
+      spark: SparkSession, base: String, a: AddAction): String = {
+    val p = new org.apache.hadoop.fs.Path(resolvePath(base, a.path))
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toUri.getPath
   }
 
   /** Zero live files ⇒ typed empty relation with the full logical schema

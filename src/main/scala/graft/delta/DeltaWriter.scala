@@ -130,6 +130,123 @@ object DeltaWriter {
     finally out.close()
   }
 
+  /** Delete rows matching the conditions WITHOUT rewriting data files:
+    * per-file deletion vectors (PROTOCOL.md#deletion-vectors) — the
+    * protocol feature the reference explicitly cannot read
+    * (README.md:39-46); here both produced and honored by the scan.
+    *
+    * Scale shape: metadata pruning first (only files that can match are
+    * scanned), then ONE distributed pass evaluates the predicate with
+    * physical row indices, and per-file bitmaps are built on the
+    * EXECUTORS (`mapGroups`) — only the compact serialized bitmaps
+    * (roaring-compressed) reach the driver, which writes the DV files
+    * and the commit. Re-deleting from a file merges with its prior DV.
+    *
+    * Returns the number of newly deleted rows.
+    */
+  def delete(spark: org.apache.spark.sql.SparkSession, path: String,
+      conditions: Seq[Cond]): Long = {
+    require(conditions.nonEmpty, "delete needs at least one condition")
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    val base = path.stripSuffix("/")
+    val candidates = snap.addActionsFiltered(conditions)
+    if (candidates.isEmpty) return 0L
+
+    val matching = DeltaScan.scanWithRowIndex(snap, candidates)
+      .where(Cond.compile(conditions, Some(snap.schema)))
+      .select("__graft_file", "__graft_row_index")
+
+    // prior DVs, keyed like __graft_file, captured into the task closure
+    // (bytes are roaring-compressed — small)
+    val priorDv: Map[String, Array[Byte]] = candidates.flatMap(a =>
+      a.deletionVector.map(dv =>
+        DeltaScan.fileUri(spark, base, a) ->
+          DeletionVectors.read(spark, base, dv))).toMap
+
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte], Long)] = matching
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val prior = priorDv.get(f).iterator
+          .flatMap(DeletionVectors.deserializeData(_).iterator)
+        val (bytes, card) =
+          DeletionVectors.serializeData(it.map(_._2) ++ prior)
+        (f, bytes, card)
+      }
+      .collect()
+    if (perFile.isEmpty) return 0L
+
+    val byUri: Map[String, AddAction] =
+      candidates.map(a => DeltaScan.fileUri(spark, base, a) -> a).toMap
+
+    val nf = JsonNodeFactory.instance
+    val lines = mutable.ArrayBuffer.empty[String]
+
+    // protocol upgrade on the first DV write
+    val hasFeature = snap.protocol.exists(
+      _.readerFeatures.exists(_.contains("deletionVectors")))
+    if (!hasFeature) {
+      val p = snap.protocol
+      val rf = (p.flatMap(_.readerFeatures).getOrElse(Nil) :+ "deletionVectors").distinct
+      val wf = (p.flatMap(_.writerFeatures).getOrElse(Nil) :+ "deletionVectors").distinct
+      val o = nf.objectNode(); val pn = o.putObject("protocol")
+      pn.put("minReaderVersion", 3).put("minWriterVersion", 7)
+      val rfa = pn.putArray("readerFeatures"); rf.foreach(rfa.add)
+      val wfa = pn.putArray("writerFeatures"); wf.foreach(wfa.add)
+      lines += o.toString
+    }
+
+    var newlyDeleted = 0L
+    perFile.foreach { case (uri, data, card) =>
+      val action = byUri.getOrElse(uri,
+        sys.error(s"delete matched unknown file $uri"))
+      newlyDeleted +=
+        card - action.deletionVector.map(_.cardinality).getOrElse(0L)
+      val dv = DeletionVectors.write(spark, base, data, card)
+
+      val rm = nf.objectNode(); val r = rm.putObject("remove")
+      r.put("path", action.path)
+      r.put("deletionTimestamp", System.currentTimeMillis())
+      r.put("dataChange", true)
+      lines += rm.toString
+
+      val addObj = nf.objectNode(); val a = addObj.putObject("add")
+      a.put("path", action.path)
+      val pv = a.putObject("partitionValues")
+      action.partitionValues.foreach {
+        case (k, Some(v)) => pv.put(k, v)
+        case (k, None) => pv.putNull(k)
+      }
+      a.put("size", action.size)
+      a.put("modificationTime", action.modificationTime)
+      a.put("dataChange", true)
+      action.stats.foreach(a.put("stats", _))
+      val dvn = a.putObject("deletionVector")
+      dvn.put("storageType", dv.storageType)
+      dvn.put("pathOrInlineDv", dv.pathOrInlineDv)
+      dv.offset.foreach(dvn.put("offset", _))
+      dvn.put("sizeInBytes", dv.sizeInBytes)
+      dvn.put("cardinality", dv.cardinality)
+      lines += addObj.toString
+    }
+
+    val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
+    c.put("timestamp", System.currentTimeMillis())
+    c.put("operation", "DELETE")
+    lines += ci.toString
+
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val commit = new Path(new Path(root, "_delta_log"),
+      f"${snap.version + 1}%020d.json")
+    val out = fs.create(commit, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    newlyDeleted
+  }
+
   /** The protocol-conformant classic-checkpoint schema (PROTOCOL.md
     * #checkpoint-schema): one row per action, `partitionValues` as
     * MAP<string,string> (NOT an inferred struct — delta-spark/delta-rs
@@ -150,7 +267,13 @@ object DeltaWriter {
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
         StructField("stats", StringType),
-        StructField("tags", mapSS)))),
+        StructField("tags", mapSS),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType))))))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
@@ -198,9 +321,12 @@ object DeltaWriter {
         null)
     }
     snap.liveFiles.foreach { a =>
+      val dvRow = a.deletionVector.map(dv =>
+        Row(dv.storageType, dv.pathOrInlineDv,
+          dv.offset.map(Int.box).orNull, dv.sizeInBytes, dv.cardinality)).orNull
       rows += Row(null,
         Row(a.path, a.partitionValues.map { case (k, v) => k -> v.orNull },
-          a.size, a.modificationTime, true, a.stats.orNull, null),
+          a.size, a.modificationTime, true, a.stats.orNull, null, dvRow),
         null, null, null)
     }
 

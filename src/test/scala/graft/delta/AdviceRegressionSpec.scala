@@ -62,7 +62,7 @@ class AdviceRegressionSpec extends SparkSuite {
 
   test("partition equality compares in the typed domain, not strings") {
     def add(pv: String): AddAction =
-      AddAction("f.parquet", Map("d" -> Some(pv)), 1L, 0L, None, false)
+      AddAction("f.parquet", Map("d" -> Some(pv)), 1L, 0L, None)
     def skips(pv: String, dt: DataType, c: Cond): Boolean =
       FileSkipping.canSkip(add(pv), Seq(c),
         Map("d" -> StructField("d", dt)), Map("d" -> "d"))

@@ -1,0 +1,117 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.{DeltaLake, SparkSuite}
+
+/** Deletion-vector round trip: DeltaWriter.delete produces
+  * protocol-format DVs (z85, roaring bitmap array, DV file layout) and
+  * the scan subtracts them — the feature the reference rejects.
+  */
+class DeletionVectorSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_dv").toString + "/t"
+
+  test("z85 codec round-trips bytes and uuids") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val bytes = Array.fill(4 * (1 + rnd.nextInt(8)))(rnd.nextInt().toByte)
+      val enc = DeletionVectors.z85Encode(bytes)
+      assert(DeletionVectors.z85Decode(enc).toSeq == bytes.toSeq)
+    }
+    val u = java.util.UUID.randomUUID()
+    assert(DeletionVectors.bytesToUuid(DeletionVectors.z85Decode(
+      DeletionVectors.z85Encode(DeletionVectors.uuidToBytes(u)))) == u)
+  }
+
+  test("bitmap array round-trips, including >32-bit row indices") {
+    val idx = Seq(0L, 1L, 7L, 100000L, (1L << 32) | 5L, (3L << 32) | 9L, 7L)
+    val (data, card) = DeletionVectors.serializeData(idx.iterator)
+    assert(card == 6) // duplicate collapses
+    assert(DeletionVectors.deserializeData(data).toSeq == idx.distinct.sorted)
+  }
+
+  test("delete writes DVs, scan subtracts, time travel sees all rows") {
+    val path = tmp()
+    val df = (1L to 100L).map(i => (i, (i % 10).toString)).toDF("id", "bucket")
+    DeltaWriter.write(df, path, partitionBy = Seq("bucket"))
+    val n = DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 30L)))
+    assert(n == 30L)
+
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.version == 1L)
+    assert(snap.liveFiles.exists(_.hasDeletionVector))
+    // protocol upgraded to readerFeatures [deletionVectors]
+    assert(snap.protocol.exists(_.readerFeatures.exists(_.contains("deletionVectors"))))
+
+    val now = DeltaLake.scanDelta(spark, path)
+    assert(now.count() == 70)
+    assert(now.agg(min("id")).collect()(0).getLong(0) == 31L)
+    // time travel to v0 still sees every row
+    assert(DeltaLake.scanDelta(spark, path,
+      ScanSettings(version = Some(0L))).count() == 100)
+    // conditions compose with DV subtraction
+    val f = DeltaLake.scanDelta(spark, path,
+      ScanSettings(conditions = Seq(Cond("id", "<=", 50L))))
+    assert(f.collect().map(_.getAs[Long]("id")).sorted.toSeq == (31L to 50L))
+  }
+
+  test("second delete merges with the prior deletion vector") {
+    val path = tmp()
+    DeltaWriter.write((1L to 50L).toDF("id"), path)
+    assert(DeltaWriter.delete(spark, path, Seq(Cond("id", "<", 10L))) == 9L)
+    assert(DeltaWriter.delete(spark, path, Seq(Cond("id", "<", 20L))) == 10L)
+    val back = DeltaLake.scanDelta(spark, path)
+    assert(back.count() == 31)
+    assert(back.agg(min("id")).collect()(0).getLong(0) == 20L)
+    // single live file carries ONE merged DV of cardinality 19
+    val snap = DeltaLake.deltaMeta(spark, path)
+    val dvs = snap.liveFiles.flatMap(_.deletionVector)
+    assert(dvs.map(_.cardinality).sum == 19L)
+  }
+
+  test("deletes survive a checkpoint") {
+    val path = tmp()
+    DeltaWriter.write((1L to 40L).toDF("id"), path)
+    DeltaWriter.delete(spark, path, Seq(Cond("id", ">", 35L)))
+    DeltaWriter.writeCheckpoint(DeltaLake.deltaMeta(spark, path))
+    // drop the JSON commits: replay must come from the checkpoint alone
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to 1L).foreach(v => fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/" + f"$v%020d.json"), false))
+    val back = DeltaLake.scanDelta(spark, path)
+    assert(back.count() == 35)
+    assert(DeltaLake.deltaMeta(spark, path)
+      .liveFiles.flatMap(_.deletionVector).map(_.cardinality).sum == 5L)
+  }
+
+  test("wide-partition path applies deletion vectors too") {
+    val path = tmp()
+    val df = (1L to 60L).map(i => (i, (i % 6).toString)).toDF("id", "b")
+    DeltaWriter.write(df, path, partitionBy = Seq("b"))
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 12L)))
+    val wide = DeltaLake.scanDelta(spark, path, ScanSettings(wideUnionThreshold = 0))
+    val union = DeltaLake.scanDelta(spark, path)
+    assert(wide.count() == 48 && union.count() == 48)
+    assert(wide.collect().map(_.getAs[Long]("id")).sorted.toSeq ==
+      union.collect().map(_.getAs[Long]("id")).sorted.toSeq)
+  }
+
+  test("inline ('i') deletion vectors read back") {
+    val (data, card) = DeletionVectors.serializeData(Iterator(2L, 4L, 8L))
+    val dv = DeletionVectorDescriptor(
+      "i", DeletionVectors.z85Encode(padTo4(data)), None, data.length, card)
+    // inline payloads are z85 of the data itself (padded to 4 bytes by
+    // the writer convention; deserializeData ignores trailing bytes)
+    val back = DeletionVectors.deserializeData(
+      DeletionVectors.z85Decode(dv.pathOrInlineDv))
+    assert(back.toSeq == Seq(2L, 4L, 8L))
+  }
+
+  private def padTo4(b: Array[Byte]): Array[Byte] =
+    if (b.length % 4 == 0) b else b ++ Array.fill(4 - b.length % 4)(0.toByte)
+}

@@ -57,11 +57,14 @@ class DeltaMetaSpec extends SparkSuite {
 
   test("protocol gate rejects unsupported reader features") {
     val snap = new DeltaSnapshot(spark, "/nonexistent")
-    snap.protocolOpt = Some(DeltaProtocol(3, 7, Some(Seq("deletionVectors")), None))
+    snap.protocolOpt = Some(DeltaProtocol(3, 7, Some(Seq("v2Checkpoint")), None))
     intercept[DeltaProtocolError](snap.checkProtocolSupported())
     snap.protocolOpt = Some(DeltaProtocol(3, 7, Some(Seq("timestampNtz", "columnMapping")), None))
     snap.checkProtocolSupported() // no throw
     snap.protocolOpt = Some(DeltaProtocol(1, 2, None, None))
+    snap.checkProtocolSupported() // no throw
+    // deletionVectors are a SUPPORTED feature (read + write) since r2
+    snap.protocolOpt = Some(DeltaProtocol(3, 7, Some(Seq("deletionVectors")), None))
     snap.checkProtocolSupported() // no throw
   }
 
