@@ -97,6 +97,12 @@ object FileStats {
 
 final case class CommitInfo(timestamp: Option[Long])
 
+/** Streaming-transaction watermark (PROTOCOL.md#transaction-identifiers):
+  * the highest `version` a writer application has committed — the
+  * idempotence ledger for exactly-once streaming appends.
+  */
+final case class SetTransaction(appId: String, version: Long)
+
 /** Jackson-tree extraction of actions from one JSON object (a commit line
   * or a checkpoint row rendered to JSON). Mirrors
   * delta_meta_retrieval.py:203-216's tolerant `.get(...)` access.
@@ -156,4 +162,8 @@ object ActionCodec {
 
   def parseCommitInfo(n: JsonNode): CommitInfo =
     CommitInfo(timestamp = lng(n, "timestamp"))
+
+  def parseTxn(n: JsonNode): SetTransaction = SetTransaction(
+    appId = str(n, "appId").getOrElse(sys.error("txn without appId")),
+    version = lng(n, "version").getOrElse(0L))
 }

@@ -32,11 +32,17 @@ final class DeltaSnapshot(
   // insertion-ordered: replay order == file order, like the reference's dict
   private[delta] val addActions = mutable.LinkedHashMap.empty[String, AddAction]
   private[delta] var lastCommitInfo: Option[CommitInfo] = None
+  private[delta] val txns = mutable.Map.empty[String, Long]
   var version: Long = 0L
 
   def protocol: Option[DeltaProtocol] = protocolOpt
   def metadata: Option[DeltaMetadata] = lastMetadata
   def liveFiles: Seq[AddAction] = addActions.values.toSeq
+
+  /** Per-application streaming watermarks (txn actions): the idempotence
+    * ledger DeltaSink consults for exactly-once appends.
+    */
+  def txnVersions: Map[String, Long] = txns.toMap
 
   def schema: StructType =
     DeltaSchema.parse(lastMetadata.map(_.schemaString)
@@ -83,6 +89,11 @@ final class DeltaSnapshot(
     }
     Option(node.get("commitInfo")).filterNot(_.isNull)
       .foreach(n => lastCommitInfo = Some(ActionCodec.parseCommitInfo(n)))
+    Option(node.get("txn")).filterNot(_.isNull).foreach { n =>
+      val t = ActionCodec.parseTxn(n)
+      // highest version wins (replay order usually guarantees it anyway)
+      if (txns.get(t.appId).forall(_ <= t.version)) txns(t.appId) = t.version
+    }
     Option(node.get("remove")).filterNot(_.isNull).foreach { n =>
       Option(n.get("path")).foreach(p => addActions.remove(p.asText))
     }

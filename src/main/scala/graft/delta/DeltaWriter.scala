@@ -34,7 +34,12 @@ object DeltaWriter {
       df: DataFrame,
       path: String,
       partitionBy: Seq[String] = Nil,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      /** Transaction identifier (appId, version) recorded as a `txn`
+        * action — the exactly-once ledger for streaming appends
+        * (PROTOCOL.md#transaction-identifiers).
+        */
+      txn: Option[(String, Long)] = None): Unit = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -114,6 +119,15 @@ object DeltaWriter {
       a.put("dataChange", true)
       footerStats(fs, f, df.schema).foreach(s => a.put("stats", s))
       lines += addObj.toString
+    }
+
+    txn.foreach { case (appId, v) =>
+      val t = nf.objectNode()
+      val tn = t.putObject("txn")
+      tn.put("appId", appId)
+      tn.put("version", v)
+      tn.put("lastUpdated", System.currentTimeMillis())
+      lines += t.toString
     }
 
     val ci = nf.objectNode()
@@ -312,6 +326,9 @@ object DeltaWriter {
       rows += Row(null, null, null, null,
         Row(p.minReaderVersion, p.minWriterVersion,
           p.readerFeatures.orNull, p.writerFeatures.orNull))
+    }
+    snap.txnVersions.toSeq.sortBy(_._1).foreach { case (appId, v) =>
+      rows += Row(Row(appId, v, null), null, null, null, null)
     }
     snap.metadata.foreach { m =>
       rows += Row(null, null, null,

@@ -248,11 +248,15 @@ object Relational {
     // Skew-mitigation pattern under oracle check: salt the fact side,
     // explode the build side — result must equal the plain join. At scale
     // this (or AQE skew-join) keeps one hot key from pinning one reducer.
+    // The salt hashes the FULL row key (orderkey, linenumber) — a
+    // low-cardinality salt source (e.g. linenumber alone, ~7 values)
+    // would leave a hot orderkey concentrated in ≤7 salt values.
     "q15_salted_join" -> QueryDef(
       (s, dir) => {
         val salts = 4
         val li = table(s, dir, "lineitem")
-          .withColumn("salt", pmod(xxhash64(col("l_linenumber")), lit(salts)))
+          .withColumn("salt",
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
         val o = table(s, dir, "orders")
           .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
         li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))

@@ -68,6 +68,44 @@ class StreamingSpec extends SparkSuite {
     assert(off2 == 3L && extra == 1)
   }
 
+  test("delta sink: exactly-once streaming appends via the txn ledger") {
+    import graft.delta.{DeltaLog, DeltaWriter}
+    import graft.streaming.DeltaSink
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_dsink").toString + "/t"
+
+    // a real bounded stream through foreachBatch into the sink
+    val q = spark.readStream
+      .schema(spark.read.parquet(streamDir).schema)
+      .parquet(streamDir)
+      .select("event_id", "user_id", "value")
+      .writeStream
+      .foreachBatch(DeltaSink.appender(path, "ev-app") _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val expected = spark.read.parquet(streamDir).count()
+    assert(DeltaLake.scanDelta(spark, path).count() == expected)
+    val wm = DeltaLog.forPath(spark, path).txnVersions("ev-app")
+
+    // replaying an already-committed batch is a no-op…
+    val dup = Seq((-1L, -1L, 0.0)).toDF("event_id", "user_id", "value")
+    assert(!DeltaSink.appendBatch(dup, path, "ev-app", wm))
+    assert(DeltaLake.scanDelta(spark, path).count() == expected)
+    // …a new batch id appends
+    assert(DeltaSink.appendBatch(dup, path, "ev-app", wm + 1))
+    assert(DeltaLake.scanDelta(spark, path).count() == expected + 1)
+
+    // the watermark survives checkpointing (txn rows in the checkpoint)
+    DeltaWriter.writeCheckpoint(DeltaLog.forPath(spark, path))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to wm + 1).foreach(v => fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/" + f"$v%020d.json"), false))
+    assert(DeltaLog.forPath(spark, path).txnVersions("ev-app") == wm + 1)
+    assert(!DeltaSink.appendBatch(dup, path, "ev-app", wm + 1))
+  }
+
   test("session windows produce bounded, non-overlapping sessions per user") {
     val stream = EventStreams.sessionAgg(
       EventStreams.readEventStream(spark, streamDir))
