@@ -16,27 +16,36 @@ import Registry.table
   * schema, the `mapPartitions` batch shape (one iterator pass, no
   * per-row session setup — where a real decoder would amortize model /
   * codec init), and the partitioning story (decode is narrow: no
-  * shuffle, scales with input splits).
+  * shuffle, scales with input splits). The stub derives everything from
+  * md5 of the payload, so even the STUBBED pipeline is under the DuckDB
+  * oracle end to end (m2/m3) — the harness checks the plumbing, not
+  * just row counts.
   */
 object MultimodalOps {
 
-  /** STUB for a real media decoder. Deterministic: derives pseudo
-    * "image" metadata and an 8-dim feature vector from the bytes alone.
-    * A real build replaces the body with e.g. a JNI codec call, keeping
-    * the signature: bytes in → (width, height, channels, features) out.
+  /** STUB for a real media decoder. Deterministic: pseudo "image"
+    * metadata and an 8-dim feature vector derived from a 60-bit integer
+    * h = first 15 hex chars of md5(bytes) — chosen because any engine
+    * can recompute it (the m2/m3 DuckDB oracles do). A real build
+    * replaces the body with e.g. a JNI codec call, keeping the
+    * signature: bytes in → (width, height, channels, features) out.
     */
-  def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    var h = 1125899906842597L // deterministic FNV-ish rolling hash
-    var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    val width = 64 + math.floorMod(h, 512).toInt
-    val height = 64 + math.floorMod(h >>> 16, 512).toInt
-    val channels = 1 + math.floorMod(h >>> 32, 4).toInt
-    val features = Array.tabulate(8) { j =>
-      math.floorMod(h >>> (j * 8), 1000).toFloat / 1000f
-    }
+  def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).take(8).map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex.take(15), 16) // 60 bits, positive
+    val width = 64 + (h % 512).toInt
+    val height = 64 + ((h >>> 16) % 512).toInt
+    val channels = 1 + ((h >>> 32) % 4).toInt
+    val features = Array.tabulate(8)(j => ((h >>> (j * 8)) % 1000) / 1000.0)
     (width, height, channels, features)
   }
+
+  /** The oracle twin of [[fakeDecode]]'s `h`, as a DuckDB expression. */
+  private val hSql =
+    """list_reduce([strpos('0123456789abcdef',
+      |    substring(md5(text), i + 1, 1)) - 1 for i in range(15)],
+      |  (a, b) -> a * 16 + b)""".stripMargin
 
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -44,7 +53,7 @@ object MultimodalOps {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
-    StructField("features", ArrayType(FloatType), nullable = false)))
+    StructField("features", ArrayType(DoubleType), nullable = false)))
 
   /** Binary payload column stand-in: the document text's UTF-8 bytes.
     * In production this is the real media blob column.
@@ -53,6 +62,22 @@ object MultimodalOps {
     table(s, dir, "documents")
       .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("blob"),
         col("text").as("doc_text"))
+
+  private def decoded(s: SparkSession, dir: String): DataFrame = {
+    val blobs = withBlob(s, dir)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(decodedSchema)
+    blobs.mapPartitions { it =>
+      // one pass per partition: a real decoder would init its codec
+      // here, once, then stream the batch through it
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, c, f) = fakeDecode(bytes)
+        Row(id, bytes.length, w, h, c, f.toSeq)
+      }
+    }(enc)
+  }
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -71,57 +96,55 @@ object MultimodalOps {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Partition-wise decode + feature extraction (stubbed codec). The
-    // feature vector is emitted as scalar columns f0..f7 (not
-    // array<float>: the driver's rows-check sorts columns in pandas,
-    // which cannot sort ndarray cells) — also the shape a downstream
-    // feature store wants.
+    // feature vector is emitted as scalar columns f0..f7 — the shape a
+    // downstream feature store wants, and sortable by the rows-check.
     "m2_decode_features" -> QueryDef(
-      (s, dir) => {
-        val blobs = withBlob(s, dir)
-        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-          .encoderFor(decodedSchema)
-        val decoded = blobs.mapPartitions { it =>
-          // one pass per partition: a real decoder would init its codec
-          // here, once, then stream the batch through it
-          it.map { r =>
-            val id = r.getLong(0)
-            val bytes = r.getAs[Array[Byte]](1)
-            val (w, h, c, f) = fakeDecode(bytes)
-            Row(id, bytes.length, w, h, c, f.toSeq)
-          }
-        }(enc)
-        decoded
+      (s, dir) =>
+        decoded(s, dir)
           .select(Seq(col("doc_id"), col("n_bytes"), col("width"),
             col("height"), col("channels")) ++
             (0 until 8).map(j => col("features")(j).as(s"f$j")): _*)
-          .orderBy("doc_id")
-      },
-      None),
+          .orderBy("doc_id"),
+      Some(s"""WITH h AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |    $hSql AS h
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |  CAST(64 + h % 512 AS INT) AS width,
+        |  CAST(64 + (h >> 16) % 512 AS INT) AS height,
+        |  CAST(1 + (h >> 32) % 4 AS INT) AS channels,
+        |  ((h >> 0) % 1000) / 1000.0 AS f0,
+        |  ((h >> 8) % 1000) / 1000.0 AS f1,
+        |  ((h >> 16) % 1000) / 1000.0 AS f2,
+        |  ((h >> 24) % 1000) / 1000.0 AS f3,
+        |  ((h >> 32) % 1000) / 1000.0 AS f4,
+        |  ((h >> 40) % 1000) / 1000.0 AS f5,
+        |  ((h >> 48) % 1000) / 1000.0 AS f6,
+        |  ((h >> 56) % 1000) / 1000.0 AS f7
+        |FROM h ORDER BY doc_id""".stripMargin)),
 
     // Feature post-processing back in the declarative world: bucket by
     // pseudo-resolution, aggregate feature norms.
     "m3_feature_stats" -> QueryDef(
-      (s, dir) => {
-        val blobs = withBlob(s, dir)
-        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-          .encoderFor(decodedSchema)
-        val decoded = blobs.mapPartitions { it =>
-          it.map { r =>
-            val id = r.getLong(0)
-            val bytes = r.getAs[Array[Byte]](1)
-            val (w, h, c, f) = fakeDecode(bytes)
-            Row(id, bytes.length, w, h, c, f.toSeq)
-          }
-        }(enc)
-        decoded
+      (s, dir) =>
+        decoded(s, dir)
           .withColumn("mp_bucket",
-            ((col("width") * col("height")) / 65536).cast("int"))
+            floor((col("width") * col("height")) / 65536).cast("int"))
           .groupBy("mp_bucket")
           .agg(count(lit(1)).as("n"),
             avg(aggregate(col("features"), lit(0.0),
-              (acc, x) => acc + x.cast("double") * x.cast("double")))
-              .as("avg_sq_norm"))
-          .orderBy("mp_bucket")
-      },
-      None))
+              (acc, x) => acc + x * x)).as("avg_sq_norm"))
+          .orderBy("mp_bucket"),
+      Some(s"""WITH h AS (
+        |  SELECT doc_id, $hSql AS h FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    64 + h % 512 AS width, 64 + (h >> 16) % 512 AS height,
+        |    [((h >> (j * 8)) % 1000) / 1000.0 for j in range(8)] AS feats
+        |  FROM h)
+        |SELECT CAST(floor((width * height) / 65536.0) AS INT) AS mp_bucket,
+        |  count(*) AS n,
+        |  avg(list_reduce(list_transform(feats, x -> x * x),
+        |    (a, b) -> a + b)) AS avg_sq_norm
+        |FROM d GROUP BY 1 ORDER BY mp_bucket""".stripMargin)))
 }

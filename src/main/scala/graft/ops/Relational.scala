@@ -334,6 +334,39 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Pivot (wide aggregation): one pass, conditional partial aggregates
+    // per pivot value — shuffle-free map-side combine like any groupBy.
+    "q19_pivot" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum("l_quantity"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // INTERSECT / EXCEPT (distinct set semantics), tagged into one result.
+    "q20_set_ops" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val hi = o.where(col("o_totalprice") > 300000).select("o_custkey")
+        val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey")
+        hi.intersect(urgent).withColumn("tag", lit("both"))
+          .unionByName(hi.except(urgent).withColumn("tag", lit("hi_only")))
+          .select("tag", "o_custkey")
+          .orderBy("tag", "o_custkey")
+      },
+      Some("""WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000),
+        |urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM hi INTERSECT SELECT * FROM urgent)
+        |UNION ALL
+        |SELECT 'hi_only' AS tag, o_custkey FROM (SELECT * FROM hi EXCEPT SELECT * FROM urgent)
+        |ORDER BY tag, o_custkey""".stripMargin)),
+
     // Approximate distinct (HLL) — cardinality sketch; exact count as the
     // oracle-able companion column is NOT possible, so compare exact only.
     "q14_agg_stats" -> QueryDef(

@@ -109,6 +109,25 @@ object TextOps {
         |       ELSE 'unk' END AS predicted_lang
         |FROM scored ORDER BY doc_id""".stripMargin)),
 
+    // Lateral fan-out: token stream with positions (posexplode) — the
+    // row-explosion primitive every tokenize-then-process pipeline needs;
+    // generated rows stay in the same partition (narrow, no shuffle).
+    "t5_explode_tokens" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+          .where(length(col("token")) >= 8)
+          .orderBy("doc_id", "pos"),
+      Some("""WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, u.pos, u.token FROM (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i, 'token': toks[i+1]} for i in range(len(toks))]) AS u
+        |  FROM tk)
+        |WHERE length(u.token) >= 8 ORDER BY doc_id, u.pos""".stripMargin)),
+
     // Document fingerprinting: order-insensitive content hash (sorted
     // distinct tokens → md5). Detects token-shuffled duplicates exactly.
     "t4_fingerprint" -> QueryDef(
