@@ -54,4 +54,37 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming exact-dedup — first occurrence of each key passes, later
+    * duplicates (within or across micro-batches) are dropped. The
+    * custom-state primitive (`flatMapGroupsWithState`) the built-in
+    * windows can't express: per-key boolean state with an event-time
+    * timeout, so state is evicted once the watermark passes the
+    * dedup horizon — O(distinct keys in horizon), not O(stream).
+    * This is the streaming twin of DedupOps d1 for an event firehose.
+    */
+  def dedupFirstSeen(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "2 hours")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long,
+         rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
+         state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + 2L * 3600 * 1000)
+            rows.take(1)
+          })
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
 }

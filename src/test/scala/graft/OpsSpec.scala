@@ -140,6 +140,24 @@ class OpsSpec extends SparkSuite {
       s"join still shuffles:\n${plan.take(2500)}")
   }
 
+  test("e3 as-of plan is a window, not a join — no row explosion") {
+    val df = Registry.all("e3_asof_join").fn(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"as-of should not join:\n${plan.take(2000)}")
+    assert(plan.contains("Window"), s"expected a window plan:\n${plan.take(2000)}")
+  }
+
+  test("s2 LSH candidate probe is a broadcast join (no corpus shuffle)") {
+    val df = SimilarityOps.defs("s2_ann_lsh").fn(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe should broadcast:\n${plan.take(2000)}")
+  }
+
   test("dedup exact: grouping is lossless (copies sum to corpus size)") {
     val total = Registry.table(spark, dir, "documents").count()
     val grouped = DedupOps.defs("d1_dedup_exact").fn(spark, dir)

@@ -106,6 +106,25 @@ class StreamingSpec extends SparkSuite {
     assert(!DeltaSink.appendBatch(dup, path, "ev-app", wm + 1))
   }
 
+  test("streaming dedup keeps first occurrence across micro-batches") {
+    // stage the same events TWICE → every event_id arrives duplicated
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    val src = spark.read.parquet(streamDir)
+    src.coalesce(1).write.mode("append").parquet(dupDir)
+    src.coalesce(1).write.mode("append").parquet(dupDir)
+    val q = EventStreams.dedupFirstSeen(
+      EventStreams.readEventStream(spark, dupDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+      assert(out.count() == src.count(),
+        "dedup must emit exactly one row per distinct event_id")
+      assert(out.select("event_id").distinct().count() == out.count())
+    } finally q.stop()
+  }
+
   test("session windows produce bounded, non-overlapping sessions per user") {
     val stream = EventStreams.sessionAgg(
       EventStreams.readEventStream(spark, streamDir))
