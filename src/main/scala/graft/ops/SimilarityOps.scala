@@ -44,13 +44,11 @@ object SimilarityOps {
   /** ±1 hyperplane sign for (table, bit, dim): parity of the first hex
     * char of md5("t:b:j"). Deterministic, seedless, and computable in
     * plain SQL (`substring(md5(...),1,1)` parity) — which is what lets
-    * the LSH queries be oracle-checked bit-for-bit.
+    * the LSH queries be oracle-checked bit-for-bit. (Definition lives
+    * with the codegen kernel.)
     */
-  private[graft] def sign(tbl: Int, bit: Int, dim: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$tbl:$bit:$dim".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    if ((((h(0) & 0xFF) >>> 4) & 1) == 0) 1.0 else -1.0
-  }
+  private[graft] def sign(tbl: Int, bit: Int, dim: Int): Double =
+    graft.functions.LshSignature.sign(tbl, bit, dim)
 
   /** Signature width for a corpus of `n` vectors: smallest `bits` with
     * 2^bits ≥ n/target, clamped to [4, 20]. Integer arithmetic only, so
@@ -69,21 +67,16 @@ object SimilarityOps {
        |  ELSE length(bin(m - 1)) END))
        | FROM (SELECT (count(*) + ${target - 1}) // $target AS m FROM embeddings))""".stripMargin
 
-  /** `bits`-bit random-hyperplane signature of vector column `v` for hash
-    * table `tbl`. The sign vectors are literal arrays: one fused
-    * zip_with/aggregate traversal per bit, all multiply-add (the previous
-    * design recomputed xxhash64 per element per plane per row).
+  /** `bits`-bit random-hyperplane signature of vector column `v` for
+    * hash table `tbl` — the fused native kernel
+    * (graft.functions.LshSignature): ONE pass over the array computes
+    * every projection inside whole-stage codegen, vs 2×bits interpreted
+    * HOF traversals for the composed zip_with/aggregate form (and the
+    * round-1 design additionally recomputed xxhash64 per element).
     */
-  private[graft] def lshSignature(v: Column, bits: Int, tbl: Int = 0): Column = {
-    val planeDots: Seq[Column] = (0 until bits).map { i =>
-      val signs: Seq[Double] = (0 until Dim).map(j => sign(tbl, i, j))
-      val proj = aggregate(
-        zip_with(v, typedlit(signs), (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    planeDots.reduce((a, b) => a.bitwiseOR(b))
-  }
+  private[graft] def lshSignature(
+      s: SparkSession, v: Column, bits: Int, tbl: Int = 0): Column =
+    graft.functions.LshSignature.lshSignature(s, v, bits, tbl, Dim)
 
   /** One row per (vector, hash table): multi-table LSH trades a constant
     * factor of signature rows for exponentially better recall — a pair
@@ -93,13 +86,16 @@ object SimilarityOps {
     */
   private[graft] def lshTables(
       df: DataFrame, vecCol: String,
-      bits: Int = 8, tables: Int = NumTables): DataFrame =
+      bits: Int = 8, tables: Int = NumTables): DataFrame = {
+    val s = df.sparkSession
     df.select(col("*"),
       explode(array((0 until tables).map { t =>
-        struct(lit(t).as("tbl"), lshSignature(col(vecCol), bits, t).as("sig"))
+        struct(lit(t).as("tbl"),
+          lshSignature(s, col(vecCol), bits, t).as("sig"))
       }: _*)).as("bk"))
       .select(col("*"), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
       .drop("bk")
+  }
 
   /** Fused native kernel (graft.functions.VectorCosine): one pass over
     * both arrays inside whole-stage codegen, vs five interpreted
@@ -282,7 +278,7 @@ object SimilarityOps {
       (s, dir) => {
         val c = corpus(s, dir)
         val bits = derivedBits(c.count())
-        val emb = c.withColumn("bucket", lshSignature(col("embedding"), bits))
+        val emb = c.withColumn("bucket", lshSignature(s, col("embedding"), bits))
         val l = emb.select(col("bucket"), col("vec_id").as("vec_a"),
           col("embedding").as("va"))
         val r = emb.select(col("bucket"), col("vec_id").as("vec_b"),

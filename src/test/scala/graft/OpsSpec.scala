@@ -99,6 +99,32 @@ class OpsSpec extends SparkSuite {
     assert(rows.forall(_.getInt(1) <= 5))
   }
 
+  test("lsh signature kernel matches the reference fold, null-safe") {
+    import graft.functions.LshSignature
+    val rnd = new scala.util.Random(11)
+    val vecs = (1 to 50).map(_ => Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("id", "v")
+      .select(col("id"),
+        LshSignature.lshSignature(spark, col("v"), 12, 3, 64).as("sig"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference computation: left-to-right double fold per bit
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      var expect = 0L
+      for (b <- 0 until 12) {
+        var acc = 0.0
+        for (j <- 0 until 64) acc += v(j).toDouble * LshSignature.sign(3, b, j)
+        if (acc >= 0) expect |= 1L << b
+      }
+      assert(got(i.toLong) == expect, s"vector $i")
+    }
+    // null vector → null signature
+    val withNull = Seq((0L, Some(vecs.head.toSeq)), (1L, None)).toDF("id", "v")
+      .select(LshSignature.lshSignature(spark, col("v"), 8, 0, 64).as("sig"))
+      .collect()
+    assert(!withNull(0).isNullAt(0) && withNull(1).isNullAt(0))
+  }
+
   test("minhash fast-hash variant finds the same strong candidates") {
     // the xxhash64 drop-in must agree with the oracle-able md5 default
     // on confident pairs (est >= 0.5); band-boundary stragglers may vary
