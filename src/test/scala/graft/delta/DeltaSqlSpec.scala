@@ -104,6 +104,31 @@ class DeltaSqlSpec extends SparkSuite {
     assert(viaDf(0).isNullAt(viaDf(0).fieldIndex("score")))
   }
 
+  test("deltaSql: column mapping + NULL struct on faker2 (test_empty_struct)") {
+    // the reference's get_sql_for_delta NULL-struct test (test_duckdb.py:217):
+    // nested physical names rename positionally through the SQL CAST and
+    // the all-NULL struct row stays NULL, not a struct of NULLs
+    val sql = DeltaLake.deltaSql(spark, fixture("faker2"), cteWrapName = Some("dt"))
+    val mc = spark.sql(sql +
+      "\nSELECT main_coord FROM dt WHERE new_name = 'Hans Heiri'").collect()
+    assert(mc.length == 1)
+    assert(mc(0).isNullAt(0))
+    // full equivalence with the DataFrame path on a column-mapped table
+    val viaSql = spark.sql(DeltaLake.deltaSql(spark, fixture("faker2")))
+    val viaDf = DeltaLake.scanDelta(spark, fixture("faker2"))
+    assert(viaSql.collect().map(_.toString).sorted.toSeq ==
+      viaDf.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("deltaSql: strange column names quote correctly (user fixture)") {
+    val sql = DeltaLake.deltaSql(spark, fixture("user"),
+      ScanSettings(conditions = Seq(Cond("Age", "=", BigDecimal("23.0")))))
+    val rows = spark.sql(sql).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("FirstName") == "Peter")
+    assert(rows(0).schema.fieldNames.contains("time stämp"))
+  }
+
   /** Hand-craft a log whose add action uses a legacy key shape. */
   private def writeLegacyTable(
       addExtra: String, partitionValuesJson: Option[String],
