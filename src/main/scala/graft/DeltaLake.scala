@@ -55,6 +55,14 @@ object DeltaLake {
       version: Option[Long] = None): DeltaSnapshot =
     DeltaLog.forPath(spark, path, version)
 
+  /** Delete matching rows via deletion vectors (no data rewrite) —
+    * beyond reference parity; see [[graft.delta.DeltaWriter.delete]].
+    * Returns the number of newly deleted rows.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      conditions: Seq[Cond]): Long =
+    DeltaWriter.delete(spark, path, conditions)
+
   def isProtocolSupported(snap: DeltaSnapshot): Boolean =
     try { snap.checkProtocolSupported(); true }
     catch { case _: DeltaProtocolError => false }

@@ -62,12 +62,12 @@ final class DeltaSnapshot(
     * deletion vectors outright, README.md:39-46), deletionVectors are a
     * SUPPORTED feature here: the scan applies them (DeltaScan's DV
     * anti-join) and the writer produces them (DeltaWriter.delete).
+    * v2Checkpoint is supported too: forPath discovers UUID-named
+    * checkpoint files in its listing and resolves sidecar actions.
     */
   def checkProtocolSupported(): Unit = {
-    // NOT supported: v2Checkpoint (UUID-named checkpoints this reader
-    // cannot locate)
     val supported = Set("columnMapping", "timestampNtz", "typeWidening",
-      "vacuumProtocolCheck", "deletionVectors")
+      "vacuumProtocolCheck", "deletionVectors", "v2Checkpoint")
     protocolOpt.foreach { p =>
       if (p.minReaderVersion >= 3) {
         val unsupported = p.readerFeatures.getOrElse(Nil).filterNot(supported)
@@ -218,27 +218,49 @@ object DeltaLog {
     val startVersion: Long = cpVersion match {
       case Some(cv) =>
         try {
-          // single-file or multi-part classic checkpoint
-          // (<v>.checkpoint.parquet / <v>.checkpoint.<i>.<n>.parquet)
+          // single-file classic (<v>.checkpoint.parquet), multi-part
+          // classic (<v>.checkpoint.<i>.<n>.parquet) or v2 UUID-named
+          // (<v>.checkpoint.<uuid>.{parquet,json}) checkpoints — the
+          // latter may delegate file actions to sidecar parquets
           val single = s"${logDir(deltaPath)}/${fmtVersion(cv)}.checkpoint.parquet"
           val (filesystem, p) = fs(spark, single)
-          val cpFiles: Seq[String] =
-            if (filesystem.exists(p)) Seq(single)
+          val (cpParquet: Seq[String], cpJson: Seq[String]) =
+            if (filesystem.exists(p)) (Seq(single), Nil)
             else {
               val dir = new Path(logDir(deltaPath))
               val prefix = s"${fmtVersion(cv)}.checkpoint."
               val parts = filesystem.listStatus(dir).toSeq
                 .map(_.getPath)
-                .filter(q => q.getName.startsWith(prefix) &&
-                  q.getName.endsWith(".parquet"))
+                .filter(_.getName.startsWith(prefix))
                 .sortBy(_.getName)
-              if (parts.isEmpty) throw new FileNotFoundException(single)
-              parts.map(_.toString)
+              val pq = parts.filter(_.getName.endsWith(".parquet")).map(_.toString)
+              val js = parts.filter(_.getName.endsWith(".json")).map(_.toString)
+              if (pq.isEmpty && js.isEmpty) throw new FileNotFoundException(single)
+              (pq, js)
             }
-          // Executors decode the checkpoint; toJSON drops null columns so
-          // each row looks exactly like a commit-line action object.
-          val rows = spark.read.parquet(cpFiles: _*).toJSON.collect()
-          rows.foreach(r => snap.applyActionLine(ActionCodec.mapper.readTree(r), cv))
+          // Executors decode parquet checkpoints; toJSON drops null
+          // columns so each row looks exactly like a commit-line action
+          // object. JSON-format v2 checkpoints are read line-wise.
+          val rows: Seq[String] =
+            (if (cpParquet.nonEmpty)
+              spark.read.parquet(cpParquet: _*).toJSON.collect().toSeq
+            else Nil) ++
+              cpJson.flatMap(f => readSmallFile(spark, f).getOrElse(Nil))
+                .filter(_.nonEmpty)
+          val nodes = rows.map(ActionCodec.mapper.readTree)
+          nodes.foreach(snap.applyActionLine(_, cv))
+          // v2: sidecar actions point at parquets under _sidecars/
+          // carrying the file actions (PROTOCOL.md#v2-spec)
+          val sidecarPaths = nodes.flatMap { n =>
+            Option(n.get("sidecar")).filterNot(_.isNull)
+              .flatMap(s => Option(s.get("path")).filterNot(_.isNull).map(_.asText))
+          }.map { sp =>
+            if (sp.contains("://") || sp.startsWith("/")) sp
+            else s"${logDir(deltaPath)}/_sidecars/$sp"
+          }
+          if (sidecarPaths.nonEmpty)
+            spark.read.parquet(sidecarPaths: _*).toJSON.collect()
+              .foreach(r => snap.applyActionLine(ActionCodec.mapper.readTree(r), cv))
           cv + 1
         } catch { case _: FileNotFoundException => 0L }
       case None => 0L

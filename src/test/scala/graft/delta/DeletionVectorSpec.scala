@@ -114,4 +114,88 @@ class DeletionVectorSpec extends SparkSuite {
 
   private def padTo4(b: Array[Byte]): Array[Byte] =
     if (b.length % 4 == 0) b else b ++ Array.fill(4 - b.length % 4)(0.toByte)
+
+  test("v2 (uuid-named) checkpoint with sidecar file actions replays") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val path = tmp()
+    DeltaWriter.write((1L to 20L).toDF("id"), path)
+    val snap = DeltaLake.deltaMeta(spark, path)
+    val log = s"$path/_delta_log"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    def writeOneParquet(df: org.apache.spark.sql.DataFrame, dest: String): Long = {
+      val tmpDir = s"$log/.v2tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpDir))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val size = fs.getFileStatus(part).getLen
+      fs.rename(part, new org.apache.hadoop.fs.Path(dest))
+      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+      size
+    }
+
+    // sidecar parquet: ALL the add actions live here, not in the main file
+    val mapSS = MapType(StringType, StringType, valueContainsNull = true)
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", mapSS),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val sidecarRows = snap.liveFiles.map(a => Row(Row(
+      a.path, a.partitionValues.map { case (k, v) => k -> v.orNull },
+      a.size, a.modificationTime, true, a.stats.orNull)))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$log/_sidecars"))
+    val sidecarName = s"${java.util.UUID.randomUUID()}.parquet"
+    val scSize = writeOneParquet(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(sidecarRows, 1),
+        StructType(Seq(StructField("add", addType)))),
+      s"$log/_sidecars/$sidecarName")
+
+    // main v2 checkpoint: protocol (with v2Checkpoint feature), metaData,
+    // checkpointMetadata, and the sidecar pointer — NO add actions
+    val m = snap.metadata.get
+    val mainSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", mapSS)))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType))))))
+    val mainRows = Seq(
+      Row(Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null, null),
+      Row(null, Row("t", m.schemaString, m.partitionColumns, m.configuration),
+        null, null),
+      Row(null, null, Row(0L), null),
+      Row(null, null, null, Row(sidecarName, scSize)))
+    val uuid = java.util.UUID.randomUUID()
+    writeOneParquet(
+      spark.createDataFrame(spark.sparkContext.parallelize(mainRows, 1), mainSchema),
+      s"$log/" + f"${0L}%020d.checkpoint.$uuid.parquet")
+
+    // point _last_checkpoint at it and remove the JSON commit entirely
+    val lc = s"""{"version":0,"size":${mainRows.size}}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$log/_last_checkpoint"), true)
+    try out.write((lc + "\n").getBytes("UTF-8")) finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$log/" + f"${0L}%020d.json"), false)
+
+    val replayed = DeltaLake.deltaMeta(spark, path)
+    assert(replayed.protocol.exists(
+      _.readerFeatures.exists(_.contains("v2Checkpoint"))))
+    assert(replayed.liveFiles.size == snap.liveFiles.size)
+    assert(DeltaLake.scanDelta(spark, path).count() == 20)
+  }
 }

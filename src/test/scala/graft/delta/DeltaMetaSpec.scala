@@ -57,14 +57,15 @@ class DeltaMetaSpec extends SparkSuite {
 
   test("protocol gate rejects unsupported reader features") {
     val snap = new DeltaSnapshot(spark, "/nonexistent")
-    snap.protocolOpt = Some(DeltaProtocol(3, 7, Some(Seq("v2Checkpoint")), None))
+    snap.protocolOpt = Some(DeltaProtocol(3, 7, Some(Seq("someFutureFeature")), None))
     intercept[DeltaProtocolError](snap.checkProtocolSupported())
     snap.protocolOpt = Some(DeltaProtocol(3, 7, Some(Seq("timestampNtz", "columnMapping")), None))
     snap.checkProtocolSupported() // no throw
     snap.protocolOpt = Some(DeltaProtocol(1, 2, None, None))
     snap.checkProtocolSupported() // no throw
-    // deletionVectors are a SUPPORTED feature (read + write) since r2
-    snap.protocolOpt = Some(DeltaProtocol(3, 7, Some(Seq("deletionVectors")), None))
+    // deletionVectors + v2Checkpoint are SUPPORTED features since r2
+    snap.protocolOpt = Some(DeltaProtocol(3, 7,
+      Some(Seq("deletionVectors", "v2Checkpoint")), None))
     snap.checkProtocolSupported() // no throw
   }
 
