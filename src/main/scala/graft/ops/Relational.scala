@@ -334,6 +334,26 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // RANGE-framed window (value-based frame, vs q7's ROWS frame):
+    // trailing 30-day spend per customer — one shuffle on the partition
+    // key, frame bounds evaluated on the sort key.
+    "q21_window_range" -> QueryDef(
+      (s, dir) => {
+        val days = datediff(col("o_orderdate"), lit("1970-01-01"))
+        val w = Window.partitionBy("o_custkey").orderBy(days)
+          .rangeBetween(-29, 0)
+        table(s, dir, "orders")
+          .withColumn("trailing_30d_spend", sum("o_totalprice").over(w))
+          .select("o_custkey", "o_orderkey", "o_orderdate", "trailing_30d_spend")
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        |  sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+        |    AS trailing_30d_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
     // Pivot (wide aggregation): one pass, conditional partial aggregates
     // per pivot value — shuffle-free map-side combine like any groupBy.
     "q19_pivot" -> QueryDef(
