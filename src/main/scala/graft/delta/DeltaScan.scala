@@ -310,7 +310,7 @@ object DeltaScan {
     * row of that file at the broadcast join; protect it first, exactly
     * as [[decodePath]] does.
     */
-  private def normalizeFileKey(c: Column): Column =
+  private[delta] def normalizeFileKey(c: Column): Column =
     org.apache.spark.sql.functions.url_decode(
       org.apache.spark.sql.functions.regexp_replace(
         org.apache.spark.sql.functions.regexp_replace(

@@ -261,6 +261,160 @@ object DeltaWriter {
     newlyDeleted
   }
 
+  /** Compaction (OPTIMIZE): bin-pack small files per partition into
+    * files up to `targetFileBytes`, rewriting with `dataChange=false`
+    * (readers see the identical logical table; time travel to earlier
+    * versions still works until vacuum). Files carrying deletion vectors
+    * are rewritten WITHOUT the deleted rows and their DVs dropped — the
+    * natural pairing with [[delete]]: soft-delete via DV, fold in at the
+    * next compaction. Physical column names are preserved (raw physical
+    * read → raw write), so column-mapped tables stay valid.
+    *
+    * Scale: the rewrite itself is a distributed read→write per bin; only
+    * listing/binning is driver-side, O(live files). Returns the number
+    * of source files compacted away.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    val base = path.stripSuffix("/")
+    val schema = snap.schema
+    val partCols = snap.partitionColumns.toSet
+    val dataFields = schema.fields.toSeq.filterNot(f => partCols.contains(f.name))
+    val physReadSchema = DeltaSchema.physicalize(StructType(dataFields))
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+    val nf = JsonNodeFactory.instance
+    val lines = mutable.ArrayBuffer.empty[String]
+    var nCompacted = 0
+
+    snap.liveFiles.groupBy(_.partitionValues).foreach { case (pv, files) =>
+      // first-fit bin packing of the small files, largest first
+      val small = files.filter(_.size < targetFileBytes)
+        .sortBy(-_.size)
+      val bins = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[AddAction]]
+      small.foreach { f =>
+        bins.find(b => b.map(_.size).sum + f.size <= targetFileBytes) match {
+          case Some(b) => b += f
+          case None => bins += mutable.ArrayBuffer(f)
+        }
+      }
+      bins.filter(b => b.size >= 2 || b.exists(_.hasDeletionVector)).foreach { bin =>
+        val paths = bin.map(a => DeltaScan.resolvePath(base, a.path))
+        val scan0 = spark.read.schema(physReadSchema).parquet(paths.toSeq: _*)
+        val dvActions = bin.filter(_.hasDeletionVector)
+        val df =
+          if (dvActions.isEmpty) scan0
+          else {
+            // subtract deleted rows exactly like the scan does
+            val keyed = scan0
+              .withColumn("__graft_ri", scan0.col("_metadata.row_index"))
+              .withColumn("__graft_file", DeltaScan.normalizeFileKey(
+                org.apache.spark.sql.functions.input_file_name()))
+            val dvRows: Seq[(String, Array[Byte])] = dvActions.toSeq.map { a =>
+              DeltaScan.fileUri(spark, base, a) ->
+                DeletionVectors.read(spark, base, a.deletionVector.get)
+            }
+            import spark.implicits._
+            val deleted = spark.createDataset(dvRows)
+              .flatMap { case (f, data) =>
+                DeletionVectors.deserializeData(data).iterator.map(i => (f, i)) }
+              .toDF("__graft_file", "__graft_ri")
+            keyed.join(org.apache.spark.sql.functions.broadcast(deleted),
+                Seq("__graft_file", "__graft_ri"), "left_anti")
+              .drop("__graft_file", "__graft_ri")
+          }
+
+        // partition directory from the first source file's location
+        val relDir = {
+          val d = DeltaScan.decodePath(bin.head.path)
+          val i = d.lastIndexOf('/')
+          if (i < 0) "" else d.substring(0, i + 1)
+        }
+        val name = s"part-compacted-${java.util.UUID.randomUUID()}.parquet"
+        val rel = relDir + name
+        val tmpDir = new Path(root, s".compact_tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+        val part = fs.listStatus(tmpDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        val dest = new Path(root, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(part, dest))
+          throw new java.io.IOException(s"compaction rename failed: $dest")
+        fs.delete(tmpDir, true)
+
+        bin.foreach { a =>
+          val rm = nf.objectNode(); val r = rm.putObject("remove")
+          r.put("path", a.path)
+          r.put("deletionTimestamp", System.currentTimeMillis())
+          r.put("dataChange", false)
+          lines += rm.toString
+        }
+        val status = fs.getFileStatus(dest)
+        val addObj = nf.objectNode(); val a = addObj.putObject("add")
+        a.put("path", encodePath(rel))
+        val pvn = a.putObject("partitionValues")
+        pv.foreach {
+          case (k, Some(v)) => pvn.put(k, v)
+          case (k, None) => pvn.putNull(k)
+        }
+        a.put("size", status.getLen)
+        a.put("modificationTime", status.getModificationTime)
+        a.put("dataChange", false)
+        footerStats(fs, dest, StructType(physReadSchema.fields))
+          .foreach(st => a.put("stats", st))
+        lines += addObj.toString
+        nCompacted += bin.size
+      }
+    }
+    if (lines.isEmpty) return 0
+
+    val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
+    c.put("timestamp", System.currentTimeMillis())
+    c.put("operation", "OPTIMIZE")
+    lines += ci.toString
+    val commit = new Path(new Path(root, "_delta_log"),
+      f"${snap.version + 1}%020d.json")
+    val out = fs.create(commit, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    nCompacted
+  }
+
+  /** Vacuum: physically delete table-root files no longer referenced by
+    * the CURRENT version — data files of overwritten/compacted history
+    * and orphaned deletion-vector bins. Zero-retention semantics (the
+    * caller decides when history is expendable); time travel to versions
+    * whose files are removed stops working, as with any vacuum. Returns
+    * the deleted relative paths.
+    */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    val snap = DeltaLog.forPath(spark, path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val onDisk = mutable.Set.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val p = it.next().getPath.toUri.getPath
+      if (!p.contains("/_delta_log/")) onDisk += p.stripPrefix(rootUri + "/")
+    }
+    val liveData = snap.liveFiles.map(a => DeltaScan.decodePath(a.path)).toSet
+    val liveDv = snap.liveFiles.flatMap(_.deletionVector).collect {
+      case dv if dv.storageType == "u" =>
+        val enc = dv.pathOrInlineDv
+        val (prefix, u) = enc.splitAt(enc.length - 20)
+        val name = DeletionVectors.dvFileName(
+          DeletionVectors.bytesToUuid(DeletionVectors.z85Decode(u)))
+        if (prefix.isEmpty) name else s"$prefix/$name"
+    }.toSet
+    val doomed = (onDisk -- liveData -- liveDv).toSeq.sorted
+    doomed.foreach(rel => fs.delete(new Path(root, rel), false))
+    doomed
+  }
+
   /** The protocol-conformant classic-checkpoint schema (PROTOCOL.md
     * #checkpoint-schema): one row per action, `partitionValues` as
     * MAP<string,string> (NOT an inferred struct — delta-spark/delta-rs

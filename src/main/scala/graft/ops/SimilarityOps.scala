@@ -221,12 +221,13 @@ object SimilarityOps {
           .select("embedding").collect()
           .map(_.getSeq[Float](0).map(_.toDouble))
 
-        def nearestCentroid(cents: Array[Seq[Double]], v: Column): Column = {
-          val sims = array(cents.map(c =>
-            cosine(s, typedlit(c), v)): _*)
-          // argmax(sims): 1-based position of the max
-          (array_position(sims, array_max(sims)) - 1).cast("int")
-        }
+        // fused kernel: one vector pass fans into all K dot accumulators
+        // (graft.functions.NearestCentroid) — the assignment step is the
+        // O(n·K·D) hot loop of IVF, where K composed cosine expressions
+        // would each re-walk the vector
+        def nearestCentroid(cents: Array[Seq[Double]], v: Column): Column =
+          graft.functions.NearestCentroid.nearestCentroid(
+            s, v, typedlit(cents.toSeq))
 
         // one Lloyd step: assign to seed, recompute per-cluster means
         val assigned = emb.withColumn("cl", nearestCentroid(seeds, col("embedding")))

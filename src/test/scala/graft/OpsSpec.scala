@@ -125,6 +125,24 @@ class OpsSpec extends SparkSuite {
     assert(!withNull(0).isNullAt(0) && withNull(1).isNullAt(0))
   }
 
+  test("nearest-centroid kernel matches the composed argmax form") {
+    import graft.functions.{NearestCentroid, VectorCosine}
+    val rnd = new scala.util.Random(23)
+    val cents: Seq[Seq[Double]] =
+      (1 to 16).map(_ => Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    val df = (1 to 80).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+    val viaKernel = df.select(col("id"),
+      NearestCentroid.nearestCentroid(spark, col("v"), typedlit(cents)).as("cl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sims = array(cents.map(c =>
+      VectorCosine.vectorCosine(spark, typedlit(c), col("v"))): _*)
+    val viaComposed = df.select(col("id"),
+      (array_position(sims, array_max(sims)) - 1).cast("int").as("cl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaKernel == viaComposed)
+  }
+
   test("minhash fast-hash variant finds the same strong candidates") {
     // the xxhash64 drop-in must agree with the oracle-able md5 default
     // on confident pairs (est >= 0.5); band-boundary stragglers may vary

@@ -115,6 +115,60 @@ class DeletionVectorSpec extends SparkSuite {
   private def padTo4(b: Array[Byte]): Array[Byte] =
     if (b.length % 4 == 0) b else b ++ Array.fill(4 - b.length % 4)(0.toByte)
 
+  test("compact bin-packs small files; logical table unchanged") {
+    val path = tmp()
+    val df = (1L to 100L).map(i => (i, (i % 2).toString)).toDF("id", "b")
+    DeltaWriter.write(df.repartition(4), path, partitionBy = Seq("b"))
+    val before = DeltaLake.deltaMeta(spark, path)
+    assert(before.liveFiles.size >= 4)
+    val n = DeltaWriter.compact(spark, path)
+    assert(n >= 4)
+    val after = DeltaLake.deltaMeta(spark, path)
+    assert(after.version == before.version + 1)
+    assert(after.liveFiles.size == 2, "one compacted file per partition")
+    val back = DeltaLake.scanDelta(spark, path)
+    assert(back.count() == 100)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id"))
+      .collect()(0).getLong(0) == (1L to 100L).sum)
+    // time travel to the pre-compaction version still works
+    assert(DeltaLake.scanDelta(spark, path,
+      ScanSettings(version = Some(before.version))).count() == 100)
+    // compacted files carry stats (skipping keeps working)
+    assert(after.liveFiles.forall(_.parsedStats.exists(_.numRecords.isDefined)))
+  }
+
+  test("compact folds deletion vectors into the rewrite") {
+    val path = tmp()
+    DeltaWriter.write((1L to 60L).toDF("id").repartition(3), path)
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 15L)))
+    assert(DeltaLake.deltaMeta(spark, path).liveFiles.exists(_.hasDeletionVector))
+    DeltaWriter.compact(spark, path)
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(!snap.liveFiles.exists(_.hasDeletionVector), "DVs must be folded in")
+    val back = DeltaLake.scanDelta(spark, path)
+    assert(back.count() == 45)
+    assert(back.agg(org.apache.spark.sql.functions.min("id"))
+      .collect()(0).getLong(0) == 16L)
+  }
+
+  test("vacuum deletes unreferenced files, keeps live data + DV bins") {
+    val path = tmp()
+    DeltaWriter.write((1L to 40L).toDF("id").repartition(2), path)
+    DeltaWriter.write((41L to 60L).toDF("id"), path, mode = "overwrite")
+    DeltaWriter.delete(spark, path, Seq(Cond("id", ">", 55L)))
+    val deleted = DeltaWriter.vacuum(spark, path)
+    // the overwritten v0 parquets go (plus writer markers like _SUCCESS)
+    assert(deleted.count(_.endsWith(".parquet")) >= 2)
+    assert(!deleted.exists(_.contains("_delta_log")))
+    assert(!deleted.exists(_.startsWith("deletion_vector_")),
+      "live DV bins must survive vacuum")
+    // current version intact, DV still applied
+    val back = DeltaLake.scanDelta(spark, path)
+    assert(back.count() == 15)
+    // second vacuum is a no-op
+    assert(DeltaWriter.vacuum(spark, path).isEmpty)
+  }
+
   test("v2 (uuid-named) checkpoint with sidecar file actions replays") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
