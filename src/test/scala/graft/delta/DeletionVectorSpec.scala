@@ -169,6 +169,35 @@ class DeletionVectorSpec extends SparkSuite {
     assert(DeltaWriter.vacuum(spark, path).isEmpty)
   }
 
+  test("z-ordered write: multi-dimensional file skipping beats row order") {
+    val rows = (0 until 10000).map(i =>
+      (i.toLong, (i % 100).toLong, ((i * 7919) % 100).toLong))
+    val df = rows.toDF("id", "x", "y")
+    val conds = Seq(Cond("x", "<", 25L), Cond("y", "<", 25L))
+
+    val naive = tmp()
+    DeltaWriter.write(df.repartition(8), naive)
+    val keptNaive = DeltaLake.deltaMeta(spark, naive)
+      .addActionsFiltered(conds).size
+
+    val zed = tmp()
+    DeltaWriter.write(df, zed, zOrderBy = Seq("x", "y"), zFiles = 8)
+    val zMeta = DeltaLake.deltaMeta(spark, zed)
+    assert(zMeta.liveFiles.size == 8)
+    val keptZ = zMeta.addActionsFiltered(conds).size
+
+    // hash-random layout: every file spans the full x/y range → nothing
+    // skips; z-order clusters both dims → most files provably miss
+    assert(keptNaive == 8, s"naive kept $keptNaive")
+    assert(keptZ <= 4, s"z-order kept $keptZ of 8 files")
+    // correctness identical on both layouts
+    def result(p: String) = DeltaLake.scanDelta(spark, p,
+      ScanSettings(conditions = conds))
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(result(zed) == result(naive))
+    assert(result(zed).nonEmpty)
+  }
+
   test("v2 (uuid-named) checkpoint with sidecar file actions replays") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
