@@ -72,13 +72,16 @@ object DeltaLake {
     * incremental-ETL extension of the reference's `update_incremental`
     * (delta_meta_retrieval.py:183-200), which refreshes metadata but
     * cannot say what changed. Removed/rewritten files are not
-    * subtracted (append-only streams).
+    * subtracted (append-only streams), and layout-only rewrites
+    * (`dataChange=false`, i.e. compaction) are excluded — their rows
+    * predate `sinceVersion` or arrive via their original files.
     */
   def scanDeltaChanges(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
     val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
     val beforePaths = before.liveFiles.map(_.path).toSet
     DeltaScan.scan(spark, path,
-      ScanSettings(actionFilter = a => !beforePaths.contains(a.path)))
+      ScanSettings(actionFilter =
+        a => a.dataChange && !beforePaths.contains(a.path)))
   }
 }

@@ -40,9 +40,19 @@ final case class AddAction(
     modificationTime: Long,
     stats: Option[String],
     deletionVector: Option[DeletionVectorDescriptor] = None,
-    legacyPartitionValues: Map[String, Option[String]] = Map.empty) {
+    legacyPartitionValues: Map[String, Option[String]] = Map.empty,
+    /** false for layout-only rewrites (OPTIMIZE): streaming replay must
+      * not treat such adds as new data. */
+    dataChange: Boolean = true) {
   lazy val parsedStats: Option[FileStats] =
     stats.flatMap(FileStats.fromJson)
+
+  /** Partition values with legacy `partition.<name>` keys folded in
+    * (canonical keys win) — what every REWRITE of this action must
+    * serialize, or legacy-keyed tables lose their partition values.
+    */
+  def effectivePartitionValues: Map[String, Option[String]] =
+    legacyPartitionValues ++ partitionValues
 
   def hasDeletionVector: Boolean = deletionVector.isDefined
 
@@ -141,7 +151,9 @@ object ActionCodec {
       case e if e.getKey.startsWith("partition.") =>
         e.getKey.stripPrefix("partition.") ->
           (if (e.getValue.isNull) None else Some(e.getValue.asText))
-    }.toMap)
+    }.toMap,
+    dataChange = Option(n.get("dataChange"))
+      .filterNot(_.isNull).forall(_.asBoolean))
 
   def parseProtocol(n: JsonNode): DeltaProtocol = DeltaProtocol(
     minReaderVersion = lng(n, "minReaderVersion").getOrElse(1L).toInt,

@@ -71,7 +71,8 @@ object DeletionVectors {
     while (i < s.length) {
       var v = 0L
       (0 until 5).foreach { j =>
-        val d = Z85Decode(s.charAt(i + j).toInt)
+        val c = s.charAt(i + j).toInt
+        val d = if (c < 128) Z85Decode(c) else -1
         require(d >= 0, s"bad z85 char '${s.charAt(i + j)}'")
         v = v * 85 + d
       }
@@ -140,6 +141,26 @@ object DeletionVectors {
 
   def dvFileName(uuid: java.util.UUID): String = s"deletion_vector_$uuid.bin"
 
+  /** Table-root-relative path of a DV descriptor's file, when it has
+    * one: "u" always, "p" only when the absolute path lies under the
+    * table root. The single source of the prefix/uuid naming convention
+    * — [[read]] and vacuum both resolve through here.
+    */
+  def relativeFilePath(
+      dv: DeletionVectorDescriptor, tablePath: String): Option[String] =
+    dv.storageType match {
+      case "u" =>
+        val enc = dv.pathOrInlineDv
+        val (prefix, u) = enc.splitAt(enc.length - 20)
+        val name = dvFileName(bytesToUuid(z85Decode(u)))
+        Some(if (prefix.isEmpty) name else s"$prefix/$name")
+      case "p" =>
+        val base = tablePath.stripSuffix("/") + "/"
+        val p = dv.pathOrInlineDv
+        if (p.startsWith(base)) Some(p.stripPrefix(base)) else None
+      case _ => None
+    }
+
   /** Write one DV into a fresh "u"-style file at the table root; returns
     * the descriptor to embed in the add action.
     */
@@ -164,17 +185,11 @@ object DeletionVectors {
       spark: SparkSession, tablePath: String,
       dv: DeletionVectorDescriptor): Array[Byte] = dv.storageType match {
     case "i" => z85Decode(dv.pathOrInlineDv)
-    case st @ ("u" | "p") =>
-      val file =
-        if (st == "p") new Path(dv.pathOrInlineDv)
-        else {
-          // last 20 chars = z85 uuid; anything before is a path prefix
-          val enc = dv.pathOrInlineDv
-          val (prefix, u) = enc.splitAt(enc.length - 20)
-          val name = dvFileName(bytesToUuid(z85Decode(u)))
-          val rel = if (prefix.isEmpty) name else s"$prefix/$name"
-          new Path(tablePath.stripSuffix("/"), rel)
-        }
+    case "u" | "p" =>
+      val file = relativeFilePath(dv, tablePath) match {
+        case Some(rel) => new Path(tablePath.stripSuffix("/"), rel)
+        case None => new Path(dv.pathOrInlineDv) // "p" outside the root
+      }
       val fs = file.getFileSystem(spark.sessionState.newHadoopConf())
       val in = fs.open(file)
       try {

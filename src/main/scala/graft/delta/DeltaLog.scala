@@ -185,18 +185,26 @@ object DeltaLog {
     * list the log directory once and pick the greatest checkpoint ≤
     * version — exact at the cost of one listing.
     */
+  /** Version advertised by `_last_checkpoint`, if any — the cheap
+    * staleness probe for cached snapshots (a checkpoint newer than the
+    * cache means intervening commits may have been aged out, so
+    * `updateIncremental` alone can no longer catch up).
+    */
+  def lastCheckpointVersion(
+      spark: SparkSession, deltaPath: String): Option[Long] =
+    readSmallFile(spark, s"${logDir(deltaPath)}/_last_checkpoint")
+      .flatMap(_.headOption)
+      .flatMap { line =>
+        val n = ActionCodec.mapper.readTree(line)
+        Option(n.get("version")).map(_.asLong)
+      }
+
   def forPath(
       spark: SparkSession,
       deltaPath: String,
       version: Option[Long] = None): DeltaSnapshot = {
     val snap = new DeltaSnapshot(spark, deltaPath)
-    val lastCp: Option[Long] =
-      readSmallFile(spark, s"${logDir(deltaPath)}/_last_checkpoint")
-        .flatMap(_.headOption)
-        .flatMap { line =>
-          val n = ActionCodec.mapper.readTree(line)
-          Option(n.get("version")).map(_.asLong)
-        }
+    val lastCp: Option[Long] = lastCheckpointVersion(spark, deltaPath)
 
     val cpVersion: Option[Long] = lastCp match {
       case Some(cv) if version.forall(cv <= _) => Some(cv)

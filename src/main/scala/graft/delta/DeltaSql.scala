@@ -55,6 +55,16 @@ object DeltaSql {
     def quoteId(n: String) = "`" + n.replace("`", "``") + "`"
     def quoteStr(v: String) = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+    // deletion vectors: emitted per-file as a row-index NOT IN list so
+    // the SQL string stays self-contained. Bounded — a huge DV would
+    // produce megabytes of SQL; past the cap we refuse loudly rather
+    // than silently resurrect deleted rows (use scanDelta instead).
+    val totalDeleted = actions.flatMap(_.deletionVector).map(_.cardinality).sum
+    if (totalDeleted > 100000L)
+      throw new DeltaProtocolError(
+        s"deltaSql cannot inline $totalDeleted deleted row indices; " +
+          "use scanDelta/createViewForDelta for heavily-deleted tables")
+
     val fileSelects: Seq[String] = actions.map { a =>
       val file = DeltaScan.resolvePath(base, a.path)
       // footer probe: which top-level physical columns exist in THIS file
@@ -70,15 +80,25 @@ object DeltaSql {
         val alias = quoteId(f.name)
         if (partCols.contains(f.name)) {
           val v = a.partitionValueFor(phys, f.name).flatten
-          v match {
-            case Some(s) => s"CAST(${quoteStr(s)} AS ${f.dataType.sql}) AS $alias"
-            case None => s"CAST(NULL AS ${f.dataType.sql}) AS $alias"
+          (v, f.dataType) match {
+            case (Some(s), TimestampType) =>
+              // UTC wall-clock string: pin the zone or a non-UTC session
+              // would shift the instant
+              s"TIMESTAMP${quoteStr(s + " UTC")} AS $alias"
+            case (Some(s), _) =>
+              s"CAST(${quoteStr(s)} AS ${f.dataType.sql}) AS $alias"
+            case (None, _) => s"CAST(NULL AS ${f.dataType.sql}) AS $alias"
           }
         } else if (present.contains(phys))
           s"CAST(${quoteId(phys)} AS ${f.dataType.sql}) AS $alias"
         else s"CAST(NULL AS ${f.dataType.sql}) AS $alias"
       }
-      s"SELECT ${cols.mkString(", ")} FROM parquet.${quoteId(file)}"
+      val dvFilter = a.deletionVector.map { dv =>
+        val idx = DeletionVectors.deserializeData(
+          DeletionVectors.read(spark, base, dv))
+        s"\nWHERE _metadata.row_index NOT IN (${idx.mkString(", ")})"
+      }.getOrElse("")
+      s"SELECT ${cols.mkString(", ")} FROM parquet.${quoteId(file)}$dvFilter"
     }
 
     val union =
@@ -125,7 +145,9 @@ object DeltaSql {
       case i: java.time.Instant =>
         val ts = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
           .format(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
-        s"TIMESTAMP '$ts'"
+        // zone-pinned: an unsuffixed literal parses in the SESSION zone
+        // and would shift the instant under any non-UTC session
+        s"TIMESTAMP '$ts UTC'"
       case l: java.time.LocalDateTime =>
         s"TIMESTAMP_NTZ '${DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").format(l)}'"
       case b: Boolean => b.toString

@@ -253,13 +253,26 @@ object DeltaWriter {
     val nf = JsonNodeFactory.instance
     val lines = mutable.ArrayBuffer.empty[String]
 
-    // protocol upgrade on the first DV write
+    // protocol upgrade on the first DV write. Feature-version protocols
+    // must list EVERY active feature, so fold in the features the old
+    // legacy minReader/WriterVersion implied (PROTOCOL.md feature table)
+    // — dropping e.g. columnMapping here would break other readers.
     val hasFeature = snap.protocol.exists(
       _.readerFeatures.exists(_.contains("deletionVectors")))
     if (!hasFeature) {
       val p = snap.protocol
-      val rf = (p.flatMap(_.readerFeatures).getOrElse(Nil) :+ "deletionVectors").distinct
-      val wf = (p.flatMap(_.writerFeatures).getOrElse(Nil) :+ "deletionVectors").distinct
+      def implied(v: Int, table: Seq[(Int, String)]): Seq[String] =
+        table.collect { case (minV, f) if v >= minV => f }
+      val impliedReader = Seq(2 -> "columnMapping")
+      val impliedWriter = Seq(2 -> "appendOnly", 2 -> "invariants",
+        3 -> "checkConstraints", 4 -> "changeDataFeed", 4 -> "generatedColumns",
+        5 -> "columnMapping", 6 -> "identityColumns")
+      val rf = (p.flatMap(_.readerFeatures).getOrElse(
+        implied(p.map(_.minReaderVersion).getOrElse(1), impliedReader)) :+
+        "deletionVectors").distinct
+      val wf = (p.flatMap(_.writerFeatures).getOrElse(
+        implied(p.map(_.minWriterVersion).getOrElse(1), impliedWriter)) :+
+        "deletionVectors").distinct
       val o = nf.objectNode(); val pn = o.putObject("protocol")
       pn.put("minReaderVersion", 3).put("minWriterVersion", 7)
       val rfa = pn.putArray("readerFeatures"); rf.foreach(rfa.add)
@@ -284,7 +297,7 @@ object DeltaWriter {
       val addObj = nf.objectNode(); val a = addObj.putObject("add")
       a.put("path", action.path)
       val pv = a.putObject("partitionValues")
-      action.partitionValues.foreach {
+      action.effectivePartitionValues.foreach {
         case (k, Some(v)) => pv.put(k, v)
         case (k, None) => pv.putNull(k)
       }
@@ -345,17 +358,19 @@ object DeltaWriter {
     val lines = mutable.ArrayBuffer.empty[String]
     var nCompacted = 0
 
-    snap.liveFiles.groupBy(_.partitionValues).foreach { case (pv, files) =>
-      // first-fit bin packing of the small files, largest first
-      val small = files.filter(_.size < targetFileBytes)
-        .sortBy(-_.size)
+    snap.liveFiles.groupBy(_.effectivePartitionValues).foreach { case (pv, files) =>
+      // first-fit bin packing of the small files, largest first; files
+      // at/above target that carry a DV still get rewritten (their own
+      // bin) — folding DVs in is the other half of compaction's contract
+      val (small, big) = files.partition(_.size < targetFileBytes)
       val bins = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[AddAction]]
-      small.foreach { f =>
+      small.sortBy(-_.size).foreach { f =>
         bins.find(b => b.map(_.size).sum + f.size <= targetFileBytes) match {
           case Some(b) => b += f
           case None => bins += mutable.ArrayBuffer(f)
         }
       }
+      big.filter(_.hasDeletionVector).foreach(f => bins += mutable.ArrayBuffer(f))
       bins.filter(b => b.size >= 2 || b.exists(_.hasDeletionVector)).foreach { bin =>
         val paths = bin.map(a => DeltaScan.resolvePath(base, a.path))
         val scan0 = spark.read.schema(physReadSchema).parquet(paths.toSeq: _*)
@@ -377,8 +392,13 @@ object DeltaWriter {
               .flatMap { case (f, data) =>
                 DeletionVectors.deserializeData(data).iterator.map(i => (f, i)) }
               .toDF("__graft_file", "__graft_ri")
-            keyed.join(org.apache.spark.sql.functions.broadcast(deleted),
-                Seq("__graft_file", "__graft_ri"), "left_anti")
+            val totalCard =
+              dvActions.flatMap(_.deletionVector).map(_.cardinality).sum
+            val build =
+              if (totalCard <= 5000000L)
+                org.apache.spark.sql.functions.broadcast(deleted)
+              else deleted
+            keyed.join(build, Seq("__graft_file", "__graft_ri"), "left_anti")
               .drop("__graft_file", "__graft_ri")
           }
 
@@ -457,14 +477,10 @@ object DeltaWriter {
       if (!p.contains("/_delta_log/")) onDisk += p.stripPrefix(rootUri + "/")
     }
     val liveData = snap.liveFiles.map(a => DeltaScan.decodePath(a.path)).toSet
-    val liveDv = snap.liveFiles.flatMap(_.deletionVector).collect {
-      case dv if dv.storageType == "u" =>
-        val enc = dv.pathOrInlineDv
-        val (prefix, u) = enc.splitAt(enc.length - 20)
-        val name = DeletionVectors.dvFileName(
-          DeletionVectors.bytesToUuid(DeletionVectors.z85Decode(u)))
-        if (prefix.isEmpty) name else s"$prefix/$name"
-    }.toSet
+    // DV files referenced by the current version — "u" form AND "p"
+    // (absolute) files that live under the table root
+    val liveDv = snap.liveFiles.flatMap(_.deletionVector)
+      .flatMap(dv => DeletionVectors.relativeFilePath(dv, path)).toSet
     val doomed = (onDisk -- liveData -- liveDv).toSeq.sorted
     doomed.foreach(rel => fs.delete(new Path(root, rel), false))
     doomed
@@ -551,7 +567,9 @@ object DeltaWriter {
         Row(dv.storageType, dv.pathOrInlineDv,
           dv.offset.map(Int.box).orNull, dv.sizeInBytes, dv.cardinality)).orNull
       rows += Row(null,
-        Row(a.path, a.partitionValues.map { case (k, v) => k -> v.orNull },
+        // effective map: legacy partition.<name> keys folded in, or a
+        // legacy-keyed table loses its partition values at checkpoint
+        Row(a.path, a.effectivePartitionValues.map { case (k, v) => k -> v.orNull },
           a.size, a.modificationTime, true, a.stats.orNull, null, dvRow),
         null, null, null)
     }

@@ -23,6 +23,12 @@ import graft.delta.{DeltaLog, DeltaWriter}
   */
 object DeltaSink {
 
+  // one cached snapshot per table path, advanced incrementally — a full
+  // log replay per micro-batch would make per-batch cost grow linearly
+  // with commit count (quadratic over the stream's life)
+  private val snapshots =
+    scala.collection.concurrent.TrieMap.empty[String, graft.delta.DeltaSnapshot]
+
   /** Append one micro-batch if (and only if) its id is above the
     * table's recorded watermark for `appId`. Returns true if written.
     */
@@ -35,8 +41,26 @@ object DeltaSink {
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
     val watermark =
-      if (exists) DeltaLog.forPath(spark, path).txnVersions.get(appId)
-      else None
+      if (exists) {
+        val cached = snapshots.getOrElseUpdate(path, DeltaLog.forPath(spark, path))
+        // a checkpoint newer than the cache means commits may have been
+        // aged out past it — updateIncremental would silently stop at
+        // the gap with a STALE watermark (and we'd append a duplicate);
+        // re-bootstrap through the checkpoint instead
+        val snap = DeltaLog.lastCheckpointVersion(spark, path) match {
+          case Some(cp) if cp > cached.version =>
+            val fresh = DeltaLog.forPath(spark, path)
+            snapshots.put(path, fresh)
+            fresh
+          case _ =>
+            cached.updateIncremental() // O(commits since last batch)
+            cached
+        }
+        snap.txnVersions.get(appId)
+      } else {
+        snapshots.remove(path) // table was recreated out from under us
+        None
+      }
     if (watermark.exists(_ >= batchId)) false
     else {
       DeltaWriter.write(df, path, partitionBy,

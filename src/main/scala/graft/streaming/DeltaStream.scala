@@ -46,9 +46,16 @@ object DeltaStream {
           s"Commit $v of $path is missing (aged out past a checkpoint?); " +
             s"cannot replay versions ${fromVersion + 1}..$head incrementally. " +
             "Start from a snapshot via DeltaLog.forPath instead."))
+      // new DATA only: skip layout-only adds (dataChange=false —
+      // OPTIMIZE/compaction rewrites) and re-adds of already-live paths
+      // (DV deletes re-add the same file); emitting either would
+      // duplicate rows the sink already has
+      val liveBefore = snap.liveFiles.map(_.path).toSet
       val addedPaths = lines.flatMap { n =>
         Option(n.get("add")).filterNot(_.isNull)
-          .map(a => ActionCodec.parseAdd(a).path)
+          .map(a => ActionCodec.parseAdd(a))
+          .filter(a => a.dataChange && !liveBefore.contains(a.path))
+          .map(_.path)
       }.toSet
       lines.foreach(snap.applyActionLine(_, v))
       if (addedPaths.nonEmpty) {

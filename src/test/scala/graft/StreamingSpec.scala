@@ -125,6 +125,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("delta replay skips compaction and DV-delete commits (no duplicates)") {
+    import graft.delta.{Cond, DeltaWriter}
+    import graft.streaming.DeltaStream
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_nodup").toString + "/t"
+    DeltaWriter.write((1L to 40L).toDF("id").repartition(4), path)
+    var seen = Vector.empty[Long]
+    val off1 = DeltaStream.runAvailableNow(spark, path, -1L) { (_, df) =>
+      seen ++= df.collect().map(_.getAs[Long]("id"))
+    }
+    assert(seen.sorted == (1L to 40L))
+
+    // a delete (remove+re-add same path) and a compaction
+    // (dataChange=false adds) must emit NOTHING on the next poll
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 5L)))
+    DeltaWriter.compact(spark, path)
+    var extra = Vector.empty[Long]
+    val off2 = DeltaStream.runAvailableNow(spark, path, off1) { (_, df) =>
+      extra ++= df.collect().map(_.getAs[Long]("id"))
+    }
+    assert(extra.isEmpty, s"replayed ${extra.size} duplicate rows")
+    // but genuinely new data still streams
+    DeltaWriter.write(Seq(100L).toDF("id"), path, mode = "append")
+    DeltaStream.runAvailableNow(spark, path, off2) { (_, df) =>
+      extra ++= df.collect().map(_.getAs[Long]("id"))
+    }
+    assert(extra == Vector(100L))
+    // and the batch CDF excludes the compacted rewrite too
+    val changes = DeltaLake.scanDeltaChanges(spark, path, sinceVersion = off1)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(changes == Seq(100L))
+  }
+
   test("session windows produce bounded, non-overlapping sessions per user") {
     val stream = EventStreams.sessionAgg(
       EventStreams.readEventStream(spark, streamDir))

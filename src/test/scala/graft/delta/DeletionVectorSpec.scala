@@ -115,6 +115,48 @@ class DeletionVectorSpec extends SparkSuite {
   private def padTo4(b: Array[Byte]): Array[Byte] =
     if (b.length % 4 == 0) b else b ++ Array.fill(4 - b.length % 4)(0.toByte)
 
+  test("delete's protocol upgrade folds in legacy-implied features") {
+    val path = tmp()
+    DeltaWriter.write((1L to 10L).toDF("id"), path)
+    // simulate an old-protocol table that legacy-implies columnMapping
+    // (reader v2 / writer v5) by rewriting the protocol line
+    val log = s"$path/_delta_log"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val commit0 = s"$log/" + f"${0L}%020d.json"
+    val lines = scala.io.Source.fromInputStream(
+      fs.open(new org.apache.hadoop.fs.Path(commit0)), "UTF-8")
+      .getLines().toVector
+    val patched = lines.map(l =>
+      if (l.contains("\"protocol\""))
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      else l)
+    fs.delete(new org.apache.hadoop.fs.Path(commit0), false)
+    val out = fs.create(new org.apache.hadoop.fs.Path(commit0), false)
+    try out.write((patched.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 1L)))
+    val p = DeltaLake.deltaMeta(spark, path).protocol.get
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    assert(p.readerFeatures.get.toSet == Set("columnMapping", "deletionVectors"))
+    assert(p.writerFeatures.get.contains("columnMapping"))
+    assert(p.writerFeatures.get.contains("appendOnly"))
+    assert(p.writerFeatures.get.contains("deletionVectors"))
+  }
+
+  test("compact rewrites large files that carry deletion vectors") {
+    val path = tmp()
+    DeltaWriter.write((1L to 30L).toDF("id"), path)
+    DeltaWriter.delete(spark, path, Seq(Cond("id", ">", 25L)))
+    // tiny target: every file is "large", but the DV'd file must still
+    // be rewritten so the DV folds in
+    DeltaWriter.compact(spark, path, targetFileBytes = 1L)
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(!snap.liveFiles.exists(_.hasDeletionVector))
+    assert(DeltaLake.scanDelta(spark, path).count() == 25)
+  }
+
   test("compact bin-packs small files; logical table unchanged") {
     val path = tmp()
     val df = (1L to 100L).map(i => (i, (i % 2).toString)).toDF("id", "b")

@@ -120,6 +120,39 @@ class DeltaSqlSpec extends SparkSuite {
       viaDf.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("deltaSql: zone-pinned timestamp literals (non-UTC session safe)") {
+    val path = tmp()
+    val ts = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T05:00:00Z"))),
+      (2L, java.sql.Timestamp.from(java.time.Instant.parse("2024-06-15T12:30:45Z"))))
+      .toDF("id", "at")
+    DeltaWriter.write(ts, path, partitionBy = Seq("at"))
+    // partition-value literal round-trips as the same instant
+    val viaSql = spark.sql(DeltaLake.deltaSql(spark, path)).orderBy("id").collect()
+    assert(viaSql.map(_.getAs[java.sql.Timestamp]("at").toInstant).toSeq == Seq(
+      java.time.Instant.parse("2024-01-01T05:00:00Z"),
+      java.time.Instant.parse("2024-06-15T12:30:45Z")))
+    // Instant condition renders zone-pinned and selects the same row as
+    // the DataFrame path
+    val cond = Seq(Cond("at", "=", java.time.Instant.parse("2024-01-01T05:00:00Z")))
+    val sqlRows = spark.sql(DeltaLake.deltaSql(spark, path,
+      ScanSettings(conditions = cond))).collect()
+    val dfRows = DeltaLake.scanDelta(spark, path,
+      ScanSettings(conditions = cond)).collect()
+    assert(sqlRows.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(dfRows.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("deltaSql subtracts deletion vectors (no resurrected rows)") {
+    val path = tmp()
+    DeltaWriter.write((1L to 50L).toDF("id"), path)
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 20L)))
+    val viaSql = spark.sql(DeltaLake.deltaSql(spark, path))
+    assert(viaSql.count() == 30)
+    assert(viaSql.agg(org.apache.spark.sql.functions.min("id"))
+      .collect()(0).getLong(0) == 21L)
+  }
+
   test("deltaSql: strange column names quote correctly (user fixture)") {
     val sql = DeltaLake.deltaSql(spark, fixture("user"),
       ScanSettings(conditions = Seq(Cond("Age", "=", BigDecimal("23.0")))))
@@ -166,6 +199,19 @@ class DeltaSqlSpec extends SparkSuite {
     // and through the wide path (same lookup on the broadcast side)
     val wide = DeltaLake.scanDelta(spark, root, ScanSettings(wideUnionThreshold = 0))
     assert(wide.collect().forall(_.getAs[String]("p") == "A"))
+  }
+
+  test("legacy partition values survive a checkpoint rewrite") {
+    val root = writeLegacyTable(""""partition.p":"A",""", None, plainSchema)
+    DeltaWriter.writeCheckpoint(DeltaLake.deltaMeta(spark, root))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/_delta_log/" + f"${0L}%020d.json"), false)
+    // replayed from the checkpoint alone: the legacy key must have been
+    // folded into partitionValues, not silently dropped
+    val rows = DeltaLake.scanDelta(spark, root).collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[String]("p") == "A"))
   }
 
   test("partitionValues keyed by LOGICAL name under column mapping") {
