@@ -84,4 +84,52 @@ object DeltaLake {
       ScanSettings(actionFilter =
         a => a.dataChange && !beforePaths.contains(a.path)))
   }
+
+  /** Delete-CDF: the rows logically DELETED via deletion vectors
+    * strictly after `sinceVersion` — the retraction half of the change
+    * feed ([[scanDeltaChanges]] is the insertion half). Per still-live
+    * file, the row indices in the current DV but not in the
+    * `sinceVersion` DV are re-read and returned. Bitmap diffs are
+    * computed driver-side (compact bytes); row extraction is one
+    * distributed scan + broadcast semi-join on (file, row index).
+    * Files dropped entirely by overwrites are NOT included (their rows
+    * may be gone from disk); DV deletes — the engine's own delete path —
+    * are fully covered.
+    */
+  def scanDeltaDeletedRows(spark: SparkSession, path: String,
+      sinceVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
+    val after = DeltaLog.forPath(spark, path)
+    val base = path.stripSuffix("/")
+    val beforeDv: Map[String, Set[Long]] = before.liveFiles
+      .flatMap(a => a.deletionVector.map(dv => a.path ->
+        DeletionVectors.deserializeData(
+          DeletionVectors.read(spark, base, dv)).toSet)).toMap
+
+    val diffs: Seq[(AddAction, Seq[Long])] = after.liveFiles.flatMap { a =>
+      a.deletionVector.map { dv =>
+        val now = DeletionVectors.deserializeData(
+          DeletionVectors.read(spark, base, dv))
+        val prior = beforeDv.getOrElse(a.path, Set.empty)
+        a -> now.filterNot(prior).toSeq
+      }
+    }.filter(_._2.nonEmpty)
+    val schema = after.schema
+    if (diffs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    import spark.implicits._
+    val pairs = diffs.map { case (a, idx) =>
+      DeltaScan.fileUri(spark, base, a) -> idx
+    }.toDF("__graft_file", "__graft_ri_list")
+      .select(col("__graft_file"),
+        org.apache.spark.sql.functions.explode(col("__graft_ri_list"))
+          .as("__graft_row_index"))
+    DeltaScan.scanWithRowIndex(after, diffs.map(_._1))
+      .join(broadcast(pairs), Seq("__graft_file", "__graft_row_index"),
+        "left_semi")
+      .drop("__graft_file", "__graft_row_index")
+  }
 }

@@ -115,6 +115,28 @@ class DeletionVectorSpec extends SparkSuite {
   private def padTo4(b: Array[Byte]): Array[Byte] =
     if (b.length % 4 == 0) b else b ++ Array.fill(4 - b.length % 4)(0.toByte)
 
+  test("delete-CDF returns exactly the rows each delete removed") {
+    val path = tmp()
+    DeltaWriter.write((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"),
+      path)
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 10L))) // v1
+    DeltaWriter.delete(spark, path, Seq(Cond("id", ">", 45L))) // v2
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getAs[Long]("id")).sorted.toSeq
+    // since v0: both deletes
+    assert(ids(DeltaLake.scanDeltaDeletedRows(spark, path, 0L)) ==
+      ((1L to 10L) ++ (46L to 50L)))
+    // since v1: only the second delete
+    assert(ids(DeltaLake.scanDeltaDeletedRows(spark, path, 1L)) ==
+      (46L to 50L))
+    // since v2 (head): nothing
+    assert(DeltaLake.scanDeltaDeletedRows(spark, path, 2L).count() == 0)
+    // payload columns come back too (full deleted rows, not just keys)
+    val row = DeltaLake.scanDeltaDeletedRows(spark, path, 1L)
+      .where(col("id") === 46L).collect()
+    assert(row.length == 1 && row(0).getAs[String]("v") == "v46")
+  }
+
   test("delete's protocol upgrade folds in legacy-implied features") {
     val path = tmp()
     DeltaWriter.write((1L to 10L).toDF("id"), path)
