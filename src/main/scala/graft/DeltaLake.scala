@@ -67,34 +67,61 @@ object DeltaLake {
     try { snap.checkProtocolSupported(); true }
     catch { case _: DeltaProtocolError => false }
 
-  /** Append-CDF: the rows added strictly after `sinceVersion` (files
-    * present in the latest snapshot but not at `sinceVersion`) — the
-    * incremental-ETL extension of the reference's `update_incremental`
-    * (delta_meta_retrieval.py:183-200), which refreshes metadata but
-    * cannot say what changed. Removed/rewritten files are not
-    * subtracted (append-only streams), and layout-only rewrites
-    * (`dataChange=false`, i.e. compaction) are excluded — their rows
-    * predate `sinceVersion` or arrive via their original files.
+  /** Insert-CDF: the rows ADDED strictly after `sinceVersion`, AS
+    * INSERTED — the incremental-ETL extension of the reference's
+    * `update_incremental` (delta_meta_retrieval.py:183-200), which
+    * refreshes metadata but cannot say what changed.
+    *
+    * Determined by walking the commit window (not by diffing live sets,
+    * whose replayed `dataChange` flags are unreliable across
+    * checkpoints): per commit, adds with `dataChange=true` whose path
+    * was not live before the window (re-adds = DV deletes) and not
+    * already collected (first add wins over later rewrites). Files the
+    * window later compacted away are still scanned from their original
+    * (pre-vacuum) location, so no window rows are lost. Deletion
+    * vectors are NOT subtracted here — retractions are
+    * [[scanDeltaDeletedRows]]'s half, and the two compose to the net
+    * state delta. Raises if window commits were aged out.
     */
   def scanDeltaChanges(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
-    val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
-    val beforePaths = before.liveFiles.map(_.path).toSet
-    DeltaScan.scan(spark, path,
-      ScanSettings(actionFilter =
-        a => a.dataChange && !beforePaths.contains(a.path)))
+    val head = DeltaLog.forPath(spark, path)
+    val beforeLive = DeltaLog.forPath(spark, path, Some(sinceVersion))
+      .liveFiles.map(_.path).toSet
+    val added = scala.collection.mutable.LinkedHashMap.empty[String, AddAction]
+    (sinceVersion + 1 to head.version).foreach { v =>
+      val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"Commit $v of $path is missing; cannot compute changes since " +
+            s"$sinceVersion"))
+      lines.foreach { n =>
+        Option(n.get("add")).filterNot(_.isNull)
+          .map(ActionCodec.parseAdd)
+          .filter(a => a.dataChange && !beforeLive.contains(a.path) &&
+            !added.contains(a.path))
+          .foreach(a => added(a.path) = a)
+      }
+    }
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], head.schema)
+    else
+      DeltaScan.scanWithRowIndex(head, added.values.toSeq)
+        .drop("__graft_file", "__graft_row_index")
   }
 
   /** Delete-CDF: the rows logically DELETED via deletion vectors
     * strictly after `sinceVersion` — the retraction half of the change
-    * feed ([[scanDeltaChanges]] is the insertion half). Per still-live
-    * file, the row indices in the current DV but not in the
-    * `sinceVersion` DV are re-read and returned. Bitmap diffs are
-    * computed driver-side (compact bytes); row extraction is one
-    * distributed scan + broadcast semi-join on (file, row index).
-    * Files dropped entirely by overwrites are NOT included (their rows
-    * may be gone from disk); DV deletes — the engine's own delete path —
-    * are fully covered.
+    * feed ([[scanDeltaChanges]], which emits window inserts AS INSERTED,
+    * is the other half; applying inserts then retractions nets to the
+    * state delta). Per still-live file, the row indices in the current
+    * DV but not in the `sinceVersion` DV are re-read and returned.
+    * Bitmap diffs are computed driver-side (compact bytes; files whose
+    * descriptor is unchanged are skipped without any read); row
+    * extraction is one distributed scan + broadcast semi-join on
+    * (file, row index). Files dropped entirely by overwrites are NOT
+    * included (their rows may be gone from disk); DV deletes — the
+    * engine's own delete path — are fully covered.
     */
   def scanDeltaDeletedRows(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
@@ -102,18 +129,23 @@ object DeltaLake {
     val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
     val after = DeltaLog.forPath(spark, path)
     val base = path.stripSuffix("/")
-    val beforeDv: Map[String, Set[Long]] = before.liveFiles
-      .flatMap(a => a.deletionVector.map(dv => a.path ->
-        DeletionVectors.deserializeData(
-          DeletionVectors.read(spark, base, dv)).toSet)).toMap
+    val beforeDesc: Map[String, DeletionVectorDescriptor] = before.liveFiles
+      .flatMap(a => a.deletionVector.map(a.path -> _)).toMap
 
     val diffs: Seq[(AddAction, Seq[Long])] = after.liveFiles.flatMap { a =>
-      a.deletionVector.map { dv =>
-        val now = DeletionVectors.deserializeData(
-          DeletionVectors.read(spark, base, dv))
-        val prior = beforeDv.getOrElse(a.path, Set.empty)
-        a -> now.filterNot(prior).toSeq
-      }
+      a.deletionVector
+        // unchanged descriptor ⇒ empty diff: skip both reads
+        .filterNot(dv => beforeDesc.get(a.path).contains(dv))
+        .map { dv =>
+          val now = DeletionVectors.deserializeData(
+            DeletionVectors.read(spark, base, dv))
+          val prior: Set[Long] = beforeDesc.get(a.path) match {
+            case Some(bdv) => DeletionVectors.deserializeData(
+              DeletionVectors.read(spark, base, bdv)).toSet
+            case None => Set.empty
+          }
+          a -> now.filterNot(prior).toSeq
+        }
     }.filter(_._2.nonEmpty)
     val schema = after.schema
     if (diffs.isEmpty)

@@ -155,9 +155,12 @@ object DeletionVectors {
         val name = dvFileName(bytesToUuid(z85Decode(u)))
         Some(if (prefix.isEmpty) name else s"$prefix/$name")
       case "p" =>
-        val base = tablePath.stripSuffix("/") + "/"
-        val p = dv.pathOrInlineDv
-        if (p.startsWith(base)) Some(p.stripPrefix(base)) else None
+        // compare URI path components (scheme/spelling-insensitive):
+        // a raw string prefix test would miss 'file:/t/x' vs '/t/x' and
+        // let vacuum delete a live DV file
+        val basePath = new Path(tablePath).toUri.getPath.stripSuffix("/") + "/"
+        val p = new Path(dv.pathOrInlineDv).toUri.getPath
+        if (p.startsWith(basePath)) Some(p.stripPrefix(basePath)) else None
       case _ => None
     }
 

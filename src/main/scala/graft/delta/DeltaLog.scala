@@ -178,13 +178,6 @@ object DeltaLog {
     readSmallFile(spark, s"${logDir(deltaPath)}/${fmtVersion(v)}.json")
       .map(_.filter(_.nonEmpty).map(ActionCodec.mapper.readTree))
 
-  /** Replay the log to `version` (or latest). Checkpoint-aware:
-    * O(commits-since-checkpoint) JSON reads, not O(all versions).
-    * Spec: get_meta (delta_meta_retrieval.py:406-455); instead of the
-    * reference's "nearest lower multiple of 10" guess for time travel we
-    * list the log directory once and pick the greatest checkpoint ≤
-    * version — exact at the cost of one listing.
-    */
   /** Version advertised by `_last_checkpoint`, if any — the cheap
     * staleness probe for cached snapshots (a checkpoint newer than the
     * cache means intervening commits may have been aged out, so
@@ -199,6 +192,13 @@ object DeltaLog {
         Option(n.get("version")).map(_.asLong)
       }
 
+  /** Replay the log to `version` (or latest). Checkpoint-aware:
+    * O(commits-since-checkpoint) JSON reads, not O(all versions).
+    * Spec: get_meta (delta_meta_retrieval.py:406-455); instead of the
+    * reference's "nearest lower multiple of 10" guess for time travel we
+    * list the log directory once and pick the greatest checkpoint ≤
+    * version — exact at the cost of one listing.
+    */
   def forPath(
       spark: SparkSession,
       deltaPath: String,

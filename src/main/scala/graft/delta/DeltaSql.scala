@@ -96,7 +96,10 @@ object DeltaSql {
       val dvFilter = a.deletionVector.map { dv =>
         val idx = DeletionVectors.deserializeData(
           DeletionVectors.read(spark, base, dv))
-        s"\nWHERE _metadata.row_index NOT IN (${idx.mkString(", ")})"
+        // an empty bitmap (external writers emit them) must not render
+        // the unparseable `NOT IN ()`
+        if (idx.isEmpty) ""
+        else s"\nWHERE _metadata.row_index NOT IN (${idx.mkString(", ")})"
       }.getOrElse("")
       s"SELECT ${cols.mkString(", ")} FROM parquet.${quoteId(file)}$dvFilter"
     }

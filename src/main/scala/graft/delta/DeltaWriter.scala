@@ -50,7 +50,12 @@ object DeltaWriter {
         */
       zOrderBy: Seq[String] = Nil,
       /** Target file count per write when z-ordering (range buckets). */
-      zFiles: Int = 8): Unit = {
+      zFiles: Int = 8,
+      /** Already-current snapshot to commit against, skipping the
+        * per-call log replay — for high-frequency writers (DeltaSink)
+        * that maintain one incrementally-advanced snapshot.
+        */
+      priorSnapshot: Option[DeltaSnapshot] = None): Unit = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val spark = df.sparkSession
     val df0 = df
@@ -63,9 +68,10 @@ object DeltaWriter {
     val fs = root.getFileSystem(conf)
 
     val before = listDataFiles(fs, root)
-    val prior =
+    val prior = priorSnapshot.orElse {
       if (fs.exists(new Path(root, "_delta_log"))) Some(DeltaLog.forPath(spark, path))
       else None
+    }
     val version = prior.map(_.version + 1).getOrElse(0L)
 
     // Delta stores timestamps as INT64 micros (INT96, Spark's legacy
@@ -568,9 +574,11 @@ object DeltaWriter {
           dv.offset.map(Int.box).orNull, dv.sizeInBytes, dv.cardinality)).orNull
       rows += Row(null,
         // effective map: legacy partition.<name> keys folded in, or a
-        // legacy-keyed table loses its partition values at checkpoint
+        // legacy-keyed table loses its partition values at checkpoint.
+        // dataChange is normalized to false per the protocol (checkpoint
+        // adds never represent new data — change feeds walk commits)
         Row(a.path, a.effectivePartitionValues.map { case (k, v) => k -> v.orNull },
-          a.size, a.modificationTime, true, a.stats.orNull, null, dvRow),
+          a.size, a.modificationTime, false, a.stats.orNull, null, dvRow),
         null, null, null)
     }
 

@@ -40,33 +40,40 @@ object DeltaSink {
       val p = new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/_delta_log")
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
-    val watermark =
-      if (exists) {
-        val cached = snapshots.getOrElseUpdate(path, DeltaLog.forPath(spark, path))
-        // a checkpoint newer than the cache means commits may have been
-        // aged out past it — updateIncremental would silently stop at
-        // the gap with a STALE watermark (and we'd append a duplicate);
-        // re-bootstrap through the checkpoint instead
-        val snap = DeltaLog.lastCheckpointVersion(spark, path) match {
-          case Some(cp) if cp > cached.version =>
-            val fresh = DeltaLog.forPath(spark, path)
-            snapshots.put(path, fresh)
-            fresh
-          case _ =>
-            cached.updateIncremental() // O(commits since last batch)
-            cached
-        }
-        snap.txnVersions.get(appId)
-      } else {
-        snapshots.remove(path) // table was recreated out from under us
-        None
-      }
-    if (watermark.exists(_ >= batchId)) false
-    else {
-      DeltaWriter.write(df, path, partitionBy,
-        mode = if (exists) "append" else "overwrite",
+    if (!exists) {
+      snapshots.remove(path) // table was deleted out from under us
+      DeltaWriter.write(df, path, partitionBy, mode = "overwrite",
         txn = Some(appId -> batchId))
-      true
+      return true
+    }
+    // DeltaSnapshot is mutable and NOT thread-safe: serialize per-path
+    // (concurrent queries on one table in one JVM)
+    val cached = snapshots.getOrElseUpdate(path, DeltaLog.forPath(spark, path))
+    cached.synchronized {
+      // two staleness traps the incremental advance cannot cross:
+      //  - a checkpoint newer than the cache (commits aged out past it)
+      //  - the table was deleted+recreated (our cached version's commit
+      //    no longer exists) — a stale watermark would DROP real batches
+      val needBootstrap =
+        DeltaLog.lastCheckpointVersion(spark, path).exists(_ > cached.version) ||
+          DeltaLog.readCommitJson(spark, path, cached.version).isEmpty
+      val snap =
+        if (needBootstrap) {
+          val fresh = DeltaLog.forPath(spark, path)
+          snapshots.put(path, fresh)
+          fresh
+        } else {
+          cached.updateIncremental() // O(commits since last batch)
+          cached
+        }
+      if (snap.txnVersions.get(appId).exists(_ >= batchId)) false
+      else {
+        // commit against the already-current snapshot: no extra replay
+        DeltaWriter.write(df, path, partitionBy, mode = "append",
+          txn = Some(appId -> batchId), priorSnapshot = Some(snap))
+        snap.updateIncremental() // fold our own commit into the cache
+        true
+      }
     }
   }
 

@@ -231,6 +231,29 @@ class DeltaWriterSpec extends SparkSuite {
       Seq(6L, 7L, 8L, 9L))
   }
 
+  test("scanDeltaChanges survives in-window compaction; raises on aged-out log") {
+    import spark.implicits._
+    val path = tmp()
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), path) // v0
+    DeltaWriter.write((2L to 9L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4), path, mode = "append") // v1
+    DeltaWriter.compact(spark, path) // v2: originals removed, rewrite added
+    // rows appended at v1 must still surface even though their files
+    // were compacted away inside the window (pre-vacuum they exist)
+    val changes = DeltaLake.scanDeltaChanges(spark, path, sinceVersion = 0L)
+    assert(changes.collect().map(_.getAs[Long]("id")).sorted.toSeq ==
+      (2L to 9L))
+    // aged-out window commits: honest failure, not silent duplication
+    DeltaWriter.writeCheckpoint(graft.delta.DeltaLog.forPath(spark, path))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to 2L).foreach(v => fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/" + f"$v%020d.json"), false))
+    intercept[java.io.FileNotFoundException] {
+      DeltaLake.scanDeltaChanges(spark, path, sinceVersion = 0L).collect()
+    }
+  }
+
   test("map and struct columns roundtrip (real MapType, not list-of-entries)") {
     // the reference degrades maps to List(Struct{key,value}) (polars.py:177-190);
     // Spark has a real MapType — verify it survives write → log → scan
