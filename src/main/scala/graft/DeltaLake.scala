@@ -63,6 +63,12 @@ object DeltaLake {
       conditions: Seq[Cond]): Long =
     DeltaWriter.delete(spark, path, conditions)
 
+  /** Register an existing plain-parquet directory as a Delta table in
+    * place (no data movement) — CONVERT TO DELTA.
+    */
+  def convertParquetToDelta(spark: SparkSession, path: String): Unit =
+    DeltaWriter.convertParquetToDelta(spark, path)
+
   def isProtocolSupported(snap: DeltaSnapshot): Boolean =
     try { snap.checkProtocolSupported(); true }
     catch { case _: DeltaProtocolError => false }

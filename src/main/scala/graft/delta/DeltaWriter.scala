@@ -335,6 +335,79 @@ object DeltaWriter {
     newlyDeleted
   }
 
+  /** CONVERT TO DELTA: register an existing plain-parquet directory
+    * (hive-partitioned or flat) as a Delta table in place — one v0
+    * commit listing every data file with partition values recovered
+    * from the directory names and zone-map stats from the footers. No
+    * data is rewritten or moved; the schema (including partition-column
+    * types) is taken from Spark's own parquet + partition inference.
+    */
+  def convertParquetToDelta(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new Path(root, "_delta_log")),
+      s"$path is already a Delta table")
+    val files = listDataFiles(fs, root)
+    require(files.nonEmpty, s"no parquet files under $path")
+
+    val df = spark.read.parquet(path) // partition inference included
+    val partCols: Seq[String] = {
+      // partition columns = hive keys in the first file's directory path
+      partitionValuesFromPath(files.head).map(_._1)
+    }
+    val dataSchema = StructType(
+      df.schema.fields.filterNot(f => partCols.contains(f.name)) ++
+        df.schema.fields.filter(f => partCols.contains(f.name)))
+
+    val nf = JsonNodeFactory.instance
+    val lines = mutable.ArrayBuffer.empty[String]
+    val protocol = nf.objectNode()
+    protocol.putObject("protocol")
+      .put("minReaderVersion", 1).put("minWriterVersion", 2)
+    lines += protocol.toString
+    val meta = nf.objectNode()
+    val m = meta.putObject("metaData")
+    m.put("id", java.util.UUID.nameUUIDFromBytes(
+      path.getBytes(StandardCharsets.UTF_8)).toString)
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", dataSchema.json)
+    val pc = m.putArray("partitionColumns"); partCols.foreach(pc.add)
+    m.putObject("configuration")
+    m.put("createdTime", System.currentTimeMillis())
+    lines += meta.toString
+
+    files.toSeq.sorted.foreach { rel =>
+      val f = new Path(root, rel)
+      val status = fs.getFileStatus(f)
+      val addObj = nf.objectNode()
+      val a = addObj.putObject("add")
+      a.put("path", encodePath(rel))
+      val pv = a.putObject("partitionValues")
+      partitionValuesFromPath(rel).foreach {
+        case (k, Some(v)) => pv.put(k, v)
+        case (k, None) => pv.putNull(k)
+      }
+      a.put("size", status.getLen)
+      a.put("modificationTime", status.getModificationTime)
+      a.put("dataChange", true)
+      footerStats(fs, f, dataSchema).foreach(s => a.put("stats", s))
+      lines += addObj.toString
+    }
+    val ci = nf.objectNode()
+    ci.putObject("commitInfo")
+      .put("timestamp", System.currentTimeMillis())
+      .put("operation", "CONVERT")
+    lines += ci.toString
+
+    val logDir = new Path(root, "_delta_log")
+    fs.mkdirs(logDir)
+    val out = fs.create(new Path(logDir, f"${0L}%020d.json"), false)
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Compaction (OPTIMIZE): bin-pack small files per partition into
     * files up to `targetFileBytes`, rewriting with `dataChange=false`
     * (readers see the identical logical table; time travel to earlier

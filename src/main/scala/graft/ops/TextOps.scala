@@ -128,6 +128,33 @@ object TextOps {
         |  FROM tk)
         |WHERE length(u.token) >= 8 ORDER BY doc_id, u.pos""".stripMargin)),
 
+    // Stratified sampling: deterministic bottom-K-by-hash per stratum —
+    // the curation primitive for balanced training mixes. Hash-ranked,
+    // so every engine (and every rerun) picks the IDENTICAL sample;
+    // one shuffle on the stratum key.
+    "t6_sample_stratified" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = md5(to_binary(
+          concat(col("doc_id").cast("string"), lit(":sample")), lit("utf-8")))
+        val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), h.as("h"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select("lang", "rk", "doc_id")
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH hashed AS (
+        |  SELECT doc_id, lang, md5(doc_id::VARCHAR || ':sample') AS h
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        |  FROM hashed)
+        |SELECT lang, rk, doc_id FROM ranked
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)),
+
     // Document fingerprinting: order-insensitive content hash (sorted
     // distinct tokens → md5). Detects token-shuffled duplicates exactly.
     "t4_fingerprint" -> QueryDef(

@@ -281,6 +281,35 @@ class DeltaWriterSpec extends SparkSuite {
     assert(df.count() == 3) // one of three range files
   }
 
+  test("convertParquetToDelta registers a partitioned parquet dir in place") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv").toString + "/t"
+    val df = (1L to 40L).map(i => (i, s"v$i", (i % 4).toString)).toDF("id", "v", "p")
+    df.write.partitionBy("p").parquet(dir)
+
+    DeltaLake.convertParquetToDelta(spark, dir)
+    val snap = DeltaLake.deltaMeta(spark, dir)
+    assert(snap.version == 0L)
+    assert(snap.partitionColumns == Seq("p"))
+    assert(snap.liveFiles.forall(_.partitionValues.contains("p")))
+    assert(snap.liveFiles.forall(_.parsedStats.exists(_.numRecords.isDefined)))
+
+    val viaDelta = DeltaLake.scanDelta(spark, dir)
+    val viaParquet = spark.read.parquet(dir)
+    assert(viaDelta.collect().map(_.getAs[Long]("id")).sorted.toSeq ==
+      viaParquet.collect().map(_.getAs[Long]("id")).sorted.toSeq)
+    // partition pruning works off the recovered values
+    val pruned = snap.addActionsFiltered(Seq(Cond("p", "=", "2")))
+    assert(pruned.size < snap.liveFiles.size)
+    // and the table keeps working as a Delta table (append + delete)
+    DeltaWriter.write(Seq((100L, "x", "9")).toDF("id", "v", "p"),
+      dir, partitionBy = Seq("p"), mode = "append")
+    assert(DeltaLake.scanDelta(spark, dir).count() == 41)
+    intercept[IllegalArgumentException] {
+      DeltaLake.convertParquetToDelta(spark, dir) // already Delta
+    }
+  }
+
   test("null partition values written as HIVE_DEFAULT and read back as null") {
     val path = tmp()
     val df = Seq((1L, Some("A")), (2L, None)).toDF("id", "p")
