@@ -192,6 +192,25 @@ object DeltaLog {
         Option(n.get("version")).map(_.asLong)
       }
 
+  /** Greatest version whose commit file landed at or before `ts` —
+    * timestamp time travel, resolved from commit-file modification
+    * times (the standard Delta approach). Raises if every surviving
+    * commit is newer than `ts`.
+    */
+  def versionAtTimestamp(
+      spark: SparkSession, deltaPath: String, ts: java.time.Instant): Long = {
+    val (filesystem, dir) = fs(spark, logDir(deltaPath))
+    val commits = filesystem.listStatus(dir).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .map(s => (s.getPath.getName.take(20).toLong, s.getModificationTime))
+    require(commits.nonEmpty, s"no commits under $deltaPath")
+    val eligible = commits.filter(_._2 <= ts.toEpochMilli).map(_._1)
+    require(eligible.nonEmpty,
+      s"no version of $deltaPath existed at or before $ts " +
+        s"(earliest surviving commit: ${commits.map(_._2).min})")
+    eligible.max
+  }
+
   /** Replay the log to `version` (or latest). Checkpoint-aware:
     * O(commits-since-checkpoint) JSON reads, not O(all versions).
     * Spec: get_meta (delta_meta_retrieval.py:406-455); instead of the

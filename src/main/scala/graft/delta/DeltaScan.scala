@@ -14,6 +14,10 @@ final case class ScanSettings(
     distinct: Boolean = false,
     limit: Option[Long] = None,
     version: Option[Long] = None,
+    /** Timestamp time travel: scan the greatest version committed at or
+      * before this instant (ignored when `version` is set).
+      */
+    timestampAsOf: Option[java.time.Instant] = None,
     actionFilter: AddAction => Boolean = _ => true,
     /** Target type overrides for timestamp columns — the reference's
       * `PolarsSettings.timestamp_type` / `timestamp_ntz_type`
@@ -57,7 +61,9 @@ object DeltaScan {
 
   def scan(spark: SparkSession, path: String,
       settings: ScanSettings = ScanSettings()): DataFrame = {
-    val snap = DeltaLog.forPath(spark, path, settings.version)
+    val v = settings.version.orElse(settings.timestampAsOf.map(t =>
+      DeltaLog.versionAtTimestamp(spark, path, t)))
+    val snap = DeltaLog.forPath(spark, path, v)
     scanSnapshot(snap, settings)
   }
 

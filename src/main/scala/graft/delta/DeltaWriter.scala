@@ -91,26 +91,52 @@ object DeltaWriter {
     val nf = JsonNodeFactory.instance
     val lines = mutable.ArrayBuffer.empty[String]
 
-    if (version == 0L || mode == "overwrite") {
-      val needsNtz = df.schema.exists(f => hasNtz(f.dataType))
-      val protocol = nf.objectNode()
-      val p = protocol.putObject("protocol")
-      if (needsNtz) {
-        p.put("minReaderVersion", 3).put("minWriterVersion", 7)
-        p.putArray("readerFeatures").add("timestampNtz")
-        p.putArray("writerFeatures").add("timestampNtz")
-      } else p.put("minReaderVersion", 1).put("minWriterVersion", 2)
-      lines += protocol.toString
+    // schema evolution on append: widen the table schema with any NEW
+    // top-level columns in this batch (mergeSchema semantics) — existing
+    // columns must keep their types; readers null-fill the new columns
+    // for old files automatically (explicit read schema)
+    val mergedSchema: StructType = prior.map(_.schema) match {
+      case Some(cur) if mode == "append" && cur.fields.nonEmpty =>
+        val curNames = cur.fieldNames.toSet
+        df.schema.fields.filter(f => curNames.contains(f.name)).foreach { f =>
+          val old = cur(f.name)
+          require(old.dataType == f.dataType,
+            s"append changes type of '${f.name}': ${old.dataType.simpleString}" +
+              s" -> ${f.dataType.simpleString}")
+        }
+        StructType(cur.fields ++
+          df.schema.fields.filterNot(f => curNames.contains(f.name)))
+      case _ => df.schema
+    }
+    val schemaEvolved = prior.exists(p =>
+      mode == "append" && p.schema.fields.nonEmpty &&
+        mergedSchema.json != p.schema.json)
+
+    if (version == 0L || mode == "overwrite" || schemaEvolved) {
+      val needsNtz = mergedSchema.exists(f => hasNtz(f.dataType))
+      if (version == 0L || mode == "overwrite") {
+        val protocol = nf.objectNode()
+        val p = protocol.putObject("protocol")
+        if (needsNtz) {
+          p.put("minReaderVersion", 3).put("minWriterVersion", 7)
+          p.putArray("readerFeatures").add("timestampNtz")
+          p.putArray("writerFeatures").add("timestampNtz")
+        } else p.put("minReaderVersion", 1).put("minWriterVersion", 2)
+        lines += protocol.toString
+      }
 
       val meta = nf.objectNode()
       val m = meta.putObject("metaData")
-      m.put("id", java.util.UUID.nameUUIDFromBytes(
-        path.getBytes(StandardCharsets.UTF_8)).toString)
+      m.put("id", prior.flatMap(_.metadata).flatMap(_.id).getOrElse(
+        java.util.UUID.nameUUIDFromBytes(
+          path.getBytes(StandardCharsets.UTF_8)).toString))
       val fmt = m.putObject("format")
       fmt.put("provider", "parquet"); fmt.putObject("options")
-      m.put("schemaString", df.schema.json)
+      m.put("schemaString", mergedSchema.json)
       val pc = m.putArray("partitionColumns")
-      partitionBy.foreach(pc.add)
+      (if (mode == "append")
+        prior.map(_.partitionColumns).filter(_.nonEmpty).getOrElse(partitionBy)
+      else partitionBy).foreach(pc.add)
       m.putObject("configuration")
       m.put("createdTime", System.currentTimeMillis())
       lines += meta.toString

@@ -281,6 +281,46 @@ class DeltaWriterSpec extends SparkSuite {
     assert(df.count() == 3) // one of three range files
   }
 
+  test("append widens the schema (mergeSchema); old files null-fill") {
+    import spark.implicits._
+    val path = tmp()
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), path)
+    DeltaWriter.write(Seq((2L, "b", 9.5)).toDF("id", "v", "score"),
+      path, mode = "append")
+    val schema = DeltaLake.deltaSchema(spark, path)
+    assert(schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    val rows = DeltaLake.scanDelta(spark, path).orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+    // time travel still sees the narrow schema
+    assert(DeltaLake.scanDelta(spark, path, ScanSettings(version = Some(0L)))
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    // a type CHANGE is rejected, not silently corrupted
+    intercept[IllegalArgumentException] {
+      DeltaWriter.write(Seq((3, "c")).toDF("id", "v"), path, mode = "append")
+    }
+  }
+
+  test("timestamp time travel resolves versions by commit time") {
+    import spark.implicits._
+    val path = tmp()
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), path)
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), path, mode = "append")
+    // pin deterministic commit times
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val t0 = 1700000000000L
+    fs.setTimes(new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/" + f"${0L}%020d.json"), t0, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/" + f"${1L}%020d.json"), t0 + 60000, -1)
+    def at(ms: Long) = DeltaLake.scanDelta(spark, path,
+      ScanSettings(timestampAsOf = Some(java.time.Instant.ofEpochMilli(ms))))
+    assert(at(t0 + 1000).count() == 1)
+    assert(at(t0 + 120000).count() == 2)
+    intercept[IllegalArgumentException] { at(t0 - 1000).count() }
+  }
+
   test("convertParquetToDelta registers a partitioned parquet dir in place") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_conv").toString + "/t"
@@ -301,8 +341,9 @@ class DeltaWriterSpec extends SparkSuite {
     // partition pruning works off the recovered values
     val pruned = snap.addActionsFiltered(Seq(Cond("p", "=", "2")))
     assert(pruned.size < snap.liveFiles.size)
-    // and the table keeps working as a Delta table (append + delete)
-    DeltaWriter.write(Seq((100L, "x", "9")).toDF("id", "v", "p"),
+    // and the table keeps working as a Delta table (append + delete).
+    // Spark's partition inference typed p as int — the append matches it
+    DeltaWriter.write(Seq((100L, "x", 9)).toDF("id", "v", "p"),
       dir, partitionBy = Seq("p"), mode = "append")
     assert(DeltaLake.scanDelta(spark, dir).count() == 41)
     intercept[IllegalArgumentException] {
