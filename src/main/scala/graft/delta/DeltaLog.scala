@@ -200,14 +200,22 @@ object DeltaLog {
   def versionAtTimestamp(
       spark: SparkSession, deltaPath: String, ts: java.time.Instant): Long = {
     val (filesystem, dir) = fs(spark, logDir(deltaPath))
+    require(filesystem.exists(dir), s"no Delta log under $deltaPath")
     val commits = filesystem.listStatus(dir).toSeq
       .filter(_.getPath.getName.matches("\\d{20}\\.json"))
       .map(s => (s.getPath.getName.take(20).toLong, s.getModificationTime))
+      .sortBy(_._1)
     require(commits.nonEmpty, s"no commits under $deltaPath")
-    val eligible = commits.filter(_._2 <= ts.toEpochMilli).map(_._1)
+    // monotonize mtimes in version order (clock skew / restored backups
+    // can reorder them; a version must never appear older than its
+    // predecessor or the resolved version would include newer commits)
+    val mono = commits.scanLeft((Long.MinValue, Long.MinValue)) {
+      case ((_, prevT), (v, t)) => (v, math.max(prevT, t))
+    }.drop(1)
+    val eligible = mono.filter(_._2 <= ts.toEpochMilli).map(_._1)
     require(eligible.nonEmpty,
       s"no version of $deltaPath existed at or before $ts " +
-        s"(earliest surviving commit: ${commits.map(_._2).min})")
+        s"(earliest surviving commit: ${mono.map(_._2).min})")
     eligible.max
   }
 

@@ -40,7 +40,9 @@ object DeltaSql {
       settings: ScanSettings = ScanSettings(),
       cteWrapName: Option[String] = None,
       sqlPrefix: String = "delta"): String = {
-    val snap = DeltaLog.forPath(spark, path, settings.version)
+    val v = settings.version.orElse(settings.timestampAsOf.map(t =>
+      DeltaLog.versionAtTimestamp(spark, path, t)))
+    val snap = DeltaLog.forPath(spark, path, v)
     snap.checkProtocolSupported()
     val schema = snap.schema
     val partCols = snap.partitionColumns.toSet

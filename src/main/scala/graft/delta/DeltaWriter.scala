@@ -74,6 +74,31 @@ object DeltaWriter {
     }
     val version = prior.map(_.version + 1).getOrElse(0L)
 
+    // schema evolution on append: widen the table schema with any NEW
+    // top-level columns in this batch (mergeSchema semantics) — existing
+    // columns must keep their types (nullability/metadata variance
+    // tolerated); readers null-fill the new columns for old files
+    // automatically (explicit read schema). New columns are forced
+    // nullable — they ARE null in every pre-evolution file. Validated
+    // BEFORE the data write so a rejected append strands no files.
+    val mergedSchema: StructType = prior.map(_.schema) match {
+      case Some(cur) if mode == "append" && cur.fields.nonEmpty =>
+        val curNames = cur.fieldNames.toSet
+        df.schema.fields.filter(f => curNames.contains(f.name)).foreach { f =>
+          val old = cur(f.name)
+          require(comparableType(old.dataType) == comparableType(f.dataType),
+            s"append changes type of '${f.name}': ${old.dataType.simpleString}" +
+              s" -> ${f.dataType.simpleString}")
+        }
+        StructType(cur.fields ++
+          df.schema.fields.filterNot(f => curNames.contains(f.name))
+            .map(_.copy(nullable = true)))
+      case _ => df.schema
+    }
+    val schemaEvolved = prior.exists(p =>
+      mode == "append" && p.schema.fields.nonEmpty &&
+        mergedSchema.json != p.schema.json)
+
     // Delta stores timestamps as INT64 micros (INT96, Spark's legacy
     // default, also carries no usable column statistics)
     val tsKey = "spark.sql.parquet.outputTimestampType"
@@ -91,29 +116,11 @@ object DeltaWriter {
     val nf = JsonNodeFactory.instance
     val lines = mutable.ArrayBuffer.empty[String]
 
-    // schema evolution on append: widen the table schema with any NEW
-    // top-level columns in this batch (mergeSchema semantics) — existing
-    // columns must keep their types; readers null-fill the new columns
-    // for old files automatically (explicit read schema)
-    val mergedSchema: StructType = prior.map(_.schema) match {
-      case Some(cur) if mode == "append" && cur.fields.nonEmpty =>
-        val curNames = cur.fieldNames.toSet
-        df.schema.fields.filter(f => curNames.contains(f.name)).foreach { f =>
-          val old = cur(f.name)
-          require(old.dataType == f.dataType,
-            s"append changes type of '${f.name}': ${old.dataType.simpleString}" +
-              s" -> ${f.dataType.simpleString}")
-        }
-        StructType(cur.fields ++
-          df.schema.fields.filterNot(f => curNames.contains(f.name)))
-      case _ => df.schema
-    }
-    val schemaEvolved = prior.exists(p =>
-      mode == "append" && p.schema.fields.nonEmpty &&
-        mergedSchema.json != p.schema.json)
-
     if (version == 0L || mode == "overwrite" || schemaEvolved) {
       val needsNtz = mergedSchema.exists(f => hasNtz(f.dataType))
+      val priorHasNtz = prior.flatMap(_.protocol).exists(p =>
+        p.minReaderVersion >= 3 &&
+          p.readerFeatures.exists(_.contains("timestampNtz")))
       if (version == 0L || mode == "overwrite") {
         val protocol = nf.objectNode()
         val p = protocol.putObject("protocol")
@@ -123,6 +130,10 @@ object DeltaWriter {
           p.putArray("writerFeatures").add("timestampNtz")
         } else p.put("minReaderVersion", 1).put("minWriterVersion", 2)
         lines += protocol.toString
+      } else if (needsNtz && !priorHasNtz) {
+        // evolution introduced an NTZ column: the protocol must gain the
+        // feature (folding in what the legacy versions implied)
+        lines += upgradedProtocolJson(prior.flatMap(_.protocol), "timestampNtz")
       }
 
       val meta = nf.objectNode()
@@ -137,8 +148,13 @@ object DeltaWriter {
       (if (mode == "append")
         prior.map(_.partitionColumns).filter(_.nonEmpty).getOrElse(partitionBy)
       else partitionBy).foreach(pc.add)
-      m.putObject("configuration")
-      m.put("createdTime", System.currentTimeMillis())
+      // evolution must not wipe table properties or creation time
+      val cfg = m.putObject("configuration")
+      if (mode == "append") prior.flatMap(_.metadata).foreach(
+        _.configuration.foreach { case (k, v) => cfg.put(k, v) })
+      m.put("createdTime",
+        (if (mode == "append") prior.flatMap(_.metadata).flatMap(_.createdTime)
+        else None).getOrElse(System.currentTimeMillis()))
       lines += meta.toString
     }
 
@@ -285,32 +301,12 @@ object DeltaWriter {
     val nf = JsonNodeFactory.instance
     val lines = mutable.ArrayBuffer.empty[String]
 
-    // protocol upgrade on the first DV write. Feature-version protocols
-    // must list EVERY active feature, so fold in the features the old
-    // legacy minReader/WriterVersion implied (PROTOCOL.md feature table)
-    // — dropping e.g. columnMapping here would break other readers.
+    // protocol upgrade on the first DV write, folding in legacy-implied
+    // features — dropping e.g. columnMapping would break other readers
     val hasFeature = snap.protocol.exists(
       _.readerFeatures.exists(_.contains("deletionVectors")))
-    if (!hasFeature) {
-      val p = snap.protocol
-      def implied(v: Int, table: Seq[(Int, String)]): Seq[String] =
-        table.collect { case (minV, f) if v >= minV => f }
-      val impliedReader = Seq(2 -> "columnMapping")
-      val impliedWriter = Seq(2 -> "appendOnly", 2 -> "invariants",
-        3 -> "checkConstraints", 4 -> "changeDataFeed", 4 -> "generatedColumns",
-        5 -> "columnMapping", 6 -> "identityColumns")
-      val rf = (p.flatMap(_.readerFeatures).getOrElse(
-        implied(p.map(_.minReaderVersion).getOrElse(1), impliedReader)) :+
-        "deletionVectors").distinct
-      val wf = (p.flatMap(_.writerFeatures).getOrElse(
-        implied(p.map(_.minWriterVersion).getOrElse(1), impliedWriter)) :+
-        "deletionVectors").distinct
-      val o = nf.objectNode(); val pn = o.putObject("protocol")
-      pn.put("minReaderVersion", 3).put("minWriterVersion", 7)
-      val rfa = pn.putArray("readerFeatures"); rf.foreach(rfa.add)
-      val wfa = pn.putArray("writerFeatures"); wf.foreach(wfa.add)
-      lines += o.toString
-    }
+    if (!hasFeature)
+      lines += upgradedProtocolJson(snap.protocol, "deletionVectors")
 
     var newlyDeleted = 0L
     perFile.foreach { case (uri, data, card) =>
@@ -389,8 +385,12 @@ object DeltaWriter {
     val nf = JsonNodeFactory.instance
     val lines = mutable.ArrayBuffer.empty[String]
     val protocol = nf.objectNode()
-    protocol.putObject("protocol")
-      .put("minReaderVersion", 1).put("minWriterVersion", 2)
+    val pn = protocol.putObject("protocol")
+    if (dataSchema.exists(f => hasNtz(f.dataType))) {
+      pn.put("minReaderVersion", 3).put("minWriterVersion", 7)
+      pn.putArray("readerFeatures").add("timestampNtz")
+      pn.putArray("writerFeatures").add("timestampNtz")
+    } else pn.put("minReaderVersion", 1).put("minWriterVersion", 2)
     lines += protocol.toString
     val meta = nf.objectNode()
     val m = meta.putObject("metaData")
@@ -704,6 +704,46 @@ object DeltaWriter {
     val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
     try out.write((lc.toString + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Deep nullability- and metadata-insensitive shape, for append-time
+    * type compatibility checks (a Dataset-derived primitive field is
+    * non-nullable but Delta-compatible with its nullable twin).
+    */
+  private def comparableType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, comparableType(f.dataType), nullable = true)))
+    case ArrayType(et, _) => ArrayType(comparableType(et), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(comparableType(k), comparableType(v), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Protocol action upgrading to feature-versioned (3,7) with `feature`
+    * added, folding in the features the legacy minReader/WriterVersion
+    * implied (PROTOCOL.md feature table) — a feature-version protocol
+    * must list EVERY active feature.
+    */
+  private def upgradedProtocolJson(
+      prior: Option[DeltaProtocol], feature: String): String = {
+    def implied(v: Int, table: Seq[(Int, String)]): Seq[String] =
+      table.collect { case (minV, f) if v >= minV => f }
+    val impliedReader = Seq(2 -> "columnMapping")
+    val impliedWriter = Seq(2 -> "appendOnly", 2 -> "invariants",
+      3 -> "checkConstraints", 4 -> "changeDataFeed", 4 -> "generatedColumns",
+      5 -> "columnMapping", 6 -> "identityColumns")
+    val rf = (prior.flatMap(_.readerFeatures).getOrElse(
+      implied(prior.map(_.minReaderVersion).getOrElse(1), impliedReader)) :+
+      feature).distinct
+    val wf = (prior.flatMap(_.writerFeatures).getOrElse(
+      implied(prior.map(_.minWriterVersion).getOrElse(1), impliedWriter)) :+
+      feature).distinct
+    val nf = JsonNodeFactory.instance
+    val o = nf.objectNode(); val pn = o.putObject("protocol")
+    pn.put("minReaderVersion", 3).put("minWriterVersion", 7)
+    val rfa = pn.putArray("readerFeatures"); rf.foreach(rfa.add)
+    val wfa = pn.putArray("writerFeatures"); wf.foreach(wfa.add)
+    o.toString
   }
 
   private def hasNtz(dt: DataType): Boolean = dt match {

@@ -289,6 +289,9 @@ class DeltaWriterSpec extends SparkSuite {
       path, mode = "append")
     val schema = DeltaLake.deltaSchema(spark, path)
     assert(schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    // the new column is nullable in the table schema — it IS null in
+    // every pre-evolution file (the batch field was primitive/required)
+    assert(schema("score").nullable)
     val rows = DeltaLake.scanDelta(spark, path).orderBy("id").collect()
     assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
     assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
@@ -299,6 +302,14 @@ class DeltaWriterSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       DeltaWriter.write(Seq((3, "c")).toDF("id", "v"), path, mode = "append")
     }
+    // evolving in a TIMESTAMP_NTZ column upgrades the protocol
+    DeltaWriter.write(
+      Seq((4L, "d", 1.0, java.time.LocalDateTime.parse("2024-01-01T00:00:00")))
+        .toDF("id", "v", "score", "at"), path, mode = "append")
+    val p = DeltaLake.deltaMeta(spark, path).protocol.get
+    assert(p.minReaderVersion == 3)
+    assert(p.readerFeatures.exists(_.contains("timestampNtz")))
+    assert(DeltaLake.scanDelta(spark, path).count() == 3)
   }
 
   test("timestamp time travel resolves versions by commit time") {
@@ -319,11 +330,17 @@ class DeltaWriterSpec extends SparkSuite {
     assert(at(t0 + 1000).count() == 1)
     assert(at(t0 + 120000).count() == 2)
     intercept[IllegalArgumentException] { at(t0 - 1000).count() }
+    // non-monotonic mtimes (clock skew / restored backup) monotonize:
+    // v1 can never resolve as older than v0
+    fs.setTimes(new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/" + f"${1L}%020d.json"), t0 - 5000, -1)
+    assert(at(t0 + 1000).count() == 2)
+    intercept[IllegalArgumentException] { at(t0 - 10000).count() }
   }
 
   test("convertParquetToDelta registers a partitioned parquet dir in place") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_conv").toString + "/t"
+    val dir = tmp()
     val df = (1L to 40L).map(i => (i, s"v$i", (i % 4).toString)).toDF("id", "v", "p")
     df.write.partitionBy("p").parquet(dir)
 
