@@ -202,10 +202,30 @@ object DeltaWriter {
 
     val logDir = new Path(root, "_delta_log")
     fs.mkdirs(logDir)
-    val commit = new Path(logDir, f"$version%020d.json")
-    val out = fs.create(commit, false)
-    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    // optimistic concurrency: the exclusive create IS the commit lock.
+    // A plain append whose version was taken by a concurrent writer is
+    // still valid verbatim at the next version (its adds/txn don't
+    // depend on prior state) — retry there. Overwrites and evolutions
+    // DO depend on the state they were computed against: losing the
+    // race surfaces as an error for the caller to retry whole.
+    val canRetry = mode == "append" && !schemaEvolved
+    var v = version
+    var committed = false
+    while (!committed) {
+      val commit = new Path(logDir, f"$v%020d.json")
+      try {
+        val out = fs.create(commit, false)
+        try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        committed = true
+      } catch {
+        case e: java.io.IOException if fs.exists(commit) =>
+          if (!canRetry) throw new java.io.IOException(
+            s"Concurrent write took version $v of $path; " +
+              "re-run the overwrite/evolving append against the new state", e)
+          v += 1
+      }
+    }
   }
 
   /** Morton (interleaved-bit) key over the given columns, quantized to

@@ -368,6 +368,37 @@ class DeltaWriterSpec extends SparkSuite {
     }
   }
 
+  test("append retries past a concurrently-taken version; overwrite refuses") {
+    import spark.implicits._
+    val path = tmp()
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), path)
+    // simulate a concurrent writer grabbing version 1
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stolen = new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/" + f"${1L}%020d.json")
+    val out = fs.create(stolen, false)
+    try out.write("""{"commitInfo":{"timestamp":1}}""".getBytes("UTF-8"))
+    finally out.close()
+
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), path, mode = "append")
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.version == 2L, "append must land at the next free version")
+    assert(DeltaLake.scanDelta(spark, path).count() == 2)
+
+    // overwrite losing the race must fail loudly, not clobber
+    val stolen3 = new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/" + f"${3L}%020d.json")
+    val out3 = fs.create(stolen3, false)
+    try out3.write("""{"commitInfo":{"timestamp":2}}""".getBytes("UTF-8"))
+    finally out3.close()
+    intercept[java.io.IOException] {
+      DeltaWriter.write(Seq((9L, "z")).toDF("id", "v"), path,
+        mode = "overwrite",
+        priorSnapshot = Some(DeltaLog.forPath(spark, path, Some(2L))))
+    }
+  }
+
   test("null partition values written as HIVE_DEFAULT and read back as null") {
     val path = tmp()
     val df = Seq((1L, Some("A")), (2L, None)).toDF("id", "p")
