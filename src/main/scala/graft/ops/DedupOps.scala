@@ -227,6 +227,67 @@ object DedupOps {
         |SELECT doc_a, doc_b, jaccard FROM jac
         |WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Connected components over the near-dup pairs: every document gets
+    // the MIN doc_id of its duplicate cluster as canonical
+    // representative — the terminal step of the dedup pipeline (keep one
+    // doc per cluster). Min-label propagation to fixpoint: each round is
+    // one join+groupBy on the (tiny, LSH-pruned) edge set; rounds are
+    // O(cluster diameter), which for near-dup graphs is small. At 100 TB
+    // the same loop applies (large-star/small-star is the classic
+    // refinement when diameters blow up). Oracle: DuckDB computes the
+    // identical components with a recursive CTE.
+    "d6_dedup_components" -> QueryDef(
+      (s, dir) => {
+        val pairs = minhashPairs(s, dir)
+          .where(col("est_jaccard") >= 0.2)
+          .select("doc_a", "doc_b").cache()
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(
+            pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .cache()
+        val docs = table(s, dir, "documents").select("doc_id")
+        var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
+        var lastSum = -1L
+        var iter = 0
+        var done = false
+        while (!done && iter < 20) {
+          val neighborMin = edges
+            .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+            .groupBy("src").agg(min("label").as("nmin"))
+            .withColumnRenamed("src", "doc_id")
+          val next = labels.join(neighborMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nmin"), col("label")))
+                .as("label"))
+            .cache()
+          // label sum decreases monotonically; fixpoint when it holds
+          val sum = next.agg(org.apache.spark.sql.functions.sum("label"))
+            .collect()(0).getLong(0)
+          labels.unpersist()
+          labels = next
+          done = sum == lastSum
+          lastSum = sum
+          iter += 1
+        }
+        labels
+          .select(col("doc_id"), col("label").as("cluster_rep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $pairsSql,
+        |est AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  WHERE CAST(list_sum([CASE WHEN mh_a[i+1] = mh_b[i+1] THEN 1 ELSE 0 END
+        |    for i in range($NumHashes)]) AS DOUBLE) / $NumHashes >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM est
+        |  UNION ALL SELECT doc_b, doc_a FROM est),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node)
+        |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_rep
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
+
     // SimHash (custom Catalyst expression) + banded Hamming-distance join.
     "d5_simhash_pairs" -> QueryDef(
       (s, dir) => {

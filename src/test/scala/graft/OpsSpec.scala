@@ -202,6 +202,25 @@ class OpsSpec extends SparkSuite {
       s"probe should broadcast:\n${plan.take(2000)}")
   }
 
+  test("dedup components: cluster labels are transitive fixpoints") {
+    import graft.ops.DedupOps
+    val pairs = DedupOps.defs("d3_minhash_pairs").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = DedupOps.defs("d6_dedup_components").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 500)
+    // every directly-connected pair shares a representative…
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // …the representative is a member of its own cluster…
+    labels.values.foreach(rep => assert(labels(rep) == rep))
+    // …and untouched docs are singletons
+    val touched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.filterNot { case (d, _) => touched.contains(d) }
+      .foreach { case (d, rep) => assert(d == rep) }
+  }
+
   test("dedup exact: grouping is lossless (copies sum to corpus size)") {
     val total = Registry.table(spark, dir, "documents").count()
     val grouped = DedupOps.defs("d1_dedup_exact").fn(spark, dir)
