@@ -202,28 +202,51 @@ object DeltaWriter {
 
     val logDir = new Path(root, "_delta_log")
     fs.mkdirs(logDir)
-    // optimistic concurrency: the exclusive create IS the commit lock.
-    // A plain append whose version was taken by a concurrent writer is
-    // still valid verbatim at the next version (its adds/txn don't
-    // depend on prior state) — retry there. Overwrites and evolutions
-    // DO depend on the state they were computed against: losing the
-    // race surfaces as an error for the caller to retry whole.
-    val canRetry = mode == "append" && !schemaEvolved
+    // Optimistic concurrency. Only a PLAIN data append may retry at the
+    // next version when its target was taken: a v0 commit carries this
+    // writer's protocol/metaData (would clobber the winner's schema), a
+    // txn action embeds an exactly-once watermark check that the race
+    // invalidates, and overwrites/evolutions were computed against state
+    // that just changed — all of those must surface the conflict. Even a
+    // plain append aborts if the winning commit changed table metadata
+    // (its files were written under the old schema).
+    val canRetry =
+      mode == "append" && !schemaEvolved && txn.isEmpty && version > 0L
+    val bytes = (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
     var v = version
     var committed = false
     while (!committed) {
       val commit = new Path(logDir, f"$v%020d.json")
-      try {
-        val out = fs.create(commit, false)
-        try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      if (fs.exists(commit)) {
+        if (!canRetry) throw new java.io.IOException(
+          s"Concurrent write took version $v of $path; " +
+            "re-run against the new table state")
+        val winner = DeltaLog.readCommitJson(spark, path, v).getOrElse(Nil)
+        if (winner.exists(n => n.has("metaData") || n.has("protocol")))
+          throw new java.io.IOException(
+            s"Concurrent commit $v of $path changed table metadata; " +
+              "re-run the append against the new schema")
+        v += 1
+      } else {
+        // full bytes land in a temp file first: a write failure can
+        // never strand a truncated commit JSON in the log. NOTE: on file
+        // systems without atomic no-overwrite rename (raw local, S3A)
+        // the exists-then-rename window is a best-effort lock — same
+        // caveat as every Hadoop-FS-based Delta committer without a
+        // LogStore coordination layer.
+        val tmp = new Path(logDir,
+          s".${commit.getName}.${java.util.UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(bytes)
         finally out.close()
-        committed = true
-      } catch {
-        case e: java.io.IOException if fs.exists(commit) =>
-          if (!canRetry) throw new java.io.IOException(
-            s"Concurrent write took version $v of $path; " +
-              "re-run the overwrite/evolving append against the new state", e)
-          v += 1
+        if (fs.exists(commit)) { // lost the race while staging
+          fs.delete(tmp, false)
+        } else if (fs.rename(tmp, commit)) {
+          committed = true
+        } else {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"Could not commit $commit")
+        }
       }
     }
   }

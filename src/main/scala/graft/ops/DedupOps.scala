@@ -261,14 +261,21 @@ object DedupOps {
                 .as("label"))
             .cache()
           // label sum decreases monotonically; fixpoint when it holds
-          val sum = next.agg(org.apache.spark.sql.functions.sum("label"))
-            .collect()(0).getLong(0)
+          // (null sum = empty corpus = trivially converged)
+          val sumRow = next.agg(org.apache.spark.sql.functions.sum("label"))
+            .collect()(0)
+          val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
           labels.unpersist()
           labels = next
-          done = sum == lastSum
+          done = sum == lastSum || sumRow.isNullAt(0)
           lastSum = sum
           iter += 1
         }
+        // never silently return intermediate labels: a cluster whose
+        // diameter exceeds the round cap must fail loudly
+        require(done,
+          s"label propagation did not converge in $iter rounds " +
+            "(cluster diameter exceeds cap — raise the iteration limit)")
         labels
           .select(col("doc_id"), col("label").as("cluster_rep"))
           .orderBy("doc_id")

@@ -397,6 +397,29 @@ class DeltaWriterSpec extends SparkSuite {
         mode = "overwrite",
         priorSnapshot = Some(DeltaLog.forPath(spark, path, Some(2L))))
     }
+    // a txn-carrying append must NOT blind-retry (the exactly-once
+    // watermark was checked against pre-race state)
+    intercept[java.io.IOException] {
+      DeltaWriter.write(Seq((8L, "y")).toDF("id", "v"), path,
+        mode = "append", txn = Some("app" -> 1L),
+        priorSnapshot = Some(DeltaLog.forPath(spark, path, Some(2L))))
+    }
+    // a winning commit that CHANGED METADATA aborts even a plain append
+    val prior2 = DeltaLog.forPath(spark, path, Some(2L))
+    val out4 = fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/" + f"${4L}%020d.json"), true)
+    try out4.write(
+      ("""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        """"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{}}}""")
+        .getBytes("UTF-8"))
+    finally out4.close()
+    // replace stolen3 content is still commitInfo-only; append at v3
+    // retries to v4 whose winner has metaData -> abort
+    val ex = intercept[java.io.IOException] {
+      DeltaWriter.write(Seq((7L, "w")).toDF("id", "v"), path,
+        mode = "append", priorSnapshot = Some(prior2))
+    }
+    assert(ex.getMessage.contains("metadata"))
   }
 
   test("null partition values written as HIVE_DEFAULT and read back as null") {
