@@ -268,7 +268,11 @@ object DeltaWriter {
       case DateType => datediff(c, lit("1970-01-01")).cast("double")
       case TimestampType | TimestampNTZType =>
         unix_micros(c.cast("timestamp")).cast("double")
-      case _ => c.cast("double")
+      case _: org.apache.spark.sql.types.NumericType => c.cast("double")
+      case other => throw new IllegalArgumentException(
+        s"z-order column must be numeric/date/timestamp, got $other — a " +
+          "non-numeric column would cast to null and silently contribute " +
+          "no clustering")
     }
     val nums = cols.map(c => numify(col(c), df.schema(c).dataType))
     val aggs = nums.zipWithIndex.flatMap { case (c, i) =>
@@ -559,7 +563,17 @@ object DeltaWriter {
         val name = s"part-compacted-${java.util.UUID.randomUUID()}.parquet"
         val rel = relDir + name
         val tmpDir = new Path(root, s".compact_tmp_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+        // same INT64-micros pin as write(): the session default (INT96)
+        // would strip footer min/max stats from compacted timestamp
+        // columns and break strict readers like delta-rs
+        val tsKey = "spark.sql.parquet.outputTimestampType"
+        val oldTs = spark.conf.getOption(tsKey)
+        spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+        try df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+        finally oldTs match {
+          case Some(v) => spark.conf.set(tsKey, v)
+          case None => spark.conf.unset(tsKey)
+        }
         val part = fs.listStatus(tmpDir)
           .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
         val dest = new Path(root, rel)
@@ -612,17 +626,31 @@ object DeltaWriter {
     * caller decides when history is expendable); time travel to versions
     * whose files are removed stops working, as with any vacuum. Returns
     * the deleted relative paths.
+    *
+    * CONCURRENCY: zero-retention vacuum and an in-flight writer are
+    * mutually unsafe — an uncommitted append's parquet files are "not
+    * referenced by the current version" and would be deleted here,
+    * corrupting the table when that append then commits. Either ensure no
+    * concurrent writers, or pass `graceMs > 0` (the standard
+    * retention-interval defense): files whose modificationTime is within
+    * the window are spared, so any writer that commits within `graceMs`
+    * of staging its files is safe.
     */
-  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
+      graceMs: Long = 0L): Seq[String] = {
     val snap = DeltaLog.forPath(spark, path)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val rootUri = root.toUri.getPath.stripSuffix("/")
+    val cutoff = System.currentTimeMillis() - graceMs
     val onDisk = mutable.Set.empty[String]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
-      val p = it.next().getPath.toUri.getPath
-      if (!p.contains("/_delta_log/")) onDisk += p.stripPrefix(rootUri + "/")
+      val st = it.next()
+      val p = st.getPath.toUri.getPath
+      if (!p.contains("/_delta_log/") &&
+          (graceMs <= 0L || st.getModificationTime < cutoff))
+        onDisk += p.stripPrefix(rootUri + "/")
     }
     val liveData = snap.liveFiles.map(a => DeltaScan.decodePath(a.path)).toSet
     // DV files referenced by the current version — "u" form AND "p"

@@ -29,6 +29,16 @@ object DeltaSink {
   private val snapshots =
     scala.collection.concurrent.TrieMap.empty[String, graft.delta.DeltaSnapshot]
 
+  // per-path serialization must NOT lock the snapshot instance itself:
+  // bootstrap swaps the instance while holding the old one's monitor, so a
+  // second thread could lock the new instance and run concurrently with
+  // the swapping thread. A dedicated, never-replaced lock object per path
+  // keeps the critical section stable across snapshot replacement.
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(path: String): Object =
+    locks.getOrElseUpdate(path, new Object)
+
   /** Append one micro-batch if (and only if) its id is above the
     * table's recorded watermark for `appId`. Returns true if written.
     */
@@ -36,20 +46,21 @@ object DeltaSink {
       df: DataFrame, path: String, appId: String, batchId: Long,
       partitionBy: Seq[String] = Nil): Boolean = {
     val spark = df.sparkSession
-    val exists = {
-      val p = new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/_delta_log")
-      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-    }
-    if (!exists) {
-      snapshots.remove(path) // table was deleted out from under us
-      DeltaWriter.write(df, path, partitionBy, mode = "overwrite",
-        txn = Some(appId -> batchId))
-      return true
-    }
     // DeltaSnapshot is mutable and NOT thread-safe: serialize per-path
-    // (concurrent queries on one table in one JVM)
-    val cached = snapshots.getOrElseUpdate(path, DeltaLog.forPath(spark, path))
-    cached.synchronized {
+    // (concurrent queries on one table in one JVM). The create path sits
+    // inside the same lock so table creation serializes with appends.
+    lockFor(path).synchronized {
+      val exists = {
+        val p = new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/_delta_log")
+        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      }
+      if (!exists) {
+        snapshots.remove(path) // table was deleted out from under us
+        DeltaWriter.write(df, path, partitionBy, mode = "overwrite",
+          txn = Some(appId -> batchId))
+        return true
+      }
+      val cached = snapshots.getOrElseUpdate(path, DeltaLog.forPath(spark, path))
       // two staleness traps the incremental advance cannot cross:
       //  - a checkpoint newer than the cache (commits aged out past it)
       //  - the table was deleted+recreated (our cached version's commit

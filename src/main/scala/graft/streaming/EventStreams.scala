@@ -78,12 +78,27 @@ object EventStreams {
          rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
          state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) Iterator.empty
           else {
-            state.update(true)
-            state.setTimeoutTimestamp(
-              state.getCurrentWatermarkMs() + 2L * 3600 * 1000)
-            rows.take(1)
+            // timeout anchors on the group's own event time, not the
+            // current watermark: on the first micro-batch the watermark is
+            // still 0, and watermark+horizon would give 1970-epoch
+            // timeouts — state evicted immediately, late duplicates
+            // re-emitted. max(eventTs)+horizon holds the key for the full
+            // horizon; watermark+horizon is kept only when larger (state
+            // must never time out before the watermark reaches it).
+            val horizon = 2L * 3600 * 1000
+            var maxTs = 0L
+            var head: Option[(Long, java.sql.Timestamp, Long, String, Double)] = None
+            rows.foreach { r =>
+              if (head.isEmpty) head = Some(r)
+              maxTs = math.max(maxTs, r._2.getTime)
+            }
+            val out =
+              if (state.exists) Iterator.empty
+              else { state.update(true); head.iterator }
+            state.setTimeoutTimestamp(math.max(
+              maxTs + horizon, state.getCurrentWatermarkMs() + horizon))
+            out
           })
       .toDF("event_id", "ts", "user_id", "event_type", "value")
   }
