@@ -20,14 +20,14 @@ import Registry.table
   * bucket id, so cost is Σ bucket², not n². All hashes are seeded and
   * deterministic.
   *
-  * Hash primitive: the minhash family uses seeded md5 (lexicographic min
-  * over fixed-width hex), which every engine computes identically — that
-  * is what lets d3/d4 be DuckDB-oracle-checked end to end. A production
-  * deployment chasing the last 2-3× of hash throughput can pass
-  * `fastHash = true` to swap in xxhash64 (same structure, same candidate
-  * semantics — OpsSpec checks the two agree on planted pairs); md5 at
-  * ~0.5 GB/s/core is still far from the bottleneck next to the band
-  * shuffle.
+  * Hash primitive: TWO flavors with identical structure and candidate
+  * semantics (OpsSpec checks they agree on planted pairs):
+  *  - `fastHash = true` — xxhash64, the PUBLIC API DEFAULT: production
+  *    callers get the ~3× hash throughput by default.
+  *  - `fastHash = false` — seeded md5 (lexicographic min over
+  *    fixed-width hex), which every engine computes identically; the
+  *    driver/oracle entries in [[defs]] pin this flavor explicitly so
+  *    d3/d4/d6 stay DuckDB-oracle-checked end to end.
   */
 object DedupOps {
 
@@ -104,10 +104,11 @@ object DedupOps {
   }
 
   /** Candidate pairs from any band collision, with the minhash-estimated
-    * Jaccard similarity.
+    * Jaccard similarity. Public default is the xxhash64 fast path; the
+    * oracle entries in [[defs]] pass `fastHash = false` for md5 parity.
     */
   private[graft] def minhashPairs(
-      s: SparkSession, dir: String, fastHash: Boolean = false): DataFrame = {
+      s: SparkSession, dir: String, fastHash: Boolean = true): DataFrame = {
     val b = bandedDocs(s, dir, fastHash)
     val l = b.select(col("band"), col("sig"),
       col("doc_id").as("doc_a"), col("mh").as("mh_a"))
@@ -186,7 +187,7 @@ object DedupOps {
     // recomputes the identical md5 minhash signatures and band keys.
     "d3_minhash_pairs" -> QueryDef(
       (s, dir) =>
-        minhashPairs(s, dir)
+        minhashPairs(s, dir, fastHash = false)
           .where(col("est_jaccard") >= 0.2)
           .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $pairsSql,
@@ -204,7 +205,8 @@ object DedupOps {
       (s, dir) => {
         val sh = shingleTable(s, dir)
           .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
-        val cand = minhashPairs(s, dir).select("doc_a", "doc_b")
+        val cand = minhashPairs(s, dir, fastHash = false)
+          .select("doc_a", "doc_b")
         cand
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -238,7 +240,7 @@ object DedupOps {
     // identical components with a recursive CTE.
     "d6_dedup_components" -> QueryDef(
       (s, dir) => {
-        val pairs = minhashPairs(s, dir)
+        val pairs = minhashPairs(s, dir, fastHash = false)
           .where(col("est_jaccard") >= 0.2)
           .select("doc_a", "doc_b").cache()
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -295,7 +297,10 @@ object DedupOps {
         |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_rep
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
 
-    // SimHash (custom Catalyst expression) + banded Hamming-distance join.
+    // SimHash (custom Catalyst expression) + banded Hamming-distance
+    // join — oracle-checked: the default md5-nibble token hash lets the
+    // DuckDB twin rebuild bit-identical sketches (same trick as the md5
+    // minhash family); `fast = true` swaps in xxhash64 for production.
     "d5_simhash_pairs" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")
@@ -318,10 +323,44 @@ object DedupOps {
         l.join(r, Seq("band", "bits"))
           .where(col("doc_a") < col("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
-          .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+          .withColumn("hamming",
+            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
           .where(col("hamming") <= 8)
           .select("doc_a", "doc_b", "hamming")
           .orderBy("doc_a", "doc_b")
       },
-      None))
+      // The twin never assembles the 64-bit value (1<<63 overflows
+      // BIGINT): it derives the per-bit tallies, folds them into the
+      // same four 16-bit band keys, and sums per-band popcounts for the
+      // Hamming distance.
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents),
+        |tok1 AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+        |tokh AS (SELECT doc_id, md5(tok) AS h FROM tok1),
+        |bits AS (
+        |  SELECT doc_id, r.b AS b,
+        |    CASE WHEN sum(CASE WHEN
+        |        ((strpos('0123456789abcdef', substring(h, (r.b // 4) + 1, 1)) - 1)
+        |          >> (r.b % 4)) % 2 = 1
+        |      THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM tokh CROSS JOIN range(64) r(b)
+        |  GROUP BY doc_id, r.b),
+        |bands AS (
+        |  SELECT doc_id, b // 16 AS band,
+        |    CAST(sum(bit << (b % 16)) AS BIGINT) AS bv
+        |  FROM bits GROUP BY doc_id, b // 16),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM bands a JOIN bands b2
+        |    ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(sum(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bands ba ON ba.doc_id = c.doc_a
+        |  JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b, hamming FROM ham
+        |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin)))
 }

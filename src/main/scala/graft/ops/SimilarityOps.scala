@@ -209,15 +209,18 @@ object SimilarityOps {
     // the corpus into inverted lists; queries probe only the nprobe
     // nearest lists. Centroids live on the driver (K×Dim floats — the
     // classic tiny coarse quantizer); everything else is distributed.
+    // Seeding is md5-ordered (not xxhash64) so the DuckDB twin below can
+    // pick the identical seed set and replay the whole pipeline.
     "s4_ann_ivf" -> QueryDef(
       (s, dir) => {
         val K = 16; val nprobe = 4
         val emb = corpus(s, dir).cache()
 
-        // seed centroids: hash-ordered corpus sample (deterministic)
+        // seed centroids: hash-ordered corpus sample (deterministic,
+        // cross-engine: md5 of the decimal id, id tiebreak)
         val seeds: Array[Seq[Double]] = emb
-          .withColumn("h", xxhash64(col("vec_id")))
-          .orderBy("h").limit(K)
+          .withColumn("h", md5(col("vec_id").cast("string")))
+          .orderBy("h", "vec_id").limit(K)
           .select("embedding").collect()
           .map(_.getSeq[Float](0).map(_.toDouble))
 
@@ -271,7 +274,62 @@ object SimilarityOps {
           .select("query_id", "rank", "neighbor_id", "sim")
           .orderBy("query_id", "rank")
       },
-      None),
+      // Full SQL replay of the IVF pipeline: md5-ordered seeds, one
+      // Lloyd step, nprobe probing. Assignment mirrors the kernel's
+      // dot·(1/sqrt(norm)) form exactly (not dot/sqrt — one fewer
+      // rounding difference) with lowest-cl tie-break; probe tie-break
+      // is cl DESC to match sort_array(struct desc).
+      Some(s"""WITH seeds AS (
+        |  SELECT cl, c FROM (
+        |    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl,
+        |           embedding::DOUBLE[] AS c
+        |    FROM embeddings) t WHERE cl < 16),
+        |a1 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT e.vec_id, s.cl,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([e.embedding[j+1]::DOUBLE * s.c[j+1] for j in range($Dim)]) *
+        |          (1.0 / sqrt(list_sum([s.c[j+1] * s.c[j+1] for j in range($Dim)]))) DESC,
+        |        s.cl) AS rn
+        |    FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
+        |m AS (
+        |  SELECT a1.cl, r.j, avg(e.embedding[r.j+1]::DOUBLE) AS mval
+        |  FROM a1 JOIN embeddings e USING (vec_id) CROSS JOIN range($Dim) r(j)
+        |  GROUP BY a1.cl, r.j),
+        |mc AS (SELECT cl, list(mval ORDER BY j) AS c FROM m GROUP BY cl),
+        |cents AS (
+        |  SELECT s.cl, coalesce(mc.c, s.c) AS c
+        |  FROM seeds s LEFT JOIN mc ON mc.cl = s.cl),
+        |a2 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT e.vec_id, s.cl,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum([e.embedding[j+1]::DOUBLE * s.c[j+1] for j in range($Dim)]) *
+        |          (1.0 / sqrt(list_sum([s.c[j+1] * s.c[j+1] for j in range($Dim)]))) DESC,
+        |        s.cl) AS rn
+        |    FROM embeddings e CROSS JOIN cents s) t WHERE rn = 1),
+        |probe AS (
+        |  SELECT query_id, cl FROM (
+        |    SELECT q.vec_id AS query_id, c.cl,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(c.c, q.embedding::DOUBLE[]) DESC, c.cl DESC) AS rn
+        |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < $NumQueries) t
+        |  WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a2.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim
+        |  FROM probe p
+        |  JOIN a2 ON a2.cl = p.cl
+        |  JOIN embeddings qe ON qe.vec_id = p.query_id
+        |  JOIN embeddings ne ON ne.vec_id = a2.vec_id
+        |  WHERE a2.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked
+        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
 
     // Embedding-cosine near-duplicate pairs within LSH buckets (one
     // table; width derived from corpus size). Oracle-checked.

@@ -159,6 +159,19 @@ class OpsSpec extends SparkSuite {
     assert(overlap >= 0.9, s"hash variants disagree: $overlap")
   }
 
+  test("public minhashPairs defaults to the fast xxhash64 path") {
+    import graft.ops.DedupOps
+    // production callers must not pay the md5 oracle-parity tax unless
+    // they opt in; the driver/oracle entries pin fastHash = false
+    val plan = DedupOps.minhashPairs(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("xxhash64"), "default path lost the fast hash")
+    val oraclePlan = Registry.all("d3_minhash_pairs").fn(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!oraclePlan.contains("xxhash64"),
+      "oracle entry must stay on md5 for DuckDB parity")
+  }
+
   test("ann IVF: good recall vs brute force on real data") {
     val bf = SimilarityOps.defs("s1_ann_bruteforce").fn(spark, dir)
       .select("query_id", "neighbor_id").collect()
