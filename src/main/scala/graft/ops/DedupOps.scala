@@ -33,6 +33,12 @@ object DedupOps {
 
   private def tokens(c: Column): Column = split(lower(c), "\\s+")
 
+  /** Release every cached relation the ops registry holds (shingles,
+    * signatures, LSH bands, IVF lists) — the session-lifetime hook for
+    * long-lived callers.
+    */
+  def clearCaches(): Unit = OpCaches.clear()
+
   /** 3-word shingles; short docs fall back to the whole token array.
     * Only ever applied to a MATERIALIZED token column: expressions
     * referenced inside a lambda are re-evaluated per element (no CSE in
@@ -52,13 +58,15 @@ object DedupOps {
     * persist the small shingle/signature relations, never re-derive them
     * from the corpus.
     */
-  private def shingleTable(s: SparkSession, dir: String): DataFrame = {
-    val toks = table(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .cache()
-    toks.select(col("doc_id"), shingles(col("toks")).as("sh")).cache()
-  }
+  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+    OpCaches.cached(s"dedup:sh:$dir") {
+      val toks = OpCaches.cached(s"dedup:toks:$dir") {
+        table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+      }
+      toks.select(col("doc_id"), shingles(col("toks")).as("sh"))
+    }
 
   private val NumHashes = 32
   private val Bands = 8
@@ -89,9 +97,10 @@ object DedupOps {
     */
   private def bandedDocs(
       s: SparkSession, dir: String, fastHash: Boolean): DataFrame = {
-    val docs = shingleTable(s, dir)
-      .select(col("doc_id"), minhashes(col("sh"), fastHash).as("mh"))
-      .cache()
+    val docs = OpCaches.cached(s"dedup:mh:$dir:$fastHash") {
+      shingleTable(s, dir)
+        .select(col("doc_id"), minhashes(col("sh"), fastHash).as("mh"))
+    }
     docs.select(col("doc_id"), col("mh"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"),
@@ -153,6 +162,63 @@ object DedupOps {
        |  FROM keyed l JOIN keyed r
        |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
        |  GROUP BY l.doc_id, r.doc_id)""".stripMargin
+
+  /** Connected components by min-label propagation to fixpoint: every
+    * node gets the MIN id of its component. Each round is one join +
+    * groupBy on the edge set; rounds are O(component diameter).
+    * `edges` must contain BOTH directions of every undirected edge.
+    *
+    * Lineage discipline for adversarial diameters: every
+    * `checkpointEvery` rounds the label relation is `localCheckpoint`ed,
+    * so the plan stays O(checkpointEvery) deep instead of growing one
+    * join per round; the returned relation is checkpointed too, so it
+    * survives the internal caches being released. (Large-star/small-star
+    * is the classic refinement when diameters blow up further; the probe
+    * `collect()` per round is a single row.)
+    */
+  private[graft] def connectedComponents(
+      docs: DataFrame, edges0: DataFrame, maxIter: Int = 20,
+      checkpointEvery: Int = 5): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
+    var lastSum = -1L
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy("src").agg(min("label").as("nmin"))
+        .withColumnRenamed("src", "doc_id")
+      val merged = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+      val next =
+        if ((iter + 1) % checkpointEvery == 0) merged.localCheckpoint()
+        else merged.cache()
+      // label sum decreases monotonically; fixpoint when it holds
+      // (null sum = empty corpus = trivially converged)
+      val sumRow = next.agg(org.apache.spark.sql.functions.sum("label"))
+        .collect()(0)
+      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+      labels.unpersist()
+      labels = next
+      done = sum == lastSum || sumRow.isNullAt(0)
+      lastSum = sum
+      iter += 1
+    }
+    // never silently return intermediate labels: a cluster whose
+    // diameter exceeds the round cap must fail loudly
+    require(done,
+      s"label propagation did not converge in $iter rounds " +
+        "(cluster diameter exceeds cap — raise the iteration limit)")
+    // checkpoint the result, then release the internal caches: the
+    // caller's relation no longer depends on them
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    edges.unpersist()
+    out
+  }
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -246,38 +312,9 @@ object DedupOps {
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionByName(
             pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .cache()
         val docs = table(s, dir, "documents").select("doc_id")
-        var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
-        var lastSum = -1L
-        var iter = 0
-        var done = false
-        while (!done && iter < 20) {
-          val neighborMin = edges
-            .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
-            .groupBy("src").agg(min("label").as("nmin"))
-            .withColumnRenamed("src", "doc_id")
-          val next = labels.join(neighborMin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("nmin"), col("label")))
-                .as("label"))
-            .cache()
-          // label sum decreases monotonically; fixpoint when it holds
-          // (null sum = empty corpus = trivially converged)
-          val sumRow = next.agg(org.apache.spark.sql.functions.sum("label"))
-            .collect()(0)
-          val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-          labels.unpersist()
-          labels = next
-          done = sum == lastSum || sumRow.isNullAt(0)
-          lastSum = sum
-          iter += 1
-        }
-        // never silently return intermediate labels: a cluster whose
-        // diameter exceeds the round cap must fail loudly
-        require(done,
-          s"label propagation did not converge in $iter rounds " +
-            "(cluster diameter exceeds cap — raise the iteration limit)")
+        val labels = connectedComponents(docs, edges)
+        pairs.unpersist() // labels is checkpointed — no dependency left
         labels
           .select(col("doc_id"), col("label").as("cluster_rep"))
           .orderBy("doc_id")

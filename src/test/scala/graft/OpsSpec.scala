@@ -172,6 +172,45 @@ class OpsSpec extends SparkSuite {
       "oracle entry must stay on md5 for DuckDB parity")
   }
 
+  test("op caches: no growth across repeat invocations, releasable") {
+    import graft.ops.OpCaches
+    import org.apache.spark.storage.StorageLevel
+    OpCaches.clear()
+    DedupOps.minhashPairs(spark, dir).count()
+    val n1 = OpCaches.size
+    assert(n1 > 0)
+    DedupOps.minhashPairs(spark, dir).count()
+    assert(OpCaches.size == n1,
+      "repeat invocation must reuse tracked caches, not add entries")
+    val dfs = OpCaches.tracked.toSeq
+    OpCaches.clear()
+    assert(OpCaches.size == 0)
+    assert(dfs.forall(_.storageLevel == StorageLevel.NONE),
+      "clear() must unpersist every tracked relation")
+    // ops still correct after release (re-derive and re-cache)
+    assert(DedupOps.minhashPairs(spark, dir).count() > 0)
+    OpCaches.clear()
+  }
+
+  test("connected components converge on a long-diameter chain") {
+    // a 14-node path (diameter 13 > the localCheckpoint interval) walks
+    // the lineage-truncation branch and still reaches the fixpoint
+    val n = 14L
+    val docs = (0L until n).toDF("doc_id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = chain.unionByName(
+      chain.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = DedupOps.connectedComponents(docs, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (0L until n).map(_ -> 0L).toMap)
+    // two components stay separate
+    val docs2 = (0L until 4L).toDF("doc_id")
+    val e2 = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val two = DedupOps.connectedComponents(docs2, e2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("ann IVF: good recall vs brute force on real data") {
     val bf = SimilarityOps.defs("s1_ann_bruteforce").fn(spark, dir)
       .select("query_id", "neighbor_id").collect()
