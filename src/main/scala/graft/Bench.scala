@@ -3,9 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main: runs every registered query at local[32]
-  * over SPARK_GRAFT_SF_DIR, prints ONE JSON line. Queries run twice
-  * keeping the second (warm) time so JIT/codegen compilation doesn't
-  * dominate sub-second queries; `count()` forces full execution.
+  * over SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  *
+  * Protocol (round 3): a staging pass first INVOKES every query
+  * function without executing it, which runs the idempotent one-time
+  * side effects (x1-x4's Delta stage, q18's bucketed tables — gated by
+  * session markers) so data-staging writes never pollute query times.
+  * Then every query is timed twice: `cold` is the first full execution
+  * (JIT/codegen compilation, cache population), `warm` the second.
+  * Reporting both keeps round-over-round comparisons from conflating
+  * methodology with regressions; the headline `total` stays the warm
+  * sum, matching round 2.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,23 +30,25 @@ object Bench {
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
-    // one untimed pass first: runs the one-time staging side effects
-    // (x1-x4's Delta stage, q18's bucketed tables — idempotent via
-    // session markers) and warms JIT/codegen, so the timed region below
-    // measures queries, not writes
-    val staging = time(SparkEntry.queries.toSeq.sortBy(_._1).foreach {
-      case (_, fn) => try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // stage side effects WITHOUT executing the queries: invoking the
+    // function body writes the one-time tables; no count() runs the scan
+    val staging = time(ordered.foreach { case (_, fn) =>
+      try { fn(spark, sfDir); () } catch { case _: Throwable => () }
     })
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def pass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t = try time(fn(spark, sfDir).count())
       catch { case _: Throwable => -1.0 }
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staging_warmup_sec":$staging,"sf":"$sfDir"}""")
+    val cold = pass()
+    val warm = pass()
+    def obj(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def tot(rs: Seq[(String, Double)]): Double = rs.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec"""" +
+      s""","queries":${obj(warm)},"queries_cold":${obj(cold)}""" +
+      s""","total_cold_sec":${tot(cold)},"staging_sec":$staging,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

