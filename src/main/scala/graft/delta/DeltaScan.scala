@@ -137,7 +137,32 @@ object DeltaScan {
 
     val df =
       if (actions.isEmpty) emptyTyped(spark, StructType(readFields))
-      else if (groups.size <= settings.wideUnionThreshold) {
+      else if (dvActions.isEmpty && settings.wideUnionThreshold > 0) {
+        // Catalyst-native path (the default): a DeltaFileIndex hands the
+        // planner the file list, typed partition values, and log-derived
+        // size — ONE FileSourceScanExec whatever the partition count,
+        // partition pruning re-evaluated by Catalyst per query (cached
+        // DataFrames re-prune under new predicates), stats skipping on
+        // the pushed data filters inside the index. Falls back to the
+        // union/broadcast shapes when DVs need per-file row indices or
+        // the caller pinned wideUnionThreshold=0.
+        val index = new DeltaFileIndex(snap, actions)
+        val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          index, partitionSchema = index.partitionSchema,
+          dataSchema = physReadSchema, bucketSpec = None,
+          fileFormat =
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+          options = Map.empty)(spark)
+        val scan = spark.baseRelationToDataFrame(relation)
+        scan.select(readFields.map { f =>
+          if (partCols.contains(f.name)) {
+            val phys = logToPhys.getOrElse(f.name, f.name)
+            // typed by the index already: alias-only, so partition
+            // predicates stay recognizable to PruneFileSourcePartitions
+            col(s"`${phys.replace("`", "``")}`").as(f.name)
+          } else dataProjection(f)
+        }: _*)
+      } else if (groups.size <= settings.wideUnionThreshold) {
         // one scan node per distinct partition-value tuple; partition
         // columns become per-branch constant literals (fold-friendly)
         val parts = groups.map { case (pv, as) =>

@@ -86,11 +86,14 @@ class DeltaSqlSpec extends SparkSuite {
         |{"name":"payload","type":"string","nullable":true,"metadata":{}},
         |{"name":"score","type":"double","nullable":true,"metadata":{}}]}"""
         .stripMargin.replace("\n", "")
+    // size must be the REAL file length: readers (ours included, like
+    // delta-spark's file index) trust it for parquet split bounds
+    def len(name: String): Long = Files.size(Paths.get(s"$root/$name"))
     val log =
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
          |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{}}}
-         |{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
-         |{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+         |{"add":{"path":"f1.parquet","partitionValues":{},"size":${len("f1.parquet")},"modificationTime":0,"dataChange":true}}
+         |{"add":{"path":"f2.parquet","partitionValues":{},"size":${len("f2.parquet")},"modificationTime":0,"dataChange":true}}
          |""".stripMargin
     Files.createDirectories(Paths.get(s"$root/_delta_log"))
     Files.write(Paths.get(s"$root/_delta_log/" + f"${0L}%020d.json"),
@@ -174,10 +177,12 @@ class DeltaSqlSpec extends SparkSuite {
       .find(_.getName.endsWith(".parquet")).get
     Files.copy(part.toPath, Paths.get(s"$root/f1.parquet"))
     val pvField = partitionValuesJson.map(p => s""""partitionValues":$p,""").getOrElse("")
+    // real file length: readers trust add.size for parquet split bounds
+    val size = Files.size(Paths.get(s"$root/f1.parquet"))
     val log =
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
          |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":["p"],"configuration":{}}}
-         |{"add":{"path":"f1.parquet",$pvField$addExtra"size":1,"modificationTime":0,"dataChange":true}}
+         |{"add":{"path":"f1.parquet",$pvField$addExtra"size":$size,"modificationTime":0,"dataChange":true}}
          |""".stripMargin
     Files.createDirectories(Paths.get(s"$root/_delta_log"))
     Files.write(Paths.get(s"$root/_delta_log/" + f"${0L}%020d.json"),
