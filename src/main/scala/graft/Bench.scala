@@ -31,11 +31,18 @@ object Bench {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // stage side effects WITHOUT executing the queries: invoking the
-    // function body writes the one-time tables; no count() runs the scan
+    // stage side effects WITHOUT executing the scans: invoking the
+    // function body writes the one-time tables; no count() runs the
+    // query. Driver-eager queries (d6's propagation loop, s4's Lloyd
+    // step) DO execute here — that can't be avoided without running
+    // their staging writes too — so their caches are dropped below and
+    // their cold numbers are cache-cold but JIT-warm.
     val staging = time(ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir); () } catch { case _: Throwable => () }
     })
+    // drop relations the staging invocations populated, so the cold
+    // pass pays cache materialization like a fresh session would
+    graft.ops.OpCaches.clear()
     def pass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t = try time(fn(spark, sfDir).count())
       catch { case _: Throwable => -1.0 }

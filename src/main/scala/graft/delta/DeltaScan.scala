@@ -27,10 +27,15 @@ final case class ScanSettings(
       */
     timestampType: Option[DataType] = None,
     timestampNtzType: Option[DataType] = None,
-    /** Above this many distinct partition-value tuples the scan switches
-      * from per-partition union branches to ONE multi-path scan joined
-      * (broadcast) with a file→partition-values map — plan size stays
-      * O(1) however many partitions a 100 TB table has.
+    /** Scan-shape dispatch. DV-free tables with a value > 0 (the
+      * default) take the Catalyst-native DeltaFileIndex path — ONE
+      * FileSourceScanExec with planner-side partition pruning, O(1) plan
+      * regardless of partition count — so the threshold itself only
+      * matters for deletion-vector scans (which need per-file row
+      * indices): those use per-partition union branches up to this many
+      * distinct partition tuples, then ONE multi-path scan joined
+      * (broadcast) with a file→partition-values map. 0 forces the
+      * broadcast-join shape everywhere (escape hatch / its specs).
       */
     wideUnionThreshold: Int = 64)
 

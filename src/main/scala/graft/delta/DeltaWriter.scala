@@ -30,6 +30,24 @@ import org.apache.spark.sql.types._
   */
 object DeltaWriter {
 
+  /** Pin parquet timestamp encoding to INT64 micros for `body`, then
+    * restore the session conf — Delta's physical timestamp encoding;
+    * INT96 carries no usable column statistics and breaks strict readers
+    * like delta-rs. Every parquet data write in this object must run
+    * inside it.
+    */
+  private def withMicrosTimestamps[A](
+      spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val oldTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try body
+    finally oldTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+  }
+
   def write(
       df: DataFrame,
       path: String,
@@ -101,13 +119,8 @@ object DeltaWriter {
 
     // Delta stores timestamps as INT64 micros (INT96, Spark's legacy
     // default, also carries no usable column statistics)
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val oldTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df1.write.mode("append").partitionBy(partitionBy: _*).parquet(path)
-    finally oldTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
+    withMicrosTimestamps(spark) {
+      df1.write.mode("append").partitionBy(partitionBy: _*).parquet(path)
     }
 
     val after = listDataFiles(fs, root)
@@ -566,13 +579,8 @@ object DeltaWriter {
         // same INT64-micros pin as write(): the session default (INT96)
         // would strip footer min/max stats from compacted timestamp
         // columns and break strict readers like delta-rs
-        val tsKey = "spark.sql.parquet.outputTimestampType"
-        val oldTs = spark.conf.getOption(tsKey)
-        spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-        try df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-        finally oldTs match {
-          case Some(v) => spark.conf.set(tsKey, v)
-          case None => spark.conf.unset(tsKey)
+        withMicrosTimestamps(spark) {
+          df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
         }
         val part = fs.listStatus(tmpDir)
           .map(_.getPath).filter(_.getName.endsWith(".parquet")).head

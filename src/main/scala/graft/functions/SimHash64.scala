@@ -41,6 +41,10 @@ case class SimHash64(child: Expression, fastExpr: Expression)
     (child.dataType, fastExpr.dataType) match {
       case (ArrayType(StringType, _), BooleanType) if fastExpr.foldable =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), _) => TypeCheckResult.TypeCheckFailure(
+        "simhash64's fast flag must be a constant boolean, got " +
+          s"${fastExpr.dataType.simpleString}" +
+          (if (fastExpr.foldable) "" else " (non-foldable)"))
       case (other, _) => TypeCheckResult.TypeCheckFailure(
         s"simhash64 requires (array<string>, const boolean), got ${other.simpleString}")
     }

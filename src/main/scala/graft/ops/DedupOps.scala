@@ -59,8 +59,8 @@ object DedupOps {
     * from the corpus.
     */
   private def shingleTable(s: SparkSession, dir: String): DataFrame =
-    OpCaches.cached(s"dedup:sh:$dir") {
-      val toks = OpCaches.cached(s"dedup:toks:$dir") {
+    OpCaches.cached(s, s"dedup:sh:$dir") {
+      val toks = OpCaches.cached(s, s"dedup:toks:$dir") {
         table(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -97,7 +97,7 @@ object DedupOps {
     */
   private def bandedDocs(
       s: SparkSession, dir: String, fastHash: Boolean): DataFrame = {
-    val docs = OpCaches.cached(s"dedup:mh:$dir:$fastHash") {
+    val docs = OpCaches.cached(s, s"dedup:mh:$dir:$fastHash") {
       shingleTable(s, dir)
         .select(col("doc_id"), minhashes(col("sh"), fastHash).as("mh"))
     }
@@ -308,7 +308,7 @@ object DedupOps {
       (s, dir) => {
         // tracked cache, not per-call: repeat invocations reuse the
         // near-dup edge relation instead of re-paying the band join
-        val pairs = OpCaches.cached(s"dedup:d6pairs:$dir") {
+        val pairs = OpCaches.cached(s, s"dedup:d6pairs:$dir") {
           minhashPairs(s, dir, fastHash = false)
             .where(col("est_jaccard") >= 0.2)
             .select("doc_a", "doc_b")

@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped registry for the small cached relations the ops derive
   * (token/shingle tables, minhash signatures, LSH-banded corpora, IVF
@@ -21,11 +21,22 @@ private[graft] object OpCaches {
 
   private val entries = TrieMap.empty[String, DataFrame]
 
-  /** Build-and-cache once per key; later calls return the SAME cached
-    * DataFrame. `make` must be deterministic for the key.
+  /** Build-and-cache once per (session, key); later calls from the same
+    * session return the SAME cached DataFrame. `make` must be
+    * deterministic for the key. An entry from a different (or stopped)
+    * SparkSession is dropped and rebuilt — a cached plan bound to a dead
+    * session would throw on first use.
     */
-  def cached(key: String)(make: => DataFrame): DataFrame =
-    entries.getOrElseUpdate(key, make.cache())
+  def cached(spark: SparkSession, key: String)(make: => DataFrame): DataFrame =
+    entries.get(key) match {
+      case Some(df) if df.sparkSession eq spark => df
+      case stale =>
+        stale.foreach(df =>
+          if (!df.sparkSession.sparkContext.isStopped) df.unpersist())
+        val fresh = make.cache()
+        entries.put(key, fresh)
+        fresh
+    }
 
   def size: Int = entries.size
 
@@ -35,7 +46,8 @@ private[graft] object OpCaches {
     * jobs; the next invocation re-derives and re-caches.
     */
   def clear(): Unit = {
-    entries.values.foreach(_.unpersist())
+    entries.values.foreach(df =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist())
     entries.clear()
   }
 }

@@ -167,7 +167,7 @@ object SimilarityOps {
       (s, dir) => {
         val emb = corpus(s, dir)
         val bits = derivedBits(emb.count())
-        val banded = OpCaches.cached(s"sim:s2banded:$dir:$bits") {
+        val banded = OpCaches.cached(s, s"sim:s2banded:$dir:$bits") {
           lshTables(emb, "embedding", bits)
         }
         val queries = banded.where(col("vec_id") < NumQueries)
@@ -216,7 +216,7 @@ object SimilarityOps {
     "s4_ann_ivf" -> QueryDef(
       (s, dir) => {
         val K = 16; val nprobe = 4
-        val emb = OpCaches.cached(s"sim:emb:$dir")(corpus(s, dir))
+        val emb = OpCaches.cached(s, s"sim:emb:$dir")(corpus(s, dir))
 
         // seed centroids: hash-ordered corpus sample (deterministic,
         // cross-engine: md5 of the decimal id, id tiebreak)
@@ -234,11 +234,17 @@ object SimilarityOps {
           graft.functions.NearestCentroid.nearestCentroid(
             s, v, typedlit(cents.toSeq))
 
-        // one Lloyd step: assign to seed, recompute per-cluster means
+        // one Lloyd step: assign to seed, recompute per-cluster means.
+        // Means are quantized to 6 decimals: Spark's distributed avg and
+        // the oracle's sequential avg sum doubles in different orders,
+        // and an unquantized ulp difference could flip a near-tie
+        // assignment between engines. Ties exactly on a 1e-6 rounding
+        // boundary within one ulp are negligible; ulp-level argmax ties
+        // are not.
         val assigned = emb.withColumn("cl", nearestCentroid(seeds, col("embedding")))
         val means = assigned
           .select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy("cl", "pos").agg(avg("x").as("m"))
+          .groupBy("cl", "pos").agg(round(avg("x"), 6).as("m"))
           .groupBy("cl").agg(sort_array(collect_list(struct(col("pos"), col("m"))))
             .as("mv"))
           .select(col("cl"), col("mv.m").as("centroid"))
@@ -251,7 +257,7 @@ object SimilarityOps {
         // inverted lists: final assignment on the trained centroids
         // (deterministic per dir: seeding and the Lloyd step are
         // md5-ordered, so the cached plan is stable across invocations)
-        val lists = OpCaches.cached(s"sim:s4lists:$dir") {
+        val lists = OpCaches.cached(s, s"sim:s4lists:$dir") {
           emb.withColumn("cl", nearestCentroid(centroids, col("embedding")))
         }
 
@@ -298,7 +304,7 @@ object SimilarityOps {
         |        s.cl) AS rn
         |    FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
         |m AS (
-        |  SELECT a1.cl, r.j, avg(e.embedding[r.j+1]::DOUBLE) AS mval
+        |  SELECT a1.cl, r.j, round(avg(e.embedding[r.j+1]::DOUBLE), 6) AS mval
         |  FROM a1 JOIN embeddings e USING (vec_id) CROSS JOIN range($Dim) r(j)
         |  GROUP BY a1.cl, r.j),
         |mc AS (SELECT cl, list(mval ORDER BY j) AS c FROM m GROUP BY cl),

@@ -76,16 +76,18 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: Long,
          rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
-         state: GroupState[Boolean]) =>
+         state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // timeout anchors on the group's own event time, not the
             // current watermark: on the first micro-batch the watermark is
             // still 0, and watermark+horizon would give 1970-epoch
             // timeouts — state evicted immediately, late duplicates
-            // re-emitted. max(eventTs)+horizon holds the key for the full
-            // horizon; watermark+horizon is kept only when larger (state
-            // must never time out before the watermark reaches it).
+            // re-emitted. State carries the MAX event time seen so the
+            // timeout is monotone: an out-of-order duplicate must never
+            // SHORTEN the hold window set by an earlier batch.
+            // watermark+horizon is kept only when larger (state must
+            // never time out before the watermark reaches it).
             val horizon = 2L * 3600 * 1000
             var maxTs = 0L
             var head: Option[(Long, java.sql.Timestamp, Long, String, Double)] = None
@@ -93,12 +95,12 @@ object EventStreams {
               if (head.isEmpty) head = Some(r)
               maxTs = math.max(maxTs, r._2.getTime)
             }
-            val out =
-              if (state.exists) Iterator.empty
-              else { state.update(true); head.iterator }
+            val seen = state.exists
+            val holdFrom = math.max(maxTs, if (seen) state.get else 0L)
+            state.update(holdFrom)
             state.setTimeoutTimestamp(math.max(
-              maxTs + horizon, state.getCurrentWatermarkMs() + horizon))
-            out
+              holdFrom + horizon, state.getCurrentWatermarkMs() + horizon))
+            if (seen) Iterator.empty else head.iterator
           })
       .toDF("event_id", "ts", "user_id", "event_type", "value")
   }
