@@ -134,6 +134,55 @@ object DedupOps {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** d3 body: LSH candidate pairs above the similarity floor. Shared by
+    * the md5 oracle entry and the xxhash64 fast twin, so the bench times
+    * both the DuckDB-checkable flavor and what public callers run.
+    */
+  private def lshPairs(
+      s: SparkSession, dir: String, fastHash: Boolean): DataFrame =
+    minhashPairs(s, dir, fastHash)
+      .where(col("est_jaccard") >= 0.2)
+      .orderBy("doc_a", "doc_b")
+
+  /** d4 body: exact n-gram Jaccard over the LSH candidates. */
+  private def jaccardVerified(
+      s: SparkSession, dir: String, fastHash: Boolean): DataFrame = {
+    val sh = shingleTable(s, dir)
+      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
+    val cand = minhashPairs(s, dir, fastHash)
+      .select("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= 0.1)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d6 body: connected components over the near-dup pairs — every
+    * document labeled with the MIN doc_id of its duplicate cluster.
+    */
+  private def dedupClusters(
+      s: SparkSession, dir: String, fastHash: Boolean): DataFrame = {
+    // tracked cache, not per-call: repeat invocations reuse the
+    // near-dup edge relation instead of re-paying the band join
+    val pairs = OpCaches.cached(s, s"dedup:d6pairs:$dir:$fastHash") {
+      minhashPairs(s, dir, fastHash)
+        .where(col("est_jaccard") >= 0.2)
+        .select("doc_a", "doc_b")
+    }
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val docs = table(s, dir, "documents").select("doc_id")
+    connectedComponents(docs, edges)
+      .select(col("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   /** The SQL twin of tokenize → shingle → minhash → band → collide,
     * shared by the d3/d4 oracles. Yields `pairs(doc_a, doc_b, mh_a,
     * mh_b)` plus the `sh(doc_id, sh)` shingle relation.
@@ -252,10 +301,7 @@ object DedupOps {
     // MinHash+LSH near-dup candidates — oracle-checked: the DuckDB twin
     // recomputes the identical md5 minhash signatures and band keys.
     "d3_minhash_pairs" -> QueryDef(
-      (s, dir) =>
-        minhashPairs(s, dir, fastHash = false)
-          .where(col("est_jaccard") >= 0.2)
-          .orderBy("doc_a", "doc_b"),
+      (s, dir) => lshPairs(s, dir, fastHash = false),
       Some(s"""WITH $pairsSql,
         |est AS (
         |  SELECT doc_a, doc_b,
@@ -268,21 +314,7 @@ object DedupOps {
     // Exact n-gram Jaccard verification of the LSH candidates —
     // oracle-checked against DuckDB's list_intersect/list_distinct.
     "d4_ngram_jaccard" -> QueryDef(
-      (s, dir) => {
-        val sh = shingleTable(s, dir)
-          .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
-        val cand = minhashPairs(s, dir, fastHash = false)
-          .select("doc_a", "doc_b")
-        cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-          .withColumn("jaccard",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))))
-          .where(col("jaccard") >= 0.1)
-          .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => jaccardVerified(s, dir, fastHash = false),
       Some(s"""WITH $pairsSql,
         |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
         |jac AS (
@@ -305,22 +337,7 @@ object DedupOps {
     // refinement when diameters blow up). Oracle: DuckDB computes the
     // identical components with a recursive CTE.
     "d6_dedup_components" -> QueryDef(
-      (s, dir) => {
-        // tracked cache, not per-call: repeat invocations reuse the
-        // near-dup edge relation instead of re-paying the band join
-        val pairs = OpCaches.cached(s, s"dedup:d6pairs:$dir") {
-          minhashPairs(s, dir, fastHash = false)
-            .where(col("est_jaccard") >= 0.2)
-            .select("doc_a", "doc_b")
-        }
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(
-            pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        val docs = table(s, dir, "documents").select("doc_id")
-        connectedComponents(docs, edges)
-          .select(col("doc_id"), col("label").as("cluster_rep"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => dedupClusters(s, dir, fastHash = false),
       Some(s"""WITH RECURSIVE $pairsSql,
         |est AS (
         |  SELECT doc_a, doc_b FROM pairs
@@ -335,6 +352,18 @@ object DedupOps {
         |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node)
         |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_rep
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
+
+    // Production fast-path twins (xxhash64 signatures — the public API
+    // default): rows-only entries, no SQL oracle (xxhash64 isn't
+    // reproducible in DuckDB), so the bench times what public callers
+    // actually run. Candidate agreement with the md5 flavor on planted
+    // near-dups is spec'd in OpsSpec.
+    "d3_fast_minhash" -> QueryDef(
+      (s, dir) => lshPairs(s, dir, fastHash = true), None),
+    "d4_fast_jaccard" -> QueryDef(
+      (s, dir) => jaccardVerified(s, dir, fastHash = true), None),
+    "d6_fast_components" -> QueryDef(
+      (s, dir) => dedupClusters(s, dir, fastHash = true), None),
 
     // SimHash (custom Catalyst expression) + banded Hamming-distance
     // join — oracle-checked: the default md5-nibble token hash lets the

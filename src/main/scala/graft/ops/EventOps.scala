@@ -47,14 +47,15 @@ object EventOps {
       (s, dir) => {
         val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
         // microsecond precision on both sides (DuckDB epoch_us) so the
-        // 30-min boundary behaves identically
-        val epochUs = (c: org.apache.spark.sql.Column) =>
-          unix_micros(c.cast("timestamp"))
-        val newSession =
-          when(epochUs(col("ts")) - epochUs(lag(col("ts"), 1).over(byUser))
-            > 1800L * 1000000L, 1).otherwise(0)
+        // 30-min boundary behaves identically. The epoch is computed ONCE
+        // as a column and the long is lagged — casting inside both lag()
+        // and the current row would pay the NTZ→timestamp cast twice per
+        // row inside the window
         events(s, dir)
-          .withColumn("new_s", newSession)
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("new_s",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(byUser)
+              > 1800L * 1000000L, 1).otherwise(0))
           .withColumn("session_seq",
             sum("new_s").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy("user_id", "session_seq")
