@@ -58,15 +58,17 @@ object DedupOps {
     * persist the small shingle/signature relations, never re-derive them
     * from the corpus.
     */
-  private def shingleTable(s: SparkSession, dir: String): DataFrame =
-    OpCaches.cached(s, s"dedup:sh:$dir") {
-      val toks = OpCaches.cached(s, s"dedup:toks:$dir") {
+  private def shingleTable(s: SparkSession, dir: String): DataFrame = {
+    val ver = OpCaches.tableVersion(s, dir, "documents")
+    OpCaches.cached(s, s"dedup:sh:$dir", ver) {
+      val toks = OpCaches.cached(s, s"dedup:toks:$dir", ver) {
         table(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
       }
       toks.select(col("doc_id"), shingles(col("toks")).as("sh"))
     }
+  }
 
   private val NumHashes = 32
   private val Bands = 8
@@ -97,7 +99,8 @@ object DedupOps {
     */
   private def bandedDocs(
       s: SparkSession, dir: String, fastHash: Boolean): DataFrame = {
-    val docs = OpCaches.cached(s, s"dedup:mh:$dir:$fastHash") {
+    val docs = OpCaches.cached(s, s"dedup:mh:$dir:$fastHash",
+        OpCaches.tableVersion(s, dir, "documents")) {
       shingleTable(s, dir)
         .select(col("doc_id"), minhashes(col("sh"), fastHash).as("mh"))
     }
@@ -169,7 +172,8 @@ object DedupOps {
       s: SparkSession, dir: String, fastHash: Boolean): DataFrame = {
     // tracked cache, not per-call: repeat invocations reuse the
     // near-dup edge relation instead of re-paying the band join
-    val pairs = OpCaches.cached(s, s"dedup:d6pairs:$dir:$fastHash") {
+    val pairs = OpCaches.cached(s, s"dedup:d6pairs:$dir:$fastHash",
+        OpCaches.tableVersion(s, dir, "documents")) {
       minhashPairs(s, dir, fastHash)
         .where(col("est_jaccard") >= 0.2)
         .select("doc_a", "doc_b")

@@ -16,38 +16,70 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * invocations at zero net storage growth (same key → same cached
   * DataFrame instance) and gives the session an explicit release hook:
   * [[clear]] unpersists everything tracked.
+  *
+  * Entries carry a `version` token — the ops pass [[tableVersion]], a
+  * digest of the source table's file listing — so a table rewritten
+  * mid-session yields a version mismatch, evicting the stale relation
+  * instead of serving results derived from files that no longer exist.
   */
 private[graft] object OpCaches {
 
-  private val entries = TrieMap.empty[String, DataFrame]
+  private val entries = TrieMap.empty[String, (String, DataFrame)]
 
-  /** Build-and-cache once per (session, key); later calls from the same
-    * session return the SAME cached DataFrame. `make` must be
-    * deterministic for the key. An entry from a different (or stopped)
-    * SparkSession is dropped and rebuilt — a cached plan bound to a dead
-    * session would throw on first use.
+  /** Build-and-cache once per (session, key, version); later calls from
+    * the same session with the same version return the SAME cached
+    * DataFrame. `make` must be deterministic for (key, version). An
+    * entry from a different (or stopped) SparkSession, or with a stale
+    * version token, is dropped and rebuilt — a cached plan bound to a
+    * dead session would throw on first use, and one bound to rewritten
+    * source files would silently serve stale rows.
     */
-  def cached(spark: SparkSession, key: String)(make: => DataFrame): DataFrame =
+  def cached(spark: SparkSession, key: String, version: String = "")(
+      make: => DataFrame): DataFrame =
     entries.get(key) match {
-      case Some(df) if df.sparkSession eq spark => df
+      case Some((v, df)) if v == version && (df.sparkSession eq spark) => df
       case stale =>
-        stale.foreach(df =>
-          if (!df.sparkSession.sparkContext.isStopped) df.unpersist())
+        stale.foreach { case (_, df) =>
+          if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
         val fresh = make.cache()
-        entries.put(key, fresh)
+        entries.put(key, (version, fresh))
         fresh
     }
 
+  /** Snapshot fingerprint of the files backing `dir/name.parquet`: a
+    * digest over (path, length, modificationTime) of every file under
+    * it. One driver-side metadata listing per op invocation — the same
+    * order of work as the footer reads the scan itself does, and the
+    * price of never serving dedup/ANN results for a table that was
+    * rewritten after the cache was populated. Missing paths fingerprint
+    * to a constant (the build will fail loudly in `make` instead).
+    */
+  def tableVersion(spark: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        parts += s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
+      }
+    }
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.sorted.mkString("\n").getBytes("UTF-8"))
+    digest.map("%02x".format(_)).mkString.take(16)
+  }
+
   def size: Int = entries.size
 
-  private[graft] def tracked: Iterable[DataFrame] = entries.values
+  private[graft] def tracked: Iterable[DataFrame] = entries.values.map(_._2)
 
   /** Unpersist and forget every tracked relation. Safe to call between
     * jobs; the next invocation re-derives and re-caches.
     */
   def clear(): Unit = {
-    entries.values.foreach(df =>
-      if (!df.sparkSession.sparkContext.isStopped) df.unpersist())
+    entries.values.foreach { case (_, df) =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
     entries.clear()
   }
 }

@@ -167,7 +167,8 @@ object SimilarityOps {
       (s, dir) => {
         val emb = corpus(s, dir)
         val bits = derivedBits(emb.count())
-        val banded = OpCaches.cached(s, s"sim:s2banded:$dir:$bits") {
+        val banded = OpCaches.cached(s, s"sim:s2banded:$dir:$bits",
+            OpCaches.tableVersion(s, dir, "embeddings")) {
           lshTables(emb, "embedding", bits)
         }
         val queries = banded.where(col("vec_id") < NumQueries)
@@ -216,7 +217,8 @@ object SimilarityOps {
     "s4_ann_ivf" -> QueryDef(
       (s, dir) => {
         val K = 16; val nprobe = 4
-        val emb = OpCaches.cached(s, s"sim:emb:$dir")(corpus(s, dir))
+        val emb = OpCaches.cached(s, s"sim:emb:$dir",
+          OpCaches.tableVersion(s, dir, "embeddings"))(corpus(s, dir))
 
         // seed centroids: hash-ordered corpus sample (deterministic,
         // cross-engine: md5 of the decimal id, id tiebreak)
@@ -257,7 +259,8 @@ object SimilarityOps {
         // inverted lists: final assignment on the trained centroids
         // (deterministic per dir: seeding and the Lloyd step are
         // md5-ordered, so the cached plan is stable across invocations)
-        val lists = OpCaches.cached(s, s"sim:s4lists:$dir") {
+        val lists = OpCaches.cached(s, s"sim:s4lists:$dir",
+            OpCaches.tableVersion(s, dir, "embeddings")) {
           emb.withColumn("cl", nearestCentroid(centroids, col("embedding")))
         }
 

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, OpCaches}
+
+/** The op-cache registry must never serve results derived from files
+  * that no longer exist: every entry carries a version token digested
+  * from the source table's file listing, so a table rewritten
+  * mid-session evicts the stale relation (VERDICT r3 finding: directory-
+  * keyed caches + long-lived session = stale dedup results).
+  */
+class OpCachesSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("tableVersion changes when the backing parquet is rewritten") {
+    val dir = Files.createTempDirectory("graft-ver").toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val v1 = OpCaches.tableVersion(spark, dir, "documents")
+    assert(v1 == OpCaches.tableVersion(spark, dir, "documents"),
+      "version must be stable while the files are untouched")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val v2 = OpCaches.tableVersion(spark, dir, "documents")
+    assert(v1 != v2, "rewritten table must fingerprint differently")
+    assert(OpCaches.tableVersion(spark, dir, "missing") ==
+      OpCaches.tableVersion(spark, dir, "also_missing"),
+      "missing tables fingerprint to a constant (build fails loudly later)")
+  }
+
+  test("cached: same version reuses the instance, new version rebuilds") {
+    var builds = 0
+    def make = { builds += 1; Seq(builds).toDF("n") }
+    val a = OpCaches.cached(spark, "spec:ver", "v1")(make)
+    val b = OpCaches.cached(spark, "spec:ver", "v1")(make)
+    assert((a eq b) && builds == 1, "same (key, version) must not rebuild")
+    val c = OpCaches.cached(spark, "spec:ver", "v2")(make)
+    assert(!(a eq c) && builds == 2, "a new version must evict and rebuild")
+    assert(c.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("dedup results refresh after the documents table is rewritten") {
+    val dir = Files.createTempDirectory("graft-rw").toString
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    // two near-duplicate docs (shared shingles) plus an unrelated one
+    Seq((1L, words), (2L, words + " tail"), (3L, "completely unrelated text here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = DedupOps.defs("d3_fast_minhash").fn
+    val before = q(spark, dir).collect()
+    assert(before.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "planted near-dup pair must be found")
+
+    // rewrite the table with all-distinct docs: a stale cache would
+    // still report the (1, 2) pair
+    Seq((1L, (1 to 40).map(i => s"x$i").mkString(" ")),
+        (2L, (1 to 40).map(i => s"y$i").mkString(" ")),
+        (3L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val after = q(spark, dir).collect()
+    assert(after.isEmpty,
+      s"rewritten all-distinct corpus must yield no pairs, got ${after.length}")
+  }
+}
