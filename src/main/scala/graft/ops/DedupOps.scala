@@ -216,61 +216,103 @@ object DedupOps {
        |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
        |  GROUP BY l.doc_id, r.doc_id)""".stripMargin
 
-  /** Connected components by min-label propagation to fixpoint: every
-    * node gets the MIN id of its component. Each round is one join +
-    * groupBy on the edge set; rounds are O(component diameter).
-    * `edges` must contain BOTH directions of every undirected edge.
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * every node gets the MIN id of its component. `edges` must contain
+    * BOTH directions of every undirected edge.
     *
-    * Lineage discipline for adversarial diameters: every
-    * `checkpointEvery` rounds the label relation is `localCheckpoint`ed,
-    * so the plan stays O(checkpointEvery) deep instead of growing one
-    * join per round; the returned relation is checkpointed too, so it
-    * survives the internal caches being released. (Large-star/small-star
-    * is the classic refinement when diameters blow up further; the probe
-    * `collect()` per round is a single row.)
+    * Each round halves long chains instead of shaving one hop, so
+    * convergence is O(log n) rounds regardless of component DIAMETER —
+    * plain min-label propagation is O(diameter), and a pathological
+    * 10k-hop chain at 100 TB would mean 10k shuffle rounds. The edge
+    * relation only shrinks (toward one star per component), so per-round
+    * cost is bounded by the LSH-pruned input.
+    *
+    * Lineage discipline: every `checkpointEvery` rounds (DEFAULT 1 —
+    * each round's plan references the previous edge relation ~8 times
+    * through the symmetrize/large-star/small-star pipeline, so lineage
+    * grows 8^rounds and even plan STRINGIFICATION explodes by round 5)
+    * the edge relation is `localCheckpoint`ed; the returned relation is
+    * checkpointed too, so it survives the internal caches being
+    * released. The per-round probe `collect()` is a single signature
+    * row.
     */
   private[graft] def connectedComponents(
       docs: DataFrame, edges0: DataFrame, maxIter: Int = 20,
-      checkpointEvery: Int = 5): DataFrame = {
-    val edges = edges0.select(col("src"), col("dst")).cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).cache()
-    var lastSum = -1L
+      checkpointEvery: Int = 1): DataFrame =
+    connectedComponentsWithRounds(docs, edges0, maxIter, checkpointEvery)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took —
+    * exposed so the convergence-speed contract (O(log n), not
+    * O(diameter)) is spec-checkable.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      docs: DataFrame, edges0: DataFrame, maxIter: Int = 20,
+      checkpointEvery: Int = 1): (DataFrame, Int) = {
+    // parent-pointer form: one row per undirected edge, larger endpoint
+    // first (self-loops dropped)
+    var e = edges0
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().cache()
     var iter = 0
-    var done = false
+    var lastSig = ("", -1L)
+    var done = e.isEmpty
     while (!done && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
-        .groupBy("src").agg(min("label").as("nmin"))
-        .withColumnRenamed("src", "doc_id")
-      val merged = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
+      // large-star: over the symmetrized neighborhood of each node a,
+      // attach every LARGER neighbor to min(neighborhood ∪ {a}) —
+      // long chains collapse from both ends at once
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      val nmin = sym.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val ls = sym.join(nmin, "a").where(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: each node's parents are now all smaller; attach the
+      // node and every parent to the MIN parent (star formation)
+      val pmin = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(pmin, "u")
+        .select(col("m"), explode(array(col("u"), col("v"))).as("x"))
+        .where(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
       val next =
-        if ((iter + 1) % checkpointEvery == 0) merged.localCheckpoint()
-        else merged.cache()
-      // label sum decreases monotonically; fixpoint when it holds
-      // (null sum = empty corpus = trivially converged)
-      val sumRow = next.agg(org.apache.spark.sql.functions.sum("label"))
-        .collect()(0)
-      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-      labels.unpersist()
-      labels = next
-      done = sum == lastSum || sumRow.isNullAt(0)
-      lastSum = sum
+        if ((iter + 1) % checkpointEvery == 0) ss.localCheckpoint()
+        else ss.cache()
+      // fixpoint when the edge set is stable: order-independent
+      // signature (count + xor of per-edge hashes — xor can't overflow
+      // under ANSI, and the set is distinct so nothing self-cancels)
+      val sigRow = next
+        .agg(count(lit(1)).as("n"),
+          expr("bit_xor(xxhash64(u, v))").as("x")).collect()(0)
+      val sig = (s"${sigRow.getLong(0)}",
+        if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
+      e.unpersist()
+      e = next
+      done = sig == lastSig || sigRow.getLong(0) == 0L
+      lastSig = sig
       iter += 1
     }
-    // never silently return intermediate labels: a cluster whose
-    // diameter exceeds the round cap must fail loudly
+    // never silently return intermediate labels: components that fail
+    // to star-collapse within the round cap must fail loudly
     require(done,
-      s"label propagation did not converge in $iter rounds " +
-        "(cluster diameter exceeds cap — raise the iteration limit)")
+      s"large-star/small-star did not converge in $iter rounds " +
+        "(raise the iteration limit)")
+    // at the fixpoint each component is a star: every non-root node
+    // carries exactly one edge to the component min
+    val lab = e.groupBy("u").agg(min("v").as("label"))
+      .withColumnRenamed("u", "doc_id")
+    val labels = docs.select("doc_id")
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("label"))
     // checkpoint the result, then release the internal caches: the
     // caller's relation no longer depends on them
     val out = labels.localCheckpoint()
-    labels.unpersist()
-    edges.unpersist()
-    out
+    e.unpersist()
+    (out, iter)
   }
 
   def defs: Map[String, QueryDef] = Map(
@@ -334,12 +376,11 @@ object DedupOps {
     // Connected components over the near-dup pairs: every document gets
     // the MIN doc_id of its duplicate cluster as canonical
     // representative — the terminal step of the dedup pipeline (keep one
-    // doc per cluster). Min-label propagation to fixpoint: each round is
-    // one join+groupBy on the (tiny, LSH-pruned) edge set; rounds are
-    // O(cluster diameter), which for near-dup graphs is small. At 100 TB
-    // the same loop applies (large-star/small-star is the classic
-    // refinement when diameters blow up). Oracle: DuckDB computes the
-    // identical components with a recursive CTE.
+    // doc per cluster). Large-star/small-star alternation: each round is
+    // two join+groupBy passes on the (tiny, LSH-pruned) edge set, and
+    // rounds are O(log n) independent of cluster diameter — the shape
+    // that survives pathological chain clusters at 100 TB. Oracle:
+    // DuckDB computes the identical components with a recursive CTE.
     "d6_dedup_components" -> QueryDef(
       (s, dir) => dedupClusters(s, dir, fastHash = false),
       Some(s"""WITH RECURSIVE $pairsSql,

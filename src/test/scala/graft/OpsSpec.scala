@@ -193,16 +193,22 @@ class OpsSpec extends SparkSuite {
   }
 
   test("connected components converge on a long-diameter chain") {
-    // a 14-node path (diameter 13 > the localCheckpoint interval) walks
-    // the lineage-truncation branch and still reaches the fixpoint
-    val n = 14L
+    // a 51-node path (diameter 50): plain min-label propagation would
+    // need ~50 rounds; large-star/small-star must star-collapse it in
+    // O(log n) — the convergence-speed contract, not just correctness.
+    // Also walks the localCheckpoint lineage-truncation branch.
+    val n = 51L
     val docs = (0L until n).toDF("doc_id")
     val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
     val edges = chain.unionByName(
       chain.select(col("dst").as("src"), col("src").as("dst")))
-    val labels = DedupOps.connectedComponents(docs, edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labelDf, rounds) =
+      DedupOps.connectedComponentsWithRounds(docs, edges)
+    val labels = labelDf.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == (0L until n).map(_ -> 0L).toMap)
+    assert(rounds <= 12,
+      s"diameter-50 path took $rounds rounds — not the O(log n) contract")
     // two components stay separate
     val docs2 = (0L until 4L).toDF("doc_id")
     val e2 = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
