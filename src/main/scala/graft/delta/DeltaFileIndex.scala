@@ -28,8 +28,9 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * modificationTime live in the log) — zero filesystem listing, the
   * whole point of a table format at scale.
   *
-  * Not used when deletion vectors are present (the DV anti-join needs
-  * per-file row indices from the union path).
+  * Deletion-vector tables use this index too: the file source serves
+  * `_metadata.row_index`, so DeltaScan layers the row-index/file-key
+  * columns over the single scan node and anti-joins the deleted pairs.
   */
 final class DeltaFileIndex(
     snap: DeltaSnapshot,

@@ -27,15 +27,13 @@ final case class ScanSettings(
       */
     timestampType: Option[DataType] = None,
     timestampNtzType: Option[DataType] = None,
-    /** Scan-shape dispatch. DV-free tables with a value > 0 (the
-      * default) take the Catalyst-native DeltaFileIndex path — ONE
-      * FileSourceScanExec with planner-side partition pruning, O(1) plan
-      * regardless of partition count — so the threshold itself only
-      * matters for deletion-vector scans (which need per-file row
-      * indices): those use per-partition union branches up to this many
-      * distinct partition tuples, then ONE multi-path scan joined
-      * (broadcast) with a file→partition-values map. 0 forces the
-      * broadcast-join shape everywhere (escape hatch / its specs).
+    /** Scan-shape dispatch. Any value > 0 (the default) takes the
+      * Catalyst-native DeltaFileIndex path — ONE FileSourceScanExec with
+      * planner-side partition pruning, O(1) plan regardless of partition
+      * count, deletion vectors subtracted via `_metadata.row_index` over
+      * the same single scan. 0 forces the legacy shape (escape hatch /
+      * its specs): one multi-path scan joined (broadcast) with a
+      * file→partition-values map.
       */
     wideUnionThreshold: Int = 64)
 
@@ -55,12 +53,12 @@ final case class ScanSettings(
   *     widening — P1/P3/P5 in a single codegen'd expression;
   *  3. typed literals for partition columns (P2), constant per file group.
   *
-  * Files sharing identical partition values are batched into ONE
-  * multi-path `spark.read.parquet` (SURVEY §7 risk register: union width),
-  * so the plan has one scan node per live partition, not per file; a
-  * non-partitioned 100 TB table is a single FileSourceScanExec regardless
-  * of file count. Pruning (partition values + stats zone maps + limit) has
-  * already shrunk the file list driver-side before any of this.
+  * The default plan shape is a single `FileSourceScanExec` through
+  * [[DeltaFileIndex]] regardless of file or partition count (SURVEY §7
+  * risk register: union width) — partition values typed by the index,
+  * deletion vectors subtracted by row index over the same scan node.
+  * Pruning (partition values + stats zone maps + limit) happens
+  * driver-side AND planner-side (the index re-prunes cached frames).
   */
 object DeltaScan {
 
@@ -125,32 +123,37 @@ object DeltaScan {
         phys -> a.partitionValueFor(phys, f.name).flatten
       }.toMap
 
-    val groups: Seq[(Map[String, Option[String]], Seq[AddAction])] =
-      actions.groupBy(resolvedPv).toSeq
-
-    // deletion vectors: every branch additionally carries the physical
+    // deletion vectors: the scan additionally carries the physical
     // row index + normalized file key, and deleted (file, index) pairs —
     // expanded from the compact bitmaps on EXECUTORS — are subtracted
     // with one anti-join after the union
     val dvActions = actions.filter(_.hasDeletionVector)
     val fileKey = "__graft_file"
     val riKey = "__graft_row_index"
+    // file key from `_metadata.file_path`, NOT input_file_name(): the
+    // metadata column is a deterministic attribute, while a
+    // nondeterministic expression anywhere in the projection would stop
+    // Catalyst pushing partition predicates through it — silently
+    // disabling planner-side pruning on every DV table
     def dvCols(scanDf: DataFrame): Seq[Column] =
       if (dvActions.isEmpty) Nil
-      else Seq(normalizeFileKey(input_file_name()).as(fileKey),
+      else Seq(normalizeFileKey(scanDf.col("_metadata.file_path")).as(fileKey),
         scanDf.col("_metadata.row_index").as(riKey))
 
     val df =
       if (actions.isEmpty) emptyTyped(spark, StructType(readFields))
-      else if (dvActions.isEmpty && settings.wideUnionThreshold > 0) {
+      else if (settings.wideUnionThreshold > 0) {
         // Catalyst-native path (the default): a DeltaFileIndex hands the
         // planner the file list, typed partition values, and log-derived
         // size — ONE FileSourceScanExec whatever the partition count,
         // partition pruning re-evaluated by Catalyst per query (cached
         // DataFrames re-prune under new predicates), stats skipping on
-        // the pushed data filters inside the index. Falls back to the
-        // union/broadcast shapes when DVs need per-file row indices or
-        // the caller pinned wideUnionThreshold=0.
+        // the pushed data filters inside the index. Deletion-vector
+        // tables ride the same path: `_metadata.row_index` is served by
+        // the file source, so the scan carries the row-index/file-key
+        // pair and the anti-join below subtracts deleted rows — still
+        // ONE scan node. The union/broadcast shapes below remain only
+        // as the wideUnionThreshold=0 escape hatch (and its specs).
         val index = new DeltaFileIndex(snap, actions)
         val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
           index, partitionSchema = index.partitionSchema,
@@ -166,26 +169,12 @@ object DeltaScan {
             // predicates stay recognizable to PruneFileSourcePartitions
             col(s"`${phys.replace("`", "``")}`").as(f.name)
           } else dataProjection(f)
-        }: _*)
-      } else if (groups.size <= settings.wideUnionThreshold) {
-        // one scan node per distinct partition-value tuple; partition
-        // columns become per-branch constant literals (fold-friendly)
-        val parts = groups.map { case (pv, as) =>
-          val paths = as.map(a => resolvePath(base, a.path))
-          val projection: Seq[Column] = readFields.map { f =>
-            if (partCols.contains(f.name)) {
-              val phys = logToPhys.getOrElse(f.name, f.name)
-              PartitionValues.toLiteral(pv.getOrElse(phys, None), f)
-            } else dataProjection(f)
-          }
-          val scan = spark.read.schema(physReadSchema).parquet(paths: _*)
-          scan.select(projection ++ dvCols(scan): _*)
-        }
-        parts.reduce(_.unionByName(_))
+        } ++ dvCols(scan): _*)
       } else {
-        // wide-partition path: ONE multi-path scan for every file, and
-        // partition values delivered by a broadcast join on the file name
-        // — constant-size plan regardless of partition count
+        // legacy shape (wideUnionThreshold=0 escape hatch): ONE
+        // multi-path scan for every file, and partition values delivered
+        // by a broadcast join on the file name — constant-size plan
+        // regardless of partition count
         val hconf = spark.sessionState.newHadoopConf()
         val paths = actions.map(a => resolvePath(base, a.path))
         val scan0 = spark.read.schema(physReadSchema).parquet(paths: _*)
