@@ -160,4 +160,73 @@ class ProtocolConformanceSpec extends SparkSuite {
     assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L, 4L))
     assert(rows.map(_.getAs[String]("p")).toSeq == Seq("p 1", "p%2", "p 1"))
   }
+
+  /** Live probe for an independent Delta reader. Returns a replay
+    * function (tablePath → "id,t,p" rows sorted) when one is usable, or
+    * None. Probed in preference order: python `deltalake` (delta-rs),
+    * then DuckDB's `delta` extension.
+    */
+  private def secondReader(): Option[(String, String => Seq[String])] = {
+    import scala.sys.process._
+    def run(cmd: Seq[String]): (Int, String) = {
+      val out = new StringBuilder
+      val code = try cmd ! ProcessLogger(l => { out ++= l; out += '\n' }, _ => ())
+      catch { case scala.util.control.NonFatal(_) => 127 }
+      (code, out.toString)
+    }
+    val deltars = run(Seq("python3", "-c", "import deltalake"))._1 == 0
+    val duck = run(Seq("python3", "-c",
+      "import duckdb\nc = duckdb.connect()\nc.execute('LOAD delta')"))._1 == 0
+    if (deltars) Some("delta-rs" -> { p: String =>
+      run(Seq("python3", "-c",
+        s"""from deltalake import DeltaTable
+           |import pandas as pd
+           |df = DeltaTable("$p").to_pyarrow_table().to_pandas()
+           |df = df.sort_values("id")
+           |for _, r in df.iterrows():
+           |    print(f"{r['id']},{r['t']},{r['p']}")
+           |""".stripMargin))._2.linesIterator.toSeq.filter(_.nonEmpty)
+    })
+    else if (duck) Some("duckdb-delta" -> { p: String =>
+      run(Seq("python3", "-c",
+        s"""import duckdb
+           |c = duckdb.connect()
+           |c.execute("LOAD delta")
+           |for row in c.execute(
+           |    "SELECT id, t, p FROM delta_scan('$p') ORDER BY id").fetchall():
+           |    print(",".join(str(x) for x in row))
+           |""".stripMargin))._2.linesIterator.toSeq.filter(_.nonEmpty)
+    })
+    else None
+  }
+
+  test("differential replay through an independent Delta reader") {
+    // The one claim conformance checks can't close: "delta-rs could read
+    // our tables". This test closes it WHENEVER the sandbox gains a
+    // second reader; re-probed every run (r2: blocked, r3: blocked,
+    // r4 2026-08-12: python `deltalake` absent, DuckDB delta extension
+    // uninstallable offline — extensions.duckdb.org unreachable).
+    secondReader() match {
+      case None =>
+        cancel("no independent Delta reader in the sandbox " +
+          "(deltalake wheel and DuckDB delta extension both unavailable)")
+      case Some((name, replay)) =>
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_diff").toString + "/t"
+        DeltaWriter.write(
+          Seq((1L, "a b", "p 1"), (2L, "c+d", "p 1"), (3L, "e", "p%2"))
+            .toDF("id", "t", "p"),
+          path, partitionBy = Seq("p"))
+        DeltaWriter.write(Seq((4L, "f", "p 1", 9.5)).toDF("id", "t", "p", "score"),
+          path, partitionBy = Seq("p"), mode = "append")
+        assert(DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 2L))) == 1L)
+        DeltaWriter.writeCheckpoint(DeltaLog.forPath(spark, path))
+        val ours = DeltaLake.scanDelta(spark, path).orderBy("id")
+          .select("id", "t", "p").collect()
+          .map(r => s"${r.getLong(0)},${r.getString(1)},${r.getString(2)}").toSeq
+        val theirs = replay(path)
+        assert(theirs == ours,
+          s"$name disagrees:\n  ours:   $ours\n  theirs: $theirs")
+    }
+  }
 }
