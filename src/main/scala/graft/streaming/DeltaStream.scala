@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.delta.{ActionCodec, DeltaLog, DeltaScan, DeltaSnapshot, ScanSettings}
+import graft.delta.{ActionCodec, AddAction, DeletionVectors, DeltaLog, DeltaScan, DeltaSnapshot, ScanSettings}
 
 /** Micro-batch replay of a Delta table's commit history — the
   * `Trigger.AvailableNow` pattern over our own log reader (the streaming
@@ -65,6 +65,94 @@ object DeltaStream {
           ScanSettings(actionFilter = a => addedPaths.contains(a.path)))
         batchFn(v, batch)
       }
+      v += 1
+    }
+    head
+  }
+
+  /** Change-data-feed replay: like [[runAvailableNow]], but each batch
+    * carries a `_change_type` column and deletion-vector deletes surface
+    * as RETRACTIONS — `insert` rows are the commit's new data, `delete`
+    * rows are the rows newly covered by a DV in that commit (diffed
+    * against the file's prior descriptor, driver-side compact-bitmap
+    * work only; unchanged descriptors cost nothing). Applying inserts
+    * then deletes per version nets to the table state — the streaming
+    * twin of `scanDeltaChanges` + `scanDeltaDeletedRows`, delivered
+    * per-commit instead of per-window.
+    *
+    * Files dropped entirely by overwrites still don't retract (their
+    * rows may be gone from disk) — the standard source limitation;
+    * DV deletes, the engine's own delete path, are fully covered.
+    */
+  def runAvailableNowCdf(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Long)(batchFn: (Long, DataFrame) => Unit): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, explode, lit}
+    val head = DeltaLog.forPath(spark, path).version
+    val snap =
+      if (fromVersion < 0) new DeltaSnapshot(spark, path)
+      else DeltaLog.forPath(spark, path, Some(fromVersion))
+    val base = path.stripSuffix("/")
+    var v = fromVersion + 1
+    while (v <= head) {
+      val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"Commit $v of $path is missing (aged out past a checkpoint?); " +
+            s"cannot replay versions ${fromVersion + 1}..$head incrementally."))
+      val priorByPath: Map[String, AddAction] =
+        snap.liveFiles.map(a => a.path -> a).toMap
+      val adds = lines.flatMap(n =>
+        Option(n.get("add")).filterNot(_.isNull).map(ActionCodec.parseAdd))
+        .filter(_.dataChange)
+      val newPaths = adds.collect {
+        case a if !priorByPath.contains(a.path) => a.path }.toSet
+      // DV-bearing re-adds: the row indices in the new bitmap but not
+      // the prior one are this commit's retractions
+      val dvDiffs: Seq[(AddAction, Seq[Long])] = adds
+        .filter(a => priorByPath.contains(a.path))
+        .flatMap { a =>
+          a.deletionVector.filterNot(
+              priorByPath(a.path).deletionVector.contains(_))
+            .map { dv =>
+              val now = DeletionVectors.deserializeData(
+                DeletionVectors.read(spark, base, dv))
+              val prior: Set[Long] = priorByPath(a.path).deletionVector
+                .map(d => DeletionVectors.deserializeData(
+                  DeletionVectors.read(spark, base, d)).toSet)
+                .getOrElse(Set.empty)
+              a -> now.filterNot(prior).toSeq
+            }
+            .filter(_._2.nonEmpty)
+        }
+      lines.foreach(snap.applyActionLine(_, v))
+      val inserts =
+        if (newPaths.isEmpty) None
+        else Some(DeltaScan.scanSnapshot(snap,
+          ScanSettings(actionFilter = a => newPaths.contains(a.path))))
+      val deletes =
+        if (dvDiffs.isEmpty) None
+        else {
+          import spark.implicits._
+          val pairs = dvDiffs.map { case (a, idx) =>
+            DeltaScan.fileUri(spark, base, a) -> idx
+          }.toDF("__graft_file", "__graft_ri_list")
+            .select(col("__graft_file"),
+              explode(col("__graft_ri_list")).as("__graft_row_index"))
+          // scanWithRowIndex ignores live DVs — exactly right here: the
+          // retracted rows are by definition DV-covered in `snap`
+          Some(DeltaScan.scanWithRowIndex(snap, dvDiffs.map(_._1))
+            .join(broadcast(pairs),
+              Seq("__graft_file", "__graft_row_index"), "left_semi")
+            .drop("__graft_file", "__graft_row_index"))
+        }
+      val batch = (
+        inserts.map(_.withColumn("_change_type", lit("insert"))),
+        deletes.map(_.withColumn("_change_type", lit("delete")))) match {
+        case (Some(i), Some(d)) => Some(i.unionByName(d))
+        case (i, d) => i.orElse(d)
+      }
+      batch.foreach(batchFn(v, _))
       v += 1
     }
     head

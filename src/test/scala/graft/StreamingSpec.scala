@@ -158,6 +158,51 @@ class StreamingSpec extends SparkSuite {
     assert(changes == Seq(100L))
   }
 
+  test("CDF stream replay nets to the batch state over DV deletes") {
+    import graft.delta.{Cond, DeltaWriter}
+    import graft.streaming.DeltaStream
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_cdf").toString + "/t"
+    // delete-bearing history: writes interleaved with DV deletes,
+    // including a second delete that merges into an existing DV
+    DeltaWriter.write((1L to 20L).toDF("id").repartition(2), path)
+    DeltaWriter.write((21L to 30L).toDF("id").repartition(1), path, mode = "append")
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 5L)))
+    DeltaWriter.write((31L to 35L).toDF("id"), path, mode = "append")
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "in", Seq(8L, 25L, 31L))))
+
+    // replay from scratch: apply inserts then deletes per version
+    var state = scala.collection.mutable.Set.empty[Long]
+    var retractions = Vector.empty[Long]
+    val off = DeltaStream.runAvailableNowCdf(spark, path, -1L) { (_, df) =>
+      val rows = df.collect()
+      rows.filter(_.getAs[String]("_change_type") == "insert")
+        .foreach(r => state += r.getAs[Long]("id"))
+      val dels = rows.filter(_.getAs[String]("_change_type") == "delete")
+        .map(_.getAs[Long]("id"))
+      retractions ++= dels
+      dels.foreach(state -= _)
+    }
+    val batch = DeltaLake.scanDelta(spark, path)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(state.toSet == batch,
+      s"streamed state diverged: missing ${batch -- state}, extra ${state.toSet -- batch}")
+    assert(retractions.sorted == Vector(1L, 2L, 3L, 4L, 5L, 8L, 25L, 31L),
+      s"retractions wrong: ${retractions.sorted}")
+
+    // offset resume: nothing new ⇒ no batches; a fresh delete ⇒ only
+    // its retraction, diffed against the file's PRIOR (merged) bitmap
+    var later = Vector.empty[(String, Long)]
+    DeltaStream.runAvailableNowCdf(spark, path, off)((_, _) =>
+      fail("no new commits — no batch expected"))
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 9L)))
+    DeltaStream.runAvailableNowCdf(spark, path, off) { (_, df) =>
+      later ++= df.collect().map(r =>
+        r.getAs[String]("_change_type") -> r.getAs[Long]("id"))
+    }
+    assert(later == Vector("delete" -> 9L), s"got $later")
+  }
+
   test("session windows produce bounded, non-overlapping sessions per user") {
     val stream = EventStreams.sessionAgg(
       EventStreams.readEventStream(spark, streamDir))
