@@ -267,9 +267,11 @@ object DedupOps {
         .unionByName(e.select(col("v").as("a"), col("u").as("b")))
       val nmin = sym.groupBy("a").agg(min("b").as("mn"))
         .select(col("a"), least(col("a"), col("mn")).as("m"))
+      // no distinct here: duplicate (u, v) rows are cheap to carry for
+      // one pass and the small-star distinct collapses them — a
+      // distinct would cost an extra full shuffle per round
       val ls = sym.join(nmin, "a").where(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: each node's parents are now all smaller; attach the
       // node and every parent to the MIN parent (star formation)
       val pmin = ls.groupBy("u").agg(min("v").as("m"))
@@ -278,8 +280,10 @@ object DedupOps {
         .where(col("x") =!= col("m"))
         .select(col("x").as("u"), col("m").as("v"))
         .distinct()
+      // LAZY checkpoint: the signature aggregation below is the action
+      // that materializes it — one job per round, not two
       val next =
-        if ((iter + 1) % checkpointEvery == 0) ss.localCheckpoint()
+        if ((iter + 1) % checkpointEvery == 0) ss.localCheckpoint(false)
         else ss.cache()
       // fixpoint when the edge set is stable: order-independent
       // signature (count + xor of per-edge hashes — xor can't overflow
@@ -308,9 +312,11 @@ object DedupOps {
       .join(lab, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("label"))
-    // checkpoint the result, then release the internal caches: the
-    // caller's relation no longer depends on them
-    val out = labels.localCheckpoint()
+    // checkpoint the result (lazily — the caller's first action
+    // materializes it, no extra job here), then release the internal
+    // caches: the edge relation is itself checkpointed, so the label
+    // lineage stays valid after the unpersist
+    val out = labels.localCheckpoint(false)
     e.unpersist()
     (out, iter)
   }
