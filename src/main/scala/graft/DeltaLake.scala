@@ -87,13 +87,16 @@ object DeltaLake {
     * (pre-vacuum) location, so no window rows are lost. Deletion
     * vectors are NOT subtracted here — retractions are
     * [[scanDeltaDeletedRows]]'s half, and the two compose to the net
-    * state delta. Raises if window commits were aged out.
+    * state delta. Rows RESTORED by a shrinking deletion vector (an
+    * external writer un-deleting, e.g. RESTORE) count as inserts here:
+    * they became visible in the window. Raises if window commits were
+    * aged out.
     */
   def scanDeltaChanges(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
     val head = DeltaLog.forPath(spark, path)
-    val beforeLive = DeltaLog.forPath(spark, path, Some(sinceVersion))
-      .liveFiles.map(_.path).toSet
+    val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
+    val beforeLive = before.liveFiles.map(_.path).toSet
     val added = scala.collection.mutable.LinkedHashMap.empty[String, AddAction]
     (sinceVersion + 1 to head.version).foreach { v =>
       val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(
@@ -108,12 +111,28 @@ object DeltaLake {
           .foreach(a => added(a.path) = a)
       }
     }
-    if (added.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], head.schema)
-    else
-      DeltaScan.scanWithRowIndex(head, added.values.toSeq)
-        .drop("__graft_file", "__graft_row_index")
+    // restored rows: still-live files whose DV shrank across the window
+    val base = path.stripSuffix("/")
+    val beforeDesc = before.liveFiles
+      .flatMap(a => a.deletionVector.map(a.path -> _)).toMap
+    val restores: Seq[(AddAction, Seq[Long])] = head.liveFiles
+      .filter(a => beforeLive.contains(a.path))
+      .flatMap { a =>
+        val rs = DvCdf.diffIndices(spark, base,
+          beforeDesc.get(a.path), a.deletionVector)._2
+        if (rs.isEmpty) None else Some(a -> rs)
+      }
+    val inserts =
+      if (added.isEmpty) None
+      else Some(DeltaScan.scanWithRowIndex(head, added.values.toSeq)
+        .drop("__graft_file", "__graft_row_index"))
+    val restored =
+      if (restores.isEmpty) None else Some(DvCdf.rowsAt(head, restores))
+    (inserts, restored) match {
+      case (Some(i), Some(r)) => i.unionByName(r)
+      case (i, r) => i.orElse(r).getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], head.schema))
+    }
   }
 
   /** Delete-CDF: the rows logically DELETED via deletion vectors
@@ -131,7 +150,6 @@ object DeltaLake {
     */
   def scanDeltaDeletedRows(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
     val after = DeltaLog.forPath(spark, path)
     val base = path.stripSuffix("/")
@@ -139,35 +157,13 @@ object DeltaLake {
       .flatMap(a => a.deletionVector.map(a.path -> _)).toMap
 
     val diffs: Seq[(AddAction, Seq[Long])] = after.liveFiles.flatMap { a =>
-      a.deletionVector
-        // unchanged descriptor ⇒ empty diff: skip both reads
-        .filterNot(dv => beforeDesc.get(a.path).contains(dv))
-        .map { dv =>
-          val now = DeletionVectors.deserializeData(
-            DeletionVectors.read(spark, base, dv))
-          val prior: Set[Long] = beforeDesc.get(a.path) match {
-            case Some(bdv) => DeletionVectors.deserializeData(
-              DeletionVectors.read(spark, base, bdv)).toSet
-            case None => Set.empty
-          }
-          a -> now.filterNot(prior).toSeq
-        }
-    }.filter(_._2.nonEmpty)
-    val schema = after.schema
+      val dels = DvCdf.diffIndices(spark, base,
+        beforeDesc.get(a.path), a.deletionVector)._1
+      if (dels.isEmpty) None else Some(a -> dels)
+    }
     if (diffs.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-
-    import spark.implicits._
-    val pairs = diffs.map { case (a, idx) =>
-      DeltaScan.fileUri(spark, base, a) -> idx
-    }.toDF("__graft_file", "__graft_ri_list")
-      .select(col("__graft_file"),
-        org.apache.spark.sql.functions.explode(col("__graft_ri_list"))
-          .as("__graft_row_index"))
-    DeltaScan.scanWithRowIndex(after, diffs.map(_._1))
-      .join(broadcast(pairs), Seq("__graft_file", "__graft_row_index"),
-        "left_semi")
-      .drop("__graft_file", "__graft_row_index")
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], after.schema)
+    else DvCdf.rowsAt(after, diffs)
   }
 }

@@ -58,8 +58,17 @@ object DedupOps {
     * persist the small shingle/signature relations, never re-derive them
     * from the corpus.
     */
-  private def shingleTable(s: SparkSession, dir: String): DataFrame = {
-    val ver = OpCaches.tableVersion(s, dir, "documents")
+  /** Fingerprint of the documents table, computed ONCE per op
+    * invocation and threaded through every cache site — each
+    * [[OpCaches.tableVersion]] call is a recursive driver-side listing,
+    * so recomputing it per nested helper would multiply that latency
+    * for identical information.
+    */
+  private def docsVersion(s: SparkSession, dir: String): String =
+    OpCaches.tableVersion(s, dir, "documents")
+
+  private def shingleTable(
+      s: SparkSession, dir: String, ver: String): DataFrame =
     OpCaches.cached(s, s"dedup:sh:$dir", ver) {
       val toks = OpCaches.cached(s, s"dedup:toks:$dir", ver) {
         table(s, dir, "documents")
@@ -68,7 +77,6 @@ object DedupOps {
       }
       toks.select(col("doc_id"), shingles(col("toks")).as("sh"))
     }
-  }
 
   private val NumHashes = 32
   private val Bands = 8
@@ -98,10 +106,10 @@ object DedupOps {
     * ~40 bytes), never re-derive it from the corpus.
     */
   private def bandedDocs(
-      s: SparkSession, dir: String, fastHash: Boolean): DataFrame = {
-    val docs = OpCaches.cached(s, s"dedup:mh:$dir:$fastHash",
-        OpCaches.tableVersion(s, dir, "documents")) {
-      shingleTable(s, dir)
+      s: SparkSession, dir: String, fastHash: Boolean,
+      ver: String): DataFrame = {
+    val docs = OpCaches.cached(s, s"dedup:mh:$dir:$fastHash", ver) {
+      shingleTable(s, dir, ver)
         .select(col("doc_id"), minhashes(col("sh"), fastHash).as("mh"))
     }
     docs.select(col("doc_id"), col("mh"),
@@ -120,8 +128,9 @@ object DedupOps {
     * oracle entries in [[defs]] pass `fastHash = false` for md5 parity.
     */
   private[graft] def minhashPairs(
-      s: SparkSession, dir: String, fastHash: Boolean = true): DataFrame = {
-    val b = bandedDocs(s, dir, fastHash)
+      s: SparkSession, dir: String, fastHash: Boolean = true,
+      ver: Option[String] = None): DataFrame = {
+    val b = bandedDocs(s, dir, fastHash, ver.getOrElse(docsVersion(s, dir)))
     val l = b.select(col("band"), col("sig"),
       col("doc_id").as("doc_a"), col("mh").as("mh_a"))
     val r = b.select(col("band"), col("sig"),
@@ -150,9 +159,10 @@ object DedupOps {
   /** d4 body: exact n-gram Jaccard over the LSH candidates. */
   private def jaccardVerified(
       s: SparkSession, dir: String, fastHash: Boolean): DataFrame = {
-    val sh = shingleTable(s, dir)
+    val ver = docsVersion(s, dir)
+    val sh = shingleTable(s, dir, ver)
       .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
-    val cand = minhashPairs(s, dir, fastHash)
+    val cand = minhashPairs(s, dir, fastHash, Some(ver))
       .select("doc_a", "doc_b")
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -170,17 +180,15 @@ object DedupOps {
     */
   private def dedupClusters(
       s: SparkSession, dir: String, fastHash: Boolean): DataFrame = {
+    val ver = docsVersion(s, dir)
     // tracked cache, not per-call: repeat invocations reuse the
     // near-dup edge relation instead of re-paying the band join
-    val pairs = OpCaches.cached(s, s"dedup:d6pairs:$dir:$fastHash",
-        OpCaches.tableVersion(s, dir, "documents")) {
-      minhashPairs(s, dir, fastHash)
+    val pairs = OpCaches.cached(s, s"dedup:d6pairs:$dir:$fastHash", ver) {
+      minhashPairs(s, dir, fastHash, Some(ver))
         .where(col("est_jaccard") >= 0.2)
         .select("doc_a", "doc_b")
     }
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(
-        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val docs = table(s, dir, "documents").select("doc_id")
     connectedComponents(docs, edges)
       .select(col("doc_id"), col("label").as("cluster_rep"))
@@ -218,8 +226,10 @@ object DedupOps {
 
   /** Connected components by alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
-    * every node gets the MIN id of its component. `edges` must contain
-    * BOTH directions of every undirected edge.
+    * every node gets the MIN id of its component. `edges` rows are
+    * undirected and accepted in ANY orientation (canonicalized
+    * internally — do not pre-symmetrize, it only doubles the first
+    * shuffle).
     *
     * Each round halves long chains instead of shaving one hop, so
     * convergence is O(log n) rounds regardless of component DIAMETER —

@@ -53,6 +53,13 @@ private[graft] object OpCaches {
     * price of never serving dedup/ANN results for a table that was
     * rewritten after the cache was populated. Missing paths fingerprint
     * to a constant (the build will fail loudly in `make` instead).
+    *
+    * KNOWN LIMIT: a rewrite that keeps every file's name AND byte
+    * length AND lands within the store's mtime granularity (1 s on
+    * some object stores) fingerprints identically. Closing that would
+    * need a content read per file per invocation — not worth it for a
+    * metadata-only check; Spark's own relation cache makes the same
+    * trade.
     */
   def tableVersion(spark: SparkSession, dir: String, name: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.delta.{ActionCodec, AddAction, DeletionVectors, DeltaLog, DeltaScan, DeltaSnapshot, ScanSettings}
+import graft.delta.{ActionCodec, AddAction, DeltaLog, DeltaScan, DeltaSnapshot, DvCdf, ScanSettings}
 
 /** Micro-batch replay of a Delta table's commit history — the
   * `Trigger.AvailableNow` pattern over our own log reader (the streaming
@@ -71,14 +71,15 @@ object DeltaStream {
   }
 
   /** Change-data-feed replay: like [[runAvailableNow]], but each batch
-    * carries a `_change_type` column and deletion-vector deletes surface
-    * as RETRACTIONS — `insert` rows are the commit's new data, `delete`
-    * rows are the rows newly covered by a DV in that commit (diffed
-    * against the file's prior descriptor, driver-side compact-bitmap
-    * work only; unchanged descriptors cost nothing). Applying inserts
-    * then deletes per version nets to the table state — the streaming
-    * twin of `scanDeltaChanges` + `scanDeltaDeletedRows`, delivered
-    * per-commit instead of per-window.
+    * carries a `_change_type` column and deletion-vector changes surface
+    * as change rows — `insert` rows are the commit's new data PLUS any
+    * rows un-deleted by a shrinking DV (an external writer's RESTORE),
+    * `delete` rows are the rows newly covered by a DV in that commit.
+    * Descriptor diffs are driver-side compact-bitmap work (shared with
+    * the batch CDF via [[graft.delta.DvCdf]] — one implementation, no
+    * silent batch/stream divergence); unchanged descriptors cost
+    * nothing. Applying inserts then deletes per version nets to the
+    * table state.
     *
     * Files dropped entirely by overwrites still don't retract (their
     * rows may be gone from disk) — the standard source limitation;
@@ -88,7 +89,7 @@ object DeltaStream {
       spark: SparkSession,
       path: String,
       fromVersion: Long)(batchFn: (Long, DataFrame) => Unit): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, explode, lit}
+    import org.apache.spark.sql.functions.lit
     val head = DeltaLog.forPath(spark, path).version
     val snap =
       if (fromVersion < 0) new DeltaSnapshot(spark, path)
@@ -107,45 +108,29 @@ object DeltaStream {
         .filter(_.dataChange)
       val newPaths = adds.collect {
         case a if !priorByPath.contains(a.path) => a.path }.toSet
-      // DV-bearing re-adds: the row indices in the new bitmap but not
-      // the prior one are this commit's retractions
-      val dvDiffs: Seq[(AddAction, Seq[Long])] = adds
-        .filter(a => priorByPath.contains(a.path))
-        .flatMap { a =>
-          a.deletionVector.filterNot(
-              priorByPath(a.path).deletionVector.contains(_))
-            .map { dv =>
-              val now = DeletionVectors.deserializeData(
-                DeletionVectors.read(spark, base, dv))
-              val prior: Set[Long] = priorByPath(a.path).deletionVector
-                .map(d => DeletionVectors.deserializeData(
-                  DeletionVectors.read(spark, base, d)).toSet)
-                .getOrElse(Set.empty)
-              a -> now.filterNot(prior).toSeq
-            }
-            .filter(_._2.nonEmpty)
-        }
+      // re-adds of live paths: diff the DV descriptors — bitmap growth
+      // retracts, shrinkage re-inserts (restore)
+      var delDiffs = Vector.empty[(AddAction, Seq[Long])]
+      var resDiffs = Vector.empty[(AddAction, Seq[Long])]
+      adds.filter(a => priorByPath.contains(a.path)).foreach { a =>
+        val (dels, res) = DvCdf.diffIndices(spark, base,
+          priorByPath(a.path).deletionVector, a.deletionVector)
+        if (dels.nonEmpty) delDiffs :+= (a -> dels)
+        if (res.nonEmpty) resDiffs :+= (a -> res)
+      }
       lines.foreach(snap.applyActionLine(_, v))
-      val inserts =
+      val newFiles =
         if (newPaths.isEmpty) None
         else Some(DeltaScan.scanSnapshot(snap,
           ScanSettings(actionFilter = a => newPaths.contains(a.path))))
+      val restored =
+        if (resDiffs.isEmpty) None else Some(DvCdf.rowsAt(snap, resDiffs))
+      val inserts = (newFiles, restored) match {
+        case (Some(i), Some(r)) => Some(i.unionByName(r))
+        case (i, r) => i.orElse(r)
+      }
       val deletes =
-        if (dvDiffs.isEmpty) None
-        else {
-          import spark.implicits._
-          val pairs = dvDiffs.map { case (a, idx) =>
-            DeltaScan.fileUri(spark, base, a) -> idx
-          }.toDF("__graft_file", "__graft_ri_list")
-            .select(col("__graft_file"),
-              explode(col("__graft_ri_list")).as("__graft_row_index"))
-          // scanWithRowIndex ignores live DVs — exactly right here: the
-          // retracted rows are by definition DV-covered in `snap`
-          Some(DeltaScan.scanWithRowIndex(snap, dvDiffs.map(_._1))
-            .join(broadcast(pairs),
-              Seq("__graft_file", "__graft_row_index"), "left_semi")
-            .drop("__graft_file", "__graft_row_index"))
-        }
+        if (delDiffs.isEmpty) None else Some(DvCdf.rowsAt(snap, delDiffs))
       val batch = (
         inserts.map(_.withColumn("_change_type", lit("insert"))),
         deletes.map(_.withColumn("_change_type", lit("delete")))) match {

@@ -23,13 +23,11 @@ object D6Probe {
       .fn(spark, dir).count())
     time("d6 warm")(graft.ops.DedupOps.defs("d6_dedup_components")
       .fn(spark, dir).count())
-    val pairs = time("pairs (cached)")(
-      graft.ops.DedupOps.minhashPairs(spark, dir, fastHash = false)
-        .where(col("est_jaccard") >= 0.2).select("doc_a", "doc_b"))
-    println(s"edge count: ${pairs.count()}")
+    val pairs = graft.ops.DedupOps.minhashPairs(spark, dir, fastHash = false)
+      .where(col("est_jaccard") >= 0.2).select("doc_a", "doc_b")
+    time("pairs (cached)")(println(s"edge count: ${pairs.count()}"))
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val (_, rounds) = time("components only")(
       graft.ops.DedupOps.connectedComponentsWithRounds(docs, edges,
         checkpointEvery = sys.env.getOrElse("PROBE_CKPT", "1").toInt))

@@ -345,4 +345,47 @@ class DeletionVectorSpec extends SparkSuite {
     assert(replayed.liveFiles.size == snap.liveFiles.size)
     assert(DeltaLake.scanDelta(spark, path).count() == 20)
   }
+
+  test("DV shrink (external RESTORE) surfaces as CDF inserts, not silence") {
+    // an external writer can commit a re-add whose DV covers FEWER rows
+    // (delta-rs RESTORE); the CDF halves must surface the un-deleted
+    // rows as inserts — dropping them would make "inserts then deletes
+    // nets to the state" silently false
+    val path = tmp()
+    DeltaWriter.write((1L to 10L).toDF("id").coalesce(1), path)
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 3L)))
+    val snap = DeltaLog.forPath(spark, path)
+    val a = snap.liveFiles.head
+    // hand-written restore commit: same file, no deletionVector
+    val commit = new org.apache.hadoop.fs.Path(
+      f"$path/_delta_log/${snap.version + 1}%020d.json")
+    val fs = commit.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(commit, false)
+    try out.write(
+      (s"""{"add":{"path":"${a.path}","partitionValues":{},""" +
+        s""""size":${a.size},"modificationTime":${a.modificationTime},""" +
+        s""""dataChange":true}}\n""").getBytes("UTF-8"))
+    finally out.close()
+
+    // batch scan sees all rows again
+    assert(DeltaLake.scanDelta(spark, path).count() == 10)
+    // batch CDF: restored rows are inserts of the window; nothing
+    // was deleted between the delete version and head
+    val changes = DeltaLake.scanDeltaChanges(spark, path, snap.version)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(changes == Seq(1L, 2L, 3L), s"restored rows missing: $changes")
+    assert(DeltaLake.scanDeltaDeletedRows(spark, path, snap.version)
+      .count() == 0)
+
+    // streaming CDF replay: v0 inserts 1..10, delete retracts 1..3,
+    // restore re-inserts 1..3 — net = full table
+    val state = scala.collection.mutable.Set.empty[Long]
+    graft.streaming.DeltaStream.runAvailableNowCdf(spark, path, -1L) { (_, df) =>
+      df.collect().foreach { r =>
+        if (r.getAs[String]("_change_type") == "insert") state += r.getAs[Long]("id")
+        else state -= r.getAs[Long]("id")
+      }
+    }
+    assert(state.toSet == (1L to 10L).toSet, s"streamed state: $state")
+  }
 }
