@@ -115,8 +115,10 @@ object DeltaLake {
     val base = path.stripSuffix("/")
     val beforeDesc = before.liveFiles
       .flatMap(a => a.deletionVector.map(a.path -> _)).toMap
+    // restore requires a prior DV to shrink — files without one can't
+    // contribute, so skip them before any bitmap read
     val restores: Seq[(AddAction, Seq[Long])] = head.liveFiles
-      .filter(a => beforeLive.contains(a.path))
+      .filter(a => beforeDesc.contains(a.path))
       .flatMap { a =>
         val rs = DvCdf.diffIndices(spark, base,
           beforeDesc.get(a.path), a.deletionVector)._2
@@ -156,11 +158,15 @@ object DeltaLake {
     val beforeDesc: Map[String, DeletionVectorDescriptor] = before.liveFiles
       .flatMap(a => a.deletionVector.map(a.path -> _)).toMap
 
-    val diffs: Seq[(AddAction, Seq[Long])] = after.liveFiles.flatMap { a =>
-      val dels = DvCdf.diffIndices(spark, base,
-        beforeDesc.get(a.path), a.deletionVector)._1
-      if (dels.isEmpty) None else Some(a -> dels)
-    }
+    // new deletions require a current DV — skip DV-free files (incl.
+    // full restores) before any bitmap read
+    val diffs: Seq[(AddAction, Seq[Long])] = after.liveFiles
+      .filter(_.deletionVector.nonEmpty)
+      .flatMap { a =>
+        val dels = DvCdf.diffIndices(spark, base,
+          beforeDesc.get(a.path), a.deletionVector)._1
+        if (dels.isEmpty) None else Some(a -> dels)
+      }
     if (diffs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], after.schema)

@@ -29,9 +29,17 @@ private[graft] object DvCdf {
         d.map(dv => DeletionVectors.deserializeData(
           DeletionVectors.read(spark, base, dv)).toSet)
           .getOrElse(Set.empty)
-      val p = setOf(prior)
-      val n = setOf(now)
-      ((n -- p).toSeq, (p -- n).toSeq)
+      // read only the bitmaps a non-empty component actually needs: an
+      // absent side makes one component trivially empty, and each read
+      // is driver-side I/O a caller may be paying per changed file
+      (prior, now) match {
+        case (None, _) => (setOf(now).toSeq, Nil)
+        case (_, None) => (Nil, setOf(prior).toSeq)
+        case _ =>
+          val p = setOf(prior)
+          val n = setOf(now)
+          ((n -- p).toSeq, (p -- n).toSeq)
+      }
     }
 
   /** Read exactly the given (file, row-index) pairs from `snap`'s

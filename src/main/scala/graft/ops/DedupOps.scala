@@ -52,12 +52,6 @@ object DedupOps {
         j => concat_ws(" ", slice(toks, j + 1, lit(3)))))
       .otherwise(array(concat_ws(" ", toks)))
 
-  /** doc_id → shingle array, tokenized once, cached, and repartitioned:
-    * the docs parquet arrives as few splits, and the hash stages are
-    * CPU-bound — spread them over all cores. At 100 TB the same holds:
-    * persist the small shingle/signature relations, never re-derive them
-    * from the corpus.
-    */
   /** Fingerprint of the documents table, computed ONCE per op
     * invocation and threaded through every cache site — each
     * [[OpCaches.tableVersion]] call is a recursive driver-side listing,
@@ -67,6 +61,12 @@ object DedupOps {
   private def docsVersion(s: SparkSession, dir: String): String =
     OpCaches.tableVersion(s, dir, "documents")
 
+  /** doc_id → shingle array, tokenized once, cached, and repartitioned:
+    * the docs parquet arrives as few splits, and the hash stages are
+    * CPU-bound — spread them over all cores. At 100 TB the same holds:
+    * persist the small shingle/signature relations, never re-derive them
+    * from the corpus.
+    */
   private def shingleTable(
       s: SparkSession, dir: String, ver: String): DataFrame =
     OpCaches.cached(s, s"dedup:sh:$dir", ver) {
@@ -268,6 +268,7 @@ object DedupOps {
       .distinct().cache()
     var iter = 0
     var lastSig = ("", -1L)
+    var eCheckpointed = false
     var done = e.isEmpty
     while (!done && iter < maxIter) {
       // large-star: over the symmetrized neighborhood of each node a,
@@ -292,9 +293,11 @@ object DedupOps {
         .distinct()
       // LAZY checkpoint: the signature aggregation below is the action
       // that materializes it — one job per round, not two
+      val checkpointThis = (iter + 1) % checkpointEvery == 0
       val next =
-        if ((iter + 1) % checkpointEvery == 0) ss.localCheckpoint(false)
+        if (checkpointThis) ss.localCheckpoint(false)
         else ss.cache()
+      eCheckpointed = checkpointThis
       // fixpoint when the edge set is stable: order-independent
       // signature (count + xor of per-edge hashes — xor can't overflow
       // under ANSI, and the set is distinct so nothing self-cancels)
@@ -322,11 +325,15 @@ object DedupOps {
       .join(lab, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("label"))
-    // checkpoint the result (lazily — the caller's first action
-    // materializes it, no extra job here), then release the internal
-    // caches: the edge relation is itself checkpointed, so the label
-    // lineage stays valid after the unpersist
-    val out = labels.localCheckpoint(false)
+    // checkpoint the result, then release the internal caches. Lazy
+    // (no extra job — the caller's first action materializes it) is
+    // only sound when the final edge relation is itself checkpointed;
+    // if the last round merely cached it (checkpointEvery > 1), the
+    // unpersist below would strand the label lineage on the expanded
+    // 8x-per-round plan, so materialize eagerly first.
+    val out =
+      if (eCheckpointed) labels.localCheckpoint(false)
+      else labels.localCheckpoint()
     e.unpersist()
     (out, iter)
   }

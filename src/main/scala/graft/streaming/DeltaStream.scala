@@ -20,6 +20,34 @@ import graft.delta.{ActionCodec, AddAction, DeltaLog, DeltaScan, DeltaSnapshot, 
   */
 object DeltaStream {
 
+  /** Replay-loop scaffolding shared by both variants: head version +
+    * ONE snapshot advanced incrementally — O(head) commit reads total,
+    * not a fresh full replay per version.
+    */
+  private def initReplay(
+      spark: SparkSession, path: String,
+      fromVersion: Long): (Long, DeltaSnapshot) = {
+    val head = DeltaLog.forPath(spark, path).version
+    val snap =
+      if (fromVersion < 0) new DeltaSnapshot(spark, path)
+      else DeltaLog.forPath(spark, path, Some(fromVersion))
+    (head, snap)
+  }
+
+  /** One commit's action lines. A missing commit at or below head means
+    * the JSONs were aged out past a checkpoint — replaying from an
+    * empty snapshot would silently skip them (and never load metaData);
+    * raise instead of guessing.
+    */
+  private def commitLines(
+      spark: SparkSession, path: String, v: Long,
+      fromVersion: Long, head: Long) =
+    DeltaLog.readCommitJson(spark, path, v).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"Commit $v of $path is missing (aged out past a checkpoint?); " +
+          s"cannot replay versions ${fromVersion + 1}..$head incrementally. " +
+          "Start from a snapshot via DeltaLog.forPath instead."))
+
   /** Process every version after `fromVersion` up to the current table
     * head; `batchFn(version, df)` runs once per version that added
     * files. Returns the last version processed (the new offset).
@@ -28,24 +56,12 @@ object DeltaStream {
       spark: SparkSession,
       path: String,
       fromVersion: Long)(batchFn: (Long, DataFrame) => Unit): Long = {
-    val head = DeltaLog.forPath(spark, path).version
-    // ONE snapshot advanced incrementally — O(head) commit reads total,
-    // not a fresh full replay per version
-    val snap =
-      if (fromVersion < 0) new DeltaSnapshot(spark, path)
-      else DeltaLog.forPath(spark, path, Some(fromVersion))
+    val (head, snap) = initReplay(spark, path, fromVersion)
     var v = fromVersion + 1
     while (v <= head) {
       // each commit is read exactly once: fold it into the snapshot AND
-      // extract this batch's added files from the same lines. A missing
-      // commit at or below head means the JSONs were aged out past a
-      // checkpoint — replaying from an empty snapshot would silently skip
-      // them (and never load metaData); raise instead of guessing.
-      val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(
-        throw new java.io.FileNotFoundException(
-          s"Commit $v of $path is missing (aged out past a checkpoint?); " +
-            s"cannot replay versions ${fromVersion + 1}..$head incrementally. " +
-            "Start from a snapshot via DeltaLog.forPath instead."))
+      // extract this batch's added files from the same lines
+      val lines = commitLines(spark, path, v, fromVersion, head)
       // new DATA only: skip layout-only adds (dataChange=false —
       // OPTIMIZE/compaction rewrites) and re-adds of already-live paths
       // (DV deletes re-add the same file); emitting either would
@@ -90,17 +106,11 @@ object DeltaStream {
       path: String,
       fromVersion: Long)(batchFn: (Long, DataFrame) => Unit): Long = {
     import org.apache.spark.sql.functions.lit
-    val head = DeltaLog.forPath(spark, path).version
-    val snap =
-      if (fromVersion < 0) new DeltaSnapshot(spark, path)
-      else DeltaLog.forPath(spark, path, Some(fromVersion))
+    val (head, snap) = initReplay(spark, path, fromVersion)
     val base = path.stripSuffix("/")
     var v = fromVersion + 1
     while (v <= head) {
-      val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(
-        throw new java.io.FileNotFoundException(
-          s"Commit $v of $path is missing (aged out past a checkpoint?); " +
-            s"cannot replay versions ${fromVersion + 1}..$head incrementally."))
+      val lines = commitLines(spark, path, v, fromVersion, head)
       val priorByPath: Map[String, AddAction] =
         snap.liveFiles.map(a => a.path -> a).toMap
       val adds = lines.flatMap(n =>
@@ -119,6 +129,11 @@ object DeltaStream {
         if (res.nonEmpty) resDiffs :+= (a -> res)
       }
       lines.foreach(snap.applyActionLine(_, v))
+      // DV-only batches bypass scanSnapshot, which normally carries the
+      // protocol gate — apply it explicitly so a commit that only
+      // touches bitmaps can't emit rows from an unsupported table
+      if (newPaths.nonEmpty || delDiffs.nonEmpty || resDiffs.nonEmpty)
+        snap.checkProtocolSupported()
       val newFiles =
         if (newPaths.isEmpty) None
         else Some(DeltaScan.scanSnapshot(snap,
