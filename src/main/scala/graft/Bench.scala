@@ -53,9 +53,17 @@ object Bench {
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def tot(rs: Seq[(String, Double)]): Double = rs.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec"""" +
-      s""","queries":${obj(warm)},"queries_cold":${obj(cold)}""" +
-      s""","total_cold_sec":${tot(cold)},"staging_sec":$staging,"sf":"$sfDir"}""")
+    // d7_* are deliberately-amplified hash-kernel microbenchmarks
+    // (DedupOps.sigThroughput): reported in their own section so the
+    // headline totals keep measuring the operator suite, not a
+    // synthetic 10x workload
+    def isKernel(k: String) = k.startsWith("d7_")
+    val (kWarm, qWarm) = warm.partition(p => isKernel(p._1))
+    val (kCold, qCold) = cold.partition(p => isKernel(p._1))
+    println(s"""{"metric":"total","value":${tot(qWarm)},"unit":"sec"""" +
+      s""","queries":${obj(qWarm)},"queries_cold":${obj(qCold)}""" +
+      s""","kernels":${obj(kWarm)},"kernels_cold":${obj(kCold)}""" +
+      s""","total_cold_sec":${tot(qCold)},"staging_sec":$staging,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
