@@ -204,6 +204,19 @@ object DedupOps {
       // any terminal action.
       .where(col("sig_checksum").isNotNull)
 
+  /** d7 body (simhash flavor): same amplified-checksum shape over the
+    * SimHash64 codegen kernel — measures the kernel's md5-nibble vs
+    * xxhash64 token-hash paths.
+    */
+  private def simhashThroughput(
+      s: SparkSession, dir: String, fast: Boolean): DataFrame =
+    shingleTable(s, dir, docsVersion(s, dir))
+      .select(explode(sequence(lit(1), lit(5))).as("rep"), col("sh"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(SimHash64.simhash64(s, col("sh"), fast).as("sh64"))
+      .agg(count(lit(1)).as("n_docs"), max(col("sh64")).as("sig_checksum"))
+      .where(col("sig_checksum").isNotNull)
+
   /** d6 body: connected components over the near-dup pairs — every
     * document labeled with the MIN doc_id of its duplicate cluster.
     */
@@ -475,6 +488,10 @@ object DedupOps {
       (s, dir) => sigThroughput(s, dir, fastHash = false), None),
     "d7_minhash_fast" -> QueryDef(
       (s, dir) => sigThroughput(s, dir, fastHash = true), None),
+    "d7_simhash_md5" -> QueryDef(
+      (s, dir) => simhashThroughput(s, dir, fast = false), None),
+    "d7_simhash_fast" -> QueryDef(
+      (s, dir) => simhashThroughput(s, dir, fast = true), None),
 
     // SimHash (custom Catalyst expression) + banded Hamming-distance
     // join — oracle-checked: the default md5-nibble token hash lets the

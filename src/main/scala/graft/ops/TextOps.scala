@@ -169,5 +169,106 @@ object TextOps {
       Some("""SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
         |    regexp_split_to_array(lower(text), '\s+'))), ' ')) AS bag_fp
-        |FROM documents ORDER BY doc_id""".stripMargin)))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Sliding-window chunking — the standard pre-tokenization step for
+    // context-window training data: overlapping 32-token windows at
+    // stride 16. One generate per row, no shuffle until the final
+    // order; chunk offsets are integer-exact on both engines
+    // (chunk i covers tokens [i*stride+1, i*stride+window], the last
+    // one truncated).
+    "t7_chunk_windows" -> QueryDef(
+      (s, dir) => {
+        val window = 32
+        val stride = 16
+        val toksC = tokens(col("text"))
+        table(s, dir, "documents")
+          .select(col("doc_id"), toksC.as("tk"))
+          .select(col("doc_id"), posexplode(
+            transform(
+              sequence(lit(0), floor((size(col("tk")) - 1) / stride).cast("int")),
+              i => slice(col("tk"), i * stride + 1, lit(window))))
+            .as(Seq("chunk_id", "c")))
+          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+            size(col("c")).cast("long").as("n_tokens"),
+            array_join(col("c"), " ").as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest(range((len(tk)-1) // 16 + 1)) AS chunk_id, tk
+        |  FROM toks)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(tk[chunk_id*16+1 : chunk_id*16+32]) AS BIGINT) AS n_tokens,
+        |  array_to_string(tk[chunk_id*16+1 : chunk_id*16+32], ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Contamination check — benchmark-overlap decontamination: a
+    // deterministic 3-doc "benchmark" probe set (bottom-3 by
+    // md5(doc_id)), distinct 5-gram overlap counted per remaining
+    // document. The probe gram set is tiny → broadcast joins; the
+    // corpus side stays a linear scan. At 100 TB the probe set is the
+    // real benchmark suite and the same shape holds.
+    "t8_contamination" -> QueryDef(
+      (s, dir) => {
+        val toksC = tokens(col("text"))
+        val grams5 = when(size(col("tk")) >= 5,
+          transform(sequence(lit(0), size(col("tk")) - 5),
+            j => concat_ws(" ", slice(col("tk"), j + 1, lit(5)))))
+          .otherwise(array(concat_ws(" ", col("tk"))))
+        // cached with a materialization barrier: CollapseProject would
+        // otherwise inline tokens(text) into the gram lambda (re-split
+        // per element — the 90s-vs-3s trap), and the relation is
+        // referenced three times below (probe grams, anti side, sizes)
+        val docs5 = OpCaches.cached(s, s"text:grams5:$dir",
+            OpCaches.tableVersion(s, dir, "documents")) {
+          table(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism)
+            .select(col("doc_id"), toksC.as("tk"))
+            .select(col("doc_id"), array_distinct(grams5).as("g"))
+        }
+        val probe = table(s, dir, "documents")
+          .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+          .orderBy("h", "doc_id").limit(3)
+          .select("doc_id")
+        val probeGrams = docs5
+          .join(broadcast(probe), "doc_id")
+          .select(explode(col("g")).as("gram")).distinct()
+        val hits = docs5
+          .join(broadcast(probe), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), size(col("g")).as("n_grams"),
+            explode(col("g")).as("gram"))
+          .join(broadcast(probeGrams), "gram")
+          .groupBy("doc_id", "n_grams")
+          .agg(count(lit(1)).as("n_overlap"))
+        hits.select(col("doc_id"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_grams"))
+            .as("overlap_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 5
+        |    THEN [array_to_string(tk[j+1:j+5], ' ') for j in range(len(tk) - 4)]
+        |    ELSE [array_to_string(tk, ' ')] END) AS g
+        |  FROM toks),
+        |probe AS (
+        |  SELECT doc_id FROM documents
+        |  ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 3),
+        |pg AS (
+        |  SELECT DISTINCT unnest(g.g) AS gram
+        |  FROM g JOIN probe USING (doc_id)),
+        |cand AS (
+        |  SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM g
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM probe)),
+        |hits AS (
+        |  SELECT doc_id, n_grams, count(*) AS n_overlap
+        |  FROM cand JOIN pg USING (gram) GROUP BY doc_id, n_grams)
+        |SELECT doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+        |  CAST(n_overlap AS DOUBLE) / n_grams AS overlap_ratio
+        |FROM hits ORDER BY doc_id""".stripMargin)))
 }
