@@ -285,4 +285,51 @@ class OpsSpec extends SparkSuite {
       .agg(sum("n_copies")).collect()(0).getLong(0)
     assert(grouped == total)
   }
+
+  test("chunking: windows tile every token with the configured overlap") {
+    val rows = Registry.all("t7_chunk_windows").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(rows.nonEmpty)
+    val tokenCounts = Registry.table(spark, dir, "documents")
+      .select(col("doc_id"), size(split(lower(col("text")), "\\s+")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (docId, chunks) =>
+      val n = tokenCounts(docId)
+      // chunk ids are dense from 0; chunk i covers tokens
+      // [16i+1, 16i+32] truncated at the end of the doc
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2) == (0L until sorted.size).toSeq)
+      assert(sorted.size == (n - 1) / 16 + 1)
+      sorted.foreach(c => assert(c._3 == math.min(32L, n - 16L * c._2),
+        s"chunk ${c._2} of doc $docId has ${c._3} tokens (n=$n)"))
+      // chunk text round-trips its token count
+      sorted.foreach(c => assert(c._4.split(" ", -1).length == c._3))
+    }
+  }
+
+  test("contamination: a planted benchmark copy scores overlap ~1.0") {
+    // build a corpus where doc 100 copies probe doc text verbatim: it
+    // must surface with overlap_ratio 1.0; an unrelated doc must not
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-cont").toString
+    val probeText = (1 to 30).map(i => s"bench$i").mkString(" ")
+    val cleanText = (1 to 30).map(i => s"web$i").mkString(" ")
+    // ids 0..9: md5-bottom-3 of these picks the probe set
+    // deterministically; whichever 3 are picked, doc 100 (copy) and
+    // doc 101 (clean) are never probes (md5 order over 0..9,100,101 —
+    // guard by asserting on the result instead of assuming)
+    val docs = (0L to 9L).map(i => (i, probeText)) ++
+      Seq((100L, probeText), (101L, cleanText))
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val out = Registry.all("t8_contamination").fn(spark, dir2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every non-probe copy of the benchmark text is flagged at 1.0
+    assert(out.nonEmpty)
+    assert(out.keySet.forall(id => out(id) > 0.99),
+      s"copies under-flagged: $out")
+    assert(out.contains(100L), "verbatim copy not flagged")
+    assert(!out.contains(101L), "clean doc falsely flagged")
+  }
 }
