@@ -53,11 +53,11 @@ object Bench {
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def tot(rs: Seq[(String, Double)]): Double = rs.map(_._2).filter(_ >= 0).sum
-    // d7_* are deliberately-amplified hash-kernel microbenchmarks
-    // (DedupOps.sigThroughput): reported in their own section so the
-    // headline totals keep measuring the operator suite, not a
-    // synthetic 10x workload
-    def isKernel(k: String) = k.startsWith("d7_")
+    // kernel-flagged entries are deliberately-amplified microbenchmarks
+    // (QueryDef.kernel): reported in their own section so the headline
+    // totals keep measuring the operator suite, not synthetic workloads
+    def isKernel(k: String) =
+      graft.ops.Registry.all.get(k).exists(_.kernel)
     val (kWarm, qWarm) = warm.partition(p => isKernel(p._1))
     val (kCold, qCold) = cold.partition(p => isKernel(p._1))
     println(s"""{"metric":"total","value":${tot(qWarm)},"unit":"sec"""" +

@@ -67,15 +67,19 @@ object DedupOps {
     * persist the small shingle/signature relations, never re-derive them
     * from the corpus.
     */
+  private def toksTable(
+      s: SparkSession, dir: String, ver: String): DataFrame =
+    OpCaches.cached(s, s"dedup:toks:$dir", ver) {
+      table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+    }
+
   private def shingleTable(
       s: SparkSession, dir: String, ver: String): DataFrame =
     OpCaches.cached(s, s"dedup:sh:$dir", ver) {
-      val toks = OpCaches.cached(s, s"dedup:toks:$dir", ver) {
-        table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-      }
-      toks.select(col("doc_id"), shingles(col("toks")).as("sh"))
+      toksTable(s, dir, ver)
+        .select(col("doc_id"), shingles(col("toks")).as("sh"))
     }
 
   private val NumHashes = 32
@@ -193,9 +197,12 @@ object DedupOps {
     */
   private def sigThroughput(
       s: SparkSession, dir: String, fastHash: Boolean): DataFrame =
+    // no repartition: the cached shingle relation is already spread
+    // over defaultParallelism and explode amplifies every partition
+    // uniformly — a shuffle here would run INSIDE the timed region,
+    // identically for both flavors, diluting the ratio being measured
     shingleTable(s, dir, docsVersion(s, dir))
       .select(explode(sequence(lit(1), lit(5))).as("rep"), col("sh"))
-      .repartition(s.sparkContext.defaultParallelism)
       .select(minhashes(col("sh"), fastHash).as("mh"))
       .agg(count(lit(1)).as("n_docs"), max(hash(col("mh"))).as("sig_checksum"))
       // a bare COUNT over an ungrouped agg lets Catalyst prove "1 row"
@@ -205,15 +212,15 @@ object DedupOps {
       .where(col("sig_checksum").isNotNull)
 
   /** d7 body (simhash flavor): same amplified-checksum shape over the
-    * SimHash64 codegen kernel — measures the kernel's md5-nibble vs
-    * xxhash64 token-hash paths.
+    * SimHash64 codegen kernel, fed TOKENS (not shingles) — the string
+    * length distribution d5 actually hashes; shingles would triple the
+    * bytes per hash call and skew the md5-vs-xxhash ratio.
     */
   private def simhashThroughput(
       s: SparkSession, dir: String, fast: Boolean): DataFrame =
-    shingleTable(s, dir, docsVersion(s, dir))
-      .select(explode(sequence(lit(1), lit(5))).as("rep"), col("sh"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(SimHash64.simhash64(s, col("sh"), fast).as("sh64"))
+    toksTable(s, dir, docsVersion(s, dir))
+      .select(explode(sequence(lit(1), lit(5))).as("rep"), col("toks"))
+      .select(SimHash64.simhash64(s, col("toks"), fast).as("sh64"))
       .agg(count(lit(1)).as("n_docs"), max(col("sh64")).as("sig_checksum"))
       .where(col("sig_checksum").isNotNull)
 
@@ -485,13 +492,13 @@ object DedupOps {
     // can't show. The murmur3 hash() over the full array defeats
     // column pruning (a bare count would optimize the hashing away).
     "d7_minhash_md5" -> QueryDef(
-      (s, dir) => sigThroughput(s, dir, fastHash = false), None),
+      (s, dir) => sigThroughput(s, dir, fastHash = false), None, kernel = true),
     "d7_minhash_fast" -> QueryDef(
-      (s, dir) => sigThroughput(s, dir, fastHash = true), None),
+      (s, dir) => sigThroughput(s, dir, fastHash = true), None, kernel = true),
     "d7_simhash_md5" -> QueryDef(
-      (s, dir) => simhashThroughput(s, dir, fast = false), None),
+      (s, dir) => simhashThroughput(s, dir, fast = false), None, kernel = true),
     "d7_simhash_fast" -> QueryDef(
-      (s, dir) => simhashThroughput(s, dir, fast = true), None),
+      (s, dir) => simhashThroughput(s, dir, fast = true), None, kernel = true),
 
     // SimHash (custom Catalyst expression) + banded Hamming-distance
     // join — oracle-checked: the default md5-nibble token hash lets the

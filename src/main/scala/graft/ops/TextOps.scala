@@ -174,9 +174,12 @@ object TextOps {
     // Sliding-window chunking — the standard pre-tokenization step for
     // context-window training data: overlapping 32-token windows at
     // stride 16. One generate per row, no shuffle until the final
-    // order; chunk offsets are integer-exact on both engines
-    // (chunk i covers tokens [i*stride+1, i*stride+window], the last
-    // one truncated).
+    // order; chunk offsets are integer-exact on both engines. The LAST
+    // chunk is the first whose window reaches the end of the doc
+    // (n_chunks = max(0, ceil((n-32)/16)) + 1 = (n-17) div 16 + 1,
+    // clamped) — iterating to (n-1) div 16 would emit a final chunk
+    // strictly contained in the previous one, shipping a duplicate
+    // suffix sample into the training data.
     "t7_chunk_windows" -> QueryDef(
       (s, dir) => {
         val window = 32
@@ -186,7 +189,9 @@ object TextOps {
           .select(col("doc_id"), toksC.as("tk"))
           .select(col("doc_id"), posexplode(
             transform(
-              sequence(lit(0), floor((size(col("tk")) - 1) / stride).cast("int")),
+              sequence(lit(0), greatest(lit(0),
+                floor((size(col("tk")) - (window - stride + 1)) / stride))
+                .cast("int")),
               i => slice(col("tk"), i * stride + 1, lit(window))))
             .as(Seq("chunk_id", "c")))
           .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
@@ -198,7 +203,9 @@ object TextOps {
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
         |  FROM documents),
         |ch AS (
-        |  SELECT doc_id, unnest(range((len(tk)-1) // 16 + 1)) AS chunk_id, tk
+        |  SELECT doc_id,
+        |    unnest(range(greatest(0, (len(tk) - 17) // 16) + 1)) AS chunk_id,
+        |    tk
         |  FROM toks)
         |SELECT doc_id, chunk_id,
         |  CAST(len(tk[chunk_id*16+1 : chunk_id*16+32]) AS BIGINT) AS n_tokens,
