@@ -404,5 +404,25 @@ object Relational {
         |  min(l_shipdate) AS first_ship,
         |  max(l_shipdate) AS last_ship,
         |  stddev_samp(l_quantity) AS qty_stddev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Exact interpolated percentiles per group — both engines use the
+    // same linear-interpolation definition, so the result is
+    // oracle-exact. At 100 TB the drop-in is approx_percentile
+    // (t-digest): same plan shape, bounded memory, no exact sort — the
+    // exact form here doubles as its correctness baseline.
+    "q22_percentiles" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+            expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
+            expr("percentile(l_quantity, 0.99)").as("p99_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95_price,
+        |  quantile_cont(l_quantity, 0.99) AS p99_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
 }
