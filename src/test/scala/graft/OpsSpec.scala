@@ -260,6 +260,29 @@ class OpsSpec extends SparkSuite {
       s"probe should broadcast:\n${plan.take(2000)}")
   }
 
+  test("t8 contamination joins broadcast the probe side (no corpus SMJ)") {
+    val df = Registry.all("t8_contamination").fn(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe joins must broadcast, not sort-merge:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast join found:\n${plan.take(2000)}")
+  }
+
+  test("t7 chunking is one linear pass: no join, one exchange (the sort)") {
+    val df = Registry.all("t7_chunk_windows").fn(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"chunking must not join:\n${plan.take(1500)}")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,  // rangepartitioning for the final orderBy (+AQE read)
+      s"chunking shuffled more than the final sort ($exchanges):\n${plan.take(1500)}")
+  }
+
   test("dedup components: cluster labels are transitive fixpoints") {
     import graft.ops.DedupOps
     val pairs = DedupOps.defs("d3_minhash_pairs").fn(spark, dir)
