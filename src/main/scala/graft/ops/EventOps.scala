@@ -128,5 +128,54 @@ object EventOps {
       Some("""SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Funnel analysis: view → click → purchase per user, each step
+    // strictly AFTER the previous (the classic ordered-sequence match).
+    // Three stacked unordered window mins over ONE user_id shuffle —
+    // each stage's cutoff is the previous stage's window result, so no
+    // self-join chain and no per-user collect; at 100 TB this is one
+    // exchange + linear passes. steps_completed = furthest stage
+    // reached in order.
+    "e5_funnel" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        events(s, dir)
+          .withColumn("v",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("c",
+            min(when(col("event_type") === "click" && col("ts") > col("v"),
+              col("ts"))).over(w))
+          .withColumn("p",
+            min(when(col("event_type") === "purchase" && col("ts") > col("c"),
+              col("ts"))).over(w))
+          .groupBy("user_id")
+          .agg(min("v").as("view_ts"), min("c").as("click_ts"),
+            min("p").as("purchase_ts"))
+          .withColumn("steps_completed",
+            when(col("purchase_ts").isNotNull, 3)
+              .when(col("click_ts").isNotNull, 2)
+              .when(col("view_ts").isNotNull, 1)
+              .otherwise(0))
+          .orderBy("user_id")
+      },
+      Some("""WITH s1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS v
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > v THEN ts END)
+        |    OVER (PARTITION BY user_id) AS c
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c THEN ts END)
+        |    OVER (PARTITION BY user_id) AS p
+        |  FROM s2)
+        |SELECT user_id, min(v) AS view_ts, min(c) AS click_ts,
+        |  min(p) AS purchase_ts,
+        |  CASE WHEN min(p) IS NOT NULL THEN 3
+        |       WHEN min(c) IS NOT NULL THEN 2
+        |       WHEN min(v) IS NOT NULL THEN 1 ELSE 0 END AS steps_completed
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin)))
 }

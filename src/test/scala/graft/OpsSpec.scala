@@ -272,6 +272,30 @@ class OpsSpec extends SparkSuite {
       s"no broadcast join found:\n${plan.take(2000)}")
   }
 
+  test("e5 funnel: stage timestamps strictly ordered, steps consistent") {
+    val rows = Registry.all("e5_funnel").fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = Option(r.get(1)); val c = Option(r.get(2)); val p = Option(r.get(3))
+      val steps = r.getInt(4)
+      // a stage can only exist if the previous one does, strictly earlier
+      assert(c.isEmpty || v.isDefined)
+      assert(p.isEmpty || c.isDefined)
+      Seq(v, c, p).flatten
+        .map(_.asInstanceOf[java.time.LocalDateTime]).sliding(2).foreach {
+          case Seq(a, b) => assert(a.isBefore(b), s"stages out of order: $a !< $b")
+          case _ =>
+        }
+      assert(steps == Seq(v, c, p).count(_.isDefined))
+    }
+    // the funnel is one user_id shuffle: three window ops, no self-join
+    val df = Registry.all("e5_funnel").fn(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"funnel must not self-join:\n${plan.take(1500)}")
+  }
+
   test("t7 chunking is one linear pass: no join, one exchange (the sort)") {
     val df = Registry.all("t7_chunk_windows").fn(spark, dir)
     df.count()
