@@ -273,7 +273,8 @@ class OpsSpec extends SparkSuite {
   }
 
   test("e5 funnel: stage timestamps strictly ordered, steps consistent") {
-    val rows = Registry.all("e5_funnel").fn(spark, dir).collect()
+    val df = Registry.all("e5_funnel").fn(spark, dir)
+    val rows = df.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val v = Option(r.get(1)); val c = Option(r.get(2)); val p = Option(r.get(3))
@@ -289,11 +290,35 @@ class OpsSpec extends SparkSuite {
       assert(steps == Seq(v, c, p).count(_.isDefined))
     }
     // the funnel is one user_id shuffle: three window ops, no self-join
-    val df = Registry.all("e5_funnel").fn(spark, dir)
-    df.count()
+    // (plan read from the SAME execution as the collect above)
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(!plan.contains("Join"), s"funnel must not self-join:\n${plan.take(1500)}")
+  }
+
+  test("e5 funnel: partial and out-of-order funnels (planted corpus)") {
+    // every fixture user completes all 3 steps, so the null-propagation
+    // and steps 0/1/2 branches need a planted corpus: write an events
+    // table in the fixture encoding (ts = INT64 epoch-nanos)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    def ev(id: Long, t: Long, u: Long, typ: String) =
+      (id, t * 1000000000L, u, typ, 1.0, "{}")
+    import spark.implicits._
+    Seq(
+      ev(1, 10, 1, "view"), ev(2, 20, 1, "click"), ev(3, 30, 1, "purchase"),
+      ev(4, 10, 2, "view"), ev(5, 20, 2, "click"),
+      ev(6, 10, 3, "view"),
+      ev(7, 10, 4, "click"), ev(8, 20, 4, "purchase"),  // no view: 0 steps
+      // purchase BEFORE the funnel, then view+click: purchase must not count
+      ev(9, 5, 5, "purchase"), ev(10, 10, 5, "view"), ev(11, 20, 5, "click"),
+      // click before view: only the view counts
+      ev(12, 20, 6, "view"), ev(13, 10, 6, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val out = Registry.all("e5_funnel").fn(spark, dir2)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0, 5L -> 2, 6L -> 1),
+      s"funnel steps wrong: $out")
   }
 
   test("t7 chunking is one linear pass: no join, one exchange (the sort)") {
