@@ -269,7 +269,10 @@ object DeltaWriter {
     * driver-side agg job). Range-partitioning on this key gives every
     * clustered column locality — tight per-file zone maps in all
     * dimensions at once. Nulls and constant columns quantize to 0;
-    * dates/timestamps numify via epoch arithmetic.
+    * dates/timestamps numify via epoch arithmetic; strings by their
+    * zero-padded 8-byte big-endian prefix (lexicographic-order
+    * preserving), which pairs with the reader's string-prefix stats
+    * skipping.
     */
   private[delta] def zOrderColumn(
       df: DataFrame, cols: Seq[String], bitsPer: Int = 16): org.apache.spark.sql.Column = {
@@ -282,10 +285,19 @@ object DeltaWriter {
       case TimestampType | TimestampNTZType =>
         unix_micros(c.cast("timestamp")).cast("double")
       case _: org.apache.spark.sql.types.NumericType => c.cast("double")
+      case org.apache.spark.sql.types.StringType =>
+        // big-endian value of the first 8 UTF-8 bytes, zero
+        // right-padded so numeric order == lexicographic byte order
+        // across different lengths ("b" must sort after "aa"): strings
+        // cluster by prefix. ~6.6 leading bytes survive the double
+        // mantissa — far more than the 2^bitsPer quantization resolves.
+        conv(hex(call_function("rpad",
+          c.cast("binary"), lit(8), lit(Array[Byte](0)))), 16, 10)
+          .cast("double")
       case other => throw new IllegalArgumentException(
-        s"z-order column must be numeric/date/timestamp, got $other — a " +
-          "non-numeric column would cast to null and silently contribute " +
-          "no clustering")
+        s"z-order column must be numeric/string/date/timestamp, got $other" +
+          " — an unsupported type would cast to null and silently " +
+          "contribute no clustering")
     }
     val nums = cols.map(c => numify(col(c), df.schema(c).dataType))
     val aggs = nums.zipWithIndex.flatMap { case (c, i) =>

@@ -141,11 +141,13 @@ class Advice2RegressionSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("z-order on a non-numeric column fails loudly") {
+  test("z-order on an unsupported column type fails loudly") {
     val path = tmp("graft_adv2_zorder")
-    val df = Seq((1L, "abc"), (2L, "def")).toDF("id", "s")
+    // arrays have no clustering order — must raise, not silently
+    // contribute nothing (strings are supported since r4: byte-prefix)
+    val df = Seq((1L, Seq(1, 2)), (2L, Seq(3, 4))).toDF("id", "a")
     val e = intercept[IllegalArgumentException] {
-      DeltaWriter.write(df, path, zOrderBy = Seq("s"))
+      DeltaWriter.write(df, path, zOrderBy = Seq("a"))
     }
     assert(e.getMessage.contains("z-order"))
     // numeric + timestamp still works

@@ -262,6 +262,44 @@ class DeletionVectorSpec extends SparkSuite {
     assert(result(zed).nonEmpty)
   }
 
+  test("z-order clusters STRING keys by byte prefix (skipping + order)") {
+    // mixed string + numeric z-order: the string dimension numifies to
+    // its zero-padded 8-byte big-endian prefix, so equality/prefix
+    // predicates skip files via the reader's string zone maps
+    val rows = (0 until 8000).map { i =>
+      (i.toLong, f"key${i % 40}%03d", ((i * 7919) % 100).toLong)
+    }
+    val df = rows.toDF("id", "k", "y")
+    val conds = Seq(Cond("k", "=", "key007"))
+
+    val naive = tmp()
+    DeltaWriter.write(df.repartition(8), naive)
+    val keptNaive = DeltaLake.deltaMeta(spark, naive)
+      .addActionsFiltered(conds).size
+    val zed = tmp()
+    DeltaWriter.write(df, zed, zOrderBy = Seq("k", "y"), zFiles = 8)
+    val keptZ = DeltaLake.deltaMeta(spark, zed).addActionsFiltered(conds).size
+    assert(keptNaive == 8, s"naive kept $keptNaive")
+    // 2-D Morton with 8 files: the string dim holds ~1.5 of the top 3
+    // interleaved bits, so one key can touch up to half the files —
+    // same bound as the numeric z-order test above
+    assert(keptZ <= 4, s"z-order kept $keptZ of 8 files for one string key")
+    // different-length strings: numeric order must stay lexicographic
+    // ("b" after "aa"), proven through the full write+skip path
+    val mixed = tmp()
+    val df2 = (0 until 2000).map { i =>
+      (i.toLong, Seq("aa", "ab", "b", "ba", "c")(i % 5))
+    }.toDF("id", "s")
+    DeltaWriter.write(df2, mixed, zOrderBy = Seq("s"), zFiles = 5)
+    val kept = DeltaLake.deltaMeta(spark, mixed)
+      .addActionsFiltered(Seq(Cond("s", "<", "ab"))).size
+    assert(kept <= 2, s"kept $kept of 5 files for s < 'ab'")
+    val got = DeltaLake.scanDelta(spark, mixed,
+      ScanSettings(conditions = Seq(Cond("s", "<", "ab"))))
+      .select("s").distinct().collect().map(_.getString(0)).toSet
+    assert(got == Set("aa"))
+  }
+
   test("v2 (uuid-named) checkpoint with sidecar file actions replays") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
