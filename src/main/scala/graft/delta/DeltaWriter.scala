@@ -59,11 +59,12 @@ object DeltaWriter {
         */
       txn: Option[(String, Long)] = None,
       /** Z-order clustering columns: rows are range-partitioned on an
-        * interleaved-bit key over these (numeric/date/timestamp)
+        * interleaved-bit key over these (numeric/string/date/timestamp)
         * columns before writing, so EVERY clustered column gets tight
         * per-file min/max zone maps — multi-dimensional file skipping,
-        * where sorting by one column only helps that column. The
-        * scale lever when queries filter several dimensions of a
+        * where sorting by one column only helps that column. Strings
+        * cluster by their byte prefix after common-prefix stripping.
+        * The scale lever when queries filter several dimensions of a
         * 100 TB table.
         */
       zOrderBy: Seq[String] = Nil,
@@ -269,10 +270,11 @@ object DeltaWriter {
     * driver-side agg job). Range-partitioning on this key gives every
     * clustered column locality — tight per-file zone maps in all
     * dimensions at once. Nulls and constant columns quantize to 0;
-    * dates/timestamps numify via epoch arithmetic; strings by their
-    * zero-padded 8-byte big-endian prefix (lexicographic-order
-    * preserving), which pairs with the reader's string-prefix stats
-    * skipping.
+    * dates/timestamps numify via epoch arithmetic; strings by the
+    * zero-padded 8-byte big-endian value AFTER the column's longest
+    * common prefix (lexicographic-order preserving; the LCP strip is
+    * what keeps URL-style columns from collapsing to one value), which
+    * pairs with the reader's string-prefix stats skipping.
     */
   private[delta] def zOrderColumn(
       df: DataFrame, cols: Seq[String], bitsPer: Int = 16): org.apache.spark.sql.Column = {
@@ -286,27 +288,59 @@ object DeltaWriter {
         unix_micros(c.cast("timestamp")).cast("double")
       case _: org.apache.spark.sql.types.NumericType => c.cast("double")
       case org.apache.spark.sql.types.StringType =>
-        // big-endian value of the first 8 UTF-8 bytes, zero
-        // right-padded so numeric order == lexicographic byte order
-        // across different lengths ("b" must sort after "aa"): strings
-        // cluster by prefix. ~6.6 leading bytes survive the double
-        // mantissa — far more than the 2^bitsPer quantization resolves.
-        conv(hex(call_function("rpad",
-          c.cast("binary"), lit(8), lit(Array[Byte](0)))), 16, 10)
-          .cast("double")
+        throw new IllegalStateException("strings take the prefix path")
       case other => throw new IllegalArgumentException(
         s"z-order column must be numeric/string/date/timestamp, got $other" +
           " — an unsupported type would cast to null and silently " +
           "contribute no clustering")
     }
-    val nums = cols.map(c => numify(col(c), df.schema(c).dataType))
-    val aggs = nums.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(c).as(s"mn_$i"), max(c).as(s"mx_$i")) }
+    val dts = cols.map(c => df.schema(c).dataType)
+    // strings aggregate their RAW min/max (one shared job with the
+    // numeric dims): lexicographic monotonicity means the numified
+    // bounds are derivable driver-side from the raw bounds
+    val aggs = cols.zip(dts).zipWithIndex.flatMap { case ((c, dt), i) =>
+      dt match {
+        case org.apache.spark.sql.types.StringType =>
+          Seq(min(col(c)).as(s"mn_$i"), max(col(c)).as(s"mx_$i"))
+        case _ =>
+          val n = numify(col(c), dt)
+          Seq(min(n).as(s"mn_$i"), max(n).as(s"mx_$i"))
+      }
+    }
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val maxQ = (1L << bitsPer) - 1
-    val qs: Seq[Column] = nums.zipWithIndex.map { case (c, i) =>
-      val mn = if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i)
-      val mx = if (r.isNullAt(2 * i + 1)) 0.0 else r.getDouble(2 * i + 1)
+    val qs: Seq[Column] = cols.zip(dts).zipWithIndex.map { case ((c0, dt), i) =>
+      val (c, mn, mx) = dt match {
+        case org.apache.spark.sql.types.StringType =>
+          // a column of URLs or prefixed IDs shares a long common
+          // prefix; encoding the first 8 raw bytes would collapse every
+          // value to one number (silent zero clustering). Strip the
+          // longest common prefix — the LCP of the lexicographic
+          // min/max IS the LCP of the whole column — then take the
+          // 8-byte big-endian value after it, zero right-padded so
+          // numeric order stays lexicographic across lengths.
+          val mnB = (if (r.isNullAt(2 * i)) "" else r.getString(2 * i))
+            .getBytes("UTF-8")
+          val mxB = (if (r.isNullAt(2 * i + 1)) "" else r.getString(2 * i + 1))
+            .getBytes("UTF-8")
+          val lcp = mnB.zip(mxB).takeWhile { case (a, b) => a == b }.size
+          def beVal(bs: Array[Byte]): Double = {
+            var v = 0.0
+            (0 until 8).foreach { j =>
+              val b = if (lcp + j < bs.length) bs(lcp + j) & 0xFF else 0
+              v = v * 256.0 + b
+            }
+            v
+          }
+          val enc = conv(hex(call_function("rpad",
+            substring(col(c0).cast("binary"), lcp + 1, 8),
+            lit(8), lit(Array[Byte](0)))), 16, 10).cast("double")
+          (enc, beVal(mnB), beVal(mxB))
+        case _ =>
+          (numify(col(c0), dt),
+            if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i),
+            if (r.isNullAt(2 * i + 1)) 0.0 else r.getDouble(2 * i + 1))
+      }
       if (mx <= mn) lit(0L)
       else least(lit(maxQ), greatest(lit(0L),
         coalesce(floor((c - mn) / (mx - mn) * maxQ).cast("long"), lit(0L))))

@@ -298,6 +298,20 @@ class DeletionVectorSpec extends SparkSuite {
       ScanSettings(conditions = Seq(Cond("s", "<", "ab"))))
       .select("s").distinct().collect().map(_.getString(0)).toSet
     assert(got == Set("aa"))
+
+    // URL-style shared prefix longer than the 8-byte encoding window:
+    // without common-prefix stripping every value numifies identically
+    // and the dimension silently stops clustering
+    val urls = tmp()
+    val df3 = (0 until 4000).map { i =>
+      (i.toLong, f"https://site-${i % 20}%02d.example.com/p$i")
+    }.toDF("id", "url")
+    DeltaWriter.write(df3, urls, zOrderBy = Seq("url"), zFiles = 8)
+    val keptUrl = DeltaLake.deltaMeta(spark, urls)
+      .addActionsFiltered(Seq(
+        Cond("url", "<", "https://site-05"))).size
+    assert(keptUrl <= 3,
+      s"kept $keptUrl of 8 files — common-prefix strip not clustering")
   }
 
   test("v2 (uuid-named) checkpoint with sidecar file actions replays") {
