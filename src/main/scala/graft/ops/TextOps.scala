@@ -212,6 +212,33 @@ object TextOps {
         |  array_to_string(tk[chunk_id*16+1 : chunk_id*16+32], ' ') AS chunk_text
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // PII scrubbing — redaction pass every training pipeline runs:
+    // emails and long digit runs (phone/account numbers) replaced with
+    // typed placeholders, with per-doc match counts for audit. Pure
+    // per-row regex work (codegen'd, shuffle-free); patterns kept to
+    // the regex subset Java and DuckDB RE2 interpret identically.
+    "t9_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+        val digits = "[0-9]{9,}"
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_replace(
+              regexp_replace(col("text"), email, "<EMAIL>"),
+              digits, "<NUM>").as("clean_text"),
+            regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+            regexp_count(col("text"), lit(digits)).cast("long").as("n_numbers"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{9,}', '<NUM>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_numbers
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Contamination check — benchmark-overlap decontamination: a
     // deterministic 3-doc "benchmark" probe set (bottom-3 by
     // md5(doc_id)), distinct 5-gram overlap counted per remaining

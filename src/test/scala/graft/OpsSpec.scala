@@ -296,6 +296,27 @@ class OpsSpec extends SparkSuite {
     assert(!plan.contains("Join"), s"funnel must not self-join:\n${plan.take(1500)}")
   }
 
+  test("t9 pii scrub: planted emails and numbers redacted, counted") {
+    // the fixture corpus is PII-free, so the oracle only proves the
+    // no-op path; plant real matches
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    import spark.implicits._
+    Seq(
+      (1L, "contact alice.smith+x@ex-ample.org or bob@b.co today"),
+      (2L, "card 1234567890123456 and id 987654321 leaked"),
+      (3L, "clean text with short 12345 number and no at sign"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val out = Registry.all("t9_pii_scrub").fn(spark, dir2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 == "contact <EMAIL> or <EMAIL> today")
+    assert(out(1L)._2 == 2 && out(1L)._3 == 0)
+    assert(out(2L)._1 == "card <NUM> and id <NUM> leaked")
+    assert(out(2L)._2 == 0 && out(2L)._3 == 2)
+    assert(out(3L) == (("clean text with short 12345 number and no at sign", 0L, 0L)))
+  }
+
   test("e5 funnel: partial and out-of-order funnels (planted corpus)") {
     // every fixture user completes all 3 steps, so the null-propagation
     // and steps 0/1/2 branches need a planted corpus: write an events
