@@ -221,13 +221,17 @@ object TextOps {
       (s, dir) => {
         val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
         val digits = "[0-9]{9,}"
+        // the digit pass counts on the EMAIL-REDACTED text, matching
+        // the replacement chain — counting on the original would tally
+        // digit runs the email pass already consumed (inside
+        // "123456789@spam.com"), so audit counts would disagree with
+        // the placeholders actually inserted
+        val deEmailed = regexp_replace(col("text"), email, "<EMAIL>")
         table(s, dir, "documents")
           .select(col("doc_id"),
-            regexp_replace(
-              regexp_replace(col("text"), email, "<EMAIL>"),
-              digits, "<NUM>").as("clean_text"),
+            regexp_replace(deEmailed, digits, "<NUM>").as("clean_text"),
             regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
-            regexp_count(col("text"), lit(digits)).cast("long").as("n_numbers"))
+            regexp_count(deEmailed, lit(digits)).cast("long").as("n_numbers"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
@@ -236,7 +240,9 @@ object TextOps {
         |    '[0-9]{9,}', '<NUM>', 'g') AS clean_text,
         |  CAST(len(regexp_extract_all(text,
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_numbers
+        |  CAST(len(regexp_extract_all(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{9,}')) AS BIGINT) AS n_numbers
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Contamination check — benchmark-overlap decontamination: a

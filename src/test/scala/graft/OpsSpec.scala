@@ -304,7 +304,10 @@ class OpsSpec extends SparkSuite {
     Seq(
       (1L, "contact alice.smith+x@ex-ample.org or bob@b.co today"),
       (2L, "card 1234567890123456 and id 987654321 leaked"),
-      (3L, "clean text with short 12345 number and no at sign"))
+      (3L, "clean text with short 12345 number and no at sign"),
+      // digit run consumed by the email pass: audit counts must match
+      // placeholders inserted, not raw-text matches
+      (4L, "mail 123456789@spam.com now"))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
     val out = Registry.all("t9_pii_scrub").fn(spark, dir2)
@@ -315,6 +318,8 @@ class OpsSpec extends SparkSuite {
     assert(out(2L)._1 == "card <NUM> and id <NUM> leaked")
     assert(out(2L)._2 == 0 && out(2L)._3 == 2)
     assert(out(3L) == (("clean text with short 12345 number and no at sign", 0L, 0L)))
+    assert(out(4L) == (("mail <EMAIL> now", 1L, 0L)),
+      s"digit run inside a redacted email double-counted: ${out(4L)}")
   }
 
   test("e5 funnel: partial and out-of-order funnels (planted corpus)") {
