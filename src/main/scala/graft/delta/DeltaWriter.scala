@@ -28,6 +28,12 @@ import org.apache.spark.sql.types._
   * only the log append (listing the new files + reading their footers)
   * is driver-side, O(files-in-commit).
   */
+/** Result of a [[DeltaWriter.merge]]: how many existing target rows were
+  * replaced (DV-deleted and re-added as their updated images) and how
+  * many source rows were written in total — inserts are the difference.
+  */
+final case class MergeStats(updatedRows: Long, sourceRows: Long)
+
 object DeltaWriter {
 
   /** Pin parquet timestamp encoding to INT64 micros for `body`, then
@@ -182,21 +188,7 @@ object DeltaWriter {
     })
 
     newFiles.foreach { rel =>
-      val f = new Path(root, rel)
-      val status = fs.getFileStatus(f)
-      val addObj = nf.objectNode()
-      val a = addObj.putObject("add")
-      a.put("path", encodePath(rel))
-      val pv = a.putObject("partitionValues")
-      partitionValuesFromPath(rel).foreach {
-        case (k, Some(v)) => pv.put(k, v)
-        case (k, None) => pv.putNull(k)
-      }
-      a.put("size", status.getLen)
-      a.put("modificationTime", status.getModificationTime)
-      a.put("dataChange", true)
-      footerStats(fs, f, df.schema).foreach(s => a.put("stats", s))
-      lines += addObj.toString
+      lines += addActionLine(fs, root, rel, df.schema)
     }
 
     txn.foreach { case (appId, v) =>
@@ -263,6 +255,30 @@ object DeltaWriter {
         }
       }
     }
+  }
+
+  /** One `add` JSON line for a freshly-written data file: hive-encoded
+    * partition values recovered from the directory layout, size/mtime
+    * from the file status, and footer-derived zone-map stats.
+    */
+  private def addActionLine(fs: FileSystem, root: Path, rel: String,
+      statsSchema: StructType): String = {
+    val nf = JsonNodeFactory.instance
+    val f = new Path(root, rel)
+    val status = fs.getFileStatus(f)
+    val addObj = nf.objectNode()
+    val a = addObj.putObject("add")
+    a.put("path", encodePath(rel))
+    val pv = a.putObject("partitionValues")
+    partitionValuesFromPath(rel).foreach {
+      case (k, Some(v)) => pv.put(k, v)
+      case (k, None) => pv.putNull(k)
+    }
+    a.put("size", status.getLen)
+    a.put("modificationTime", status.getModificationTime)
+    a.put("dataChange", true)
+    footerStats(fs, f, statsSchema).foreach(s => a.put("stats", s))
+    addObj.toString
   }
 
   /** Morton (interleaved-bit) key over the given columns, quantized to
@@ -380,6 +396,154 @@ object DeltaWriter {
       .where(Cond.compile(conditions, Some(snap.schema)))
       .select("__graft_file", "__graft_row_index")
 
+    val (lines, newlyDeleted) = dvActionLines(spark, base, snap, candidates, matching)
+    if (lines.isEmpty) return 0L
+
+    val nf = JsonNodeFactory.instance
+    val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
+    c.put("timestamp", System.currentTimeMillis())
+    c.put("operation", "DELETE")
+    writeCommitAt(spark, path, snap.version + 1, lines :+ ci.toString)
+    newlyDeleted
+  }
+
+  /** MERGE (upsert): target rows whose key tuple appears in `source`
+    * are replaced by the source row; source rows matching no target row
+    * are inserts — `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    * THEN INSERT *`. The reference is read-only; this is our extension,
+    * in the protocol's DV-based MERGE shape.
+    *
+    * ONE atomic commit carries both halves: matched target rows are
+    * removed via per-file deletion vectors (no data-file rewrite —
+    * [[delete]]'s machinery) and ALL source rows are appended as new
+    * files, the matched ones being their updated images. Source key
+    * tuples must be unique (the SQL MERGE cardinality rule — a target
+    * row may match at most one source row); NULL keys never match
+    * (SQL equality), so null-keyed source rows insert. If several
+    * target rows share a matched key they are ALL replaced by the one
+    * source row.
+    *
+    * Scale shape: the persisted source drives (a) one key min/max agg
+    * whose bounds prune candidate target files through the existing
+    * zone-map/partition skipping — a merge touching recent partitions
+    * never scans the cold ones — and (b) one distributed semi-join
+    * against only the pruned scan for matched row indices. Bitmaps
+    * build executor-side; only compact DV bytes and new-file footer
+    * stats reach the driver.
+    *
+    * Returns (matched target rows replaced, source rows written).
+    */
+  def merge(spark: org.apache.spark.sql.SparkSession, path: String,
+      source: DataFrame, keys: Seq[String]): MergeStats = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    val schema = snap.schema
+    require(DeltaSchema.logicalToPhysical(schema).forall(kv => kv._1 == kv._2),
+      "merge does not write column-mapped tables")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key '$k' is not a table column"))
+    require(source.schema.fieldNames.toSet == schema.fieldNames.toSet,
+      s"merge source columns [${source.schema.fieldNames.sorted.mkString(",")}]" +
+        s" must equal table columns [${schema.fieldNames.sorted.mkString(",")}]" +
+        " — merge does not evolve the schema")
+    schema.fields.foreach { f =>
+      val st = source.schema(f.name).dataType
+      require(comparableType(st) == comparableType(f.dataType),
+        s"merge source changes type of '${f.name}': " +
+          s"${f.dataType.simpleString} -> ${st.simpleString}")
+    }
+    def q(n: String) = col(s"`${n.replace("`", "``")}`")
+    // evaluated once, reused by the dup check, bounds agg, semi-join
+    // and the data write
+    val src = source.select(schema.fieldNames.toSeq.map(q): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val srcRows = src.count()
+      if (srcRows == 0L) MergeStats(0L, 0L)
+      else {
+        require(src.groupBy(keys.map(q): _*).count()
+            .where(col("count") > 1).isEmpty,
+          "merge source has duplicate key tuples — each target row may" +
+            " match at most one source row")
+
+        // key bounds → candidate-file pruning (fail-open zone maps)
+        val orderableKeys = keys.filter(k => schema(k).dataType match {
+          case _: NumericType | StringType | DateType | TimestampType |
+              TimestampNTZType => true
+          case _ => false
+        })
+        def condValue(v: Any): Any = v match {
+          case d: java.sql.Date => d.toLocalDate
+          case t: java.sql.Timestamp => t.toInstant
+          case d: java.math.BigDecimal => BigDecimal(d)
+          case other => other
+        }
+        val bounds: Seq[Cond] =
+          if (orderableKeys.isEmpty) Nil
+          else {
+            val aggs = orderableKeys.zipWithIndex.flatMap { case (k, i) =>
+              Seq(min(q(k)).as(s"mn_$i"), max(q(k)).as(s"mx_$i"))
+            }
+            val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+            orderableKeys.zipWithIndex.flatMap { case (k, i) =>
+              (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
+                case (Some(mn), Some(mx)) => Seq(
+                  Cond(k, ">=", condValue(mn)), Cond(k, "<=", condValue(mx)))
+                case _ => Nil // all-NULL key never matches; no bound
+              }
+            }
+          }
+
+        val base = path.stripSuffix("/")
+        val candidates = snap.addActionsFiltered(bounds)
+        val lines = mutable.ArrayBuffer.empty[String]
+        var updated = 0L
+        if (candidates.nonEmpty) {
+          val matching = DeltaScan.scanWithRowIndex(snap, candidates)
+            .join(src.select(keys.map(q): _*), keys, "left_semi")
+            .select("__graft_file", "__graft_row_index")
+          val (dvLines, del) =
+            dvActionLines(spark, base, snap, candidates, matching)
+          lines ++= dvLines
+          updated = del
+        }
+
+        val root = new Path(path)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val before = listDataFiles(fs, root)
+        withMicrosTimestamps(spark) {
+          src.write.mode("append")
+            .partitionBy(snap.partitionColumns: _*).parquet(path)
+        }
+        (listDataFiles(fs, root) -- before).toSeq.sorted.foreach { rel =>
+          lines += addActionLine(fs, root, rel, schema)
+        }
+
+        val nf = JsonNodeFactory.instance
+        val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
+        c.put("timestamp", System.currentTimeMillis())
+        c.put("operation", "MERGE")
+        lines += ci.toString
+        writeCommitAt(spark, path, snap.version + 1, lines.toSeq)
+        MergeStats(updated, srcRows)
+      }
+    } finally src.unpersist()
+  }
+
+  /** Per-file deletion-vector actions for the matched
+    * `(__graft_file, __graft_row_index)` rows: roaring bitmaps built on
+    * the EXECUTORS (`mapGroups`; only the compact serialized bytes reach
+    * the driver), merged with each file's prior DV, plus the protocol
+    * feature upgrade on the table's first DV write. Returns the
+    * remove+add(DV) JSON lines and the newly-deleted row count — empty
+    * when nothing matched. Shared by [[delete]] and [[merge]].
+    */
+  private def dvActionLines(
+      spark: org.apache.spark.sql.SparkSession, base: String,
+      snap: DeltaSnapshot, candidates: Seq[AddAction],
+      matching: DataFrame): (Seq[String], Long) = {
     // prior DVs, keyed like __graft_file, captured into the task closure
     // (bytes are roaring-compressed — small)
     val priorDv: Map[String, Array[Byte]] = candidates.flatMap(a =>
@@ -399,7 +563,7 @@ object DeltaWriter {
         (f, bytes, card)
       }
       .collect()
-    if (perFile.isEmpty) return 0L
+    if (perFile.isEmpty) return (Nil, 0L)
 
     val byUri: Map[String, AddAction] =
       candidates.map(a => DeltaScan.fileUri(spark, base, a) -> a).toMap
@@ -447,20 +611,21 @@ object DeltaWriter {
       dvn.put("cardinality", dv.cardinality)
       lines += addObj.toString
     }
+    (lines.toSeq, newlyDeleted)
+  }
 
-    val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
-    c.put("timestamp", System.currentTimeMillis())
-    c.put("operation", "DELETE")
-    lines += ci.toString
-
+  /** Write commit `version` exactly — no retry; a concurrent writer
+    * taking the version surfaces as an error (DELETE/MERGE are computed
+    * against a specific snapshot and must not silently rebase).
+    */
+  private def writeCommitAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Long, lines: Seq[String]): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val commit = new Path(new Path(root, "_delta_log"),
-      f"${snap.version + 1}%020d.json")
+    val commit = new Path(new Path(root, "_delta_log"), f"$version%020d.json")
     val out = fs.create(commit, false)
     try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    newlyDeleted
   }
 
   /** CONVERT TO DELTA: register an existing plain-parquet directory

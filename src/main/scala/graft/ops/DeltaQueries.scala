@@ -99,5 +99,42 @@ object DeltaQueries {
       },
       Some("""SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'A'
-        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)))
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // MERGE (DV-based upsert) under the oracle: stage customer as a
+    // partitioned Delta table, upsert a deterministic source (negated
+    // balances for custkey%7=3; shifted new keys for custkey%11=0) in
+    // ONE commit, scan the result back through the full pipeline. DuckDB
+    // replays the same upsert relationally (anti-join + union).
+    "x5_delta_merge" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val path = stage(dir, "customer_merge_delta")
+        val marker = s"graft.delta.staged.$path"
+        if (!s.conf.getOption(marker).contains("1")) {
+          val cust = table(s, dir, "customer")
+          DeltaWriter.write(cust, path, partitionBy = Seq("c_mktsegment"))
+          val updates = cust.where(col("c_custkey") % 7 === 3)
+            .withColumn("c_acctbal", -col("c_acctbal"))
+          val inserts = cust.where(col("c_custkey") % 11 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 10000000L)
+          DeltaWriter.merge(s, path, updates.unionByName(inserts),
+            Seq("c_custkey"))
+          s.conf.set(marker, "1")
+        }
+        DeltaLake.scanDelta(s, path)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""WITH src AS (
+        |  SELECT c_custkey, c_mktsegment, -c_acctbal AS c_acctbal
+        |  FROM customer WHERE c_custkey % 7 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000 AS c_custkey, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 11 = 0)
+        |SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |ORDER BY c_custkey""".stripMargin)))
 }

@@ -1,0 +1,163 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.{DeltaLake, SparkSuite}
+
+/** DeltaWriter.merge — DV-based upsert: matched target rows are replaced
+  * via per-file deletion vectors (no data-file rewrite), all source rows
+  * are appended, both halves in ONE commit.
+  */
+class MergeSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+
+  private def target(path: String): Unit = {
+    val df = (1L to 100L).map(i => (i, (i % 4).toString, i * 10L))
+      .toDF("id", "bucket", "v")
+    DeltaWriter.write(df, path, partitionBy = Seq("bucket"))
+  }
+
+  test("upsert: updates land via DV, inserts append, one atomic commit") {
+    val path = tmp()
+    target(path)
+    val v0Files = DeltaLake.deltaMeta(spark, path).liveFiles.map(_.path).toSet
+
+    // ids 1..10 updated (v negated), ids 101..105 inserted
+    val source = ((1L to 10L).map(i => (i, (i % 4).toString, -i)) ++
+      (101L to 105L).map(i => (i, (i % 4).toString, i * 10L)))
+      .toDF("id", "bucket", "v")
+    val stats = DeltaWriter.merge(spark, path, source, Seq("id"))
+    assert(stats == MergeStats(10L, 15L))
+
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.version == 1L) // exactly one commit for both halves
+    // no data-file rewrite: every original file is still live
+    val nowFiles = snap.liveFiles.map(_.path).toSet
+    assert(v0Files.subsetOf(nowFiles))
+    assert(snap.liveFiles.exists(_.hasDeletionVector))
+
+    val now = DeltaLake.scanDelta(spark, path)
+    assert(now.count() == 105)
+    val byId = now.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+    assert((1L to 10L).forall(i => byId(i) == -i)) // updated
+    assert((11L to 100L).forall(i => byId(i) == i * 10L)) // untouched
+    assert((101L to 105L).forall(i => byId(i) == i * 10L)) // inserted
+    // partition values of the appended files came through the hive layout
+    assert(now.where(col("id") === 103L).collect()(0)
+      .getAs[String]("bucket") == "3")
+
+    // time travel to v0 sees the pre-merge table
+    val v0 = DeltaLake.scanDelta(spark, path, ScanSettings(version = Some(0L)))
+    assert(v0.count() == 100)
+    assert(v0.where(col("id") === 1L).collect()(0).getAs[Long]("v") == 10L)
+  }
+
+  test("NULL source keys never match — they insert") {
+    val path = tmp()
+    val df = Seq((Some(1L), "a", 1L), (None: Option[Long], "a", 2L))
+      .toDF("id", "bucket", "v")
+    DeltaWriter.write(df, path)
+    val source = Seq((None: Option[Long], "a", 99L))
+      .toDF("id", "bucket", "v")
+    val stats = DeltaWriter.merge(spark, path, source, Seq("id"))
+    assert(stats == MergeStats(0L, 1L))
+    val now = DeltaLake.scanDelta(spark, path)
+    assert(now.count() == 3) // the existing null row is NOT replaced
+    assert(now.where(col("id").isNull).count() == 2)
+  }
+
+  test("duplicate source key tuples are rejected") {
+    val path = tmp()
+    target(path)
+    val dup = Seq((1L, "1", 5L), (1L, "1", 6L)).toDF("id", "bucket", "v")
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.merge(spark, path, dup, Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate key"))
+  }
+
+  test("schema drift is rejected: missing, extra, retyped columns") {
+    val path = tmp()
+    target(path)
+    intercept[IllegalArgumentException] { // missing column
+      DeltaWriter.merge(spark, path,
+        Seq((1L, "1")).toDF("id", "bucket"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] { // extra column
+      DeltaWriter.merge(spark, path,
+        Seq((1L, "1", 1L, 1L)).toDF("id", "bucket", "v", "w"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] { // type change
+      DeltaWriter.merge(spark, path,
+        Seq((1L, "1", "x")).toDF("id", "bucket", "v"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] { // key not a column
+      DeltaWriter.merge(spark, path,
+        Seq((1L, "1", 1L)).toDF("id", "bucket", "v"), Seq("nope"))
+    }
+  }
+
+  test("merge after delete folds into the existing DVs") {
+    val path = tmp()
+    target(path)
+    assert(DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 20L))) == 20L)
+    // 15..25 upserted: 15..20 were deleted (no live match → insert),
+    // 21..25 live (update)
+    val source = (15L to 25L).map(i => (i, (i % 4).toString, -i))
+      .toDF("id", "bucket", "v")
+    val stats = DeltaWriter.merge(spark, path, source, Seq("id"))
+    assert(stats == MergeStats(5L, 11L))
+    val now = DeltaLake.scanDelta(spark, path)
+    assert(now.count() == 86) // 80 live - 5 replaced + 11 source rows
+    val byId = now.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+    assert((1L to 14L).forall(i => !byId.contains(i))) // still deleted
+    assert((15L to 25L).forall(i => byId(i) == -i)) // upserted
+    assert((26L to 100L).forall(i => byId(i) == i * 10L)) // untouched
+  }
+
+  test("several target rows sharing a key all collapse to the source row") {
+    val path = tmp()
+    val df = Seq((1L, "a", 1L), (1L, "a", 2L), (2L, "a", 3L))
+      .toDF("id", "bucket", "v")
+    DeltaWriter.write(df, path)
+    val source = Seq((1L, "a", 99L)).toDF("id", "bucket", "v")
+    val stats = DeltaWriter.merge(spark, path, source, Seq("id"))
+    assert(stats == MergeStats(2L, 1L))
+    val now = DeltaLake.scanDelta(spark, path).orderBy("id").collect()
+    assert(now.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 99L), (2L, 3L)))
+  }
+
+  test("empty source is a no-op: no commit written") {
+    val path = tmp()
+    target(path)
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "bucket", "v")
+    assert(DeltaWriter.merge(spark, path, empty, Seq("id")) ==
+      MergeStats(0L, 0L))
+    assert(DeltaLake.deltaMeta(spark, path).version == 0L)
+  }
+
+  test("multi-key merge and composite bounds leave other partitions clean") {
+    val path = tmp()
+    target(path)
+    val source = Seq((8L, "0", -8L), (12L, "0", -12L))
+      .toDF("id", "bucket", "v")
+    val stats = DeltaWriter.merge(spark, path, source, Seq("id", "bucket"))
+    assert(stats == MergeStats(2L, 2L))
+    // only bucket=0 files can carry DVs — the others were never matched
+    val snap = DeltaLake.deltaMeta(spark, path)
+    snap.liveFiles.filter(_.hasDeletionVector).foreach { a =>
+      assert(a.path.contains("bucket=0"), s"unexpected DV on ${a.path}")
+    }
+    val byId = DeltaLake.scanDelta(spark, path).collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+    assert(byId(8L) == -8L && byId(12L) == -12L && byId(16L) == 160L)
+    assert(byId.size == 100)
+  }
+}
