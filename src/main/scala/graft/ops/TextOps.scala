@@ -245,6 +245,94 @@ object TextOps {
         |    '[0-9]{9,}')) AS BIGINT) AS n_numbers
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Repetition-quality signals — the classic filter rules for
+    // machine-generated / boilerplate text: duplicate-2-gram ratio
+    // (what fraction of adjacent word pairs are repeats) and
+    // top-token coverage (how much of the doc its single most frequent
+    // word accounts for). The gram ratio is a per-row array pass (no
+    // shuffle); the token mode needs real aggregation, done as
+    // explode → two-level groupBy so partial (map-side) aggregation
+    // keeps the shuffle proportional to the VOCABULARY, not the token
+    // stream — at 100 TB the (doc_id, token) combine collapses each
+    // doc's tokens inside its input split before anything moves.
+    "t10_repetition" -> QueryDef(
+      (s, dir) => {
+        val toksC = tokens(col("text"))
+        val grams2 = transform(sequence(lit(0), size(col("tk")) - 2),
+          j => concat_ws(" ", slice(col("tk"), j + 1, lit(2))))
+        val base = table(s, dir, "documents")
+          .select(col("doc_id"), toksC.as("tk"))
+          .select(col("doc_id"),
+            size(col("tk")).as("n_tokens"),
+            when(size(col("tk")) >= 2,
+              lit(1.0) - size(array_distinct(grams2)).cast("double")
+                / (size(col("tk")) - 1))
+              .otherwise(lit(0.0)).as("dup_2gram_ratio"),
+            explode(col("tk")).as("token"))
+        base.groupBy("doc_id", "n_tokens", "dup_2gram_ratio", "token")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "n_tokens", "dup_2gram_ratio")
+          .agg(max(col("c")).as("top_cnt"))
+          .select(col("doc_id"), col("n_tokens"), col("dup_2gram_ratio"),
+            (col("top_cnt").cast("double") / col("n_tokens"))
+              .as("top_token_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(tk) AS n_tokens,
+        |    CASE WHEN len(tk) >= 2
+        |      THEN 1.0 - len(list_distinct([array_to_string(tk[j+1:j+2], ' ')
+        |        for j in range(len(tk) - 1)]))::DOUBLE / (len(tk) - 1)
+        |      ELSE 0.0 END AS dup_2gram_ratio,
+        |    unnest(tk) AS token
+        |  FROM toks),
+        |cnt AS (
+        |  SELECT doc_id, n_tokens, dup_2gram_ratio, token, count(*) AS c
+        |  FROM base GROUP BY doc_id, n_tokens, dup_2gram_ratio, token),
+        |top AS (
+        |  SELECT doc_id, n_tokens, dup_2gram_ratio, max(c) AS top_cnt
+        |  FROM cnt GROUP BY doc_id, n_tokens, dup_2gram_ratio)
+        |SELECT doc_id, n_tokens, dup_2gram_ratio,
+        |  CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_ratio
+        |FROM top ORDER BY doc_id""".stripMargin)),
+
+    // Mixture sampling — temperature-scaled per-source quotas, the
+    // multilingual/multi-source rebalancing step: each source keeps its
+    // md5-bottom-ceil(sqrt(n)) docs, so big sources are downsampled
+    // hard and small ones kept nearly whole (sqrt ≈ T=0.5 sampling).
+    // Unlike t6 the quota is DATA-DEPENDENT (computed from the same
+    // window pass, no second scan). One shuffle on source; ranking and
+    // counting share the partitioning. sqrt is IEEE-correctly-rounded
+    // on both engines, so the quota threshold is engine-exact.
+    "t11_mixture_sample" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = md5(to_binary(
+          concat(col("doc_id").cast("string"), lit(":mix")), lit("utf-8")))
+        val w = Window.partitionBy("source").orderBy("h", "doc_id")
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), h.as("h"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_src",
+            count(lit(1)).over(Window.partitionBy("source")))
+          .where(col("rk") <= ceil(sqrt(col("n_src"))))
+          .select(col("source"), col("n_src"), col("rk"), col("doc_id"))
+          .orderBy("source", "rk")
+      },
+      Some("""WITH hashed AS (
+        |  SELECT doc_id, source, md5(doc_id::VARCHAR || ':mix') AS h
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM hashed)
+        |SELECT source, n_src, rk, doc_id FROM ranked
+        |WHERE rk <= ceil(sqrt(n_src)) ORDER BY source, rk""".stripMargin)),
+
     // Contamination check — benchmark-overlap decontamination: a
     // deterministic 3-doc "benchmark" probe set (bottom-3 by
     // md5(doc_id)), distinct 5-gram overlap counted per remaining

@@ -410,6 +410,44 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("t10 repetition: planted repeats scored, distinct text clean") {
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (1L, "spam spam spam spam"),     // one token repeated
+      (2L, "one two three four five"), // fully distinct
+      (3L, "solo"),                    // single-token edge: no 2-grams
+      (4L, "ab ab cd ab ab"))          // mixed repetition
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val out = Registry.all("t10_repetition").fn(spark, dir2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4, 1.0 - 1.0 / 3, 1.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((5, 0.0, 1.0 / 5)), s"got ${out(2L)}")
+    assert(out(3L) == ((1, 0.0, 1.0)), s"got ${out(3L)}")
+    assert(out(4L) == ((5, 1.0 - 3.0 / 4, 4.0 / 5)), s"got ${out(4L)}")
+  }
+
+  test("t11 mixture sample: quota is ceil(sqrt(n_src)), deterministic") {
+    val counts = Registry.table(spark, dir, "documents")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Registry.all("t11_mixture_sample").fn(spark, dir).collect()
+    val bySource = out.groupBy(_.getString(0))
+    assert(bySource.keySet == counts.keySet, "every source must survive")
+    bySource.foreach { case (src, rows) =>
+      val quota = math.ceil(math.sqrt(counts(src).toDouble)).toLong
+      assert(rows.length.toLong == quota,
+        s"source $src kept ${rows.length}, quota $quota of ${counts(src)}")
+      // ranks are dense from 1 and n_src echoes the true group size
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length).toSeq)
+      assert(rows.forall(_.getLong(1) == counts(src)))
+    }
+    // hash-ranked ⇒ identical sample on rerun
+    val again = Registry.all("t11_mixture_sample").fn(spark, dir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("contamination: planted benchmark copies flagged, clean docs not") {
     // the probe set is the md5-bottom-3 of the doc ids: compute it the
     // same way FIRST, then assign texts, so the clean negative controls
