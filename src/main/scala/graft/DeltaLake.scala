@@ -63,6 +63,23 @@ object DeltaLake {
       conditions: Seq[Cond]): Long =
     DeltaWriter.delete(spark, path, conditions)
 
+  /** Update matching rows in place (DV mask + image append, one
+    * commit) — beyond reference parity; see
+    * [[graft.delta.DeltaWriter.update]]. Returns rows updated.
+    */
+  def updateWhere(spark: SparkSession, path: String,
+      conditions: Seq[Cond],
+      set: Map[String, org.apache.spark.sql.Column]): Long =
+    DeltaWriter.update(spark, path, conditions, set)
+
+  /** Roll the table back to an earlier version with one file-set-diff
+    * commit (history preserved) — beyond reference parity; see
+    * [[graft.delta.DeltaWriter.restore]].
+    */
+  def restoreTable(spark: SparkSession, path: String,
+      toVersion: Long): RestoreStats =
+    DeltaWriter.restore(spark, path, toVersion)
+
   /** Register an existing plain-parquet directory as a Delta table in
     * place (no data movement) — CONVERT TO DELTA.
     */

@@ -10,7 +10,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types._
 
 /** Minimal Delta transaction-log writer: parquet data files + commit
@@ -33,6 +33,14 @@ import org.apache.spark.sql.types._
   * many source rows were written in total — inserts are the difference.
   */
 final case class MergeStats(updatedRows: Long, sourceRows: Long)
+
+/** Result of a [[DeltaWriter.restore]]: files re-added (live at the
+  * target version but since removed), files removed (added since the
+  * target version), and files whose deletion vector was reverted to the
+  * target version's descriptor in place.
+  */
+final case class RestoreStats(
+    restoredFiles: Long, removedFiles: Long, dvReverted: Long)
 
 object DeltaWriter {
 
@@ -532,6 +540,181 @@ object DeltaWriter {
     } finally src.unpersist()
   }
 
+  /** UPDATE: rows matching `conditions` get the `set` assignments
+    * applied. One atomic commit in the protocol's DV-based UPDATE shape:
+    * matched rows are deletion-vector masked in place (no data-file
+    * rewrite — [[delete]]'s machinery) and their updated images are
+    * appended as new files.
+    *
+    * `set` values are arbitrary Column expressions over the OLD row
+    * (SQL UPDATE semantics — `"price" -> col("price") * 1.1`), cast to
+    * the column's table type. Partition columns may be assigned:
+    * updated rows land in their new hive partition on the append.
+    *
+    * Scale shape: `conditions` prune candidate files through partition
+    * values + zone maps before any data is read; only candidates are
+    * scanned; DV bitmaps build executor-side; the image append is a
+    * normal distributed write. Rows a prior DV already masked are dead
+    * and are excluded (an in-place rewrite must not resurrect them).
+    *
+    * Returns the number of rows updated.
+    */
+  def update(spark: org.apache.spark.sql.SparkSession, path: String,
+      conditions: Seq[Cond], set: Map[String, Column]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(conditions.nonEmpty, "update needs at least one condition")
+    require(set.nonEmpty, "update needs at least one assignment")
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    val schema = snap.schema
+    require(DeltaSchema.logicalToPhysical(schema).forall(kv => kv._1 == kv._2),
+      "update does not write column-mapped tables")
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"update assignment '$k' is not a table column"))
+    val base = path.stripSuffix("/")
+    val candidates = snap.addActionsFiltered(conditions)
+    if (candidates.isEmpty) return 0L
+
+    def q(n: String) = col(s"`${n.replace("`", "``")}`")
+    val matchedRaw = DeltaScan.scanWithRowIndex(snap, candidates)
+      .where(Cond.compile(conditions, Some(schema)))
+    // scanWithRowIndex yields all PHYSICAL rows (delete needs that to
+    // merge bitmaps); subtract prior-DV rows before building images
+    val dvCand = candidates.filter(_.hasDeletionVector)
+    val matched = (if (dvCand.isEmpty) matchedRaw
+      else {
+        import spark.implicits._
+        val dvRows = dvCand.map(a => DeltaScan.fileUri(spark, base, a) ->
+          DeletionVectors.read(spark, base, a.deletionVector.get))
+        val deleted = spark.createDataset(dvRows)
+          .flatMap { case (f, bytes) =>
+            DeletionVectors.deserializeData(bytes).iterator.map(i => (f, i)) }
+          .toDF("__graft_file", "__graft_row_index")
+        val totalDeleted =
+          dvCand.flatMap(_.deletionVector).map(_.cardinality).sum
+        val build =
+          if (totalDeleted <= 5000000L) broadcast(deleted) else deleted
+        matchedRaw.join(build,
+          Seq("__graft_file", "__graft_row_index"), "left_anti")
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      val matching = matched.select("__graft_file", "__graft_row_index")
+      val (dvLines, updated) =
+        dvActionLines(spark, base, snap, candidates, matching)
+      if (dvLines.isEmpty) return 0L
+      val lines = mutable.ArrayBuffer.empty[String]
+      lines ++= dvLines
+
+      val images = matched.select(schema.fields.toSeq.map { f =>
+        set.get(f.name)
+          .map(_.cast(f.dataType).as(f.name))
+          .getOrElse(q(f.name))
+      }: _*)
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val before = listDataFiles(fs, root)
+      withMicrosTimestamps(spark) {
+        images.write.mode("append")
+          .partitionBy(snap.partitionColumns: _*).parquet(path)
+      }
+      (listDataFiles(fs, root) -- before).toSeq.sorted.foreach { rel =>
+        lines += addActionLine(fs, root, rel, schema)
+      }
+
+      val nf = JsonNodeFactory.instance
+      val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
+      c.put("timestamp", System.currentTimeMillis())
+      c.put("operation", "UPDATE")
+      lines += ci.toString
+      writeCommitAt(spark, path, snap.version + 1, lines.toSeq)
+      updated
+    } finally matched.unpersist()
+  }
+
+  /** RESTORE to an earlier version: one commit that re-states the
+    * target version's live file set — re-`add`s for files removed
+    * since, `remove`s for files added since, and remove+add pairs
+    * reverting changed deletion vectors — plus the target `metaData`
+    * when schema/partitioning/configuration changed. Nothing is
+    * rewritten and history is preserved (the restore itself is just one
+    * more commit); the protocol is NEVER downgraded, so readers that
+    * could open the current table keep working.
+    *
+    * Fails loudly if any data file or DV bin the target version
+    * references has been vacuumed away — a partial restore would
+    * silently drop rows.
+    */
+  def restore(spark: org.apache.spark.sql.SparkSession, path: String,
+      toVersion: Long): RestoreStats = {
+    val cur = DeltaLog.forPath(spark, path)
+    require(toVersion <= cur.version,
+      s"cannot restore $path to future version $toVersion " +
+        s"(current version is ${cur.version})")
+    if (toVersion == cur.version) return RestoreStats(0L, 0L, 0L)
+    cur.checkProtocolSupported()
+    val tgt = DeltaLog.forPath(spark, path, Some(toVersion))
+    require(tgt.version == toVersion && tgt.metadata.isDefined,
+      s"version $toVersion of $path is not reconstructible " +
+        "(log truncated below it?)")
+
+    val base = path.stripSuffix("/")
+    val curByPath = cur.liveFiles.map(a => a.path -> a).toMap
+    val tgtByPath = tgt.liveFiles.map(a => a.path -> a).toMap
+    val toAdd = tgt.liveFiles.filterNot(a => curByPath.contains(a.path))
+    val toRemove = cur.liveFiles.filterNot(a => tgtByPath.contains(a.path))
+    val dvChanged = tgt.liveFiles.filter(a => curByPath.get(a.path)
+      .exists(c => c.deletionVector != a.deletionVector))
+    if (toAdd.isEmpty && toRemove.isEmpty && dvChanged.isEmpty &&
+        cur.metadata == tgt.metadata)
+      return RestoreStats(0L, 0L, 0L)
+
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val needed = (toAdd ++ dvChanged).flatMap { a =>
+      Seq(DeltaScan.resolvePath(base, a.path)) ++
+        a.deletionVector.flatMap(dv =>
+          DeletionVectors.relativeFilePath(dv, base).map(r => s"$base/$r"))
+    }
+    val missing = needed.filterNot(p => fs.exists(new Path(p)))
+    require(missing.isEmpty,
+      s"restore of $path to version $toVersion references vacuumed " +
+        s"files:\n  ${missing.take(10).mkString("\n  ")}")
+
+    val nf = JsonNodeFactory.instance
+    val lines = mutable.ArrayBuffer.empty[String]
+    if (cur.metadata != tgt.metadata) tgt.metadata.foreach { md =>
+      val meta = nf.objectNode(); val m = meta.putObject("metaData")
+      m.put("id", md.id.getOrElse(java.util.UUID.nameUUIDFromBytes(
+        path.getBytes(StandardCharsets.UTF_8)).toString))
+      val fmt = m.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", md.schemaString)
+      val pc = m.putArray("partitionColumns")
+      md.partitionColumns.foreach(pc.add)
+      val cfg = m.putObject("configuration")
+      md.configuration.foreach { case (k, v) => cfg.put(k, v) }
+      md.createdTime.foreach(m.put("createdTime", _))
+      lines += meta.toString
+    }
+    (toRemove.map(_.path) ++ dvChanged.map(_.path)).foreach { p =>
+      val rm = nf.objectNode(); val r = rm.putObject("remove")
+      r.put("path", p)
+      r.put("deletionTimestamp", System.currentTimeMillis())
+      r.put("dataChange", true)
+      lines += rm.toString
+    }
+    (toAdd ++ dvChanged).foreach(a =>
+      lines += addLineFor(a, dataChange = true))
+    val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
+    c.put("timestamp", System.currentTimeMillis())
+    c.put("operation", "RESTORE")
+    lines += ci.toString
+    writeCommitAt(spark, path, cur.version + 1, lines.toSeq)
+    RestoreStats(toAdd.size.toLong, toRemove.size.toLong,
+      dvChanged.size.toLong)
+  }
+
   /** Per-file deletion-vector actions for the matched
     * `(__graft_file, __graft_row_index)` rows: roaring bitmaps built on
     * the EXECUTORS (`mapGroups`; only the compact serialized bytes reach
@@ -592,26 +775,40 @@ object DeltaWriter {
       r.put("dataChange", true)
       lines += rm.toString
 
-      val addObj = nf.objectNode(); val a = addObj.putObject("add")
-      a.put("path", action.path)
-      val pv = a.putObject("partitionValues")
-      action.effectivePartitionValues.foreach {
-        case (k, Some(v)) => pv.put(k, v)
-        case (k, None) => pv.putNull(k)
-      }
-      a.put("size", action.size)
-      a.put("modificationTime", action.modificationTime)
-      a.put("dataChange", true)
-      action.stats.foreach(a.put("stats", _))
+      lines += addLineFor(action.copy(deletionVector = Some(dv)),
+        dataChange = true)
+    }
+    (lines.toSeq, newlyDeleted)
+  }
+
+  /** Re-serialize an existing [[AddAction]] as an `add` JSON line —
+    * faithful re-emission of everything the log knows about the file
+    * (effective partition values, stats, DV descriptor). Used wherever a
+    * commit re-states a file it did not write: DV updates
+    * (delete/merge/update) and [[restore]].
+    */
+  private def addLineFor(action: AddAction, dataChange: Boolean): String = {
+    val nf = JsonNodeFactory.instance
+    val addObj = nf.objectNode(); val a = addObj.putObject("add")
+    a.put("path", action.path)
+    val pv = a.putObject("partitionValues")
+    action.effectivePartitionValues.foreach {
+      case (k, Some(v)) => pv.put(k, v)
+      case (k, None) => pv.putNull(k)
+    }
+    a.put("size", action.size)
+    a.put("modificationTime", action.modificationTime)
+    a.put("dataChange", dataChange)
+    action.stats.foreach(a.put("stats", _))
+    action.deletionVector.foreach { dv =>
       val dvn = a.putObject("deletionVector")
       dvn.put("storageType", dv.storageType)
       dvn.put("pathOrInlineDv", dv.pathOrInlineDv)
       dv.offset.foreach(dvn.put("offset", _))
       dvn.put("sizeInBytes", dv.sizeInBytes)
       dvn.put("cardinality", dv.cardinality)
-      lines += addObj.toString
     }
-    (lines.toSeq, newlyDeleted)
+    addObj.toString
   }
 
   /** Write commit `version` exactly — no retry; a concurrent writer

@@ -136,5 +136,57 @@ object DeltaQueries {
         |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |  WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
         |  UNION ALL SELECT * FROM src)
-        |ORDER BY c_custkey""".stripMargin)))
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // UPDATE (DV mask + image append, one commit) under the oracle:
+    // stage orders partitioned by status, negate o_totalprice for a key
+    // range (the range prunes candidate files through zone maps), scan
+    // back through the full pipeline. DuckDB replays the assignment as
+    // a CASE expression.
+    "x6_delta_update" -> QueryDef(
+      (s, dir) => {
+        val path = stage(dir, "orders_update_delta")
+        val marker = s"graft.delta.staged.$path"
+        if (!s.conf.getOption(marker).contains("1")) {
+          DeltaWriter.write(table(s, dir, "orders"), path,
+            partitionBy = Seq("o_orderstatus"))
+          DeltaLake.updateWhere(s, path,
+            Seq(Cond("o_orderkey", "<=", 5000L)),
+            Map("o_totalprice" -> -col("o_totalprice")))
+          s.conf.set(marker, "1")
+        }
+        DeltaLake.scanDelta(s, path)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey <= 5000 THEN -o_totalprice
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // RESTORE under the oracle: stage part, deface it (DV delete, then
+    // an append of shifted keys), roll back to v0 in one file-set-diff
+    // commit, and scan — the result must equal the PRISTINE source
+    // table, proving both halves of the diff (re-added DV revert,
+    // removed append files) actually reverted.
+    "x7_delta_restore" -> QueryDef(
+      (s, dir) => {
+        val path = stage(dir, "part_restore_delta")
+        val marker = s"graft.delta.staged.$path"
+        if (!s.conf.getOption(marker).contains("1")) {
+          DeltaWriter.write(table(s, dir, "part"), path) // v0
+          DeltaLake.deleteWhere(s, path,
+            Seq(Cond("p_partkey", "<=", 50L))) // v1: DV delete
+          val extra = table(s, dir, "part").limit(10)
+            .withColumn("p_partkey", col("p_partkey") + 9000000L)
+          DeltaWriter.write(extra, path, mode = "append") // v2: append
+          DeltaLake.restoreTable(s, path, 0L) // v3: roll it all back
+          s.conf.set(marker, "1")
+        }
+        DeltaLake.scanDelta(s, path)
+          .select("p_partkey", "p_type", "p_retailprice")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_type, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin)))
 }

@@ -1,0 +1,181 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.{DeltaLake, SparkSuite}
+
+/** DeltaWriter.update (DV-based in-place UPDATE) and DeltaWriter.restore
+  * (version rollback as one file-set-diff commit).
+  */
+class UpdateRestoreSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_upd").toString + "/t"
+
+  private def target(path: String): Unit = {
+    val df = (1L to 100L).map(i => (i, (i % 4).toString, i * 10L))
+      .toDF("id", "bucket", "v")
+    DeltaWriter.write(df, path, partitionBy = Seq("bucket"))
+  }
+
+  test("update: DV masks old rows, images append, one atomic commit") {
+    val path = tmp()
+    target(path)
+    val v0Files = DeltaLake.deltaMeta(spark, path).liveFiles.map(_.path).toSet
+
+    val n = DeltaWriter.update(spark, path,
+      Seq(Cond("id", "<=", 10L)), Map("v" -> (col("v") * -1)))
+    assert(n == 10L)
+
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.version == 1L) // both halves in one commit
+    // no data-file rewrite: the original files stay live, DV-masked
+    assert(v0Files.subsetOf(snap.liveFiles.map(_.path).toSet))
+    assert(snap.liveFiles.exists(_.hasDeletionVector))
+
+    val byId = DeltaLake.scanDelta(spark, path).collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+    assert(byId.size == 100) // no row count change
+    assert((1L to 10L).forall(i => byId(i) == -(i * 10L)))
+    assert((11L to 100L).forall(i => byId(i) == i * 10L))
+
+    // time travel still sees the pre-update values
+    val v0 = DeltaLake.scanDelta(spark, path, ScanSettings(version = Some(0L)))
+    assert(v0.where(col("id") === 1L).collect()(0).getAs[Long]("v") == 10L)
+  }
+
+  test("update does not resurrect rows a prior DV already deleted") {
+    val path = tmp()
+    target(path)
+    assert(DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 5L))) == 5L)
+    // condition overlaps the deleted range: only live rows 6..10 update
+    val n = DeltaWriter.update(spark, path,
+      Seq(Cond("id", "<=", 10L)), Map("v" -> lit(0L)))
+    assert(n == 5L, s"updated $n rows, expected the 5 live ones")
+    val now = DeltaLake.scanDelta(spark, path)
+    assert(now.count() == 95) // 1..5 stay deleted
+    assert(now.where(col("id") <= 5L).count() == 0)
+    assert(now.where(col("v") === 0L).count() == 5)
+  }
+
+  test("update may reassign a partition column: rows change partition") {
+    val path = tmp()
+    target(path)
+    val n = DeltaWriter.update(spark, path,
+      Seq(Cond("id", "=", 7L)), Map("bucket" -> lit("9")))
+    assert(n == 1L)
+    val row = DeltaLake.scanDelta(spark, path)
+      .where(col("id") === 7L).collect()(0)
+    assert(row.getAs[String]("bucket") == "9")
+    assert(row.getAs[Long]("v") == 70L) // unassigned columns untouched
+    // the image landed in a new hive partition
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.liveFiles.exists(_.path.contains("bucket=9")))
+    assert(DeltaLake.scanDelta(spark, path).count() == 100)
+  }
+
+  test("update validations: unknown column, empty set/conditions") {
+    val path = tmp()
+    target(path)
+    intercept[IllegalArgumentException] {
+      DeltaWriter.update(spark, path, Seq(Cond("id", "=", 1L)),
+        Map("nope" -> lit(1L)))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWriter.update(spark, path, Seq(Cond("id", "=", 1L)), Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWriter.update(spark, path, Nil, Map("v" -> lit(1L)))
+    }
+    assert(DeltaLake.deltaMeta(spark, path).version == 0L)
+  }
+
+  test("update matching nothing writes no commit") {
+    val path = tmp()
+    target(path)
+    val n = DeltaWriter.update(spark, path,
+      Seq(Cond("id", ">", 1000L)), Map("v" -> lit(0L)))
+    assert(n == 0L)
+    assert(DeltaLake.deltaMeta(spark, path).version == 0L)
+  }
+
+  test("restore rolls the live set back; history stays readable") {
+    val path = tmp()
+    target(path) // v0
+    assert(DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 30L))) == 30L) // v1
+    DeltaWriter.write((201L to 210L).map(i => (i, "x", i))
+      .toDF("id", "bucket", "v"), path, mode = "append",
+      partitionBy = Seq("bucket")) // v2
+    assert(DeltaLake.scanDelta(spark, path).count() == 80)
+
+    val stats = DeltaWriter.restore(spark, path, 0L) // v3
+    // the appended v2 files are removed, v1's DVs reverted
+    assert(stats.removedFiles >= 1L && stats.dvReverted >= 1L)
+
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.version == 3L)
+    val now = DeltaLake.scanDelta(spark, path)
+    assert(now.count() == 100) // deleted rows are back, appends gone
+    assert(now.where(col("id") >= 201L).count() == 0)
+    assert(now.where(col("id") <= 30L).count() == 30)
+    // history is preserved: v2 still reconstructs post-delete+append
+    val v2 = DeltaLake.scanDelta(spark, path, ScanSettings(version = Some(2L)))
+    assert(v2.count() == 80)
+  }
+
+  test("restore re-adds files an overwrite removed") {
+    val path = tmp()
+    target(path) // v0
+    DeltaWriter.write(Seq((999L, "z", 999L)).toDF("id", "bucket", "v"),
+      path, mode = "overwrite", partitionBy = Seq("bucket")) // v1
+    assert(DeltaLake.scanDelta(spark, path).count() == 1)
+    val stats = DeltaWriter.restore(spark, path, 0L) // v2
+    assert(stats.restoredFiles >= 1L && stats.removedFiles == 1L)
+    val now = DeltaLake.scanDelta(spark, path)
+    assert(now.count() == 100)
+    assert(now.where(col("id") === 999L).count() == 0)
+  }
+
+  test("restore to the current version is a no-op; future version errors") {
+    val path = tmp()
+    target(path)
+    assert(DeltaWriter.restore(spark, path, 0L) == RestoreStats(0L, 0L, 0L))
+    assert(DeltaLake.deltaMeta(spark, path).version == 0L)
+    intercept[IllegalArgumentException] {
+      DeltaWriter.restore(spark, path, 5L)
+    }
+  }
+
+  test("restore re-emits the target metaData after schema evolution") {
+    val path = tmp()
+    DeltaWriter.write(Seq((1L, 10L)).toDF("id", "v"), path) // v0
+    DeltaWriter.write(Seq((2L, 20L, "w")).toDF("id", "v", "extra"),
+      path, mode = "append") // v1: schema widens (mergeSchema semantics)
+    assert(DeltaLake.deltaMeta(spark, path).schema.fieldNames
+      .contains("extra"))
+    DeltaWriter.restore(spark, path, 0L) // v2
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "v"),
+      s"schema not restored: ${snap.schema.fieldNames.mkString(",")}")
+    val now = DeltaLake.scanDelta(spark, path)
+    assert(now.columns.toSeq == Seq("id", "v"))
+    assert(now.count() == 1)
+  }
+
+  test("restore fails loudly when target files were vacuumed") {
+    val path = tmp()
+    target(path) // v0
+    DeltaWriter.write(Seq((999L, "z", 999L)).toDF("id", "bucket", "v"),
+      path, mode = "overwrite", partitionBy = Seq("bucket")) // v1
+    val removed = DeltaWriter.vacuum(spark, path) // v0's files die
+    assert(removed.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.restore(spark, path, 0L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // the failed restore must not have committed anything
+    assert(DeltaLake.deltaMeta(spark, path).version == 1L)
+  }
+}
