@@ -257,17 +257,31 @@ object TextOps {
     // doc's tokens inside its input split before anything moves.
     "t10_repetition" -> QueryDef(
       (s, dir) => {
-        val toksC = tokens(col("text"))
-        val grams2 = transform(sequence(lit(0), size(col("tk")) - 2),
-          j => concat_ws(" ", slice(col("tk"), j + 1, lit(2))))
+        val tk = tokens(col("text"))
+        // 2-grams via zip_with over the array and its shifted self: the
+        // lambda touches only its own variables. An index-slicing lambda
+        // (slice(tk, j+1, 2)) would capture tk by name, and once
+        // CollapseProject inlines the split() it re-tokenizes the
+        // document PER ELEMENT — O(tokens²), the re-split trap t8
+        // documents. This shape stays O(tokens) per row, fully codegen,
+        // no cache or shuffle barrier needed.
+        val g2 = zip_with(
+          slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+          (a, b) => concat_ws(" ", a, b))
+        // the per-doc metrics live in their OWN projection below the
+        // explode: a select sharing the generator would be rewritten
+        // ABOVE the Generate and re-evaluate the (interpreted,
+        // CodegenFallback) lambda tree once per exploded TOKEN instead
+        // of once per document — measured 50x slower at sf0.1
         val base = table(s, dir, "documents")
-          .select(col("doc_id"), toksC.as("tk"))
           .select(col("doc_id"),
-            size(col("tk")).as("n_tokens"),
-            when(size(col("tk")) >= 2,
-              lit(1.0) - size(array_distinct(grams2)).cast("double")
-                / (size(col("tk")) - 1))
+            size(tk).as("n_tokens"),
+            when(size(tk) >= 2,
+              lit(1.0) - size(array_distinct(g2)).cast("double")
+                / (size(tk) - 1))
               .otherwise(lit(0.0)).as("dup_2gram_ratio"),
+            tk.as("tk"))
+          .select(col("doc_id"), col("n_tokens"), col("dup_2gram_ratio"),
             explode(col("tk")).as("token"))
         base.groupBy("doc_id", "n_tokens", "dup_2gram_ratio", "token")
           .agg(count(lit(1)).as("c"))
