@@ -86,6 +86,41 @@ object DeltaLake {
   def convertParquetToDelta(spark: SparkSession, path: String): Unit =
     DeltaWriter.convertParquetToDelta(spark, path)
 
+  /** DESCRIBE HISTORY: one row per surviving commit, newest first —
+    * version, commit timestamp, operation (WRITE/APPEND/DELETE/MERGE/
+    * UPDATE/RESTORE/OPTIMIZE/…), file-action counts, and whether the
+    * commit changed table metadata. Driver-side walk of the small
+    * commit JSONs; versions aged out below a checkpoint are absent
+    * (their JSON no longer exists — same visibility rule as timestamp
+    * time travel).
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val dir = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "/_delta_log")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir), s"no Delta log under $path")
+    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong).sorted
+    val rows = versions.map { v =>
+      val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(Nil)
+      def n(field: String) =
+        lines.count(l => l.has(field) && !l.get(field).isNull).toLong
+      val ci = lines.collectFirst {
+        case l if l.has("commitInfo") && !l.get("commitInfo").isNull =>
+          l.get("commitInfo")
+      }
+      val ts = ci.flatMap(c => Option(c.get("timestamp")))
+        .filterNot(_.isNull).map(t => new java.sql.Timestamp(t.asLong))
+      val op = ci.flatMap(c => Option(c.get("operation")))
+        .filterNot(_.isNull).map(_.asText)
+      (v, ts.orNull, op.orNull, n("add"), n("remove"), n("metaData") > 0)
+    }
+    rows.toDF("version", "timestamp", "operation", "num_added_files",
+      "num_removed_files", "metadata_changed")
+      .orderBy(org.apache.spark.sql.functions.col("version").desc)
+  }
+
   def isProtocolSupported(snap: DeltaSnapshot): Boolean =
     try { snap.checkProtocolSupported(); true }
     catch { case _: DeltaProtocolError => false }

@@ -428,6 +428,32 @@ class OpsSpec extends SparkSuite {
     assert(out(4L) == ((5, 1.0 - 3.0 / 4, 4.0 / 5)), s"got ${out(4L)}")
   }
 
+  test("t10 computes per-doc metrics below the explode (plan shape)") {
+    val df = Registry.all("t10_repetition").fn(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the interpreted lambda tree (zip_with/array_distinct) must sit
+    // BELOW the Generate: a select sharing the generator is rewritten
+    // above it and re-evaluates the tree once per exploded TOKEN —
+    // the 50x regression this guards against
+    val above = plan.split("Generate")(0)
+    assert(!above.contains("array_distinct") && !above.contains("zip_with"),
+      s"dup-ratio tree evaluated per exploded token:\n${plan.take(2000)}")
+    assert(plan.contains("Generate"), s"expected an explode:\n${plan.take(800)}")
+  }
+
+  test("t11 is one source shuffle plus the final sort (plan shape)") {
+    val df = Registry.all("t11_mixture_sample").fn(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"mixture sample must not join:\n${plan.take(1500)}")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, // hash(source) for both windows + the orderBy
+      s"expected <=2 exchanges, got $exchanges:\n${plan.take(1500)}")
+  }
+
   test("t11 mixture sample: quota is ceil(sqrt(n_src)), deterministic") {
     val counts = Registry.table(spark, dir, "documents")
       .groupBy("source").count()

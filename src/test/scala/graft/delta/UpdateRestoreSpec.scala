@@ -164,6 +164,28 @@ class UpdateRestoreSpec extends SparkSuite {
     assert(now.count() == 1)
   }
 
+  test("history lists every commit newest-first with its operation") {
+    val path = tmp()
+    target(path) // v0 WRITE
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 10L))) // v1
+    DeltaWriter.write((201L to 205L).map(i => (i, "x", i))
+      .toDF("id", "bucket", "v"), path, mode = "append",
+      partitionBy = Seq("bucket")) // v2
+    DeltaWriter.restore(spark, path, 0L) // v3
+    val h = DeltaLake.history(spark, path).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L, 0L))
+    assert(h.map(_.getString(2)).toSeq ==
+      Seq("RESTORE", "APPEND", "DELETE", "WRITE"))
+    val byV = h.map(r => r.getLong(0) -> r).toMap
+    assert(byV(0L).getBoolean(5)) // v0 carries the metaData
+    assert(!byV(1L).getBoolean(5))
+    assert(byV(0L).getLong(3) >= 1L && byV(0L).getLong(4) == 0L)
+    // DELETE rewrites each touched file's action: remove + re-add(DV)
+    assert(byV(1L).getLong(3) == byV(1L).getLong(4))
+    assert(byV(1L).getLong(3) >= 1L)
+    assert(h.forall(!_.isNullAt(1))) // every commit stamped
+  }
+
   test("restore fails loudly when target files were vacuumed") {
     val path = tmp()
     target(path) // v0
