@@ -470,6 +470,48 @@ object DedupOps {
         |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_rep
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
 
+    // Deduplicated-corpus materialization — the artifact a training
+    // pipeline actually consumes: one representative document per
+    // near-dup cluster (cluster representatives ARE members, so this is
+    // a filter, not a re-election). The cluster map is computed once
+    // and cached under the corpus version (the real production shape —
+    // one clustering serves every downstream materialization); the
+    // corpus pass is a semi-join against it, broadcastable while the
+    // representative set is small relative to executors' memory,
+    // shuffled beyond.
+    "d8_dedup_corpus" -> QueryDef(
+      (s, dir) => {
+        val labels = OpCaches.cached(s, s"dedup:d8labels:$dir",
+            docsVersion(s, dir)) {
+          dedupClusters(s, dir, fastHash = false)
+        }
+        val reps = labels.where(col("doc_id") === col("cluster_rep"))
+          .select("doc_id")
+        table(s, dir, "documents")
+          .join(reps, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $pairsSql,
+        |est AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  WHERE CAST(list_sum([CASE WHEN mh_a[i+1] = mh_b[i+1] THEN 1 ELSE 0 END
+        |    for i in range($NumHashes)]) AS DOUBLE) / $NumHashes >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM est
+        |  UNION ALL SELECT doc_b, doc_a FROM est),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node),
+        |labels AS (
+        |  SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN labels l
+        |  ON l.doc_id = d.doc_id AND l.rep = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // Production fast-path twins (xxhash64 signatures — the public API
     // default): rows-only entries, no SQL oracle (xxhash64 isn't
     // reproducible in DuckDB), so the bench times what public callers

@@ -377,6 +377,17 @@ class OpsSpec extends SparkSuite {
       .foreach { case (d, rep) => assert(d == rep) }
   }
 
+  test("dedup corpus keeps exactly the cluster representatives") {
+    val labels = DedupOps.defs("d6_dedup_components").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = Registry.all("d8_dedup_corpus").fn(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == labels.values.toSet,
+      "materialized corpus must be exactly the representative set")
+    assert(kept.forall(d => labels(d) == d))
+    assert(kept.size <= labels.size)
+  }
+
   test("dedup exact: grouping is lossless (copies sum to corpus size)") {
     val total = Registry.table(spark, dir, "documents").count()
     val grouped = DedupOps.defs("d1_dedup_exact").fn(spark, dir)
