@@ -177,5 +177,36 @@ object EventOps {
         |  CASE WHEN min(p) IS NOT NULL THEN 3
         |       WHEN min(c) IS NOT NULL THEN 2
         |       WHEN min(v) IS NOT NULL THEN 1 ELSE 0 END AS steps_completed
-        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin)))
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Cohort retention — the product-analytics staple: users grouped by
+    // first-event day, distinct-user counts at each day offset. One
+    // user_id shuffle (the window computing each user's first event),
+    // then a partial-aggregated distinct count per (cohort, offset) —
+    // the cohort matrix is tiny regardless of event volume, so at
+    // 100 TB everything after the first shuffle is combiner-bound.
+    "e6_retention" -> QueryDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id")
+        events(s, dir)
+          .withColumn("first_ts", min("ts").over(byUser))
+          .select(
+            date_trunc("day", col("first_ts")).as("cohort_day"),
+            datediff(to_date(col("ts")), to_date(col("first_ts")))
+              .as("day_offset"),
+            col("user_id"))
+          .groupBy("cohort_day", "day_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH firsts AS (
+        |  SELECT user_id, ts,
+        |    min(ts) OVER (PARTITION BY user_id) AS first_ts
+        |  FROM events)
+        |SELECT date_trunc('day', first_ts) AS cohort_day,
+        |  date_diff('day', CAST(first_ts AS DATE), CAST(ts AS DATE))
+        |    AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM firsts GROUP BY 1, 2
+        |ORDER BY cohort_day, day_offset""".stripMargin)))
 }

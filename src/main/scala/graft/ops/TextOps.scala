@@ -347,6 +347,26 @@ object TextOps {
         |SELECT source, n_src, rk, doc_id FROM ranked
         |WHERE rk <= ceil(sqrt(n_src)) ORDER BY source, rk""".stripMargin)),
 
+    // Vocabulary construction — the tokenizer-seeding primitive: global
+    // top-K tokens by frequency with a deterministic tie-break. The
+    // groupBy shuffles the VOCABULARY (map-side combine collapses each
+    // split's token stream first), and the top-K runs as
+    // TakeOrderedAndProject — per-partition heaps, K rows to the
+    // driver, never a full sort shuffle. At 100 TB this is the textbook
+    // word-count-then-top-K; nothing grows with the corpus except the
+    // combine input.
+    "t12_vocabulary" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(100),
+      Some("""SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
+
     // Contamination check — benchmark-overlap decontamination: a
     // deterministic 3-doc "benchmark" probe set (bottom-3 by
     // md5(doc_id)), distinct 5-gram overlap counted per remaining

@@ -377,6 +377,47 @@ class OpsSpec extends SparkSuite {
       .foreach { case (d, rep) => assert(d == rep) }
   }
 
+  test("t12 vocabulary: counts match a driver-side tally, order strict") {
+    val rows = Registry.all("t12_vocabulary").fn(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // independent driver-side tally (the fixture vocab is < K, so the
+    // result is the WHOLE vocabulary — still top-K-shaped in the plan)
+    val tally = Registry.table(spark, dir, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    assert(rows.length == math.min(100, tally.size))
+    // strictly ordered by (n desc, token asc) — the determinism contract
+    rows.sliding(2).foreach { case Array((ta, na), (tb, nb)) =>
+      assert(na > nb || (na == nb && ta < tb), s"order broken at $ta/$tb")
+    }
+    rows.foreach { case (t, n) => assert(tally(t) == n, s"count of '$t'") }
+    assert(rows.map(_._2).head == tally.values.max)
+  }
+
+  test("e6 retention: offset-0 equals cohort size, later offsets never exceed it") {
+    val rows = Registry.all("e6_retention").fn(spark, dir).collect()
+      .map(r => (r.get(0).toString, r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "negative day offset")
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_._2 == 0)
+      assert(day0.isDefined, s"cohort $c missing its own first day")
+      assert(rs.forall(_._3 <= day0.get._3),
+        s"cohort $c retains more users than it has")
+    }
+    // every user appears in exactly one cohort (first-event day)
+    val users = Registry.all("e6_retention").fn(spark, dir)
+    val totalDay0 = byCohort.values.map(_.find(_._2 == 0).get._3).sum
+    val distinctUsers = {
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Registry.table(spark, dir, "events").select("user_id").distinct().count()
+    }
+    assert(totalDay0 == distinctUsers, s"$totalDay0 != $distinctUsers")
+  }
+
   test("dedup corpus keeps exactly the cluster representatives") {
     val labels = DedupOps.defs("d6_dedup_components").fn(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
