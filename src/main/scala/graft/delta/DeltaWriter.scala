@@ -88,7 +88,12 @@ object DeltaWriter {
         * per-call log replay — for high-frequency writers (DeltaSink)
         * that maintain one incrementally-advanced snapshot.
         */
-      priorSnapshot: Option[DeltaSnapshot] = None): Unit = {
+      priorSnapshot: Option[DeltaSnapshot] = None,
+      /** Table properties to set/merge into `metaData.configuration`
+        * (TBLPROPERTIES) — e.g. `delta.checkpointInterval`. Existing
+        * properties are inherited in every mode; entries given here win.
+        */
+      properties: Map[String, String] = Map.empty): Unit = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val spark = df.sparkSession
     val df0 = df
@@ -132,6 +137,14 @@ object DeltaWriter {
       mode == "append" && p.schema.fields.nonEmpty &&
         mergedSchema.json != p.schema.json)
 
+    // table properties: inherited in every mode (a plain overwrite must
+    // not wipe TBLPROPERTIES), merged with the caller's entries; a real
+    // change forces a metaData re-emission even on a plain append
+    val priorCfg =
+      prior.flatMap(_.metadata).map(_.configuration).getOrElse(Map.empty)
+    val newCfg = priorCfg ++ properties
+    val cfgChanged = newCfg != priorCfg
+
     // Delta stores timestamps as INT64 micros (INT96, Spark's legacy
     // default, also carries no usable column statistics)
     withMicrosTimestamps(spark) {
@@ -144,7 +157,7 @@ object DeltaWriter {
     val nf = JsonNodeFactory.instance
     val lines = mutable.ArrayBuffer.empty[String]
 
-    if (version == 0L || mode == "overwrite" || schemaEvolved) {
+    if (version == 0L || mode == "overwrite" || schemaEvolved || cfgChanged) {
       val needsNtz = mergedSchema.exists(f => hasNtz(f.dataType))
       val priorHasNtz = prior.flatMap(_.protocol).exists(p =>
         p.minReaderVersion >= 3 &&
@@ -176,10 +189,9 @@ object DeltaWriter {
       (if (mode == "append")
         prior.map(_.partitionColumns).filter(_.nonEmpty).getOrElse(partitionBy)
       else partitionBy).foreach(pc.add)
-      // evolution must not wipe table properties or creation time
+      // inherited properties merged with the caller's (never wiped)
       val cfg = m.putObject("configuration")
-      if (mode == "append") prior.flatMap(_.metadata).foreach(
-        _.configuration.foreach { case (k, v) => cfg.put(k, v) })
+      newCfg.foreach { case (k, v) => cfg.put(k, v) }
       m.put("createdTime",
         (if (mode == "append") prior.flatMap(_.metadata).flatMap(_.createdTime)
         else None).getOrElse(System.currentTimeMillis()))
@@ -225,7 +237,8 @@ object DeltaWriter {
     // plain append aborts if the winning commit changed table metadata
     // (its files were written under the old schema).
     val canRetry =
-      mode == "append" && !schemaEvolved && txn.isEmpty && version > 0L
+      mode == "append" && !schemaEvolved && !cfgChanged &&
+        txn.isEmpty && version > 0L
     val bytes = (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
     var v = version
     var committed = false
@@ -263,6 +276,32 @@ object DeltaWriter {
         }
       }
     }
+    maybeCheckpoint(spark, path, v, newCfg)
+  }
+
+  /** Auto-checkpoint: after committing `version`, write a classic
+    * checkpoint when it is a multiple of the table's
+    * `delta.checkpointInterval` (default 10, the Delta default).
+    * Without this a high-frequency writer (DeltaSink at one commit per
+    * micro-batch) grows the log unboundedly and every fresh reader
+    * replays it commit by commit — the checkpoint bounds log replay to
+    * O(interval) JSON reads. Failures only WARN: the commit already
+    * succeeded and is the durable state; surfacing an error here would
+    * make callers retry a write that happened (duplicate data), while a
+    * missed checkpoint merely costs replay time.
+    */
+  private def maybeCheckpoint(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Long, config: Map[String, String]): Unit = {
+    val interval = config.get("delta.checkpointInterval")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(10)
+    if (version > 0L && version % interval == 0L)
+      try writeCheckpoint(DeltaLog.forPath(spark, path, Some(version)))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] auto-checkpoint of $path at v$version failed: $e")
+      }
   }
 
   /** One `add` JSON line for a freshly-written data file: hive-encoded
@@ -411,7 +450,8 @@ object DeltaWriter {
     val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
     c.put("timestamp", System.currentTimeMillis())
     c.put("operation", "DELETE")
-    writeCommitAt(spark, path, snap.version + 1, lines :+ ci.toString)
+    writeCommitAt(spark, path, snap.version + 1, lines :+ ci.toString,
+      snap.configuration)
     newlyDeleted
   }
 
@@ -534,7 +574,8 @@ object DeltaWriter {
         c.put("timestamp", System.currentTimeMillis())
         c.put("operation", "MERGE")
         lines += ci.toString
-        writeCommitAt(spark, path, snap.version + 1, lines.toSeq)
+        writeCommitAt(spark, path, snap.version + 1, lines.toSeq,
+          snap.configuration)
         MergeStats(updated, srcRows)
       }
     } finally src.unpersist()
@@ -627,7 +668,8 @@ object DeltaWriter {
       c.put("timestamp", System.currentTimeMillis())
       c.put("operation", "UPDATE")
       lines += ci.toString
-      writeCommitAt(spark, path, snap.version + 1, lines.toSeq)
+      writeCommitAt(spark, path, snap.version + 1, lines.toSeq,
+        snap.configuration)
       updated
     } finally matched.unpersist()
   }
@@ -710,7 +752,8 @@ object DeltaWriter {
     c.put("timestamp", System.currentTimeMillis())
     c.put("operation", "RESTORE")
     lines += ci.toString
-    writeCommitAt(spark, path, cur.version + 1, lines.toSeq)
+    writeCommitAt(spark, path, cur.version + 1, lines.toSeq,
+      tgt.configuration)
     RestoreStats(toAdd.size.toLong, toRemove.size.toLong,
       dvChanged.size.toLong)
   }
@@ -816,13 +859,15 @@ object DeltaWriter {
     * against a specific snapshot and must not silently rebase).
     */
   private def writeCommitAt(spark: org.apache.spark.sql.SparkSession,
-      path: String, version: Long, lines: Seq[String]): Unit = {
+      path: String, version: Long, lines: Seq[String],
+      config: Map[String, String] = Map.empty): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val commit = new Path(new Path(root, "_delta_log"), f"$version%020d.json")
     val out = fs.create(commit, false)
     try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    maybeCheckpoint(spark, path, version, config)
   }
 
   /** CONVERT TO DELTA: register an existing plain-parquet directory

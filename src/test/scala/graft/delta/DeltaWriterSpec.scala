@@ -430,4 +430,54 @@ class DeltaWriterSpec extends SparkSuite {
     assert(back(0).getAs[String]("p") == "A")
     assert(back(1).isNullAt(back(1).fieldIndex("p")))
   }
+
+  test("auto-checkpoint lands every 10 commits and bounds log replay") {
+    val path = tmp()
+    DeltaWriter.write(Seq((0L, "v0")).toDF("id", "v"), path) // v0
+    (1L to 10L).foreach(i => DeltaWriter.write(
+      Seq((i, s"v$i")).toDF("id", "v"), path, mode = "append")) // v1..v10
+    val logDir = new org.apache.hadoop.fs.Path(s"$path/_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(logDir,
+      f"${10L}%020d.checkpoint.parquet")))
+    assert(DeltaLog.lastCheckpointVersion(spark, path).contains(10L))
+    // the pre-checkpoint commit JSONs are no longer NEEDED: age them out
+    // and a fresh reader must still reconstruct the table exactly
+    (0L to 9L).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(logDir, f"$v%020d.json"), false)
+    }
+    val back = DeltaLake.scanDelta(spark, path)
+    assert(back.count() == 11L)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      (0L to 10L).map(i => s"v$i"))
+  }
+
+  test("delta.checkpointInterval property is honored and survives writes") {
+    val path = tmp()
+    DeltaWriter.write(Seq((0L, "a")).toDF("id", "v"), path,
+      properties = Map("delta.checkpointInterval" -> "3"))
+    (1L to 3L).foreach(i => DeltaWriter.write(
+      Seq((i, "b")).toDF("id", "v"), path, mode = "append"))
+    assert(DeltaLog.lastCheckpointVersion(spark, path).contains(3L))
+    // a plain overwrite must NOT wipe table properties
+    DeltaWriter.write(Seq((9L, "z")).toDF("id", "v"), path)
+    assert(DeltaLake.deltaMeta(spark, path)
+      .configuration.get("delta.checkpointInterval").contains("3"))
+    // ...and the inherited interval keeps checkpointing (v4 overwrite,
+    // v5, v6 appends → checkpoint at 6)
+    (5L to 6L).foreach(i => DeltaWriter.write(
+      Seq((i, "c")).toDF("id", "v"), path, mode = "append"))
+    assert(DeltaLog.lastCheckpointVersion(spark, path).contains(6L))
+  }
+
+  test("setting a property on append re-emits metaData, keeps schema") {
+    val path = tmp()
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), path)
+    DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), path,
+      mode = "append", properties = Map("graft.owner" -> "pipeline"))
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.configuration.get("graft.owner").contains("pipeline"))
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(DeltaLake.scanDelta(spark, path).count() == 2L)
+  }
 }
