@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Config-driven kernel injection: a session built with GraftExtensions
+  * can call the custom Catalyst expressions from plain SQL, no graft
+  * Scala API in sight.
+  */
+class GraftExtensionsSpec extends SparkSuite {
+
+  test("extensions session calls the kernels from plain spark.sql") {
+    val prev = spark // boots the shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT
+          |  simhash64(array('alpha','beta','gamma')) AS sh1,
+          |  simhash64(array('alpha','beta','gamma')) AS sh2,
+          |  simhash64(array('totally','different','words')) AS sh3,
+          |  vector_cosine(cast(array(1.0D, 0.0D) AS array<float>),
+          |                cast(array(1.0D, 0.0D) AS array<float>)) AS cos_same,
+          |  nearest_centroid(cast(array(0.0D, 1.0D) AS array<float>),
+          |    array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS nc
+          |""".stripMargin).collect()(0)
+      assert(r.getLong(0) == r.getLong(1)) // deterministic
+      assert(r.getLong(0) != r.getLong(2)) // input-sensitive
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+      assert(r.getInt(4) == 1) // second centroid is the nearest
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
