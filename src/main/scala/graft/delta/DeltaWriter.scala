@@ -208,7 +208,8 @@ object DeltaWriter {
     })
 
     newFiles.foreach { rel =>
-      lines += addActionLine(fs, root, rel, df.schema)
+      lines += addActionLine(fs, root, rel,
+        statsIndexedSchema(mergedSchema, newCfg))
     }
 
     txn.foreach { case (appId, v) =>
@@ -302,6 +303,22 @@ object DeltaWriter {
           System.err.println(
             s"[graft] auto-checkpoint of $path at v$version failed: $e")
       }
+  }
+
+  /** Columns that get per-file stats, per
+    * `delta.dataSkippingNumIndexedCols`: the first N table columns
+    * (default 32, -1 = all — the delta-spark convention). On a
+    * 1000-column table, stats over every column would bloat each commit
+    * and checkpoint by orders of magnitude while zone maps beyond the
+    * leading columns rarely pay for themselves; readers fail open on
+    * absent stats.
+    */
+  private def statsIndexedSchema(
+      schema: StructType, config: Map[String, String]): StructType = {
+    val n = config.get("delta.dataSkippingNumIndexedCols")
+      .flatMap(_.toIntOption).getOrElse(32)
+    if (n < 0 || n >= schema.fields.length) schema
+    else StructType(schema.fields.take(n))
   }
 
   /** One `add` JSON line for a freshly-written data file: hive-encoded
@@ -566,7 +583,8 @@ object DeltaWriter {
             .partitionBy(snap.partitionColumns: _*).parquet(path)
         }
         (listDataFiles(fs, root) -- before).toSeq.sorted.foreach { rel =>
-          lines += addActionLine(fs, root, rel, schema)
+          lines += addActionLine(fs, root, rel,
+            statsIndexedSchema(schema, snap.configuration))
         }
 
         val nf = JsonNodeFactory.instance
@@ -660,7 +678,8 @@ object DeltaWriter {
           .partitionBy(snap.partitionColumns: _*).parquet(path)
       }
       (listDataFiles(fs, root) -- before).toSeq.sorted.foreach { rel =>
-        lines += addActionLine(fs, root, rel, schema)
+        lines += addActionLine(fs, root, rel,
+          statsIndexedSchema(schema, snap.configuration))
       }
 
       val nf = JsonNodeFactory.instance
@@ -931,7 +950,8 @@ object DeltaWriter {
       a.put("size", status.getLen)
       a.put("modificationTime", status.getModificationTime)
       a.put("dataChange", true)
-      footerStats(fs, f, dataSchema).foreach(s => a.put("stats", s))
+      footerStats(fs, f, statsIndexedSchema(dataSchema, Map.empty))
+        .foreach(s => a.put("stats", s))
       lines += addObj.toString
     }
     val ci = nf.objectNode()
@@ -1061,7 +1081,8 @@ object DeltaWriter {
         a.put("size", status.getLen)
         a.put("modificationTime", status.getModificationTime)
         a.put("dataChange", false)
-        footerStats(fs, dest, StructType(physReadSchema.fields))
+        footerStats(fs, dest, statsIndexedSchema(
+            StructType(physReadSchema.fields), snap.configuration))
           .foreach(st => a.put("stats", st))
         lines += addObj.toString
         nCompacted += bin.size

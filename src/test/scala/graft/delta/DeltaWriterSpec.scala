@@ -470,6 +470,34 @@ class DeltaWriterSpec extends SparkSuite {
     assert(DeltaLog.lastCheckpointVersion(spark, path).contains(6L))
   }
 
+  test("stats honor delta.dataSkippingNumIndexedCols; readers fail open") {
+    import org.apache.spark.sql.types.{StructType, LongType, StructField}
+    val path = tmp()
+    val wide = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq.range(0L, 40L): _*)), 1),
+      StructType((0 until 40).map(i => StructField(s"c$i", LongType))))
+    DeltaWriter.write(wide, path)
+    val stats0 = DeltaLake.deltaMeta(spark, path)
+      .liveFiles.head.parsedStats.get
+    assert(stats0.minValues.contains("c31") && !stats0.minValues.contains("c32"),
+      s"default must index 32 cols, got ${stats0.minValues.keySet.size}")
+
+    val path2 = tmp()
+    DeltaWriter.write(wide, path2,
+      properties = Map("delta.dataSkippingNumIndexedCols" -> "2"))
+    val stats2 = DeltaLake.deltaMeta(spark, path2)
+      .liveFiles.head.parsedStats.get
+    assert(stats2.minValues.keySet == Set("c0", "c1"))
+    assert(stats2.numRecords.contains(1L)) // row count always kept
+    // a filter on an UN-indexed column must fail open, not wrong
+    val hit = DeltaLake.scanDelta(spark, path2,
+      ScanSettings(conditions = Seq(Cond("c5", "=", 5L))))
+    assert(hit.count() == 1L)
+    val miss = DeltaLake.scanDelta(spark, path2,
+      ScanSettings(conditions = Seq(Cond("c5", "=", 99L))))
+    assert(miss.count() == 0L)
+  }
+
   test("setting a property on append re-emits metaData, keeps schema") {
     val path = tmp()
     DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), path)
