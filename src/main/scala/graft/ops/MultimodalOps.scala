@@ -41,11 +41,29 @@ object MultimodalOps {
     (width, height, channels, features)
   }
 
-  /** The oracle twin of [[fakeDecode]]'s `h`, as a DuckDB expression. */
-  private val hSql =
-    """list_reduce([strpos('0123456789abcdef',
-      |    substring(md5(text), i + 1, 1)) - 1 for i in range(15)],
+  /** STUB for a real frame decoder: the "brightness" of frame `idx` of
+    * a "video" payload, derived from md5(bytes ++ "#idx") so the m4
+    * DuckDB oracle can recompute it. A real build seeks the container
+    * to the frame and decodes; the signature (bytes, index) → scalar
+    * feature stays.
+    */
+  def fakeFrameBrightness(bytes: Array[Byte], idx: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(bytes)
+    md.update(s"#$idx".getBytes("UTF-8"))
+    val hex = md.digest().take(8).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.take(15), 16) % 1000) / 1000.0
+  }
+
+  /** The oracle twin of [[fakeDecode]]'s `h` over an arbitrary VARCHAR
+    * expression, as a DuckDB expression.
+    */
+  private def hSqlOf(e: String): String =
+    s"""list_reduce([strpos('0123456789abcdef',
+      |    substring(md5($e), i + 1, 1)) - 1 for i in range(15)],
       |  (a, b) -> a * 16 + b)""".stripMargin
+
+  private val hSql = hSqlOf("text")
 
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -146,5 +164,52 @@ object MultimodalOps {
         |  count(*) AS n,
         |  avg(list_reduce(list_transform(feats, x -> x * x),
         |    (a, b) -> a + b)) AS avg_sq_norm
-        |FROM d GROUP BY 1 ORDER BY mp_bucket""".stripMargin)))
+        |FROM d GROUP BY 1 ORDER BY mp_bucket""".stripMargin)),
+
+    // Frame sampling over a "video" payload: probe the container for
+    // its frame count (stub: 8 + h % 56), then decode 4 evenly spaced
+    // frames per clip — the standard video-pretraining subsample. The
+    // per-row fan-out happens INSIDE mapPartitions (a real decoder
+    // seeks once per clip and emits the sampled frames from one open
+    // container — exploding first would re-open it per frame); narrow,
+    // no shuffle until the final sort. Frame features derive from
+    // md5(bytes ++ "#idx") so the stubbed pipeline stays oracle-checked.
+    "m4_frame_sample" -> QueryDef(
+      (s, dir) => {
+        val frameSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("frame_idx", LongType, nullable = false),
+          StructField("n_frames", IntegerType, nullable = false),
+          StructField("brightness", DoubleType, nullable = false)))
+        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+          .encoderFor(frameSchema)
+        withBlob(s, dir).mapPartitions { it =>
+          it.flatMap { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val h = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(bytes).take(8).map(b => f"$b%02x").mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            val nFrames = (8 + h % 56).toInt
+            (0 until 4).iterator.map { i =>
+              val idx = i.toLong * nFrames / 4
+              Row(id, idx, nFrames, fakeFrameBrightness(bytes, idx))
+            }
+          }
+        }(enc).orderBy("doc_id", "frame_idx")
+      },
+      Some(s"""WITH h AS (
+        |  SELECT doc_id, text, ${hSqlOf("text")} AS h FROM documents),
+        |v AS (
+        |  SELECT doc_id, text, CAST(8 + h % 56 AS INT) AS n_frames FROM h),
+        |f AS (
+        |  SELECT doc_id, text, n_frames,
+        |    CAST((t.i * n_frames) // 4 AS BIGINT) AS frame_idx
+        |  FROM v CROSS JOIN range(4) t(i))
+        |SELECT doc_id, frame_idx, n_frames,
+        |  (${hSqlOf("text || '#' || frame_idx::VARCHAR")} % 1000) / 1000.0
+        |    AS brightness
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)))
 }

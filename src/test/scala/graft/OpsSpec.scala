@@ -418,6 +418,27 @@ class OpsSpec extends SparkSuite {
     assert(totalDay0 == distinctUsers, s"$totalDay0 != $distinctUsers")
   }
 
+  test("m4 frame sample: 4 in-range, increasing frames per clip") {
+    val rows = Registry.all("m4_frame_sample").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val n = Registry.table(spark, dir, "documents").count()
+    assert(rows.length == 4 * n)
+    rows.groupBy(_._1).foreach { case (id, fs) =>
+      val sorted = fs.sortBy(_._2)
+      val total = sorted.head._3
+      assert(total >= 8 && total < 64, s"clip $id frame count $total")
+      assert(sorted.forall(f => f._2 >= 0 && f._2 < total))
+      assert(sorted.map(_._2).distinct.length == 4,
+        s"clip $id sampled duplicate frames")
+      assert(sorted.head._2 == 0L) // always anchors the first frame
+      assert(fs.forall(f => f._4 >= 0.0 && f._4 < 1.0))
+    }
+    // deterministic stub: rerun is identical
+    val again = Registry.all("m4_frame_sample").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("dedup corpus keeps exactly the cluster representatives") {
     val labels = DedupOps.defs("d6_dedup_components").fn(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
