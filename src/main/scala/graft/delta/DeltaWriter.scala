@@ -499,11 +499,24 @@ object DeltaWriter {
     * Returns (matched target rows replaced, source rows written).
     */
   def merge(spark: org.apache.spark.sql.SparkSession, path: String,
-      source: DataFrame, keys: Seq[String]): MergeStats = {
+      source: DataFrame, keys: Seq[String],
+      /** Transaction identifier (appId, version): the commit carries a
+        * `txn` action and the merge is SKIPPED (returning zero stats)
+        * when the table's recorded watermark for `appId` is already at
+        * or above `version` — exactly-once upserts for streaming CDC
+        * replay (DeltaSink.upserter).
+        */
+      txn: Option[(String, Long)] = None,
+      /** Already-current snapshot to merge against, skipping the
+        * per-call log replay (DeltaSink's cached-snapshot path). */
+      priorSnapshot: Option[DeltaSnapshot] = None): MergeStats = {
     import org.apache.spark.sql.functions.{col, max, min}
     require(keys.nonEmpty, "merge needs at least one key column")
-    val snap = DeltaLog.forPath(spark, path)
+    val snap = priorSnapshot.getOrElse(DeltaLog.forPath(spark, path))
     snap.checkProtocolSupported()
+    txn.foreach { case (appId, v) =>
+      if (snap.txnVersions.get(appId).exists(_ >= v)) return MergeStats(0L, 0L)
+    }
     val schema = snap.schema
     require(DeltaSchema.logicalToPhysical(schema).forall(kv => kv._1 == kv._2),
       "merge does not write column-mapped tables")
@@ -588,6 +601,13 @@ object DeltaWriter {
         }
 
         val nf = JsonNodeFactory.instance
+        txn.foreach { case (appId, v) =>
+          val t = nf.objectNode(); val tn = t.putObject("txn")
+          tn.put("appId", appId)
+          tn.put("version", v)
+          tn.put("lastUpdated", System.currentTimeMillis())
+          lines += t.toString
+        }
         val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
         c.put("timestamp", System.currentTimeMillis())
         c.put("operation", "MERGE")

@@ -94,4 +94,57 @@ object DeltaSink {
     appendBatch(df, path, appId, batchId, partitionBy)
     ()
   }
+
+  /** Upsert one micro-batch (MERGE on `keys`) if and only if its id is
+    * above the table's recorded watermark — the streaming CDC-apply
+    * sink: on restart Structured Streaming replays the last
+    * uncommitted batch and the ledger drops it, so each change-row is
+    * applied exactly once. The first batch creates the table. Returns
+    * true if applied.
+    */
+  def upsertBatch(
+      df: DataFrame, path: String, appId: String, batchId: Long,
+      keys: Seq[String], partitionBy: Seq[String] = Nil): Boolean = {
+    val spark = df.sparkSession
+    lockFor(path).synchronized {
+      val exists = {
+        val p = new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/_delta_log")
+        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      }
+      if (!exists) {
+        snapshots.remove(path)
+        DeltaWriter.write(df, path, partitionBy, mode = "overwrite",
+          txn = Some(appId -> batchId))
+        return true
+      }
+      val cached = snapshots.getOrElseUpdate(path, DeltaLog.forPath(spark, path))
+      val needBootstrap =
+        DeltaLog.lastCheckpointVersion(spark, path).exists(_ > cached.version) ||
+          DeltaLog.readCommitJson(spark, path, cached.version).isEmpty
+      val snap =
+        if (needBootstrap) {
+          val fresh = DeltaLog.forPath(spark, path)
+          snapshots.put(path, fresh)
+          fresh
+        } else {
+          cached.updateIncremental()
+          cached
+        }
+      if (snap.txnVersions.get(appId).exists(_ >= batchId)) false
+      else {
+        DeltaWriter.merge(spark, path, df, keys,
+          txn = Some(appId -> batchId), priorSnapshot = Some(snap))
+        snap.updateIncremental() // fold our own commit into the cache
+        true
+      }
+    }
+  }
+
+  /** `foreachBatch`-shaped closure for CDC upsert streams. */
+  def upserter(path: String, appId: String, keys: Seq[String],
+      partitionBy: Seq[String] = Nil)(
+      df: DataFrame, batchId: Long): Unit = {
+    upsertBatch(df, path, appId, batchId, keys, partitionBy)
+    ()
+  }
 }

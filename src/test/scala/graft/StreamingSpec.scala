@@ -106,6 +106,29 @@ class StreamingSpec extends SparkSuite {
     assert(!DeltaSink.appendBatch(dup, path, "ev-app", wm + 1))
   }
 
+  test("delta sink: exactly-once streaming upserts (CDC apply)") {
+    import graft.delta.{DeltaLog, DeltaWriter, MergeStats}
+    import graft.streaming.DeltaSink
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_usink").toString + "/t"
+
+    val b0 = Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("id", "p", "v")
+    assert(DeltaSink.upsertBatch(b0, path, "cdc", 0L, Seq("id"), Seq("p")))
+    // batch 1 updates key 2 and inserts key 3
+    val b1 = Seq((2L, "a", 20.0), (3L, "b", 3.0)).toDF("id", "p", "v")
+    assert(DeltaSink.upsertBatch(b1, path, "cdc", 1L, Seq("id")))
+    // a restart replays batch 1: the ledger drops it (no double-apply)
+    assert(!DeltaSink.upsertBatch(b1, path, "cdc", 1L, Seq("id")))
+    val rows = DeltaLake.scanDelta(spark, path).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toSeq
+    assert(rows == Seq(1L -> 1.0, 2L -> 20.0, 3L -> 3.0), s"got $rows")
+    // the watermark lives IN the table and guards direct merges too
+    assert(DeltaLog.forPath(spark, path).txnVersions("cdc") == 1L)
+    assert(DeltaWriter.merge(spark, path, b1, Seq("id"),
+      txn = Some("cdc" -> 1L)) == MergeStats(0L, 0L))
+    assert(DeltaLake.scanDelta(spark, path).count() == 3)
+  }
+
   test("streaming dedup keeps first occurrence across micro-batches") {
     // stage the same events TWICE → every event_id arrives duplicated
     val dupDir = java.nio.file.Files.createTempDirectory("graft_dup").toString
