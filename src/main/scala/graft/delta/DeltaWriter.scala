@@ -797,6 +797,84 @@ object DeltaWriter {
       dvChanged.size.toLong)
   }
 
+  /** Shallow CLONE: create `dstPath` as a new Delta table whose v0
+    * commit references the SOURCE's current data files by absolute
+    * path — zero data movement, the protocol's sanctioned form (the
+    * reader resolves absolute `add.path` URIs). Deletion-vector
+    * descriptors are rewritten to absolute "p" form so the clone reads
+    * the source's DV bins; they sit outside the clone's root, so the
+    * clone's vacuum can never delete them. The clone gets a FRESH table
+    * id and copies schema/partitioning/configuration/protocol;
+    * subsequent writes (append/delete/update/optimize) are local to the
+    * clone and never touch the source. The 100 TB use case: a
+    * full-fidelity dev/test copy in one driver-side commit.
+    *
+    * Caveat (same as every shallow clone): vacuuming or rewriting the
+    * SOURCE invalidates the clone's references — clone from a source
+    * whose retention you control.
+    */
+  def cloneTable(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    val src = DeltaLog.forPath(spark, srcPath)
+    src.checkProtocolSupported()
+    require(src.metadata.isDefined, s"no Delta table at $srcPath")
+    val dstRoot = new Path(dstPath)
+    val dstFs = dstRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!dstFs.exists(new Path(dstRoot, "_delta_log")),
+      s"clone target $dstPath is already a Delta table")
+    val srcBase = srcPath.stripSuffix("/")
+    val srcFs = new Path(srcPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def absolute(raw: String): String = srcFs.makeQualified(
+      new Path(DeltaScan.resolvePath(srcBase, raw))).toUri.getPath
+
+    val nf = JsonNodeFactory.instance
+    val lines = mutable.ArrayBuffer.empty[String]
+    src.protocol.foreach { p =>
+      val pn = nf.objectNode(); val po = pn.putObject("protocol")
+      po.put("minReaderVersion", p.minReaderVersion)
+      po.put("minWriterVersion", p.minWriterVersion)
+      p.readerFeatures.foreach { fs =>
+        val a = po.putArray("readerFeatures"); fs.foreach(a.add) }
+      p.writerFeatures.foreach { fs =>
+        val a = po.putArray("writerFeatures"); fs.foreach(a.add) }
+      lines += pn.toString
+    }
+    val md = src.metadata.get
+    val meta = nf.objectNode(); val m = meta.putObject("metaData")
+    m.put("id", java.util.UUID.randomUUID().toString) // fresh identity
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", md.schemaString)
+    val pc = m.putArray("partitionColumns")
+    md.partitionColumns.foreach(pc.add)
+    val cfg = m.putObject("configuration")
+    md.configuration.foreach { case (k, v) => cfg.put(k, v) }
+    m.put("createdTime", System.currentTimeMillis())
+    lines += meta.toString
+
+    src.liveFiles.foreach { a =>
+      val dv2 = a.deletionVector.map { dv =>
+        dv.storageType match {
+          case "u" => dv.copy(storageType = "p",
+            pathOrInlineDv = absolute(
+              DeletionVectors.relativeFilePath(dv, srcBase).getOrElse(
+                sys.error(s"unresolvable DV for ${a.path}"))))
+          case _ => dv // inline ("i") and already-absolute ("p") forms
+        }
+      }
+      lines += addLineFor(
+        a.copy(path = encodePath(absolute(a.path)), deletionVector = dv2),
+        dataChange = true)
+    }
+    val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
+    c.put("timestamp", System.currentTimeMillis())
+    c.put("operation", "CLONE")
+    lines += ci.toString
+    dstFs.mkdirs(new Path(dstRoot, "_delta_log"))
+    writeCommitAt(spark, dstPath, 0L, lines.toSeq, md.configuration)
+  }
+
   /** Per-file deletion-vector actions for the matched
     * `(__graft_file, __graft_row_index)` rows: roaring bitmaps built on
     * the EXECUTORS (`mapGroups`; only the compact serialized bytes reach

@@ -1,0 +1,86 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.{DeltaLake, SparkSuite}
+
+/** DeltaWriter.cloneTable — shallow clone: one commit referencing the
+  * source's files by absolute path; all subsequent writes are local.
+  */
+class CloneSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_clone").toString + "/t"
+
+  private def source(): String = {
+    val path = tmp()
+    val df = (1L to 100L).map(i => (i, (i % 4).toString, i * 10L))
+      .toDF("id", "bucket", "v")
+    DeltaWriter.write(df, path, partitionBy = Seq("bucket"))
+    path
+  }
+
+  test("clone reads the source's files, DVs included, zero data copy") {
+    val src = source()
+    // give the source a DV so the clone must resolve a "p" descriptor
+    assert(DeltaWriter.delete(spark, src, Seq(Cond("id", "<=", 10L))) == 10L)
+    val dst = tmp()
+    DeltaWriter.cloneTable(spark, src, dst)
+
+    val back = DeltaLake.scanDelta(spark, dst)
+    assert(back.count() == 90)
+    assert(back.where(col("id") <= 10L).count() == 0) // source DV honored
+    // partition pruning still works through the absolute-path adds
+    assert(back.where(col("bucket") === "1").count() ==
+      DeltaLake.scanDelta(spark, src).where(col("bucket") === "1").count())
+    // zero data files under the clone root
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dst), true)
+    var dataFiles = 0
+    while (it.hasNext) {
+      val p = it.next().getPath.toString
+      if (!p.contains("/_delta_log/") && p.endsWith(".parquet")) dataFiles += 1
+    }
+    assert(dataFiles == 0, s"clone copied $dataFiles data files")
+    // fresh identity
+    assert(DeltaLake.deltaMeta(spark, dst).metadata.get.id !=
+      DeltaLake.deltaMeta(spark, src).metadata.get.id)
+  }
+
+  test("writes to the clone never touch the source (and vice versa)") {
+    val src = source()
+    val dst = tmp()
+    DeltaWriter.cloneTable(spark, src, dst)
+    // mutate the clone: DV delete + append
+    assert(DeltaWriter.delete(spark, dst, Seq(Cond("id", ">", 90L))) == 10L)
+    DeltaWriter.write(Seq((500L, "x", 0L)).toDF("id", "bucket", "v"),
+      dst, mode = "append", partitionBy = Seq("bucket"))
+    assert(DeltaLake.scanDelta(spark, dst).count() == 91)
+    assert(DeltaLake.scanDelta(spark, src).count() == 100) // untouched
+    // mutate the source: the clone (pinned to the cloned file set) is
+    // NOT affected by source-side deletes
+    assert(DeltaWriter.delete(spark, src, Seq(Cond("id", "=", 1L))) == 1L)
+    assert(DeltaLake.scanDelta(spark, dst).where(col("id") === 1L).count() == 1)
+  }
+
+  test("vacuum on the clone removes nothing of the source") {
+    val src = source()
+    assert(DeltaWriter.delete(spark, src, Seq(Cond("id", "<=", 5L))) == 5L)
+    val dst = tmp()
+    DeltaWriter.cloneTable(spark, src, dst)
+    val removed = DeltaWriter.vacuum(spark, dst)
+    assert(removed.isEmpty, s"clone vacuum deleted: $removed")
+    assert(DeltaLake.scanDelta(spark, src).count() == 95) // source intact
+    assert(DeltaLake.scanDelta(spark, dst).count() == 95)
+  }
+
+  test("clone onto an existing Delta table is rejected") {
+    val src = source()
+    intercept[IllegalArgumentException] {
+      DeltaWriter.cloneTable(spark, src, src)
+    }
+  }
+}
