@@ -77,6 +77,19 @@ class CloneSpec extends SparkSuite {
     assert(DeltaLake.scanDelta(spark, dst).count() == 95)
   }
 
+  test("clone of a schema-evolved table null-fills through absolute paths") {
+    val src = tmp()
+    DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), src)
+    DeltaWriter.write(Seq((2L, "b", 9.5)).toDF("id", "v", "score"),
+      src, mode = "append") // widened: old file lacks `score`
+    val dst = tmp()
+    DeltaWriter.cloneTable(spark, src, dst)
+    val rows = DeltaLake.scanDelta(spark, dst).orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+  }
+
   test("clone onto an existing Delta table is rejected") {
     val src = source()
     intercept[IllegalArgumentException] {

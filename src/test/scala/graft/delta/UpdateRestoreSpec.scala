@@ -186,6 +186,22 @@ class UpdateRestoreSpec extends SparkSuite {
     assert(h.forall(!_.isNullAt(1))) // every commit stamped
   }
 
+  test("restore across an OPTIMIZE re-adds the pre-compact files") {
+    val path = tmp()
+    target(path) // v0
+    assert(DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 20L))) == 20L) // v1
+    val n = DeltaWriter.compact(spark, path) // v2: bins rewritten, DVs folded
+    assert(n >= 1)
+    assert(DeltaLake.scanDelta(spark, path).count() == 80)
+    DeltaWriter.restore(spark, path, 0L) // v3 — compact must not block it
+    val now = DeltaLake.scanDelta(spark, path)
+    assert(now.count() == 100)
+    assert(now.where(col("id") <= 20L).count() == 20)
+    // and restoring forward again to the compacted state also works
+    DeltaWriter.restore(spark, path, 2L) // v4
+    assert(DeltaLake.scanDelta(spark, path).count() == 80)
+  }
+
   test("restore fails loudly when target files were vacuumed") {
     val path = tmp()
     target(path) // v0
