@@ -90,6 +90,38 @@ class CloneSpec extends SparkSuite {
     assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
   }
 
+  test("clone rides the FileIndex path: one scan node, planner pruning") {
+    val src = source()
+    val dst = tmp()
+    DeltaWriter.cloneTable(spark, src, dst)
+    val df = DeltaLake.scanDelta(spark, dst).where(col("bucket") === "2")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one scan node, got $scans:\n${plan.take(1200)}")
+    assert(!plan.contains("Union"), "clone scan fell back to the union shape")
+  }
+
+  test("clone survives its own auto-checkpoint (absolute paths round-trip)") {
+    val src = source()
+    val dst = tmp()
+    DeltaWriter.cloneTable(spark, src, dst) // v0
+    (1L to 10L).foreach(i => DeltaWriter.write(
+      Seq((1000L + i, "x", i)).toDF("id", "bucket", "v"),
+      dst, mode = "append", partitionBy = Seq("bucket"))) // v1..v10 → cp
+    assert(DeltaLog.lastCheckpointVersion(spark, dst).contains(10L))
+    // age out the JSON commits: the checkpoint alone must carry the
+    // absolute-path adds
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to 9L).foreach(v => fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dst/_delta_log/" + f"$v%020d.json"), false))
+    val back = DeltaLake.scanDelta(spark, dst)
+    assert(back.count() == 110)
+    assert(back.where(col("id") <= 100L).count() == 100) // source files live
+  }
+
   test("clone onto an existing Delta table is rejected") {
     val src = source()
     intercept[IllegalArgumentException] {
