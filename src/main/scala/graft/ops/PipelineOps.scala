@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Registry.table
+
+/** Composite curation pipeline — the operators composed the way a real
+  * training-data run chains them, under ONE end-to-end oracle. Each
+  * stage is hash-verified on its own elsewhere (t2, d1, t11); this
+  * entry proves the COMPOSITION: filters stay pushed down, the dedup
+  * shuffle and the mixture window don't interfere, and the final
+  * result is engine-exact.
+  *
+  * Scale shape per stage: the quality gate is a narrow per-row pass
+  * (evaluated at the scan, nothing survives that shouldn't ship);
+  * exact dedup is one hash-groupBy with map-side combine; mixture
+  * sampling is one shuffle on source. Three shuffles total for the
+  * whole curation — at 100 TB the quality gate typically drops the
+  * bulk of the corpus before anything moves.
+  */
+object PipelineOps {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // quality gate → exact dedup (min doc_id per content hash) →
+    // sqrt-quota mixture sample → stable output
+    "p1_curation" -> QueryDef(
+      (s, dir) => {
+        val toks = split(lower(col("text")), "\\s+")
+        val quality = table(s, dir, "documents")
+          .where(size(array_distinct(toks)).cast("double") / size(toks) >= 0.5
+            && size(toks).between(20, 2000))
+        val deduped = quality
+          .withColumn("content_h", md5(to_binary(col("text"), lit("utf-8"))))
+          .withColumn("rk_dup",
+            row_number().over(
+              Window.partitionBy("content_h").orderBy("doc_id")))
+          .where(col("rk_dup") === 1)
+        val h = md5(to_binary(
+          concat(col("doc_id").cast("string"), lit(":cur")), lit("utf-8")))
+        val bySource = Window.partitionBy("source").orderBy("h", "doc_id")
+        deduped
+          .select(col("doc_id"), col("source"), col("lang"), h.as("h"))
+          .withColumn("rk", row_number().over(bySource))
+          .withColumn("n_src",
+            count(lit(1)).over(Window.partitionBy("source")))
+          .where(col("rk") <= ceil(sqrt(col("n_src"))))
+          .select("doc_id", "source", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT *, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents),
+        |quality AS (
+        |  SELECT * FROM toks
+        |  WHERE len(list_distinct(tk))::DOUBLE / len(tk) >= 0.5
+        |    AND len(tk) BETWEEN 20 AND 2000),
+        |deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY doc_id) AS rk_dup
+        |    FROM quality) WHERE rk_dup = 1),
+        |hashed AS (
+        |  SELECT doc_id, source, lang,
+        |    md5(doc_id::VARCHAR || ':cur') AS h
+        |  FROM deduped),
+        |ranked AS (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM hashed)
+        |SELECT doc_id, source, lang FROM ranked
+        |WHERE rk <= ceil(sqrt(n_src)) ORDER BY doc_id""".stripMargin)))
+}

@@ -24,5 +24,5 @@ object Registry {
   def all: Map[String, QueryDef] =
     Relational.defs ++ TextOps.defs ++ DedupOps.defs ++
       SimilarityOps.defs ++ EventOps.defs ++ MultimodalOps.defs ++
-      DeltaQueries.defs
+      PipelineOps.defs ++ DeltaQueries.defs
 }

@@ -450,6 +450,30 @@ class OpsSpec extends SparkSuite {
     assert(kept.size <= labels.size)
   }
 
+  test("p1 curation: every stage's invariant holds on the output") {
+    val out = Registry.all("p1_curation").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out.nonEmpty)
+    val ids = out.map(_._1).toSet
+    val docs = Registry.table(spark, dir, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // quality gate: survivors satisfy it
+    ids.foreach { id =>
+      val tk = docs(id)._1.toLowerCase.split("\\s+")
+      assert(tk.distinct.length.toDouble / tk.length >= 0.5)
+      assert(tk.length >= 20 && tk.length <= 2000)
+    }
+    // dedup: no two survivors share a text
+    assert(ids.map(docs(_)._1).size == ids.size, "duplicate texts survived")
+    // mixture: per-source counts within the sqrt quota of the POST-dedup,
+    // post-quality pool (never more than the whole source either)
+    val srcTotals = docs.values.groupBy(_._2).map { case (s, a) => s -> a.size }
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.size <= math.ceil(math.sqrt(srcTotals(src).toDouble)))
+    }
+  }
+
   test("dedup exact: grouping is lossless (copies sum to corpus size)") {
     val total = Registry.table(spark, dir, "documents").count()
     val grouped = DedupOps.defs("d1_dedup_exact").fn(spark, dir)
