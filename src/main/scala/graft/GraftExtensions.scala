@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{LshSignature, NearestCentroid, SimHash64, VectorCosine}
 
@@ -24,15 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (new FunctionIdentifier(name),
       new ExpressionInfo(clazz.getName, name), builder)
 
+  // builders come from each kernel's companion (the same ones
+  // register() uses) so the two registration paths can never drift,
+  // and arity errors carry the function name instead of a raw
+  // IndexOutOfBoundsException
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("simhash64", classOf[SimHash64],
-      exprs => SimHash64(exprs.head,
-        if (exprs.size > 1) exprs(1) else Literal(false))))
+      SimHash64.builder))
     ext.injectFunction(fn("vector_cosine", classOf[VectorCosine],
-      exprs => VectorCosine(exprs(0), exprs(1))))
+      VectorCosine.builder))
     ext.injectFunction(fn("nearest_centroid", classOf[NearestCentroid],
-      exprs => NearestCentroid(exprs(0), exprs(1))))
+      NearestCentroid.builder))
     ext.injectFunction(fn("lsh_signature", classOf[LshSignature],
-      exprs => LshSignature(exprs(0), exprs(1), exprs(2), exprs(3))))
+      LshSignature.builder))
   }
 }

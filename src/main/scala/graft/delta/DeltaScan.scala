@@ -366,10 +366,19 @@ object DeltaScan {
 
   /** The protocol allows absolute add.path URIs (shallow clones /
     * external files); only relative paths get the table-root prefix.
+    * Absolute URIs are percent-encoded like relative paths (delta-spark
+    * convention), so the PATH component is decoded the same way —
+    * leaving it raw would break any clone whose source has
+    * hive-escaped partition directories (their names contain literal
+    * '%XX' sequences that the writer re-encodes as '%25XX').
     */
   private[delta] def resolvePath(base: String, rawPath: String): String =
-    if (rawPath.contains("://")) rawPath
-    else {
+    if (rawPath.contains("://")) {
+      val i = rawPath.indexOf("://")
+      val j = rawPath.indexOf('/', i + 3)
+      if (j < 0) rawPath
+      else rawPath.take(j) + decodePath(rawPath.substring(j))
+    } else {
       val d = decodePath(rawPath)
       if (d.startsWith("/")) d else s"$base/$d"
     }

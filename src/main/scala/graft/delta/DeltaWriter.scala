@@ -539,7 +539,25 @@ object DeltaWriter {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val srcRows = src.count()
-      if (srcRows == 0L) MergeStats(0L, 0L)
+      if (srcRows == 0L) {
+        // an empty batch still advances the exactly-once ledger: a
+        // stream reading txnVersions as progress must see batch N
+        // applied even when N carried no rows (appendBatch's empty
+        // commits behave the same way)
+        txn.foreach { case (appId, v) =>
+          val nf = JsonNodeFactory.instance
+          val t = nf.objectNode(); val tn = t.putObject("txn")
+          tn.put("appId", appId)
+          tn.put("version", v)
+          tn.put("lastUpdated", System.currentTimeMillis())
+          val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
+          c.put("timestamp", System.currentTimeMillis())
+          c.put("operation", "MERGE")
+          writeCommitAt(spark, path, snap.version + 1,
+            Seq(t.toString, ci.toString), snap.configuration)
+        }
+        MergeStats(0L, 0L)
+      }
       else {
         require(src.groupBy(keys.map(q): _*).count()
             .where(col("count") > 1).isEmpty,
@@ -825,8 +843,17 @@ object DeltaWriter {
     val srcBase = srcPath.stripSuffix("/")
     val srcFs = new Path(srcPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    def absolute(raw: String): String = srcFs.makeQualified(
-      new Path(DeltaScan.resolvePath(srcBase, raw))).toUri.getPath
+    // fully-qualified URI, scheme and authority INCLUDED — dropping them
+    // (a bare .getPath) would re-root an s3a://bucket/... source onto
+    // the reader's default filesystem. Scheme-less default FS keeps the
+    // plain absolute path.
+    def absoluteUri(raw: String): (String, String) = {
+      val q = srcFs.makeQualified(
+        new Path(DeltaScan.resolvePath(srcBase, raw))).toUri
+      if (q.getScheme == null) ("", q.getPath)
+      else (s"${q.getScheme}://${Option(q.getAuthority).getOrElse("")}",
+        q.getPath)
+    }
 
     val nf = JsonNodeFactory.instance
     val lines = mutable.ArrayBuffer.empty[String]
@@ -856,15 +883,22 @@ object DeltaWriter {
     src.liveFiles.foreach { a =>
       val dv2 = a.deletionVector.map { dv =>
         dv.storageType match {
-          case "u" => dv.copy(storageType = "p",
-            pathOrInlineDv = absolute(
+          case "u" =>
+            // "p" descriptors are read verbatim (no percent-decoding),
+            // so the URI is emitted unencoded; our DV file names are
+            // uuid-safe
+            val (sch, p) = absoluteUri(
               DeletionVectors.relativeFilePath(dv, srcBase).getOrElse(
-                sys.error(s"unresolvable DV for ${a.path}"))))
+                sys.error(s"unresolvable DV for ${a.path}")))
+            dv.copy(storageType = "p", pathOrInlineDv = sch + p)
           case _ => dv // inline ("i") and already-absolute ("p") forms
         }
       }
+      // add.path stays percent-encoded (the scan decodes the path
+      // component of absolute URIs exactly like relative paths)
+      val (sch, p) = absoluteUri(a.path)
       lines += addLineFor(
-        a.copy(path = encodePath(absolute(a.path)), deletionVector = dv2),
+        a.copy(path = sch + encodePath(p), deletionVector = dv2),
         dataChange = true)
     }
     val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
@@ -1179,8 +1213,12 @@ object DeltaWriter {
         a.put("size", status.getLen)
         a.put("modificationTime", status.getModificationTime)
         a.put("dataChange", false)
+        // quota base = the full TABLE schema (like write()), so the same
+        // delta.dataSkippingNumIndexedCols indexes the same columns
+        // before and after OPTIMIZE; partition columns consume slots but
+        // match no footer field (they are not in the file)
         footerStats(fs, dest, statsIndexedSchema(
-            StructType(physReadSchema.fields), snap.configuration))
+            DeltaSchema.physicalize(schema), snap.configuration))
           .foreach(st => a.put("stats", st))
         lines += addObj.toString
         nCompacted += bin.size

@@ -118,11 +118,18 @@ object LshSignature {
     sig
   }
 
+  /** SQL builder — shared by [[register]] and graft.GraftExtensions. */
+  private[graft] def builder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.size == 4,
+      s"lsh_signature(vector, bits, table, dim) expects 4 arguments, got ${exprs.size}")
+    LshSignature(exprs(0), exprs(1), exprs(2), exprs(3))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_signature",
-      exprs => LshSignature(exprs(0), exprs(1), exprs(2), exprs(3)),
-      "scala_udf")
+      "lsh_signature", builder, "scala_udf")
 
   def lshSignature(spark: SparkSession, v: Column,
       bits: Int, tbl: Int, dim: Int): Column = {

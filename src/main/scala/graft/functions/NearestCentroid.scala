@@ -112,10 +112,18 @@ object NearestCentroid {
     best
   }
 
+  /** SQL builder — shared by [[register]] and graft.GraftExtensions. */
+  private[graft] def builder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.size == 2,
+      s"nearest_centroid(vector, centroids) expects 2 arguments, got ${exprs.size}")
+    NearestCentroid(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nearest_centroid", exprs => NearestCentroid(exprs(0), exprs(1)),
-      "scala_udf")
+      "nearest_centroid", builder, "scala_udf")
 
   def nearestCentroid(spark: SparkSession, v: Column, centroids: Column): Column = {
     register(spark)

@@ -112,13 +112,21 @@ object SimHash64 {
   /** Register once per session, then usable from both the Column API and
     * SQL (`simhash64(tokens[, fast])`).
     */
+  /** SQL builder — shared by [[register]] and graft.GraftExtensions so
+    * the two registration paths can never drift. */
+  private[graft] def builder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.size == 1 || exprs.size == 2,
+      s"simhash64(tokens[, fast]) expects 1 or 2 arguments, got ${exprs.size}")
+    SimHash64(exprs.head,
+      if (exprs.size > 1) exprs(1)
+      else org.apache.spark.sql.catalyst.expressions.Literal(false))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64",
-      exprs => SimHash64(exprs.head,
-        if (exprs.size > 1) exprs(1)
-        else org.apache.spark.sql.catalyst.expressions.Literal(false)),
-      "scala_udf")
+      "simhash64", builder, "scala_udf")
 
   def simhash64(spark: SparkSession, tokens: Column, fast: Boolean = false): Column = {
     register(spark)

@@ -84,9 +84,18 @@ object VectorCosine {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** SQL builder — shared by [[register]] and graft.GraftExtensions. */
+  private[graft] def builder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.size == 2,
+      s"vector_cosine(a, b) expects 2 arguments, got ${exprs.size}")
+    VectorCosine(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vector_cosine", exprs => VectorCosine(exprs(0), exprs(1)), "scala_udf")
+      "vector_cosine", builder, "scala_udf")
 
   def vectorCosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

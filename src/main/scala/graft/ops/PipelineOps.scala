@@ -27,7 +27,10 @@ object PipelineOps {
     // sqrt-quota mixture sample → stable output
     "p1_curation" -> QueryDef(
       (s, dir) => {
-        val toks = split(lower(col("text")), "\\s+")
+        // the SAME building blocks the standalone ops use — TextOps'
+        // tokenizer and sqrt-mixture core — so "composition of the
+        // verified operators" stays literally true
+        val toks = TextOps.tokens(col("text"))
         val quality = table(s, dir, "documents")
           .where(size(array_distinct(toks)).cast("double") / size(toks) >= 0.5
             && size(toks).between(20, 2000))
@@ -37,15 +40,8 @@ object PipelineOps {
             row_number().over(
               Window.partitionBy("content_h").orderBy("doc_id")))
           .where(col("rk_dup") === 1)
-        val h = md5(to_binary(
-          concat(col("doc_id").cast("string"), lit(":cur")), lit("utf-8")))
-        val bySource = Window.partitionBy("source").orderBy("h", "doc_id")
-        deduped
-          .select(col("doc_id"), col("source"), col("lang"), h.as("h"))
-          .withColumn("rk", row_number().over(bySource))
-          .withColumn("n_src",
-            count(lit(1)).over(Window.partitionBy("source")))
-          .where(col("rk") <= ceil(sqrt(col("n_src"))))
+        TextOps.sqrtMixture(
+          deduped.select(col("doc_id"), col("source"), col("lang")), ":cur")
           .select("doc_id", "source", "lang")
           .orderBy("doc_id")
       },

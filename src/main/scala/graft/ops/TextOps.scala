@@ -12,7 +12,25 @@ import Registry.table
   */
 object TextOps {
 
-  private def tokens(c: Column): Column = split(lower(c), "\\s+")
+  private[ops] def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Shared sqrt-quota mixture core (t11 and p1_curation): rank each
+    * source's rows by a salted md5 of doc_id and keep the bottom
+    * ceil(sqrt(n)) — one shuffle on source; the quota is data-dependent
+    * and computed in the same window pass. Adds `h`/`rk`/`n_src`.
+    */
+  private[ops] def sqrtMixture(
+      df: org.apache.spark.sql.DataFrame, salt: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(to_binary(
+      concat(col("doc_id").cast("string"), lit(salt)), lit("utf-8")))
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+    df.withColumn("h", h)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .where(col("rk") <= ceil(sqrt(col("n_src"))))
+  }
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -322,20 +340,12 @@ object TextOps {
     // counting share the partitioning. sqrt is IEEE-correctly-rounded
     // on both engines, so the quota threshold is engine-exact.
     "t11_mixture_sample" -> QueryDef(
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val h = md5(to_binary(
-          concat(col("doc_id").cast("string"), lit(":mix")), lit("utf-8")))
-        val w = Window.partitionBy("source").orderBy("h", "doc_id")
-        table(s, dir, "documents")
-          .select(col("doc_id"), col("source"), h.as("h"))
-          .withColumn("rk", row_number().over(w))
-          .withColumn("n_src",
-            count(lit(1)).over(Window.partitionBy("source")))
-          .where(col("rk") <= ceil(sqrt(col("n_src"))))
+      (s, dir) =>
+        sqrtMixture(
+          table(s, dir, "documents").select(col("doc_id"), col("source")),
+          ":mix")
           .select(col("source"), col("n_src"), col("rk"), col("doc_id"))
-          .orderBy("source", "rk")
-      },
+          .orderBy("source", "rk"),
       Some("""WITH hashed AS (
         |  SELECT doc_id, source, md5(doc_id::VARCHAR || ':mix') AS h
         |  FROM documents),

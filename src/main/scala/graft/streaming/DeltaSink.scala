@@ -39,16 +39,21 @@ object DeltaSink {
   private def lockFor(path: String): Object =
     locks.getOrElseUpdate(path, new Object)
 
-  /** Append one micro-batch if (and only if) its id is above the
-    * table's recorded watermark for `appId`. Returns true if written.
+  /** Shared exactly-once scaffolding for both sink flavors: per-path
+    * serialization, create-if-absent, cached-snapshot bootstrap with
+    * its two staleness traps, the watermark check, and the post-commit
+    * cache advance. `apply` runs the flavor-specific commit (append or
+    * merge) against the already-current snapshot. Returns true if the
+    * batch was applied.
     */
-  def appendBatch(
+  private def ledgered(
       df: DataFrame, path: String, appId: String, batchId: Long,
-      partitionBy: Seq[String] = Nil): Boolean = {
+      partitionBy: Seq[String])(
+      apply: graft.delta.DeltaSnapshot => Unit): Boolean = {
     val spark = df.sparkSession
     // DeltaSnapshot is mutable and NOT thread-safe: serialize per-path
     // (concurrent queries on one table in one JVM). The create path sits
-    // inside the same lock so table creation serializes with appends.
+    // inside the same lock so table creation serializes with commits.
     lockFor(path).synchronized {
       val exists = {
         val p = new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/_delta_log")
@@ -79,14 +84,23 @@ object DeltaSink {
         }
       if (snap.txnVersions.get(appId).exists(_ >= batchId)) false
       else {
-        // commit against the already-current snapshot: no extra replay
-        DeltaWriter.write(df, path, partitionBy, mode = "append",
-          txn = Some(appId -> batchId), priorSnapshot = Some(snap))
+        apply(snap) // commit against the current snapshot: no extra replay
         snap.updateIncremental() // fold our own commit into the cache
         true
       }
     }
   }
+
+  /** Append one micro-batch if (and only if) its id is above the
+    * table's recorded watermark for `appId`. Returns true if written.
+    */
+  def appendBatch(
+      df: DataFrame, path: String, appId: String, batchId: Long,
+      partitionBy: Seq[String] = Nil): Boolean =
+    ledgered(df, path, appId, batchId, partitionBy) { snap =>
+      DeltaWriter.write(df, path, partitionBy, mode = "append",
+        txn = Some(appId -> batchId), priorSnapshot = Some(snap))
+    }
 
   /** `foreachBatch`-shaped closure. */
   def appender(path: String, appId: String, partitionBy: Seq[String] = Nil)(
@@ -104,41 +118,11 @@ object DeltaSink {
     */
   def upsertBatch(
       df: DataFrame, path: String, appId: String, batchId: Long,
-      keys: Seq[String], partitionBy: Seq[String] = Nil): Boolean = {
-    val spark = df.sparkSession
-    lockFor(path).synchronized {
-      val exists = {
-        val p = new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/_delta_log")
-        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-      }
-      if (!exists) {
-        snapshots.remove(path)
-        DeltaWriter.write(df, path, partitionBy, mode = "overwrite",
-          txn = Some(appId -> batchId))
-        return true
-      }
-      val cached = snapshots.getOrElseUpdate(path, DeltaLog.forPath(spark, path))
-      val needBootstrap =
-        DeltaLog.lastCheckpointVersion(spark, path).exists(_ > cached.version) ||
-          DeltaLog.readCommitJson(spark, path, cached.version).isEmpty
-      val snap =
-        if (needBootstrap) {
-          val fresh = DeltaLog.forPath(spark, path)
-          snapshots.put(path, fresh)
-          fresh
-        } else {
-          cached.updateIncremental()
-          cached
-        }
-      if (snap.txnVersions.get(appId).exists(_ >= batchId)) false
-      else {
-        DeltaWriter.merge(spark, path, df, keys,
-          txn = Some(appId -> batchId), priorSnapshot = Some(snap))
-        snap.updateIncremental() // fold our own commit into the cache
-        true
-      }
+      keys: Seq[String], partitionBy: Seq[String] = Nil): Boolean =
+    ledgered(df, path, appId, batchId, partitionBy) { snap =>
+      DeltaWriter.merge(df.sparkSession, path, df, keys,
+        txn = Some(appId -> batchId), priorSnapshot = Some(snap))
     }
-  }
 
   /** `foreachBatch`-shaped closure for CDC upsert streams. */
   def upserter(path: String, appId: String, keys: Seq[String],

@@ -127,6 +127,12 @@ class StreamingSpec extends SparkSuite {
     assert(DeltaWriter.merge(spark, path, b1, Seq("id"),
       txn = Some("cdc" -> 1L)) == MergeStats(0L, 0L))
     assert(DeltaLake.scanDelta(spark, path).count() == 3)
+    // an EMPTY batch still advances the ledger (a quiet trigger must
+    // not leave the stream's recorded progress stuck)
+    val empty = Seq.empty[(Long, String, Double)].toDF("id", "p", "v")
+    assert(DeltaSink.upsertBatch(empty, path, "cdc", 2L, Seq("id")))
+    assert(DeltaLog.forPath(spark, path).txnVersions("cdc") == 2L)
+    assert(DeltaLake.scanDelta(spark, path).count() == 3)
   }
 
   test("streaming dedup keeps first occurrence across micro-batches") {

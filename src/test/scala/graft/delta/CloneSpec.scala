@@ -48,6 +48,11 @@ class CloneSpec extends SparkSuite {
     // fresh identity
     assert(DeltaLake.deltaMeta(spark, dst).metadata.get.id !=
       DeltaLake.deltaMeta(spark, src).metadata.get.id)
+    // add paths keep scheme AND authority — a bare /path would re-root
+    // an s3a://bucket source onto the reader's default filesystem
+    DeltaLake.deltaMeta(spark, dst).liveFiles.foreach { a =>
+      assert(a.path.contains("://"), s"scheme lost in clone path ${a.path}")
+    }
   }
 
   test("writes to the clone never touch the source (and vice versa)") {
