@@ -127,6 +127,19 @@ class CloneSpec extends SparkSuite {
     assert(back.where(col("id") <= 100L).count() == 100) // source files live
   }
 
+  test("deltaSql emission works on a clone (absolute paths in the SQL)") {
+    val src = source()
+    val dst = tmp()
+    DeltaWriter.cloneTable(spark, src, dst)
+    val prefix = graft.DeltaLake.deltaSql(spark, dst,
+      ScanSettings(conditions = Seq(Cond("bucket", "=", "2"))),
+      cteWrapName = Some("c"))
+    val n = spark.sql(prefix + "SELECT count(*) AS n FROM c")
+      .collect()(0).getLong(0)
+    assert(n == DeltaLake.scanDelta(spark, src)
+      .where(col("bucket") === "2").count())
+  }
+
   test("clone onto an existing Delta table is rejected") {
     val src = source()
     intercept[IllegalArgumentException] {
