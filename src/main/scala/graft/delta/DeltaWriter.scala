@@ -1113,7 +1113,15 @@ object DeltaWriter {
     * of source files compacted away.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      /** OPTIMIZE ZORDER BY: when non-empty, EVERY live file of each
+        * partition is rewritten, range-partitioned on the Morton key
+        * over these columns — reclustering existing data so all the
+        * clustered dimensions gain tight zone maps (write-time
+        * `zOrderBy` only helps data written that way). DVs fold in as
+        * with plain compaction; `dataChange=false` throughout.
+        */
+      zOrderBy: Seq[String] = Nil): Int = {
     val snap = DeltaLog.forPath(spark, path)
     snap.checkProtocolSupported()
     val base = path.stripSuffix("/")
@@ -1124,84 +1132,81 @@ object DeltaWriter {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
 
+    val logToPhys = DeltaSchema.logicalToPhysical(schema)
+    val zCols = zOrderBy.map(c => logToPhys.getOrElse(c, c))
+    zCols.foreach(c => require(physReadSchema.fieldNames.contains(c),
+      s"zOrderBy column '$c' is not a data column of the table"))
+
     val nf = JsonNodeFactory.instance
     val lines = mutable.ArrayBuffer.empty[String]
     var nCompacted = 0
 
-    snap.liveFiles.groupBy(_.effectivePartitionValues).foreach { case (pv, files) =>
-      // first-fit bin packing of the small files, largest first; files
-      // at/above target that carry a DV still get rewritten (their own
-      // bin) — folding DVs in is the other half of compaction's contract
-      val (small, big) = files.partition(_.size < targetFileBytes)
-      val bins = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[AddAction]]
-      small.sortBy(-_.size).foreach { f =>
-        bins.find(b => b.map(_.size).sum + f.size <= targetFileBytes) match {
-          case Some(b) => b += f
-          case None => bins += mutable.ArrayBuffer(f)
+    // subtract DV-deleted rows exactly like the scan does
+    def subtractDeleted(scan0: DataFrame, bin: Seq[AddAction]): DataFrame = {
+      val dvActions = bin.filter(_.hasDeletionVector)
+      if (dvActions.isEmpty) scan0
+      else {
+        val keyed = scan0
+          .withColumn("__graft_ri", scan0.col("_metadata.row_index"))
+          .withColumn("__graft_file", DeltaScan.normalizeFileKey(
+            org.apache.spark.sql.functions.input_file_name()))
+        val dvRows: Seq[(String, Array[Byte])] = dvActions.map { a =>
+          DeltaScan.fileUri(spark, base, a) ->
+            DeletionVectors.read(spark, base, a.deletionVector.get)
         }
+        import spark.implicits._
+        val deleted = spark.createDataset(dvRows)
+          .flatMap { case (f, data) =>
+            DeletionVectors.deserializeData(data).iterator.map(i => (f, i)) }
+          .toDF("__graft_file", "__graft_ri")
+        val totalCard =
+          dvActions.flatMap(_.deletionVector).map(_.cardinality).sum
+        val build =
+          if (totalCard <= 5000000L)
+            org.apache.spark.sql.functions.broadcast(deleted)
+          else deleted
+        keyed.join(build, Seq("__graft_file", "__graft_ri"), "left_anti")
+          .drop("__graft_file", "__graft_ri")
       }
-      big.filter(_.hasDeletionVector).foreach(f => bins += mutable.ArrayBuffer(f))
-      bins.filter(b => b.size >= 2 || b.exists(_.hasDeletionVector)).foreach { bin =>
-        val paths = bin.map(a => DeltaScan.resolvePath(base, a.path))
-        val scan0 = spark.read.schema(physReadSchema).parquet(paths.toSeq: _*)
-        val dvActions = bin.filter(_.hasDeletionVector)
-        val df =
-          if (dvActions.isEmpty) scan0
-          else {
-            // subtract deleted rows exactly like the scan does
-            val keyed = scan0
-              .withColumn("__graft_ri", scan0.col("_metadata.row_index"))
-              .withColumn("__graft_file", DeltaScan.normalizeFileKey(
-                org.apache.spark.sql.functions.input_file_name()))
-            val dvRows: Seq[(String, Array[Byte])] = dvActions.toSeq.map { a =>
-              DeltaScan.fileUri(spark, base, a) ->
-                DeletionVectors.read(spark, base, a.deletionVector.get)
-            }
-            import spark.implicits._
-            val deleted = spark.createDataset(dvRows)
-              .flatMap { case (f, data) =>
-                DeletionVectors.deserializeData(data).iterator.map(i => (f, i)) }
-              .toDF("__graft_file", "__graft_ri")
-            val totalCard =
-              dvActions.flatMap(_.deletionVector).map(_.cardinality).sum
-            val build =
-              if (totalCard <= 5000000L)
-                org.apache.spark.sql.functions.broadcast(deleted)
-              else deleted
-            keyed.join(build, Seq("__graft_file", "__graft_ri"), "left_anti")
-              .drop("__graft_file", "__graft_ri")
-          }
+    }
 
-        // partition directory from the first source file's location
-        val relDir = {
-          val d = DeltaScan.decodePath(bin.head.path)
-          val i = d.lastIndexOf('/')
-          if (i < 0) "" else d.substring(0, i + 1)
-        }
-        val name = s"part-compacted-${java.util.UUID.randomUUID()}.parquet"
-        val rel = relDir + name
-        val tmpDir = new Path(root, s".compact_tmp_$name")
-        // same INT64-micros pin as write(): the session default (INT96)
-        // would strip footer min/max stats from compacted timestamp
-        // columns and break strict readers like delta-rs
-        withMicrosTimestamps(spark) {
-          df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-        }
-        val part = fs.listStatus(tmpDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    // write `df` into the partition directory of `bin.head` (multi-file
+    // tolerated), emit remove lines for the bin and add lines for every
+    // output file; same INT64-micros pin as write() — the session
+    // default (INT96) would strip footer min/max stats and break strict
+    // readers like delta-rs
+    def rewrite(df: DataFrame, bin: Seq[AddAction],
+        pv: Map[String, Option[String]]): Unit = {
+      val relDir = {
+        val d = DeltaScan.decodePath(bin.head.path)
+        val i = d.lastIndexOf('/')
+        if (i < 0) "" else d.substring(0, i + 1)
+      }
+      val batch = java.util.UUID.randomUUID()
+      val tmpDir = new Path(root, s".compact_tmp_$batch")
+      withMicrosTimestamps(spark) {
+        df.write.mode("overwrite").parquet(tmpDir.toString)
+      }
+      val parts = fs.listStatus(tmpDir)
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val dests = parts.zipWithIndex.map { case (part, i) =>
+        val rel = relDir + s"part-compacted-$batch-$i.parquet"
         val dest = new Path(root, rel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(part, dest))
           throw new java.io.IOException(s"compaction rename failed: $dest")
-        fs.delete(tmpDir, true)
+        (rel, dest)
+      }
+      fs.delete(tmpDir, true)
 
-        bin.foreach { a =>
-          val rm = nf.objectNode(); val r = rm.putObject("remove")
-          r.put("path", a.path)
-          r.put("deletionTimestamp", System.currentTimeMillis())
-          r.put("dataChange", false)
-          lines += rm.toString
-        }
+      bin.foreach { a =>
+        val rm = nf.objectNode(); val r = rm.putObject("remove")
+        r.put("path", a.path)
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", false)
+        lines += rm.toString
+      }
+      dests.foreach { case (rel, dest) =>
         val status = fs.getFileStatus(dest)
         val addObj = nf.objectNode(); val a = addObj.putObject("add")
         a.put("path", encodePath(rel))
@@ -1221,7 +1226,43 @@ object DeltaWriter {
             DeltaSchema.physicalize(schema), snap.configuration))
           .foreach(st => a.put("stats", st))
         lines += addObj.toString
-        nCompacted += bin.size
+      }
+      nCompacted += bin.size
+    }
+
+    snap.liveFiles.groupBy(_.effectivePartitionValues).foreach { case (pv, files) =>
+      if (zCols.nonEmpty) {
+        // recluster the WHOLE partition on the Morton key; skip only the
+        // degenerate single-clean-file partition (nothing to gain)
+        if (files.size >= 2 || files.exists(_.hasDeletionVector)) {
+          val paths = files.map(a => DeltaScan.resolvePath(base, a.path))
+          val scan0 = spark.read.schema(physReadSchema).parquet(paths: _*)
+          val df = subtractDeleted(scan0, files)
+          val nOut = math.max(1L,
+            (files.map(_.size).sum + targetFileBytes - 1) / targetFileBytes)
+          rewrite(df.repartitionByRange(nOut.toInt,
+            zOrderColumn(df, zCols).asc), files, pv)
+        }
+      } else {
+        // first-fit bin packing of the small files, largest first; files
+        // at/above target that carry a DV still get rewritten (their own
+        // bin) — folding DVs in is the other half of compaction's contract
+        val (small, big) = files.partition(_.size < targetFileBytes)
+        val bins = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[AddAction]]
+        small.sortBy(-_.size).foreach { f =>
+          bins.find(b => b.map(_.size).sum + f.size <= targetFileBytes) match {
+            case Some(b) => b += f
+            case None => bins += mutable.ArrayBuffer(f)
+          }
+        }
+        big.filter(_.hasDeletionVector).foreach(f => bins += mutable.ArrayBuffer(f))
+        bins.filter(b => b.size >= 2 || b.exists(_.hasDeletionVector))
+          .foreach { bin =>
+            val scan0 = spark.read.schema(physReadSchema).parquet(
+              bin.map(a => DeltaScan.resolvePath(base, a.path)).toSeq: _*)
+            rewrite(subtractDeleted(scan0, bin.toSeq).coalesce(1),
+              bin.toSeq, pv)
+          }
       }
     }
     if (lines.isEmpty) return 0
@@ -1230,11 +1271,8 @@ object DeltaWriter {
     c.put("timestamp", System.currentTimeMillis())
     c.put("operation", "OPTIMIZE")
     lines += ci.toString
-    val commit = new Path(new Path(root, "_delta_log"),
-      f"${snap.version + 1}%020d.json")
-    val out = fs.create(commit, false)
-    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    writeCommitAt(spark, path, snap.version + 1, lines.toSeq,
+      snap.configuration)
     nCompacted
   }
 

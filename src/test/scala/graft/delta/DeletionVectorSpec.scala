@@ -262,6 +262,43 @@ class DeletionVectorSpec extends SparkSuite {
     assert(result(zed).nonEmpty)
   }
 
+  test("OPTIMIZE ZORDER reclusters existing files for multi-dim skipping") {
+    val rows = (0 until 10000).map(i =>
+      (i.toLong, (i % 100).toLong, ((i * 7919) % 100).toLong))
+    val df = rows.toDF("id", "x", "y")
+    val conds = Seq(Cond("x", "<", 25L), Cond("y", "<", 25L))
+    val path = tmp()
+    DeltaWriter.write(df.repartition(8), path) // hash-random layout
+    // plant a DV so the recluster must fold deletions in too
+    assert(DeltaWriter.delete(spark, path, Seq(Cond("id", "<", 100L))) == 100L)
+    assert(DeltaLake.deltaMeta(spark, path)
+      .addActionsFiltered(conds).size == 8) // nothing skips pre-recluster
+
+    val n = DeltaWriter.compact(spark, path,
+      targetFileBytes = 16 * 1024, zOrderBy = Seq("x", "y"))
+    assert(n == 8, s"every source file should be rewritten, got $n")
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.liveFiles.nonEmpty)
+    assert(snap.liveFiles.forall(!_.hasDeletionVector)) // DVs folded in
+    val keptZ = snap.addActionsFiltered(conds).size
+    assert(keptZ.toDouble / snap.liveFiles.size <= 0.5,
+      s"recluster kept $keptZ of ${snap.liveFiles.size} files")
+    // logical content identical (minus the DV-deleted rows); the
+    // recluster is layout-only
+    val ids = DeltaLake.scanDelta(spark, path)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(ids == (100L until 10000L).toSeq)
+    val pruned = DeltaLake.scanDelta(spark, path,
+      ScanSettings(conditions = conds))
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(pruned ==
+      rows.filter(r => r._1 >= 100 && r._2 < 25 && r._3 < 25).map(_._1))
+    // dataChange=false: time travel to the pre-recluster version intact
+    val v1 = DeltaLake.scanDelta(spark, path,
+      ScanSettings(version = Some(1L)))
+    assert(v1.count() == 9900)
+  }
+
   test("z-order clusters STRING keys by byte prefix (skipping + order)") {
     // mixed string + numeric z-order: the string dimension numifies to
     // its zero-padded 8-byte big-endian prefix, so equality/prefix
