@@ -164,6 +164,24 @@ object DeletionVectors {
       case _ => None
     }
 
+  /** Descriptor for freshly-built DV data: tiny bitmaps inline into the
+    * action itself (storageType "i", z85 of the zero-padded bytes —
+    * `sizeInBytes` trims the padding on read), larger ones go to a
+    * "u"-style bin file. Trickle deletes at scale would otherwise mint
+    * one filesystem object per touched file per commit.
+    */
+  def descriptorFor(
+      spark: SparkSession, tablePath: String,
+      data: Array[Byte], cardinality: Long,
+      inlineMaxBytes: Int = 512): DeletionVectorDescriptor =
+    if (data.length <= inlineMaxBytes) {
+      val padded =
+        if (data.length % 4 == 0) data
+        else data ++ new Array[Byte](4 - data.length % 4)
+      DeletionVectorDescriptor("i", z85Encode(padded),
+        offset = None, sizeInBytes = data.length, cardinality = cardinality)
+    } else write(spark, tablePath, data, cardinality)
+
   /** Write one DV into a fresh "u"-style file at the table root; returns
     * the descriptor to embed in the add action.
     */
@@ -187,7 +205,13 @@ object DeletionVectors {
   def read(
       spark: SparkSession, tablePath: String,
       dv: DeletionVectorDescriptor): Array[Byte] = dv.storageType match {
-    case "i" => z85Decode(dv.pathOrInlineDv)
+    case "i" =>
+      val raw = z85Decode(dv.pathOrInlineDv)
+      // sizeInBytes trims the z85 4-byte-block padding; descriptors
+      // that predate the field (sizeInBytes 0) pass through whole
+      if (dv.sizeInBytes > 0 && dv.sizeInBytes < raw.length)
+        raw.take(dv.sizeInBytes)
+      else raw
     case "u" | "p" =>
       val file = relativeFilePath(dv, tablePath) match {
         case Some(rel) => new Path(tablePath.stripSuffix("/"), rel)

@@ -961,7 +961,7 @@ object DeltaWriter {
         sys.error(s"delete matched unknown file $uri"))
       newlyDeleted +=
         card - action.deletionVector.map(_.cardinality).getOrElse(0L)
-      val dv = DeletionVectors.write(spark, base, data, card)
+      val dv = DeletionVectors.descriptorFor(spark, base, data, card)
 
       val rm = nf.objectNode(); val r = rm.putObject("remove")
       r.put("path", action.path)

@@ -262,6 +262,38 @@ class DeletionVectorSpec extends SparkSuite {
     assert(result(zed).nonEmpty)
   }
 
+  test("tiny deletes inline their DV; scattered big ones use a bin file") {
+    val path = tmp()
+    val df = (0L until 50000L).map(i => (i, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "v")
+    DeltaWriter.write(df.coalesce(1), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def binFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).count(_.startsWith("deletion_vector_"))
+
+    // a 1-row delete inlines: no filesystem object minted
+    assert(DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 7L))) == 1L)
+    val d1 = DeltaLake.deltaMeta(spark, path).liveFiles.head.deletionVector.get
+    assert(d1.storageType == "i", s"expected inline DV, got $d1")
+    assert(binFiles() == 0)
+    assert(DeltaLake.scanDelta(spark, path).count() == 49999)
+    // the inline form survives a checkpoint round trip
+    DeltaWriter.writeCheckpoint(DeltaLog.forPath(spark, path))
+    assert(DeltaLake.scanDelta(spark, path).count() == 49999)
+
+    // a scattered half-table delete (alternating row indices compress
+    // poorly) merges the prior inline bitmap and spills to a bin file
+    assert(DeltaWriter.delete(spark, path, Seq(Cond("v", "=", "x"))) == 25000L)
+    val d2 = DeltaLake.deltaMeta(spark, path).liveFiles.head.deletionVector.get
+    assert(d2.storageType == "u", s"expected file DV, got $d2")
+    assert(d2.cardinality == 25001L)
+    assert(binFiles() == 1)
+    val left = DeltaLake.scanDelta(spark, path)
+    assert(left.count() == 24999)
+    assert(left.where(col("v") === "x").count() == 0)
+  }
+
   test("OPTIMIZE ZORDER reclusters existing files for multi-dim skipping") {
     val rows = (0 until 10000).map(i =>
       (i.toLong, (i % 100).toLong, ((i * 7919) % 100).toLong))
