@@ -1293,7 +1293,9 @@ object DeltaWriter {
     * of staging its files is safe.
     */
   def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
-      graceMs: Long = 0L): Seq[String] = {
+      graceMs: Long = 0L,
+      /** DRY RUN: list what would be deleted without touching disk. */
+      dryRun: Boolean = false): Seq[String] = {
     val snap = DeltaLog.forPath(spark, path)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1314,7 +1316,7 @@ object DeltaWriter {
     val liveDv = snap.liveFiles.flatMap(_.deletionVector)
       .flatMap(dv => DeletionVectors.relativeFilePath(dv, path)).toSet
     val doomed = (onDisk -- liveData -- liveDv).toSeq.sorted
-    doomed.foreach(rel => fs.delete(new Path(root, rel), false))
+    if (!dryRun) doomed.foreach(rel => fs.delete(new Path(root, rel), false))
     doomed
   }
 

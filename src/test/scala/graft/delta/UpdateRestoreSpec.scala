@@ -207,7 +207,13 @@ class UpdateRestoreSpec extends SparkSuite {
     target(path) // v0
     DeltaWriter.write(Seq((999L, "z", 999L)).toDF("id", "bucket", "v"),
       path, mode = "overwrite", partitionBy = Seq("bucket")) // v1
+    // DRY RUN first: same candidate list, nothing deleted yet
+    val preview = DeltaWriter.vacuum(spark, path, dryRun = true)
+    assert(preview.nonEmpty)
+    assert(DeltaLake.scanDelta(spark, path,
+      ScanSettings(version = Some(0L))).count() == 100) // still readable
     val removed = DeltaWriter.vacuum(spark, path) // v0's files die
+    assert(removed == preview)
     assert(removed.nonEmpty)
     val e = intercept[IllegalArgumentException] {
       DeltaWriter.restore(spark, path, 0L)
