@@ -119,11 +119,25 @@ class ProtocolConformanceSpec extends SparkSuite {
         val dv = a.get("deletionVector")
         assert(Seq("storageType", "pathOrInlineDv").forall(dv.has))
         assert(dv.get("cardinality").asLong() > 0)
-        if (dv.get("storageType").asText() == "u") {
-          // z85-coded uuid must name a real DV file in the table root
-          val files = fs.listStatus(new Path(path))
-            .map(_.getPath.getName).filter(_.startsWith("deletion_vector"))
-          assert(files.nonEmpty, "u-storage DV without a deletion_vector file")
+        val z85Alphabet = ("0123456789abcdefghijklmnopqrstuvwxyz" +
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#").toSet
+        dv.get("storageType").asText() match {
+          case "u" =>
+            // z85-coded uuid must name a real DV file in the table root
+            val files = fs.listStatus(new Path(path))
+              .map(_.getPath.getName).filter(_.startsWith("deletion_vector"))
+            assert(files.nonEmpty, "u-storage DV without a deletion_vector file")
+          case "i" =>
+            // inline form: pathOrInlineDv IS the z85 data — alphabet-pure,
+            // 5-char blocks, sizeInBytes trims the 4-byte padding
+            val enc = dv.get("pathOrInlineDv").asText()
+            assert(enc.nonEmpty && enc.length % 5 == 0,
+              s"inline DV not in z85 blocks (${enc.length} chars)")
+            assert(enc.forall(z85Alphabet), "non-z85 char in inline DV")
+            assert(dv.get("sizeInBytes").asInt() > 0 &&
+              dv.get("sizeInBytes").asInt() <= enc.length / 5 * 4,
+              "inline sizeInBytes inconsistent with encoded length")
+          case other => fail(s"unexpected DV storageType '$other'")
         }
       }
     }
