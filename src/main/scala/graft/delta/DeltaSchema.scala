@@ -39,7 +39,7 @@ object DeltaSchema {
       StructField(physicalName(f), physicalizeType(f.dataType), f.nullable)
     })
 
-  private def physicalizeType(dt: DataType): DataType = dt match {
+  private[delta] def physicalizeType(dt: DataType): DataType = dt match {
     case s: StructType => physicalize(s)
     case ArrayType(et, n) => ArrayType(physicalizeType(et), n)
     case MapType(k, v, n) => MapType(physicalizeType(k), physicalizeType(v), n)

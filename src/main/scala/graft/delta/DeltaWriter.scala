@@ -21,8 +21,10 @@ import org.apache.spark.sql.types._
   * The reference is read-only (its roundtrip tests lean on delta-rs,
   * tests/test_polars_read.py:42-192); writing is our extension, kept to
   * the protocol subset the reader supports: reader v1 (v3+timestampNtz
-  * when the schema needs it), no column mapping on write, hive-layout
-  * partitioning whose dir values become `partitionValues`.
+  * when the schema needs it), hive-layout partitioning whose dir values
+  * become `partitionValues`. New tables are created unmapped; appends
+  * and DML into EXISTING column-mapped tables write physical column
+  * names (toPhysical), so renamed-column tables stay fully writable.
   *
   * Scale: the data write is a normal distributed `df.write.parquet`;
   * only the log append (listing the new files + reading their footers)
@@ -146,9 +148,13 @@ object DeltaWriter {
     val cfgChanged = newCfg != priorCfg
 
     // Delta stores timestamps as INT64 micros (INT96, Spark's legacy
-    // default, also carries no usable column statistics)
+    // default, also carries no usable column statistics). Data files
+    // carry PHYSICAL column names — appending logical-named files to a
+    // column-mapped table would null-fill silently on read.
     withMicrosTimestamps(spark) {
-      df1.write.mode("append").partitionBy(partitionBy: _*).parquet(path)
+      toPhysical(df1, mergedSchema).write.mode("append")
+        .partitionBy(physicalPartitionBy(partitionBy, mergedSchema): _*)
+        .parquet(path)
     }
 
     val after = listDataFiles(fs, root)
@@ -303,6 +309,32 @@ object DeltaWriter {
           System.err.println(
             s"[graft] auto-checkpoint of $path at v$version failed: $e")
       }
+  }
+
+  /** Rename a logical-schema DataFrame to the table's PHYSICAL column
+    * names (nested fields included — struct casts match positionally),
+    * the shape data files of a column-mapped table must carry. Columns
+    * are mapped by name against the table schema; batch-only columns
+    * (append evolution) keep their own name. Identity for unmapped
+    * tables, and Catalyst folds the no-op away.
+    */
+  private def toPhysical(df: DataFrame, table: StructType): DataFrame = {
+    val byName = table.fields.map(f => f.name -> f).toMap
+    df.select(df.schema.fields.toSeq.map { f =>
+      val tf = byName.getOrElse(f.name, f)
+      org.apache.spark.sql.functions.col(s"`${f.name.replace("`", "``")}`")
+        .cast(DeltaSchema.physicalizeType(tf.dataType))
+        .as(DeltaSchema.physicalName(tf))
+    }: _*)
+  }
+
+  /** Physical names of the partition columns for the data write's hive
+    * layout (dir names become physical-keyed partitionValues).
+    */
+  private def physicalPartitionBy(
+      cols: Seq[String], table: StructType): Seq[String] = {
+    val logToPhys = DeltaSchema.logicalToPhysical(table)
+    cols.map(c => logToPhys.getOrElse(c, c))
   }
 
   /** Columns that get per-file stats, per
@@ -518,8 +550,6 @@ object DeltaWriter {
       if (snap.txnVersions.get(appId).exists(_ >= v)) return MergeStats(0L, 0L)
     }
     val schema = snap.schema
-    require(DeltaSchema.logicalToPhysical(schema).forall(kv => kv._1 == kv._2),
-      "merge does not write column-mapped tables")
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key '$k' is not a table column"))
     require(source.schema.fieldNames.toSet == schema.fieldNames.toSet,
@@ -610,12 +640,14 @@ object DeltaWriter {
         val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
         val before = listDataFiles(fs, root)
         withMicrosTimestamps(spark) {
-          src.write.mode("append")
-            .partitionBy(snap.partitionColumns: _*).parquet(path)
+          toPhysical(src, schema).write.mode("append")
+            .partitionBy(
+              physicalPartitionBy(snap.partitionColumns, schema): _*)
+            .parquet(path)
         }
         (listDataFiles(fs, root) -- before).toSeq.sorted.foreach { rel =>
-          lines += addActionLine(fs, root, rel,
-            statsIndexedSchema(schema, snap.configuration))
+          lines += addActionLine(fs, root, rel, statsIndexedSchema(
+            DeltaSchema.physicalize(schema), snap.configuration))
         }
 
         val nf = JsonNodeFactory.instance
@@ -664,8 +696,6 @@ object DeltaWriter {
     val snap = DeltaLog.forPath(spark, path)
     snap.checkProtocolSupported()
     val schema = snap.schema
-    require(DeltaSchema.logicalToPhysical(schema).forall(kv => kv._1 == kv._2),
-      "update does not write column-mapped tables")
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"update assignment '$k' is not a table column"))
     val base = path.stripSuffix("/")
@@ -712,12 +742,14 @@ object DeltaWriter {
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val before = listDataFiles(fs, root)
       withMicrosTimestamps(spark) {
-        images.write.mode("append")
-          .partitionBy(snap.partitionColumns: _*).parquet(path)
+        toPhysical(images, schema).write.mode("append")
+          .partitionBy(
+            physicalPartitionBy(snap.partitionColumns, schema): _*)
+          .parquet(path)
       }
       (listDataFiles(fs, root) -- before).toSeq.sorted.foreach { rel =>
-        lines += addActionLine(fs, root, rel,
-          statsIndexedSchema(schema, snap.configuration))
+        lines += addActionLine(fs, root, rel, statsIndexedSchema(
+          DeltaSchema.physicalize(schema), snap.configuration))
       }
 
       val nf = JsonNodeFactory.instance

@@ -202,6 +202,73 @@ class UpdateRestoreSpec extends SparkSuite {
     assert(DeltaLake.scanDelta(spark, path).count() == 80)
   }
 
+  test("DML on a COLUMN-MAPPED table writes physical names") {
+    // copy the read-only faker2 fixture (column mapping + partitioned +
+    // schema-evolved) and run the full write surface against it
+    val src = java.nio.file.Paths.get(fixture("faker2"))
+    val dst = java.nio.file.Files.createTempDirectory("graft_cm")
+      .resolve("t")
+    java.nio.file.Files.walk(src).forEach { p =>
+      val to = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(to)
+      else java.nio.file.Files.copy(p, to)
+    }
+    val path = dst.toString
+    val before = DeltaLake.scanDelta(spark, path).count()
+    assert(before > 0)
+
+    // UPDATE through the DV path — the Hans Heiri row sits in the NULL
+    // partition (fixture ground truth), so this exercises the
+    // HIVE_DEFAULT round trip too
+    val n = DeltaWriter.update(spark, path,
+      Seq(Cond("new_name", "=", "Hans Heiri")),
+      Map("Super Name" -> lit("UPDATED")))
+    assert(n == 1L)
+    val afterUpd = DeltaLake.scanDelta(spark, path)
+    assert(afterUpd.count() == before)
+    val row = afterUpd.where(col("Super Name") === "UPDATED").collect()
+    assert(row.length == 1)
+    // physical names round-tripped: the rewritten image's OTHER mapped
+    // columns read back (a logical-named file would null-fill them)
+    assert(row(0).getAs[String]("new_name") == "Hans Heiri")
+    assert(row(0).isNullAt(row(0).fieldIndex("Company Very Short")))
+
+    // UPDATE rows in a REAL partition: the partition value must survive
+    // the physical-named rewrite
+    val nBms = DeltaWriter.update(spark, path,
+      Seq(Cond("Company Very Short", "=", "BMS")),
+      Map("Super Name" -> lit("BMS-UPDATED")))
+    assert(nBms >= 1L)
+    val bms = DeltaLake.scanDelta(spark, path)
+      .where(col("Super Name") === "BMS-UPDATED").collect()
+    assert(bms.length.toLong == nBms)
+    bms.foreach(r =>
+      assert(r.getAs[String]("Company Very Short") == "BMS"))
+
+    // APPEND through write(): the image keeps its partition value
+    val img = DeltaLake.scanDelta(spark, path)
+      .where(col("Super Name") === "BMS-UPDATED").limit(1)
+      .withColumn("Super Name", lit("APPENDED"))
+    DeltaWriter.write(img, path, mode = "append",
+      partitionBy = Seq("Company Very Short"))
+    val afterApp = DeltaLake.scanDelta(spark, path)
+    assert(afterApp.count() == before + 1)
+    val app = afterApp.where(col("Super Name") === "APPENDED").collect()
+    assert(app.length == 1)
+    assert(app(0).getAs[String]("Company Very Short") == "BMS")
+
+    // MERGE keyed on the mapped column: the appended row updates
+    val mSrc = DeltaLake.scanDelta(spark, path)
+      .where(col("Super Name") === "APPENDED")
+      .withColumn("new_name", lit("Merged"))
+    val stats = DeltaWriter.merge(spark, path, mSrc, Seq("Super Name"))
+    assert(stats == MergeStats(1L, 1L))
+    val m = DeltaLake.scanDelta(spark, path)
+      .where(col("Super Name") === "APPENDED").collect()
+    assert(m.length == 1 && m(0).getAs[String]("new_name") == "Merged")
+  }
+
   test("restore fails loudly when target files were vacuumed") {
     val path = tmp()
     target(path) // v0
