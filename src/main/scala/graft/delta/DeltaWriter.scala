@@ -144,7 +144,40 @@ object DeltaWriter {
     // change forces a metaData re-emission even on a plain append
     val priorCfg =
       prior.flatMap(_.metadata).map(_.configuration).getOrElse(Map.empty)
-    val newCfg = priorCfg ++ properties
+    val propCfg = priorCfg ++ properties
+
+    // Column-mapped tables: every field of an emitted schemaString must
+    // carry delta.columnMapping.id + physicalName or conforming readers
+    // reject the table. Same-named fields inherit the prior identity
+    // (a rename-survival requirement); new/overwritten fields get fresh
+    // ids, bumping maxColumnId in the configuration.
+    val mappingMode = propCfg.get("delta.columnMapping.mode")
+      .exists(_ != "none")
+    val (tableSchema, newCfg) =
+      if (!mappingMode) (mergedSchema, propCfg)
+      else {
+        val priorFields = prior.map(_.schema.fields.map(f => f.name -> f)
+          .toMap).getOrElse(Map.empty[String, StructField])
+        var maxId = propCfg.get("delta.columnMapping.maxColumnId")
+          .flatMap(_.toLongOption).getOrElse(0L)
+        val fields = mergedSchema.fields.map { f =>
+          priorFields.get(f.name) match {
+            case Some(pf) if pf.metadata.contains(
+                "delta.columnMapping.physicalName") =>
+              f.copy(metadata = pf.metadata)
+            case _ =>
+              maxId += 1
+              f.copy(metadata = new MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong("delta.columnMapping.id", maxId)
+                .putString("delta.columnMapping.physicalName",
+                  s"col-${java.util.UUID.randomUUID()}")
+                .build())
+          }
+        }
+        (StructType(fields),
+          propCfg + ("delta.columnMapping.maxColumnId" -> maxId.toString))
+      }
     val cfgChanged = newCfg != priorCfg
 
     // Delta stores timestamps as INT64 micros (INT96, Spark's legacy
@@ -152,8 +185,8 @@ object DeltaWriter {
     // carry PHYSICAL column names — appending logical-named files to a
     // column-mapped table would null-fill silently on read.
     withMicrosTimestamps(spark) {
-      toPhysical(df1, mergedSchema).write.mode("append")
-        .partitionBy(physicalPartitionBy(partitionBy, mergedSchema): _*)
+      toPhysical(df1, tableSchema).write.mode("append")
+        .partitionBy(physicalPartitionBy(partitionBy, tableSchema): _*)
         .parquet(path)
     }
 
@@ -190,7 +223,7 @@ object DeltaWriter {
           path.getBytes(StandardCharsets.UTF_8)).toString))
       val fmt = m.putObject("format")
       fmt.put("provider", "parquet"); fmt.putObject("options")
-      m.put("schemaString", mergedSchema.json)
+      m.put("schemaString", tableSchema.json)
       val pc = m.putArray("partitionColumns")
       (if (mode == "append")
         prior.map(_.partitionColumns).filter(_.nonEmpty).getOrElse(partitionBy)
@@ -215,17 +248,10 @@ object DeltaWriter {
 
     newFiles.foreach { rel =>
       lines += addActionLine(fs, root, rel,
-        statsIndexedSchema(mergedSchema, newCfg))
+        statsIndexedSchema(DeltaSchema.physicalize(tableSchema), newCfg))
     }
 
-    txn.foreach { case (appId, v) =>
-      val t = nf.objectNode()
-      val tn = t.putObject("txn")
-      tn.put("appId", appId)
-      tn.put("version", v)
-      tn.put("lastUpdated", System.currentTimeMillis())
-      lines += t.toString
-    }
+    txn.foreach { case (appId, v) => lines += txnLine(appId, v) }
 
     val ci = nf.objectNode()
     val c = ci.putObject("commitInfo")
@@ -576,15 +602,11 @@ object DeltaWriter {
         // commits behave the same way)
         txn.foreach { case (appId, v) =>
           val nf = JsonNodeFactory.instance
-          val t = nf.objectNode(); val tn = t.putObject("txn")
-          tn.put("appId", appId)
-          tn.put("version", v)
-          tn.put("lastUpdated", System.currentTimeMillis())
           val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
           c.put("timestamp", System.currentTimeMillis())
           c.put("operation", "MERGE")
           writeCommitAt(spark, path, snap.version + 1,
-            Seq(t.toString, ci.toString), snap.configuration)
+            Seq(txnLine(appId, v), ci.toString), snap.configuration)
         }
         MergeStats(0L, 0L)
       }
@@ -651,13 +673,7 @@ object DeltaWriter {
         }
 
         val nf = JsonNodeFactory.instance
-        txn.foreach { case (appId, v) =>
-          val t = nf.objectNode(); val tn = t.putObject("txn")
-          tn.put("appId", appId)
-          tn.put("version", v)
-          tn.put("lastUpdated", System.currentTimeMillis())
-          lines += t.toString
-        }
+        txn.foreach { case (appId, v) => lines += txnLine(appId, v) }
         val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
         c.put("timestamp", System.currentTimeMillis())
         c.put("operation", "MERGE")
@@ -1041,6 +1057,18 @@ object DeltaWriter {
     * taking the version surfaces as an error (DELETE/MERGE are computed
     * against a specific snapshot and must not silently rebase).
     */
+  /** One `txn` action line — the exactly-once ledger entry, shared by
+    * every path that records a streaming watermark.
+    */
+  private def txnLine(appId: String, version: Long): String = {
+    val t = JsonNodeFactory.instance.objectNode()
+    val tn = t.putObject("txn")
+    tn.put("appId", appId)
+    tn.put("version", version)
+    tn.put("lastUpdated", System.currentTimeMillis())
+    t.toString
+  }
+
   private def writeCommitAt(spark: org.apache.spark.sql.SparkSession,
       path: String, version: Long, lines: Seq[String],
       config: Map[String, String] = Map.empty): Unit = {
@@ -1211,8 +1239,16 @@ object DeltaWriter {
         pv: Map[String, Option[String]]): Unit = {
       val relDir = {
         val d = DeltaScan.decodePath(bin.head.path)
-        val i = d.lastIndexOf('/')
-        if (i < 0) "" else d.substring(0, i + 1)
+        // absolute source paths (shallow clones) must NOT leak the
+        // rewrite into the SOURCE table's directory — the source's
+        // vacuum would delete it; compacted files always land under
+        // THIS table's root (partitionValues come from the action, so
+        // the directory name is free)
+        if (d.contains("://") || d.startsWith("/")) ""
+        else {
+          val i = d.lastIndexOf('/')
+          if (i < 0) "" else d.substring(0, i + 1)
+        }
       }
       val batch = java.util.UUID.randomUUID()
       val tmpDir = new Path(root, s".compact_tmp_$batch")
@@ -1264,16 +1300,26 @@ object DeltaWriter {
 
     snap.liveFiles.groupBy(_.effectivePartitionValues).foreach { case (pv, files) =>
       if (zCols.nonEmpty) {
-        // recluster the WHOLE partition on the Morton key; skip only the
-        // degenerate single-clean-file partition (nothing to gain)
-        if (files.size >= 2 || files.exists(_.hasDeletionVector)) {
+        // recluster the WHOLE partition on the Morton key; skip only
+        // partitions that are already a single clean file at/below the
+        // target size (a single OVERSIZED file still splits into
+        // Morton-range files — the 'one big unclustered file' case is
+        // the recluster's bread and butter)
+        if (files.size >= 2 || files.exists(_.hasDeletionVector) ||
+            files.exists(_.size > targetFileBytes)) {
           val paths = files.map(a => DeltaScan.resolvePath(base, a.path))
           val scan0 = spark.read.schema(physReadSchema).parquet(paths: _*)
+          // persisted: the Morton quantization agg, the range
+          // partitioner's sampling AND the write would otherwise each
+          // re-read the partition (and re-run the DV anti-join)
           val df = subtractDeleted(scan0, files)
-          val nOut = math.max(1L,
-            (files.map(_.size).sum + targetFileBytes - 1) / targetFileBytes)
-          rewrite(df.repartitionByRange(nOut.toInt,
-            zOrderColumn(df, zCols).asc), files, pv)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val nOut = math.max(1L,
+              (files.map(_.size).sum + targetFileBytes - 1) / targetFileBytes)
+            rewrite(df.repartitionByRange(nOut.toInt,
+              zOrderColumn(df, zCols).asc), files, pv)
+          } finally df.unpersist()
         }
       } else {
         // first-fit bin packing of the small files, largest first; files

@@ -140,6 +140,31 @@ class CloneSpec extends SparkSuite {
       .where(col("bucket") === "2").count())
   }
 
+  test("compacting a clone writes under the CLONE root, never the source") {
+    val src = source()
+    val dst = tmp()
+    DeltaWriter.cloneTable(spark, src, dst)
+    assert(DeltaWriter.delete(spark, dst, Seq(Cond("id", "<=", 10L))) == 10L)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def filesUnder(p: String): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) out += it.next().getPath.toUri.getPath
+      out.toSet
+    }
+    val srcBefore = filesUnder(src)
+    val n = DeltaWriter.compact(spark, dst) // folds the clone's DV in
+    assert(n >= 1)
+    assert(filesUnder(src) == srcBefore,
+      "compaction of the clone leaked files into the source directory")
+    assert(DeltaLake.scanDelta(spark, dst).count() == 90)
+    // the source can vacuum freely without breaking the compacted clone
+    DeltaWriter.vacuum(spark, src)
+    assert(DeltaLake.scanDelta(spark, dst).count() == 90)
+    assert(DeltaLake.scanDelta(spark, src).count() == 100)
+  }
+
   test("clone onto an existing Delta table is rejected") {
     val src = source()
     intercept[IllegalArgumentException] {

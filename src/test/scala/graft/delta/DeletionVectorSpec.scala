@@ -331,6 +331,24 @@ class DeletionVectorSpec extends SparkSuite {
     assert(v1.count() == 9900)
   }
 
+  test("OPTIMIZE ZORDER splits a single oversized unclustered file") {
+    val rows = (0 until 10000).map(i =>
+      (i.toLong, (i % 100).toLong, ((i * 7919) % 100).toLong))
+    val path = tmp()
+    DeltaWriter.write(rows.toDF("id", "x", "y").coalesce(1), path)
+    assert(DeltaLake.deltaMeta(spark, path).liveFiles.size == 1)
+    val n = DeltaWriter.compact(spark, path,
+      targetFileBytes = 16 * 1024, zOrderBy = Seq("x", "y"))
+    assert(n == 1, "the single oversized file must be reclustered")
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.liveFiles.size >= 2,
+      s"expected a Morton-range split, got ${snap.liveFiles.size} file(s)")
+    val conds = Seq(Cond("x", "<", 25L), Cond("y", "<", 25L))
+    assert(snap.addActionsFiltered(conds).size < snap.liveFiles.size,
+      "recluster produced no skippable zone maps")
+    assert(DeltaLake.scanDelta(spark, path).count() == 10000)
+  }
+
   test("z-order clusters STRING keys by byte prefix (skipping + order)") {
     // mixed string + numeric z-order: the string dimension numifies to
     // its zero-padded 8-byte big-endian prefix, so equality/prefix

@@ -267,6 +267,35 @@ class UpdateRestoreSpec extends SparkSuite {
     val m = DeltaLake.scanDelta(spark, path)
       .where(col("Super Name") === "APPENDED").collect()
     assert(m.length == 1 && m(0).getAs[String]("new_name") == "Merged")
+
+    // SCHEMA EVOLUTION on the mapped table: the widened schemaString
+    // must give the new column a fresh columnMapping id + physicalName
+    // (conforming readers reject mode=name fields without them) and
+    // bump maxColumnId
+    val evolved = DeltaLake.scanDelta(spark, path).limit(1)
+      .withColumn("Super Name", lit("EVOLVED"))
+      .withColumn("extra_col", lit(42L))
+    DeltaWriter.write(evolved, path, mode = "append",
+      partitionBy = Seq("Company Very Short"))
+    val snap = DeltaLake.deltaMeta(spark, path)
+    val nf = snap.schema("extra_col")
+    assert(nf.metadata.contains("delta.columnMapping.physicalName"),
+      "evolved column lacks a physical name — strict readers reject this")
+    assert(nf.metadata.contains("delta.columnMapping.id"))
+    val physName = nf.metadata.getString("delta.columnMapping.physicalName")
+    assert(physName.startsWith("col-") && physName != "extra_col")
+    assert(snap.configuration.get("delta.columnMapping.maxColumnId")
+      .exists(_.toLong >= nf.metadata.getLong("delta.columnMapping.id")))
+    // the new column reads back: populated in the new row, null in old
+    val ev = DeltaLake.scanDelta(spark, path)
+    assert(ev.where(col("extra_col") === 42L).count() == 1)
+    assert(ev.where(col("extra_col").isNull).count() == before + 1)
+    // stats for mapped appends are keyed by PHYSICAL name (zone maps
+    // survive) — the newest add action must carry them
+    val newest = snap.liveFiles.maxBy(_.modificationTime)
+    assert(newest.parsedStats.exists(_.minValues.contains(physName)),
+      s"no physical-keyed stats on evolved append: " +
+        s"${newest.parsedStats.map(_.minValues.keySet)}")
   }
 
   test("restore fails loudly when target files were vacuumed") {
