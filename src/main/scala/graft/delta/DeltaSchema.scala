@@ -15,6 +15,7 @@ import org.apache.spark.sql.types._
 object DeltaSchema {
 
   val PhysicalNameKey = "delta.columnMapping.physicalName"
+  val ColumnIdKey = "delta.columnMapping.id"
 
   /** `timestampNtz` appears as an alias in some writers; Spark's parser
     * only knows `timestamp_ntz` (reference: polars.py:61-63).

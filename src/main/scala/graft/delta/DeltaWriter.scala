@@ -148,35 +148,74 @@ object DeltaWriter {
 
     // Column-mapped tables: every field of an emitted schemaString must
     // carry delta.columnMapping.id + physicalName or conforming readers
-    // reject the table. Same-named fields inherit the prior identity
-    // (a rename-survival requirement); new/overwritten fields get fresh
-    // ids, bumping maxColumnId in the configuration.
-    val mappingMode = propCfg.get("delta.columnMapping.mode")
-      .exists(_ != "none")
+    // reject the table. This writer APPENDS TO and EVOLVES existing
+    // mapped tables (created by a conforming engine); the operations
+    // needing a coordinated identity re-assignment are rejected loudly:
+    // upgrading an unmapped table to mapping mode (existing files carry
+    // logical names — fresh physical names would null-fill all old
+    // data), replacing a mapped table's schema via overwrite, and
+    // evolving in nested types (every nested field would need its own
+    // id, which this writer does not mint).
+    val priorMode = priorCfg.getOrElse("delta.columnMapping.mode", "none")
+    require(propCfg.getOrElse("delta.columnMapping.mode", "none") == priorMode,
+      "changing delta.columnMapping.mode via write(properties) is not " +
+        "supported — a mapping upgrade needs coordinated physical-name " +
+        "assignment for existing files")
+    val mappingMode = priorMode != "none"
+    require(!(mappingMode && mode == "overwrite"),
+      "overwrite of a column-mapped table is not supported (the " +
+        "replacement schema would need fresh column-mapping identities); " +
+        "create a new table or use merge/update/restore")
     val (tableSchema, newCfg) =
       if (!mappingMode) (mergedSchema, propCfg)
       else {
-        val priorFields = prior.map(_.schema.fields.map(f => f.name -> f)
-          .toMap).getOrElse(Map.empty[String, StructField])
-        var maxId = propCfg.get("delta.columnMapping.maxColumnId")
-          .flatMap(_.toLongOption).getOrElse(0L)
+        def idsIn(dt: DataType): Seq[Long] = dt match {
+          case s: StructType => s.fields.toSeq.flatMap(f =>
+            (if (f.metadata.contains(DeltaSchema.ColumnIdKey))
+              Seq(f.metadata.getLong(DeltaSchema.ColumnIdKey)) else Nil) ++
+              idsIn(f.dataType))
+          case ArrayType(et, _) => idsIn(et)
+          case MapType(k, v, _) => idsIn(k) ++ idsIn(v)
+          case _ => Nil
+        }
+        def hasNestedFields(dt: DataType): Boolean = dt match {
+          case _: StructType => true
+          case ArrayType(et, _) => hasNestedFields(et)
+          case MapType(k, v, _) => hasNestedFields(k) || hasNestedFields(v)
+          case _ => false
+        }
+        val priorSchema = prior.map(_.schema).getOrElse(new StructType())
+        val priorFields = priorSchema.fields.map(f => f.name -> f).toMap
+        // floored by the ids already in the schema: a stale/absent
+        // maxColumnId must never mint a duplicate id
+        var maxId = (propCfg.get("delta.columnMapping.maxColumnId")
+          .flatMap(_.toLongOption).getOrElse(0L) +:
+          idsIn(priorSchema)).max
+        val seeded = maxId
         val fields = mergedSchema.fields.map { f =>
           priorFields.get(f.name) match {
             case Some(pf) if pf.metadata.contains(
-                "delta.columnMapping.physicalName") =>
+                DeltaSchema.PhysicalNameKey) =>
               f.copy(metadata = pf.metadata)
             case _ =>
+              require(!hasNestedFields(f.dataType),
+                s"evolving nested-typed column '${f.name}' into a " +
+                  "column-mapped table is not supported (every nested " +
+                  "field needs its own mapping id)")
               maxId += 1
               f.copy(metadata = new MetadataBuilder()
                 .withMetadata(f.metadata)
-                .putLong("delta.columnMapping.id", maxId)
-                .putString("delta.columnMapping.physicalName",
+                .putLong(DeltaSchema.ColumnIdKey, maxId)
+                .putString(DeltaSchema.PhysicalNameKey,
                   s"col-${java.util.UUID.randomUUID()}")
                 .build())
           }
         }
-        (StructType(fields),
-          propCfg + ("delta.columnMapping.maxColumnId" -> maxId.toString))
+        val cfg =
+          if (maxId == seeded &&
+              propCfg.contains("delta.columnMapping.maxColumnId")) propCfg
+          else propCfg + ("delta.columnMapping.maxColumnId" -> maxId.toString)
+        (StructType(fields), cfg)
       }
     val cfgChanged = newCfg != priorCfg
 
@@ -1053,10 +1092,6 @@ object DeltaWriter {
     addObj.toString
   }
 
-  /** Write commit `version` exactly — no retry; a concurrent writer
-    * taking the version surfaces as an error (DELETE/MERGE are computed
-    * against a specific snapshot and must not silently rebase).
-    */
   /** One `txn` action line — the exactly-once ledger entry, shared by
     * every path that records a streaming watermark.
     */
@@ -1069,6 +1104,10 @@ object DeltaWriter {
     t.toString
   }
 
+  /** Write commit `version` exactly — no retry; a concurrent writer
+    * taking the version surfaces as an error (DELETE/MERGE are computed
+    * against a specific snapshot and must not silently rebase).
+    */
   private def writeCommitAt(spark: org.apache.spark.sql.SparkSession,
       path: String, version: Long, lines: Seq[String],
       config: Map[String, String] = Map.empty): Unit = {

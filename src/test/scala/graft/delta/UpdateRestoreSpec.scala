@@ -296,6 +296,26 @@ class UpdateRestoreSpec extends SparkSuite {
     assert(newest.parsedStats.exists(_.minValues.contains(physName)),
       s"no physical-keyed stats on evolved append: " +
         s"${newest.parsedStats.map(_.minValues.keySet)}")
+
+    // the operations needing coordinated identity re-assignment fail
+    // LOUDLY instead of corrupting the table:
+    val one = DeltaLake.scanDelta(spark, path).limit(1)
+    intercept[IllegalArgumentException] { // schema replacement
+      DeltaWriter.write(one, path, mode = "overwrite")
+    }
+    intercept[IllegalArgumentException] { // nested-type evolution
+      DeltaWriter.write(one.withColumn("nested",
+        org.apache.spark.sql.functions.struct(lit(1L).as("a"))),
+        path, mode = "append", partitionBy = Seq("Company Very Short"))
+    }
+    intercept[IllegalArgumentException] { // mapping upgrade of unmapped
+      val plain = java.nio.file.Files
+        .createTempDirectory("graft_cmup").toString + "/t"
+      DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), plain)
+      DeltaWriter.write(Seq((2L, "b")).toDF("id", "v"), plain,
+        mode = "append",
+        properties = Map("delta.columnMapping.mode" -> "name"))
+    }
   }
 
   test("restore fails loudly when target files were vacuumed") {
