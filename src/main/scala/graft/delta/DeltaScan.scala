@@ -371,13 +371,27 @@ object DeltaScan {
     * leaving it raw would break any clone whose source has
     * hive-escaped partition directories (their names contain literal
     * '%XX' sequences that the writer re-encodes as '%25XX').
+    *
+    * A URI is anything opening with an RFC-3986 scheme and a slash —
+    * BOTH authority ("file:///t/x", "s3a://bucket/x") and
+    * empty-authority single-slash forms ("file:/t/x", what
+    * `org.apache.hadoop.fs.Path.toString` emits for local paths): a
+    * '://'-only test mistook the latter for a relative path and mangled
+    * it to '<base>/file:/t/x'. A relative add.path can never false-match
+    * — hive escaping percent-encodes ':' in directory names.
     */
+  private val SchemeSlash =
+    java.util.regex.Pattern.compile("^[A-Za-z][A-Za-z0-9+.-]*:/")
+
   private[delta] def resolvePath(base: String, rawPath: String): String =
-    if (rawPath.contains("://")) {
-      val i = rawPath.indexOf("://")
-      val j = rawPath.indexOf('/', i + 3)
-      if (j < 0) rawPath
-      else rawPath.take(j) + decodePath(rawPath.substring(j))
+    if (SchemeSlash.matcher(rawPath).find()) {
+      val colon = rawPath.indexOf(':')
+      val rest = rawPath.substring(colon + 1)
+      if (rest.startsWith("//")) { // authority form: decode after it
+        val j = rawPath.indexOf('/', colon + 3)
+        if (j < 0) rawPath
+        else rawPath.take(j) + decodePath(rawPath.substring(j))
+      } else rawPath.take(colon + 1) + decodePath(rest)
     } else {
       val d = decodePath(rawPath)
       if (d.startsWith("/")) d else s"$base/$d"

@@ -918,6 +918,20 @@ object DeltaWriter {
     * SOURCE invalidates the clone's references — clone from a source
     * whose retention you control.
     */
+  /** Absolute "p"-form URI for a source table's DV bin during a shallow
+    * clone. DV 'u' paths (prefix + deletion_vector_<uuid>.bin) are
+    * stored RAW in the descriptor — never percent-encoded like add.path
+    * — so the absolute form is plain concatenation + qualification;
+    * routing them through resolvePath's percent-decode would corrupt a
+    * prefix containing a literal '%XX' sequence.
+    */
+  private[delta] def dvCloneUri(
+      srcFs: FileSystem, srcBase: String, rel: String): String = {
+    val q = srcFs.makeQualified(new Path(s"$srcBase/$rel")).toUri
+    if (q.getScheme == null) q.getPath
+    else s"${q.getScheme}://${Option(q.getAuthority).getOrElse("")}${q.getPath}"
+  }
+
   def cloneTable(spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String): Unit = {
     val src = DeltaLog.forPath(spark, srcPath)
@@ -972,12 +986,11 @@ object DeltaWriter {
         dv.storageType match {
           case "u" =>
             // "p" descriptors are read verbatim (no percent-decoding),
-            // so the URI is emitted unencoded; our DV file names are
-            // uuid-safe
-            val (sch, p) = absoluteUri(
+            // so the URI is emitted unencoded
+            dv.copy(storageType = "p", pathOrInlineDv = dvCloneUri(
+              srcFs, srcBase,
               DeletionVectors.relativeFilePath(dv, srcBase).getOrElse(
-                sys.error(s"unresolvable DV for ${a.path}")))
-            dv.copy(storageType = "p", pathOrInlineDv = sch + p)
+                sys.error(s"unresolvable DV for ${a.path}"))))
           case _ => dv // inline ("i") and already-absolute ("p") forms
         }
       }

@@ -48,7 +48,14 @@ object DeltaSink {
     */
   private def ledgered(
       df: DataFrame, path: String, appId: String, batchId: Long,
-      partitionBy: Seq[String])(
+      partitionBy: Seq[String],
+      /** Non-empty for the upsert flavor: the CREATING write must honor
+        * merge's cardinality contract too. Batch 0 goes down as a plain
+        * overwrite (there is no target to merge into), which would
+        * otherwise silently seed the table with several rows per key —
+        * an invariant every later batch then enforces loudly.
+        */
+      uniqueKeys: Seq[String] = Nil)(
       apply: graft.delta.DeltaSnapshot => Unit): Boolean = {
     val spark = df.sparkSession
     // DeltaSnapshot is mutable and NOT thread-safe: serialize per-path
@@ -61,6 +68,15 @@ object DeltaSink {
       }
       if (!exists) {
         snapshots.remove(path) // table was deleted out from under us
+        if (uniqueKeys.nonEmpty) {
+          import org.apache.spark.sql.functions.col
+          def q(n: String) = col(s"`${n.replace("`", "``")}`")
+          require(df.groupBy(uniqueKeys.map(q): _*).count()
+              .where(col("count") > 1).isEmpty,
+            "upsert batch has duplicate key tuples — each target row may" +
+              " match at most one source row (collapse the CDC batch to" +
+              " last-change-per-key upstream)")
+        }
         DeltaWriter.write(df, path, partitionBy, mode = "overwrite",
           txn = Some(appId -> batchId))
         return true
@@ -119,7 +135,7 @@ object DeltaSink {
   def upsertBatch(
       df: DataFrame, path: String, appId: String, batchId: Long,
       keys: Seq[String], partitionBy: Seq[String] = Nil): Boolean =
-    ledgered(df, path, appId, batchId, partitionBy) { snap =>
+    ledgered(df, path, appId, batchId, partitionBy, uniqueKeys = keys) { snap =>
       DeltaWriter.merge(df.sparkSession, path, df, keys,
         txn = Some(appId -> batchId), priorSnapshot = Some(snap))
     }
