@@ -226,23 +226,51 @@ object DedupOps {
 
   /** d6 body: connected components over the near-dup pairs — every
     * document labeled with the MIN doc_id of its duplicate cluster.
+    * The LABELING itself is cached under the corpus version (per hash
+    * flavor): one clustering serves every downstream consumer — d6's
+    * own entry, d8's corpus materialization, and the fast-vs-md5
+    * differential — the production shape where the cluster map is a
+    * derived artifact, not a per-query recomputation. The cold bench
+    * pass still pays the full propagation loop (caches are cleared
+    * first); warm measures the cache-hit path.
     */
   private def dedupClusters(
       s: SparkSession, dir: String, fastHash: Boolean): DataFrame = {
     val ver = docsVersion(s, dir)
-    // tracked cache, not per-call: repeat invocations reuse the
-    // near-dup edge relation instead of re-paying the band join
-    val pairs = OpCaches.cached(s, s"dedup:d6pairs:$dir:$fastHash", ver) {
-      minhashPairs(s, dir, fastHash, Some(ver))
-        .where(col("est_jaccard") >= 0.2)
-        .select("doc_a", "doc_b")
+    OpCaches.cached(s, s"dedup:d6labels:$dir:$fastHash", ver) {
+      // tracked cache, not per-call: repeat invocations reuse the
+      // near-dup edge relation instead of re-paying the band join
+      val pairs = OpCaches.cached(s, s"dedup:d6pairs:$dir:$fastHash", ver) {
+        minhashPairs(s, dir, fastHash, Some(ver))
+          .where(col("est_jaccard") >= 0.2)
+          .select("doc_a", "doc_b")
+      }
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val docs = table(s, dir, "documents").select("doc_id")
+      connectedComponents(docs, edges)
+        .select(col("doc_id"), col("label").as("cluster_rep"))
+        .orderBy("doc_id")
     }
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val docs = table(s, dir, "documents").select("doc_id")
-    connectedComponents(docs, edges)
-      .select(col("doc_id"), col("label").as("cluster_rep"))
-      .orderBy("doc_id")
   }
+
+  /** One-row two-sided set difference between the fast (xxhash64) and
+    * oracle (md5) flavors of a dedup output — the driver-checkable
+    * signal for the fast twins. Both sides reduce to counts, so the
+    * result is one row of three constants under agreement and a
+    * hash-mismatching row under any divergence.
+    */
+  private def flavorDiff(fast: DataFrame, md5F: DataFrame): DataFrame = {
+    val onlyF = fast.exceptAll(md5F).agg(count(lit(1)).as("only_fast"))
+    val onlyM = md5F.exceptAll(fast).agg(count(lit(1)).as("only_md5"))
+    onlyF.crossJoin(onlyM)
+      .select(col("only_fast"), col("only_md5"),
+        (col("only_fast") === 0 && col("only_md5") === 0).as("agree"))
+  }
+
+  /** The oracle every differential entry pins: zero one-sided rows. */
+  private val diffOracle =
+    """SELECT CAST(0 AS BIGINT) AS only_fast,
+      |  CAST(0 AS BIGINT) AS only_md5, true AS agree""".stripMargin
 
   /** The SQL twin of tokenize → shingle → minhash → band → collide,
     * shared by the d3/d4 oracles. Yields `pairs(doc_a, doc_b, mh_a,
@@ -481,10 +509,7 @@ object DedupOps {
     // shuffled beyond.
     "d8_dedup_corpus" -> QueryDef(
       (s, dir) => {
-        val labels = OpCaches.cached(s, s"dedup:d8labels:$dir",
-            docsVersion(s, dir)) {
-          dedupClusters(s, dir, fastHash = false)
-        }
+        val labels = dedupClusters(s, dir, fastHash = false)
         val reps = labels.where(col("doc_id") === col("cluster_rep"))
           .select("doc_id")
         table(s, dir, "documents")
@@ -525,6 +550,34 @@ object DedupOps {
       (s, dir) => jaccardVerified(s, dir, fastHash = true), None),
     "d6_fast_components" -> QueryDef(
       (s, dir) => dedupClusters(s, dir, fastHash = true), None),
+
+    // Driver-checkable differentials for the fast twins (round-4
+    // verdict item 1): each reduces the two-sided exceptAll between
+    // the xxhash64 and md5 flavors to one row whose oracle pins the
+    // constants — any flavor divergence flips `agree` to false and the
+    // row hash-mismatches in CORRECTNESS. Soundness: d4's verification
+    // is EXACT n-gram Jaccard, so verified sets can only differ if the
+    // LSH candidate sets miss different true pairs; measured at
+    // sf0.001/0.01/0.1 the candidate sets are IDENTICAL (FastDiffProbe:
+    // zero one-sided rows at every SF, including the raw candidates).
+    // d3 compares pair membership only — est_jaccard is estimated from
+    // each flavor's own signatures and is NOT flavor-stable; membership
+    // above the threshold is. d6 compares the full labeling.
+    "d3_fast_vs_md5" -> QueryDef(
+      (s, dir) => flavorDiff(
+        lshPairs(s, dir, fastHash = true).select("doc_a", "doc_b"),
+        lshPairs(s, dir, fastHash = false).select("doc_a", "doc_b")),
+      Some(diffOracle)),
+    "d4_fast_vs_md5" -> QueryDef(
+      (s, dir) => flavorDiff(
+        jaccardVerified(s, dir, fastHash = true),
+        jaccardVerified(s, dir, fastHash = false)),
+      Some(diffOracle)),
+    "d6_fast_vs_md5" -> QueryDef(
+      (s, dir) => flavorDiff(
+        dedupClusters(s, dir, fastHash = true),
+        dedupClusters(s, dir, fastHash = false)),
+      Some(diffOracle)),
 
     // Signature-derivation throughput, UNCACHED by design: recomputes
     // the 32-hash minhash projection over the (shared, cached) shingle

@@ -143,20 +143,18 @@ class OpsSpec extends SparkSuite {
     assert(viaKernel == viaComposed)
   }
 
-  test("minhash fast-hash variant finds the same strong candidates") {
-    // the xxhash64 drop-in must agree with the oracle-able md5 default
-    // on confident pairs (est >= 0.5); band-boundary stragglers may vary
-    import graft.ops.DedupOps
-    def strong(fast: Boolean): Set[(Long, Long)] =
-      DedupOps.minhashPairs(spark, dir, fastHash = fast)
-        .where(col("est_jaccard") >= 0.5)
-        .select("doc_a", "doc_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val md5Pairs = strong(fast = false)
-    val xxPairs = strong(fast = true)
-    assert(md5Pairs.nonEmpty)
-    val overlap = md5Pairs.intersect(xxPairs).size.toDouble / md5Pairs.size
-    assert(overlap >= 0.9, s"hash variants disagree: $overlap")
+  test("fast-vs-md5 differentials report agreement (the harness signal)") {
+    // round-4 verdict item 1: the former spec-only agreement check is
+    // retired into the driver harness via the d{3,4,6}_fast_vs_md5
+    // entries — here we pin their local behavior: one row, zero
+    // one-sided counts, agree = true on the fixture corpus
+    for (name <- Seq("d3_fast_vs_md5", "d4_fast_vs_md5", "d6_fast_vs_md5")) {
+      val rows = Registry.all(name).fn(spark, dir).collect()
+      assert(rows.length == 1, s"$name must reduce to one row")
+      val r = rows(0)
+      assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getBoolean(2),
+        s"$name reports flavor divergence: $r")
+    }
   }
 
   test("public minhashPairs defaults to the fast xxhash64 path") {
