@@ -409,20 +409,63 @@ object Relational {
     // Exact interpolated percentiles per group — both engines use the
     // same linear-interpolation definition, so the result is
     // oracle-exact. At 100 TB the drop-in is approx_percentile
-    // (t-digest): same plan shape, bounded memory, no exact sort — the
-    // exact form here doubles as its correctness baseline.
+    // (bounded memory, one pass, mergeable partials): same plan shape,
+    // no exact sort — the exact form here doubles as its correctness
+    // baseline, and q22_approx_vs_exact pins the error bound in the
+    // driver harness.
     "q22_percentiles" -> QueryDef(
-      (s, dir) =>
-        table(s, dir, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(
-            expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
-            expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
-            expr("percentile(l_quantity, 0.99)").as("p99_qty"))
-          .orderBy("l_returnflag"),
+      (s, dir) => groupPercentiles(s, dir, approx = false),
       Some("""SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
         |  quantile_cont(l_extendedprice, 0.95) AS p95_price,
         |  quantile_cont(l_quantity, 0.99) AS p99_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Production twin at the 100 TB lens: approx_percentile (Spark's
+    // mergeable Greenwald-Khanna sketch, accuracy 10000 → rank error
+    // ≤ 0.01%). Kernel-flagged so BENCH reports it in its own section
+    // right next to the exact baseline (round-4 verdict item 7) — the
+    // sketch cannot hash-match a DuckDB quantile oracle, so its
+    // correctness signal is the differential below + OpsSpec's
+    // error-bound spec at the bench SF.
+    "q22_approx_percentiles" -> QueryDef(
+      (s, dir) => groupPercentiles(s, dir, approx = true),
+      None, kernel = true),
+
+    // Driver-checkable error bound: one row, true iff every approx
+    // percentile is within 1% relative error of the exact value — the
+    // same differential shape as the dedup fast twins.
+    "q22_approx_vs_exact" -> QueryDef(
+      (s, dir) => {
+        val a = groupPercentiles(s, dir, approx = true).alias("a")
+        val e = groupPercentiles(s, dir, approx = false).alias("e")
+        def relErr(c: String) =
+          abs(col(s"a.$c") - col(s"e.$c")) / abs(col(s"e.$c"))
+        a.join(e, "l_returnflag")
+          .select(greatest(relErr("p50_price"), relErr("p95_price"),
+            relErr("p99_qty")).as("err"))
+          .agg(max("err").as("max_rel_err"))
+          .select((col("max_rel_err") <= 0.01).as("within_1pct"))
+      },
+      Some("SELECT true AS within_1pct")))
+
+  /** q22 body, exact or sketch-based — one shuffle to the 3 groups
+    * either way; the approx flavor keeps per-group state bounded
+    * (sketch size, not row count), the property that matters when a
+    * group holds billions of rows.
+    */
+  private def groupPercentiles(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      approx: Boolean): org.apache.spark.sql.DataFrame = {
+    def pct(c: String, p: Double) =
+      if (approx) expr(s"approx_percentile($c, $p, 10000)").cast("double")
+      else expr(s"percentile($c, $p)")
+    table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        pct("l_extendedprice", 0.5).as("p50_price"),
+        pct("l_extendedprice", 0.95).as("p95_price"),
+        pct("l_quantity", 0.99).as("p99_qty"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -157,6 +157,16 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("q22 approx twin stays within 1% relative error at the bench SF") {
+    // round-4 verdict item 7: the approx_percentile production twin is
+    // error-bounded against the exact baseline at sf0.1 (the driver's
+    // bench scale), via the same differential the harness checks
+    val row = Registry.all("q22_approx_vs_exact")
+      .fn(spark, "/root/testdata/sf0.1").collect()
+    assert(row.length == 1 && row(0).getBoolean(0),
+      "approx_percentile exceeded 1% relative error at sf0.1")
+  }
+
   test("public minhashPairs defaults to the fast xxhash64 path") {
     import graft.ops.DedupOps
     // production callers must not pay the md5 oracle-parity tax unless
