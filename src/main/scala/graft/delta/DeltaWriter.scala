@@ -149,13 +149,12 @@ object DeltaWriter {
     // Column-mapped tables: every field of an emitted schemaString must
     // carry delta.columnMapping.id + physicalName or conforming readers
     // reject the table. This writer APPENDS TO and EVOLVES existing
-    // mapped tables (created by a conforming engine); the operations
+    // mapped tables (created by a conforming engine), minting conformant
+    // ids for new columns INCLUDING nested struct fields; the operations
     // needing a coordinated identity re-assignment are rejected loudly:
     // upgrading an unmapped table to mapping mode (existing files carry
     // logical names — fresh physical names would null-fill all old
-    // data), replacing a mapped table's schema via overwrite, and
-    // evolving in nested types (every nested field would need its own
-    // id, which this writer does not mint).
+    // data) and replacing a mapped table's schema via overwrite.
     val priorMode = priorCfg.getOrElse("delta.columnMapping.mode", "none")
     require(propCfg.getOrElse("delta.columnMapping.mode", "none") == priorMode,
       "changing delta.columnMapping.mode via write(properties) is not " +
@@ -178,12 +177,6 @@ object DeltaWriter {
           case MapType(k, v, _) => idsIn(k) ++ idsIn(v)
           case _ => Nil
         }
-        def hasNestedFields(dt: DataType): Boolean = dt match {
-          case _: StructType => true
-          case ArrayType(et, _) => hasNestedFields(et)
-          case MapType(k, v, _) => hasNestedFields(k) || hasNestedFields(v)
-          case _ => false
-        }
         val priorSchema = prior.map(_.schema).getOrElse(new StructType())
         val priorFields = priorSchema.fields.map(f => f.name -> f).toMap
         // floored by the ids already in the schema: a stale/absent
@@ -198,17 +191,38 @@ object DeltaWriter {
                 DeltaSchema.PhysicalNameKey) =>
               f.copy(metadata = pf.metadata)
             case _ =>
-              require(!hasNestedFields(f.dataType),
-                s"evolving nested-typed column '${f.name}' into a " +
-                  "column-mapped table is not supported (every nested " +
-                  "field needs its own mapping id)")
+              // conformant id minting for the NEW column AND every
+              // nested struct field under it (depth-first, like
+              // delta-spark): each gets a fresh unique id and a
+              // col-<uuid> physical name; toPhysical's relaxed struct
+              // cast renames nested fields positionally on the data
+              // write, so files land fully physical-named
+              def mintNested(dt: DataType): DataType = dt match {
+                case s: StructType => StructType(s.fields.map { nf =>
+                  maxId += 1
+                  nf.copy(
+                    metadata = new MetadataBuilder()
+                      .withMetadata(nf.metadata)
+                      .putLong(DeltaSchema.ColumnIdKey, maxId)
+                      .putString(DeltaSchema.PhysicalNameKey,
+                        s"col-${java.util.UUID.randomUUID()}")
+                      .build(),
+                    dataType = mintNested(nf.dataType))
+                })
+                case ArrayType(et, n) => ArrayType(mintNested(et), n)
+                case MapType(k, v, n) =>
+                  MapType(mintNested(k), mintNested(v), n)
+                case p => p
+              }
               maxId += 1
-              f.copy(metadata = new MetadataBuilder()
-                .withMetadata(f.metadata)
-                .putLong(DeltaSchema.ColumnIdKey, maxId)
-                .putString(DeltaSchema.PhysicalNameKey,
-                  s"col-${java.util.UUID.randomUUID()}")
-                .build())
+              f.copy(
+                metadata = new MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putLong(DeltaSchema.ColumnIdKey, maxId)
+                  .putString(DeltaSchema.PhysicalNameKey,
+                    s"col-${java.util.UUID.randomUUID()}")
+                  .build(),
+                dataType = mintNested(f.dataType))
           }
         }
         val cfg =

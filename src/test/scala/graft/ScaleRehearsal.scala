@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** sf1 scale rehearsal (round-4 verdict item 2): run the top warm
+  * queries at sf0.1 and the ScaleGen-derived sf1 in ONE session with
+  * the Bench protocol (stage → clear caches → cold pass → warm pass),
+  * and report per-query sf1/sf0.1 ratios plus the d6 connected-
+  * components round count at both scales. A query whose warm ratio
+  * blows past ~12x (10x data + shuffle growth) is a scale pathology;
+  * d6's round count must stay flat (O(log n) convergence claim).
+  */
+object ScaleRehearsal {
+
+  private val TopQueries = Seq(
+    "d3_minhash_pairs", "d4_ngram_jaccard", "d5_simhash_pairs",
+    "d6_dedup_components", "d6_fast_components", "d8_dedup_corpus",
+    "e2_sessionize", "q15_salted_join", "s2_ann_lsh", "s4_ann_ivf",
+    "t8_contamination", "t10_repetition")
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sf1 = args.lift(1).getOrElse("/root/repo/target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+
+    def passes(dir: String): Map[String, (Double, Double)] = {
+      val qs = TopQueries.map(k => k -> graft.ops.Registry.all(k).fn)
+      qs.foreach { case (_, fn) =>
+        try { fn(spark, dir); () } catch { case _: Throwable => () } }
+      graft.ops.OpCaches.clear()
+      val cold = qs.map { case (k, fn) => k -> time(fn(spark, dir).count()) }
+      val warm = qs.map { case (k, fn) => k -> time(fn(spark, dir).count()) }
+      graft.ops.OpCaches.clear()
+      cold.zip(warm).map { case ((k, c), (_, w)) => k -> (c, w) }.toMap
+    }
+
+    def d6Rounds(dir: String): Int = {
+      import org.apache.spark.sql.functions.col
+      val edges = graft.ops.DedupOps.minhashPairs(spark, dir)
+        .where(col("est_jaccard") >= 0.2)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val (_, rounds) =
+        graft.ops.DedupOps.connectedComponentsWithRounds(docs, edges)
+      graft.ops.OpCaches.clear()
+      rounds
+    }
+
+    val base = passes(sf01)
+    val scaled = passes(sf1)
+    val r01 = d6Rounds(sf01)
+    val r1 = d6Rounds(sf1)
+
+    println(f"${"query"}%-22s ${"sf0.1 cold"}%10s ${"warm"}%8s " +
+      f"${"sf1 cold"}%10s ${"warm"}%8s ${"ratio(warm)"}%12s")
+    TopQueries.foreach { k =>
+      val (c0, w0) = base(k); val (c1, w1) = scaled(k)
+      println(f"$k%-22s $c0%10.2f $w0%8.2f $c1%10.2f $w1%8.2f ${w1 / w0}%12.1f")
+    }
+    val tw0 = TopQueries.map(base(_)._2).sum
+    val tw1 = TopQueries.map(scaled(_)._2).sum
+    println(f"TOTAL warm: sf0.1 $tw0%.2f s, sf1 $tw1%.2f s, " +
+      f"ratio ${tw1 / tw0}%.1f")
+    println(s"d6 rounds: sf0.1 = $r01, sf1 = $r1")
+    spark.stop()
+  }
+}

@@ -303,11 +303,6 @@ class UpdateRestoreSpec extends SparkSuite {
     intercept[IllegalArgumentException] { // schema replacement
       DeltaWriter.write(one, path, mode = "overwrite")
     }
-    intercept[IllegalArgumentException] { // nested-type evolution
-      DeltaWriter.write(one.withColumn("nested",
-        org.apache.spark.sql.functions.struct(lit(1L).as("a"))),
-        path, mode = "append", partitionBy = Seq("Company Very Short"))
-    }
     intercept[IllegalArgumentException] { // mapping upgrade of unmapped
       val plain = java.nio.file.Files
         .createTempDirectory("graft_cmup").toString + "/t"
@@ -316,6 +311,45 @@ class UpdateRestoreSpec extends SparkSuite {
         mode = "append",
         properties = Map("delta.columnMapping.mode" -> "name"))
     }
+
+    // NESTED-type evolution (round-4 verdict item 8, was rejected until
+    // round 5): appending a new struct column mints a conformant id +
+    // col-<uuid> physical name for the column AND every nested field,
+    // bumps maxColumnId past all of them, and round-trips through the
+    // mapped scan
+    val withNested = one.withColumn("nested",
+      org.apache.spark.sql.functions.struct(lit(7L).as("a"),
+        org.apache.spark.sql.functions.struct(lit("x").as("s")).as("inner")))
+    DeltaWriter.write(withNested, path, mode = "append",
+      partitionBy = Seq("Company Very Short"))
+    val snap2 = DeltaLake.deltaMeta(spark, path)
+    val nested2 = snap2.schema("nested")
+    def structFields(dt: org.apache.spark.sql.types.DataType)
+        : Seq[org.apache.spark.sql.types.StructField] = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.toSeq ++ s.fields.toSeq.flatMap(f => structFields(f.dataType))
+      case _ => Nil
+    }
+    val minted = nested2 +: structFields(nested2.dataType)
+    assert(minted.size == 4) // nested, a, inner, inner.s
+    minted.foreach { f =>
+      assert(f.metadata.contains("delta.columnMapping.id"), f.name)
+      assert(f.metadata.getString("delta.columnMapping.physicalName")
+        .startsWith("col-"), f.name)
+    }
+    val mintedIds = minted.map(_.metadata.getLong("delta.columnMapping.id"))
+    assert(mintedIds.distinct.size == mintedIds.size, "duplicate mapping ids")
+    assert(snap2.configuration("delta.columnMapping.maxColumnId")
+      .toLong >= mintedIds.max)
+    val nRows = DeltaLake.scanDelta(spark, path)
+      .where(col("nested").isNotNull).collect()
+    assert(nRows.length == 1)
+    val nStruct = nRows(0).getAs[org.apache.spark.sql.Row]("nested")
+    assert(nStruct.getAs[Long]("a") == 7L)
+    assert(nStruct.getAs[org.apache.spark.sql.Row]("inner")
+      .getAs[String]("s") == "x")
+    assert(DeltaLake.scanDelta(spark, path)
+      .where(col("nested").isNull).count() > 0)
   }
 
   test("restore fails loudly when target files were vacuumed") {
