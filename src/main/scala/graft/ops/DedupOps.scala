@@ -159,41 +159,53 @@ object DedupOps {
   }
 
   /** d3 body: LSH candidate pairs above the similarity floor. Shared by
-    * the md5 oracle entry and the xxhash64 fast twin, so the bench times
-    * both the DuckDB-checkable flavor and what public callers run.
+    * the md5 oracle entry, the xxhash64 fast twin, and the fast-vs-md5
+    * differential — cached per flavor under the corpus version so the
+    * three consumers pay the band join once per session (the d8/d6
+    * pattern: small derived relations are artifacts, not per-query
+    * recomputations).
     */
   private def lshPairs(
       s: SparkSession, dir: String, fastHash: Boolean): DataFrame =
-    minhashPairs(s, dir, fastHash)
-      .where(col("est_jaccard") >= 0.2)
-      .orderBy("doc_a", "doc_b")
+    OpCaches.cached(s, s"dedup:d3out:$dir:$fastHash", docsVersion(s, dir)) {
+      minhashPairs(s, dir, fastHash)
+        .where(col("est_jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    }
 
-  /** d4 body: exact n-gram Jaccard over the LSH candidates. */
+  /** d4 body: exact n-gram Jaccard over the LSH candidates. Cached per
+    * flavor for the same three consumers as [[lshPairs]].
+    */
   private def jaccardVerified(
       s: SparkSession, dir: String, fastHash: Boolean): DataFrame = {
     val ver = docsVersion(s, dir)
-    val sh = shingleTable(s, dir, ver)
-      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
-    val cand = minhashPairs(s, dir, fastHash, Some(ver))
-      .select("doc_a", "doc_b")
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .where(col("jaccard") >= 0.1)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    OpCaches.cached(s, s"dedup:d4out:$dir:$fastHash", ver) {
+      val sh = shingleTable(s, dir, ver)
+        .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
+      val cand = minhashPairs(s, dir, fastHash, Some(ver))
+        .select("doc_a", "doc_b")
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .where(col("jaccard") >= 0.1)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   /** d7 body: full minhash derivation reduced to a checksum row — see
     * the registry comment for why this stays uncached. The corpus is
-    * amplified 5x (explode over the cached shingle relation — no extra
+    * amplified 3x (explode over the cached shingle relation — no extra
     * tokenize cost) because at sf0.1 the raw kernel drowns in ~0.1 s of
     * fixed job overhead: measured at 20x, md5 4.9 s vs xxhash64-long
     * 0.96 s (5.1x) — amplification is what makes the bench SEE that.
-    * Bench reports these under "kernels", outside the headline totals.
+    * r5: capped from 5x (round-4 note — the amplified md5 kernel alone
+    * was 8.4 s of a 28 s cold driver total; 3x keeps the flavor ratio
+    * visible without one microbench dominating cold totals). Bench
+    * reports these under "kernels", outside the headline totals.
     */
   private def sigThroughput(
       s: SparkSession, dir: String, fastHash: Boolean): DataFrame =
@@ -202,7 +214,7 @@ object DedupOps {
     // uniformly — a shuffle here would run INSIDE the timed region,
     // identically for both flavors, diluting the ratio being measured
     shingleTable(s, dir, docsVersion(s, dir))
-      .select(explode(sequence(lit(1), lit(5))).as("rep"), col("sh"))
+      .select(explode(sequence(lit(1), lit(3))).as("rep"), col("sh"))
       .select(minhashes(col("sh"), fastHash).as("mh"))
       .agg(count(lit(1)).as("n_docs"), max(hash(col("mh"))).as("sig_checksum"))
       // a bare COUNT over an ungrouped agg lets Catalyst prove "1 row"
@@ -219,7 +231,7 @@ object DedupOps {
   private def simhashThroughput(
       s: SparkSession, dir: String, fast: Boolean): DataFrame =
     toksTable(s, dir, docsVersion(s, dir))
-      .select(explode(sequence(lit(1), lit(5))).as("rep"), col("toks"))
+      .select(explode(sequence(lit(1), lit(3))).as("rep"), col("toks"))
       .select(SimHash64.simhash64(s, col("toks"), fast).as("sh64"))
       .agg(count(lit(1)).as("n_docs"), max(col("sh64")).as("sig_checksum"))
       .where(col("sig_checksum").isNotNull)

@@ -219,7 +219,8 @@ class ProtocolConformanceSpec extends SparkSuite {
     // our tables". This test closes it WHENEVER the sandbox gains a
     // second reader; re-probed every run (r2: blocked, r3: blocked,
     // r4 2026-08-12: python `deltalake` absent, DuckDB delta extension
-    // uninstallable offline — extensions.duckdb.org unreachable).
+    // uninstallable offline — extensions.duckdb.org unreachable;
+    // r5 2026-08-13: unchanged — probe ran, still no second reader).
     secondReader() match {
       case None =>
         cancel("no independent Delta reader in the sandbox " +
