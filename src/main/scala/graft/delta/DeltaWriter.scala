@@ -1620,7 +1620,32 @@ object DeltaWriter {
     // (absolute) files that live under the table root
     val liveDv = snap.liveFiles.flatMap(_.deletionVector)
       .flatMap(dv => DeletionVectors.relativeFilePath(dv, path)).toSet
-    val doomed = (onDisk -- liveData -- liveDv).toSeq.sorted
+    // Content-addressed v2 sidecars orphaned by CRASHED checkpoint
+    // writes: a sidecar referenced by NO checkpoint top file can never
+    // be read again (top files themselves are never vacuumed, so every
+    // successful checkpoint keeps its sidecars referenced). Same grace
+    // window as data files — an in-flight checkpoint's fresh sidecar is
+    // spared.
+    val sidecarDir = new Path(root, "_delta_log/_sidecars")
+    val doomedSidecars: Seq[String] =
+      if (!fs.exists(sidecarDir)) Nil
+      else {
+        val logDir = new Path(root, "_delta_log")
+        val uuidTop = "^\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.parquet$".r
+        val tops = fs.listStatus(logDir).map(_.getPath)
+          .filter(p => uuidTop.matches(p.getName))
+        val referenced: Set[String] =
+          if (tops.isEmpty) Set.empty
+          else spark.read.parquet(tops.map(_.toString).toIndexedSeq: _*)
+            .select("sidecar.path").na.drop().collect()
+            .map(_.getString(0)).toSet
+        fs.listStatus(sidecarDir).toSeq
+          .filter(st => !referenced.contains(st.getPath.getName) &&
+            (graceMs <= 0L || st.getModificationTime < cutoff))
+          .map(st => "_delta_log/_sidecars/" + st.getPath.getName)
+      }
+    val doomed = (onDisk -- liveData -- liveDv).toSeq.sorted ++
+      doomedSidecars.sorted
     if (!dryRun) doomed.foreach(rel => fs.delete(new Path(root, rel), false))
     doomed
   }
@@ -1794,30 +1819,55 @@ object DeltaWriter {
         StructField("tags", mapSS))))))
   }
 
-  /** V2 UUID-named checkpoint + sidecar (PROTOCOL.md#v2-spec): file
-    * actions go to `_delta_log/_sidecars/<uuid>.parquet`; the
+  /** V2 UUID-named checkpoint + sidecars (PROTOCOL.md#v2-spec): file
+    * actions go to `_delta_log/_sidecars/`; the
     * `<version>.checkpoint.<uuid>.parquet` top file holds
     * protocol/metaData/txns, a `checkpointMetadata` row, and one
     * `sidecar` pointer per sidecar file. The reader side
     * (DeltaLog.forPath) has consumed this layout since round 3; tables
     * can now PRODUCE it (round-4 verdict item 5), keeping the top file
-    * O(metadata) no matter how many files the table holds — at 100 TB
-    * the file actions live in sidecars a planner can load in parallel,
-    * and future incremental checkpointers can reuse unchanged sidecars.
+    * O(metadata) no matter how many files the table holds.
+    *
+    * Sidecars are INCREMENTAL: live files bucket by modificationTime
+    * window (`graft.checkpoint.sidecarWindowMs`, default 7 days) and
+    * each bucket's sidecar is CONTENT-ADDRESSED — its name derives from
+    * a digest of the bucket's re-emitted action lines — so a bucket
+    * whose files didn't change since the previous checkpoint resolves
+    * to the SAME sidecar file and is reused without a write. The shape
+    * that matters at 100 TB: an append-mostly table re-writes one young
+    * bucket per checkpoint instead of O(all-files) every interval,
+    * while DML/compaction invalidates exactly the buckets it touched
+    * (digest covers stats and DV descriptors). Sidecars orphaned by
+    * crashed checkpoint writes are collected by [[vacuum]].
     */
   private def writeV2Checkpoint(snap: DeltaSnapshot): Unit = {
     val spark = snap.spark
     import org.apache.spark.sql.Row
     val logDir = s"${snap.deltaPath.stripSuffix("/")}/_delta_log"
     val uuid = java.util.UUID.randomUUID().toString
-
-    val sidecarRows: Seq[Row] =
-      snap.liveFiles.map(a => Row(checkpointAddRow(a), null))
-    val sidecarPath = new Path(s"$logDir/_sidecars/$uuid.parquet")
-    val scLen =
-      writeSingleParquet(spark, v2SidecarSchema, sidecarRows, sidecarPath)
     val fs = new Path(logDir).getFileSystem(spark.sessionState.newHadoopConf())
-    val scMtime = fs.getFileStatus(sidecarPath).getModificationTime
+
+    val windowMs = snap.configuration
+      .get("graft.checkpoint.sidecarWindowMs")
+      .flatMap(_.toLongOption).filter(_ > 0)
+      .getOrElse(7L * 24 * 3600 * 1000)
+    val buckets = snap.liveFiles.groupBy(_.modificationTime / windowMs)
+      .toSeq.sortBy(_._1)
+    var sidecarRowCount = 0L
+    val sidecars = buckets.map { case (_, files) =>
+      val sorted = files.sortBy(_.path)
+      val digest = java.security.MessageDigest.getInstance("MD5").digest(
+        sorted.map(a => addLineFor(a, dataChange = false))
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val name = s"${java.util.UUID.nameUUIDFromBytes(digest)}.parquet"
+      val p = new Path(s"$logDir/_sidecars/$name")
+      if (!fs.exists(p))
+        writeSingleParquet(spark, v2SidecarSchema,
+          sorted.map(a => Row(checkpointAddRow(a), null)), p)
+      sidecarRowCount += sorted.size
+      val st = fs.getFileStatus(p)
+      (name, st.getLen, st.getModificationTime)
+    }
 
     val top = mutable.ArrayBuffer.empty[Row]
     snap.protocol.foreach { p =>
@@ -1835,15 +1885,16 @@ object DeltaWriter {
           m.createdTime.map(Long.box).orNull), null, null, null)
     }
     top += Row(null, null, null, Row(snap.version, null), null)
-    // relative sidecar name — the reader resolves it under _sidecars/
-    top += Row(null, null, null, null,
-      Row(s"$uuid.parquet", scLen, scMtime, null))
+    // relative sidecar names — the reader resolves them under _sidecars/
+    sidecars.foreach { case (name, len, mtime) =>
+      top += Row(null, null, null, null, Row(name, len, mtime, null))
+    }
 
     val topPath = new Path(logDir,
       f"${snap.version}%020d.checkpoint.$uuid%s.parquet")
     writeSingleParquet(spark, v2TopSchema, top.toSeq, topPath)
     writeLastCheckpoint(fs, logDir, snap.version,
-      (top.size + sidecarRows.size).toLong)
+      top.size.toLong + sidecarRowCount)
   }
 
   /** Deep nullability- and metadata-insensitive shape, for append-time

@@ -132,6 +132,71 @@ class V2CheckpointSpec extends SparkSuite {
     assert(DeltaLake.scanDelta(spark, path).count() == 6L)
   }
 
+  test("incremental checkpoints reuse unchanged sidecars") {
+    val path = tmp()
+    DeltaWriter.write((1L to 30L).toDF("id"), path,
+      properties = Map("delta.checkpointPolicy" -> "v2",
+        "graft.checkpoint.sidecarWindowMs" -> "1"))
+    DeltaWriter.writeCheckpoint(DeltaLake.deltaMeta(spark, path))
+    def sidecars: Set[String] = fsOf(path).listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/_delta_log/_sidecars"))
+      .map(_.getPath.getName).toSet
+    val s0 = sidecars
+    assert(s0.nonEmpty)
+
+    Thread.sleep(10) // a later mtime bucket for the appended file
+    DeltaWriter.write(Seq(31L).toDF("id"), path, mode = "append")
+    DeltaWriter.writeCheckpoint(DeltaLake.deltaMeta(spark, path))
+    val s1 = sidecars
+    assert(s0.subsetOf(s1),
+      s"unchanged buckets must be reused: $s0 vs $s1")
+    assert(s1.size > s0.size, "the appended file needs a new sidecar")
+
+    // replay strictly from the latest checkpoint
+    val fs = fsOf(path)
+    (0L to 1L).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_delta_log/" + f"$v%020d.json"), false)
+    }
+    assert(DeltaLake.scanDelta(spark, path).count() == 31L)
+
+    // a DV delete touches one old bucket: its digest (and sidecar name)
+    // must change, and the new checkpoint replays the deletion
+    assert(DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 1L))) == 1L)
+    DeltaWriter.writeCheckpoint(DeltaLake.deltaMeta(spark, path))
+    val s2 = sidecars
+    assert(s2.size > s1.size, "DV change must re-address the touched bucket")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/" + f"${2L}%020d.json"), false)
+    val ids = DeltaLake.scanDelta(spark, path).select("id")
+      .as[Long].collect().toSet
+    assert(ids == (2L to 31L).toSet)
+  }
+
+  test("vacuum collects sidecars no checkpoint references") {
+    val path = tmp()
+    DeltaWriter.write((1L to 10L).toDF("id"), path,
+      properties = Map("delta.checkpointPolicy" -> "v2"))
+    DeltaWriter.writeCheckpoint(DeltaLake.deltaMeta(spark, path))
+    val fs = fsOf(path)
+    val orphanRel =
+      "_delta_log/_sidecars/00000000-dead-beef-0000-000000000000.parquet"
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/$orphanRel"), false)
+    try out.write("junk".getBytes("UTF-8")) finally out.close()
+
+    val removed = DeltaWriter.vacuum(spark, path)
+    assert(removed.contains(orphanRel), removed.mkString(","))
+    // the referenced sidecar survives and the table still replays
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/_sidecars")).map(_.getPath.getName)
+    assert(left.nonEmpty && !left.contains(
+      "00000000-dead-beef-0000-000000000000.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/" + f"${0L}%020d.json"), false)
+    assert(DeltaLake.scanDelta(spark, path).count() == 10L)
+  }
+
   test("time travel below a v2 checkpoint still works") {
     val path = tmp()
     DeltaWriter.write((1L to 10L).toDF("id"), path,
