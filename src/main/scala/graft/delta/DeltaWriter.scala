@@ -776,11 +776,14 @@ object DeltaWriter {
     * Returns the number of rows updated.
     */
   def update(spark: org.apache.spark.sql.SparkSession, path: String,
-      conditions: Seq[Cond], set: Map[String, Column]): Long = {
+      conditions: Seq[Cond], set: Map[String, Column],
+      /** Already-current snapshot to update against, skipping the
+        * per-call log replay. */
+      priorSnapshot: Option[DeltaSnapshot] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(conditions.nonEmpty, "update needs at least one condition")
     require(set.nonEmpty, "update needs at least one assignment")
-    val snap = DeltaLog.forPath(spark, path)
+    val snap = priorSnapshot.getOrElse(DeltaLog.forPath(spark, path))
     snap.checkProtocolSupported()
     val schema = snap.schema
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
@@ -1408,8 +1411,11 @@ object DeltaWriter {
         * `zOrderBy` only helps data written that way). DVs fold in as
         * with plain compaction; `dataChange=false` throughout.
         */
-      zOrderBy: Seq[String] = Nil): Int = {
-    val snap = DeltaLog.forPath(spark, path)
+      zOrderBy: Seq[String] = Nil,
+      /** Already-current snapshot to compact against, skipping the
+        * per-call log replay. */
+      priorSnapshot: Option[DeltaSnapshot] = None): Int = {
+    val snap = priorSnapshot.getOrElse(DeltaLog.forPath(spark, path))
     snap.checkProtocolSupported()
     val base = path.stripSuffix("/")
     val schema = snap.schema

@@ -74,6 +74,39 @@ class ConcurrencySpec extends SparkSuite {
     assert(DeltaLog.forPath(spark, path).version == 2L)
   }
 
+  test("update rebases over TWO interleaved appends (multi-winner walk)") {
+    val path = tmp()
+    target(path)
+    val snap0 = DeltaLog.forPath(spark, path)
+    DeltaWriter.write(Seq((501L, "0", 1L)).toDF("id", "bucket", "v"),
+      path, mode = "append", partitionBy = Seq("bucket")) // v1
+    DeltaWriter.write(Seq((502L, "0", 2L)).toDF("id", "bucket", "v"),
+      path, mode = "append", partitionBy = Seq("bucket")) // v2
+    val n = DeltaWriter.update(spark, path,
+      Seq(Cond("id", "=", 5L)), Map("v" -> lit(-5L)),
+      priorSnapshot = Some(snap0))
+    assert(n == 1L)
+    val snap = DeltaLog.forPath(spark, path)
+    assert(snap.version == 3L, "update must walk past both winners")
+    val byId = DeltaLake.scanDelta(spark, path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+    assert(byId(5L) == -5L)
+    assert(byId(501L) == 1L && byId(502L) == 2L,
+      "both interleaved appends must survive")
+    // compact through a stale snapshot rebases over a disjoint plain
+    // append the same way (the append's file is not in any bin)
+    val snap3 = DeltaLog.forPath(spark, path)
+    DeltaWriter.write(Seq((503L, "2", 3L)).toDF("id", "bucket", "v"),
+      path, mode = "append", partitionBy = Seq("bucket")) // v4
+    val c = DeltaWriter.compact(spark, path, priorSnapshot = Some(snap3))
+    assert(c > 0)
+    val after = DeltaLake.scanDelta(spark, path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+    assert(after.size == 103 && after(503L) == 3L,
+      "the append racing the compaction must survive")
+    assert(after(5L) == -5L, "compaction must preserve the DV-updated row")
+  }
+
   test("concurrent DML touching the read set aborts loudly") {
     val path = tmp()
     target(path)
