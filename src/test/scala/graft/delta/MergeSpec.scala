@@ -160,4 +160,31 @@ class MergeSpec extends SparkSuite {
     assert(byId(8L) == -8L && byId(12L) == -12L && byId(16L) == 160L)
     assert(byId.size == 100)
   }
+
+  test("change feed composes for MERGE and UPDATE commits") {
+    val path = tmp()
+    target(path) // ids 1..100, v = i*10
+    val source = ((1L to 3L).map(i => (i, (i % 4).toString, -i)) ++
+      Seq((101L, "1", 1010L))).toDF("id", "bucket", "v")
+    DeltaWriter.merge(spark, path, source, Seq("id")) // v1
+
+    // a MERGE commit reads as CDC: the updated images + inserts arrive
+    // as inserted rows, the pre-update images as deleted rows
+    val ins1 = DeltaLake.scanDeltaChanges(spark, path, sinceVersion = 0L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+    assert(ins1 == Map(1L -> -1L, 2L -> -2L, 3L -> -3L, 101L -> 1010L))
+    val del1 = DeltaLake.scanDeltaDeletedRows(spark, path, 0L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+    assert(del1 == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+
+    // same for UPDATE
+    DeltaWriter.update(spark, path, Seq(Cond("id", "=", 50L)),
+      Map("v" -> lit(999L))) // v2
+    val ins2 = DeltaLake.scanDeltaChanges(spark, path, sinceVersion = 1L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+    assert(ins2 == Map(50L -> 999L))
+    val del2 = DeltaLake.scanDeltaDeletedRows(spark, path, 1L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+    assert(del2 == Map(50L -> 500L))
+  }
 }

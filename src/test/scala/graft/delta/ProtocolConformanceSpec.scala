@@ -214,6 +214,73 @@ class ProtocolConformanceSpec extends SparkSuite {
     else None
   }
 
+  test("v2 checkpoint artifacts conform under independent parse") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_conform_v2").toString + "/t"
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    DeltaWriter.write(
+      Seq((1L, "a", "p 1"), (2L, "b", "p 1"), (3L, "c", "q")).toDF("id", "t", "p"),
+      path, partitionBy = Seq("p"),
+      properties = Map("delta.checkpointPolicy" -> "v2"))
+    assert(DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 2L))) == 1L)
+    DeltaWriter.writeCheckpoint(DeltaLog.forPath(spark, path))
+
+    val uuidTop = "^\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.parquet$".r
+    val tops = fs.listStatus(new Path(s"$path/_delta_log"))
+      .map(_.getPath.getName).filter(n => uuidTop.matches(n)).toSeq
+    assert(tops.size == 1, tops.mkString(","))
+
+    // top file: metadata-only — no file-action columns; one
+    // checkpointMetadata row naming the version; protocol row carries
+    // the feature; every sidecar pointer resolves with exact size
+    val top = spark.read.parquet(s"$path/_delta_log/${tops.head}")
+    assert(Set("checkpointMetadata", "sidecar", "protocol", "metaData",
+      "txn").subsetOf(top.schema.fieldNames.toSet))
+    assert(!top.schema.fieldNames.contains("add"),
+      "v2 top file must not carry file actions")
+    val cpm = top.where(col("checkpointMetadata").isNotNull)
+      .select("checkpointMetadata.version").collect()
+    assert(cpm.length == 1 && cpm(0).getLong(0) == 1L)
+    val feats = top.where(col("protocol").isNotNull)
+      .select("protocol.readerFeatures").collect()(0)
+      .getSeq[String](0)
+    assert(feats.contains("v2Checkpoint"))
+    val scRefs = top.where(col("sidecar").isNotNull)
+      .select("sidecar.path", "sidecar.sizeInBytes").collect()
+    assert(scRefs.nonEmpty)
+    scRefs.foreach { r =>
+      val p = new Path(s"$path/_delta_log/_sidecars/${r.getString(0)}")
+      assert(fs.exists(p), s"dangling sidecar ${r.getString(0)}")
+      assert(fs.getFileStatus(p).getLen == r.getLong(1),
+        "sidecar sizeInBytes mismatch")
+    }
+
+    // sidecars: map-typed partitionValues, percent-decodable paths to
+    // real files, dataChange=false, the DV descriptor present
+    val sc = spark.read.parquet(scRefs.map(r =>
+      s"$path/_delta_log/_sidecars/${r.getString(0)}").toIndexedSeq: _*)
+    val addType = sc.schema("add").dataType.asInstanceOf[StructType]
+    assert(addType("partitionValues").dataType ==
+      MapType(StringType, StringType, valueContainsNull = true))
+    val addRows = sc.where(col("add").isNotNull)
+      .select("add.path", "add.dataChange").collect()
+    assert(addRows.length >= 3)
+    addRows.foreach { r =>
+      val rel = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
+      assert(fs.exists(new Path(path, rel)), s"sidecar add missing: $rel")
+      assert(!r.getBoolean(1), "checkpoint adds must carry dataChange=false")
+    }
+    assert(sc.where(col("add.deletionVector").isNotNull).count() == 1)
+
+    // _last_checkpoint names the v2 version
+    val lc = {
+      val in = fs.open(new Path(s"$path/_delta_log/_last_checkpoint"))
+      try om.readTree(scala.io.Source.fromInputStream(in).mkString)
+      finally in.close()
+    }
+    assert(lc.get("version").asLong() == 1L)
+  }
+
   test("differential replay through an independent Delta reader") {
     // The one claim conformance checks can't close: "delta-rs could read
     // our tables". This test closes it WHENEVER the sandbox gains a
