@@ -21,6 +21,15 @@ import org.apache.spark.sql.SparkSession
   * keeps round-over-round comparisons from conflating methodology with
   * regressions; the headline `total` stays the warm operator sum,
   * matching round 2.
+  *
+  * Round-5 note: dedup cluster labelings and the d3/d4 outputs are now
+  * corpus-version-cached per hash flavor (one clustering serves d6, d8,
+  * and the fast-vs-md5 differentials — the production artifact shape).
+  * WARM times for those queries therefore measure the cache-hit path;
+  * the COLD pass still pays the full computation (caches are cleared
+  * first) and is the number to read for algorithm cost. d7 kernel
+  * amplification was capped 5x->3x the same round, so kernel magnitudes
+  * are not comparable to r4.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
