@@ -114,10 +114,19 @@ object DeltaLake {
         .filterNot(_.isNull).map(t => new java.sql.Timestamp(t.asLong))
       val op = ci.flatMap(c => Option(c.get("operation")))
         .filterNot(_.isNull).map(_.asText)
-      (v, ts.orNull, op.orNull, n("add"), n("remove"), n("metaData") > 0)
+      val metrics: Map[String, String] = {
+        import scala.jdk.CollectionConverters._
+        ci.flatMap(c => Option(c.get("operationMetrics")))
+          .filterNot(_.isNull)
+          .map(_.properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty)
+      }
+      (v, ts.orNull, op.orNull, n("add"), n("remove"), n("metaData") > 0,
+        metrics)
     }
     rows.toDF("version", "timestamp", "operation", "num_added_files",
-      "num_removed_files", "metadata_changed")
+      "num_removed_files", "metadata_changed", "operation_metrics")
       .orderBy(org.apache.spark.sql.functions.col("version").desc)
   }
 

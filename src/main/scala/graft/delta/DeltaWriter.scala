@@ -320,11 +320,12 @@ object DeltaWriter {
 
     txn.foreach { case (appId, v) => lines += txnLine(appId, v) }
 
-    val ci = nf.objectNode()
-    val c = ci.putObject("commitInfo")
-    c.put("timestamp", System.currentTimeMillis())
-    c.put("operation", if (mode == "overwrite") "WRITE" else "APPEND")
-    lines += ci.toString
+    lines += commitInfoLine(
+      if (mode == "overwrite") "WRITE" else "APPEND",
+      params = Map("mode" -> mode) ++
+        (if (partitionBy.nonEmpty)
+          Map("partitionBy" -> partitionBy.mkString(",")) else Map.empty),
+      metrics = Map("numFiles" -> newFiles.size.toLong))
 
     val logDir = new Path(root, "_delta_log")
     fs.mkdirs(logDir)
@@ -591,11 +592,10 @@ object DeltaWriter {
     val (lines, newlyDeleted) = dvActionLines(spark, base, snap, candidates, matching)
     if (lines.isEmpty) return 0L
 
-    val nf = JsonNodeFactory.instance
-    val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
-    c.put("timestamp", System.currentTimeMillis())
-    c.put("operation", "DELETE")
-    val all = lines :+ ci.toString
+    val all = lines :+ commitInfoLine("DELETE",
+      params = Map("predicate" -> conditions.mkString(" AND ")),
+      metrics = Map("numDeletedRows" -> newlyDeleted,
+        "numRemovedFiles" -> removedPaths(lines).size.toLong))
     commitDml(spark, path, snap, all, removedPaths(all), "DELETE",
       snap.configuration)
     newlyDeleted
@@ -672,11 +672,9 @@ object DeltaWriter {
         // applied even when N carried no rows (appendBatch's empty
         // commits behave the same way)
         txn.foreach { case (appId, v) =>
-          val nf = JsonNodeFactory.instance
-          val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
-          c.put("timestamp", System.currentTimeMillis())
-          c.put("operation", "MERGE")
-          commitDml(spark, path, snap, Seq(txnLine(appId, v), ci.toString),
+          commitDml(spark, path, snap,
+            Seq(txnLine(appId, v),
+              commitInfoLine("MERGE", metrics = Map("numSourceRows" -> 0L))),
             Set.empty, "MERGE", snap.configuration)
         }
         MergeStats(0L, 0L)
@@ -743,12 +741,12 @@ object DeltaWriter {
             DeltaSchema.physicalize(schema), snap.configuration))
         }
 
-        val nf = JsonNodeFactory.instance
         txn.foreach { case (appId, v) => lines += txnLine(appId, v) }
-        val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
-        c.put("timestamp", System.currentTimeMillis())
-        c.put("operation", "MERGE")
-        lines += ci.toString
+        lines += commitInfoLine("MERGE",
+          params = Map("keys" -> keys.mkString(",")),
+          metrics = Map("numSourceRows" -> srcRows,
+            "numTargetRowsUpdated" -> updated,
+            "numTargetFilesRemoved" -> removedPaths(lines.toSeq).size.toLong))
         commitDml(spark, path, snap, lines.toSeq,
           removedPaths(lines.toSeq), "MERGE", snap.configuration)
         MergeStats(updated, srcRows)
@@ -842,11 +840,9 @@ object DeltaWriter {
           DeltaSchema.physicalize(schema), snap.configuration))
       }
 
-      val nf = JsonNodeFactory.instance
-      val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
-      c.put("timestamp", System.currentTimeMillis())
-      c.put("operation", "UPDATE")
-      lines += ci.toString
+      lines += commitInfoLine("UPDATE",
+        params = Map("predicate" -> conditions.mkString(" AND ")),
+        metrics = Map("numUpdatedRows" -> updated))
       commitDml(spark, path, snap, lines.toSeq,
         removedPaths(lines.toSeq), "UPDATE", snap.configuration)
       updated
@@ -927,10 +923,10 @@ object DeltaWriter {
     }
     (toAdd ++ dvChanged).foreach(a =>
       lines += addLineFor(a, dataChange = true))
-    val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
-    c.put("timestamp", System.currentTimeMillis())
-    c.put("operation", "RESTORE")
-    lines += ci.toString
+    lines += commitInfoLine("RESTORE",
+      params = Map("version" -> toVersion.toString),
+      metrics = Map("numRestoredFiles" -> toAdd.size.toLong,
+        "numRemovedFiles" -> toRemove.size.toLong))
     writeCommitAt(spark, path, cur.version + 1, lines.toSeq,
       tgt.configuration)
     RestoreStats(toAdd.size.toLong, toRemove.size.toLong,
@@ -1036,10 +1032,8 @@ object DeltaWriter {
         a.copy(path = sch + encodePath(p), deletionVector = dv2),
         dataChange = true)
     }
-    val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
-    c.put("timestamp", System.currentTimeMillis())
-    c.put("operation", "CLONE")
-    lines += ci.toString
+    lines += commitInfoLine("CLONE",
+      params = Map("source" -> srcPath))
     dstFs.mkdirs(new Path(dstRoot, "_delta_log"))
     writeCommitAt(spark, dstPath, 0L, lines.toSeq, md.configuration)
   }
@@ -1169,6 +1163,31 @@ object DeltaWriter {
       dvn.put("cardinality", dv.cardinality)
     }
     addObj.toString
+  }
+
+  /** One `commitInfo` line: operation + operationParameters +
+    * operationMetrics + engineInfo — the delta-spark-compatible audit
+    * fields DESCRIBE HISTORY surfaces and external tooling parses.
+    * Metric values serialize as STRINGS (the delta-spark convention).
+    */
+  private def commitInfoLine(operation: String,
+      params: Map[String, String] = Map.empty,
+      metrics: Map[String, Long] = Map.empty): String = {
+    val nf = JsonNodeFactory.instance
+    val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
+    c.put("timestamp", System.currentTimeMillis())
+    c.put("operation", operation)
+    if (params.nonEmpty) {
+      val p = c.putObject("operationParameters")
+      params.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    }
+    if (metrics.nonEmpty) {
+      val m = c.putObject("operationMetrics")
+      metrics.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        m.put(k, v.toString) }
+    }
+    c.put("engineInfo", "graft-spark/0.5")
+    ci.toString
   }
 
   /** One `txn` action line — the exactly-once ledger entry, shared by
@@ -1376,11 +1395,7 @@ object DeltaWriter {
         .foreach(s => a.put("stats", s))
       lines += addObj.toString
     }
-    val ci = nf.objectNode()
-    ci.putObject("commitInfo")
-      .put("timestamp", System.currentTimeMillis())
-      .put("operation", "CONVERT")
-    lines += ci.toString
+    lines += commitInfoLine("CONVERT")
 
     val logDir = new Path(root, "_delta_log")
     fs.mkdirs(logDir)
@@ -1578,10 +1593,10 @@ object DeltaWriter {
     }
     if (lines.isEmpty) return 0
 
-    val ci = nf.objectNode(); val c = ci.putObject("commitInfo")
-    c.put("timestamp", System.currentTimeMillis())
-    c.put("operation", "OPTIMIZE")
-    lines += ci.toString
+    lines += commitInfoLine("OPTIMIZE",
+      params = if (zOrderBy.isEmpty) Map.empty
+        else Map("zOrderBy" -> zOrderBy.mkString(",")),
+      metrics = Map("numCompactedFiles" -> nCompacted.toLong))
     commitDml(spark, path, snap, lines.toSeq,
       removedPaths(lines.toSeq), "OPTIMIZE", snap.configuration)
     nCompacted

@@ -184,6 +184,16 @@ class UpdateRestoreSpec extends SparkSuite {
     assert(byV(1L).getLong(3) == byV(1L).getLong(4))
     assert(byV(1L).getLong(3) >= 1L)
     assert(h.forall(!_.isNullAt(1))) // every commit stamped
+    // operationMetrics (r5): every commit audited with typed counts
+    def metrics(v: Long): Map[String, String] =
+      byV(v).getAs[Map[String, String]]("operation_metrics")
+    assert(metrics(1L)("numDeletedRows") == "10")
+    assert(metrics(1L)("numRemovedFiles").toLong >= 1L)
+    assert(metrics(2L)("numFiles").toLong >= 1L)
+    // v3 RESTORE undoes the append by removing its files; the delete
+    // was DV-only, so nothing needed re-adding (numRestoredFiles = 0)
+    assert(metrics(3L)("numRemovedFiles").toLong >= 1L)
+    assert(metrics(3L)("numRestoredFiles") == "0")
   }
 
   test("restore across an OPTIMIZE re-adds the pre-compact files") {
