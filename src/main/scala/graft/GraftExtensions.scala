@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+import graft.delta.ScanSettings
 import graft.functions.{LshSignature, NearestCentroid, SimHash64, VectorCosine}
 
 /** Spark-native integration point: `--conf
@@ -37,5 +38,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NearestCentroid.builder))
     ext.injectFunction(fn("lsh_signature", classOf[LshSignature],
       LshSignature.builder))
+    // table-valued function: SELECT * FROM graft_delta('/path'[, version])
+    // — the pure-SQL entry point to the optimized Delta scan (same
+    // DeltaFileIndex single-scan plan as scanDelta: partition pruning,
+    // stats skipping, DV subtraction, column-mapping rename all intact,
+    // because the resolved plan is spliced in whole)
+    ext.injectTableFunction((new FunctionIdentifier("graft_delta"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_delta"),
+      GraftExtensions.deltaTableFunction))
   }
+}
+
+object GraftExtensions {
+
+  /** Builder for the `graft_delta` table function: literal path +
+    * optional literal version → the analyzed scan plan.
+    */
+  private[graft] val deltaTableFunction
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    args => {
+      require(args.nonEmpty && args.size <= 2,
+        "graft_delta(path[, version]) takes 1 or 2 arguments")
+      require(args.forall(_.foldable),
+        "graft_delta arguments must be literals")
+      val path = args.head.eval() match {
+        case null => throw new IllegalArgumentException(
+          "graft_delta path must not be null")
+        case s => s.toString
+      }
+      val version = args.lift(1).map(_.eval() match {
+        case n: Number => n.longValue()
+        case other => other.toString.toLong
+      })
+      val spark = org.apache.spark.sql.SparkSession.active
+      DeltaLake.scanDelta(spark, path,
+        ScanSettings(version = version)).queryExecution.analyzed
+    }
 }

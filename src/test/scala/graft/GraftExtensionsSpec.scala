@@ -36,4 +36,44 @@ class GraftExtensionsSpec extends SparkSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("graft_delta table function scans Delta from plain SQL") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tvf").toString + "/t"
+    graft.delta.DeltaWriter.write(
+      (1L to 20L).map(i => (i, (i % 2).toString)).toDF("id", "p"),
+      path, partitionBy = Seq("p"))
+    graft.delta.DeltaWriter.write(Seq((21L, "1")).toDF("id", "p"),
+      path, mode = "append", partitionBy = Seq("p"))
+
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // current version, with a pushed filter
+      val n = s2.sql(
+        s"SELECT count(*) AS n FROM graft_delta('$path') WHERE p = '1'")
+        .collect()(0).getLong(0)
+      assert(n == 11L)
+      // time travel via the second literal argument
+      val n0 = s2.sql(
+        s"SELECT count(*) AS n FROM graft_delta('$path', 0)")
+        .collect()(0).getLong(0)
+      assert(n0 == 20L)
+      // non-literal arguments are rejected loudly
+      val e = intercept[Exception] {
+        s2.sql(s"SELECT * FROM graft_delta(concat('$path', rand()))")
+          .collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("literal"), e.getMessage)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
