@@ -67,6 +67,8 @@ object GraftExtensions {
         case s => s.toString
       }
       val version = args.lift(1).map(_.eval() match {
+        case null => throw new IllegalArgumentException(
+          "graft_delta version must not be null")
         case n: Number => n.longValue()
         case other => other.toString.toLong
       })

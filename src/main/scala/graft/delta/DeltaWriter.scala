@@ -592,11 +592,12 @@ object DeltaWriter {
     val (lines, newlyDeleted) = dvActionLines(spark, base, snap, candidates, matching)
     if (lines.isEmpty) return 0L
 
+    val removed = removedPaths(lines)
     val all = lines :+ commitInfoLine("DELETE",
       params = Map("predicate" -> conditions.mkString(" AND ")),
       metrics = Map("numDeletedRows" -> newlyDeleted,
-        "numRemovedFiles" -> removedPaths(lines).size.toLong))
-    commitDml(spark, path, snap, all, removedPaths(all), "DELETE",
+        "numRemovedFiles" -> removed.size.toLong))
+    commitDml(spark, path, snap, all, removed, "DELETE",
       snap.configuration)
     newlyDeleted
   }
@@ -680,10 +681,7 @@ object DeltaWriter {
         MergeStats(0L, 0L)
       }
       else {
-        require(src.groupBy(keys.map(q): _*).count()
-            .where(col("count") > 1).isEmpty,
-          "merge source has duplicate key tuples — each target row may" +
-            " match at most one source row")
+        requireUniqueKeys(src, keys, "merge source")
 
         // key bounds → candidate-file pruning (fail-open zone maps)
         val orderableKeys = keys.filter(k => schema(k).dataType match {
@@ -742,13 +740,15 @@ object DeltaWriter {
         }
 
         txn.foreach { case (appId, v) => lines += txnLine(appId, v) }
+        val removed = removedPaths(lines.toSeq)
         lines += commitInfoLine("MERGE",
           params = Map("keys" -> keys.mkString(",")),
           metrics = Map("numSourceRows" -> srcRows,
             "numTargetRowsUpdated" -> updated,
-            "numTargetFilesRemoved" -> removedPaths(lines.toSeq).size.toLong))
+            "numTargetFilesRemoved" -> removed.size.toLong))
         commitDml(spark, path, snap, lines.toSeq,
-          removedPaths(lines.toSeq), "MERGE", snap.configuration)
+          removed, "MERGE", snap.configuration,
+          newDataGuard = Some(bounds))
         MergeStats(updated, srcRows)
       }
     } finally src.unpersist()
@@ -1165,6 +1165,22 @@ object DeltaWriter {
     addObj.toString
   }
 
+  /** The SQL MERGE cardinality rule (a target row may match at most one
+    * source row), shared by [[merge]] and DeltaSink's creating batch so
+    * batch 0 and steady-state batches can never enforce different
+    * invariants.
+    */
+  private[graft] def requireUniqueKeys(
+      df: DataFrame, keys: Seq[String], what: String,
+      hint: String = ""): Unit = {
+    import org.apache.spark.sql.functions.col
+    def q(n: String) = col(s"`${n.replace("`", "``")}`")
+    require(df.groupBy(keys.map(q): _*).count()
+        .where(col("count") > 1).isEmpty,
+      s"$what has duplicate key tuples — each target row may" +
+        " match at most one source row" + hint)
+  }
+
   /** One `commitInfo` line: operation + operationParameters +
     * operationMetrics + engineInfo — the delta-spark-compatible audit
     * fields DESCRIBE HISTORY surfaces and external tooling parses.
@@ -1256,7 +1272,18 @@ object DeltaWriter {
   private def commitDml(spark: org.apache.spark.sql.SparkSession,
       path: String, snap: DeltaSnapshot, lines: Seq[String],
       readSet: Set[String], op: String,
-      config: Map[String, String]): Long = {
+      config: Map[String, String],
+      /** When set, winner commits' genuinely NEW data files (dataChange
+        * adds not paired with a remove of the same path — restates are
+        * old rows) are additionally zone-map-tested against these
+        * conditions; possible overlap aborts. MERGE passes its source
+        * key bounds: without this, two concurrent merges inserting the
+        * same previously-absent key would each see an "insert" and
+        * rebase into a duplicate-key table no serial order produces.
+        * `Some(Nil)` = no provable bounds ⇒ any new data file
+        * conflicts (fail-closed).
+        */
+      newDataGuard: Option[Seq[Cond]] = None): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val logDir = new Path(root, "_delta_log")
@@ -1270,7 +1297,8 @@ object DeltaWriter {
     while (true) {
       val commit = new Path(logDir, f"$v%020d.json")
       if (fs.exists(commit)) {
-        validateRebase(spark, path, v, readSet, ourTxnApps, op)
+        validateRebase(spark, path, v, readSet, ourTxnApps, op,
+          newDataGuard, snap)
         v += 1
       } else {
         // full bytes land in a temp file first (same discipline as
@@ -1301,7 +1329,8 @@ object DeltaWriter {
     */
   private def validateRebase(spark: org.apache.spark.sql.SparkSession,
       path: String, v: Long, readSet: Set[String],
-      ourTxnApps: Set[String], op: String): Unit = {
+      ourTxnApps: Set[String], op: String,
+      newDataGuard: Option[Seq[Cond]], snap: DeltaSnapshot): Unit = {
     val nodes = DeltaLog.readCommitJson(spark, path, v).getOrElse(
       throw new java.io.IOException(
         s"Concurrent commit $v of $path exists but could not be read; " +
@@ -1327,6 +1356,33 @@ object DeltaWriter {
         .flatMap(t => Option(t.get("appId")).map(_.asText))
         .filter(ourTxnApps.contains)
         .foreach(a => conflict(s"advanced the transaction ledger for appId '$a'"))
+    }
+    newDataGuard.foreach { conds =>
+      val sch = snap.schema
+      val physToField = DeltaSchema.physicalToField(sch)
+      val logToPhys = DeltaSchema.logicalToPhysical(sch)
+      // restates carry no new rows: an add paired with a remove of the
+      // same path in the SAME winner commit is a DV/compaction rewrite
+      val removedHere: Set[String] = nodes.flatMap(n =>
+        Option(n.get("remove")).filterNot(_.isNull)
+          .flatMap(r => Option(r.get("path")).map(_.asText))).toSet
+      nodes.foreach { n =>
+        Option(n.get("add")).filterNot(_.isNull).foreach { a =>
+          val p = Option(a.get("path")).map(_.asText).getOrElse("")
+          val isNewData =
+            Option(a.get("dataChange")).exists(_.asBoolean()) &&
+              !removedHere.contains(p) && !readSet.contains(p)
+          if (isNewData) {
+            val action = ActionCodec.parseAdd(a)
+            val provablyDisjoint = conds.nonEmpty &&
+              FileSkipping.canSkip(action, conds, physToField, logToPhys)
+            if (!provablyDisjoint) conflict(
+              s"added new data file '$p' whose rows may match this " +
+                s"$op's source keys (rebasing would break the " +
+                "at-most-one-row-per-key contract)")
+          }
+        }
+      }
     }
   }
 
@@ -1652,14 +1708,32 @@ object DeltaWriter {
       if (!fs.exists(sidecarDir)) Nil
       else {
         val logDir = new Path(root, "_delta_log")
+        // BOTH v2 top-file forms reference sidecars: parquet (what we
+        // write) and line-JSON (what DeltaLog.forPath also reads —
+        // external engines emit it); missing the JSON form here would
+        // classify their sidecars as orphans and delete live state
         val uuidTop = "^\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.parquet$".r
-        val tops = fs.listStatus(logDir).map(_.getPath)
-          .filter(p => uuidTop.matches(p.getName))
-        val referenced: Set[String] =
+        val uuidTopJson = "^\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.json$".r
+        val all = fs.listStatus(logDir).map(_.getPath)
+        val tops = all.filter(p => uuidTop.matches(p.getName))
+        val jsonTops = all.filter(p => uuidTopJson.matches(p.getName))
+        val refParquet: Set[String] =
           if (tops.isEmpty) Set.empty
           else spark.read.parquet(tops.map(_.toString).toIndexedSeq: _*)
             .select("sidecar.path").na.drop().collect()
             .map(_.getString(0)).toSet
+        val refJson: Set[String] = jsonTops.flatMap { p =>
+          val in = fs.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          text.split('\n').filter(_.nonEmpty).flatMap { l =>
+            val n = ActionCodec.mapper.readTree(l)
+            Option(n.get("sidecar")).filterNot(_.isNull)
+              .flatMap(s => Option(s.get("path")).filterNot(_.isNull)
+                .map(_.asText))
+          }
+        }.toSet
+        val referenced = refParquet ++ refJson
         fs.listStatus(sidecarDir).toSeq
           .filter(st => !referenced.contains(st.getPath.getName) &&
             (graceMs <= 0L || st.getModificationTime < cutoff))
@@ -1885,6 +1959,12 @@ object DeltaWriter {
       if (!fs.exists(p))
         writeSingleParquet(spark, v2SidecarSchema,
           sorted.map(a => Row(checkpointAddRow(a), null)), p)
+      else
+        // refresh the mtime on reuse: a sidecar left behind by a CRASHED
+        // checkpoint is an orphan with an old timestamp until this top
+        // file lands — without the touch, a concurrent vacuum's grace
+        // window (which keys on mtime) wouldn't spare it
+        fs.setTimes(p, System.currentTimeMillis(), -1)
       sidecarRowCount += sorted.size
       val st = fs.getFileStatus(p)
       (name, st.getLen, st.getModificationTime)

@@ -68,15 +68,10 @@ object DeltaSink {
       }
       if (!exists) {
         snapshots.remove(path) // table was deleted out from under us
-        if (uniqueKeys.nonEmpty) {
-          import org.apache.spark.sql.functions.col
-          def q(n: String) = col(s"`${n.replace("`", "``")}`")
-          require(df.groupBy(uniqueKeys.map(q): _*).count()
-              .where(col("count") > 1).isEmpty,
-            "upsert batch has duplicate key tuples — each target row may" +
-              " match at most one source row (collapse the CDC batch to" +
-              " last-change-per-key upstream)")
-        }
+        if (uniqueKeys.nonEmpty)
+          DeltaWriter.requireUniqueKeys(df, uniqueKeys, "upsert batch",
+            hint = " (collapse the CDC batch to last-change-per-key" +
+              " upstream)")
         DeltaWriter.write(df, path, partitionBy, mode = "overwrite",
           txn = Some(appId -> batchId))
         return true

@@ -106,7 +106,11 @@ object ScaleGen {
       if (c == 0) d
       else {
         val dim = size(col("embedding"))
-        val shift = lit(c * 7) % dim
+        // never shift by 0 (c*7 ≡ 0 mod dim would leave that copy's
+        // vectors byte-identical to copy 0 — exact cross-copy dups, the
+        // pathology this transform exists to avoid)
+        val raw = lit(c * 7) % dim
+        val shift = when(raw === 0, lit(1)).otherwise(raw)
         d.withColumn("embedding",
           concat(slice(col("embedding"), shift + 1, dim - shift),
             slice(col("embedding"), lit(1), shift)))

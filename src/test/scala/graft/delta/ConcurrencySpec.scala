@@ -149,6 +149,36 @@ class ConcurrencySpec extends SparkSuite {
     assert(!byId.contains(99L))
   }
 
+  test("racing merges inserting the same absent key conflict, not duplicate") {
+    val path = tmp()
+    target(path)
+    val snap0 = DeltaLog.forPath(spark, path)
+    // winner merge inserts key 300 (absent at v0)
+    DeltaWriter.merge(spark, path,
+      Seq((300L, "0", 1L)).toDF("id", "bucket", "v"), Seq("id"))
+    // loser computed against v0 inserts the SAME key: its read set is
+    // empty (nothing matched), but the winner's new file overlaps its
+    // source key range — rebasing would yield two rows for key 300,
+    // a state no serial order of the two merges produces
+    val e = intercept[java.util.ConcurrentModificationException] {
+      DeltaWriter.merge(spark, path,
+        Seq((300L, "0", 2L)).toDF("id", "bucket", "v"), Seq("id"),
+        priorSnapshot = Some(snap0))
+    }
+    assert(e.getMessage.contains("source keys"), e.getMessage)
+    assert(DeltaLake.scanDelta(spark, path)
+      .where(col("id") === 300L).count() == 1L, "no duplicate key")
+    // a KEY-DISJOINT merge over the same stale snapshot still rebases
+    // (the winner's new file is provably outside its key bounds)
+    val stats = DeltaWriter.merge(spark, path,
+      Seq((400L, "0", 4L)).toDF("id", "bucket", "v"), Seq("id"),
+      priorSnapshot = Some(snap0))
+    assert(stats == MergeStats(0L, 1L))
+    val byId = DeltaLake.scanDelta(spark, path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+    assert(byId.size == 102 && byId(300L) == 1L && byId(400L) == 4L)
+  }
+
   test("concurrent metadata change always aborts") {
     val path = tmp()
     target(path)
