@@ -46,6 +46,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((new FunctionIdentifier("graft_delta"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_delta"),
       GraftExtensions.deltaTableFunction))
+    // SELECT * FROM graft_delta_cdf('/path', sinceVersion) — the change
+    // feed as a table: window inserts with _change_type='insert',
+    // DV retractions with 'delete' (scanDeltaChanges /
+    // scanDeltaDeletedRows compose to the net state delta)
+    ext.injectTableFunction((new FunctionIdentifier("graft_delta_cdf"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_delta_cdf"),
+      GraftExtensions.cdfTableFunction))
+    // SELECT * FROM graft_delta_history('/path') — DESCRIBE HISTORY
+    ext.injectTableFunction((new FunctionIdentifier("graft_delta_history"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_delta_history"),
+      GraftExtensions.historyTableFunction))
   }
 }
 
@@ -75,5 +87,62 @@ object GraftExtensions {
       val spark = org.apache.spark.sql.SparkSession.active
       DeltaLake.scanDelta(spark, path,
         ScanSettings(version = version)).queryExecution.analyzed
+    }
+
+  /** Shared literal-argument extraction for the TVF builders. */
+  private def literalString(args: Seq[Expression], i: Int,
+      fn: String, what: String): String = {
+    require(args(i).foldable, s"$fn arguments must be literals")
+    args(i).eval() match {
+      case null =>
+        throw new IllegalArgumentException(s"$fn $what must not be null")
+      case s => s.toString
+    }
+  }
+
+  private def literalLong(args: Seq[Expression], i: Int,
+      fn: String, what: String): Long = {
+    require(args(i).foldable, s"$fn arguments must be literals")
+    args(i).eval() match {
+      case null =>
+        throw new IllegalArgumentException(s"$fn $what must not be null")
+      case n: Number => n.longValue()
+      case other => other.toString.toLong
+    }
+  }
+
+  /** `graft_delta_cdf(path, sinceVersion)`: the batch change feed —
+    * rows added strictly after `sinceVersion` (`_change_type='insert'`,
+    * incl. DV-shrink restores) unioned with rows DV-deleted in the
+    * window (`'delete'`). Applying inserts then deletes reproduces the
+    * net state delta; the streaming twin is
+    * [[graft.streaming.DeltaStream.runAvailableNowCdf]].
+    */
+  private[graft] val cdfTableFunction
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    args => {
+      require(args.size == 2,
+        "graft_delta_cdf(path, sinceVersion) takes 2 arguments")
+      val path = literalString(args, 0, "graft_delta_cdf", "path")
+      val since = literalLong(args, 1, "graft_delta_cdf", "sinceVersion")
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.lit
+      DeltaLake.scanDeltaChanges(spark, path, since)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(DeltaLake.scanDeltaDeletedRows(spark, path, since)
+          .withColumn("_change_type", lit("delete")))
+        .queryExecution.analyzed
+    }
+
+  /** `graft_delta_history(path)`: DESCRIBE HISTORY as a table —
+    * version/timestamp/operation/file-action counts/operation_metrics.
+    */
+  private[graft] val historyTableFunction
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    args => {
+      require(args.size == 1, "graft_delta_history(path) takes 1 argument")
+      val path = literalString(args, 0, "graft_delta_history", "path")
+      val spark = org.apache.spark.sql.SparkSession.active
+      DeltaLake.history(spark, path).queryExecution.analyzed
     }
 }

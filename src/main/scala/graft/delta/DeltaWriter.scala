@@ -233,6 +233,26 @@ object DeltaWriter {
       }
     val cfgChanged = newCfg != priorCfg
 
+    // Table-constraint enforcement (Constraints.scala) — all BEFORE the
+    // data write, so a rejected batch strands no files. Overwrite of an
+    // append-only table destroys committed rows; explicitly passing
+    // delta.appendOnly=false in this call's properties lifts the gate
+    // (the ALTER TABLE analogue). A CHECK constraint arriving via
+    // write(properties) on a table that still carries rows would demand
+    // a full-table validation scan hidden inside an append — route that
+    // through addCheckConstraint, which does it loudly.
+    if (mode == "overwrite" && prior.isDefined)
+      Constraints.requireNotAppendOnly(newCfg, "overwrite", path)
+    val newConstraintKeys =
+      newCfg.keySet.filter(_.startsWith(Constraints.Prefix)) -- priorCfg.keySet
+    require(newConstraintKeys.isEmpty || mode == "overwrite" ||
+        prior.forall(_.liveFiles.isEmpty),
+      s"adding CHECK constraints (${newConstraintKeys.mkString(", ")}) to " +
+        "a table with existing data via write(properties) is not " +
+        "supported — use DeltaWriter.addCheckConstraint, which validates " +
+        "existing rows first")
+    Constraints.validateBatch(df0, mergedSchema, newCfg, s"$mode to $path")
+
     // Delta stores timestamps as INT64 micros (INT96, Spark's legacy
     // default, also carries no usable column statistics). Data files
     // carry PHYSICAL column names — appending logical-named files to a
@@ -261,16 +281,24 @@ object DeltaWriter {
       val wantsV2Cp = newCfg.get("delta.checkpointPolicy").contains("v2")
       val priorHasV2Cp = prior.flatMap(_.protocol).exists(
         _.readerFeatures.exists(_.contains("v2Checkpoint")))
+      val hasConstraints =
+        newCfg.keys.exists(_.startsWith(Constraints.Prefix))
       if (version == 0L || mode == "overwrite") {
-        val features = (if (needsNtz) Seq("timestampNtz") else Nil) ++
+        val rw = (if (needsNtz) Seq("timestampNtz") else Nil) ++
           (if (wantsV2Cp) Seq("v2Checkpoint") else Nil)
         val protocol = nf.objectNode()
         val p = protocol.putObject("protocol")
-        if (features.nonEmpty) {
+        if (rw.nonEmpty) {
+          // feature form: reader-writer features land in BOTH arrays;
+          // checkConstraints is writer-only (readers need nothing)
           p.put("minReaderVersion", 3).put("minWriterVersion", 7)
-          val rfa = p.putArray("readerFeatures"); features.foreach(rfa.add)
-          val wfa = p.putArray("writerFeatures"); features.foreach(wfa.add)
-        } else p.put("minReaderVersion", 1).put("minWriterVersion", 2)
+          val rfa = p.putArray("readerFeatures"); rw.foreach(rfa.add)
+          val wfa = p.putArray("writerFeatures")
+          (rw ++ (if (hasConstraints) Seq("checkConstraints") else Nil))
+            .foreach(wfa.add)
+        } else p.put("minReaderVersion", 1)
+          // legacy minWriterVersion 3 implies checkConstraints
+          .put("minWriterVersion", if (hasConstraints) 3 else 2)
         lines += protocol.toString
       } else {
         // evolution introduced an NTZ column and/or the properties newly
@@ -581,6 +609,7 @@ object DeltaWriter {
     require(conditions.nonEmpty, "delete needs at least one condition")
     val snap = priorSnapshot.getOrElse(DeltaLog.forPath(spark, path))
     snap.checkProtocolSupported()
+    Constraints.requireNotAppendOnly(snap.configuration, "DELETE", path)
     val base = path.stripSuffix("/")
     val candidates = snap.addActionsFiltered(conditions)
     if (candidates.isEmpty) return 0L
@@ -644,6 +673,10 @@ object DeltaWriter {
     require(keys.nonEmpty, "merge needs at least one key column")
     val snap = priorSnapshot.getOrElse(DeltaLog.forPath(spark, path))
     snap.checkProtocolSupported()
+    // conservative: a merge REPLACES matched rows, which append-only
+    // forbids; a provably-insert-only merge would need the match count
+    // first, by which point the work is already done
+    Constraints.requireNotAppendOnly(snap.configuration, "MERGE", path)
     txn.foreach { case (appId, v) =>
       if (snap.txnVersions.get(appId).exists(_ >= v)) return MergeStats(0L, 0L)
     }
@@ -682,6 +715,8 @@ object DeltaWriter {
       }
       else {
         requireUniqueKeys(src, keys, "merge source")
+        Constraints.validateBatch(src, schema, snap.configuration,
+          s"MERGE into $path")
 
         // key bounds → candidate-file pruning (fail-open zone maps)
         val orderableKeys = keys.filter(k => schema(k).dataType match {
@@ -783,6 +818,7 @@ object DeltaWriter {
     require(set.nonEmpty, "update needs at least one assignment")
     val snap = priorSnapshot.getOrElse(DeltaLog.forPath(spark, path))
     snap.checkProtocolSupported()
+    Constraints.requireNotAppendOnly(snap.configuration, "UPDATE", path)
     val schema = snap.schema
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"update assignment '$k' is not a table column"))
@@ -826,6 +862,11 @@ object DeltaWriter {
           .map(_.cast(f.dataType).as(f.name))
           .getOrElse(q(f.name))
       }: _*)
+      // the updated images must satisfy the table's constraints — an
+      // assignment driving a column below a CHECK bound rejects here,
+      // before any DV or image file lands
+      Constraints.validateBatch(images, schema, snap.configuration,
+        s"UPDATE of $path")
       val root = new Path(path)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val before = listDataFiles(fs, root)
@@ -870,6 +911,7 @@ object DeltaWriter {
         s"(current version is ${cur.version})")
     if (toVersion == cur.version) return RestoreStats(0L, 0L, 0L)
     cur.checkProtocolSupported()
+    Constraints.requireNotAppendOnly(cur.configuration, "RESTORE", path)
     val tgt = DeltaLog.forPath(spark, path, Some(toVersion))
     require(tgt.version == toVersion && tgt.metadata.isDefined,
       s"version $toVersion of $path is not reconstructible " +
@@ -931,6 +973,119 @@ object DeltaWriter {
       tgt.configuration)
     RestoreStats(toAdd.size.toLong, toRemove.size.toLong,
       dvChanged.size.toLong)
+  }
+
+  /** `metaData` action line re-stating `md` with `cfg` as the
+    * configuration — the ALTER-style metadata-only commit shape.
+    */
+  private def metadataLine(path: String, md: DeltaMetadata,
+      cfg: Map[String, String]): String = {
+    val nf = JsonNodeFactory.instance
+    val meta = nf.objectNode(); val m = meta.putObject("metaData")
+    m.put("id", md.id.getOrElse(java.util.UUID.nameUUIDFromBytes(
+      path.getBytes(StandardCharsets.UTF_8)).toString))
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", md.schemaString)
+    val pc = m.putArray("partitionColumns")
+    md.partitionColumns.foreach(pc.add)
+    val c = m.putObject("configuration")
+    cfg.foreach { case (k, v) => c.put(k, v) }
+    md.createdTime.foreach(m.put("createdTime", _))
+    meta.toString
+  }
+
+  /** Protocol line announcing the `checkConstraints` writer feature, or
+    * None when the current protocol already implies it (legacy
+    * minWriterVersion >= 3, or feature form listing it). A legacy
+    * protocol below 3 gets a plain legacy bump — NOT the (3,7) feature
+    * form, which would force minReaderVersion 3 on readers that gain
+    * nothing from a writer-only feature.
+    */
+  private def checkConstraintsProtocolLine(
+      prior: Option[DeltaProtocol]): Option[String] = {
+    val nf = JsonNodeFactory.instance
+    prior match {
+      case Some(p) if p.writerFeatures.isDefined =>
+        if (p.writerFeatures.exists(_.contains("checkConstraints"))) None
+        else {
+          val o = nf.objectNode(); val pn = o.putObject("protocol")
+          pn.put("minReaderVersion", p.minReaderVersion)
+          pn.put("minWriterVersion", p.minWriterVersion)
+          p.readerFeatures.foreach { rfs =>
+            val a = pn.putArray("readerFeatures"); rfs.foreach(a.add)
+          }
+          val wfa = pn.putArray("writerFeatures")
+          (p.writerFeatures.get :+ "checkConstraints").distinct
+            .foreach(wfa.add)
+          Some(o.toString)
+        }
+      case Some(p) if p.minWriterVersion >= 3 => None
+      case p0 =>
+        val o = nf.objectNode(); val pn = o.putObject("protocol")
+        pn.put("minReaderVersion", p0.map(_.minReaderVersion).getOrElse(1))
+        pn.put("minWriterVersion", 3)
+        Some(o.toString)
+    }
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT: register CHECK constraint `name`
+    * (`delta.constraints.<name>` — PROTOCOL.md#check-constraints) after
+    * validating that EVERY existing row satisfies it (one distributed
+    * scan, short-circuiting at the first violation); all subsequent
+    * writes then enforce it ([[Constraints.validateBatch]]). One
+    * metadata-only commit; the protocol gains the `checkConstraints`
+    * writer feature when it doesn't already imply it. Fail-closed
+    * against racers: a concurrent commit adding ANY new data aborts
+    * this commit — those rows were never validated. Returns the
+    * committed version.
+    */
+  def addCheckConstraint(spark: org.apache.spark.sql.SparkSession,
+      path: String, name: String, sqlExpr: String): Long = {
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    require(name.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"constraint name '$name' must be an identifier")
+    val key = Constraints.Prefix + name
+    require(!snap.configuration.contains(key),
+      s"table $path already has CHECK constraint '$name' " +
+        s"(${snap.configuration(key)})")
+    // validate ONLY the new constraint over existing rows; the schema's
+    // own NOT NULL rules were enforced when those rows were written
+    Constraints.validateBatch(DeltaScan.scanSnapshot(snap),
+      StructType(snap.schema.fields.map(_.copy(nullable = true))),
+      Map(key -> sqlExpr), s"ADD CONSTRAINT '$name' on $path")
+    val cfg = snap.configuration + (key -> sqlExpr)
+    val lines = checkConstraintsProtocolLine(snap.protocol).toSeq ++ Seq(
+      metadataLine(path, snap.metadata.get, cfg),
+      commitInfoLine("ADD CONSTRAINT",
+        params = Map("name" -> name, "expr" -> sqlExpr)))
+    commitDml(spark, path, snap, lines, Set.empty, "ADD CONSTRAINT", cfg,
+      newDataGuard = Some(Nil))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT: remove CHECK constraint `name`. One
+    * metadata-only commit; no protocol downgrade (feature lists only
+    * grow). Concurrent plain appends rebase cleanly — they validated
+    * against a superset of the surviving constraints. Returns the
+    * committed version.
+    */
+  def dropCheckConstraint(spark: org.apache.spark.sql.SparkSession,
+      path: String, name: String): Long = {
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    val key = Constraints.Prefix + name
+    require(snap.configuration.contains(key),
+      s"table $path has no CHECK constraint '$name' (existing: " +
+        Constraints.fromConfig(snap.configuration).map(_._1)
+          .mkString(", ") + ")")
+    val cfg = snap.configuration - key
+    val lines = Seq(
+      metadataLine(path, snap.metadata.get, cfg),
+      commitInfoLine("DROP CONSTRAINT", params = Map("name" -> name)))
+    commitDml(spark, path, snap, lines, Set.empty, "DROP CONSTRAINT", cfg)
   }
 
   /** Shallow CLONE: create `dstPath` as a new Delta table whose v0
@@ -2024,9 +2179,14 @@ object DeltaWriter {
     val impliedWriter = Seq(2 -> "appendOnly", 2 -> "invariants",
       3 -> "checkConstraints", 4 -> "changeDataFeed", 4 -> "generatedColumns",
       5 -> "columnMapping", 6 -> "identityColumns")
+    // reader-WRITER features appear in both arrays; everything else
+    // (checkConstraints, appendOnly, …) is writer-only and must never
+    // land in readerFeatures
+    val readerRelevant = Set("columnMapping", "deletionVectors",
+      "timestampNtz", "v2Checkpoint")
     val rf = (prior.flatMap(_.readerFeatures).getOrElse(
       implied(prior.map(_.minReaderVersion).getOrElse(1), impliedReader)) ++
-      features).distinct
+      features.filter(readerRelevant)).distinct
     val wf = (prior.flatMap(_.writerFeatures).getOrElse(
       implied(prior.map(_.minWriterVersion).getOrElse(1), impliedWriter)) ++
       features).distinct

@@ -76,4 +76,48 @@ class GraftExtensionsSpec extends SparkSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("graft_delta_cdf and graft_delta_history from plain SQL") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tvf_cdf").toString + "/t"
+    graft.delta.DeltaWriter.write(
+      (1L to 10L).map(i => (i, i * 2L)).toDF("id", "v"), path)
+    graft.delta.DeltaWriter.write(
+      Seq((11L, 22L), (12L, 24L)).toDF("id", "v"), path, mode = "append")
+    graft.delta.DeltaWriter.delete(spark, path,
+      Seq(graft.delta.Cond("id", "=", 3L)))
+
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val changes = s2.sql(
+        s"""SELECT _change_type, count(*) AS n
+           |FROM graft_delta_cdf('$path', 0)
+           |GROUP BY _change_type""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(changes == Map("insert" -> 2L, "delete" -> 1L))
+      // the deleted row is id=3
+      val deleted = s2.sql(
+        s"""SELECT id FROM graft_delta_cdf('$path', 0)
+           |WHERE _change_type = 'delete'""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      assert(deleted == Seq(3L))
+
+      val hist = s2.sql(
+        s"""SELECT version, operation FROM graft_delta_history('$path')
+           |ORDER BY version""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(hist.map(_._1).toSeq == Seq(0L, 1L, 2L))
+      assert(hist.map(_._2).toSeq == Seq("WRITE", "APPEND", "DELETE"))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
