@@ -208,5 +208,36 @@ object EventOps {
         |    AS day_offset,
         |  count(DISTINCT user_id) AS n_users
         |FROM firsts GROUP BY 1, 2
-        |ORDER BY cohort_day, day_offset""".stripMargin)))
+        |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent PRECEDING view/click (strictly before — the frame ends at
+    // 1 PRECEDING, ties broken by event_id like every per-user order
+    // here). Same scale shape as e3's as-of: ONE user_id shuffle and a
+    // linear carry-forward window over the unified stream — never a
+    // purchases×touches self-join, which explodes on heavy users.
+    "e7_attribution" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        events(s, dir)
+          .withColumn("last_touch",
+            last(when(col("event_type").isin("view", "click"),
+              col("event_id")), ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("last_touch"), col("value"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH touched AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('view','click')
+        |        THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch
+        |  FROM events)
+        |SELECT event_id AS purchase_id, user_id, last_touch, value
+        |FROM touched WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin)))
 }

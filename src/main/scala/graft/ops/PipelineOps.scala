@@ -67,5 +67,51 @@ object PipelineOps {
         |    count(*) OVER (PARTITION BY source) AS n_src
         |  FROM hashed)
         |SELECT doc_id, source, lang FROM ranked
-        |WHERE rk <= ceil(sqrt(n_src)) ORDER BY doc_id""".stripMargin)))
+        |WHERE rk <= ceil(sqrt(n_src)) ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic training-export sharding: the step after curation —
+    // every doc lands in a content-hash shard (md5 prefix mod 8, so
+    // shard membership is stable under corpus growth and reproducible
+    // by any engine) and gets a hash-ordered sequence INSIDE its shard
+    // (the global training order, decorrelated from ingest order). The
+    // oracle pins all of it: per-shard doc counts, token totals, and an
+    // order fingerprint (sum of seq*doc_id) that any cross-engine
+    // disagreement in shard assignment OR within-shard order breaks.
+    // Scale shape: one narrow projection, one shuffle on shard for the
+    // sequence window, combiner-bound aggregation — at 100 TB the real
+    // export writes each shard's files from exactly this partitioning.
+    "p2_shard_export" -> QueryDef(
+      (s, dir) => {
+        val h = md5(to_binary(
+          concat(col("doc_id").cast("string"), lit(":shard")), lit("utf-8")))
+        val toks = TextOps.tokens(col("text"))
+        val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+        table(s, dir, "documents")
+          .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+            h.as("h"))
+          .withColumn("shard",
+            conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 8)
+          .withColumn("seq", row_number().over(w).cast("long"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            sum(col("seq") * col("doc_id")).as("order_fingerprint"))
+          .orderBy("shard")
+      },
+      Some("""WITH hashed AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tokens,
+        |    md5(doc_id::VARCHAR || ':shard') AS h
+        |  FROM documents),
+        |sharded AS (
+        |  SELECT *, ('0x' || substring(h, 1, 8))::BIGINT % 8 AS shard
+        |  FROM hashed),
+        |seqd AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)::BIGINT
+        |      AS seq
+        |  FROM sharded)
+        |SELECT shard, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        |  sum(seq * doc_id) AS order_fingerprint
+        |FROM seqd GROUP BY shard ORDER BY shard""".stripMargin)))
 }

@@ -196,6 +196,27 @@ object Relational {
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // status totals, priority totals, and the grand total in ONE pass —
+    // Catalyst expands to a single Expand + hash aggregate, one shuffle,
+    // vs three separate scans+aggs a naive union would cost.
+    "q23_grouping_sets" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+              Seq.empty),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, sum(o_totalprice) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
     // Union + dedup across branches.
     "q11_union" -> QueryDef(
       (s, dir) => {
