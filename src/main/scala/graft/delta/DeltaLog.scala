@@ -317,6 +317,42 @@ object DeltaLog {
       throw new FileNotFoundException(
         s"Cannot reconstruct $deltaPath at version ${version.getOrElse("latest")}: " +
           "checkpoint unreadable and commit JSONs missing")
+    verifyCrc(spark, deltaPath, snap)
     snap
+  }
+
+  /** VERSION CHECKSUM cross-check: when the loaded version carries a
+    * `<version>.crc` (delta-spark emits one per commit; so does our
+    * writer), the replayed live set must agree with its recorded
+    * numFiles / tableSizeBytes — a cheap end-to-end guard that catches
+    * log corruption and replay bugs at open time instead of as silent
+    * wrong results. An absent or unparseable crc is legal (the file is
+    * best-effort by design); a PARSEABLE one that disagrees is not.
+    */
+  private def verifyCrc(spark: SparkSession, deltaPath: String,
+      snap: DeltaSnapshot): Unit = {
+    val txt = readSmallFile(spark,
+      s"${logDir(deltaPath)}/${fmtVersion(snap.version)}.crc")
+      .map(_.mkString).filter(_.nonEmpty)
+    txt.foreach { t =>
+      val n = try ActionCodec.mapper.readTree(t)
+      catch { case scala.util.control.NonFatal(_) => return }
+      val live = snap.liveFiles
+      Option(n.get("numFiles")).filterNot(_.isNull).map(_.asLong)
+        .filter(_ != live.size.toLong).foreach { exp =>
+          throw new IllegalStateException(
+            s"version checksum mismatch for $deltaPath v${snap.version}: " +
+              s".crc records numFiles=$exp, log replay found ${live.size} — " +
+              "the log or the checksum file is corrupted")
+        }
+      Option(n.get("tableSizeBytes")).filterNot(_.isNull).map(_.asLong)
+        .filter(_ != live.map(_.size).sum).foreach { exp =>
+          throw new IllegalStateException(
+            s"version checksum mismatch for $deltaPath v${snap.version}: " +
+              s".crc records tableSizeBytes=$exp, log replay found " +
+              s"${live.map(_.size).sum} — the log or the checksum file " +
+              "is corrupted")
+        }
+    }
   }
 }

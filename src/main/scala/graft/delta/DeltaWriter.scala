@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable
 
+import com.fasterxml.jackson.databind.JsonNode
 import com.fasterxml.jackson.databind.node.JsonNodeFactory
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
@@ -405,7 +406,74 @@ object DeltaWriter {
         }
       }
     }
+    // crc only when no OCC rebase moved the version — winners' files
+    // are not in `prior`, so incremental accounting would be wrong
+    if (v == version) writeCrc(spark, path, v, prior, lines.toSeq)
     maybeCheckpoint(spark, path, v, newCfg)
+  }
+
+  private def protocolNode(p: DeltaProtocol) = {
+    val o = JsonNodeFactory.instance.objectNode()
+    o.put("minReaderVersion", p.minReaderVersion)
+    o.put("minWriterVersion", p.minWriterVersion)
+    p.readerFeatures.foreach { fts =>
+      val a = o.putArray("readerFeatures"); fts.foreach(a.add) }
+    p.writerFeatures.foreach { fts =>
+      val a = o.putArray("writerFeatures"); fts.foreach(a.add) }
+    o
+  }
+
+  /** VERSION CHECKSUM (`<version>.crc`, delta-spark's shape): a
+    * post-commit table-state summary — numFiles / tableSizeBytes plus
+    * the post-state metadata and protocol objects — that an independent
+    * reader can cross-check replay against (DeltaLog.forPath does, and
+    * fails loudly on divergence). State is computed INCREMENTALLY by
+    * folding this commit's add/remove lines over the prior snapshot's
+    * live set: no log replay lands on the commit path. Best-effort like
+    * the auto-checkpoint — the commit is already durable, so a crc
+    * failure only warns. Callers skip it when an OCC rebase moved the
+    * version (the winners' files are not in `prior`, so incremental
+    * accounting would be wrong; an absent crc is always legal).
+    */
+  private def writeCrc(spark: org.apache.spark.sql.SparkSession,
+      deltaPath: String, version: Long,
+      prior: Option[DeltaSnapshot], lines: Seq[String]): Unit = try {
+    val live = mutable.Map.empty[String, Long]
+    prior.foreach(_.liveFiles.foreach(a => live(a.path) = a.size))
+    val nodes = lines.map(ActionCodec.mapper.readTree)
+    nodes.foreach(n => Option(n.get("remove")).filterNot(_.isNull)
+      .flatMap(r => Option(r.get("path")).map(_.asText))
+      .foreach(live.remove))
+    nodes.foreach(n => Option(n.get("add")).filterNot(_.isNull).foreach { a =>
+      live(a.get("path").asText) =
+        Option(a.get("size")).filterNot(_.isNull).map(_.asLong).getOrElse(0L)
+    })
+    val metaNode = nodes
+      .flatMap(n => Option(n.get("metaData")).filterNot(_.isNull)).lastOption
+      .orElse(prior.flatMap(_.metadata).map(md =>
+        ActionCodec.mapper.readTree(metadataLine(deltaPath, md,
+          md.configuration)).get("metaData")))
+    val protoNode = nodes
+      .flatMap(n => Option(n.get("protocol")).filterNot(_.isNull)).lastOption
+      .orElse(prior.flatMap(_.protocol).map(protocolNode))
+    val o = JsonNodeFactory.instance.objectNode()
+    o.put("txnId", java.util.UUID.randomUUID().toString)
+    o.put("tableSizeBytes", live.values.sum)
+    o.put("numFiles", live.size.toLong)
+    o.put("numMetadata", 1L)
+    o.put("numProtocol", 1L)
+    metaNode.foreach(m => o.set[JsonNode]("metadata", m))
+    protoNode.foreach(p => o.set[JsonNode]("protocol", p))
+    val root = new Path(deltaPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val crc = new Path(new Path(root, "_delta_log"), f"$version%020d.crc")
+    val out = fs.create(crc, false)
+    try out.write((o.toString + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[graft] version checksum for $deltaPath v$version failed: $e")
   }
 
   /** Auto-checkpoint: after committing `version`, write a classic
@@ -970,7 +1038,7 @@ object DeltaWriter {
       metrics = Map("numRestoredFiles" -> toAdd.size.toLong,
         "numRemovedFiles" -> toRemove.size.toLong))
     writeCommitAt(spark, path, cur.version + 1, lines.toSeq,
-      tgt.configuration)
+      tgt.configuration, prior = Some(cur))
     RestoreStats(toAdd.size.toLong, toRemove.size.toLong,
       dvChanged.size.toLong)
   }
@@ -1379,13 +1447,15 @@ object DeltaWriter {
     */
   private def writeCommitAt(spark: org.apache.spark.sql.SparkSession,
       path: String, version: Long, lines: Seq[String],
-      config: Map[String, String] = Map.empty): Unit = {
+      config: Map[String, String] = Map.empty,
+      prior: Option[DeltaSnapshot] = None): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val commit = new Path(new Path(root, "_delta_log"), f"$version%020d.json")
     val out = fs.create(commit, false)
     try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    writeCrc(spark, path, version, prior, lines)
     maybeCheckpoint(spark, path, version, config)
   }
 
@@ -1466,6 +1536,7 @@ object DeltaWriter {
         if (fs.exists(commit)) {
           fs.delete(tmp, false) // lost the race while staging; revalidate
         } else if (fs.rename(tmp, commit)) {
+          if (v == snap.version + 1) writeCrc(spark, path, v, Some(snap), lines)
           maybeCheckpoint(spark, path, v, config)
           return v
         } else {
@@ -1613,6 +1684,7 @@ object DeltaWriter {
     val out = fs.create(new Path(logDir, f"${0L}%020d.json"), false)
     try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    writeCrc(spark, path, 0L, None, lines.toSeq)
   }
 
   /** Compaction (OPTIMIZE): bin-pack small files per partition into
