@@ -493,12 +493,109 @@ object DeltaWriter {
     val interval = config.get("delta.checkpointInterval")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(10)
     if (version > 0L && version % interval == 0L)
-      try writeCheckpoint(DeltaLog.forPath(spark, path, Some(version)))
-      catch {
+      try {
+        writeCheckpoint(DeltaLog.forPath(spark, path, Some(version)))
+        // delta-spark's cadence: expired-log cleanup piggybacks on the
+        // checkpoint (default on, 30-day retention — see cleanupLogs)
+        if (!config.get("delta.enableExpiredLogCleanup")
+            .exists(_.trim.equalsIgnoreCase("false")))
+          cleanupLogs(spark, path, Some(logRetentionMs(config)))
+      } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[graft] auto-checkpoint of $path at v$version failed: $e")
       }
+  }
+
+  /** Parse `delta.logRetentionDuration` ("interval 30 days" /
+    * "interval 12 hours" / plain milliseconds) — delta-spark's property
+    * shape; default 30 days.
+    */
+  private[delta] def logRetentionMs(config: Map[String, String]): Long = {
+    val Default = 30L * 24 * 3600 * 1000
+    config.get("delta.logRetentionDuration").map(_.trim.toLowerCase) match {
+      case None => Default
+      case Some(s) =>
+        val interval = "^interval\\s+(\\d+)\\s+(day|hour|minute|week)s?$".r
+        s match {
+          case interval(n, unit) =>
+            n.toLong * (unit match {
+              case "week" => 7L * 24 * 3600 * 1000
+              case "day" => 24L * 3600 * 1000
+              case "hour" => 3600L * 1000
+              case "minute" => 60L * 1000
+            })
+          case ms if ms.matches("\\d+") => ms.toLong
+          case other =>
+            System.err.println(
+              s"[graft] unparseable delta.logRetentionDuration '$other'; " +
+                "using 30 days")
+            Default
+        }
+    }
+  }
+
+  /** Metadata cleanup (delta-spark's expired-log cleanup): delete
+    * commit JSONs, version checksums and superseded checkpoint files
+    * that are BOTH older than the retention window AND below a
+    * checkpoint that can serve as the replay base for every retained
+    * version. Current reads and incremental refresh are unaffected
+    * (replay starts at the surviving checkpoint); time travel below the
+    * deletion boundary raises the documented reconstruction error —
+    * the same contract as delta-spark.
+    *
+    * The 100 TB reason: a streaming sink at one commit per micro-batch
+    * accretes ~100k small JSONs a day; unbounded, every fresh reader
+    * pays a directory listing over all of them. Runs automatically
+    * after each auto-checkpoint unless
+    * `delta.enableExpiredLogCleanup=false`.
+    *
+    * Boundary math: a version is retained iff its commit mtime is
+    * inside the window; the deletion base is the greatest checkpoint at
+    * or below the oldest retained version, so every retained version
+    * stays reconstructible — cleanup never strands a half-window.
+    * Sidecars of deleted v2 checkpoint tops become orphans and are
+    * [[vacuum]]'s responsibility. Returns the deleted (or, with
+    * `dryRun`, merely doomed) log-relative file names.
+    */
+  def cleanupLogs(spark: org.apache.spark.sql.SparkSession, path: String,
+      retentionMs: Option[Long] = None,
+      dryRun: Boolean = false): Seq[String] = {
+    val logDir = new Path(path.stripSuffix("/") + "/_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(logDir)) return Nil
+    val retMs = retentionMs.getOrElse(
+      logRetentionMs(DeltaLog.forPath(spark, path).configuration))
+    val cutoff = System.currentTimeMillis() - retMs
+
+    val listing = fs.listStatus(logDir).toSeq
+      .map(st => (st.getPath.getName, st.getModificationTime))
+    def versionOf(name: String): Option[Long] =
+      if (name.length > 20 && name.take(20).forall(_.isDigit))
+        Some(name.take(20).toLong)
+      else None
+    val commits = listing.collect {
+      case (n, m) if n.matches("\\d{20}\\.json") => (n.take(20).toLong, m)
+    }
+    val checkpoints = listing.flatMap { case (n, _) =>
+      if (n.matches("\\d{20}\\.checkpoint(\\..*)?\\.(parquet|json)"))
+        versionOf(n)
+      else None
+    }.distinct.sorted
+    if (checkpoints.isEmpty) return Nil
+
+    val retained = commits.filter(_._2 >= cutoff).map(_._1)
+    val oldestNeeded = (retained :+ checkpoints.max).min
+    val base = checkpoints.filter(_ <= oldestNeeded).maxOption
+      .getOrElse(return Nil)
+
+    val doomed = listing.collect {
+      case (n, _) if n.matches(
+          "\\d{20}\\.(json|crc|checkpoint(\\..*)?\\.(parquet|json))") &&
+          versionOf(n).exists(_ < base) => n
+    }.sorted
+    if (!dryRun) doomed.foreach(n => fs.delete(new Path(logDir, n), false))
+    doomed
   }
 
   /** Rename a logical-schema DataFrame to the table's PHYSICAL column
@@ -2079,10 +2176,11 @@ object DeltaWriter {
   }
 
   private def writeLastCheckpoint(fs: FileSystem, logDir: String,
-      version: Long, size: Long): Unit = {
+      version: Long, size: Long, parts: Option[Int] = None): Unit = {
     val lc = JsonNodeFactory.instance.objectNode()
     lc.put("version", version)
     lc.put("size", size)
+    parts.foreach(lc.put("parts", _))
     val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
     try out.write((lc.toString + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -2117,10 +2215,33 @@ object DeltaWriter {
     }
 
     val logDir = s"${snap.deltaPath.stripSuffix("/")}/_delta_log"
-    val target = new Path(logDir, f"${snap.version}%020d.checkpoint.parquet")
-    writeSingleParquet(spark, checkpointSchema, rows.toSeq, target)
     val fs = new Path(logDir).getFileSystem(spark.sessionState.newHadoopConf())
-    writeLastCheckpoint(fs, logDir, snap.version, rows.size.toLong)
+    // multi-part classic checkpoint behind delta.checkpoint.partSize
+    // (delta-spark's property): on a 100 TB table a single checkpoint
+    // parquet serializes millions of add rows through one task and one
+    // writer — parts cap the per-file row count so checkpoint writes
+    // (and the reader's part scans) parallelize. The reader has
+    // consumed the `%020d.checkpoint.%010d.%010d.parquet` layout since
+    // round 1; tables can now produce it.
+    val partSize = snap.configuration.get("delta.checkpoint.partSize")
+      .flatMap(_.toIntOption).filter(_ > 0)
+    partSize match {
+      case Some(ps) if rows.size > ps =>
+        val parts = rows.toSeq.grouped(ps).toSeq
+        val n = parts.size
+        parts.zipWithIndex.foreach { case (part, i) =>
+          val t = new Path(logDir,
+            f"${snap.version}%020d.checkpoint.${i + 1}%010d.$n%010d.parquet")
+          writeSingleParquet(spark, checkpointSchema, part, t)
+        }
+        writeLastCheckpoint(fs, logDir, snap.version, rows.size.toLong,
+          parts = Some(n))
+      case _ =>
+        val target =
+          new Path(logDir, f"${snap.version}%020d.checkpoint.parquet")
+        writeSingleParquet(spark, checkpointSchema, rows.toSeq, target)
+        writeLastCheckpoint(fs, logDir, snap.version, rows.size.toLong)
+    }
   }
 
   private val v2SidecarSchema: StructType =
