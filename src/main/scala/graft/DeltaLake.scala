@@ -233,4 +233,60 @@ object DeltaLake {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], after.schema)
     else DvCdf.rowsAt(after, diffs)
   }
+
+  /** Both change-feed halves in one call: rows added strictly after
+    * `sinceVersion` tagged `_change_type='insert'` (DV-shrink restores
+    * included) unioned with rows DV-deleted in the window tagged
+    * `'delete'`. Semantics are exactly [[scanDeltaChanges]] ++
+    * [[scanDeltaDeletedRows]], but computed from ONE snapshot pair and
+    * ONE bitmap diff per file — calling the two halves separately
+    * replays the log four times and diffs every DV twice. This is the
+    * `graft_delta_cdf` TVF's path.
+    */
+  def scanDeltaCdf(spark: SparkSession, path: String,
+      sinceVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val head = DeltaLog.forPath(spark, path)
+    val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
+    val beforeLive = before.liveFiles.map(_.path).toSet
+    val added = scala.collection.mutable.LinkedHashMap.empty[String, AddAction]
+    (sinceVersion + 1 to head.version).foreach { v =>
+      val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"Commit $v of $path is missing; cannot compute changes since " +
+            s"$sinceVersion"))
+      lines.foreach { n =>
+        Option(n.get("add")).filterNot(_.isNull)
+          .map(ActionCodec.parseAdd)
+          .filter(a => a.dataChange && !beforeLive.contains(a.path) &&
+            !added.contains(a.path))
+          .foreach(a => added(a.path) = a)
+      }
+    }
+    val base = path.stripSuffix("/")
+    val beforeDesc = before.liveFiles
+      .flatMap(a => a.deletionVector.map(a.path -> _)).toMap
+    // one diff per candidate file yields BOTH halves
+    val diffs: Seq[(AddAction, (Seq[Long], Seq[Long]))] = head.liveFiles
+      .filter(a => a.deletionVector.nonEmpty || beforeDesc.contains(a.path))
+      .flatMap { a =>
+        val d = DvCdf.diffIndices(spark, base,
+          beforeDesc.get(a.path), a.deletionVector)
+        if (d._1.isEmpty && d._2.isEmpty) None else Some(a -> d)
+      }
+    val restores = diffs.collect { case (a, (_, rs)) if rs.nonEmpty => a -> rs }
+    val dels = diffs.collect { case (a, (ds, _)) if ds.nonEmpty => a -> ds }
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], head.schema)
+    val inserts =
+      (if (added.isEmpty) empty
+       else DeltaScan.scanWithRowIndex(head, added.values.toSeq)
+         .drop("__graft_file", "__graft_row_index"))
+        .unionByName(
+          if (restores.isEmpty) empty else DvCdf.rowsAt(head, restores))
+        .withColumn("_change_type", lit("insert"))
+    val deleted = (if (dels.isEmpty) empty else DvCdf.rowsAt(head, dels))
+      .withColumn("_change_type", lit("delete"))
+    inserts.unionByName(deleted)
+  }
 }

@@ -126,12 +126,7 @@ object GraftExtensions {
       val path = literalString(args, 0, "graft_delta_cdf", "path")
       val since = literalLong(args, 1, "graft_delta_cdf", "sinceVersion")
       val spark = org.apache.spark.sql.SparkSession.active
-      import org.apache.spark.sql.functions.lit
-      DeltaLake.scanDeltaChanges(spark, path, since)
-        .withColumn("_change_type", lit("insert"))
-        .unionByName(DeltaLake.scanDeltaDeletedRows(spark, path, since)
-          .withColumn("_change_type", lit("delete")))
-        .queryExecution.analyzed
+      DeltaLake.scanDeltaCdf(spark, path, since).queryExecution.analyzed
     }
 
   /** `graft_delta_history(path)`: DESCRIBE HISTORY as a table —

@@ -59,6 +59,20 @@ object Constraints {
         "property first (write(properties = Map(\"delta.appendOnly\" " +
         "-> \"false\"))) if this is intended")
 
+  /** Whether [[validateBatch]] would have anything to enforce on this
+    * batch — callers persist the batch across validate+write ONLY when
+    * it does, so unconstrained writes stay zero-cost while constrained
+    * ones can never validate one materialization and write another
+    * (non-deterministic expressions in the batch plan).
+    */
+  def hasRules(batch: DataFrame, schema: StructType,
+      cfg: Map[String, String]): Boolean = {
+    val batchFields = batch.schema.fields.map(f => f.name -> f).toMap
+    cfg.keys.exists(_.startsWith(Prefix)) ||
+      schema.fields.exists(f => !f.nullable &&
+        batchFields.get(f.name).forall(_.nullable))
+  }
+
   /** Validate `batch` against every CHECK constraint in `cfg` and every
     * non-nullable top-level field of `schema`. Columns the batch lacks
     * are null-filled first (exactly what a reader of the written file
@@ -79,7 +93,10 @@ object Constraints {
     val batchFields = batch.schema.fields.map(f => f.name -> f).toMap
     // a batch field Spark ALREADY types non-nullable (encoder-derived
     // primitives — the common streaming-append shape) cannot hold a
-    // null; skipping its rule keeps steady-state appends zero-cost
+    // null; skipping its rule keeps steady-state appends zero-cost.
+    // This trusts the batch's nullability claim exactly as far as Spark
+    // itself does — createDataFrame with a non-nullable schema over
+    // null data is undefined behavior upstream of any writer.
     val notNulls: Seq[(String, Column)] = schema.fields.toSeq
       .filterNot(_.nullable)
       .filter(f => batchFields.get(f.name).forall(_.nullable))

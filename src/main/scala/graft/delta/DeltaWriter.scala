@@ -100,10 +100,6 @@ object DeltaWriter {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val spark = df.sparkSession
     val df0 = df
-    val df1 =
-      if (zOrderBy.isEmpty) df0
-      else df0.repartitionByRange(zFiles,
-        zOrderColumn(df0, zOrderBy).asc)
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -244,25 +240,45 @@ object DeltaWriter {
     // through addCheckConstraint, which does it loudly.
     if (mode == "overwrite" && prior.isDefined)
       Constraints.requireNotAppendOnly(newCfg, "overwrite", path)
-    val newConstraintKeys =
-      newCfg.keySet.filter(_.startsWith(Constraints.Prefix)) -- priorCfg.keySet
+    // NEW constraints and CHANGED expressions both demand a full-table
+    // validation scan over existing rows — neither may arrive hidden in
+    // an append's properties
+    val newConstraintKeys = newCfg.collect {
+      case (k, v) if k.startsWith(Constraints.Prefix) &&
+        !priorCfg.get(k).contains(v) => k
+    }.toSet
+    // "no existing rows" = every live file provably holds zero live
+    // records (an empty-DataFrame create still writes one 0-row part
+    // file); absent stats fail closed
     require(newConstraintKeys.isEmpty || mode == "overwrite" ||
-        prior.forall(_.liveFiles.isEmpty),
-      s"adding CHECK constraints (${newConstraintKeys.mkString(", ")}) to " +
-        "a table with existing data via write(properties) is not " +
+        prior.forall(_.liveFiles.forall(_.liveRecords.contains(0L))),
+      s"adding or changing CHECK constraints (${newConstraintKeys.mkString(", ")}) " +
+        "on a table with existing data via write(properties) is not " +
         "supported — use DeltaWriter.addCheckConstraint, which validates " +
         "existing rows first")
-    Constraints.validateBatch(df0, mergedSchema, newCfg, s"$mode to $path")
+    // enforcement persists the batch across validate+write: a
+    // non-deterministic batch plan must not pass validation on one
+    // materialization and write another
+    val enforced = Constraints.hasRules(df0, mergedSchema, newCfg)
+    val dfV = if (enforced)
+      df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df0
+    try Constraints.validateBatch(dfV, mergedSchema, newCfg,
+      s"$mode to $path")
+    catch { case t: Throwable => if (enforced) dfV.unpersist(); throw t }
 
     // Delta stores timestamps as INT64 micros (INT96, Spark's legacy
     // default, also carries no usable column statistics). Data files
     // carry PHYSICAL column names — appending logical-named files to a
     // column-mapped table would null-fill silently on read.
-    withMicrosTimestamps(spark) {
+    val df1 =
+      if (zOrderBy.isEmpty) dfV
+      else dfV.repartitionByRange(zFiles, zOrderColumn(dfV, zOrderBy).asc)
+    try withMicrosTimestamps(spark) {
       toPhysical(df1, tableSchema).write.mode("append")
         .partitionBy(physicalPartitionBy(partitionBy, tableSchema): _*)
         .parquet(path)
-    }
+    } finally if (enforced) dfV.unpersist()
 
     val after = listDataFiles(fs, root)
     val newFiles = (after -- before).toSeq.sorted
@@ -304,12 +320,22 @@ object DeltaWriter {
       } else {
         // evolution introduced an NTZ column and/or the properties newly
         // opted into v2 checkpoints: the protocol must gain the features
-        // (folding in what the legacy versions implied)
+        // (folding in what the legacy versions implied). Constraints
+        // arriving on an append (only possible while the table holds no
+        // rows — the guard above) must announce checkConstraints too.
+        val priorImpliesCc = prior.flatMap(_.protocol).exists(p =>
+          p.writerFeatures.map(_.contains("checkConstraints"))
+            .getOrElse(p.minWriterVersion >= 3))
+        val gainsCc = hasConstraints && !priorImpliesCc
         val gained = (if (needsNtz && !priorHasNtz) Seq("timestampNtz")
           else Nil) ++
           (if (wantsV2Cp && !priorHasV2Cp) Seq("v2Checkpoint") else Nil)
         if (gained.nonEmpty)
-          lines += upgradedProtocolJson(prior.flatMap(_.protocol), gained: _*)
+          lines += upgradedProtocolJson(prior.flatMap(_.protocol),
+            gained ++ (if (gainsCc) Seq("checkConstraints") else Nil): _*)
+        else if (gainsCc)
+          checkConstraintsProtocolLine(prior.flatMap(_.protocol))
+            .foreach(lines += _)
       }
 
       val meta = nf.objectNode()
@@ -577,11 +603,26 @@ object DeltaWriter {
     val commits = listing.collect {
       case (n, m) if n.matches("\\d{20}\\.json") => (n.take(20).toLong, m)
     }
-    val checkpoints = listing.flatMap { case (n, _) =>
-      if (n.matches("\\d{20}\\.checkpoint(\\..*)?\\.(parquet|json)"))
+    // Only COMPLETE checkpoints qualify as a deletion base — a crashed
+    // multi-part write (maybeCheckpoint swallows failures by design)
+    // leaves a partial part set that must never cost the table its real
+    // replay base. Classic single files and v2 uuid tops are complete
+    // by construction (v2 tops are written AFTER their sidecars); a
+    // multi-part set qualifies only when all n declared parts exist.
+    val partName = "^(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet$".r
+    val partsByVersion = listing.collect {
+      case (partName(v, i, n), _) => (v.toLong, i.toInt, n.toInt)
+    }.groupBy(_._1)
+    val completeMultipart = partsByVersion.collect {
+      case (v, ps) if ps.map(_._3).distinct.size == 1 &&
+        ps.map(_._2).distinct.size == ps.head._3 => v
+    }.toSeq
+    val checkpoints = (listing.flatMap { case (n, _) =>
+      if (n.matches("\\d{20}\\.checkpoint\\.parquet") ||
+          n.matches("\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.(parquet|json)"))
         versionOf(n)
       else None
-    }.distinct.sorted
+    } ++ completeMultipart).distinct.sorted
     if (checkpoints.isEmpty) return Nil
 
     val retained = commits.filter(_._2 >= cutoff).map(_._1)
@@ -1029,18 +1070,26 @@ object DeltaWriter {
       }: _*)
       // the updated images must satisfy the table's constraints — an
       // assignment driving a column below a CHECK bound rejects here,
-      // before any DV or image file lands
-      Constraints.validateBatch(images, schema, snap.configuration,
+      // before any DV or image file lands. Enforcement persists the
+      // images (matched is cached, but a non-deterministic `set`
+      // expression would otherwise re-evaluate between validation and
+      // the write)
+      val enforced = Constraints.hasRules(images, schema, snap.configuration)
+      val imagesV = if (enforced)
+        images.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else images
+      try Constraints.validateBatch(imagesV, schema, snap.configuration,
         s"UPDATE of $path")
+      catch { case t: Throwable => if (enforced) imagesV.unpersist(); throw t }
       val root = new Path(path)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val before = listDataFiles(fs, root)
-      withMicrosTimestamps(spark) {
-        toPhysical(images, schema).write.mode("append")
+      try withMicrosTimestamps(spark) {
+        toPhysical(imagesV, schema).write.mode("append")
           .partitionBy(
             physicalPartitionBy(snap.partitionColumns, schema): _*)
           .parquet(path)
-      }
+      } finally if (enforced) imagesV.unpersist()
       (listDataFiles(fs, root) -- before).toSeq.sorted.foreach { rel =>
         lines += addActionLine(fs, root, rel, statsIndexedSchema(
           DeltaSchema.physicalize(schema), snap.configuration))
@@ -1174,15 +1223,9 @@ object DeltaWriter {
       case Some(p) if p.writerFeatures.isDefined =>
         if (p.writerFeatures.exists(_.contains("checkConstraints"))) None
         else {
-          val o = nf.objectNode(); val pn = o.putObject("protocol")
-          pn.put("minReaderVersion", p.minReaderVersion)
-          pn.put("minWriterVersion", p.minWriterVersion)
-          p.readerFeatures.foreach { rfs =>
-            val a = pn.putArray("readerFeatures"); rfs.foreach(a.add)
-          }
-          val wfa = pn.putArray("writerFeatures")
-          (p.writerFeatures.get :+ "checkConstraints").distinct
-            .foreach(wfa.add)
+          val o = nf.objectNode()
+          o.set[JsonNode]("protocol", protocolNode(p.copy(writerFeatures =
+            Some((p.writerFeatures.get :+ "checkConstraints").distinct))))
           Some(o.toString)
         }
       case Some(p) if p.minWriterVersion >= 3 => None

@@ -225,5 +225,35 @@ class ConstraintSpec extends SparkSuite {
         properties = Map("delta.constraints.late" -> "price > 0"))
     }
     assert(e.getMessage.contains("addCheckConstraint"))
+
+    // CHANGING an existing constraint's expression is the same smuggle
+    val path2 = tmp()
+    seed(path2, Map("delta.constraints.c" -> "price > 0"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWriter.write(Seq((21L, 2000L, "z")).toDF("id", "price", "name"),
+        path2, mode = "append",
+        properties = Map("delta.constraints.c" -> "price > 1000"))
+    }
+    assert(e2.getMessage.contains("addCheckConstraint"))
+    // re-stating the UNCHANGED expression is fine
+    DeltaWriter.write(Seq((21L, 5L, "ok")).toDF("id", "price", "name"),
+      path2, mode = "append",
+      properties = Map("delta.constraints.c" -> "price > 0"))
+  }
+
+  test("constraint arriving on an append to an EMPTY table mints the protocol") {
+    val path = tmp()
+    DeltaWriter.write(Seq.empty[(Long, Long)].toDF("id", "price"), path)
+    assert(DeltaLake.deltaMeta(spark, path).protocol.get.minWriterVersion == 2)
+    DeltaWriter.write(Seq((1L, 10L)).toDF("id", "price"), path,
+      mode = "append",
+      properties = Map("delta.constraints.pos" -> "price > 0"))
+    val p = DeltaLake.deltaMeta(spark, path).protocol.get
+    assert(p.minWriterVersion >= 3 ||
+      p.writerFeatures.exists(_.contains("checkConstraints")))
+    intercept[DeltaConstraintViolation] {
+      DeltaWriter.write(Seq((2L, -1L)).toDF("id", "price"), path,
+        mode = "append")
+    }
   }
 }

@@ -103,6 +103,30 @@ class LogMaintenanceSpec extends SparkSuite {
     assert(logNames(path).contains(f"${0L}%020d.json"))
   }
 
+  test("a partial multipart checkpoint never becomes the cleanup base") {
+    val path = tmp()
+    DeltaWriter.write((1L to 3L).map(i => (i, i)).toDF("id", "v"), path)
+    (1 to 11).foreach(i => DeltaWriter.write(
+      Seq((100L + i, 1L)).toDF("id", "v"), path, mode = "append"))
+    // fake a CRASHED multipart checkpoint at v11: part 1 of 3 only
+    val dir = new Path(path.stripSuffix("/") + "/_delta_log")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val partial = new Path(dir,
+      f"${11L}%020d.checkpoint.${1}%010d.${3}%010d.parquet")
+    val out = fs.create(partial, false)
+    try out.write(Array[Byte](0)) finally out.close()
+
+    val deleted = DeltaWriter.cleanupLogs(spark, path, Some(-5000L))
+    // base must stay at the COMPLETE checkpoint (v10): v10's json and
+    // checkpoint survive, and the table still opens
+    val left = logNames(path)
+    assert(left.contains(f"${10L}%020d.json"))
+    assert(left.contains(f"${10L}%020d.checkpoint.parquet"))
+    assert(deleted.forall(_.take(20).toLong < 10L))
+    fs.delete(partial, false) // remove the fake before replay
+    assert(DeltaLake.scanDelta(spark, path).count() == 14)
+  }
+
   test("auto-cleanup piggybacks on the checkpoint cadence") {
     val path = tmp()
     DeltaWriter.write((1L to 3L).map(i => (i, i)).toDF("id", "v"), path,
