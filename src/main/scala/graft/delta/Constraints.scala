@@ -39,6 +39,18 @@ object Constraints {
 
   val Prefix = "delta.constraints."
 
+  /** Schema-field metadata key holding a generated column's SQL
+    * expression (PROTOCOL.md#default-columns--generated-columns — the
+    * delta-spark key).
+    */
+  val GenerationKey = "delta.generationExpression"
+
+  /** (column, generation sql) for every generated column in `schema`. */
+  def generatedColumns(schema: StructType): Seq[(String, String)] =
+    schema.fields.toSeq
+      .filter(_.metadata.contains(GenerationKey))
+      .map(f => f.name -> f.metadata.getString(GenerationKey))
+
   /** (name, sql-expression) pairs from table configuration, name-sorted
     * so violation messages are deterministic.
     */
@@ -69,6 +81,7 @@ object Constraints {
       cfg: Map[String, String]): Boolean = {
     val batchFields = batch.schema.fields.map(f => f.name -> f).toMap
     cfg.keys.exists(_.startsWith(Prefix)) ||
+      schema.fields.exists(f => f.metadata.contains(GenerationKey)) ||
       schema.fields.exists(f => !f.nullable &&
         batchFields.get(f.name).forall(_.nullable))
   }
@@ -102,7 +115,16 @@ object Constraints {
       .filter(f => batchFields.get(f.name).forall(_.nullable))
       .map(f => s"NOT NULL constraint on column '${f.name}'" ->
         col(s"`${f.name.replace("`", "``")}`").isNull)
-    val rules = checks ++ notNulls
+    // generated columns the batch PROVIDES must equal their generation
+    // expression (delta-spark's contract); batches omitting them have
+    // the value computed by the writer before validation ever runs
+    val gens: Seq[(String, Column)] = generatedColumns(schema)
+      .filter { case (n, _) => batchCols.contains(n) }
+      .map { case (n, sql) =>
+        s"generated column '$n' must equal $sql" ->
+          !(col(s"`${n.replace("`", "``")}`") <=> expr(sql))
+      }
+    val rules = checks ++ notNulls ++ gens
     if (rules.isEmpty) return
 
     val full = schema.fields.foldLeft(batch) { (d, f) =>

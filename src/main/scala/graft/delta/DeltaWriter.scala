@@ -96,10 +96,19 @@ object DeltaWriter {
         * (TBLPROPERTIES) — e.g. `delta.checkpointInterval`. Existing
         * properties are inherited in every mode; entries given here win.
         */
-      properties: Map[String, String] = Map.empty): Unit = {
+      properties: Map[String, String] = Map.empty,
+      /** Generated columns (PROTOCOL.md#default-columns — delta-spark's
+        * `delta.generationExpression` field metadata), declared at
+        * create/overwrite as column → SQL expression over the other
+        * columns. On EVERY write (appends inherit from the table
+        * schema): a batch omitting the column gets it computed; a batch
+        * providing it is validated against the expression and rejected
+        * on mismatch — a stored generated value may never disagree with
+        * its definition.
+        */
+      generatedColumns: Map[String, String] = Map.empty): Unit = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val spark = df.sparkSession
-    val df0 = df
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -111,6 +120,23 @@ object DeltaWriter {
     }
     val version = prior.map(_.version + 1).getOrElse(0L)
 
+    // generation expressions in force: the declaration at
+    // create/overwrite, or the table schema's on append
+    val isCreate = version == 0L || mode == "overwrite"
+    require(generatedColumns.isEmpty || isCreate,
+      "generatedColumns can only be declared at table create/overwrite" +
+        " — appends inherit them from the table schema")
+    val genExprs: Seq[(String, String)] =
+      if (isCreate) generatedColumns.toSeq.sortBy(_._1)
+      else prior.map(p => Constraints.generatedColumns(p.schema))
+        .getOrElse(Nil)
+    // a batch omitting a generated column gets it computed up front, so
+    // schema derivation, validation and the data write all see it
+    val df0 = genExprs.foldLeft(df) { case (d, (n, sql)) =>
+      if (d.columns.contains(n)) d
+      else d.withColumn(n, org.apache.spark.sql.functions.expr(sql))
+    }
+
     // schema evolution on append: widen the table schema with any NEW
     // top-level columns in this batch (mergeSchema semantics) — existing
     // columns must keep their types (nullability/metadata variance
@@ -121,16 +147,28 @@ object DeltaWriter {
     val mergedSchema: StructType = prior.map(_.schema) match {
       case Some(cur) if mode == "append" && cur.fields.nonEmpty =>
         val curNames = cur.fieldNames.toSet
-        df.schema.fields.filter(f => curNames.contains(f.name)).foreach { f =>
+        df0.schema.fields.filter(f => curNames.contains(f.name)).foreach { f =>
           val old = cur(f.name)
           require(comparableType(old.dataType) == comparableType(f.dataType),
             s"append changes type of '${f.name}': ${old.dataType.simpleString}" +
               s" -> ${f.dataType.simpleString}")
         }
         StructType(cur.fields ++
-          df.schema.fields.filterNot(f => curNames.contains(f.name))
+          df0.schema.fields.filterNot(f => curNames.contains(f.name))
             .map(_.copy(nullable = true)))
-      case _ => df.schema
+      case _ =>
+        // create/overwrite: stamp declared generation expressions into
+        // the named fields' metadata (the protocol's persistence shape)
+        generatedColumns.keys.foreach(k =>
+          require(df0.schema.fieldNames.contains(k),
+            s"generated column '$k' is not a schema column"))
+        StructType(df0.schema.fields.map(f =>
+          generatedColumns.get(f.name) match {
+            case Some(sql) => f.copy(metadata = new MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(Constraints.GenerationKey, sql).build())
+            case None => f
+          }))
     }
     val schemaEvolved = prior.exists(p =>
       mode == "append" && p.schema.fields.nonEmpty &&
@@ -300,6 +338,7 @@ object DeltaWriter {
         _.readerFeatures.exists(_.contains("v2Checkpoint")))
       val hasConstraints =
         newCfg.keys.exists(_.startsWith(Constraints.Prefix))
+      val hasGenerated = Constraints.generatedColumns(mergedSchema).nonEmpty
       if (version == 0L || mode == "overwrite") {
         val rw = (if (needsNtz) Seq("timestampNtz") else Nil) ++
           (if (wantsV2Cp) Seq("v2Checkpoint") else Nil)
@@ -307,15 +346,18 @@ object DeltaWriter {
         val p = protocol.putObject("protocol")
         if (rw.nonEmpty) {
           // feature form: reader-writer features land in BOTH arrays;
-          // checkConstraints is writer-only (readers need nothing)
+          // checkConstraints/generatedColumns are writer-only
           p.put("minReaderVersion", 3).put("minWriterVersion", 7)
           val rfa = p.putArray("readerFeatures"); rw.foreach(rfa.add)
           val wfa = p.putArray("writerFeatures")
-          (rw ++ (if (hasConstraints) Seq("checkConstraints") else Nil))
+          (rw ++ (if (hasConstraints) Seq("checkConstraints") else Nil) ++
+            (if (hasGenerated) Seq("generatedColumns") else Nil))
             .foreach(wfa.add)
         } else p.put("minReaderVersion", 1)
-          // legacy minWriterVersion 3 implies checkConstraints
-          .put("minWriterVersion", if (hasConstraints) 3 else 2)
+          // legacy writer versions imply the features: 3 ⊇
+          // checkConstraints, 4 ⊇ generatedColumns
+          .put("minWriterVersion",
+            if (hasGenerated) 4 else if (hasConstraints) 3 else 2)
         lines += protocol.toString
       } else {
         // evolution introduced an NTZ column and/or the properties newly
@@ -874,8 +916,19 @@ object DeltaWriter {
       txn: Option[(String, Long)] = None,
       /** Already-current snapshot to merge against, skipping the
         * per-call log replay (DeltaSink's cached-snapshot path). */
-      priorSnapshot: Option[DeltaSnapshot] = None): MergeStats = {
-    import org.apache.spark.sql.functions.{col, max, min}
+      priorSnapshot: Option[DeltaSnapshot] = None,
+      /** `WHEN MATCHED AND <deleteWhen> THEN DELETE`: source rows where
+        * this predicate is true DELETE their matched target rows (DV
+        * mask, nothing re-inserted); unmatched delete rows are no-ops.
+        * The predicate is evaluated over the RAW source, so CDC marker
+        * columns beyond the table schema (e.g. `_change_type`) may
+        * drive it — with `deleteWhen` set, the source needs only to
+        * CONTAIN the table columns; extras are dropped before the
+        * write. NULL evaluates as false (the row upserts). This is the
+        * CDC-apply-with-tombstones shape (DeltaSink.cdcBatch).
+        */
+      deleteWhen: Option[Column] = None): MergeStats = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, not}
     require(keys.nonEmpty, "merge needs at least one key column")
     val snap = priorSnapshot.getOrElse(DeltaLog.forPath(spark, path))
     snap.checkProtocolSupported()
@@ -889,10 +942,17 @@ object DeltaWriter {
     val schema = snap.schema
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key '$k' is not a table column"))
-    require(source.schema.fieldNames.toSet == schema.fieldNames.toSet,
-      s"merge source columns [${source.schema.fieldNames.sorted.mkString(",")}]" +
-        s" must equal table columns [${schema.fieldNames.sorted.mkString(",")}]" +
-        " — merge does not evolve the schema")
+    if (deleteWhen.isEmpty)
+      require(source.schema.fieldNames.toSet == schema.fieldNames.toSet,
+        s"merge source columns [${source.schema.fieldNames.sorted.mkString(",")}]" +
+          s" must equal table columns [${schema.fieldNames.sorted.mkString(",")}]" +
+          " — merge does not evolve the schema")
+    else
+      require(schema.fieldNames.toSet.subsetOf(
+          source.schema.fieldNames.toSet),
+        s"merge source must contain every table column; missing " +
+          (schema.fieldNames.toSet -- source.schema.fieldNames.toSet)
+            .toSeq.sorted.mkString(","))
     schema.fields.foreach { f =>
       val st = source.schema(f.name).dataType
       require(comparableType(st) == comparableType(f.dataType),
@@ -901,8 +961,14 @@ object DeltaWriter {
     }
     def q(n: String) = col(s"`${n.replace("`", "``")}`")
     // evaluated once, reused by the dup check, bounds agg, semi-join
-    // and the data write
-    val src = source.select(schema.fieldNames.toSeq.map(q): _*)
+    // and the data write. The delete flag is computed over the RAW
+    // source (marker columns still visible), then carried alongside
+    // the table columns.
+    val delFlag = coalesce(
+      deleteWhen.getOrElse(lit(false)).cast("boolean"), lit(false))
+    val src = source
+      .withColumn("__graft_delete", delFlag)
+      .select(schema.fieldNames.toSeq.map(q) :+ col("__graft_delete"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val srcRows = src.count()
@@ -921,7 +987,11 @@ object DeltaWriter {
       }
       else {
         requireUniqueKeys(src, keys, "merge source")
-        Constraints.validateBatch(src, schema, snap.configuration,
+        // constraints apply to the rows that WILL be written — delete
+        // rows remove data and carry no enforceable content
+        val upserts = src.where(not(col("__graft_delete")))
+          .drop("__graft_delete")
+        Constraints.validateBatch(upserts, schema, snap.configuration,
           s"MERGE into $path")
 
         // key bounds → candidate-file pruning (fail-open zone maps)
@@ -966,11 +1036,15 @@ object DeltaWriter {
           updated = del
         }
 
+        // only non-delete rows are written; with no deleteWhen this IS
+        // the whole source (no extra job to count it)
+        val written =
+          if (deleteWhen.isEmpty) srcRows else upserts.count()
         val root = new Path(path)
         val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
         val before = listDataFiles(fs, root)
-        withMicrosTimestamps(spark) {
-          toPhysical(src, schema).write.mode("append")
+        if (written > 0L) withMicrosTimestamps(spark) {
+          toPhysical(upserts, schema).write.mode("append")
             .partitionBy(
               physicalPartitionBy(snap.partitionColumns, schema): _*)
             .parquet(path)
@@ -983,14 +1057,16 @@ object DeltaWriter {
         txn.foreach { case (appId, v) => lines += txnLine(appId, v) }
         val removed = removedPaths(lines.toSeq)
         lines += commitInfoLine("MERGE",
-          params = Map("keys" -> keys.mkString(",")),
+          params = Map("keys" -> keys.mkString(",")) ++
+            deleteWhen.map(c => "deleteWhen" -> c.toString),
           metrics = Map("numSourceRows" -> srcRows,
             "numTargetRowsUpdated" -> updated,
+            "numSourceRowsWritten" -> written,
             "numTargetFilesRemoved" -> removed.size.toLong))
         commitDml(spark, path, snap, lines.toSeq,
           removed, "MERGE", snap.configuration,
           newDataGuard = Some(bounds))
-        MergeStats(updated, srcRows)
+        MergeStats(updated, written)
       }
     } finally src.unpersist()
   }
@@ -1063,11 +1139,22 @@ object DeltaWriter {
       val lines = mutable.ArrayBuffer.empty[String]
       lines ++= dvLines
 
-      val images = matched.select(schema.fields.toSeq.map { f =>
+      val images0 = matched.select(schema.fields.toSeq.map { f =>
         set.get(f.name)
           .map(_.cast(f.dataType).as(f.name))
           .getOrElse(q(f.name))
       }: _*)
+      // generated columns not explicitly assigned recompute from the
+      // UPDATED image (assigning a referenced base column must move
+      // them; a select-stage expr would read the old values). Explicit
+      // assignments stay and are validated like any provided value.
+      val images = Constraints.generatedColumns(schema)
+        .filterNot { case (n, _) => set.contains(n) }
+        .foldLeft(images0) { case (d, (n, sql)) =>
+          d.withColumn(n,
+            org.apache.spark.sql.functions.expr(sql)
+              .cast(schema(n).dataType))
+        }
       // the updated images must satisfy the table's constraints — an
       // assignment driving a column below a CHECK bound rejects here,
       // before any DV or image file lands. Enforcement persists the

@@ -55,7 +55,12 @@ object DeltaSink {
         * otherwise silently seed the table with several rows per key —
         * an invariant every later batch then enforces loudly.
         */
-      uniqueKeys: Seq[String] = Nil)(
+      uniqueKeys: Seq[String] = Nil,
+      /** Row set for the CREATING batch-0 write when it differs from
+        * `df` (the cdc flavor: delete rows filtered out, marker column
+        * dropped — a tombstone for a never-seen key must not seed the
+        * table, and the marker is not a table column). */
+      creating: Option[DataFrame] = None)(
       apply: graft.delta.DeltaSnapshot => Unit): Boolean = {
     val spark = df.sparkSession
     // DeltaSnapshot is mutable and NOT thread-safe: serialize per-path
@@ -72,8 +77,8 @@ object DeltaSink {
           DeltaWriter.requireUniqueKeys(df, uniqueKeys, "upsert batch",
             hint = " (collapse the CDC batch to last-change-per-key" +
               " upstream)")
-        DeltaWriter.write(df, path, partitionBy, mode = "overwrite",
-          txn = Some(appId -> batchId))
+        DeltaWriter.write(creating.getOrElse(df), path, partitionBy,
+          mode = "overwrite", txn = Some(appId -> batchId))
         return true
       }
       val cached = snapshots.getOrElseUpdate(path, DeltaLog.forPath(spark, path))
@@ -140,6 +145,37 @@ object DeltaSink {
       partitionBy: Seq[String] = Nil)(
       df: DataFrame, batchId: Long): Unit = {
     upsertBatch(df, path, appId, batchId, keys, partitionBy)
+    ()
+  }
+
+  /** CDC apply WITH tombstones: upserts and deletes from one
+    * change-batch land in ONE exactly-once commit. `deleteCol` names a
+    * boolean column marking delete rows (derive it upstream, e.g.
+    * `_change_type = 'delete'`); it drives merge's `WHEN MATCHED AND
+    * <delete> THEN DELETE` clause and is never written to the table.
+    * Batch 0 creates the table from the non-delete rows minus the
+    * marker; a tombstone for a never-seen key is a no-op in every
+    * batch. Returns true if applied.
+    */
+  def cdcBatch(
+      df: DataFrame, path: String, appId: String, batchId: Long,
+      keys: Seq[String], deleteCol: String,
+      partitionBy: Seq[String] = Nil): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val delCond = coalesce(col(deleteCol).cast("boolean"), lit(false))
+    ledgered(df, path, appId, batchId, partitionBy, uniqueKeys = keys,
+      creating = Some(df.where(not(delCond)).drop(deleteCol))) { snap =>
+      DeltaWriter.merge(df.sparkSession, path, df, keys,
+        txn = Some(appId -> batchId), priorSnapshot = Some(snap),
+        deleteWhen = Some(delCond))
+    }
+  }
+
+  /** `foreachBatch`-shaped closure for CDC streams with tombstones. */
+  def cdcApplier(path: String, appId: String, keys: Seq[String],
+      deleteCol: String, partitionBy: Seq[String] = Nil)(
+      df: DataFrame, batchId: Long): Unit = {
+    cdcBatch(df, path, appId, batchId, keys, deleteCol, partitionBy)
     ()
   }
 }

@@ -135,6 +135,37 @@ class StreamingSpec extends SparkSuite {
     assert(DeltaLake.scanDelta(spark, path).count() == 3)
   }
 
+  test("delta sink: CDC apply with tombstones (upserts + deletes, one commit)") {
+    import graft.delta.DeltaLog
+    import graft.streaming.DeltaSink
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_cdcsink").toString + "/t"
+
+    // batch 0: a tombstone for a never-seen key must not seed the table
+    val b0 = Seq((1L, 1.0, false), (2L, 2.0, false), (9L, 0.0, true))
+      .toDF("id", "v", "is_delete")
+    assert(DeltaSink.cdcBatch(b0, path, "cdc2", 0L, Seq("id"), "is_delete"))
+    val t0 = DeltaLake.scanDelta(spark, path)
+    assert(t0.columns.toSeq == Seq("id", "v")) // marker never a column
+    assert(t0.count() == 2)
+
+    // batch 1: update 1, delete 2, insert 3 — ONE commit
+    val b1 = Seq((1L, 10.0, false), (2L, 0.0, true), (3L, 3.0, false))
+      .toDF("id", "v", "is_delete")
+    assert(DeltaSink.cdcBatch(b1, path, "cdc2", 1L, Seq("id"), "is_delete"))
+    assert(DeltaLog.forPath(spark, path).version == 1L)
+    val rows = DeltaLake.scanDelta(spark, path).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(rows == Seq(1L -> 10.0, 3L -> 3.0), s"got $rows")
+
+    // restart replays batch 1: ledger drops it — the delete is not
+    // re-applied and nothing duplicates
+    assert(!DeltaSink.cdcBatch(b1, path, "cdc2", 1L, Seq("id"), "is_delete"))
+    assert(DeltaLake.scanDelta(spark, path).count() == 2)
+    assert(DeltaLog.forPath(spark, path).txnVersions("cdc2") == 1L)
+  }
+
   test("streaming dedup keeps first occurrence across micro-batches") {
     // stage the same events TWICE → every event_id arrives duplicated
     val dupDir = java.nio.file.Files.createTempDirectory("graft_dup").toString

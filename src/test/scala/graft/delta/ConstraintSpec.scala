@@ -241,6 +241,65 @@ class ConstraintSpec extends SparkSuite {
       properties = Map("delta.constraints.c" -> "price > 0"))
   }
 
+  test("generated columns: computed when omitted, validated when provided") {
+    val path = tmp()
+    // create: batch omits the generated column entirely — computed
+    DeltaWriter.write(
+      (1L to 10L).map(i => (i, i * 10L)).toDF("id", "price"), path,
+      generatedColumns = Map("price_band" -> "cast(price div 50 as bigint)"))
+    val t = DeltaLake.scanDelta(spark, path)
+    assert(t.columns.toSeq == Seq("id", "price", "price_band"))
+    assert(t.where(
+      col("price_band") =!= expr("cast(price div 50 as bigint)")).count() == 0)
+    // protocol: legacy 4 (implies generatedColumns)
+    assert(DeltaLake.deltaMeta(spark, path).protocol.get.minWriterVersion == 4)
+
+    // append omitting the column inherits the expression from the schema
+    DeltaWriter.write(Seq((11L, 500L)).toDF("id", "price"), path,
+      mode = "append")
+    assert(DeltaLake.scanDelta(spark, path)
+      .where(col("id") === 11L).select("price_band")
+      .collect()(0).getLong(0) == 10L)
+
+    // append PROVIDING a correct value passes; a wrong one rejects
+    DeltaWriter.write(Seq((12L, 100L, 2L)).toDF("id", "price", "price_band"),
+      path, mode = "append")
+    val before = DeltaLake.deltaMeta(spark, path)
+    val e = intercept[DeltaConstraintViolation] {
+      DeltaWriter.write(
+        Seq((13L, 100L, 99L)).toDF("id", "price", "price_band"),
+        path, mode = "append")
+    }
+    assert(e.getMessage.contains("price_band"))
+    assert(DeltaLake.deltaMeta(spark, path).version == before.version)
+
+    // declaring generated columns on an append is rejected
+    intercept[IllegalArgumentException] {
+      DeltaWriter.write(Seq((14L, 1L)).toDF("id", "price"), path,
+        mode = "append",
+        generatedColumns = Map("late" -> "id"))
+    }
+  }
+
+  test("UPDATE recomputes generated columns from the updated image") {
+    val path = tmp()
+    DeltaWriter.write(
+      (1L to 10L).map(i => (i, i * 10L)).toDF("id", "price"), path,
+      generatedColumns = Map("price_band" -> "cast(price div 50 as bigint)"))
+    // drive price of id 1 from 10 to 260: band must move 0 -> 5
+    DeltaWriter.update(spark, path, Seq(Cond("id", "=", 1L)),
+      Map("price" -> lit(260L)))
+    val r = DeltaLake.scanDelta(spark, path).where(col("id") === 1L)
+      .select("price", "price_band").collect()(0)
+    assert(r.getLong(0) == 260L && r.getLong(1) == 5L)
+
+    // MERGE source providing a violating generated value rejects
+    val bad = Seq((2L, 100L, 77L)).toDF("id", "price", "price_band")
+    intercept[DeltaConstraintViolation] {
+      DeltaWriter.merge(spark, path, bad, Seq("id"))
+    }
+  }
+
   test("constraint arriving on an append to an EMPTY table mints the protocol") {
     val path = tmp()
     DeltaWriter.write(Seq.empty[(Long, Long)].toDF("id", "price"), path)

@@ -187,4 +187,48 @@ class MergeSpec extends SparkSuite {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
     assert(del2 == Map(50L -> 500L))
   }
+
+  test("deleteWhen: matched delete rows remove, others upsert, one commit") {
+    import spark.implicits._
+    val path = tmp()
+    target(path) // ids 1..100
+
+    // CDC-shaped source with a marker column beyond the table schema:
+    // update 1-2, delete 6-8, insert 101, tombstone for absent 999
+    val source = Seq(
+      (1L, "1", -1L, "update"), (2L, "2", -2L, "update"),
+      (6L, "2", 0L, "delete"), (7L, "3", 0L, "delete"),
+      (8L, "0", 0L, "delete"),
+      (101L, "1", 1010L, "insert"), (999L, "3", 0L, "delete"))
+      .toDF("id", "bucket", "v", "_change_type")
+    val stats = DeltaWriter.merge(spark, path, source, Seq("id"),
+      deleteWhen = Some(col("_change_type") === "delete"))
+    // matched removals: 1,2 (replaced) + 6,7,8 (deleted) = 5; written:
+    // 2 updates + 1 insert = 3
+    assert(stats == MergeStats(5L, 3L))
+
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.version == 1L) // one atomic commit
+    val byId = DeltaLake.scanDelta(spark, path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+    assert(byId.size == 98) // 100 - 3 deleted + 1 inserted (replacements in place)
+    assert(byId(1L) == -1L && byId(2L) == -2L)
+    assert(!byId.contains(6L) && !byId.contains(7L) && !byId.contains(8L))
+    assert(byId(101L) == 1010L)
+    assert(!byId.contains(999L)) // tombstone for absent key: no-op
+    // the marker column never landed in the table
+    assert(!DeltaLake.scanDelta(spark, path).columns.contains("_change_type"))
+
+    // a pure-tombstone batch writes no data files, only DVs
+    val only = Seq((9L, "1", 0L, "delete")).toDF("id", "bucket", "v", "_change_type")
+    val s2 = DeltaWriter.merge(spark, path, only, Seq("id"),
+      deleteWhen = Some(col("_change_type") === "delete"))
+    assert(s2 == MergeStats(1L, 0L))
+    assert(DeltaLake.scanDelta(spark, path).count() == 97)
+
+    // without deleteWhen, extra source columns still reject loudly
+    intercept[IllegalArgumentException] {
+      DeltaWriter.merge(spark, path, only, Seq("id"))
+    }
+  }
 }
