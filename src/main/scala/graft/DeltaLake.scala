@@ -153,10 +153,14 @@ object DeltaLake {
     * they became visible in the window. Raises if window commits were
     * aged out.
     */
-  def scanDeltaChanges(spark: SparkSession, path: String,
-      sinceVersion: Long): DataFrame = {
-    val head = DeltaLog.forPath(spark, path)
-    val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
+  /** Commit-window walk shared by the change-feed paths: per commit in
+    * `(sinceVersion, head]`, adds with `dataChange=true` whose path was
+    * not live before the window and not already collected (first add
+    * wins over later rewrites). Raises if a window commit was aged out.
+    */
+  private def windowAdds(spark: SparkSession, path: String,
+      sinceVersion: Long, before: DeltaSnapshot,
+      head: DeltaSnapshot): Seq[AddAction] = {
     val beforeLive = before.liveFiles.map(_.path).toSet
     val added = scala.collection.mutable.LinkedHashMap.empty[String, AddAction]
     (sinceVersion + 1 to head.version).foreach { v =>
@@ -172,6 +176,14 @@ object DeltaLake {
           .foreach(a => added(a.path) = a)
       }
     }
+    added.values.toSeq
+  }
+
+  def scanDeltaChanges(spark: SparkSession, path: String,
+      sinceVersion: Long): DataFrame = {
+    val head = DeltaLog.forPath(spark, path)
+    val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
+    val added = windowAdds(spark, path, sinceVersion, before, head)
     // restored rows: still-live files whose DV shrank across the window
     val base = path.stripSuffix("/")
     val beforeDesc = before.liveFiles
@@ -187,7 +199,7 @@ object DeltaLake {
       }
     val inserts =
       if (added.isEmpty) None
-      else Some(DeltaScan.scanWithRowIndex(head, added.values.toSeq)
+      else Some(DeltaScan.scanWithRowIndex(head, added)
         .drop("__graft_file", "__graft_row_index"))
     val restored =
       if (restores.isEmpty) None else Some(DvCdf.rowsAt(head, restores))
@@ -248,21 +260,7 @@ object DeltaLake {
     import org.apache.spark.sql.functions.lit
     val head = DeltaLog.forPath(spark, path)
     val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
-    val beforeLive = before.liveFiles.map(_.path).toSet
-    val added = scala.collection.mutable.LinkedHashMap.empty[String, AddAction]
-    (sinceVersion + 1 to head.version).foreach { v =>
-      val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(
-        throw new java.io.FileNotFoundException(
-          s"Commit $v of $path is missing; cannot compute changes since " +
-            s"$sinceVersion"))
-      lines.foreach { n =>
-        Option(n.get("add")).filterNot(_.isNull)
-          .map(ActionCodec.parseAdd)
-          .filter(a => a.dataChange && !beforeLive.contains(a.path) &&
-            !added.contains(a.path))
-          .foreach(a => added(a.path) = a)
-      }
-    }
+    val added = windowAdds(spark, path, sinceVersion, before, head)
     val base = path.stripSuffix("/")
     val beforeDesc = before.liveFiles
       .flatMap(a => a.deletionVector.map(a.path -> _)).toMap
@@ -280,7 +278,7 @@ object DeltaLake {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], head.schema)
     val inserts =
       (if (added.isEmpty) empty
-       else DeltaScan.scanWithRowIndex(head, added.values.toSeq)
+       else DeltaScan.scanWithRowIndex(head, added)
          .drop("__graft_file", "__graft_row_index"))
         .unionByName(
           if (restores.isEmpty) empty else DvCdf.rowsAt(head, restores))

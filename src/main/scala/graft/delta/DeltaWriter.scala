@@ -34,8 +34,11 @@ import org.apache.spark.sql.types._
 /** Result of a [[DeltaWriter.merge]]: how many existing target rows were
   * replaced (DV-deleted and re-added as their updated images) and how
   * many source rows were written in total — inserts are the difference.
+  * `deletedRows` counts target rows removed by `deleteWhen` delete
+  * clauses WITHOUT replacement (0 for a plain upsert merge).
   */
-final case class MergeStats(updatedRows: Long, sourceRows: Long)
+final case class MergeStats(updatedRows: Long, sourceRows: Long,
+    deletedRows: Long = 0L)
 
 /** Result of a [[DeltaWriter.restore]]: files re-added (live at the
   * target version but since removed), files removed (added since the
@@ -131,10 +134,32 @@ object DeltaWriter {
       else prior.map(p => Constraints.generatedColumns(p.schema))
         .getOrElse(Nil)
     // a batch omitting a generated column gets it computed up front, so
-    // schema derivation, validation and the data write all see it
-    val df0 = genExprs.foldLeft(df) { case (d, (n, sql)) =>
-      if (d.columns.contains(n)) d
-      else d.withColumn(n, org.apache.spark.sql.functions.expr(sql))
+    // schema derivation, validation and the data write all see it. On
+    // append: omitted BASE columns the expression may reference are
+    // null-filled first (exactly what a reader of the written file
+    // sees — an omitted-nullable-column append is otherwise legal and
+    // must not start failing analysis), and the computed value casts to
+    // the table's declared type (the expression's natural type can be
+    // wider, e.g. BIGINT for an INT column).
+    val df0 = if (genExprs.isEmpty) df else {
+      import org.apache.spark.sql.functions.{expr, lit}
+      val priorFieldsByName = prior.map(_.schema)
+        .filter(_ => mode == "append")
+        .map(_.fields.map(f => f.name -> f).toMap)
+        .getOrElse(Map.empty)
+      val withBase = priorFieldsByName.values
+        .filterNot(f => df.columns.contains(f.name))
+        .filterNot(f => genExprs.exists(_._1 == f.name))
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      genExprs.foldLeft(withBase) { case (d, (n, sql)) =>
+        if (d.columns.contains(n)) d
+        else {
+          val computed = priorFieldsByName.get(n)
+            .map(f => expr(sql).cast(f.dataType)).getOrElse(expr(sql))
+          d.withColumn(n, computed)
+        }
+      }
     }
 
     // schema evolution on append: widen the table schema with any NEW
@@ -153,9 +178,21 @@ object DeltaWriter {
             s"append changes type of '${f.name}': ${old.dataType.simpleString}" +
               s" -> ${f.dataType.simpleString}")
         }
+        // evolution-added columns keep the batch's metadata EXCEPT the
+        // semantic keys: a df scanned off another Delta table carries
+        // delta.generationExpression / columnMapping identities in its
+        // field metadata, and copying those in would declare protocol
+        // features (or foreign physical names) this table never minted
         StructType(cur.fields ++
           df0.schema.fields.filterNot(f => curNames.contains(f.name))
-            .map(_.copy(nullable = true)))
+            .map { f =>
+              val cleaned = Seq(Constraints.GenerationKey,
+                DeltaSchema.ColumnIdKey, DeltaSchema.PhysicalNameKey)
+                .foldLeft(new MetadataBuilder().withMetadata(f.metadata)) {
+                  (b, k) => b.remove(k)
+                }.build()
+              f.copy(nullable = true, metadata = cleaned)
+            })
       case _ =>
         // create/overwrite: stamp declared generation expressions into
         // the named fields' metadata (the protocol's persistence shape)
@@ -667,10 +704,17 @@ object DeltaWriter {
     } ++ completeMultipart).distinct.sorted
     if (checkpoints.isEmpty) return Nil
 
+    // cap at the ADVERTISED checkpoint: forPath resolves the replay
+    // base for latest reads solely through _last_checkpoint, so a
+    // complete-but-unadvertised checkpoint (parts landed, crash before
+    // _last_checkpoint) must never become the base — deleting the
+    // advertised one underneath it would make the table unopenable
+    val advertised = DeltaLog.lastCheckpointVersion(spark, path)
+      .getOrElse(return Nil)
     val retained = commits.filter(_._2 >= cutoff).map(_._1)
     val oldestNeeded = (retained :+ checkpoints.max).min
-    val base = checkpoints.filter(_ <= oldestNeeded).maxOption
-      .getOrElse(return Nil)
+    val base = checkpoints.filter(v => v <= oldestNeeded && v <= advertised)
+      .maxOption.getOrElse(return Nil)
 
     val doomed = listing.collect {
       case (n, _) if n.matches(
@@ -960,6 +1004,9 @@ object DeltaWriter {
           s"${f.dataType.simpleString} -> ${st.simpleString}")
     }
     def q(n: String) = col(s"`${n.replace("`", "``")}`")
+    require(!schema.fieldNames.contains("__graft_delete") &&
+        !source.schema.fieldNames.contains("__graft_delete"),
+      "merge reserves the internal column name '__graft_delete'")
     // evaluated once, reused by the dup check, bounds agg, semi-join
     // and the data write. The delete flag is computed over the RAW
     // source (marker columns still visible), then carried alongside
@@ -1025,16 +1072,43 @@ object DeltaWriter {
         val base = path.stripSuffix("/")
         val candidates = snap.addActionsFiltered(bounds)
         val lines = mutable.ArrayBuffer.empty[String]
-        var updated = 0L
+        var masked = 0L
+        var delMatches = 0L
         if (candidates.nonEmpty) {
-          val matching = DeltaScan.scanWithRowIndex(snap, candidates)
-            .join(src.select(keys.map(q): _*), keys, "left_semi")
-            .select("__graft_file", "__graft_row_index")
-          val (dvLines, del) =
-            dvActionLines(spark, base, snap, candidates, matching)
-          lines ++= dvLines
-          updated = del
+          val scanned = DeltaScan.scanWithRowIndex(snap, candidates)
+          if (deleteWhen.isEmpty) {
+            val matching = scanned
+              .join(src.select(keys.map(q): _*), keys, "left_semi")
+              .select("__graft_file", "__graft_row_index")
+            val (dvLines, del) =
+              dvActionLines(spark, base, snap, candidates, matching)
+            lines ++= dvLines
+            masked = del
+          } else {
+            // inner join (source keys are unique: no multiplication)
+            // keeps the delete flag so the audit metrics can split
+            // deletes from replacements; persisted — it feeds both the
+            // split count and the DV build
+            val joined = scanned
+              .join(src.select(keys.map(q) :+ col("__graft_delete"): _*),
+                keys)
+              .select(col("__graft_file"), col("__graft_row_index"),
+                col("__graft_delete"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              delMatches = joined.where(col("__graft_delete")).count()
+              val (dvLines, del) = dvActionLines(spark, base, snap,
+                candidates,
+                joined.select("__graft_file", "__graft_row_index"))
+              lines ++= dvLines
+              masked = del
+            } finally joined.unpersist()
+          }
         }
+        // split the masked rows for audit: rows a prior DV had already
+        // masked are in delMatches but not in `masked`, so clamp
+        val deleted = math.min(delMatches, masked)
+        val updated = masked - deleted
 
         // only non-delete rows are written; with no deleteWhen this IS
         // the whole source (no extra job to count it)
@@ -1061,12 +1135,13 @@ object DeltaWriter {
             deleteWhen.map(c => "deleteWhen" -> c.toString),
           metrics = Map("numSourceRows" -> srcRows,
             "numTargetRowsUpdated" -> updated,
+            "numTargetRowsDeleted" -> deleted,
             "numSourceRowsWritten" -> written,
             "numTargetFilesRemoved" -> removed.size.toLong))
         commitDml(spark, path, snap, lines.toSeq,
           removed, "MERGE", snap.configuration,
           newDataGuard = Some(bounds))
-        MergeStats(updated, written)
+        MergeStats(updated, written, deleted)
       }
     } finally src.unpersist()
   }
@@ -1347,9 +1422,14 @@ object DeltaWriter {
       s"table $path already has CHECK constraint '$name' " +
         s"(${snap.configuration(key)})")
     // validate ONLY the new constraint over existing rows; the schema's
-    // own NOT NULL rules were enforced when those rows were written
+    // own NOT NULL and generation rules were enforced when those rows
+    // were written (nullable-ized, generation-stripped schema — without
+    // this the ALTER would re-evaluate every generated column
+    // table-wide and could even reject on unrelated engine variance)
     Constraints.validateBatch(DeltaScan.scanSnapshot(snap),
-      StructType(snap.schema.fields.map(_.copy(nullable = true))),
+      StructType(snap.schema.fields.map(f => f.copy(nullable = true,
+        metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .remove(Constraints.GenerationKey).build()))),
       Map(key -> sqlExpr), s"ADD CONSTRAINT '$name' on $path")
     val cfg = snap.configuration + (key -> sqlExpr)
     val lines = checkConstraintsProtocolLine(snap.protocol).toSeq ++ Seq(

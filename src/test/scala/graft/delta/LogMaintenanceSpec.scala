@@ -127,6 +127,31 @@ class LogMaintenanceSpec extends SparkSuite {
     assert(DeltaLake.scanDelta(spark, path).count() == 14)
   }
 
+  test("a complete but UNADVERTISED checkpoint never becomes the cleanup base") {
+    val path = tmp()
+    DeltaWriter.write((1L to 3L).map(i => (i, i)).toDF("id", "v"), path)
+    (1 to 11).foreach(i => DeltaWriter.write(
+      Seq((100L + i, 1L)).toDF("id", "v"), path, mode = "append"))
+    // craft a COMPLETE checkpoint at v11 whose _last_checkpoint update
+    // never landed (crash between parts and the pointer): copy v10's
+    // checkpoint bytes under the v11 single-file name, leave
+    // _last_checkpoint at v10
+    val dir = new Path(path.stripSuffix("/") + "/_delta_log")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new Path(dir, f"${10L}%020d.checkpoint.parquet"), fs,
+      new Path(dir, f"${11L}%020d.checkpoint.parquet"), false,
+      spark.sessionState.newHadoopConf())
+
+    DeltaWriter.cleanupLogs(spark, path, Some(-5000L))
+    // base capped at the ADVERTISED v10: its checkpoint and json live
+    val left = logNames(path)
+    assert(left.contains(f"${10L}%020d.checkpoint.parquet"))
+    assert(left.contains(f"${10L}%020d.json"))
+    // a fresh open (which resolves through _last_checkpoint) works
+    assert(DeltaLake.scanDelta(spark, path).count() == 14)
+  }
+
   test("auto-cleanup piggybacks on the checkpoint cadence") {
     val path = tmp()
     DeltaWriter.write((1L to 3L).map(i => (i, i)).toDF("id", "v"), path,

@@ -203,9 +203,9 @@ class MergeSpec extends SparkSuite {
       .toDF("id", "bucket", "v", "_change_type")
     val stats = DeltaWriter.merge(spark, path, source, Seq("id"),
       deleteWhen = Some(col("_change_type") === "delete"))
-    // matched removals: 1,2 (replaced) + 6,7,8 (deleted) = 5; written:
+    // 1,2 replaced; 6,7,8 deleted without replacement; written:
     // 2 updates + 1 insert = 3
-    assert(stats == MergeStats(5L, 3L))
+    assert(stats == MergeStats(2L, 3L, 3L))
 
     val snap = DeltaLake.deltaMeta(spark, path)
     assert(snap.version == 1L) // one atomic commit
@@ -223,7 +223,7 @@ class MergeSpec extends SparkSuite {
     val only = Seq((9L, "1", 0L, "delete")).toDF("id", "bucket", "v", "_change_type")
     val s2 = DeltaWriter.merge(spark, path, only, Seq("id"),
       deleteWhen = Some(col("_change_type") === "delete"))
-    assert(s2 == MergeStats(1L, 0L))
+    assert(s2 == MergeStats(0L, 0L, 1L))
     assert(DeltaLake.scanDelta(spark, path).count() == 97)
 
     // without deleteWhen, extra source columns still reject loudly
