@@ -192,20 +192,44 @@ object DeltaLog {
         Option(n.get("version")).map(_.asLong)
       }
 
+  /** `commitInfo.inCommitTimestamp` of commit `v`, if recorded
+    * (PROTOCOL.md#in-commit-timestamps — tables with
+    * `delta.enableInCommitTimestamps` carry a clock-skew-proof
+    * monotonic timestamp INSIDE each commit).
+    */
+  private[delta] def ictOf(
+      spark: SparkSession, deltaPath: String, v: Long): Option[Long] =
+    if (v < 0) None
+    else readCommitJson(spark, deltaPath, v).toSeq.flatten
+      .flatMap(n => Option(n.get("commitInfo")).filterNot(_.isNull))
+      .flatMap(c =>
+        Option(c.get("inCommitTimestamp")).filterNot(_.isNull))
+      .headOption.map(_.asLong)
+
   /** Greatest version whose commit file landed at or before `ts` —
-    * timestamp time travel, resolved from commit-file modification
-    * times (the standard Delta approach). Raises if every surviving
-    * commit is newer than `ts`.
+    * timestamp time travel. A commit carrying an `inCommitTimestamp`
+    * is resolved by it (immune to clock skew, restored backups, and
+    * object-store mtime rewrites); others fall back to commit-file
+    * modification times (the standard Delta approach). Raises if every
+    * surviving commit is newer than `ts`.
     */
   def versionAtTimestamp(
       spark: SparkSession, deltaPath: String, ts: java.time.Instant): Long = {
     val (filesystem, dir) = fs(spark, logDir(deltaPath))
     require(filesystem.exists(dir), s"no Delta log under $deltaPath")
-    val commits = filesystem.listStatus(dir).toSeq
+    val listed = filesystem.listStatus(dir).toSeq
       .filter(_.getPath.getName.matches("\\d{20}\\.json"))
       .map(s => (s.getPath.getName.take(20).toLong, s.getModificationTime))
       .sortBy(_._1)
-    require(commits.nonEmpty, s"no commits under $deltaPath")
+    require(listed.nonEmpty, s"no commits under $deltaPath")
+    // probe the NEWEST commit once: only ICT tables pay the
+    // per-commit JSON reads; everyone else keeps the one-listing path
+    val ictTable = ictOf(spark, deltaPath, listed.last._1).isDefined
+    val commits =
+      if (!ictTable) listed
+      else listed.map { case (v, mtime) =>
+        (v, ictOf(spark, deltaPath, v).getOrElse(mtime))
+      }
     // monotonize mtimes in version order (clock skew / restored backups
     // can reorder them; a version must never appear older than its
     // predecessor or the resolved version would include newer commits)

@@ -216,7 +216,20 @@ object DeltaWriter {
     // change forces a metaData re-emission even on a plain append
     val priorCfg =
       prior.flatMap(_.metadata).map(_.configuration).getOrElse(Map.empty)
-    val propCfg = priorCfg ++ properties
+    val propCfg0 = priorCfg ++ properties
+    // in-commit timestamps: the ENABLING commit records its provenance
+    // (spec: enablementVersion = this commit, enablementTimestamp =
+    // this commit's own ICT — pinned via ictFixed so they agree).
+    // cfgChanged disables append OCC retry, so `version` is final here.
+    val newlyIct = ictEnabled(propCfg0) && !ictEnabled(priorCfg)
+    val ictFixed: Option[Long] =
+      if (!newlyIct) None
+      else Some(math.max(System.currentTimeMillis(),
+        DeltaLog.ictOf(spark, path, version - 1).map(_ + 1L).getOrElse(0L)))
+    val propCfg = if (!newlyIct) propCfg0 else propCfg0 +
+      ("delta.inCommitTimestamp.enablementVersion" -> version.toString) +
+      ("delta.inCommitTimestamp.enablementTimestamp" ->
+        ictFixed.get.toString)
 
     // Column-mapped tables: every field of an emitted schemaString must
     // carry delta.columnMapping.id + physicalName or conforming readers
@@ -376,20 +389,30 @@ object DeltaWriter {
       val hasConstraints =
         newCfg.keys.exists(_.startsWith(Constraints.Prefix))
       val hasGenerated = Constraints.generatedColumns(mergedSchema).nonEmpty
+      val wantIct = ictEnabled(newCfg)
       if (version == 0L || mode == "overwrite") {
         val rw = (if (needsNtz) Seq("timestampNtz") else Nil) ++
           (if (wantsV2Cp) Seq("v2Checkpoint") else Nil)
+        val writerOnly =
+          (if (hasConstraints) Seq("checkConstraints") else Nil) ++
+            (if (hasGenerated) Seq("generatedColumns") else Nil) ++
+            (if (wantIct) Seq("inCommitTimestamp") else Nil)
         val protocol = nf.objectNode()
         val p = protocol.putObject("protocol")
         if (rw.nonEmpty) {
           // feature form: reader-writer features land in BOTH arrays;
-          // checkConstraints/generatedColumns are writer-only
+          // checkConstraints/generatedColumns/inCommitTimestamp are
+          // writer-only
           p.put("minReaderVersion", 3).put("minWriterVersion", 7)
           val rfa = p.putArray("readerFeatures"); rw.foreach(rfa.add)
           val wfa = p.putArray("writerFeatures")
-          (rw ++ (if (hasConstraints) Seq("checkConstraints") else Nil) ++
-            (if (hasGenerated) Seq("generatedColumns") else Nil))
-            .foreach(wfa.add)
+          (rw ++ writerOnly).foreach(wfa.add)
+        } else if (wantIct) {
+          // no legacy writer version implies inCommitTimestamp: writer
+          // features only, reader stays legacy
+          p.put("minReaderVersion", 1).put("minWriterVersion", 7)
+          val wfa = p.putArray("writerFeatures")
+          (Seq("appendOnly", "invariants") ++ writerOnly).foreach(wfa.add)
         } else p.put("minReaderVersion", 1)
           // legacy writer versions imply the features: 3 ⊇
           // checkConstraints, 4 ⊇ generatedColumns
@@ -409,12 +432,25 @@ object DeltaWriter {
         val gained = (if (needsNtz && !priorHasNtz) Seq("timestampNtz")
           else Nil) ++
           (if (wantsV2Cp && !priorHasV2Cp) Seq("v2Checkpoint") else Nil)
+        val gainsW: Seq[(String, Option[Int])] =
+          (if (gainsCc) Seq("checkConstraints" -> Some(3)) else Nil) ++
+            (if (newlyIct) Seq("inCommitTimestamp" -> None) else Nil)
         if (gained.nonEmpty)
           lines += upgradedProtocolJson(prior.flatMap(_.protocol),
-            gained ++ (if (gainsCc) Seq("checkConstraints") else Nil): _*)
-        else if (gainsCc)
-          checkConstraintsProtocolLine(prior.flatMap(_.protocol))
-            .foreach(lines += _)
+            gained ++ gainsW.map(_._1): _*)
+        else if (gainsW.nonEmpty) {
+          // fold writer-only gains into ONE protocol line
+          var cur = prior.flatMap(_.protocol)
+          var line: Option[String] = None
+          gainsW.foreach { case (f, impliedBy) =>
+            writerFeatureProtocolLine(cur, f, impliedBy).foreach { l =>
+              line = Some(l)
+              cur = Some(ActionCodec.parseProtocol(
+                ActionCodec.mapper.readTree(l).get("protocol")))
+            }
+          }
+          line.foreach(lines += _)
+        }
       }
 
       val meta = nf.objectNode()
@@ -474,7 +510,11 @@ object DeltaWriter {
     val canRetry =
       mode == "append" && !schemaEvolved && !cfgChanged &&
         txn.isEmpty && version > 0L
-    val bytes = (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+    // per-attempt serialization: ICT (when enabled) must re-read its
+    // predecessor after an OCC version bump
+    def bytesFor(vv: Long): Array[Byte] =
+      (withIct(spark, path, vv, lines.toSeq, newCfg, ictFixed)
+        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
     var v = version
     var committed = false
     while (!committed) {
@@ -499,7 +539,7 @@ object DeltaWriter {
         val tmp = new Path(logDir,
           s".${commit.getName}.${java.util.UUID.randomUUID()}.tmp")
         val out = fs.create(tmp, false)
-        try out.write(bytes)
+        try out.write(bytesFor(v))
         finally out.close()
         if (fs.exists(commit)) { // lost the race while staging
           fs.delete(tmp, false)
@@ -1371,33 +1411,60 @@ object DeltaWriter {
     meta.toString
   }
 
-  /** Protocol line announcing the `checkConstraints` writer feature, or
-    * None when the current protocol already implies it (legacy
-    * minWriterVersion >= 3, or feature form listing it). A legacy
-    * protocol below 3 gets a plain legacy bump — NOT the (3,7) feature
-    * form, which would force minReaderVersion 3 on readers that gain
-    * nothing from a writer-only feature.
+  /** Protocol line announcing a WRITER-ONLY feature, or None when the
+    * current protocol already implies it (legacy minWriterVersion >=
+    * `legacyImpliedBy`, or feature form listing it). When a plain
+    * legacy bump can express the feature it is preferred — NOT the
+    * feature form, which would churn readers that gain nothing from a
+    * writer-only feature. Features no legacy version implies
+    * (`legacyImpliedBy = None`, e.g. inCommitTimestamp) upgrade to
+    * minWriterVersion 7 with the full writerFeatures list (everything
+    * the old legacy version implied, plus this), keeping
+    * minReaderVersion untouched.
     */
-  private def checkConstraintsProtocolLine(
-      prior: Option[DeltaProtocol]): Option[String] = {
+  private def writerFeatureProtocolLine(prior: Option[DeltaProtocol],
+      feature: String, legacyImpliedBy: Option[Int]): Option[String] = {
     val nf = JsonNodeFactory.instance
+    def wrap(p: DeltaProtocol): String = {
+      val o = nf.objectNode()
+      o.set[JsonNode]("protocol", protocolNode(p))
+      o.toString
+    }
+    val impliedWriter = Seq(2 -> "appendOnly", 2 -> "invariants",
+      3 -> "checkConstraints", 4 -> "changeDataFeed", 4 -> "generatedColumns",
+      5 -> "columnMapping", 6 -> "identityColumns")
     prior match {
       case Some(p) if p.writerFeatures.isDefined =>
-        if (p.writerFeatures.exists(_.contains("checkConstraints"))) None
-        else {
-          val o = nf.objectNode()
-          o.set[JsonNode]("protocol", protocolNode(p.copy(writerFeatures =
-            Some((p.writerFeatures.get :+ "checkConstraints").distinct))))
-          Some(o.toString)
-        }
-      case Some(p) if p.minWriterVersion >= 3 => None
+        if (p.writerFeatures.exists(_.contains(feature))) None
+        else Some(wrap(p.copy(writerFeatures =
+          Some((p.writerFeatures.get :+ feature).distinct))))
+      case Some(p) if legacyImpliedBy.exists(p.minWriterVersion >= _) =>
+        None
       case p0 =>
-        val o = nf.objectNode(); val pn = o.putObject("protocol")
-        pn.put("minReaderVersion", p0.map(_.minReaderVersion).getOrElse(1))
-        pn.put("minWriterVersion", 3)
-        Some(o.toString)
+        legacyImpliedBy match {
+          case Some(v) =>
+            val o = nf.objectNode(); val pn = o.putObject("protocol")
+            pn.put("minReaderVersion",
+              p0.map(_.minReaderVersion).getOrElse(1))
+            pn.put("minWriterVersion",
+              math.max(v, p0.map(_.minWriterVersion).getOrElse(1)))
+            Some(o.toString)
+          case None =>
+            val legacy = p0.map(_.minWriterVersion).getOrElse(1)
+            val wf = impliedWriter.collect {
+              case (minV, f) if legacy >= minV => f
+            } :+ feature
+            Some(wrap(DeltaProtocol(
+              p0.map(_.minReaderVersion).getOrElse(1), 7,
+              readerFeatures = None,
+              writerFeatures = Some(wf.distinct))))
+        }
     }
   }
+
+  private def checkConstraintsProtocolLine(
+      prior: Option[DeltaProtocol]): Option[String] =
+    writerFeatureProtocolLine(prior, "checkConstraints", Some(3))
 
   /** ALTER TABLE ADD CONSTRAINT: register CHECK constraint `name`
     * (`delta.constraints.<name>` — PROTOCOL.md#check-constraints) after
@@ -1736,6 +1803,51 @@ object DeltaWriter {
     ci.toString
   }
 
+  private[delta] def ictEnabled(cfg: Map[String, String]): Boolean =
+    cfg.get("delta.enableInCommitTimestamps")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** In-commit timestamps (PROTOCOL.md#in-commit-timestamps): rewrite
+    * `lines` so the commitInfo carries `inCommitTimestamp`, strictly
+    * above the previous commit's — the table's commit ordering survives
+    * clock skew, restored backups and object-store mtime rewrites,
+    * which file-mtime time travel does not. Computed PER ATTEMPT: an
+    * OCC retry at a higher version re-reads its new predecessor.
+    * `fixed` pins the value for the enabling commit, whose
+    * `enablementTimestamp` property must equal its own ICT. No-op on
+    * tables without the property.
+    */
+  private def withIct(spark: org.apache.spark.sql.SparkSession,
+      path: String, v: Long, lines: Seq[String],
+      cfg: Map[String, String], fixed: Option[Long] = None): Seq[String] = {
+    if (!ictEnabled(cfg)) return lines
+    val ict = fixed.getOrElse(math.max(System.currentTimeMillis(),
+      DeltaLog.ictOf(spark, path, v - 1).map(_ + 1L).getOrElse(0L)))
+    var injected = false
+    val out = lines.map { l =>
+      val n = ActionCodec.mapper.readTree(l)
+      Option(n.get("commitInfo")).filterNot(_.isNull) match {
+        case Some(ci) =>
+          injected = true
+          ci.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("inCommitTimestamp", ict)
+            .put("timestamp", ict)
+          n.toString
+        case None => l
+      }
+    }
+    if (injected) out
+    else {
+      // every writer path emits commitInfo, but the protocol requires
+      // ICT in EVERY commit of an enabled table — synthesize if absent
+      val o = JsonNodeFactory.instance.objectNode()
+      o.putObject("commitInfo").put("timestamp", ict)
+        .put("inCommitTimestamp", ict)
+        .put("engineInfo", "graft-spark/0.5")
+      out :+ o.toString
+    }
+  }
+
   /** One `txn` action line — the exactly-once ledger entry, shared by
     * every path that records a streaming watermark.
     */
@@ -1759,10 +1871,12 @@ object DeltaWriter {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val commit = new Path(new Path(root, "_delta_log"), f"$version%020d.json")
+    val lines2 = withIct(spark, path, version, lines, config)
     val out = fs.create(commit, false)
-    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(
+      (lines2.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    writeCrc(spark, path, version, prior, lines)
+    writeCrc(spark, path, version, prior, lines2)
     maybeCheckpoint(spark, path, version, config)
   }
 
@@ -1824,7 +1938,11 @@ object DeltaWriter {
       Option(n.get("txn")).filterNot(_.isNull)
         .flatMap(t => Option(t.get("appId")).map(_.asText))
     }.toSet
-    val bytes = (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+    // per-attempt serialization: ICT (when enabled) must re-read its
+    // predecessor after a rebase moved the version
+    def bytesFor(vv: Long): Array[Byte] =
+      (withIct(spark, path, vv, lines, config)
+        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
     var v = snap.version + 1
     while (true) {
       val commit = new Path(logDir, f"$v%020d.json")
@@ -1838,7 +1956,7 @@ object DeltaWriter {
         val tmp = new Path(logDir,
           s".${commit.getName}.${java.util.UUID.randomUUID()}.tmp")
         val out = fs.create(tmp, false)
-        try out.write(bytes)
+        try out.write(bytesFor(v))
         finally out.close()
         if (fs.exists(commit)) {
           fs.delete(tmp, false) // lost the race while staging; revalidate
