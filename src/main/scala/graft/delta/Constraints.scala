@@ -51,6 +51,32 @@ object Constraints {
       .filter(_.metadata.contains(GenerationKey))
       .map(f => f.name -> f.metadata.getString(GenerationKey))
 
+  /** Identity-column field-metadata keys (delta-spark's shape,
+    * PROTOCOL.md#identity-columns).
+    */
+  val IdentityStartKey = "delta.identity.start"
+  val IdentityStepKey = "delta.identity.step"
+  val IdentityHighWaterMarkKey = "delta.identity.highWaterMark"
+  val IdentityAllowExplicitKey = "delta.identity.allowExplicitInsert"
+
+  /** (column, start, step, highWaterMark, allowExplicit) for every
+    * identity column in `schema`.
+    */
+  def identityColumns(schema: StructType)
+      : Seq[(String, Long, Long, Option[Long], Boolean)] =
+    schema.fields.toSeq
+      .filter(_.metadata.contains(IdentityStartKey))
+      .map { f =>
+        (f.name,
+          f.metadata.getLong(IdentityStartKey),
+          f.metadata.getLong(IdentityStepKey),
+          if (f.metadata.contains(IdentityHighWaterMarkKey))
+            Some(f.metadata.getLong(IdentityHighWaterMarkKey))
+          else None,
+          f.metadata.contains(IdentityAllowExplicitKey) &&
+            f.metadata.getBoolean(IdentityAllowExplicitKey))
+      }
+
   /** (name, sql-expression) pairs from table configuration, name-sorted
     * so violation messages are deterministic.
     */

@@ -109,7 +109,17 @@ object DeltaWriter {
         * on mismatch — a stored generated value may never disagree with
         * its definition.
         */
-      generatedColumns: Map[String, String] = Map.empty): Unit = {
+      generatedColumns: Map[String, String] = Map.empty,
+      /** Identity columns (PROTOCOL.md#identity-columns), declared at
+        * create/overwrite as column → (start, step). GENERATED ALWAYS:
+        * every write that omits the column gets monotonic
+        * system-assigned BIGINT values above the table's high-water
+        * mark (tracked in `delta.identity.highWaterMark` field
+        * metadata); providing the column rejects. The metadata change
+        * per append makes concurrent identity appends CONFLICT via OCC
+        * instead of silently assigning duplicate values.
+        */
+      identityColumns: Map[String, (Long, Long)] = Map.empty): Unit = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -129,6 +139,23 @@ object DeltaWriter {
     require(generatedColumns.isEmpty || isCreate,
       "generatedColumns can only be declared at table create/overwrite" +
         " — appends inherit them from the table schema")
+    require(identityColumns.isEmpty || isCreate,
+      "identityColumns can only be declared at table create/overwrite" +
+        " — appends inherit them from the table schema")
+    identityColumns.foreach { case (n, (_, step)) =>
+      require(step > 0, s"identity column '$n' needs a positive step")
+      require(!generatedColumns.contains(n),
+        s"column '$n' cannot be both identity and generated")
+    }
+    // identity assignment runs FIRST — a generation expression may
+    // reference the identity value
+    val idSpecs: Seq[(String, Long, Long, Option[Long], Boolean)] =
+      if (isCreate) identityColumns.toSeq.sortBy(_._1).map {
+        case (n, (st, sp)) => (n, st, sp, Option.empty[Long], false)
+      }
+      else prior.map(p => Constraints.identityColumns(p.schema))
+        .getOrElse(Nil)
+    val (dfId, idHwms) = assignIdentityValues(spark, df, idSpecs)
     val genExprs: Seq[(String, String)] =
       if (isCreate) generatedColumns.toSeq.sortBy(_._1)
       else prior.map(p => Constraints.generatedColumns(p.schema))
@@ -141,16 +168,16 @@ object DeltaWriter {
     // must not start failing analysis), and the computed value casts to
     // the table's declared type (the expression's natural type can be
     // wider, e.g. BIGINT for an INT column).
-    val df0 = if (genExprs.isEmpty) df else {
+    val df0 = if (genExprs.isEmpty) dfId else {
       import org.apache.spark.sql.functions.{expr, lit}
       val priorFieldsByName = prior.map(_.schema)
         .filter(_ => mode == "append")
         .map(_.fields.map(f => f.name -> f).toMap)
         .getOrElse(Map.empty)
       val withBase = priorFieldsByName.values
-        .filterNot(f => df.columns.contains(f.name))
+        .filterNot(f => dfId.columns.contains(f.name))
         .filterNot(f => genExprs.exists(_._1 == f.name))
-        .foldLeft(df)((d, f) =>
+        .foldLeft(dfId)((d, f) =>
           d.withColumn(f.name, lit(null).cast(f.dataType)))
       genExprs.foldLeft(withBase) { case (d, (n, sql)) =>
         if (d.columns.contains(n)) d
@@ -169,7 +196,7 @@ object DeltaWriter {
     // automatically (explicit read schema). New columns are forced
     // nullable — they ARE null in every pre-evolution file. Validated
     // BEFORE the data write so a rejected append strands no files.
-    val mergedSchema: StructType = prior.map(_.schema) match {
+    val mergedSchemaPreId: StructType = prior.map(_.schema) match {
       case Some(cur) if mode == "append" && cur.fields.nonEmpty =>
         val curNames = cur.fieldNames.toSet
         df0.schema.fields.filter(f => curNames.contains(f.name)).foreach { f =>
@@ -207,6 +234,27 @@ object DeltaWriter {
             case None => f
           }))
     }
+    // identity metadata: declaration stamped at create; the advanced
+    // high-water mark stamped on EVERY assigning write. The resulting
+    // schemaString change flows through schemaEvolved → metaData
+    // emission AND canRetry=false, which is load-bearing: two racing
+    // identity appends must conflict, not rebase into duplicate values.
+    val mergedSchema: StructType =
+      if (idSpecs.isEmpty) mergedSchemaPreId
+      else StructType(mergedSchemaPreId.fields.map { f =>
+        val decl = if (isCreate) identityColumns.get(f.name) else None
+        val newHwm = idHwms.get(f.name)
+        if (decl.isEmpty && newHwm.isEmpty) f
+        else {
+          val b = new MetadataBuilder().withMetadata(f.metadata)
+          decl.foreach { case (st, sp) =>
+            b.putLong(Constraints.IdentityStartKey, st)
+            b.putLong(Constraints.IdentityStepKey, sp)
+          }
+          newHwm.foreach(b.putLong(Constraints.IdentityHighWaterMarkKey, _))
+          f.copy(metadata = b.build())
+        }
+      })
     val schemaEvolved = prior.exists(p =>
       mode == "append" && p.schema.fields.nonEmpty &&
         mergedSchema.json != p.schema.json)
@@ -389,6 +437,7 @@ object DeltaWriter {
       val hasConstraints =
         newCfg.keys.exists(_.startsWith(Constraints.Prefix))
       val hasGenerated = Constraints.generatedColumns(mergedSchema).nonEmpty
+      val hasIdentity = Constraints.identityColumns(mergedSchema).nonEmpty
       val wantIct = ictEnabled(newCfg)
       if (version == 0L || mode == "overwrite") {
         val rw = (if (needsNtz) Seq("timestampNtz") else Nil) ++
@@ -396,6 +445,7 @@ object DeltaWriter {
         val writerOnly =
           (if (hasConstraints) Seq("checkConstraints") else Nil) ++
             (if (hasGenerated) Seq("generatedColumns") else Nil) ++
+            (if (hasIdentity) Seq("identityColumns") else Nil) ++
             (if (wantIct) Seq("inCommitTimestamp") else Nil)
         val protocol = nf.objectNode()
         val p = protocol.putObject("protocol")
@@ -415,9 +465,11 @@ object DeltaWriter {
           (Seq("appendOnly", "invariants") ++ writerOnly).foreach(wfa.add)
         } else p.put("minReaderVersion", 1)
           // legacy writer versions imply the features: 3 ⊇
-          // checkConstraints, 4 ⊇ generatedColumns
+          // checkConstraints, 4 ⊇ generatedColumns, 6 ⊇ identityColumns
           .put("minWriterVersion",
-            if (hasGenerated) 4 else if (hasConstraints) 3 else 2)
+            if (hasIdentity) 6
+            else if (hasGenerated) 4
+            else if (hasConstraints) 3 else 2)
         lines += protocol.toString
       } else {
         // evolution introduced an NTZ column and/or the properties newly
@@ -650,6 +702,75 @@ object DeltaWriter {
           System.err.println(
             s"[graft] auto-checkpoint of $path at v$version failed: $e")
       }
+  }
+
+  /** Assign identity-column values (PROTOCOL.md#identity-columns):
+    * each omitted identity column gets hwm+step, hwm+2·step, … via
+    * per-partition offset arithmetic — ONE counting pass + ONE
+    * assigning pass, no global sort and no single-partition
+    * row_number, so assignment scales with the cluster. Returns the
+    * batch with values and the new high-water mark per column. A batch
+    * PROVIDING an identity column is rejected (GENERATED ALWAYS
+    * semantics) unless the column's metadata allows explicit inserts,
+    * in which case the high-water mark syncs past the provided max.
+    */
+  private def assignIdentityValues(
+      spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      specs: Seq[(String, Long, Long, Option[Long], Boolean)])
+      : (DataFrame, Map[String, Long]) = {
+    if (specs.isEmpty) return (df, Map.empty)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val (provided, omitted) = specs.partition(s => df.columns.contains(s._1))
+    provided.filterNot(_._5).foreach { case (n, _, _, _, _) =>
+      throw new DeltaConstraintViolation(
+        s"identity column '$n' is GENERATED ALWAYS — omit it from the " +
+          "batch and let the writer assign values")
+    }
+    val providedHwms: Map[String, Long] =
+      if (provided.isEmpty) Map.empty
+      else {
+        val aggs = provided.map(s => max(col(s._1)))
+        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        provided.zipWithIndex.flatMap { case ((n, _, _, hwm, _), i) =>
+          Option(r.get(i)).map(v => n -> math.max(
+            hwm.getOrElse(Long.MinValue),
+            v.asInstanceOf[Number].longValue))
+        }.toMap
+      }
+    if (omitted.isEmpty) return (df, providedHwms)
+
+    val counts = df.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator(i -> it.size.toLong))
+      .collect().toMap
+    val total = counts.values.sum
+    if (total == 0L)
+      return (omitted.foldLeft(df)((d, s) =>
+        d.withColumn(s._1, lit(null).cast("long"))), providedHwms)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.toSeq.sortBy(_._1).map { case (i, c) =>
+        val o = i -> acc; acc += c; o
+      }.toMap
+    }
+    val bases = omitted.map { case (n, st, sp, hwm, _) =>
+      (n, hwm.map(_ + sp).getOrElse(st), sp)
+    }
+    val schema2 = StructType(df.schema.fields ++
+      bases.map(b => StructField(b._1, LongType, nullable = false)))
+    val rdd2 = df.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var k = offsets(pi)
+      it.map { r =>
+        val vals = bases.map { case (_, base, sp) => base + sp * k }
+        k += 1
+        Row.fromSeq(r.toSeq ++ vals)
+      }
+    }
+    val out = spark.createDataFrame(rdd2, schema2)
+    val newHwms = bases.map { case (n, base, sp) =>
+      n -> (base + sp * (total - 1))
+    }.toMap
+    (out, providedHwms ++ newHwms)
   }
 
   /** Parse `delta.logRetentionDuration` ("interval 30 days" /

@@ -442,5 +442,42 @@ object TextOps {
         |  FROM cand JOIN pg USING (gram) GROUP BY doc_id, n_grams)
         |SELECT doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
         |  CAST(n_overlap AS DOUBLE) / n_grams AS overlap_ratio
-        |FROM hits ORDER BY doc_id""".stripMargin)))
+        |FROM hits ORDER BY doc_id""".stripMargin)),
+
+    // Unigram language-model quality proxy (the CCNet/KenLM-style
+    // filtering signal): per-doc mean -ln p(token) under the corpus's
+    // OWN unigram distribution — high = rare-token soup (boilerplate,
+    // gibberish, wrong language), low = common fluent text. Scale
+    // shape: one explode, one token-count shuffle (map-side combined,
+    // shuffle ∝ vocabulary), one tokens⋈counts shuffle join, one doc
+    // aggregation. The score rounds to 6 decimals on BOTH engines:
+    // double addition order differs between Spark's distributed avg
+    // and DuckDB's sequential one at ~1e-13 relative — far inside the
+    // rounding, while real score differences are ~1e-1.
+    "t13_unigram_logprob" -> QueryDef(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val total = tf.agg(sum("c")).collect()(0).getLong(0)
+        toks.join(tf, "tok")
+          .select(col("doc_id"),
+            log(lit(total.toDouble) / col("c")).as("nlp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg("nlp"), 6).as("avg_neg_logp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c)::DOUBLE AS n FROM tf),
+        |scored AS (
+        |  SELECT t.doc_id, ln((SELECT n FROM tot) / tf.c) AS nlp
+        |  FROM toks t JOIN tf USING (tok))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(nlp), 6) AS avg_neg_logp
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }
