@@ -224,11 +224,13 @@ object DeltaLog {
     require(listed.nonEmpty, s"no commits under $deltaPath")
     // probe the NEWEST commit once: only ICT tables pay the
     // per-commit JSON reads; everyone else keeps the one-listing path
-    val ictTable = ictOf(spark, deltaPath, listed.last._1).isDefined
+    val lastIct = ictOf(spark, deltaPath, listed.last._1)
     val commits =
-      if (!ictTable) listed
+      if (lastIct.isEmpty) listed
       else listed.map { case (v, mtime) =>
-        (v, ictOf(spark, deltaPath, v).getOrElse(mtime))
+        val ict = if (v == listed.last._1) lastIct
+          else ictOf(spark, deltaPath, v)
+        (v, ict.getOrElse(mtime))
       }
     // monotonize mtimes in version order (clock skew / restored backups
     // can reorder them; a version must never appear older than its

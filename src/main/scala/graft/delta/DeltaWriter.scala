@@ -155,7 +155,7 @@ object DeltaWriter {
       }
       else prior.map(p => Constraints.identityColumns(p.schema))
         .getOrElse(Nil)
-    val (dfId, idHwms) = assignIdentityValues(spark, df, idSpecs)
+    val (dfId, idHwms, idCache) = assignIdentityValues(spark, df, idSpecs)
     val genExprs: Seq[(String, String)] =
       if (isCreate) generatedColumns.toSeq.sortBy(_._1)
       else prior.map(p => Constraints.generatedColumns(p.schema))
@@ -214,6 +214,9 @@ object DeltaWriter {
           df0.schema.fields.filterNot(f => curNames.contains(f.name))
             .map { f =>
               val cleaned = Seq(Constraints.GenerationKey,
+                Constraints.IdentityStartKey, Constraints.IdentityStepKey,
+                Constraints.IdentityHighWaterMarkKey,
+                Constraints.IdentityAllowExplicitKey,
                 DeltaSchema.ColumnIdKey, DeltaSchema.PhysicalNameKey)
                 .foldLeft(new MetadataBuilder().withMetadata(f.metadata)) {
                   (b, k) => b.remove(k)
@@ -320,9 +323,13 @@ object DeltaWriter {
         val seeded = maxId
         val fields = mergedSchema.fields.map { f =>
           priorFields.get(f.name) match {
-            case Some(pf) if pf.metadata.contains(
+            case Some(_) if f.metadata.contains(
                 DeltaSchema.PhysicalNameKey) =>
-              f.copy(metadata = pf.metadata)
+              // mergedSchema's existing fields ARE the prior fields —
+              // mapping identity included — possibly with a freshly
+              // stamped identity high-water mark; replacing with the
+              // prior metadata would silently revert that stamp
+              f
             case _ =>
               // conformant id minting for the NEW column AND every
               // nested struct field under it (depth-first, like
@@ -401,7 +408,12 @@ object DeltaWriter {
     else df0
     try Constraints.validateBatch(dfV, mergedSchema, newCfg,
       s"$mode to $path")
-    catch { case t: Throwable => if (enforced) dfV.unpersist(); throw t }
+    catch {
+      case t: Throwable =>
+        if (enforced) dfV.unpersist()
+        idCache.foreach(_.unpersist())
+        throw t
+    }
 
     // Delta stores timestamps as INT64 micros (INT96, Spark's legacy
     // default, also carries no usable column statistics). Data files
@@ -414,7 +426,10 @@ object DeltaWriter {
       toPhysical(df1, tableSchema).write.mode("append")
         .partitionBy(physicalPartitionBy(partitionBy, tableSchema): _*)
         .parquet(path)
-    } finally if (enforced) dfV.unpersist()
+    } finally {
+      if (enforced) dfV.unpersist()
+      idCache.foreach(_.unpersist())
+    }
 
     val after = listDataFiles(fs, root)
     val newFiles = (after -- before).toSeq.sorted
@@ -609,6 +624,16 @@ object DeltaWriter {
     maybeCheckpoint(spark, path, v, newCfg)
   }
 
+  /** The writer features each legacy minWriterVersion implies
+    * (PROTOCOL.md feature table) — shared by every protocol-upgrade
+    * path so the implication table cannot drift.
+    */
+  private val ImpliedWriterFeatures: Seq[(Int, String)] =
+    Seq(2 -> "appendOnly", 2 -> "invariants",
+      3 -> "checkConstraints", 4 -> "changeDataFeed",
+      4 -> "generatedColumns", 5 -> "columnMapping",
+      6 -> "identityColumns")
+
   private def protocolNode(p: DeltaProtocol) = {
     val o = JsonNodeFactory.instance.objectNode()
     o.put("minReaderVersion", p.minReaderVersion)
@@ -717,8 +742,8 @@ object DeltaWriter {
   private def assignIdentityValues(
       spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       specs: Seq[(String, Long, Long, Option[Long], Boolean)])
-      : (DataFrame, Map[String, Long]) = {
-    if (specs.isEmpty) return (df, Map.empty)
+      : (DataFrame, Map[String, Long], Option[DataFrame]) = {
+    if (specs.isEmpty) return (df, Map.empty, None)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.functions.{col, lit, max}
     val (provided, omitted) = specs.partition(s => df.columns.contains(s._1))
@@ -738,15 +763,22 @@ object DeltaWriter {
             v.asInstanceOf[Number].longValue))
         }.toMap
       }
-    if (omitted.isEmpty) return (df, providedHwms)
+    if (omitted.isEmpty) return (df, providedHwms, None)
 
-    val counts = df.rdd
+    // the batch is PERSISTED across both passes (and until the data
+    // write completes — the caller unpersists): a non-deterministic
+    // plan re-materializing between the counting and assigning passes
+    // would shift partition sizes and mint duplicate values
+    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = src.rdd
       .mapPartitionsWithIndex((i, it) => Iterator(i -> it.size.toLong))
       .collect().toMap
     val total = counts.values.sum
-    if (total == 0L)
+    if (total == 0L) {
+      src.unpersist()
       return (omitted.foldLeft(df)((d, s) =>
-        d.withColumn(s._1, lit(null).cast("long"))), providedHwms)
+        d.withColumn(s._1, lit(null).cast("long"))), providedHwms, None)
+    }
     val offsets: Map[Int, Long] = {
       var acc = 0L
       counts.toSeq.sortBy(_._1).map { case (i, c) =>
@@ -756,9 +788,9 @@ object DeltaWriter {
     val bases = omitted.map { case (n, st, sp, hwm, _) =>
       (n, hwm.map(_ + sp).getOrElse(st), sp)
     }
-    val schema2 = StructType(df.schema.fields ++
+    val schema2 = StructType(src.schema.fields ++
       bases.map(b => StructField(b._1, LongType, nullable = false)))
-    val rdd2 = df.rdd.mapPartitionsWithIndex { (pi, it) =>
+    val rdd2 = src.rdd.mapPartitionsWithIndex { (pi, it) =>
       var k = offsets(pi)
       it.map { r =>
         val vals = bases.map { case (_, base, sp) => base + sp * k }
@@ -770,7 +802,7 @@ object DeltaWriter {
     val newHwms = bases.map { case (n, base, sp) =>
       n -> (base + sp * (total - 1))
     }.toMap
-    (out, providedHwms ++ newHwms)
+    (out, providedHwms ++ newHwms, Some(src))
   }
 
   /** Parse `delta.logRetentionDuration` ("interval 30 days" /
@@ -1551,9 +1583,6 @@ object DeltaWriter {
       o.set[JsonNode]("protocol", protocolNode(p))
       o.toString
     }
-    val impliedWriter = Seq(2 -> "appendOnly", 2 -> "invariants",
-      3 -> "checkConstraints", 4 -> "changeDataFeed", 4 -> "generatedColumns",
-      5 -> "columnMapping", 6 -> "identityColumns")
     prior match {
       case Some(p) if p.writerFeatures.isDefined =>
         if (p.writerFeatures.exists(_.contains(feature))) None
@@ -1572,7 +1601,7 @@ object DeltaWriter {
             Some(o.toString)
           case None =>
             val legacy = p0.map(_.minWriterVersion).getOrElse(1)
-            val wf = impliedWriter.collect {
+            val wf = ImpliedWriterFeatures.collect {
               case (minV, f) if legacy >= minV => f
             } :+ feature
             Some(wrap(DeltaProtocol(
@@ -1944,29 +1973,32 @@ object DeltaWriter {
     if (!ictEnabled(cfg)) return lines
     val ict = fixed.getOrElse(math.max(System.currentTimeMillis(),
       DeltaLog.ictOf(spark, path, v - 1).map(_ + 1L).getOrElse(0L)))
-    var injected = false
-    val out = lines.map { l =>
+    val (ciLines, others) = lines.partition { l =>
       val n = ActionCodec.mapper.readTree(l)
-      Option(n.get("commitInfo")).filterNot(_.isNull) match {
-        case Some(ci) =>
-          injected = true
-          ci.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-            .put("inCommitTimestamp", ict)
-            .put("timestamp", ict)
-          n.toString
-        case None => l
-      }
+      n.has("commitInfo") && !n.get("commitInfo").isNull
     }
-    if (injected) out
-    else {
-      // every writer path emits commitInfo, but the protocol requires
-      // ICT in EVERY commit of an enabled table — synthesize if absent
-      val o = JsonNodeFactory.instance.objectNode()
-      o.putObject("commitInfo").put("timestamp", ict)
+    val stamped = ciLines.map { l =>
+      val n = ActionCodec.mapper.readTree(l)
+      n.get("commitInfo")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
         .put("inCommitTimestamp", ict)
-        .put("engineInfo", "graft-spark/0.5")
-      out :+ o.toString
+        .put("timestamp", ict)
+      n.toString
     }
+    val ci =
+      if (stamped.nonEmpty) stamped
+      else {
+        // every writer path emits commitInfo, but the protocol requires
+        // ICT in EVERY commit of an enabled table — synthesize if absent
+        val o = JsonNodeFactory.instance.objectNode()
+        o.putObject("commitInfo").put("timestamp", ict)
+          .put("inCommitTimestamp", ict)
+          .put("engineInfo", "graft-spark/0.5")
+        Seq(o.toString)
+      }
+    // the ICT-bearing commitInfo must be the FIRST action of the commit
+    // (the protocol lets readers extract it without scanning the file)
+    ci ++ others
   }
 
   /** One `txn` action line — the exactly-once ledger entry, shared by
@@ -2818,9 +2850,6 @@ object DeltaWriter {
     def implied(v: Int, table: Seq[(Int, String)]): Seq[String] =
       table.collect { case (minV, f) if v >= minV => f }
     val impliedReader = Seq(2 -> "columnMapping")
-    val impliedWriter = Seq(2 -> "appendOnly", 2 -> "invariants",
-      3 -> "checkConstraints", 4 -> "changeDataFeed", 4 -> "generatedColumns",
-      5 -> "columnMapping", 6 -> "identityColumns")
     // reader-WRITER features appear in both arrays; everything else
     // (checkConstraints, appendOnly, …) is writer-only and must never
     // land in readerFeatures
@@ -2830,7 +2859,8 @@ object DeltaWriter {
       implied(prior.map(_.minReaderVersion).getOrElse(1), impliedReader)) ++
       features.filter(readerRelevant)).distinct
     val wf = (prior.flatMap(_.writerFeatures).getOrElse(
-      implied(prior.map(_.minWriterVersion).getOrElse(1), impliedWriter)) ++
+      implied(prior.map(_.minWriterVersion).getOrElse(1),
+        ImpliedWriterFeatures)) ++
       features).distinct
     val nf = JsonNodeFactory.instance
     val o = nf.objectNode(); val pn = o.putObject("protocol")

@@ -459,10 +459,13 @@ object TextOps {
         val toks = table(s, dir, "documents")
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         val tf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-        val total = tf.agg(sum("c")).collect()(0).getLong(0)
-        toks.join(tf, "tok")
-          .select(col("doc_id"),
-            log(lit(total.toDouble) / col("c")).as("nlp"))
+        // the corpus total stays IN the plan (broadcast 1-row cross
+        // join, mirroring the oracle's scalar subquery): no eager
+        // driver action, tf's shuffle reused, empty corpus yields
+        // zero rows instead of an NPE
+        val tot = broadcast(tf.agg(sum("c").cast("double").as("n")))
+        toks.join(tf, "tok").crossJoin(tot)
+          .select(col("doc_id"), log(col("n") / col("c")).as("nlp"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
             round(avg("nlp"), 6).as("avg_neg_logp"))
