@@ -456,8 +456,14 @@ object TextOps {
     // rounding, while real score differences are ~1e-1.
     "t13_unigram_logprob" -> QueryDef(
       (s, dir) => {
-        val toks = table(s, dir, "documents")
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        // the exploded token relation is referenced twice (tf build +
+        // scoring join): cached per corpus version so the documents
+        // scan and the explode run once, not three times
+        val toks = OpCaches.cached(s, s"text:toks:$dir",
+            OpCaches.tableVersion(s, dir, "documents")) {
+          table(s, dir, "documents")
+            .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        }
         val tf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
         // the corpus total stays IN the plan (broadcast 1-row cross
         // join, mirroring the oracle's scalar subquery): no eager
