@@ -33,6 +33,13 @@ final class DeltaSnapshot(
   private[delta] val addActions = mutable.LinkedHashMap.empty[String, AddAction]
   private[delta] var lastCommitInfo: Option[CommitInfo] = None
   private[delta] val txns = mutable.Map.empty[String, Long]
+  // domainMetadata actions (PROTOCOL.md#domain-metadata): per-domain
+  // state external engines persist in the log (row tracking, liquid
+  // clustering, …). We never originate these, but a checkpoint WE
+  // write must re-state them — dropping a domain would corrupt the
+  // owning engine's state. Raw inner-JSON per domain, latest wins
+  // (removal tombstones retained verbatim).
+  private[delta] val domains = mutable.LinkedHashMap.empty[String, String]
   var version: Long = 0L
 
   def protocol: Option[DeltaProtocol] = protocolOpt
@@ -97,8 +104,17 @@ final class DeltaSnapshot(
     Option(node.get("remove")).filterNot(_.isNull).foreach { n =>
       Option(n.get("path")).foreach(p => addActions.remove(p.asText))
     }
+    Option(node.get("domainMetadata")).filterNot(_.isNull).foreach { n =>
+      Option(n.get("domain")).filterNot(_.isNull)
+        .foreach(d => domains(d.asText) = n.toString)
+    }
     version = v
   }
+
+  /** Latest domainMetadata state per domain (raw inner-JSON objects,
+    * removal tombstones included) — what a checkpoint must re-state.
+    */
+  def domainMetadataRaw: Seq[String] = domains.values.toSeq
 
   /** Continue replay from `version+1` until a commit file is missing.
     * Spec: MetaState.update_incremental (delta_meta_retrieval.py:183-200).

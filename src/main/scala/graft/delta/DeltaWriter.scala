@@ -2596,7 +2596,11 @@ object DeltaWriter {
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
         StructField("readerFeatures", ArrayType(StringType)),
-        StructField("writerFeatures", ArrayType(StringType)))))))
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
   }
 
   /** Write a checkpoint + `_last_checkpoint` for the snapshot's
@@ -2679,20 +2683,31 @@ object DeltaWriter {
     snap.protocol.foreach { p =>
       rows += Row(null, null, null, null,
         Row(p.minReaderVersion, p.minWriterVersion,
-          p.readerFeatures.orNull, p.writerFeatures.orNull))
+          p.readerFeatures.orNull, p.writerFeatures.orNull), null)
     }
     snap.txnVersions.toSeq.sortBy(_._1).foreach { case (appId, v) =>
-      rows += Row(Row(appId, v, null), null, null, null, null)
+      rows += Row(Row(appId, v, null), null, null, null, null, null)
     }
     snap.metadata.foreach { m =>
       rows += Row(null, null, null,
         Row(m.id.orNull, null, null, Row("parquet", Map.empty[String, String]),
           m.schemaString, m.partitionColumns, m.configuration,
           m.createdTime.map(Long.box).orNull),
-        null)
+        null, null)
+    }
+    // domainMetadata an external engine persisted (row tracking,
+    // clustering, …) must survive OUR checkpoint — dropping a domain
+    // would corrupt the owning engine's state
+    snap.domainMetadataRaw.foreach { raw =>
+      val n = ActionCodec.mapper.readTree(raw)
+      rows += Row(null, null, null, null, null, Row(
+        Option(n.get("domain")).filterNot(_.isNull).map(_.asText).orNull,
+        Option(n.get("configuration")).filterNot(_.isNull)
+          .map(c => if (c.isTextual) c.asText else c.toString).orNull,
+        Option(n.get("removed")).filterNot(_.isNull).exists(_.asBoolean)))
     }
     snap.liveFiles.foreach { a =>
-      rows += Row(null, checkpointAddRow(a), null, null, null)
+      rows += Row(null, checkpointAddRow(a), null, null, null, null)
     }
 
     val logDir = s"${snap.deltaPath.stripSuffix("/")}/_delta_log"
@@ -2740,7 +2755,8 @@ object DeltaWriter {
         StructField("path", StringType),
         StructField("sizeInBytes", LongType),
         StructField("modificationTime", LongType),
-        StructField("tags", mapSS))))))
+        StructField("tags", mapSS)))),
+      checkpointSchema("domainMetadata")))
   }
 
   /** V2 UUID-named checkpoint + sidecars (PROTOCOL.md#v2-spec): file
@@ -2803,21 +2819,32 @@ object DeltaWriter {
     snap.protocol.foreach { p =>
       top += Row(null, null,
         Row(p.minReaderVersion, p.minWriterVersion,
-          p.readerFeatures.orNull, p.writerFeatures.orNull), null, null)
+          p.readerFeatures.orNull, p.writerFeatures.orNull),
+        null, null, null)
     }
     snap.txnVersions.toSeq.sortBy(_._1).foreach { case (appId, v) =>
-      top += Row(Row(appId, v, null), null, null, null, null)
+      top += Row(Row(appId, v, null), null, null, null, null, null)
     }
     snap.metadata.foreach { m =>
       top += Row(null,
         Row(m.id.orNull, null, null, Row("parquet", Map.empty[String, String]),
           m.schemaString, m.partitionColumns, m.configuration,
-          m.createdTime.map(Long.box).orNull), null, null, null)
+          m.createdTime.map(Long.box).orNull), null, null, null, null)
     }
-    top += Row(null, null, null, Row(snap.version, null), null)
+    // external engines' domainMetadata re-stated (non-file actions live
+    // in the top file)
+    snap.domainMetadataRaw.foreach { raw =>
+      val n = ActionCodec.mapper.readTree(raw)
+      top += Row(null, null, null, null, null, Row(
+        Option(n.get("domain")).filterNot(_.isNull).map(_.asText).orNull,
+        Option(n.get("configuration")).filterNot(_.isNull)
+          .map(c => if (c.isTextual) c.asText else c.toString).orNull,
+        Option(n.get("removed")).filterNot(_.isNull).exists(_.asBoolean)))
+    }
+    top += Row(null, null, null, Row(snap.version, null), null, null)
     // relative sidecar names — the reader resolves them under _sidecars/
     sidecars.foreach { case (name, len, mtime) =>
-      top += Row(null, null, null, null, Row(name, len, mtime, null))
+      top += Row(null, null, null, null, Row(name, len, mtime, null), null)
     }
 
     val topPath = new Path(logDir,

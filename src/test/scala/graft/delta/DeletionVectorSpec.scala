@@ -368,9 +368,11 @@ class DeletionVectorSpec extends SparkSuite {
     val keptZ = DeltaLake.deltaMeta(spark, zed).addActionsFiltered(conds).size
     assert(keptNaive == 8, s"naive kept $keptNaive")
     // 2-D Morton with 8 files: the string dim holds ~1.5 of the top 3
-    // interleaved bits, so one key can touch up to half the files —
-    // same bound as the numeric z-order test above
-    assert(keptZ <= 4, s"z-order kept $keptZ of 8 files for one string key")
+    // interleaved bits, so one key can touch up to half the files; +1
+    // tolerance because repartitionByRange draws its boundaries by
+    // RESERVOIR SAMPLING (seeded per RDD id — suite order shifts it),
+    // and an unlucky draw can land one boundary inside the key's run
+    assert(keptZ <= 5, s"z-order kept $keptZ of 8 files for one string key")
     // different-length strings: numeric order must stay lexicographic
     // ("b" after "aa"), proven through the full write+skip path
     val mixed = tmp()
