@@ -2698,14 +2698,8 @@ object DeltaWriter {
     // domainMetadata an external engine persisted (row tracking,
     // clustering, …) must survive OUR checkpoint — dropping a domain
     // would corrupt the owning engine's state
-    snap.domainMetadataRaw.foreach { raw =>
-      val n = ActionCodec.mapper.readTree(raw)
-      rows += Row(null, null, null, null, null, Row(
-        Option(n.get("domain")).filterNot(_.isNull).map(_.asText).orNull,
-        Option(n.get("configuration")).filterNot(_.isNull)
-          .map(c => if (c.isTextual) c.asText else c.toString).orNull,
-        Option(n.get("removed")).filterNot(_.isNull).exists(_.asBoolean)))
-    }
+    snap.domainMetadataRaw.foreach(raw =>
+      rows += Row(null, null, null, null, null, domainMetadataRow(raw)))
     snap.liveFiles.foreach { a =>
       rows += Row(null, checkpointAddRow(a), null, null, null, null)
     }
@@ -2738,6 +2732,19 @@ object DeltaWriter {
         writeSingleParquet(spark, checkpointSchema, rows.toSeq, target)
         writeLastCheckpoint(fs, logDir, snap.version, rows.size.toLong)
     }
+  }
+
+  /** One checkpoint `domainMetadata` Row from the snapshot's raw
+    * inner-JSON — shared by both checkpoint writers so classic and v2
+    * re-statement can never diverge.
+    */
+  private def domainMetadataRow(raw: String): org.apache.spark.sql.Row = {
+    val n = ActionCodec.mapper.readTree(raw)
+    org.apache.spark.sql.Row(
+      Option(n.get("domain")).filterNot(_.isNull).map(_.asText).orNull,
+      Option(n.get("configuration")).filterNot(_.isNull)
+        .map(c => if (c.isTextual) c.asText else c.toString).orNull,
+      Option(n.get("removed")).filterNot(_.isNull).exists(_.asBoolean))
   }
 
   private val v2SidecarSchema: StructType =
@@ -2833,14 +2840,8 @@ object DeltaWriter {
     }
     // external engines' domainMetadata re-stated (non-file actions live
     // in the top file)
-    snap.domainMetadataRaw.foreach { raw =>
-      val n = ActionCodec.mapper.readTree(raw)
-      top += Row(null, null, null, null, null, Row(
-        Option(n.get("domain")).filterNot(_.isNull).map(_.asText).orNull,
-        Option(n.get("configuration")).filterNot(_.isNull)
-          .map(c => if (c.isTextual) c.asText else c.toString).orNull,
-        Option(n.get("removed")).filterNot(_.isNull).exists(_.asBoolean)))
-    }
+    snap.domainMetadataRaw.foreach(raw =>
+      top += Row(null, null, null, null, null, domainMetadataRow(raw)))
     top += Row(null, null, null, Row(snap.version, null), null, null)
     // relative sidecar names — the reader resolves them under _sidecars/
     sidecars.foreach { case (name, len, mtime) =>

@@ -25,18 +25,6 @@ class DomainMetadataSpec extends SparkSuite {
     finally out.close()
   }
 
-  private def domainLines(path: String): Seq[(Long, String)] = {
-    val dir = new Path(path.stripSuffix("/") + "/_delta_log")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(dir).toSeq.map(_.getPath.getName).sorted.flatMap {
-      case n if n.matches("\\d{20}\\.json") =>
-        scala.io.Source.fromFile(s"${dir.toUri.getPath}/$n").getLines()
-          .filter(_.contains("domainMetadata"))
-          .map(n.take(20).toLong -> _)
-      case _ => Nil
-    }
-  }
-
   test("external domainMetadata survives a classic checkpoint round trip") {
     val path = tmp()
     DeltaWriter.write((1L to 5L).map(i => (i, i)).toDF("id", "v"), path)
