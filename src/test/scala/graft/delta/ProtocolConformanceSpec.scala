@@ -281,6 +281,94 @@ class ProtocolConformanceSpec extends SparkSuite {
     assert(lc.get("version").asLong() == 1L)
   }
 
+  test("round-5 writer surfaces conform under independent parse") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_conform_r5").toString + "/t"
+    DeltaWriter.write(
+      (1L to 20L).map(i => (i, i * 10L)).toDF("id", "price"), path,
+      properties = Map(
+        "delta.constraints.price_pos" -> "price > 0",
+        "delta.enableInCommitTimestamps" -> "true"),
+      generatedColumns = Map("band" -> "cast(price div 50 as bigint)"))
+    DeltaWriter.write(Seq((21L, 5L)).toDF("id", "price"), path,
+      mode = "append")
+
+    val lines = logLines(path)
+
+    // ICT: every commit's FIRST action is commitInfo carrying a
+    // monotonically increasing inCommitTimestamp (the protocol lets a
+    // reader extract it without scanning the file)
+    val byFile = lines.groupBy(_._1).toSeq.sortBy(_._1)
+    val icts = byFile.map { case (f, ls) =>
+      val first = ls.head._2
+      assert(first.has("commitInfo") && !first.get("commitInfo").isNull,
+        s"$f: first action is not commitInfo")
+      val ict = first.get("commitInfo").get("inCommitTimestamp")
+      assert(ict != null && ict.isIntegralNumber, s"$f: no integral ICT")
+      ict.asLong
+    }
+    assert(icts == icts.sorted && icts.distinct.size == icts.size,
+      s"ICTs not strictly increasing: $icts")
+
+    // protocol: feature-versioned with the writer-only features listed;
+    // none of them leak into readerFeatures
+    val proto = lines.map(_._2).filter(n => n.has("protocol"))
+      .map(_.get("protocol")).head
+    val wf = proto.get("writerFeatures").elements().asScala
+      .map(_.asText).toSet
+    assert(Set("checkConstraints", "generatedColumns", "inCommitTimestamp")
+      .subsetOf(wf), s"writerFeatures = $wf")
+    Option(proto.get("readerFeatures")).filterNot(_.isNull).foreach { rf =>
+      val rfs = rf.elements().asScala.map(_.asText).toSet
+      assert(rfs.intersect(Set("checkConstraints", "generatedColumns",
+        "inCommitTimestamp", "identityColumns")).isEmpty,
+        s"writer-only features leaked into readerFeatures: $rfs")
+    }
+
+    // metaData: constraints in configuration; generation expression in
+    // the schemaString field metadata (the delta-spark keys, parsed
+    // straight from JSON)
+    val meta = lines.map(_._2).filter(n => n.has("metaData"))
+      .map(_.get("metaData")).last
+    assert(meta.get("configuration").get("delta.constraints.price_pos")
+      .asText == "price > 0")
+    val schemaJson = om.readTree(meta.get("schemaString").asText)
+    val bandField = schemaJson.get("fields").elements().asScala
+      .find(_.get("name").asText == "band").get
+    assert(bandField.get("metadata").get("delta.generationExpression")
+      .asText == "cast(price div 50 as bigint)")
+
+    // version checksum: one <v>.crc per commit, delta-spark-shaped,
+    // numFiles/tableSizeBytes agreeing with the add actions
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val crc0 = {
+      val in = fs.open(new Path(s"$path/_delta_log/${"%020d".format(0)}.crc"))
+      try om.readTree(scala.io.Source.fromInputStream(in).mkString)
+      finally in.close()
+    }
+    val v0adds = lines.filter(_._1.startsWith("%020d".format(0)))
+      .map(_._2).filter(n => n.has("add")).map(_.get("add"))
+    assert(crc0.get("numFiles").asLong == v0adds.size.toLong)
+    assert(crc0.get("tableSizeBytes").asLong ==
+      v0adds.map(_.get("size").asLong).sum)
+    assert(crc0.has("metadata") && crc0.has("protocol"))
+
+    // identity declaration: metadata keys land in the schemaString
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft_conform_r5id").toString + "/t"
+    DeltaWriter.write(Seq("a", "b").toDF("name"), path2,
+      identityColumns = Map("row_id" -> (1L, 1L)))
+    val meta2 = logLines(path2).map(_._2).filter(_.has("metaData"))
+      .map(_.get("metaData")).last
+    val idField = om.readTree(meta2.get("schemaString").asText)
+      .get("fields").elements().asScala
+      .find(_.get("name").asText == "row_id").get
+    val md = idField.get("metadata")
+    assert(md.get("delta.identity.start").asLong == 1L)
+    assert(md.get("delta.identity.step").asLong == 1L)
+    assert(md.get("delta.identity.highWaterMark").asLong == 2L)
+  }
+
   test("differential replay through an independent Delta reader") {
     // The one claim conformance checks can't close: "delta-rs could read
     // our tables". This test closes it WHENEVER the sandbox gains a
