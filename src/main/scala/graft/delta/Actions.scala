@@ -43,7 +43,15 @@ final case class AddAction(
     legacyPartitionValues: Map[String, Option[String]] = Map.empty,
     /** false for layout-only rewrites (OPTIMIZE): streaming replay must
       * not treat such adds as new data. */
-    dataChange: Boolean = true) {
+    dataChange: Boolean = true,
+    /** Row-tracking fields + tags external engines stamped on the add
+      * (PROTOCOL.md#row-tracking): this writer never assigns them, but
+      * every RESTATE of the action (checkpoints, DV re-adds, restore,
+      * clone) must carry them through — dropping baseRowId would
+      * corrupt the owning engine's stable row ids. */
+    baseRowId: Option[Long] = None,
+    defaultRowCommitVersion: Option[Long] = None,
+    tags: Map[String, Option[String]] = Map.empty) {
   lazy val parsedStats: Option[FileStats] =
     stats.flatMap(FileStats.fromJson)
 
@@ -152,6 +160,9 @@ object ActionCodec {
         e.getKey.stripPrefix("partition.") ->
           (if (e.getValue.isNull) None else Some(e.getValue.asText))
     }.toMap,
+    baseRowId = lng(n, "baseRowId"),
+    defaultRowCommitVersion = lng(n, "defaultRowCommitVersion"),
+    tags = stringMap(n, "tags"),
     dataChange = Option(n.get("dataChange"))
       .filterNot(_.isNull).forall(_.asBoolean))
 

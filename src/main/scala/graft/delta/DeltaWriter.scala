@@ -1901,6 +1901,17 @@ object DeltaWriter {
     a.put("modificationTime", action.modificationTime)
     a.put("dataChange", dataChange)
     action.stats.foreach(a.put("stats", _))
+    // external row-tracking fields and tags carry through every restate
+    action.baseRowId.foreach(a.put("baseRowId", _))
+    action.defaultRowCommitVersion.foreach(
+      a.put("defaultRowCommitVersion", _))
+    if (action.tags.nonEmpty) {
+      val tg = a.putObject("tags")
+      action.tags.foreach {
+        case (k, Some(v)) => tg.put(k, v)
+        case (k, None) => tg.putNull(k)
+      }
+    }
     action.deletionVector.foreach { dv =>
       val dvn = a.putObject("deletionVector")
       dvn.put("storageType", dv.storageType)
@@ -2293,6 +2304,17 @@ object DeltaWriter {
       priorSnapshot: Option[DeltaSnapshot] = None): Int = {
     val snap = priorSnapshot.getOrElse(DeltaLog.forPath(spark, path))
     snap.checkProtocolSupported()
+    // a bin-pack merges rows from several files into new ones; without
+    // materialized row-id columns the merged output cannot carry the
+    // stable row ids an external engine derived from baseRowId — refuse
+    // rather than silently renumber another engine's rows (every other
+    // path is safe: DV DML never moves surviving rows, restates carry
+    // baseRowId through addLineFor)
+    require(!snap.liveFiles.exists(_.baseRowId.isDefined) &&
+        !snap.protocol.exists(_.writerFeatures.exists(_.contains("rowTracking"))),
+      s"OPTIMIZE on row-tracked table $path is not supported: rewriting " +
+        "files would break the stable row ids an external engine " +
+        "assigned (baseRowId); drop row tracking first")
     val base = path.stripSuffix("/")
     val schema = snap.schema
     val partCols = snap.partitionColumns.toSet
@@ -2576,7 +2598,9 @@ object DeltaWriter {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType))))))),
+          StructField("cardinality", LongType)))),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
@@ -2634,7 +2658,12 @@ object DeltaWriter {
       Row(dv.storageType, dv.pathOrInlineDv,
         dv.offset.map(Int.box).orNull, dv.sizeInBytes, dv.cardinality)).orNull
     Row(a.path, a.effectivePartitionValues.map { case (k, v) => k -> v.orNull },
-      a.size, a.modificationTime, false, a.stats.orNull, null, dvRow)
+      a.size, a.modificationTime, false, a.stats.orNull,
+      if (a.tags.isEmpty) null
+      else a.tags.map { case (k, v) => k -> v.orNull },
+      dvRow,
+      a.baseRowId.map(Long.box).orNull,
+      a.defaultRowCommitVersion.map(Long.box).orNull)
   }
 
   /** Write `rows` as ONE parquet file at `target` (tmp dir + rename —

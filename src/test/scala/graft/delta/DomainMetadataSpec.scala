@@ -55,6 +55,55 @@ class DomainMetadataSpec extends SparkSuite {
     assert(DeltaLake.scanDelta(spark, path).count() == 5)
   }
 
+  test("external row-tracking add fields survive restates; compact refuses") {
+    val path = tmp()
+    DeltaWriter.write((1L to 50L).map(i => (i, i)).toDF("id", "v"), path)
+    // an external engine re-states every add with row-tracking fields
+    // and a tag (one commit, remove+add per file, like a backfill)
+    val snap0 = DeltaLog.forPath(spark, path)
+    var nextBase = 0L
+    val restates = snap0.liveFiles.flatMap { a =>
+      val rm = s"""{"remove":{"path":"${a.path}","dataChange":false,"deletionTimestamp":1}}"""
+      val rows = a.parsedStats.flatMap(_.numRecords).getOrElse(0L)
+      val ad =
+        s"""{"add":{"path":"${a.path}","partitionValues":{},"size":${a.size},""" +
+          s""""modificationTime":${a.modificationTime},"dataChange":false,""" +
+          (a.stats.map(s => s""""stats":${ActionCodec.mapper.writeValueAsString(s)},""").getOrElse("")) +
+          s""""baseRowId":$nextBase,"defaultRowCommitVersion":1,""" +
+          s""""tags":{"origin":"ext"}}}"""
+      nextBase += rows
+      Seq(rm, ad)
+    }
+    appendCommit(path, 1L, restates)
+
+    // parse carries the fields; a DV delete RE-STATES the file and must
+    // carry them through
+    val snap1 = DeltaLog.forPath(spark, path)
+    assert(snap1.liveFiles.forall(_.baseRowId.isDefined))
+    assert(snap1.liveFiles.forall(_.tags.get("origin").contains(Some("ext"))))
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 3L)))
+    val restated = DeltaLog.forPath(spark, path).liveFiles
+      .filter(_.hasDeletionVector)
+    assert(restated.nonEmpty && restated.forall(a =>
+      a.baseRowId.isDefined && a.defaultRowCommitVersion.contains(1L) &&
+        a.tags.get("origin").contains(Some("ext"))))
+
+    // checkpoint + aged-out JSONs: fields still there after replay
+    DeltaWriter.writeCheckpoint(DeltaLog.forPath(spark, path))
+    DeltaWriter.cleanupLogs(spark, path, Some(-5000L))
+    val replayed = DeltaLog.forPath(spark, path)
+    assert(replayed.liveFiles.forall(_.baseRowId.isDefined))
+    assert(replayed.liveFiles.forall(
+      _.tags.get("origin").contains(Some("ext"))))
+    assert(DeltaLake.scanDelta(spark, path).count() == 49)
+
+    // bin-packing would renumber the external engine's rows: refuse
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.compact(spark, path)
+    }
+    assert(e.getMessage.contains("row-tracked"))
+  }
+
   test("external domainMetadata survives a v2 checkpoint round trip") {
     val path = tmp()
     DeltaWriter.write((1L to 5L).map(i => (i, i)).toDF("id", "v"), path,
