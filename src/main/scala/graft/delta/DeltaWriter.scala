@@ -399,6 +399,15 @@ object DeltaWriter {
         "on a table with existing data via write(properties) is not " +
         "supported — use DeltaWriter.addCheckConstraint, which validates " +
         "existing rows first")
+    // row tracking: assignment needs a backfill when rows pre-date the
+    // property — only enable at creation (or while provably empty)
+    val rtEnabled = rowTrackingEnabled(newCfg)
+    require(!rtEnabled || rowTrackingEnabled(priorCfg) ||
+        prior.forall(_.liveFiles.forall(_.liveRecords.contains(0L))),
+      "enabling delta.enableRowTracking on a table with existing rows " +
+        "needs a backfill this writer does not implement — enable it " +
+        "at table creation")
+
     // enforcement persists the batch across validate+write: a
     // non-deterministic batch plan must not pass validation on one
     // materialization and write another
@@ -461,7 +470,8 @@ object DeltaWriter {
           (if (hasConstraints) Seq("checkConstraints") else Nil) ++
             (if (hasGenerated) Seq("generatedColumns") else Nil) ++
             (if (hasIdentity) Seq("identityColumns") else Nil) ++
-            (if (wantIct) Seq("inCommitTimestamp") else Nil)
+            (if (wantIct) Seq("inCommitTimestamp") else Nil) ++
+            (if (rtEnabled) Seq("rowTracking", "domainMetadata") else Nil)
         val protocol = nf.objectNode()
         val p = protocol.putObject("protocol")
         if (rw.nonEmpty) {
@@ -472,9 +482,9 @@ object DeltaWriter {
           val rfa = p.putArray("readerFeatures"); rw.foreach(rfa.add)
           val wfa = p.putArray("writerFeatures")
           (rw ++ writerOnly).foreach(wfa.add)
-        } else if (wantIct) {
-          // no legacy writer version implies inCommitTimestamp: writer
-          // features only, reader stays legacy
+        } else if (wantIct || rtEnabled) {
+          // no legacy writer version implies inCommitTimestamp or
+          // rowTracking: writer features only, reader stays legacy
           p.put("minReaderVersion", 1).put("minWriterVersion", 7)
           val wfa = p.putArray("writerFeatures")
           (Seq("appendOnly", "invariants") ++ writerOnly).foreach(wfa.add)
@@ -499,9 +509,12 @@ object DeltaWriter {
         val gained = (if (needsNtz && !priorHasNtz) Seq("timestampNtz")
           else Nil) ++
           (if (wantsV2Cp && !priorHasV2Cp) Seq("v2Checkpoint") else Nil)
+        val newlyRt = rtEnabled && !rowTrackingEnabled(priorCfg)
         val gainsW: Seq[(String, Option[Int])] =
           (if (gainsCc) Seq("checkConstraints" -> Some(3)) else Nil) ++
-            (if (newlyIct) Seq("inCommitTimestamp" -> None) else Nil)
+            (if (newlyIct) Seq("inCommitTimestamp" -> None) else Nil) ++
+            (if (newlyRt) Seq("rowTracking" -> None,
+              "domainMetadata" -> None) else Nil)
         if (gained.nonEmpty)
           lines += upgradedProtocolJson(prior.flatMap(_.protocol),
             gained ++ gainsW.map(_._1): _*)
@@ -574,13 +587,24 @@ object DeltaWriter {
     // that just changed — all of those must surface the conflict. Even a
     // plain append aborts if the winning commit changed table metadata
     // (its files were written under the old schema).
+    // row tracking: fresh baseRowIds above the domain's high-water
+    // mark + the advanced domain line. A row-tracked append must NOT
+    // blind-rebase (canRetry below): the winner may have advanced the
+    // same high-water mark, and rebasing would mint duplicate row ids.
+    if (rtEnabled) {
+      val withIds = assignRowIds(lines.toSeq,
+        prior.map(rowIdHwm).getOrElse(-1L))
+      lines.clear(); lines ++= withIds
+    }
     val canRetry =
       mode == "append" && !schemaEvolved && !cfgChanged &&
-        txn.isEmpty && version > 0L
+        txn.isEmpty && version > 0L && !rtEnabled
     // per-attempt serialization: ICT (when enabled) must re-read its
-    // predecessor after an OCC version bump
+    // predecessor after an OCC version bump, and
+    // defaultRowCommitVersion must equal the version actually taken
     def bytesFor(vv: Long): Array[Byte] =
-      (withIct(spark, path, vv, lines.toSeq, newCfg, ictFixed)
+      (withRowVersion(
+        withIct(spark, path, vv, lines.toSeq, newCfg, ictFixed), vv, newCfg)
         .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
     var v = version
     var committed = false
@@ -1779,6 +1803,14 @@ object DeltaWriter {
         a.copy(path = sch + encodePath(p), deletionVector = dv2),
         dataChange = true)
     }
+    // the source's domainMetadata comes along: a clone of a row-tracked
+    // table without its high-water-mark domain would re-assign ids an
+    // external engine already handed out
+    src.domainMetadataRaw.foreach { raw =>
+      val o = JsonNodeFactory.instance.objectNode()
+      o.set[JsonNode]("domainMetadata", ActionCodec.mapper.readTree(raw))
+      lines += o.toString
+    }
     lines += commitInfoLine("CLONE",
       params = Map("source" -> srcPath))
     dstFs.mkdirs(new Path(dstRoot, "_delta_log"))
@@ -1964,6 +1996,76 @@ object DeltaWriter {
     ci.toString
   }
 
+  private[delta] def rowTrackingEnabled(cfg: Map[String, String]): Boolean =
+    cfg.get("delta.enableRowTracking")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Current row-id high-water mark from the `delta.rowTracking`
+    * domain (-1 = no ids assigned yet).
+    */
+  private def rowIdHwm(snap: DeltaSnapshot): Long =
+    snap.domains.get("delta.rowTracking")
+      .map(ActionCodec.mapper.readTree)
+      .filterNot(n => Option(n.get("removed")).exists(_.asBoolean))
+      .flatMap(n => Option(n.get("configuration")).filterNot(_.isNull))
+      .map(c => if (c.isTextual) ActionCodec.mapper.readTree(c.asText)
+        else c)
+      .flatMap(c => Option(c.get("rowIdHighWaterMark"))
+        .filterNot(_.isNull).map(_.asLong))
+      .getOrElse(-1L)
+
+  /** Row tracking (PROTOCOL.md#row-tracking): assign fresh `baseRowId`s
+    * to this commit's NEW add actions (row i of the file gets stable id
+    * baseRowId + i) and append the advanced `delta.rowTracking` domain.
+    * Adds already carrying a baseRowId are restates and keep theirs.
+    * Requires numRecords stats on every new add (our writer always
+    * emits them). `defaultRowCommitVersion` is stamped separately, per
+    * commit attempt ([[withRowVersion]]).
+    */
+  private def assignRowIds(lines: Seq[String], hwm0: Long): Seq[String] = {
+    var hwm = hwm0
+    val out = lines.map { l =>
+      val n = ActionCodec.mapper.readTree(l)
+      val add = n.get("add")
+      if (add == null || add.isNull || add.has("baseRowId")) l
+      else {
+        val rows = Option(add.get("stats")).filterNot(_.isNull)
+          .map(_.asText).flatMap(FileStats.fromJson).flatMap(_.numRecords)
+          .getOrElse(throw new IllegalStateException(
+            "row tracking needs numRecords stats on every new add " +
+              "action; this file has none: " + add.get("path")))
+        add.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("baseRowId", hwm + 1)
+        hwm += rows
+        n.toString
+      }
+    }
+    val dom = JsonNodeFactory.instance.objectNode()
+    dom.putObject("domainMetadata")
+      .put("domain", "delta.rowTracking")
+      .put("configuration", s"""{"rowIdHighWaterMark":$hwm}""")
+      .put("removed", false)
+    out :+ dom.toString
+  }
+
+  /** Stamp `defaultRowCommitVersion` = the commit's actual version on
+    * every add lacking one (restates keep their original) — per
+    * attempt, like the ICT, because a rebase moves the version.
+    */
+  private def withRowVersion(lines: Seq[String], v: Long,
+      cfg: Map[String, String]): Seq[String] =
+    if (!rowTrackingEnabled(cfg)) lines
+    else lines.map { l =>
+      val n = ActionCodec.mapper.readTree(l)
+      val add = n.get("add")
+      if (add == null || add.isNull || add.has("defaultRowCommitVersion")) l
+      else {
+        add.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("defaultRowCommitVersion", v)
+        n.toString
+      }
+    }
+
   private[delta] def ictEnabled(cfg: Map[String, String]): Boolean =
     cfg.get("delta.enableInCommitTimestamps")
       .exists(_.trim.equalsIgnoreCase("true"))
@@ -2097,22 +2199,33 @@ object DeltaWriter {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val logDir = new Path(root, "_delta_log")
-    val ourTxnApps: Set[String] = lines.flatMap { l =>
+    // row tracking: DML image appends get fresh baseRowIds + the
+    // advanced high-water-mark domain (restated DV adds keep theirs)
+    val lines2 =
+      if (!rowTrackingEnabled(config)) lines
+      else assignRowIds(lines, rowIdHwm(snap))
+    val ourTxnApps: Set[String] = lines2.flatMap { l =>
       val n = ActionCodec.mapper.readTree(l)
       Option(n.get("txn")).filterNot(_.isNull)
         .flatMap(t => Option(t.get("appId")).map(_.asText))
     }.toSet
+    val ourDomains: Set[String] = lines2.flatMap { l =>
+      val n = ActionCodec.mapper.readTree(l)
+      Option(n.get("domainMetadata")).filterNot(_.isNull)
+        .flatMap(d => Option(d.get("domain")).map(_.asText))
+    }.toSet
     // per-attempt serialization: ICT (when enabled) must re-read its
-    // predecessor after a rebase moved the version
+    // predecessor after a rebase moved the version, and
+    // defaultRowCommitVersion must equal the version actually taken
     def bytesFor(vv: Long): Array[Byte] =
-      (withIct(spark, path, vv, lines, config)
+      (withRowVersion(withIct(spark, path, vv, lines2, config), vv, config)
         .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
     var v = snap.version + 1
     while (true) {
       val commit = new Path(logDir, f"$v%020d.json")
       if (fs.exists(commit)) {
-        validateRebase(spark, path, v, readSet, ourTxnApps, op,
-          newDataGuard, snap)
+        validateRebase(spark, path, v, readSet, ourTxnApps, ourDomains,
+          op, newDataGuard, snap)
         v += 1
       } else {
         // full bytes land in a temp file first (same discipline as
@@ -2125,7 +2238,8 @@ object DeltaWriter {
         if (fs.exists(commit)) {
           fs.delete(tmp, false) // lost the race while staging; revalidate
         } else if (fs.rename(tmp, commit)) {
-          if (v == snap.version + 1) writeCrc(spark, path, v, Some(snap), lines)
+          if (v == snap.version + 1)
+            writeCrc(spark, path, v, Some(snap), lines2)
           maybeCheckpoint(spark, path, v, config)
           return v
         } else {
@@ -2144,7 +2258,7 @@ object DeltaWriter {
     */
   private def validateRebase(spark: org.apache.spark.sql.SparkSession,
       path: String, v: Long, readSet: Set[String],
-      ourTxnApps: Set[String], op: String,
+      ourTxnApps: Set[String], ourDomains: Set[String], op: String,
       newDataGuard: Option[Seq[Cond]], snap: DeltaSnapshot): Unit = {
     val nodes = DeltaLog.readCommitJson(spark, path, v).getOrElse(
       throw new java.io.IOException(
@@ -2171,6 +2285,12 @@ object DeltaWriter {
         .flatMap(t => Option(t.get("appId")).map(_.asText))
         .filter(ourTxnApps.contains)
         .foreach(a => conflict(s"advanced the transaction ledger for appId '$a'"))
+      // both commits advancing the same domain (e.g. the row-tracking
+      // high-water mark) would assign overlapping state — conflict
+      Option(n.get("domainMetadata")).filterNot(_.isNull)
+        .flatMap(d => Option(d.get("domain")).map(_.asText))
+        .filter(ourDomains.contains)
+        .foreach(d => conflict(s"advanced domain '$d' this $op also writes"))
     }
     newDataGuard.foreach { conds =>
       val sch = snap.schema

@@ -1,0 +1,119 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+
+import graft.{DeltaLake, SparkSuite}
+
+/** Write-side row tracking (PROTOCOL.md#row-tracking,
+  * `delta.enableRowTracking`): every new data file gets a fresh
+  * `baseRowId` above the `delta.rowTracking` domain's high-water mark
+  * and `defaultRowCommitVersion` = its commit; DV DML keeps surviving
+  * rows' ids stable by construction; racing assignments conflict via
+  * OCC instead of minting duplicate ids.
+  */
+class RowTrackingSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_rowtrack").toString + "/t"
+
+  private def hwmOf(path: String): Long = {
+    val dom = DeltaLog.forPath(spark, path).domainMetadataRaw
+      .map(ActionCodec.mapper.readTree)
+      .find(_.get("domain").asText == "delta.rowTracking").get
+    ActionCodec.mapper.readTree(dom.get("configuration").asText)
+      .get("rowIdHighWaterMark").asLong
+  }
+
+  test("creates assign disjoint baseRowIds; DML preserves survivors") {
+    val path = tmp()
+    DeltaWriter.write((1L to 100L).map(i => (i, i)).toDF("id", "v"), path,
+      properties = Map("delta.enableRowTracking" -> "true"))
+    val snap0 = DeltaLog.forPath(spark, path)
+    val adds0 = snap0.liveFiles
+    assert(adds0.forall(_.baseRowId.isDefined))
+    assert(adds0.forall(_.defaultRowCommitVersion.contains(0L)))
+    // id ranges are disjoint and cover exactly [0, totalRows)
+    val ranges = adds0.map(a => a.baseRowId.get ->
+      (a.baseRowId.get + a.parsedStats.flatMap(_.numRecords).get))
+      .sortBy(_._1)
+    assert(ranges.head._1 == 0L)
+    ranges.sliding(2).foreach {
+      case Seq((_, end), (start, _)) => assert(start == end)
+      case _ =>
+    }
+    assert(hwmOf(path) == 99L)
+    val p = snap0.protocol.get
+    assert(p.writerFeatures.get.contains("rowTracking"))
+    assert(p.writerFeatures.get.contains("domainMetadata"))
+
+    // append: fresh ids strictly above the old mark, version stamped
+    DeltaWriter.write((101L to 110L).map(i => (i, i)).toDF("id", "v"),
+      path, mode = "append")
+    val snap1 = DeltaLog.forPath(spark, path)
+    val newAdds = snap1.liveFiles.filterNot(a =>
+      adds0.exists(_.path == a.path))
+    assert(newAdds.nonEmpty && newAdds.forall(_.baseRowId.exists(_ >= 100L)))
+    assert(newAdds.forall(_.defaultRowCommitVersion.contains(1L)))
+    assert(hwmOf(path) == 109L)
+
+    // DV delete: surviving rows never move, restated files keep their
+    // ORIGINAL baseRowId; update images are new rows with new ids
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 5L)))
+    val afterDel = DeltaLog.forPath(spark, path)
+    afterDel.liveFiles.filter(_.hasDeletionVector).foreach { a =>
+      val orig = snap1.liveFiles.find(_.path == a.path).get
+      assert(a.baseRowId == orig.baseRowId)
+      assert(a.defaultRowCommitVersion == orig.defaultRowCommitVersion)
+    }
+    DeltaWriter.update(spark, path, Seq(Cond("id", "=", 7L)),
+      Map("v" -> org.apache.spark.sql.functions.lit(777L)))
+    val afterUpd = DeltaLog.forPath(spark, path)
+    val images = afterUpd.liveFiles.filterNot(a =>
+      afterDel.liveFiles.exists(_.path == a.path))
+    assert(images.nonEmpty && images.forall(_.baseRowId.exists(_ > 109L)))
+    assert(DeltaLake.scanDelta(spark, path).count() == 109)
+  }
+
+  test("enabling on a table with rows rejects; racing assigners conflict") {
+    val path = tmp()
+    DeltaWriter.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), path)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.write(Seq((11L, 11L)).toDF("id", "v"), path,
+        mode = "append",
+        properties = Map("delta.enableRowTracking" -> "true"))
+    }
+    assert(e.getMessage.contains("backfill"))
+
+    val rt = tmp()
+    DeltaWriter.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), rt,
+      properties = Map("delta.enableRowTracking" -> "true"))
+    // a concurrent writer takes the next version: the row-tracked
+    // append must conflict (a rebase could duplicate row ids)
+    val snap = DeltaLog.forPath(spark, rt)
+    val v1 = new Path(s"$rt/_delta_log/${"%020d".format(1)}.json")
+    val fs = v1.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(v1, false)
+    try out.write("{}".getBytes("UTF-8")) finally out.close()
+    intercept[java.io.IOException] {
+      DeltaWriter.write(Seq((11L, 11L)).toDF("id", "v"), rt,
+        mode = "append", priorSnapshot = Some(snap))
+    }
+  }
+
+  test("clone carries the high-water mark; clone appends stay disjoint") {
+    val path = tmp()
+    DeltaWriter.write((1L to 20L).map(i => (i, i)).toDF("id", "v"), path,
+      properties = Map("delta.enableRowTracking" -> "true"))
+    val dst = tmp()
+    DeltaWriter.cloneTable(spark, path, dst)
+    assert(hwmOf(dst) == 19L)
+    DeltaWriter.write(Seq((21L, 21L)).toDF("id", "v"), dst,
+      mode = "append")
+    val newAdd = DeltaLog.forPath(spark, dst).liveFiles
+      .filter(_.defaultRowCommitVersion.contains(1L))
+    assert(newAdd.nonEmpty && newAdd.forall(_.baseRowId.exists(_ >= 20L)))
+    assert(hwmOf(dst) == 20L)
+  }
+}
