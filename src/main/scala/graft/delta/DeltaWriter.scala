@@ -400,10 +400,14 @@ object DeltaWriter {
         "supported — use DeltaWriter.addCheckConstraint, which validates " +
         "existing rows first")
     // row tracking: assignment needs a backfill when rows pre-date the
-    // property — only enable at creation (or while provably empty)
+    // property — only enable at creation (or while PHYSICALLY empty:
+    // DV-deleted rows still occupy files that would lack baseRowId, so
+    // liveRecords is the wrong predicate here, unlike the constraints
+    // guard where only visible rows matter)
     val rtEnabled = rowTrackingEnabled(newCfg)
     require(!rtEnabled || rowTrackingEnabled(priorCfg) ||
-        prior.forall(_.liveFiles.forall(_.liveRecords.contains(0L))),
+        prior.forall(_.liveFiles.forall(
+          _.parsedStats.flatMap(_.numRecords).contains(0L))),
       "enabling delta.enableRowTracking on a table with existing rows " +
         "needs a backfill this writer does not implement — enable it " +
         "at table creation")
@@ -2040,12 +2044,20 @@ object DeltaWriter {
         n.toString
       }
     }
-    val dom = JsonNodeFactory.instance.objectNode()
-    dom.putObject("domainMetadata")
-      .put("domain", "delta.rowTracking")
-      .put("configuration", s"""{"rowIdHighWaterMark":$hwm}""")
-      .put("removed", false)
-    out :+ dom.toString
+    // the domain only re-states when the mark ADVANCED: a DV-only
+    // delete assigns nothing, and an unconditional domain line would
+    // make every row-tracked DML conflict with every other via the
+    // rebase domain check — destroying the "DV DML is naturally safe"
+    // concurrency for no protection gain
+    if (hwm == hwm0) out
+    else {
+      val dom = JsonNodeFactory.instance.objectNode()
+      dom.putObject("domainMetadata")
+        .put("domain", "delta.rowTracking")
+        .put("configuration", s"""{"rowIdHighWaterMark":$hwm}""")
+        .put("removed", false)
+      out :+ dom.toString
+    }
   }
 
   /** Stamp `defaultRowCommitVersion` = the commit's actual version on
@@ -2204,16 +2216,13 @@ object DeltaWriter {
     val lines2 =
       if (!rowTrackingEnabled(config)) lines
       else assignRowIds(lines, rowIdHwm(snap))
-    val ourTxnApps: Set[String] = lines2.flatMap { l =>
-      val n = ActionCodec.mapper.readTree(l)
+    val parsedLines = lines2.map(ActionCodec.mapper.readTree)
+    val ourTxnApps: Set[String] = parsedLines.flatMap(n =>
       Option(n.get("txn")).filterNot(_.isNull)
-        .flatMap(t => Option(t.get("appId")).map(_.asText))
-    }.toSet
-    val ourDomains: Set[String] = lines2.flatMap { l =>
-      val n = ActionCodec.mapper.readTree(l)
+        .flatMap(t => Option(t.get("appId")).map(_.asText))).toSet
+    val ourDomains: Set[String] = parsedLines.flatMap(n =>
       Option(n.get("domainMetadata")).filterNot(_.isNull)
-        .flatMap(d => Option(d.get("domain")).map(_.asText))
-    }.toSet
+        .flatMap(d => Option(d.get("domain")).map(_.asText))).toSet
     // per-attempt serialization: ICT (when enabled) must re-read its
     // predecessor after a rebase moved the version, and
     // defaultRowCommitVersion must equal the version actually taken

@@ -102,6 +102,40 @@ class RowTrackingSpec extends SparkSuite {
     }
   }
 
+  test("DV-deleted-but-physically-occupied tables still reject enabling") {
+    val path = tmp()
+    DeltaWriter.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), path)
+    DeltaWriter.delete(spark, path, Seq(Cond("id", ">", 0L)))
+    assert(DeltaLake.scanDelta(spark, path).count() == 0) // visibly empty
+    // …but the files still hold physical rows that would lack baseRowId
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.write(Seq((11L, 11L)).toDF("id", "v"), path,
+        mode = "append",
+        properties = Map("delta.enableRowTracking" -> "true"))
+    }
+    assert(e.getMessage.contains("backfill"))
+  }
+
+  test("DV-only DML on a row-tracked table rebases over a racing append") {
+    val path = tmp()
+    DeltaWriter.write((1L to 100L).map(i => (i, i)).toDF("id", "v"), path,
+      properties = Map("delta.enableRowTracking" -> "true"))
+    // plan the delete against v0, then let a row-tracked append win v1
+    val planned = DeltaLog.forPath(spark, path)
+    DeltaWriter.write(Seq((101L, 101L)).toDF("id", "v"), path,
+      mode = "append")
+    // the delete assigns no row ids → no domain line → the winner's
+    // advanced mark is not a conflict; the delete rebases to v2
+    val n = DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 3L)),
+      priorSnapshot = Some(planned))
+    assert(n == 1L)
+    val head = DeltaLog.forPath(spark, path)
+    assert(head.version == 2L)
+    assert(DeltaLake.scanDelta(spark, path).count() == 100) // 101 - 1
+    // the winner's ids and mark survived untouched
+    assert(hwmOf(path) == 100L)
+  }
+
   test("clone carries the high-water mark; clone appends stay disjoint") {
     val path = tmp()
     DeltaWriter.write((1L to 20L).map(i => (i, i)).toDF("id", "v"), path,
