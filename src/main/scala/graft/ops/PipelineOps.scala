@@ -111,7 +111,8 @@ object PipelineOps {
         |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)::BIGINT
         |      AS seq
         |  FROM sharded)
-        |SELECT shard, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-        |  sum(seq * doc_id) AS order_fingerprint
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(seq * doc_id) AS BIGINT) AS order_fingerprint
         |FROM seqd GROUP BY shard ORDER BY shard""".stripMargin)))
 }
