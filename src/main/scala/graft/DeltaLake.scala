@@ -246,45 +246,48 @@ object DeltaLake {
     else DvCdf.rowsAt(after, diffs)
   }
 
-  /** Both change-feed halves in one call: rows added strictly after
-    * `sinceVersion` tagged `_change_type='insert'` (DV-shrink restores
-    * included) unioned with rows DV-deleted in the window tagged
-    * `'delete'`. Semantics are exactly [[scanDeltaChanges]] ++
-    * [[scanDeltaDeletedRows]], but computed from ONE snapshot pair and
-    * ONE bitmap diff per file — calling the two halves separately
-    * replays the log four times and diffs every DV twice. This is the
-    * `graft_delta_cdf` TVF's path.
+  /** Both change-feed halves in one call: rows that became visible
+    * strictly after `sinceVersion` tagged `_change_type='insert'`
+    * (DV-shrink restores included) unioned with rows retracted in the
+    * window tagged `'delete'`. Walks the window COMMIT BY COMMIT over
+    * one incrementally-advanced snapshot ([[graft.delta.CdfEngine]],
+    * shared with the streaming twin): commits carrying STORED change
+    * data (`cdc` actions → `_change_data/` files) contribute exactly
+    * those rows — UPDATE/MERGE pre-images from any CDF-writing engine
+    * included, `update_pre/postimage` normalized onto delete/insert —
+    * while commits without cdc actions fall back to the derived feed
+    * (new `dataChange` files as inserts, DV bitmap growth as deletes,
+    * shrinkage as restore-inserts). Applying inserts then deletes nets
+    * to the state delta. This is the `graft_delta_cdf` TVF's path.
+    *
+    * Raises if a window commit was aged out past a checkpoint. Batches
+    * union by name with null fill, so a window that evolves the schema
+    * yields the union schema.
     */
   def scanDeltaCdf(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     val head = DeltaLog.forPath(spark, path)
-    val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
-    val added = windowAdds(spark, path, sinceVersion, before, head)
+    val snap =
+      if (sinceVersion < 0) new DeltaSnapshot(spark, path)
+      else DeltaLog.forPath(spark, path, Some(sinceVersion))
     val base = path.stripSuffix("/")
-    val beforeDesc = before.liveFiles
-      .flatMap(a => a.deletionVector.map(a.path -> _)).toMap
-    // one diff per candidate file yields BOTH halves
-    val diffs: Seq[(AddAction, (Seq[Long], Seq[Long]))] = head.liveFiles
-      .filter(a => a.deletionVector.nonEmpty || beforeDesc.contains(a.path))
-      .flatMap { a =>
-        val d = DvCdf.diffIndices(spark, base,
-          beforeDesc.get(a.path), a.deletionVector)
-        if (d._1.isEmpty && d._2.isEmpty) None else Some(a -> d)
-      }
-    val restores = diffs.collect { case (a, (_, rs)) if rs.nonEmpty => a -> rs }
-    val dels = diffs.collect { case (a, (ds, _)) if ds.nonEmpty => a -> ds }
-    def empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], head.schema)
-    val inserts =
-      (if (added.isEmpty) empty
-       else DeltaScan.scanWithRowIndex(head, added)
-         .drop("__graft_file", "__graft_row_index"))
-        .unionByName(
-          if (restores.isEmpty) empty else DvCdf.rowsAt(head, restores))
-        .withColumn("_change_type", lit("insert"))
-    val deleted = (if (dels.isEmpty) empty else DvCdf.rowsAt(head, dels))
-      .withColumn("_change_type", lit("delete"))
-    inserts.unionByName(deleted)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (sinceVersion + 1 to head.version).foreach { v =>
+      val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"Commit $v of $path is missing; cannot compute changes since " +
+            s"$sinceVersion"))
+      val priorByPath = snap.liveFiles.map(a => a.path -> a).toMap
+      val spec = CdfEngine.spec(spark, base, priorByPath, lines)
+      lines.foreach(snap.applyActionLine(_, v))
+      CdfEngine.materialize(snap, spec).foreach(batches += _)
+    }
+    if (batches.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(head.schema.fields :+
+          org.apache.spark.sql.types.StructField(CdfEngine.ChangeTypeCol,
+            org.apache.spark.sql.types.StringType)))
+    else batches.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

@@ -113,6 +113,19 @@ object FileStats {
     } catch { case scala.util.control.NonFatal(_) => None }
 }
 
+/** One stored change-data file (PROTOCOL.md#add-cdc-file): a parquet
+  * under `_change_data/` carrying the table columns plus `_change_type`
+  * (`insert` / `delete` / `update_preimage` / `update_postimage`).
+  * When a commit carries cdc actions they are the COMPLETE change data
+  * for that commit — CDF readers must use them exclusively and ignore
+  * the commit's add/remove actions. Never part of table state (log
+  * replay ignores them); never checkpointed.
+  */
+final case class CdcAction(
+    path: String,
+    partitionValues: Map[String, Option[String]],
+    size: Long)
+
 final case class CommitInfo(timestamp: Option[Long])
 
 /** Streaming-transaction watermark (PROTOCOL.md#transaction-identifiers):
@@ -182,6 +195,11 @@ object ActionCodec {
     configuration = stringMap(n, "configuration")
       .collect { case (k, Some(v)) => k -> v },
     createdTime = lng(n, "createdTime"))
+
+  def parseCdc(n: JsonNode): CdcAction = CdcAction(
+    path = str(n, "path").getOrElse(sys.error("cdc action without path")),
+    partitionValues = stringMap(n, "partitionValues"),
+    size = lng(n, "size").getOrElse(0L))
 
   def parseCommitInfo(n: JsonNode): CommitInfo =
     CommitInfo(timestamp = lng(n, "timestamp"))

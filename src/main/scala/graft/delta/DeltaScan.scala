@@ -317,7 +317,7 @@ object DeltaScan {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
   /** Deep nullability relaxation (every field/element/value nullable). */
-  private def relax(dt: DataType): DataType = dt match {
+  private[delta] def relax(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       StructField(f.name, relax(f.dataType), nullable = true, f.metadata)))
     case org.apache.spark.sql.types.ArrayType(et, _) =>

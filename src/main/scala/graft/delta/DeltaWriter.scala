@@ -1127,15 +1127,28 @@ object DeltaWriter {
     val candidates = snap.addActionsFiltered(conditions)
     if (candidates.isEmpty) return 0L
 
-    val matching = DeltaScan.scanWithRowIndex(snap, candidates)
+    val matchedDf = DeltaScan.scanWithRowIndex(snap, candidates)
       .where(Cond.compile(conditions, Some(snap.schema)))
-      .select("__graft_file", "__graft_row_index")
+    val matching = matchedDf.select("__graft_file", "__graft_row_index")
 
-    val (lines, newlyDeleted) = dvActionLines(spark, base, snap, candidates, matching)
-    if (lines.isEmpty) return 0L
+    val (dvLines, newlyDeleted) =
+      dvActionLines(spark, base, snap, candidates, matching)
+    if (dvLines.isEmpty) return 0L
+    val lines = mutable.ArrayBuffer(dvLines: _*)
 
-    val removed = removedPaths(lines)
-    val all = lines :+ commitInfoLine("DELETE",
+    // stored CDF: pre-images of exactly the NEWLY deleted rows (rows a
+    // prior DV had already masked are dead and must not re-surface)
+    if (cdfEnabled(snap.configuration)) {
+      import org.apache.spark.sql.functions.{col, lit}
+      def q(n: String) = col(s"`${n.replace("`", "``")}`")
+      val cdc = subtractPriorDv(spark, base, candidates, matchedDf)
+        .select(snap.schema.fieldNames.toSeq.map(q): _*)
+        .withColumn("_change_type", lit("delete"))
+      lines ++= writeCdcFiles(spark, path, snap, cdc)
+    }
+
+    val removed = removedPaths(lines.toSeq)
+    val all = lines.toSeq :+ commitInfoLine("DELETE",
       params = Map("predicate" -> conditions.mkString(" AND ")),
       metrics = Map("numDeletedRows" -> newlyDeleted,
         "numRemovedFiles" -> removed.size.toLong))
@@ -1295,8 +1308,10 @@ object DeltaWriter {
         val lines = mutable.ArrayBuffer.empty[String]
         var masked = 0L
         var delMatches = 0L
-        if (candidates.nonEmpty) {
-          val scanned = DeltaScan.scanWithRowIndex(snap, candidates)
+        val scannedOpt =
+          if (candidates.isEmpty) None
+          else Some(DeltaScan.scanWithRowIndex(snap, candidates))
+        scannedOpt.foreach { scanned =>
           if (deleteWhen.isEmpty) {
             val matching = scanned
               .join(src.select(keys.map(q): _*), keys, "left_semi")
@@ -1330,6 +1345,35 @@ object DeltaWriter {
         // masked are in delMatches but not in `masked`, so clamp
         val deleted = math.min(delMatches, masked)
         val updated = masked - deleted
+
+        // stored CDF: matched live target rows as pre-images
+        // ('update_preimage', or 'delete' for delete-flag matches),
+        // matched source rows as 'update_postimage', unmatched source
+        // rows as 'insert' — the COMPLETE change data for this commit
+        // (CDF readers then ignore its add/remove actions entirely)
+        if (cdfEnabled(snap.configuration)) {
+          import org.apache.spark.sql.functions.when
+          val tableCols = schema.fieldNames.toSeq.map(q)
+          val cdc = scannedOpt match {
+            case None => upserts.withColumn("_change_type", lit("insert"))
+            case Some(sc) =>
+              val live = subtractPriorDv(spark, base, candidates, sc)
+              val liveKeys = live.select(keys.map(q): _*).distinct()
+              val pre = live
+                .join(src.select(keys.map(q) :+ col("__graft_delete"): _*),
+                  keys)
+                .select(tableCols :+
+                  when(col("__graft_delete"), lit("delete"))
+                    .otherwise(lit("update_preimage"))
+                    .as("_change_type"): _*)
+              val post = upserts.join(liveKeys, keys, "left_semi")
+                .withColumn("_change_type", lit("update_postimage"))
+              val ins = upserts.join(liveKeys, keys, "left_anti")
+                .withColumn("_change_type", lit("insert"))
+              pre.unionByName(post).unionByName(ins)
+          }
+          lines ++= writeCdcFiles(spark, path, snap, cdc)
+        }
 
         // only non-delete rows are written; with no deleteWhen this IS
         // the whole source (no extra job to count it)
@@ -1409,23 +1453,8 @@ object DeltaWriter {
       .where(Cond.compile(conditions, Some(schema)))
     // scanWithRowIndex yields all PHYSICAL rows (delete needs that to
     // merge bitmaps); subtract prior-DV rows before building images
-    val dvCand = candidates.filter(_.hasDeletionVector)
-    val matched = (if (dvCand.isEmpty) matchedRaw
-      else {
-        import spark.implicits._
-        val dvRows = dvCand.map(a => DeltaScan.fileUri(spark, base, a) ->
-          DeletionVectors.read(spark, base, a.deletionVector.get))
-        val deleted = spark.createDataset(dvRows)
-          .flatMap { case (f, bytes) =>
-            DeletionVectors.deserializeData(bytes).iterator.map(i => (f, i)) }
-          .toDF("__graft_file", "__graft_row_index")
-        val totalDeleted =
-          dvCand.flatMap(_.deletionVector).map(_.cardinality).sum
-        val build =
-          if (totalDeleted <= 5000000L) broadcast(deleted) else deleted
-        matchedRaw.join(build,
-          Seq("__graft_file", "__graft_row_index"), "left_anti")
-      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matched = subtractPriorDv(spark, base, candidates, matchedRaw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     try {
       val matching = matched.select("__graft_file", "__graft_row_index")
@@ -1467,11 +1496,23 @@ object DeltaWriter {
       val root = new Path(path)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val before = listDataFiles(fs, root)
-      try withMicrosTimestamps(spark) {
-        toPhysical(imagesV, schema).write.mode("append")
-          .partitionBy(
-            physicalPartitionBy(snap.partitionColumns, schema): _*)
-          .parquet(path)
+      try {
+        withMicrosTimestamps(spark) {
+          toPhysical(imagesV, schema).write.mode("append")
+            .partitionBy(
+              physicalPartitionBy(snap.partitionColumns, schema): _*)
+            .parquet(path)
+        }
+        // stored CDF: pre/post images of exactly the updated rows
+        if (cdfEnabled(snap.configuration)) {
+          import org.apache.spark.sql.functions.lit
+          val cdc = matched
+            .select(schema.fieldNames.toSeq.map(q): _*)
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(imagesV
+              .withColumn("_change_type", lit("update_postimage")))
+          lines ++= writeCdcFiles(spark, path, snap, cdc)
+        }
       } finally if (enforced) imagesV.unpersist()
       (listDataFiles(fs, root) -- before).toSeq.sorted.foreach { rel =>
         lines += addActionLine(fs, root, rel, statsIndexedSchema(
@@ -1998,6 +2039,84 @@ object DeltaWriter {
     }
     c.put("engineInfo", "graft-spark/0.5")
     ci.toString
+  }
+
+  private[delta] def cdfEnabled(cfg: Map[String, String]): Boolean =
+    cfg.get("delta.enableChangeDataFeed")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** One `cdc` JSON line (PROTOCOL.md#add-cdc-file) for a freshly
+    * written change-data file: hive-encoded partition values recovered
+    * from the directory layout, size from the file status,
+    * `dataChange=false` always (change data never alters table state).
+    */
+  private def cdcLineFor(fs: FileSystem, root: Path, rel: String): String = {
+    val nf = JsonNodeFactory.instance
+    val status = fs.getFileStatus(new Path(root, rel))
+    val o = nf.objectNode(); val c = o.putObject("cdc")
+    c.put("path", encodePath(rel))
+    val pv = c.putObject("partitionValues")
+    partitionValuesFromPath(rel).foreach {
+      case (k, Some(v)) => pv.put(k, v)
+      case (k, None) => pv.putNull(k)
+    }
+    c.put("size", status.getLen)
+    c.put("dataChange", false)
+    o.toString
+  }
+
+  /** Stage `rows` (table columns + `_change_type`) as stored change-data
+    * parquet under `_change_data/` — physical column names, the table's
+    * hive partition layout, micros timestamps, exactly like data files —
+    * and return the commit lines: one `cdc` action per new file, plus
+    * the `changeDataFeed` writer-feature protocol upgrade when the table
+    * doesn't already carry it. The files become durable only when the
+    * caller's commit lands (a failed commit strands them for vacuum,
+    * same as data files).
+    */
+  private def writeCdcFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, snap: DeltaSnapshot, rows: DataFrame): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = listCdcFiles(fs, root)
+    withMicrosTimestamps(spark) {
+      toPhysical(rows, snap.schema).write.mode("append")
+        .partitionBy(
+          physicalPartitionBy(snap.partitionColumns, snap.schema): _*)
+        .parquet(new Path(root, "_change_data").toString)
+    }
+    val lines = mutable.ArrayBuffer.empty[String]
+    writerFeatureProtocolLine(snap.protocol, "changeDataFeed", Some(4))
+      .foreach(lines += _)
+    (listCdcFiles(fs, root) -- before).toSeq.sorted
+      .foreach(rel => lines += cdcLineFor(fs, root, rel))
+    lines.toSeq
+  }
+
+  /** Subtract rows a prior deletion vector already masked from a
+    * [[DeltaScan.scanWithRowIndex]] frame — those physical rows are
+    * dead and must feed neither update images nor change data.
+    */
+  private def subtractPriorDv(spark: org.apache.spark.sql.SparkSession,
+      base: String, candidates: Seq[AddAction], df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val dvCand = candidates.filter(_.hasDeletionVector)
+    if (dvCand.isEmpty) df
+    else {
+      import spark.implicits._
+      val dvRows = dvCand.map(a => DeltaScan.fileUri(spark, base, a) ->
+        DeletionVectors.read(spark, base, a.deletionVector.get))
+      val deleted = spark.createDataset(dvRows)
+        .flatMap { case (f, bytes) =>
+          DeletionVectors.deserializeData(bytes).iterator.map(i => (f, i)) }
+        .toDF("__graft_file", "__graft_row_index")
+      val totalDeleted =
+        dvCand.flatMap(_.deletionVector).map(_.cardinality).sum
+      val build =
+        if (totalDeleted <= 5000000L) broadcast(deleted) else deleted
+      df.join(build,
+        Seq("__graft_file", "__graft_row_index"), "left_anti")
+    }
   }
 
   private[delta] def rowTrackingEnabled(cfg: Map[String, String]): Boolean =
@@ -3076,7 +3195,11 @@ object DeltaWriter {
   private[delta] def encodePath(rel: String): String =
     new java.net.URI(null, null, rel, null).getRawPath
 
-  /** Relative paths of all parquet data files under the table root. */
+  /** Relative paths of all parquet data files under the table root.
+    * `_change_data/` is excluded — stored CDF files are never table
+    * state, and a DML that just staged them must not fold them into its
+    * add-action diff.
+    */
   private def listDataFiles(fs: FileSystem, root: Path): Set[String] = {
     if (!fs.exists(root)) return Set.empty
     val out = mutable.Set.empty[String]
@@ -3085,8 +3208,24 @@ object DeltaWriter {
     while (it.hasNext) {
       val f = it.next()
       val p = f.getPath.toUri.getPath
-      if (p.endsWith(".parquet") && !p.contains("/_delta_log/"))
+      if (p.endsWith(".parquet") && !p.contains("/_delta_log/") &&
+          !p.contains("/_change_data/"))
         out += p.stripPrefix(rootUri + "/")
+    }
+    out.toSet
+  }
+
+  /** Relative (to the table root) paths of stored change-data files. */
+  private def listCdcFiles(fs: FileSystem, root: Path): Set[String] = {
+    val dir = new Path(root, "_change_data")
+    if (!fs.exists(dir)) return Set.empty
+    val out = mutable.Set.empty[String]
+    val it = fs.listFiles(dir, true)
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toUri.getPath
+      if (p.endsWith(".parquet")) out += p.stripPrefix(rootUri + "/")
     }
     out.toSet
   }

@@ -188,5 +188,39 @@ object DeltaQueries {
           .orderBy("p_partkey")
       },
       Some("""SELECT p_partkey, p_type, p_retailprice
-        |FROM part ORDER BY p_partkey""".stripMargin)))
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Stored-vs-derived CDF differential: ONE update on a CDF-enabled
+    // staged table. scanDeltaCdf prefers the commit's STORED change
+    // data (cdc actions → _change_data/ files, update_pre/postimages
+    // normalized onto delete/insert) while the window halves
+    // (scanDeltaChanges / scanDeltaDeletedRows) derive the same
+    // changes from adds + DV bitmap diffs and never read cdc. Any
+    // disagreement — a missing pre-image, a double-counted add under
+    // the protocol's cdc-exclusivity rule, a value diverging between
+    // the cdc copy and the data file — breaks the pinned constants.
+    "x8_cdf_stored_vs_derived" -> QueryDef(
+      (s, dir) => {
+        val path = stagedOnce(s, dir, "customer_cdf_delta") { path =>
+          DeltaWriter.write(table(s, dir, "customer"), path,
+            properties = Map("delta.enableChangeDataFeed" -> "true"))
+          DeltaLake.updateWhere(s, path,
+            Seq(Cond("c_custkey", "<=", 1000L)),
+            Map("c_acctbal" -> -col("c_acctbal")))
+        }
+        val stored = DeltaLake.scanDeltaCdf(s, path, 0L)
+        val derived = DeltaLake.scanDeltaChanges(s, path, 0L)
+          .withColumn("_change_type", lit("insert"))
+          .unionByName(DeltaLake.scanDeltaDeletedRows(s, path, 0L)
+            .withColumn("_change_type", lit("delete")))
+        stored.agg(count(lit(1)).as("n_changes"))
+          .crossJoin(stored.exceptAll(derived)
+            .agg(count(lit(1)).as("only_stored")))
+          .crossJoin(derived.exceptAll(stored)
+            .agg(count(lit(1)).as("only_derived")))
+      },
+      Some("""SELECT CAST(2 * count(*) AS BIGINT) AS n_changes,
+        |  CAST(0 AS BIGINT) AS only_stored,
+        |  CAST(0 AS BIGINT) AS only_derived
+        |FROM customer WHERE c_custkey <= 1000""".stripMargin)))
 }

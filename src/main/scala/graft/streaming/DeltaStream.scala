@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.delta.{ActionCodec, AddAction, DeltaLog, DeltaScan, DeltaSnapshot, DvCdf, ScanSettings}
+import graft.delta.{ActionCodec, AddAction, CdfEngine, DeltaLog, DeltaScan, DeltaSnapshot, ScanSettings}
 
 /** Micro-batch replay of a Delta table's commit history — the
   * `Trigger.AvailableNow` pattern over our own log reader (the streaming
@@ -87,25 +87,27 @@ object DeltaStream {
   }
 
   /** Change-data-feed replay: like [[runAvailableNow]], but each batch
-    * carries a `_change_type` column and deletion-vector changes surface
-    * as change rows — `insert` rows are the commit's new data PLUS any
-    * rows un-deleted by a shrinking DV (an external writer's RESTORE),
-    * `delete` rows are the rows newly covered by a DV in that commit.
-    * Descriptor diffs are driver-side compact-bitmap work (shared with
-    * the batch CDF via [[graft.delta.DvCdf]] — one implementation, no
-    * silent batch/stream divergence); unchanged descriptors cost
-    * nothing. Applying inserts then deletes per version nets to the
-    * table state.
+    * carries a `_change_type` column (`insert`/`delete`). Per commit,
+    * STORED change data (`cdc` actions → `_change_data/` files — what
+    * [[graft.delta.DeltaWriter]] emits for UPDATE/MERGE/DELETE under
+    * `delta.enableChangeDataFeed`, and what other engines' CDF writers
+    * produce) is preferred and used exclusively; commits without cdc
+    * actions fall back to the DERIVED feed — `insert` rows are the
+    * commit's new data plus any rows un-deleted by a shrinking DV (an
+    * external writer's RESTORE), `delete` rows the rows newly covered
+    * by a DV. Extraction is [[graft.delta.CdfEngine]], shared with the
+    * batch CDF — one implementation, no silent batch/stream divergence.
+    * Applying inserts then deletes per version nets to the table state
+    * (stored `update_pre/postimage` normalize onto delete/insert).
     *
-    * Files dropped entirely by overwrites still don't retract (their
-    * rows may be gone from disk) — the standard source limitation;
-    * DV deletes, the engine's own delete path, are fully covered.
+    * Files dropped entirely by overwrites still don't retract on the
+    * derived path (their rows may be gone from disk) — the standard
+    * source limitation; DV deletes and stored CDF are fully covered.
     */
   def runAvailableNowCdf(
       spark: SparkSession,
       path: String,
       fromVersion: Long)(batchFn: (Long, DataFrame) => Unit): Long = {
-    import org.apache.spark.sql.functions.lit
     val (head, snap) = initReplay(spark, path, fromVersion)
     val base = path.stripSuffix("/")
     var v = fromVersion + 1
@@ -113,46 +115,9 @@ object DeltaStream {
       val lines = commitLines(spark, path, v, fromVersion, head)
       val priorByPath: Map[String, AddAction] =
         snap.liveFiles.map(a => a.path -> a).toMap
-      val adds = lines.flatMap(n =>
-        Option(n.get("add")).filterNot(_.isNull).map(ActionCodec.parseAdd))
-        .filter(_.dataChange)
-      val newPaths = adds.collect {
-        case a if !priorByPath.contains(a.path) => a.path }.toSet
-      // re-adds of live paths: diff the DV descriptors — bitmap growth
-      // retracts, shrinkage re-inserts (restore)
-      var delDiffs = Vector.empty[(AddAction, Seq[Long])]
-      var resDiffs = Vector.empty[(AddAction, Seq[Long])]
-      adds.filter(a => priorByPath.contains(a.path)).foreach { a =>
-        val (dels, res) = DvCdf.diffIndices(spark, base,
-          priorByPath(a.path).deletionVector, a.deletionVector)
-        if (dels.nonEmpty) delDiffs :+= (a -> dels)
-        if (res.nonEmpty) resDiffs :+= (a -> res)
-      }
+      val spec = CdfEngine.spec(spark, base, priorByPath, lines)
       lines.foreach(snap.applyActionLine(_, v))
-      // DV-only batches bypass scanSnapshot, which normally carries the
-      // protocol gate — apply it explicitly so a commit that only
-      // touches bitmaps can't emit rows from an unsupported table
-      if (newPaths.nonEmpty || delDiffs.nonEmpty || resDiffs.nonEmpty)
-        snap.checkProtocolSupported()
-      val newFiles =
-        if (newPaths.isEmpty) None
-        else Some(DeltaScan.scanSnapshot(snap,
-          ScanSettings(actionFilter = a => newPaths.contains(a.path))))
-      val restored =
-        if (resDiffs.isEmpty) None else Some(DvCdf.rowsAt(snap, resDiffs))
-      val inserts = (newFiles, restored) match {
-        case (Some(i), Some(r)) => Some(i.unionByName(r))
-        case (i, r) => i.orElse(r)
-      }
-      val deletes =
-        if (delDiffs.isEmpty) None else Some(DvCdf.rowsAt(snap, delDiffs))
-      val batch = (
-        inserts.map(_.withColumn("_change_type", lit("insert"))),
-        deletes.map(_.withColumn("_change_type", lit("delete")))) match {
-        case (Some(i), Some(d)) => Some(i.unionByName(d))
-        case (i, d) => i.orElse(d)
-      }
-      batch.foreach(batchFn(v, _))
+      CdfEngine.materialize(snap, spec).foreach(batchFn(v, _))
       v += 1
     }
     head

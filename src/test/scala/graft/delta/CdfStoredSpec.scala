@@ -1,0 +1,152 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.{DeltaLake, SparkSuite}
+
+/** Stored change-data-feed specs: under `delta.enableChangeDataFeed`,
+  * UPDATE/MERGE/DELETE stage `_change_data/` parquet + `cdc` commit
+  * actions, and every CDF reader (batch, streaming, TVF path) prefers
+  * them — exclusively, per the protocol — falling back to the derived
+  * feed for commits without cdc actions (appends, foreign writers).
+  */
+class CdfStoredSpec extends SparkSuite {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString + "/t"
+
+  private val CdfOn = Map("delta.enableChangeDataFeed" -> "true")
+
+  private def cdcOf(path: String, v: Long): Seq[CdcAction] =
+    CdfEngine.cdcActions(DeltaLog.readCommitJson(spark, path, v).get)
+
+  test("UPDATE stores pre/post images; stored CDF equals the derived feed") {
+    import spark.implicits._
+    val cdf = tmp("graft_cdf_upd")
+    val plain = tmp("graft_plain_upd")
+    val df = (1L to 100L).map(i => (i, i % 7, s"v$i")).toDF("id", "grp", "s")
+    DeltaWriter.write(df, cdf, partitionBy = Seq("grp"), properties = CdfOn)
+    DeltaWriter.write(df, plain, partitionBy = Seq("grp"))
+    DeltaLake.updateWhere(spark, cdf, Seq(Cond("id", "<=", 30L)),
+      Map("s" -> concat(col("s"), lit("!"))))
+    DeltaLake.updateWhere(spark, plain, Seq(Cond("id", "<=", 30L)),
+      Map("s" -> concat(col("s"), lit("!"))))
+
+    // the commit carries cdc actions pointing under _change_data/
+    val cdcs = cdcOf(cdf, 1L)
+    assert(cdcs.nonEmpty)
+    assert(cdcs.forall(_.path.startsWith("_change_data/")))
+    // hive partition values recovered into the actions
+    assert(cdcs.forall(_.partitionValues.keySet == Set("grp")))
+    // the protocol gained the changeDataFeed writer feature
+    val snap = DeltaLog.forPath(spark, cdf)
+    assert(snap.protocol.exists(p =>
+      p.writerFeatures.exists(_.contains("changeDataFeed")) ||
+        (p.writerFeatures.isEmpty && p.minWriterVersion >= 4)))
+
+    // raw stored rows: full-fidelity update_pre/postimage
+    val raw = CdfEngine.readStored(snap, cdcs)
+    assert(raw.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("update_preimage" -> 30L, "update_postimage" -> 30L))
+    // pre-images carry the OLD values, post-images the new ones
+    assert(raw.where(col("_change_type") === "update_preimage" &&
+      col("s").endsWith("!")).isEmpty)
+    assert(raw.where(col("_change_type") === "update_postimage" &&
+      !col("s").endsWith("!")).isEmpty)
+
+    // normalized stored CDF == the derived feed of the identical op on
+    // the CDF-less twin (insert/delete netting contract preserved)
+    val stored = DeltaLake.scanDeltaCdf(spark, cdf, 0L)
+    val derived = DeltaLake.scanDeltaCdf(spark, plain, 0L)
+    assert(stored.count() == 60L)
+    assert(stored.exceptAll(derived).isEmpty &&
+      derived.exceptAll(stored).isEmpty)
+  }
+
+  test("DELETE stores only newly deleted pre-images") {
+    import spark.implicits._
+    val path = tmp("graft_cdf_del")
+    DeltaWriter.write((1L to 50L).map(i => (i, s"r$i")).toDF("id", "s"),
+      path, properties = CdfOn)
+    DeltaLake.deleteWhere(spark, path, Seq(Cond("id", "<=", 10L))) // v1
+    DeltaLake.deleteWhere(spark, path, Seq(Cond("id", "<=", 20L))) // v2
+    val snap = DeltaLog.forPath(spark, path)
+    val raw1 = CdfEngine.readStored(snap, cdcOf(path, 1L))
+    assert(raw1.select("id").as[Long].collect().sorted.toSeq == (1L to 10L))
+    assert(raw1.select("_change_type").distinct().as[String].collect()
+      .toSeq == Seq("delete"))
+    // the overlapping second delete must NOT re-emit the dead rows
+    val raw2 = CdfEngine.readStored(snap, cdcOf(path, 2L))
+    assert(raw2.select("id").as[Long].collect().sorted.toSeq == (11L to 20L))
+    assert(DeltaLake.scanDeltaCdf(spark, path, 1L)
+      .select("id").as[Long].collect().sorted.toSeq == (11L to 20L))
+  }
+
+  test("MERGE stores complete change data; readers use it exclusively") {
+    import spark.implicits._
+    val path = tmp("graft_cdf_merge")
+    DeltaWriter.write((1L to 10L).map(i => (i, s"r$i")).toDF("id", "s"),
+      path, properties = CdfOn)
+    // update id=3, delete id=5, insert id=100 — one commit
+    val src = Seq((3L, "r3-new", "up"), (100L, "r100", "up"),
+      (5L, "ignored", "del")).toDF("id", "s", "_op")
+    DeltaWriter.merge(spark, path, src, Seq("id"),
+      deleteWhen = Some(col("_op") === "del"))
+
+    val snap = DeltaLog.forPath(spark, path)
+    val raw = CdfEngine.readStored(snap, cdcOf(path, 1L))
+    val byType = raw.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "delete" -> 1L, "insert" -> 1L))
+    assert(raw.where(col("_change_type") === "delete")
+      .select("s").as[String].head() == "r5")
+    assert(raw.where(col("_change_type") === "update_preimage")
+      .select("s").as[String].head() == "r3")
+
+    // exclusivity: the commit's add files (which physically contain BOTH
+    // merged source rows) must not double-count — the full feed is
+    // exactly 10 creation inserts + (insert 100, insert 3-new,
+    // delete 3-old, delete 5)
+    val cdfRows = DeltaLake.scanDeltaCdf(spark, path, -1L)
+    assert(cdfRows.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("insert" -> 12L, "delete" -> 2L))
+    // net: creation + changes == final table state
+    val net = cdfRows.where(col("_change_type") === "insert")
+      .drop("_change_type")
+      .exceptAll(cdfRows.where(col("_change_type") === "delete")
+        .drop("_change_type"))
+    val state = DeltaLake.scanDelta(spark, path)
+    assert(net.exceptAll(state).isEmpty && state.exceptAll(net).isEmpty)
+  }
+
+  test("streaming CDF replay prefers stored rows and matches batch CDF") {
+    import spark.implicits._
+    val path = tmp("graft_cdf_stream")
+    DeltaWriter.write((1L to 20L).map(i => (i, s"r$i")).toDF("id", "s"),
+      path, properties = CdfOn)
+    DeltaLake.updateWhere(spark, path, Seq(Cond("id", "<=", 5L)),
+      Map("s" -> lit("upd")))                                       // v1
+    DeltaWriter.write(Seq((200L, "x")).toDF("id", "s"), path,
+      mode = "append")                                              // v2
+    // appends carry no cdc actions (readers derive inserts from adds)
+    assert(cdcOf(path, 2L).isEmpty && cdcOf(path, 1L).nonEmpty)
+
+    val perVersion = scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+    graft.streaming.DeltaStream.runAvailableNowCdf(spark, path, -1L) {
+      (v, df) => perVersion(v) = df.groupBy("_change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(perVersion(0L) == Map("insert" -> 20L))
+    assert(perVersion(1L) == Map("insert" -> 5L, "delete" -> 5L))
+    assert(perVersion(2L) == Map("insert" -> 1L))
+
+    // batch == streaming union
+    val batch = DeltaLake.scanDeltaCdf(spark, path, -1L)
+    assert(batch.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("insert" -> 26L, "delete" -> 5L))
+  }
+}
