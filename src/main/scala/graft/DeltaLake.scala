@@ -86,6 +86,22 @@ object DeltaLake {
   def convertParquetToDelta(spark: SparkSession, path: String): Unit =
     DeltaWriter.convertParquetToDelta(spark, path)
 
+  /** Scan with STABLE ROW IDS: the table columns plus `_row_id` and
+    * `_row_commit_version`, resolved per the protocol — materialized
+    * columns first (what OPTIMIZE persists through rewrites), then
+    * `baseRowId + physical row index` / `defaultRowCommitVersion`.
+    */
+  def scanDeltaWithRowIds(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame =
+    DeltaScan.scanWithStableIds(DeltaLog.forPath(spark, path, version))
+
+  /** Enable row tracking on an existing, possibly populated table —
+    * one backfill commit assigning disjoint `baseRowId`s to every live
+    * file under OCC. Returns the committed version.
+    */
+  def enableRowTracking(spark: SparkSession, path: String): Long =
+    DeltaWriter.enableRowTracking(spark, path)
+
   /** DESCRIBE HISTORY: one row per surviving commit, newest first —
     * version, commit timestamp, operation (WRITE/APPEND/DELETE/MERGE/
     * UPDATE/RESTORE/OPTIMIZE/…), file-action counts, and whether the

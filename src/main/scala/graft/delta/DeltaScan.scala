@@ -269,13 +269,18 @@ object DeltaScan {
     * bitmaps).
     */
   private[graft] def scanWithRowIndex(
-      snap: DeltaSnapshot, actions: Seq[AddAction]): DataFrame = {
+      snap: DeltaSnapshot, actions: Seq[AddAction],
+      /** Physical columns read AS-IS beyond the table schema (absent in
+        * a file ⇒ null-filled) — the materialized row-tracking columns.
+        */
+      extraPhysical: Seq[StructField] = Nil): DataFrame = {
     val spark = snap.spark
     val schema = snap.schema
     val partCols = snap.partitionColumns.toSet
     val logToPhys = DeltaSchema.logicalToPhysical(schema)
     val dataFields = schema.fields.toSeq.filterNot(f => partCols.contains(f.name))
-    val physReadSchema = DeltaSchema.physicalize(StructType(dataFields))
+    val physReadSchema = StructType(
+      DeltaSchema.physicalize(StructType(dataFields)).fields ++ extraPhysical)
     val base = snap.deltaPath.stripSuffix("/")
     val partFields = schema.fields.toSeq.filter(f => partCols.contains(f.name))
     def pvOf(a: AddAction): Seq[Option[String]] = partFields.map { f =>
@@ -293,11 +298,65 @@ object DeltaScan {
           col(s"`${phys.replace("`", "``")}`").cast(relax(f.dataType)).as(f.name)
         }
       }
-      scan.select(proj ++ Seq(
+      scan.select(proj ++
+        extraPhysical.map(f => col(s"`${f.name.replace("`", "``")}`")) ++ Seq(
         normalizeFileKey(input_file_name()).as("__graft_file"),
         scan.col("_metadata.row_index").as("__graft_row_index")): _*)
     }
     branches.reduce(_.unionByName(_))
+  }
+
+  /** Scan with STABLE ROW IDS (PROTOCOL.md#row-tracking): the logical
+    * table columns plus `_row_id` and `_row_commit_version`, each
+    * `coalesce(materialized column, baseRowId + physical row index)` /
+    * `coalesce(materialized, defaultRowCommitVersion)` — the protocol's
+    * resolution order, so ids survive OPTIMIZE rewrites (which
+    * materialize them) and DV DML (which never moves surviving rows).
+    * Deletion vectors are applied; files without row-tracking fields
+    * yield null ids (tracking was suspended when they were written).
+    */
+  private[graft] def scanWithStableIds(snap: DeltaSnapshot): DataFrame = {
+    val spark = snap.spark
+    snap.checkProtocolSupported()
+    val schema = snap.schema
+    val base = snap.deltaPath.stripSuffix("/")
+    val actions = snap.liveFiles
+    val idT = org.apache.spark.sql.types.LongType
+    if (actions.isEmpty)
+      return emptyTyped(spark, StructType(schema.fields ++ Seq(
+        StructField("_row_id", idT), StructField("_row_commit_version", idT))))
+    val matId = snap.configuration.get(DeltaWriter.MatRowIdKey)
+    val matVer = snap.configuration.get(DeltaWriter.MatRowVersionKey)
+    val extra = (matId.toSeq ++ matVer.toSeq).map(StructField(_, idT))
+    def q(n: String) = col(s"`${n.replace("`", "``")}`")
+    val scan = scanWithRowIndex(snap, actions, extra)
+    import spark.implicits._
+    val info = actions.map(a => (fileUri(spark, base, a),
+      a.baseRowId, a.defaultRowCommitVersion))
+      .toDF("__graft_file", "__graft_base", "__graft_dver")
+    val joined = scan.join(broadcast(info), Seq("__graft_file"))
+    val dvActions = actions.filter(_.hasDeletionVector)
+    val undeleted =
+      if (dvActions.isEmpty) joined
+      else {
+        val dvRows = dvActions.map(a => fileUri(spark, base, a) ->
+          DeletionVectors.read(spark, base, a.deletionVector.get))
+        val deleted = spark.createDataset(dvRows)
+          .flatMap { case (f, data) =>
+            DeletionVectors.deserializeData(data).iterator.map(i => (f, i)) }
+          .toDF("__graft_file", "__graft_row_index")
+        val total = dvActions.flatMap(_.deletionVector).map(_.cardinality).sum
+        val build = if (total <= 5000000L) broadcast(deleted) else deleted
+        joined.join(build,
+          Seq("__graft_file", "__graft_row_index"), "left_anti")
+      }
+    import org.apache.spark.sql.functions.coalesce
+    val rowId = coalesce((matId.map(q).toSeq :+
+      (col("__graft_base") + col("__graft_row_index"))): _*).as("_row_id")
+    val rowVer = coalesce((matVer.map(q).toSeq :+
+      col("__graft_dver")): _*).as("_row_commit_version")
+    undeleted.select(
+      schema.fields.toSeq.map(f => q(f.name)) ++ Seq(rowId, rowVer): _*)
   }
 
   /** The normalized file key [[scanWithRowIndex]] and the DV anti-join

@@ -409,8 +409,9 @@ object DeltaWriter {
         prior.forall(_.liveFiles.forall(
           _.parsedStats.flatMap(_.numRecords).contains(0L))),
       "enabling delta.enableRowTracking on a table with existing rows " +
-        "needs a backfill this writer does not implement — enable it " +
-        "at table creation")
+        "needs a backfill — run DeltaWriter.enableRowTracking(path) " +
+        "(one commit that re-states every live file with fresh " +
+        "baseRowIds), or enable it at table creation")
 
     // enforcement persists the batch across validate+write: a
     // non-deterministic batch plan must not pass validation on one
@@ -2123,6 +2124,15 @@ object DeltaWriter {
     cfg.get("delta.enableRowTracking")
       .exists(_.trim.equalsIgnoreCase("true"))
 
+  /** Materialized row-tracking column names (PROTOCOL.md#row-tracking):
+    * the physical columns OPTIMIZE persists stable ids into so they
+    * survive bin-packing rewrites.
+    */
+  private[delta] val MatRowIdKey =
+    "delta.rowTracking.materializedRowIdColumnName"
+  private[delta] val MatRowVersionKey =
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+
   /** Current row-id high-water mark from the `delta.rowTracking`
     * domain (-1 = no ids assigned yet).
     */
@@ -2177,6 +2187,43 @@ object DeltaWriter {
         .put("removed", false)
       out :+ dom.toString
     }
+  }
+
+  /** Enable row tracking on an EXISTING, possibly populated table — the
+    * backfill the write()-path guard points at. ONE commit that (a)
+    * upgrades the protocol with the `rowTracking` + `domainMetadata`
+    * writer features, (b) sets `delta.enableRowTracking=true`, and (c)
+    * re-states every live file `dataChange=false`; commitDml's row-id
+    * assignment then mints each restated add a fresh disjoint
+    * `baseRowId` and writes the advanced high-water-mark domain under
+    * OCC. Fail-closed against racers (`newDataGuard=Some(Nil)`): a
+    * concurrent commit adding data files would leave rows unassigned,
+    * so it aborts this commit instead of rebasing. Requires numRecords
+    * stats on every live file (our writer and CONVERT always emit
+    * them). No-op when already enabled. Returns the committed version.
+    */
+  def enableRowTracking(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    if (rowTrackingEnabled(snap.configuration)) return snap.version
+    val cfg = snap.configuration + ("delta.enableRowTracking" -> "true")
+    val lines = mutable.ArrayBuffer.empty[String]
+    lines += upgradedProtocolJson(snap.protocol, "rowTracking",
+      "domainMetadata")
+    lines += metadataLine(path, snap.metadata.get, cfg)
+    snap.liveFiles.foreach { a =>
+      require(a.parsedStats.flatMap(_.numRecords).isDefined,
+        "row-tracking backfill needs numRecords stats on every live " +
+          s"file; '${a.path}' has none")
+      lines += addLineFor(a, dataChange = false)
+    }
+    lines += commitInfoLine("ENABLE ROW TRACKING",
+      metrics = Map("numBackfilledFiles" -> snap.liveFiles.size.toLong))
+    commitDml(spark, path, snap, lines.toSeq,
+      readSet = snap.liveFiles.map(_.path).toSet, "ENABLE ROW TRACKING",
+      cfg, newDataGuard = Some(Nil))
   }
 
   /** Stamp `defaultRowCommitVersion` = the commit's actual version on
@@ -2552,22 +2599,32 @@ object DeltaWriter {
       priorSnapshot: Option[DeltaSnapshot] = None): Int = {
     val snap = priorSnapshot.getOrElse(DeltaLog.forPath(spark, path))
     snap.checkProtocolSupported()
-    // a bin-pack merges rows from several files into new ones; without
-    // materialized row-id columns the merged output cannot carry the
-    // stable row ids an external engine derived from baseRowId — refuse
-    // rather than silently renumber another engine's rows (every other
-    // path is safe: DV DML never moves surviving rows, restates carry
-    // baseRowId through addLineFor)
-    require(!snap.liveFiles.exists(_.baseRowId.isDefined) &&
-        !snap.protocol.exists(_.writerFeatures.exists(_.contains("rowTracking"))),
-      s"OPTIMIZE on row-tracked table $path is not supported: rewriting " +
-        "files would break the stable row ids an external engine " +
-        "assigned (baseRowId); drop row tracking first")
     val base = path.stripSuffix("/")
     val schema = snap.schema
     val partCols = snap.partitionColumns.toSet
     val dataFields = schema.fields.toSeq.filterNot(f => partCols.contains(f.name))
-    val physReadSchema = DeltaSchema.physicalize(StructType(dataFields))
+    // Row-tracked tables: a bin-pack merges rows from several files, so
+    // the stable ids an engine derived from baseRowId are MATERIALIZED
+    // into the rewritten files (PROTOCOL.md#row-tracking materialized
+    // ids) — physical columns row_id = coalesce(already-materialized,
+    // baseRowId + row_index) and likewise for the commit version.
+    // Readers coalesce the same way ([[DeltaScan.scanWithStableIds]]),
+    // so every surviving row keeps its id through any number of
+    // rewrites. The first materialization mints the column names into
+    // the table configuration (one metaData line in this commit).
+    val rowTracked = rowTrackingEnabled(snap.configuration) ||
+      snap.liveFiles.exists(_.baseRowId.isDefined)
+    val matCols: Option[(String, String)] =
+      if (!rowTracked) None
+      else Some((
+        snap.configuration.getOrElse(MatRowIdKey,
+          "_row-id-col-" + java.util.UUID.randomUUID()),
+        snap.configuration.getOrElse(MatRowVersionKey,
+          "_row-commit-version-col-" + java.util.UUID.randomUUID())))
+    val physReadSchema = StructType(
+      DeltaSchema.physicalize(StructType(dataFields)).fields ++
+        matCols.toSeq.flatMap { case (i, v) =>
+          Seq(StructField(i, LongType), StructField(v, LongType)) })
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -2580,33 +2637,53 @@ object DeltaWriter {
     val lines = mutable.ArrayBuffer.empty[String]
     var nCompacted = 0
 
-    // subtract DV-deleted rows exactly like the scan does
-    def subtractDeleted(scan0: DataFrame, bin: Seq[AddAction]): DataFrame = {
+    // per-bin preparation: key by (file, row index) once, MATERIALIZE
+    // stable row ids on row-tracked tables (coalesce keeps values
+    // already materialized by an earlier OPTIMIZE), then subtract
+    // DV-deleted rows exactly like the scan does
+    def prepareBin(scan0: DataFrame, bin: Seq[AddAction]): DataFrame = {
+      import org.apache.spark.sql.functions.{broadcast, coalesce, col}
       val dvActions = bin.filter(_.hasDeletionVector)
-      if (dvActions.isEmpty) scan0
-      else {
-        val keyed = scan0
-          .withColumn("__graft_ri", scan0.col("_metadata.row_index"))
-          .withColumn("__graft_file", DeltaScan.normalizeFileKey(
-            org.apache.spark.sql.functions.input_file_name()))
-        val dvRows: Seq[(String, Array[Byte])] = dvActions.map { a =>
-          DeltaScan.fileUri(spark, base, a) ->
-            DeletionVectors.read(spark, base, a.deletionVector.get)
-        }
-        import spark.implicits._
-        val deleted = spark.createDataset(dvRows)
-          .flatMap { case (f, data) =>
-            DeletionVectors.deserializeData(data).iterator.map(i => (f, i)) }
-          .toDF("__graft_file", "__graft_ri")
-        val totalCard =
-          dvActions.flatMap(_.deletionVector).map(_.cardinality).sum
-        val build =
-          if (totalCard <= 5000000L)
-            org.apache.spark.sql.functions.broadcast(deleted)
-          else deleted
-        keyed.join(build, Seq("__graft_file", "__graft_ri"), "left_anti")
-          .drop("__graft_file", "__graft_ri")
+      if (dvActions.isEmpty && matCols.isEmpty) return scan0
+      def q(n: String) = col(s"`${n.replace("`", "``")}`")
+      val keyed0 = scan0
+        .withColumn("__graft_ri", scan0.col("_metadata.row_index"))
+        .withColumn("__graft_file", DeltaScan.normalizeFileKey(
+          org.apache.spark.sql.functions.input_file_name()))
+      val keyed = matCols match {
+        case None => keyed0
+        case Some((matId, matVer)) =>
+          import spark.implicits._
+          val info = bin.map(a => (DeltaScan.fileUri(spark, base, a),
+            a.baseRowId, a.defaultRowCommitVersion))
+            .toDF("__graft_file", "__graft_base", "__graft_dver")
+          keyed0.join(broadcast(info), Seq("__graft_file"))
+            .withColumn(matId,
+              coalesce(q(matId), q("__graft_base") + q("__graft_ri")))
+            .withColumn(matVer, coalesce(q(matVer), q("__graft_dver")))
+            .drop("__graft_base", "__graft_dver")
       }
+      val sub =
+        if (dvActions.isEmpty) keyed
+        else {
+          val dvRows: Seq[(String, Array[Byte])] = dvActions.map { a =>
+            DeltaScan.fileUri(spark, base, a) ->
+              DeletionVectors.read(spark, base, a.deletionVector.get)
+          }
+          import spark.implicits._
+          val deleted = spark.createDataset(dvRows)
+            .flatMap { case (f, data) =>
+              DeletionVectors.deserializeData(data).iterator.map(i => (f, i)) }
+            .toDF("__graft_file", "__graft_ri")
+          val totalCard =
+            dvActions.flatMap(_.deletionVector).map(_.cardinality).sum
+          val build =
+            if (totalCard <= 5000000L)
+              org.apache.spark.sql.functions.broadcast(deleted)
+            else deleted
+          keyed.join(build, Seq("__graft_file", "__graft_ri"), "left_anti")
+        }
+      sub.drop("__graft_file", "__graft_ri")
     }
 
     // write `df` into the partition directory of `bin.head` (multi-file
@@ -2691,7 +2768,7 @@ object DeltaWriter {
           // persisted: the Morton quantization agg, the range
           // partitioner's sampling AND the write would otherwise each
           // re-read the partition (and re-run the DV anti-join)
-          val df = subtractDeleted(scan0, files)
+          val df = prepareBin(scan0, files)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val nOut = math.max(1L,
@@ -2717,12 +2794,22 @@ object DeltaWriter {
           .foreach { bin =>
             val scan0 = spark.read.schema(physReadSchema).parquet(
               bin.map(a => DeltaScan.resolvePath(base, a.path)).toSeq: _*)
-            rewrite(subtractDeleted(scan0, bin.toSeq).coalesce(1),
+            rewrite(prepareBin(scan0, bin.toSeq).coalesce(1),
               bin.toSeq, pv)
           }
       }
     }
     if (lines.isEmpty) return 0
+
+    // first materialization: persist the minted column names so every
+    // later reader/rewriter coalesces the same physical columns
+    matCols.foreach { case (matId, matVer) =>
+      if (!snap.configuration.contains(MatRowIdKey) ||
+          !snap.configuration.contains(MatRowVersionKey))
+        metadataLine(path, snap.metadata.get,
+          snap.configuration + (MatRowIdKey -> matId) +
+            (MatRowVersionKey -> matVer)) +=: lines
+    }
 
     lines += commitInfoLine("OPTIMIZE",
       params = if (zOrderBy.isEmpty) Map.empty

@@ -55,7 +55,7 @@ class DomainMetadataSpec extends SparkSuite {
     assert(DeltaLake.scanDelta(spark, path).count() == 5)
   }
 
-  test("external row-tracking add fields survive restates; compact refuses") {
+  test("external row-tracking add fields survive restates; compact materializes") {
     val path = tmp()
     DeltaWriter.write((1L to 50L).map(i => (i, i)).toDF("id", "v"), path)
     // an external engine re-states every add with row-tracking fields
@@ -97,11 +97,17 @@ class DomainMetadataSpec extends SparkSuite {
       _.tags.get("origin").contains(Some("ext"))))
     assert(DeltaLake.scanDelta(spark, path).count() == 49)
 
-    // bin-packing would renumber the external engine's rows: refuse
-    val e = intercept[IllegalArgumentException] {
-      DeltaWriter.compact(spark, path)
-    }
-    assert(e.getMessage.contains("row-tracked"))
+    // bin-packing MATERIALIZES the external engine's ids instead of
+    // renumbering (or refusing, the pre-round-6 behavior): every
+    // surviving row keeps its externally-assigned stable id
+    val extBefore = DeltaLake.scanDeltaWithRowIds(spark, path)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(DeltaWriter.compact(spark, path) > 0)
+    val extAfter = DeltaLake.scanDeltaWithRowIds(spark, path)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(extAfter == extBefore && extBefore.size == 49)
+    assert(DeltaLog.forPath(spark, path).configuration
+      .contains(DeltaWriter.MatRowIdKey))
   }
 
   test("external domainMetadata survives a v2 checkpoint round trip") {

@@ -136,6 +136,91 @@ class RowTrackingSpec extends SparkSuite {
     assert(hwmOf(path) == 100L)
   }
 
+  test("OPTIMIZE materializes row ids; every surviving row keeps its id") {
+    val path = tmp()
+    // several small files per partition → a real bin-pack
+    DeltaWriter.write((1L to 60L).map(i => (i, i % 3)).toDF("id", "p")
+      .repartition(6), path, partitionBy = Seq("p"),
+      properties = Map("delta.enableRowTracking" -> "true"))
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 10L)))
+    val before = DeltaLake.scanDeltaWithRowIds(spark, path)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(before.size == 59)
+
+    assert(DeltaWriter.compact(spark, path) > 0)
+    val snap = DeltaLog.forPath(spark, path)
+    // minted names persisted; rewritten adds carry fresh baseRowIds
+    assert(snap.configuration.contains(DeltaWriter.MatRowIdKey) &&
+      snap.configuration.contains(DeltaWriter.MatRowVersionKey))
+    assert(snap.liveFiles.forall(_.baseRowId.isDefined))
+    assert(snap.liveFiles.forall(!_.hasDeletionVector)) // DVs folded in
+    val after = DeltaLake.scanDeltaWithRowIds(spark, path)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(after == before)
+
+    // append + a SECOND optimize: the already-materialized values win
+    // the coalesce and stay put; fresh rows keep their new ids too
+    DeltaWriter.write(Seq((100L, 1L)).toDF("id", "p"), path,
+      mode = "append")
+    DeltaWriter.write(Seq((101L, 1L)).toDF("id", "p"), path,
+      mode = "append")
+    val mid = DeltaLake.scanDeltaWithRowIds(spark, path)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(DeltaWriter.compact(spark, path) > 0)
+    val fin = DeltaLake.scanDeltaWithRowIds(spark, path)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(fin == mid)
+    // DV DML after compaction: everyone else's id still stable
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 20L)))
+    val afterDel = DeltaLake.scanDeltaWithRowIds(spark, path)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(afterDel == fin - 20L)
+  }
+
+  test("backfill enables row tracking on a populated table") {
+    val path = tmp()
+    DeltaWriter.write((1L to 40L).map(i => (i, i)).toDF("id", "v")
+      .repartition(4), path)
+    DeltaWriter.write((41L to 50L).map(i => (i, i)).toDF("id", "v"),
+      path, mode = "append")
+    assert(DeltaWriter.enableRowTracking(spark, path) == 2L)
+
+    val snap = DeltaLog.forPath(spark, path)
+    assert(snap.configuration.get("delta.enableRowTracking")
+      .contains("true"))
+    val p = snap.protocol.get
+    assert(p.writerFeatures.get.contains("rowTracking") &&
+      p.writerFeatures.get.contains("domainMetadata"))
+    val adds = snap.liveFiles
+    assert(adds.forall(_.baseRowId.isDefined))
+    assert(adds.forall(_.defaultRowCommitVersion.contains(2L)))
+    val ranges = adds.map(a => a.baseRowId.get ->
+      (a.baseRowId.get + a.parsedStats.flatMap(_.numRecords).get))
+      .sortBy(_._1)
+    assert(ranges.head._1 == 0L)
+    ranges.sliding(2).foreach {
+      case Seq((_, end), (start, _)) => assert(start == end)
+      case _ =>
+    }
+    assert(hwmOf(path) == 49L)
+    val ids = DeltaLake.scanDeltaWithRowIds(spark, path)
+      .select("_row_id").as[Long].collect()
+    assert(ids.length == 50 && ids.distinct.length == 50)
+
+    // idempotent; DML after the backfill keeps survivors stable and
+    // appends mint above the mark
+    assert(DeltaWriter.enableRowTracking(spark, path) == 2L)
+    val before = DeltaLake.scanDeltaWithRowIds(spark, path)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 7L)))
+    val after = DeltaLake.scanDeltaWithRowIds(spark, path)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(after == before - 7L)
+    DeltaWriter.write(Seq((51L, 51L)).toDF("id", "v"), path,
+      mode = "append")
+    assert(hwmOf(path) == 50L)
+  }
+
   test("clone carries the high-water mark; clone appends stay disjoint") {
     val path = tmp()
     DeltaWriter.write((1L to 20L).map(i => (i, i)).toDF("id", "v"), path,
