@@ -78,8 +78,20 @@ object Bench {
     val (kernels, operators) = ordered.partition(p => isKernel(p._1))
     kernels.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () } }
-    val kCold = pass(kernels)
-    val kWarm = pass(kernels)
+    // min-of-3 per kernel pass (round-6 verdict item 7): a single GC or
+    // box spike once printed 26.7 s for a 1 s kernel; the min of three
+    // back-to-back runs measures the kernel, not the noise floor.
+    def minPass(qs: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
+      qs.map { case (name, fn) =>
+        val ts = (1 to 3).map { _ =>
+          try time(fn(spark, sfDir).count())
+          catch { case _: Throwable => -1.0 }
+        }.filter(_ >= 0)
+        name -> (if (ts.isEmpty) -1.0 else ts.min)
+      }
+    val kCold = minPass(kernels)
+    val kWarm = minPass(kernels)
     graft.ops.OpCaches.clear()
     val cold = pass(operators)
     val warm = pass(operators)

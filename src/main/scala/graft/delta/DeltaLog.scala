@@ -318,25 +318,35 @@ object DeltaLog {
           // Executors decode parquet checkpoints; toJSON drops null
           // columns so each row looks exactly like a commit-line action
           // object. JSON-format v2 checkpoints are read line-wise.
-          val rows: Seq[String] =
-            (if (cpParquet.nonEmpty)
-              spark.read.parquet(cpParquet: _*).toJSON.collect().toSeq
-            else Nil) ++
-              cpJson.flatMap(f => readSmallFile(spark, f).getOrElse(Nil))
-                .filter(_.nonEmpty)
-          val nodes = rows.map(ActionCodec.mapper.readTree)
-          nodes.foreach(snap.applyActionLine(_, cv))
+          // STREAMED to the driver (`toLocalIterator`: one partition
+          // resident at a time), never collect()ed whole — a 100 TB
+          // table's checkpoint holds millions of add actions, and the
+          // only driver-resident state should be the folded NET live
+          // set inside the snapshot, not the raw action rows.
+          import scala.jdk.CollectionConverters._
+          val parquetRows: Iterator[String] =
+            if (cpParquet.nonEmpty)
+              spark.read.parquet(cpParquet: _*).toJSON.toLocalIterator().asScala
+            else Iterator.empty
+          val jsonRows: Iterator[String] = cpJson.iterator
+            .flatMap(f => readSmallFile(spark, f).getOrElse(Nil))
+            .filter(_.nonEmpty)
           // v2: sidecar actions point at parquets under _sidecars/
           // carrying the file actions (PROTOCOL.md#v2-spec)
-          val sidecarPaths = nodes.flatMap { n =>
+          val sidecarPaths = mutable.ArrayBuffer.empty[String]
+          (parquetRows ++ jsonRows).foreach { r =>
+            val n = ActionCodec.mapper.readTree(r)
+            snap.applyActionLine(n, cv)
             Option(n.get("sidecar")).filterNot(_.isNull)
               .flatMap(s => Option(s.get("path")).filterNot(_.isNull).map(_.asText))
-          }.map { sp =>
-            if (sp.contains("://") || sp.startsWith("/")) sp
-            else s"${logDir(deltaPath)}/_sidecars/$sp"
+              .foreach { sp =>
+                sidecarPaths += (if (sp.contains("://") || sp.startsWith("/")) sp
+                  else s"${logDir(deltaPath)}/_sidecars/$sp")
+              }
           }
           if (sidecarPaths.nonEmpty)
-            spark.read.parquet(sidecarPaths: _*).toJSON.collect()
+            spark.read.parquet(sidecarPaths.toSeq: _*).toJSON
+              .toLocalIterator().asScala
               .foreach(r => snap.applyActionLine(ActionCodec.mapper.readTree(r), cv))
           cv + 1
         } catch { case _: FileNotFoundException => 0L }

@@ -606,11 +606,15 @@ object DeltaWriter {
         txn.isEmpty && version > 0L && !rtEnabled
     // per-attempt serialization: ICT (when enabled) must re-read its
     // predecessor after an OCC version bump, and
-    // defaultRowCommitVersion must equal the version actually taken
-    def bytesFor(vv: Long): Array[Byte] =
-      (withRowVersion(
+    // defaultRowCommitVersion must equal the version actually taken.
+    // The last attempt's stamped lines are kept so the crc sees the
+    // SAME actions the commit file carries (incl. inCommitTimestamp).
+    var stampedLines: Seq[String] = lines.toSeq
+    def bytesFor(vv: Long): Array[Byte] = {
+      stampedLines = withRowVersion(
         withIct(spark, path, vv, lines.toSeq, newCfg, ictFixed), vv, newCfg)
-        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+      (stampedLines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+    }
     var v = version
     var committed = false
     while (!committed) {
@@ -649,7 +653,7 @@ object DeltaWriter {
     }
     // crc only when no OCC rebase moved the version — winners' files
     // are not in `prior`, so incremental accounting would be wrong
-    if (v == version) writeCrc(spark, path, v, prior, lines.toSeq)
+    if (v == version) writeCrc(spark, path, v, prior, stampedLines)
     maybeCheckpoint(spark, path, v, newCfg)
   }
 
@@ -713,6 +717,13 @@ object DeltaWriter {
     o.put("numFiles", live.size.toLong)
     o.put("numMetadata", 1L)
     o.put("numProtocol", 1L)
+    // ICT tables: delta-spark's VersionChecksum carries the commit's
+    // own inCommitTimestamp (`inCommitTimestampOpt`) so a crc-trusting
+    // reader can resolve timestamp time travel without opening the
+    // commit JSON — mirror it from the stamped commitInfo.
+    nodes.flatMap(n => Option(n.get("commitInfo")).filterNot(_.isNull)
+        .flatMap(c => Option(c.get("inCommitTimestamp")).filterNot(_.isNull)))
+      .headOption.foreach(t => o.put("inCommitTimestampOpt", t.asLong))
     metaNode.foreach(m => o.set[JsonNode]("metadata", m))
     protoNode.foreach(p => o.set[JsonNode]("protocol", p))
     val root = new Path(deltaPath)
@@ -2077,6 +2088,12 @@ object DeltaWriter {
     */
   private def writeCdcFiles(spark: org.apache.spark.sql.SparkSession,
       path: String, snap: DeltaSnapshot, rows: DataFrame): Seq[String] = {
+    // Empty change set (e.g. a MERGE whose source matched nothing and
+    // carried only delete-flagged rows): skip the write job AND the
+    // protocol-feature minting — a no-op change must leave no
+    // `_change_data` file and no cdc action. The limit-1 probe is one
+    // tiny job; the full partitioned write it replaces is not.
+    if (rows.isEmpty) return Nil
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val before = listCdcFiles(fs, root)
@@ -2391,10 +2408,14 @@ object DeltaWriter {
         .flatMap(d => Option(d.get("domain")).map(_.asText))).toSet
     // per-attempt serialization: ICT (when enabled) must re-read its
     // predecessor after a rebase moved the version, and
-    // defaultRowCommitVersion must equal the version actually taken
-    def bytesFor(vv: Long): Array[Byte] =
-      (withRowVersion(withIct(spark, path, vv, lines2, config), vv, config)
-        .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+    // defaultRowCommitVersion must equal the version actually taken.
+    // Stamped lines are kept so the crc mirrors the committed actions.
+    var stampedLines: Seq[String] = lines2
+    def bytesFor(vv: Long): Array[Byte] = {
+      stampedLines =
+        withRowVersion(withIct(spark, path, vv, lines2, config), vv, config)
+      (stampedLines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+    }
     var v = snap.version + 1
     while (true) {
       val commit = new Path(logDir, f"$v%020d.json")
@@ -2414,7 +2435,7 @@ object DeltaWriter {
           fs.delete(tmp, false) // lost the race while staging; revalidate
         } else if (fs.rename(tmp, commit)) {
           if (v == snap.version + 1)
-            writeCrc(spark, path, v, Some(snap), lines2)
+            writeCrc(spark, path, v, Some(snap), stampedLines)
           maybeCheckpoint(spark, path, v, config)
           return v
         } else {

@@ -21,23 +21,46 @@ object DeltaQueries {
   private def stage(dir: String, name: String): String =
     s"/tmp/graft_delta_stage/${dir.replaceAll("[^A-Za-z0-9]", "_")}/$name"
 
-  /** Run `setup` once per (session, sfDir, name) — a session-conf
-    * marker gates the idempotent staging writes so query timings never
-    * pay them twice. Returns the staged path.
+  /** Run `setup` at most once per (sfDir, name, source-data version) —
+    * ACROSS JVMs, via an on-disk `_STAGED_OK` marker holding the source
+    * table's fingerprint; a session-conf marker then skips even the
+    * marker read on repeat calls in the same session. The cross-JVM
+    * check is load-bearing for correctness, not just speed: staging
+    * scripts append COMMITS (write → update → …), and a second JVM
+    * re-running them on the already-staged table would double the
+    * history — any history-reading query (x8's CDF from version 0)
+    * then sees commits that were never scripted. The fingerprint
+    * re-stages from scratch when the driver regenerates the testdata;
+    * a missing marker (crash mid-setup) also rebuilds from scratch.
     */
-  private def stagedOnce(s: SparkSession, dir: String, name: String)(
-      setup: String => Unit): String = {
+  private def stagedOnce(s: SparkSession, dir: String, name: String,
+      srcTable: String)(setup: String => Unit): String = {
     val path = stage(dir, name)
     val marker = s"graft.delta.staged.$path"
     if (!s.conf.getOption(marker).contains("1")) {
-      setup(path)
+      val fp = OpCaches.tableVersion(s, dir, srcTable)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      val ok = new org.apache.hadoop.fs.Path(path + "._STAGED_OK")
+      val fresh =
+        try {
+          val in = fs.open(ok)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString == fp
+          finally in.close()
+        } catch { case _: java.io.IOException => false }
+      if (!fresh) {
+        fs.delete(root, true)
+        setup(path)
+        val out = fs.create(ok, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+      }
       s.conf.set(marker, "1")
     }
     path
   }
 
   private def ensureLineitemDelta(s: SparkSession, dir: String): String =
-    stagedOnce(s, dir, "lineitem_delta") { path =>
+    stagedOnce(s, dir, "lineitem_delta", "lineitem") { path =>
       DeltaWriter.write(
         table(s, dir, "lineitem"), path, partitionBy = Seq("l_returnflag"))
     }
@@ -118,7 +141,7 @@ object DeltaQueries {
     "x5_delta_merge" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.functions._
-        val path = stagedOnce(s, dir, "customer_merge_delta") { path =>
+        val path = stagedOnce(s, dir, "customer_merge_delta", "customer") { path =>
           val cust = table(s, dir, "customer")
           DeltaWriter.write(cust, path, partitionBy = Seq("c_mktsegment"))
           val updates = cust.where(col("c_custkey") % 7 === 3)
@@ -151,7 +174,7 @@ object DeltaQueries {
     // a CASE expression.
     "x6_delta_update" -> QueryDef(
       (s, dir) => {
-        val path = stagedOnce(s, dir, "orders_update_delta") { path =>
+        val path = stagedOnce(s, dir, "orders_update_delta", "orders") { path =>
           DeltaWriter.write(table(s, dir, "orders"), path,
             partitionBy = Seq("o_orderstatus"))
           DeltaLake.updateWhere(s, path,
@@ -174,7 +197,7 @@ object DeltaQueries {
     // removed append files) actually reverted.
     "x7_delta_restore" -> QueryDef(
       (s, dir) => {
-        val path = stagedOnce(s, dir, "part_restore_delta") { path =>
+        val path = stagedOnce(s, dir, "part_restore_delta", "part") { path =>
           DeltaWriter.write(table(s, dir, "part"), path) // v0
           DeltaLake.deleteWhere(s, path,
             Seq(Cond("p_partkey", "<=", 50L))) // v1: DV delete
@@ -201,7 +224,7 @@ object DeltaQueries {
     // the cdc copy and the data file — breaks the pinned constants.
     "x8_cdf_stored_vs_derived" -> QueryDef(
       (s, dir) => {
-        val path = stagedOnce(s, dir, "customer_cdf_delta") { path =>
+        val path = stagedOnce(s, dir, "customer_cdf_delta", "customer") { path =>
           DeltaWriter.write(table(s, dir, "customer"), path,
             properties = Map("delta.enableChangeDataFeed" -> "true"))
           DeltaLake.updateWhere(s, path,

@@ -14,17 +14,32 @@ import Registry.table
   */
 object EventOps {
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark refuses
-    * by default. Read nanos as long (legacy conf) and truncate to
-    * micros as TIMESTAMP_NTZ — the same value DuckDB produces natively.
+  /** Schema-adaptive read of the events table, normalizing `ts` to
+    * TIMESTAMP_NTZ (micros) — the same value DuckDB produces natively —
+    * whatever the file's physical encoding:
+    *  - parquet `timestamp[us]` (current driver testdata) arrives as
+    *    TimestampType/TimestampNTZType → cast only;
+    *  - legacy INT64 TIMESTAMP(NANOS) (older testdata and planted
+    *    fixtures), which Spark refuses by default, is read as raw longs
+    *    via the legacy conf and truncated to micros.
     */
-  private def events(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  def readEvents(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // harmless when ts is already a timestamp; required for nanos files
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("ts",
+    val df = table(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         // integer div: epoch-nanos exceed double's 2^53 mantissa
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case org.apache.spark.sql.types.TimestampNTZType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
+
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
+    readEvents(s, dir)
 
   def defs: Map[String, QueryDef] = Map(
 

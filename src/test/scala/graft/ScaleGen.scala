@@ -40,9 +40,10 @@ object ScaleGen {
 
   def generate(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {
-    // events.ts is INT64 TIMESTAMP(NANOS); read as long (EventOps does
-    // the same) — sf1 events carries plain epoch-nano longs, which the
-    // ops consume identically
+    // events.ts: legacy INT64 TIMESTAMP(NANOS) files need the nanos-as-
+    // long conf (harmless for the current timestamp[us] encoding); the
+    // tiled copy carries ts through verbatim either way, and EventOps
+    // reads both encodings adaptively
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def t(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
 

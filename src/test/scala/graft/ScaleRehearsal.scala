@@ -16,7 +16,10 @@ object ScaleRehearsal {
     "d3_minhash_pairs", "d4_ngram_jaccard", "d5_simhash_pairs",
     "d6_dedup_components", "d6_fast_components", "d8_dedup_corpus",
     "e2_sessionize", "q15_salted_join", "s2_ann_lsh", "s4_ann_ivf",
-    "t8_contamination", "t10_repetition")
+    "t8_contamination", "t10_repetition",
+    // round-6 verdict item 6: the r5/r6 additions under the same lens
+    "t13_unigram_logprob", "e7_attribution", "p2_shard_export",
+    "q22_approx_vs_exact", "q23_grouping_sets", "x8_cdf_stored_vs_derived")
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")

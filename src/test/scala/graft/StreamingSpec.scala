@@ -13,9 +13,10 @@ class StreamingSpec extends SparkSuite {
   // stream sources need a directory of files; stage one under /tmp
   private lazy val streamDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // schema-adaptive read (nanos-long legacy or timestamp[us] current),
+    // staged as TimestampType to match EventStreams.eventSchema
+    graft.ops.EventOps.readEvents(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
       .coalesce(2).write.mode("overwrite").parquet(dir)
     dir
   }

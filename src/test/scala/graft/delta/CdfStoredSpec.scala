@@ -122,6 +122,31 @@ class CdfStoredSpec extends SparkSuite {
     assert(net.exceptAll(state).isEmpty && state.exceptAll(net).isEmpty)
   }
 
+  test("no-op change set: no _change_data file, no cdc action, no feature mint") {
+    import spark.implicits._
+    val path = tmp("graft_cdf_noop")
+    // legacy protocol so the feature-mint line would be observable
+    DeltaWriter.write((1L to 10L).map(i => (i, s"r$i")).toDF("id", "s"),
+      path, properties = CdfOn)
+    // MERGE whose only source row is delete-flagged and matches nothing:
+    // upserts is empty and the pre-image join is empty — an empty change
+    // set that must not write an empty _change_data file
+    val src = Seq((999L, "zzz", "del")).toDF("id", "s", "_op")
+    DeltaWriter.merge(spark, path, src, Seq("id"),
+      deleteWhen = Some(col("_op") === "del"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_change_data")),
+      "_change_data created for a no-op change set")
+    val head = DeltaLog.forPath(spark, path).version
+    (1L to head).foreach(v => assert(cdcOf(path, v).isEmpty,
+      s"cdc action minted at v$v for a no-op change set"))
+    // a real change afterwards still stores its cdc normally
+    DeltaLake.updateWhere(spark, path, Seq(Cond("id", "=", 1L)),
+      Map("s" -> lit("upd")))
+    assert(cdcOf(path, DeltaLog.forPath(spark, path).version).nonEmpty)
+  }
+
   test("streaming CDF replay prefers stored rows and matches batch CDF") {
     import spark.implicits._
     val path = tmp("graft_cdf_stream")

@@ -375,7 +375,10 @@ class ProtocolConformanceSpec extends SparkSuite {
     // second reader; re-probed every run (r2: blocked, r3: blocked,
     // r4 2026-08-12: python `deltalake` absent, DuckDB delta extension
     // uninstallable offline — extensions.duckdb.org unreachable;
-    // r5 2026-08-13: unchanged — probe ran, still no second reader).
+    // r5 2026-08-13: unchanged — probe ran, still no second reader;
+    // r7 2026-08-13: re-probed — `import deltalake` ModuleNotFoundError,
+    // duckdb `INSTALL delta` → "ERROR Connection" (zero egress), LOAD
+    // without install fails. Still environment-blocked).
     secondReader() match {
       case None =>
         cancel("no independent Delta reader in the sandbox " +

@@ -51,6 +51,24 @@ class VersionCrcSpec extends SparkSuite {
       crcJson(path, 1L).get("numFiles").asLong)
   }
 
+  test("ICT table crcs carry inCommitTimestampOpt equal to the commit's ICT") {
+    val path = tmp()
+    DeltaWriter.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), path,
+      properties = Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaWriter.write(Seq((11L, 11L)).toDF("id", "v"), path, mode = "append")
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 3L)))
+    (0L to 2L).foreach { v =>
+      val crc = crcJson(path, v)
+      assert(crc.has("inCommitTimestampOpt"), s"no inCommitTimestampOpt at v$v")
+      assert(crc.get("inCommitTimestampOpt").asLong ==
+        DeltaLog.ictOf(spark, path, v).get, s"ICT mismatch at v$v")
+    }
+    // non-ICT tables must NOT carry the field (delta-spark omits it)
+    val plain = tmp()
+    DeltaWriter.write((1L to 3L).map(i => (i, i)).toDF("id", "v"), plain)
+    assert(!crcJson(plain, 0L).has("inCommitTimestampOpt"))
+  }
+
   test("restore, clone and convert commits carry a crc") {
     val path = tmp()
     DeltaWriter.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), path)

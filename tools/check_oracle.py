@@ -31,12 +31,24 @@ def canon(df):
     return len(rows), h, rows
 
 fails = []
-for name, sql in sorted(oracle.items()):
+# union of oracle keys and output dirs: a query that failed at plan time
+# (only an _ERROR.json sentinel, no parquet) must show up as a FAIL even
+# if it has no oracle entry — never silently vanish.
+out_names = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)}
+for name in sorted(set(oracle) | out_names):
     if only and name not in only:
         continue
+    sql = oracle.get(name)
+    err_sentinel = f"{out_dir}/{name}/_ERROR.json"
+    if os.path.exists(err_sentinel):
+        msg = json.load(open(err_sentinel)).get("error", "?")
+        print(f"{name}: SPARK-ERROR {msg}")
+        fails.append((name, f"spark error: {msg}")); continue
     pq = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not pq:
         fails.append((name, "no spark output")); continue
+    if sql is None:
+        print(f"{name}: no oracle (rows-only)"); continue
     try:
         spark_df = con.execute(f"SELECT * FROM read_parquet({pq!r})").df()
         ora_df = con.execute(sql).df()
