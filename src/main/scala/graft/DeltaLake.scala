@@ -102,6 +102,28 @@ object DeltaLake {
   def enableRowTracking(spark: SparkSession, path: String): Long =
     DeltaWriter.enableRowTracking(spark, path)
 
+  /** Enable column mapping (`delta.columnMapping.mode=name`) with one
+    * metadata-only commit — physical names = current logical names, so
+    * existing files resolve unchanged. Gateway to rename/drop DDL.
+    */
+  def enableColumnMapping(spark: SparkSession, path: String): Long =
+    DeltaWriter.enableColumnMapping(spark, path)
+
+  /** RENAME COLUMN: metadata-only (the field keeps its physical name
+    * and id — no data rewrite). Auto-enables column mapping on
+    * unmapped tables in the same commit. Returns the committed version.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+      oldName: String, newName: String): Long =
+    DeltaWriter.renameColumn(spark, path, oldName, newName)
+
+  /** DROP COLUMN: metadata-only logical drop (physical data stays in
+    * the files, readers skip it). Auto-enables column mapping like
+    * [[renameColumn]]. Returns the committed version.
+    */
+  def dropColumn(spark: SparkSession, path: String, colName: String): Long =
+    DeltaWriter.dropColumn(spark, path, colName)
+
   /** DESCRIBE HISTORY: one row per surviving commit, newest first —
     * version, commit timestamp, operation (WRITE/APPEND/DELETE/MERGE/
     * UPDATE/RESTORE/OPTIMIZE/…), file-action counts, and whether the

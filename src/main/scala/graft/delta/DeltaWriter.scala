@@ -2243,6 +2243,178 @@ object DeltaWriter {
       cfg, newDataGuard = Some(Nil))
   }
 
+  /** Whether `p` already grants the columnMapping reader-writer feature
+    * (feature form, or legacy minReader>=2 + minWriter>=5).
+    */
+  private def impliesColumnMapping(p: DeltaProtocol): Boolean =
+    p.readerFeatures.map(_.contains("columnMapping"))
+      .getOrElse(p.minReaderVersion >= 2) &&
+      p.writerFeatures.map(_.contains("columnMapping"))
+        .getOrElse(p.minWriterVersion >= 5)
+
+  /** Stamp column-mapping identities onto an UNMAPPED schema for the
+    * mode upgrade: every field (incl. nested struct fields, depth-first
+    * like delta-spark) gets a fresh id and physicalName = its CURRENT
+    * logical name — so every existing data file, stats blob and
+    * partitionValues key resolves unchanged. Returns (schema, maxId).
+    */
+  private def stampMappingIdentities(schema: StructType): (StructType, Long) = {
+    var id = 0L
+    def stamp(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        id += 1
+        f.copy(
+          metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong(DeltaSchema.ColumnIdKey, id)
+            .putString(DeltaSchema.PhysicalNameKey, f.name)
+            .build(),
+          dataType = stamp(f.dataType))
+      })
+      case ArrayType(et, n) => ArrayType(stamp(et), n)
+      case MapType(k, v, n) => MapType(stamp(k), stamp(v), n)
+      case p => p
+    }
+    (stamp(schema).asInstanceOf[StructType], id)
+  }
+
+  /** Enable column mapping (`delta.columnMapping.mode=name`) on an
+    * existing table with ONE metadata-only commit: identities stamped
+    * with physicalName = current logical name, so no data file needs
+    * rewriting — the write()-path rejection of mode changes is about
+    * uncoordinated upgrades hidden in append properties, not this. The
+    * gateway to rename/drop DDL; no-op when already mapped.
+    */
+  def enableColumnMapping(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    if (snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+        != "none") return snap.version
+    val (mapped, maxId) = stampMappingIdentities(snap.schema)
+    val cfg = snap.configuration +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> maxId.toString)
+    val lines = mutable.ArrayBuffer.empty[String]
+    if (!snap.protocol.exists(impliesColumnMapping))
+      lines += upgradedProtocolJson(snap.protocol, "columnMapping")
+    lines += metadataLine(path,
+      snap.metadata.get.copy(schemaString = mapped.json), cfg)
+    lines += commitInfoLine("SET COLUMN MAPPING",
+      params = Map("mode" -> "name"))
+    commitDml(spark, path, snap, lines.toSeq, readSet = Set.empty,
+      "SET COLUMN MAPPING", cfg, newDataGuard = Some(Nil))
+  }
+
+  /** Guard shared by the rename/drop DDL: the column must not be
+    * referenced by a CHECK constraint or a generated-column expression
+    * (the stored SQL keeps the old name and would silently break).
+    * Word-boundary match errs on rejection — a false positive is an
+    * explicit error the user can fix by dropping the constraint; a
+    * false negative is a corrupted table.
+    */
+  private def requireUnreferenced(cfg: Map[String, String],
+      schema: StructType, col: String, op: String): Unit = {
+    val pat = java.util.regex.Pattern.compile(
+      s"(?i)(^|[^A-Za-z0-9_`])`?${java.util.regex.Pattern.quote(col)}`?($$|[^A-Za-z0-9_`])")
+    cfg.collect { case (k, v) if k.startsWith(Constraints.Prefix) => (k, v) }
+      .foreach { case (k, sql) =>
+        require(!pat.matcher(sql).find(),
+          s"cannot $op column '$col': referenced by constraint " +
+            s"${k.stripPrefix(Constraints.Prefix)} ($sql)")
+      }
+    Constraints.generatedColumns(schema).foreach { case (g, sql) =>
+      require(!pat.matcher(sql).find(),
+        s"cannot $op column '$col': generated column '$g' derives from it ($sql)")
+    }
+  }
+
+  /** RENAME COLUMN as a metadata-only commit: the field keeps its
+    * column-mapping id and physicalName, only the LOGICAL name changes,
+    * so no data file is touched — the operation a 100 TB table needs to
+    * be O(1). Auto-enables column mapping (same upgrade as
+    * [[enableColumnMapping]], folded into this commit) on unmapped
+    * tables. Top-level columns only; partition columns rename too
+    * (metaData.partitionColumns holds logical names, add.partitionValues
+    * keys stay physical).
+    */
+  def renameColumn(spark: org.apache.spark.sql.SparkSession,
+      path: String, oldName: String, newName: String): Long = {
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    val mapped0 = snap.configuration
+      .getOrElse("delta.columnMapping.mode", "none") != "none"
+    val (schema, maxId) =
+      if (mapped0) (snap.schema, -1L) else stampMappingIdentities(snap.schema)
+    require(schema.fieldNames.contains(oldName),
+      s"no column '$oldName' in $path (have: ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.exists(f =>
+        f != oldName && f.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists in $path")
+    require(newName.nonEmpty && !newName.exists(" ,;{}()\n\t=".contains(_)),
+      s"invalid column name '$newName'")
+    requireUnreferenced(snap.configuration, schema, oldName, "rename")
+    val renamed = StructType(schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val cfg =
+      if (mapped0) snap.configuration
+      else snap.configuration +
+        ("delta.columnMapping.mode" -> "name") +
+        ("delta.columnMapping.maxColumnId" -> maxId.toString)
+    val md = snap.metadata.get.copy(
+      schemaString = renamed.json,
+      partitionColumns = snap.metadata.get.partitionColumns
+        .map(c => if (c == oldName) newName else c))
+    val lines = mutable.ArrayBuffer.empty[String]
+    if (!snap.protocol.exists(impliesColumnMapping))
+      lines += upgradedProtocolJson(snap.protocol, "columnMapping")
+    lines += metadataLine(path, md, cfg)
+    lines += commitInfoLine("RENAME COLUMN",
+      params = Map("oldName" -> oldName, "newName" -> newName))
+    commitDml(spark, path, snap, lines.toSeq, readSet = Set.empty,
+      "RENAME COLUMN", cfg, newDataGuard = Some(Nil))
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the field leaves the
+    * logical schema, its physical data stays in the files and every
+    * reader skips it (vacuum-less logical drop, the only O(1) drop at
+    * scale). Auto-enables column mapping like [[renameColumn]].
+    * Rejects partition columns, constraint/generation references, and
+    * dropping the last column.
+    */
+  def dropColumn(spark: org.apache.spark.sql.SparkSession,
+      path: String, colName: String): Long = {
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    val mapped0 = snap.configuration
+      .getOrElse("delta.columnMapping.mode", "none") != "none"
+    val (schema, maxId) =
+      if (mapped0) (snap.schema, -1L) else stampMappingIdentities(snap.schema)
+    require(schema.fieldNames.contains(colName),
+      s"no column '$colName' in $path (have: ${schema.fieldNames.mkString(", ")})")
+    require(!snap.metadata.get.partitionColumns.contains(colName),
+      s"cannot drop partition column '$colName'")
+    require(schema.fields.length > 1,
+      s"cannot drop the only column of $path")
+    requireUnreferenced(snap.configuration, schema, colName, "drop")
+    val remaining = StructType(schema.fields.filterNot(_.name == colName))
+    val cfg =
+      if (mapped0) snap.configuration
+      else snap.configuration +
+        ("delta.columnMapping.mode" -> "name") +
+        ("delta.columnMapping.maxColumnId" -> maxId.toString)
+    val lines = mutable.ArrayBuffer.empty[String]
+    if (!snap.protocol.exists(impliesColumnMapping))
+      lines += upgradedProtocolJson(snap.protocol, "columnMapping")
+    lines += metadataLine(path,
+      snap.metadata.get.copy(schemaString = remaining.json), cfg)
+    lines += commitInfoLine("DROP COLUMN", params = Map("column" -> colName))
+    commitDml(spark, path, snap, lines.toSeq, readSet = Set.empty,
+      "DROP COLUMN", cfg, newDataGuard = Some(Nil))
+  }
+
   /** Stamp `defaultRowCommitVersion` = the commit's actual version on
     * every add lacking one (restates keep their original) — per
     * attempt, like the ICT, because a rebase moves the version.

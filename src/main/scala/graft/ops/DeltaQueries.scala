@@ -245,5 +245,28 @@ object DeltaQueries {
       Some("""SELECT CAST(2 * count(*) AS BIGINT) AS n_changes,
         |  CAST(0 AS BIGINT) AS only_stored,
         |  CAST(0 AS BIGINT) AS only_derived
-        |FROM customer WHERE c_custkey <= 1000""".stripMargin)))
+        |FROM customer WHERE c_custkey <= 1000""".stripMargin)),
+
+    // Column-mapping DDL under the oracle: stage part as Delta, RENAME
+    // p_type → part_type and DROP p_name — both METADATA-ONLY commits
+    // (the staged files are never rewritten; the renamed field keeps
+    // its physical name, the dropped one stays in the files unread) —
+    // then scan through the full mapped pipeline. DuckDB states the
+    // same result relationally over the pristine parquet (alias +
+    // projection), so a wrong physical resolution, a resurfaced
+    // dropped column or a lost row hash-mismatches.
+    "x9_delta_rename_drop" -> QueryDef(
+      (s, dir) => {
+        val path = stagedOnce(s, dir, "part_ddl_delta", "part") { path =>
+          DeltaWriter.write(table(s, dir, "part"), path)
+          DeltaLake.renameColumn(s, path, "p_type", "part_type")
+          DeltaLake.dropColumn(s, path, "p_name")
+        }
+        DeltaLake.scanDelta(s, path)
+          .where(col("p_size") <= 25)
+          .select("p_partkey", "part_type", "p_retailprice")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_type AS part_type, p_retailprice
+        |FROM part WHERE p_size <= 25 ORDER BY p_partkey""".stripMargin)))
 }
