@@ -1,0 +1,143 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+
+import graft.{DeltaLake, SparkSuite}
+
+/** Cross-implementation WRITER differential: every table in this
+  * battery is written by DeltaWriter, then replayed by
+  * `tools/delta_replay.py` — an independent python+DuckDB Delta reader
+  * implementing the protocol from PROTOCOL.md with zero shared code
+  * (own z85, own roaring-bitmap decoder, own log replay, own column
+  * mapping + partition injection) — and bag-compared in DuckDB against
+  * `scanDelta`'s parquet dump. A nonconformant writer artifact (bad
+  * action shape, wrong physical name, broken DV encoding, wrong
+  * checkpoint layout) diverges the two engines.
+  *
+  * This closes the achievable part of the second-reader gap: the
+  * sandbox has no third-party Delta reader (probe in
+  * ProtocolConformanceSpec stays canceled), so the independent
+  * implementation lives in-repo, in a different language, on a
+  * different parquet engine.
+  */
+class PythonReplayDifferentialSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_pyrep").toString + "/t"
+
+  /** Dump scanDelta(version) and run the python diff; returns its JSON. */
+  private def differential(path: String, version: Option[Long] = None): String = {
+    val dump = java.nio.file.Files
+      .createTempDirectory("graft_pyrep_dump").toString
+    DeltaLake.scanDelta(spark, path, ScanSettings(version = version))
+      .coalesce(1).write.mode("overwrite").parquet(dump)
+    import scala.sys.process._
+    val cmd = Seq("python3", "tools/delta_replay.py", path, "--diff", dump) ++
+      version.toSeq.flatMap(v => Seq("--version", v.toString))
+    val out = new StringBuilder
+    val code = cmd ! ProcessLogger(l => out ++= l, l => out ++= l)
+    assert(code == 0, s"python replay diverged: $out")
+    out.toString
+  }
+
+  private def assertAgrees(path: String, expectRows: Long,
+      version: Option[Long] = None): Unit = {
+    val json = differential(path, version)
+    val node = ActionCodec.mapper.readTree(json)
+    assert(node.get("rows").asLong == expectRows,
+      s"replay row count: $json (expected $expectRows)")
+    assert(node.get("only_replay").asLong == 0 &&
+      node.get("only_spark").asLong == 0, json)
+  }
+
+  test("append + overwrite replay") {
+    val path = tmp()
+    DeltaWriter.write((1L to 40L).map(i => (i, s"v$i", i * 1.5))
+      .toDF("id", "s", "x"), path)
+    DeltaWriter.write(Seq((41L, "v41", 1.0)).toDF("id", "s", "x"), path,
+      mode = "append")
+    assertAgrees(path, 41)
+    DeltaWriter.write((100L to 109L).map(i => (i, s"o$i", 0.0))
+      .toDF("id", "s", "x"), path, mode = "overwrite")
+    assertAgrees(path, 10)
+    assertAgrees(path, 41, version = Some(1L)) // time travel
+  }
+
+  test("partitioned table with special chars and null partitions") {
+    val path = tmp()
+    val df = Seq(
+      (1L, "p 1", "a"), (2L, "p%2", "b"), (3L, "p:3=x", "c"),
+      (4L, null, "d"), (5L, "p 1", "e")).toDF("id", "p", "s")
+    DeltaWriter.write(df, path, partitionBy = Seq("p"))
+    assertAgrees(path, 5)
+  }
+
+  test("deletion vectors: inline and file forms") {
+    val path = tmp()
+    DeltaWriter.write((1L to 2000L).map(i => (i, s"r$i")).toDF("id", "s"), path)
+    // small delete → inline DV ("i")
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 5L)))
+    assertAgrees(path, 1995)
+    // large SCATTERED delete (a contiguous range run-optimizes to a few
+    // bytes and stays inline) → spills to a "u" DV file
+    val scattered = (6L to 2000L by 2).map(Long.box)
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "in", scattered)))
+    val dvs = DeltaLog.forPath(spark, path).liveFiles
+      .flatMap(_.deletionVector).map(_.storageType).toSet
+    assert(dvs.contains("u"), s"expected a file DV, got $dvs")
+    assertAgrees(path, 2000L - 5 - scattered.size)
+  }
+
+  test("column mapping: rename + drop + evolved append") {
+    val path = tmp()
+    DeltaWriter.write((1L to 30L).map(i => (i, s"v$i", i * 2L))
+      .toDF("id", "v", "w"), path)
+    DeltaLake.renameColumn(spark, path, "v", "label")
+    DeltaLake.dropColumn(spark, path, "w")
+    // evolved append: new column null-fills the older files
+    DeltaWriter.write(Seq((31L, "v31", 9.9)).toDF("id", "label", "score"),
+      path, mode = "append")
+    assertAgrees(path, 31)
+  }
+
+  test("checkpointed log: classic, multi-part, and v2 with sidecars") {
+    val classic = tmp()
+    DeltaWriter.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), classic,
+      properties = Map("delta.checkpointInterval" -> "2"))
+    (1 to 5).foreach(k => DeltaWriter.write(
+      Seq((100L + k, k.toLong)).toDF("id", "v"), classic, mode = "append"))
+    assertAgrees(classic, 15)
+
+    val multi = tmp()
+    DeltaWriter.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), multi,
+      properties = Map("delta.checkpointInterval" -> "2",
+        "delta.checkpoint.partSize" -> "3"))
+    (1 to 4).foreach(k => DeltaWriter.write(
+      Seq((200L + k, k.toLong)).toDF("id", "v"), multi, mode = "append"))
+    assertAgrees(multi, 14)
+
+    val v2 = tmp()
+    DeltaWriter.write((1L to 10L).map(i => (i, i)).toDF("id", "v"), v2,
+      properties = Map("delta.checkpointPolicy" -> "v2",
+        "delta.checkpointInterval" -> "2"))
+    (1 to 4).foreach(k => DeltaWriter.write(
+      Seq((300L + k, k.toLong)).toDF("id", "v"), v2, mode = "append"))
+    assertAgrees(v2, 14)
+  }
+
+  test("DML battery: update, merge, restore") {
+    val path = tmp()
+    DeltaWriter.write((1L to 100L).map(i => (i, s"g${i % 3}", i * 1.0))
+      .toDF("id", "g", "x"), path, partitionBy = Seq("g"))
+    DeltaWriter.update(spark, path, Seq(Cond("id", "<=", 10L)),
+      Map("x" -> lit(-1.0)))
+    assertAgrees(path, 100)
+    val src = Seq((5L, "g2", 99.0), (200L, "g0", 42.0)).toDF("id", "g", "x")
+    DeltaWriter.merge(spark, path, src, Seq("id"))
+    assertAgrees(path, 101)
+    DeltaWriter.restore(spark, path, 0L)
+    assertAgrees(path, 100)
+  }
+}
