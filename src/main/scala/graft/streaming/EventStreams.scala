@@ -55,6 +55,76 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming funnel (view → click → purchase, each step strictly
+    * after the previous) — the ordered-sequence/CEP shape, streaming
+    * twin of EventOps e5. Emits the user's funnel state on every change
+    * (Update mode); the LAST emission per user equals the batch result.
+    *
+    * Out-of-order correctness: a click is only valid AFTER the user's
+    * first view, but the view may ARRIVE later than the click — so the
+    * state retains the candidate click/purchase times (sorted, deduped)
+    * and re-anchors on every batch, rather than folding greedily.
+    * State is O(events per user inside the watermark horizon): the
+    * event-time timeout evicts a user's candidates once the watermark
+    * passes their last activity + horizon — same discipline as
+    * [[dedupFirstSeen]], so an unbounded stream holds bounded state.
+    */
+  def funnelSteps(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // state: (minViewTs, clickCandidates, purchaseCandidates), millis
+    events
+      .select("user_id", "event_type", "ts")
+      .withWatermark("ts", "2 hours")
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long,
+         rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[(Option[Long], List[Long], List[Long])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (v0, clicks0, purchases0) =
+              state.getOption.getOrElse((None, Nil, Nil))
+            var minView = v0
+            var clicks = clicks0
+            var purchases = purchases0
+            var maxTs = 0L
+            rows.foreach { case (_, typ, ts) =>
+              val t = ts.getTime
+              maxTs = math.max(maxTs, t)
+              typ match {
+                case "view" =>
+                  if (minView.forall(t < _)) minView = Some(t)
+                case "click" => clicks = t :: clicks
+                case "purchase" => purchases = t :: purchases
+                case _ =>
+              }
+            }
+            clicks = clicks.distinct.sorted
+            purchases = purchases.distinct.sorted
+            state.update((minView, clicks, purchases))
+            val horizon = 2L * 3600 * 1000
+            state.setTimeoutTimestamp(math.max(
+              maxTs + horizon, state.getCurrentWatermarkMs() + horizon))
+            // re-anchor: first click strictly after the (possibly just
+            // lowered) first view; first purchase strictly after it
+            val c = minView.flatMap(v => clicks.find(_ > v))
+            val p = c.flatMap(cc => purchases.find(_ > cc))
+            val steps =
+              if (p.isDefined) 3
+              else if (c.isDefined) 2
+              else if (minView.isDefined) 1
+              else 0
+            Iterator((user, minView.map(new java.sql.Timestamp(_)).orNull,
+              c.map(new java.sql.Timestamp(_)).orNull,
+              p.map(new java.sql.Timestamp(_)).orNull, steps))
+          })
+      .toDF("user_id", "view_ts", "click_ts", "purchase_ts", "steps_completed")
+  }
+
   /** Streaming exact-dedup — first occurrence of each key passes, later
     * duplicates (within or across micro-batches) are dropped. The
     * custom-state primitive (`flatMapGroupsWithState`) the built-in

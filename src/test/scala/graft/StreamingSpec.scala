@@ -40,6 +40,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel state machine equals the batch three-stage funnel") {
+    import org.apache.spark.sql.expressions.Window
+    // stream side: per-user CEP state, last Update-mode emission wins
+    val lastSteps = scala.collection.mutable.Map.empty[Long, Int]
+    val q = EventStreams.funnelSteps(
+      EventStreams.readEventStream(spark, streamDir))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => lastSteps(r.getLong(0)) = r.getInt(4))
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // batch side: EventOps e5's stacked-window form over the same data
+    val w = Window.partitionBy("user_id")
+    val batch = spark.read.parquet(streamDir)
+      .withColumn("v",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c",
+        min(when(col("event_type") === "click" && col("ts") > col("v"),
+          col("ts"))).over(w))
+      .withColumn("p",
+        min(when(col("event_type") === "purchase" && col("ts") > col("c"),
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(min("v").as("v"), min("c").as("c"), min("p").as("p"))
+      .withColumn("steps",
+        when(col("p").isNotNull, 3).when(col("c").isNotNull, 2)
+          .when(col("v").isNotNull, 1).otherwise(0))
+      .select("user_id", "steps").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    assert(lastSteps.nonEmpty && lastSteps.toMap == batch,
+      s"stream/batch funnel divergence: stream ${lastSteps.size} users, " +
+        s"batch ${batch.size}")
+  }
+
   test("delta micro-batch replay yields per-version batches, offset resumes") {
     import graft.delta.DeltaWriter
     import graft.streaming.DeltaStream

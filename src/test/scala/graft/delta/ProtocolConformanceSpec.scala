@@ -378,11 +378,16 @@ class ProtocolConformanceSpec extends SparkSuite {
     // r5 2026-08-13: unchanged — probe ran, still no second reader;
     // r7 2026-08-13: re-probed — `import deltalake` ModuleNotFoundError,
     // duckdb `INSTALL delta` → "ERROR Connection" (zero egress), LOAD
-    // without install fails. Still environment-blocked).
+    // without install fails. Still environment-blocked; the in-repo
+    // compensating differential is PythonReplayDifferentialSpec +
+    // tools/delta_replay.py — an independent python+DuckDB reader
+    // implementation — which runs green regardless of this probe).
     secondReader() match {
       case None =>
-        cancel("no independent Delta reader in the sandbox " +
-          "(deltalake wheel and DuckDB delta extension both unavailable)")
+        cancel("no THIRD-PARTY Delta reader in the sandbox (deltalake " +
+          "wheel and DuckDB delta extension both unavailable); the " +
+          "in-repo independent reader differential runs in " +
+          "PythonReplayDifferentialSpec instead")
       case Some((name, replay)) =>
         val path = java.nio.file.Files
           .createTempDirectory("graft_diff").toString + "/t"
