@@ -127,6 +127,36 @@ class PythonReplayDifferentialSpec extends SparkSuite {
     assertAgrees(v2, 14)
   }
 
+  test("stored change feed replays identically through the python reader") {
+    val path = tmp()
+    DeltaWriter.write((1L to 60L).map(i => (i, s"g${i % 3}", s"r$i"))
+      .toDF("id", "g", "s"), path, partitionBy = Seq("g"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWriter.write(Seq((61L, "g1", "r61")).toDF("id", "g", "s"), path,
+      mode = "append")
+    DeltaLake.updateWhere(spark, path, Seq(Cond("id", "<=", 10L)),
+      Map("s" -> concat(col("s"), lit("!"))))
+    DeltaLake.deleteWhere(spark, path, Seq(Cond("id", "=", 20L)))
+    val src = Seq((30L, "g0", "merged", "up"), (100L, "g2", "new", "up"),
+      (40L, "g1", "x", "del")).toDF("id", "g", "s", "_op")
+    DeltaWriter.merge(spark, path, src, Seq("id"),
+      deleteWhen = Some(col("_op") === "del"))
+
+    val dump = java.nio.file.Files
+      .createTempDirectory("graft_pyrep_cdf").toString
+    DeltaLake.scanDeltaCdf(spark, path, -1L)
+      .coalesce(1).write.mode("overwrite").parquet(dump)
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Seq("python3", "tools/delta_replay.py", path, "--cdf", dump) !
+      ProcessLogger(l => out ++= l, l => out ++= l)
+    assert(code == 0, s"python CDF replay diverged: $out")
+    val node = ActionCodec.mapper.readTree(out.toString)
+    // 61 creation/append inserts + upd 10 pre + 10 post + del 1 +
+    // merge (pre 30&40 → 2, post 30 → 1, insert 100 → 1)
+    assert(node.get("rows").asLong == 61 + 20 + 1 + 4, out.toString)
+  }
+
   test("DML battery: update, merge, restore") {
     val path = tmp()
     DeltaWriter.write((1L to 100L).map(i => (i, s"g${i % 3}", i * 1.0))

@@ -17,9 +17,16 @@ Usage:
   delta_replay.py TABLE_PATH --csv            # dump rows as CSV
   delta_replay.py TABLE_PATH --diff SPARK_DIR # bag-diff vs a parquet dir
   delta_replay.py TABLE_PATH --version N      # time travel
+  delta_replay.py TABLE_PATH --cdf SPARK_DIR  # change-feed bag-diff
 
---diff prints one JSON line {"rows": N, "only_replay": a, "only_spark": b}
-and exits 1 unless a == b == 0.
+--diff / --cdf print one JSON line
+{"rows": N, "only_replay": a, "only_spark": b} and exit 1 unless
+a == b == 0. --cdf replays the CHANGE FEED: per commit, stored cdc
+actions are preferred exclusively (update_pre/postimages normalized
+onto delete/insert, per the protocol's CDF read contract), else
+dataChange=true adds derive an insert batch. DV-diff-derived deletes
+of non-CDF commits are out of scope — on a CDF-enabled table every
+DELETE/UPDATE/MERGE stores cdc, so the feed is complete.
 
 Scope limits (documented, asserted loudly): top-level column mapping
 only (no renamed fields INSIDE nested structs), storageType u/i DVs
@@ -310,8 +317,11 @@ def top_fields(meta):
 
 
 # ------------------------------------------------------- scan building --
-def file_select(con, table, add, fields, part_phys):
-    """One per-file SELECT in LOGICAL schema order, DV-filtered."""
+def file_select(con, table, add, fields, part_phys, change_type=None):
+    """One per-file SELECT in LOGICAL schema order, DV-filtered.
+    change_type: None = plain scan; "insert" = derived-CDF literal;
+    "stored" = read the cdc file's own _change_type, normalized
+    (update_preimage -> delete, update_postimage -> insert)."""
     rel = urllib.parse.unquote(add["path"])
     fpath = os.path.join(table, rel)
     present = {r[0] for r in con.execute(
@@ -330,6 +340,13 @@ def file_select(con, table, add, fields, part_phys):
             cols.append(f'CAST("{phys}" AS {dtype}) AS "{logical}"')
         else:  # schema evolution: file predates the column
             cols.append(f'CAST(NULL AS {dtype}) AS "{logical}"')
+    if change_type == "stored":
+        cols.append("CASE \"_change_type\" "
+                    "WHEN 'update_preimage' THEN 'delete' "
+                    "WHEN 'update_postimage' THEN 'insert' "
+                    "ELSE \"_change_type\" END AS \"_change_type\"")
+    elif change_type is not None:
+        cols.append(f"'{change_type}' AS \"_change_type\"")
     sel = (f"SELECT {', '.join(cols)} FROM "
            f"read_parquet({fpath!r}, file_row_number=true)")
     dv = add.get("deletionVector")
@@ -359,6 +376,58 @@ def build_view(con, table, version):
     return fields
 
 
+def build_cdf_view(con, table):
+    """Replay the CHANGE FEED from version 0: per commit, stored cdc
+    actions win exclusively (the protocol's CDF read contract — the
+    commit's add/remove actions are then IGNORED for the feed), else
+    dataChange=true adds derive an insert batch. Final logical schema
+    is applied throughout (battery tables don't evolve mid-feed)."""
+    meta, _, _ = replay(con, table)
+    fields = top_fields(meta)
+    mapped = meta.get("configuration", {}).get(
+        "delta.columnMapping.mode", "none") != "none"
+    logical_parts = meta.get("partitionColumns") or []
+    by_logical = {l: p for l, p, _, _ in fields}
+    part_phys = {by_logical[c] if mapped else c for c in logical_parts}
+    logdir = os.path.join(table, "_delta_log")
+    selects, v = [], 0
+    while True:
+        f = os.path.join(logdir, f"{v:020d}.json")
+        if not os.path.exists(f):
+            break
+        with open(f) as fh:
+            actions = [prune(json.loads(l)) for l in fh if l.strip()]
+        cdcs = [a["cdc"] for a in actions if a.get("cdc")]
+        if cdcs:
+            selects.extend(
+                file_select(con, table, c, fields, part_phys, "stored")
+                for c in cdcs)
+        else:
+            selects.extend(
+                file_select(con, table, a["add"], fields, part_phys, "insert")
+                for a in actions
+                if a.get("add") and a["add"].get("dataChange", True))
+        v += 1
+    assert selects, f"no commits found under {logdir}"
+    con.execute(
+        "CREATE OR REPLACE VIEW cdf_replayed AS " + " UNION ALL ".join(selects))
+    return fields
+
+
+def bag_diff(con, left_view, spark_dir, col_names):
+    cols = ", ".join(f'"{c}"' for c in col_names)
+    con.execute(
+        f"CREATE OR REPLACE VIEW spark_side AS "
+        f"SELECT {cols} FROM read_parquet({spark_dir + '/*.parquet'!r})")
+    n = con.execute(f"SELECT count(*) FROM {left_view}").fetchone()[0]
+    a = con.execute(f"SELECT count(*) FROM (SELECT * FROM {left_view} "
+                    "EXCEPT ALL SELECT * FROM spark_side)").fetchone()[0]
+    b = con.execute("SELECT count(*) FROM (SELECT * FROM spark_side "
+                    f"EXCEPT ALL SELECT * FROM {left_view})").fetchone()[0]
+    print(json.dumps({"rows": n, "only_replay": a, "only_spark": b}))
+    sys.exit(0 if (a == 0 and b == 0) else 1)
+
+
 def main():
     args = sys.argv[1:]
     assert args, __doc__
@@ -367,20 +436,15 @@ def main():
     if "--version" in args:
         version = int(args[args.index("--version") + 1])
     con = duckdb.connect()
+    if "--cdf" in args:
+        fields = build_cdf_view(con, table)
+        bag_diff(con, "cdf_replayed", args[args.index("--cdf") + 1],
+                 [l for l, _, _, _ in fields] + ["_change_type"])
+        return
     fields = build_view(con, table, version)
     if "--diff" in args:
-        spark_dir = args[args.index("--diff") + 1]
-        cols = ", ".join(f'"{l}"' for l, _, _, _ in fields)
-        con.execute(
-            f"CREATE OR REPLACE VIEW spark_side AS "
-            f"SELECT {cols} FROM read_parquet({spark_dir + '/*.parquet'!r})")
-        n = con.execute("SELECT count(*) FROM replayed").fetchone()[0]
-        a = con.execute("SELECT count(*) FROM (SELECT * FROM replayed EXCEPT ALL "
-                        "SELECT * FROM spark_side)").fetchone()[0]
-        b = con.execute("SELECT count(*) FROM (SELECT * FROM spark_side EXCEPT ALL "
-                        "SELECT * FROM replayed)").fetchone()[0]
-        print(json.dumps({"rows": n, "only_replay": a, "only_spark": b}))
-        sys.exit(0 if (a == 0 and b == 0) else 1)
+        bag_diff(con, "replayed", args[args.index("--diff") + 1],
+                 [l for l, _, _, _ in fields])
     elif "--csv" in args:
         for row in con.execute(
                 "SELECT * FROM replayed ORDER BY ALL").fetchall():
