@@ -150,6 +150,17 @@ class ColumnMappingDdlSpec extends SparkSuite {
     }
   }
 
+  test("deltaSql emission aliases physical to renamed logical names") {
+    val path = tmp()
+    DeltaWriter.write((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"), path)
+    DeltaLake.renameColumn(spark, path, "v", "label")
+    val sql = DeltaLake.deltaSql(spark, path,
+      cteWrapName = Some("renamed_sql"))
+    val out = spark.sql(sql + " SELECT id, label FROM renamed_sql ORDER BY id")
+      .collect()
+    assert(out.length == 20 && out.head.getString(1) == "v1")
+  }
+
   test("enableColumnMapping alone is a no-op on reads and idempotent") {
     val path = tmp()
     DeltaWriter.write((1L to 30L).map(i => (i, s"v$i")).toDF("id", "v"), path)
