@@ -3596,15 +3596,35 @@ object DeltaWriter {
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Stats prefix width for long strings — delta-spark's default. */
+  private val StatsStringPrefixLen = 32
+
+  /** Upper-bound truncation for a string MAX statistic: the 32-char
+    * prefix with its last non-￿ char incremented, which is
+    * strictly greater than the original — a prefix alone would be LESS
+    * than the value it bounds and could wrongly skip files. None when
+    * every prefix char is ￿ (no representable bound).
+    */
+  private def truncatedMax(s: String): Option[String] = {
+    val p = s.substring(0, StatsStringPrefixLen)
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
   /** Convert parquet statistics values to the Delta stats JSON domain:
-    * numbers stay numbers, dates/timestamps become ISO strings, strings
-    * are emitted only when short (no truncation semantics on write).
+    * numbers stay numbers, dates/timestamps become ISO strings, long
+    * strings truncate to a 32-char prefix (min) / incremented prefix
+    * (max) — the delta-spark rule FileSkipping's reader side already
+    * understands — so a corpus of megabyte text rows still gets
+    * zone maps without megabyte commit JSONs.
     */
   private def typedMinMax(
       mn: AnyRef, mx: AnyRef,
       prim: org.apache.parquet.schema.PrimitiveType,
       sparkType: DataType): (Option[AnyRef], Option[AnyRef]) = {
-    def conv(v: AnyRef): Option[AnyRef] = (prim.getPrimitiveTypeName, sparkType) match {
+    def conv(v: AnyRef, isMax: Boolean): Option[AnyRef] = (prim.getPrimitiveTypeName, sparkType) match {
       case (PrimitiveTypeName.INT32, DateType) =>
         Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue).toString)
       case (PrimitiveTypeName.INT32, _) | (PrimitiveTypeName.INT64, _)
@@ -3627,10 +3647,12 @@ object DeltaWriter {
       case (PrimitiveTypeName.BINARY, StringType) =>
         val s = new String(v.asInstanceOf[org.apache.parquet.io.api.Binary]
           .getBytes, StandardCharsets.UTF_8)
-        if (s.length <= 64) Some(s) else None
+        if (s.length <= 64) Some(s)
+        else if (isMax) truncatedMax(s)
+        else Some(s.substring(0, StatsStringPrefixLen))
       case _ => None
     }
-    (conv(mn), conv(mx))
+    (conv(mn, isMax = false), conv(mx, isMax = true))
   }
 
   private def mergeMin(cur: Option[AnyRef], v: Option[AnyRef]): Option[AnyRef] =

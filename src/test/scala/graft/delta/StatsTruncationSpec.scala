@@ -1,0 +1,68 @@
+package graft.delta
+
+import graft.{DeltaLake, SparkSuite}
+
+/** Long-string stats truncation (delta-spark's rule): strings past 64
+  * chars emit a 32-char PREFIX as min (a valid lower bound) and the
+  * prefix with its last char INCREMENTED as max (strictly greater than
+  * the value — a bare prefix would be LESS and could wrongly skip).
+  * The point at 100 TB: a megabyte-text corpus still gets string zone
+  * maps without megabyte commit JSONs; previously such stats were
+  * dropped entirely and text columns lost file skipping.
+  */
+class StatsTruncationSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_stattr").toString + "/t"
+
+  test("long strings emit truncated bounds; skipping stays correct") {
+    val path = tmp()
+    // two files with disjoint long-string ranges ("aaa…" vs "mmm…")
+    val low = (1L to 50L).map(i => (i, "aaaa-" + ("x" * 100) + f"$i%03d"))
+    val high = (51L to 100L).map(i => (i, "mmmm-" + ("y" * 100) + f"$i%03d"))
+    DeltaWriter.write(low.toDF("id", "txt").coalesce(1), path)
+    DeltaWriter.write(high.toDF("id", "txt").coalesce(1), path,
+      mode = "append")
+
+    val files = DeltaLog.forPath(spark, path).liveFiles
+    assert(files.size == 2)
+    files.foreach { a =>
+      val st = a.parsedStats.get
+      val mn = st.minValues("txt").asText
+      val mx = st.maxValues("txt").asText
+      assert(mn.length == 32, s"min not truncated to 32: ${mn.length}")
+      assert(mx.length <= 32, s"max longer than the prefix: ${mx.length}")
+      assert(mx > mn, "max bound not above min")
+    }
+
+    // skip correctness through the scan path:
+    // a value above every max prunes both files…
+    assert(DeltaLake.scanDelta(spark, path,
+      ScanSettings(conditions = Seq(Cond("txt", ">", "zzzz")))).count() == 0)
+    // …a full (untruncated) stored value still finds its row…
+    val needle = low.head._2
+    assert(DeltaLake.scanDelta(spark, path,
+      ScanSettings(conditions = Seq(Cond("txt", "=", needle)))).count() == 1)
+    // …and the range split prunes at the file level without losing rows
+    assert(DeltaLake.scanDelta(spark, path,
+      ScanSettings(conditions = Seq(Cond("txt", ">=", "mmmm")))).count() == 50)
+
+    // the truncated-max edge: a filter BETWEEN the true max and the
+    // incremented bound must not skip (fail-open inside the bound)
+    val justAboveTrueMax = high.last._2 + "z"
+    assert(DeltaLake.scanDelta(spark, path,
+      ScanSettings(conditions =
+        Seq(Cond("txt", "=", justAboveTrueMax)))).count() == 0)
+  }
+
+  test("short strings keep exact stats") {
+    val path = tmp()
+    DeltaWriter.write(Seq((1L, "abc"), (2L, "xyz")).toDF("id", "s")
+      .coalesce(1), path)
+    val st = DeltaLog.forPath(spark, path).liveFiles.head.parsedStats.get
+    assert(st.minValues("s").asText == "abc")
+    assert(st.maxValues("s").asText == "xyz")
+  }
+}
