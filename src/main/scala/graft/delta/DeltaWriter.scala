@@ -3052,6 +3052,31 @@ object DeltaWriter {
     // (absolute) files that live under the table root
     val liveDv = snap.liveFiles.flatMap(_.deletionVector)
       .flatMap(dv => DeletionVectors.relativeFilePath(dv, path)).toSet
+    // Stored change-data files referenced by any commit JSON still in
+    // the log are LIVE: CDF readers resolve cdc actions from those
+    // commits, and none of them appear in liveFiles (cdc is not an
+    // add). They become vacuumable only when log cleanup ages their
+    // commit out — deleting them earlier would break scanDeltaCdf over
+    // history the log still advertises. Files stranded by FAILED
+    // commits are referenced by no JSON and fall through to deletion.
+    val logDirP = new Path(root, "_delta_log")
+    val commitJson = "^\\d{20}\\.json$".r
+    val liveCdc: Set[String] =
+      if (!fs.exists(logDirP)) Set.empty
+      else fs.listStatus(logDirP).toSeq
+        .filter(st => commitJson.matches(st.getPath.getName))
+        .flatMap { st =>
+          val in = fs.open(st.getPath)
+          val text =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          text.split('\n').filter(_.nonEmpty).flatMap { l =>
+            val n = ActionCodec.mapper.readTree(l)
+            Option(n.get("cdc")).filterNot(_.isNull)
+              .flatMap(c => Option(c.get("path")).filterNot(_.isNull)
+                .map(p => DeltaScan.decodePath(p.asText)))
+          }
+        }.toSet
     // Content-addressed v2 sidecars orphaned by CRASHED checkpoint
     // writes: a sidecar referenced by NO checkpoint top file can never
     // be read again (top files themselves are never vacuumed, so every
@@ -3094,7 +3119,7 @@ object DeltaWriter {
             (graceMs <= 0L || st.getModificationTime < cutoff))
           .map(st => "_delta_log/_sidecars/" + st.getPath.getName)
       }
-    val doomed = (onDisk -- liveData -- liveDv).toSeq.sorted ++
+    val doomed = (onDisk -- liveData -- liveDv -- liveCdc).toSeq.sorted ++
       doomedSidecars.sorted
     if (!dryRun) doomed.foreach(rel => fs.delete(new Path(root, rel), false))
     doomed

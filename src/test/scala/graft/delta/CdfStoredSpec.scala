@@ -147,6 +147,64 @@ class CdfStoredSpec extends SparkSuite {
     assert(cdcOf(path, DeltaLog.forPath(spark, path).version).nonEmpty)
   }
 
+  test("vacuum spares cdc files while their commit is readable, reaps after") {
+    import spark.implicits._
+    val path = tmp("graft_cdf_vac")
+    DeltaWriter.write((1L to 50L).map(i => (i, s"r$i")).toDF("id", "s"),
+      path, properties = CdfOn)
+    DeltaLake.updateWhere(spark, path, Seq(Cond("id", "<=", 10L)),
+      Map("s" -> lit("upd")))                                       // v1 + cdc
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def cdcOnDisk(): Seq[String] = {
+      val d = new org.apache.hadoop.fs.Path(root, "_change_data")
+      if (!fs.exists(d)) Nil
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = fs.listFiles(d, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.getName
+        }
+        out.toSeq
+      }
+    }
+    assert(cdcOnDisk().nonEmpty)
+
+    // zero-retention vacuum: the commit JSON still references the cdc
+    // file, so CDF over the advertised history must keep working
+    val deleted = DeltaWriter.vacuum(spark, path)
+    // _SUCCESS markers are vacuumable; the cdc PARQUET must survive
+    assert(!deleted.exists(p =>
+        p.startsWith("_change_data/") && p.endsWith(".parquet")),
+      s"vacuum deleted live change data: $deleted")
+    assert(DeltaLake.scanDeltaCdf(spark, path, 0L).count() == 20L)
+
+    // ...but a STRANDED cdc file (failed commit: on disk, referenced by
+    // no JSON) is an orphan and goes
+    val stray = new org.apache.hadoop.fs.Path(root,
+      "_change_data/stray-orphan.parquet")
+    val out = fs.create(stray, false)
+    try out.write(Array[Byte](1, 2, 3)) finally out.close()
+    assert(DeltaWriter.vacuum(spark, path)
+      .contains("_change_data/stray-orphan.parquet"))
+
+    // once log cleanup ages the commit out (checkpoint above it, JSONs
+    // deleted), the cdc file is unreadable history → vacuumable
+    DeltaWriter.writeCheckpoint(DeltaLog.forPath(spark, path))
+    (0L to 1L).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        f"_delta_log/$v%020d.json"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        f"_delta_log/$v%020d.crc"), false)
+    }
+    val reaped = DeltaWriter.vacuum(spark, path)
+    assert(reaped.exists(p =>
+        p.startsWith("_change_data/") && p.endsWith(".parquet")),
+      s"aged-out cdc not reaped: $reaped")
+    assert(DeltaLake.scanDelta(spark, path).count() == 50L) // data intact
+  }
+
   test("streaming CDF replay prefers stored rows and matches batch CDF") {
     import spark.implicits._
     val path = tmp("graft_cdf_stream")
