@@ -3294,9 +3294,17 @@ object DeltaWriter {
     // writer — parts cap the per-file row count so checkpoint writes
     // (and the reader's part scans) parallelize. The reader has
     // consumed the `%020d.checkpoint.%010d.%010d.parquet` layout since
-    // round 1; tables can now produce it.
+    // round 1; tables can now produce it. Unconfigured tables still
+    // split automatically past `spark.graft.checkpoint.autoPartRows`
+    // (default 100k, 0 disables): a million-file table must never ship
+    // its whole action list through one Spark task because nobody set
+    // a property.
+    val autoPart = spark.conf
+      .getOption("spark.graft.checkpoint.autoPartRows")
+      .flatMap(_.toIntOption).getOrElse(100000)
     val partSize = snap.configuration.get("delta.checkpoint.partSize")
       .flatMap(_.toIntOption).filter(_ > 0)
+      .orElse(Some(autoPart).filter(n => n > 0 && rows.size > n))
     partSize match {
       case Some(ps) if rows.size > ps =>
         val parts = rows.toSeq.grouped(ps).toSeq

@@ -46,8 +46,16 @@ class CheckpointScaleSpec extends SparkSuite {
     assert(snap.liveFiles.size == n + v0Files)
 
     // checkpoint the 100k-add state, drop the JSONs: the next open can
-    // ONLY reconstruct by replaying the checkpoint parquet
+    // ONLY reconstruct by replaying the checkpoint parquet. Past the
+    // auto-part threshold (100k) an unconfigured table must split into
+    // multi-part files rather than ship everything through one task.
     DeltaWriter.writeCheckpoint(snap)
+    val multiPart = "^\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet$".r
+    val parts = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(multiPart.matches(_))
+    assert(parts.length >= 2,
+      s"expected an automatic multi-part checkpoint, got ${parts.toSeq}")
+    assert(!fs.exists(new Path(logDir, f"${1L}%020d.checkpoint.parquet")))
     fs.delete(new Path(logDir, f"${0L}%020d.json"), false)
     fs.delete(new Path(logDir, f"${1L}%020d.json"), false)
 
