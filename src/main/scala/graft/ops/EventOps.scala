@@ -225,6 +225,39 @@ object EventOps {
         |FROM firsts GROUP BY 1, 2
         |ORDER BY cohort_day, day_offset""".stripMargin)),
 
+    // Anomaly detection on the hourly event-rate matrix: hours whose
+    // count sits more than 3 sample-stddevs from that event type's
+    // mean. ONE shuffle builds the (hour, type) matrix — tiny
+    // regardless of event volume — and the per-type moments are an
+    // unordered window over it, so at 100 TB everything after the
+    // first partial-aggregated shuffle is combiner-bound.
+    "e8_anomaly" -> QueryDef(
+      (s, dir) => {
+        val byType = Window.partitionBy("event_type")
+        events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("mean_n", avg("n").over(byType))
+          .withColumn("sd_n", stddev_samp("n").over(byType))
+          .where(col("sd_n") > 0 &&
+            abs(col("n") - col("mean_n")) > lit(3) * col("sd_n"))
+          .select(col("hour"), col("event_type"), col("n"),
+            round((col("n") - col("mean_n")) / col("sd_n"), 3).as("z"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT hour, event_type, n, avg(n) OVER w AS mean_n,
+        |    stddev_samp(n) OVER w AS sd_n
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type))
+        |SELECT hour, event_type, n, round((n - mean_n) / sd_n, 3) AS z
+        |FROM scored WHERE sd_n > 0 AND abs(n - mean_n) > 3 * sd_n
+        |ORDER BY hour, event_type""".stripMargin)),
+
     // Last-touch attribution: each purchase credits the user's most
     // recent PRECEDING view/click (strictly before — the frame ends at
     // 1 PRECEDING, ties broken by event_id like every per-user order
