@@ -157,6 +157,22 @@ class PythonReplayDifferentialSpec extends SparkSuite {
     assert(node.get("rows").asLong == 61 + 20 + 1 + 4, out.toString)
   }
 
+  test("third-party-written fixtures: python and scala readers agree") {
+    // tables written by delta-rs / delta-spark — the INBOUND direction:
+    // both independent readers (scala engine, python tool) consume the
+    // same foreign artifacts, incl. nested column mapping (faker2's
+    // struct/array-of-struct, cluster's struct timestamp), schema
+    // evolution (new_name), decimals and non-ascii column names (user)
+    val fixtures = Seq(
+      "faker2" -> 6L, "cluster" -> 6L, "user" -> 3L,
+      "data-skipping-basic-stats-all-types-columnmapping-name" -> 1L)
+    fixtures.foreach { case (name, n) =>
+      val json = differential(fixture(name))
+      val node = ActionCodec.mapper.readTree(json)
+      assert(node.get("rows").asLong == n, s"$name: $json")
+    }
+  }
+
   test("DML battery: update, merge, restore") {
     val path = tmp()
     DeltaWriter.write((1L to 100L).map(i => (i, s"g${i % 3}", i * 1.0))

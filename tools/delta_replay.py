@@ -288,36 +288,56 @@ def duck_type(t):
 
 def top_fields(meta):
     """[(logical, physical, ducktype, delta_type)] for the top-level
-    schema. Nested mapped fields are out of scope — assert none exist."""
+    schema (delta_type keeps nested metadata for the physical→logical
+    rewrite)."""
     schema = json.loads(meta["schemaString"])
     mapped = meta.get("configuration", {}).get(
         "delta.columnMapping.mode", "none") != "none"
-
-    def assert_no_nested_mapping(t):
-        if isinstance(t, dict):
-            if t.get("type") == "struct":
-                for f in t["fields"]:
-                    assert "delta.columnMapping.physicalName" not in f.get(
-                        "metadata", {}), \
-                        "nested column mapping is out of this tool's scope"
-                    assert_no_nested_mapping(f["type"])
-            elif t.get("type") == "array":
-                assert_no_nested_mapping(t["elementType"])
-            elif t.get("type") == "map":
-                assert_no_nested_mapping(t["keyType"])
-                assert_no_nested_mapping(t["valueType"])
-
     out = []
     for f in schema["fields"]:
         phys = f.get("metadata", {}).get(
             "delta.columnMapping.physicalName", f["name"]) if mapped else f["name"]
-        assert_no_nested_mapping(f["type"])
         out.append((f["name"], phys, duck_type(f["type"]), f["type"]))
     return out
 
 
+def sq(name):
+    return name.replace("'", "''")
+
+
+def physical_to_logical(src, t, mapped, depth=0):
+    """SQL expression converting the physically-named value `src` to the
+    LOGICAL layout + type — the python twin of the engine's one-Cast
+    rewrite: struct fields renamed (by physicalName lookup), NULL
+    structs preserved, arrays/maps rewritten element-wise."""
+    if isinstance(t, str) or t.get("type") not in ("struct", "array", "map"):
+        return f"CAST({src} AS {duck_type(t)})"
+    if t["type"] == "struct":
+        members = []
+        for f in t["fields"]:
+            phys = f.get("metadata", {}).get(
+                "delta.columnMapping.physicalName", f["name"]) \
+                if mapped else f["name"]
+            inner = physical_to_logical(
+                f"struct_extract({src}, '{sq(phys)}')", f["type"], mapped,
+                depth + 1)
+            members.append(f"'{sq(f['name'])}': {inner}")
+        return (f"CASE WHEN {src} IS NULL THEN NULL "
+                f"ELSE {{{', '.join(members)}}} END")
+    if t["type"] == "array":
+        var = f"__e{depth}"
+        inner = physical_to_logical(var, t["elementType"], mapped, depth + 1)
+        return f"list_transform({src}, {var} -> {inner})"
+    kv, vv = f"__k{depth}", f"__v{depth}"
+    ki = physical_to_logical(kv, t["keyType"], mapped, depth + 1)
+    vi = physical_to_logical(vv, t["valueType"], mapped, depth + 1)
+    return (f"map(list_transform(map_keys({src}), {kv} -> {ki}), "
+            f"list_transform(map_values({src}), {vv} -> {vi}))")
+
+
 # ------------------------------------------------------- scan building --
-def file_select(con, table, add, fields, part_phys, change_type=None):
+def file_select(con, table, add, fields, part_phys, change_type=None,
+                mapped=False):
     """One per-file SELECT in LOGICAL schema order, DV-filtered.
     change_type: None = plain scan; "insert" = derived-CDF literal;
     "stored" = read the cdc file's own _change_type, normalized
@@ -328,7 +348,7 @@ def file_select(con, table, add, fields, part_phys, change_type=None):
         f"DESCRIBE SELECT * FROM read_parquet({fpath!r})").fetchall()}
     pv = add.get("partitionValues") or {}
     cols = []
-    for logical, phys, dtype, _ in fields:
+    for logical, phys, dtype, dt in fields:
         if phys in part_phys:
             v = pv.get(phys)
             if v is None:
@@ -337,7 +357,9 @@ def file_select(con, table, add, fields, part_phys, change_type=None):
                 lit = "'" + str(v).replace("'", "''") + "'"
                 cols.append(f'CAST({lit} AS {dtype}) AS "{logical}"')
         elif phys in present:
-            cols.append(f'CAST("{phys}" AS {dtype}) AS "{logical}"')
+            qp = '"' + phys.replace('"', '""') + '"'
+            cols.append(
+                f'{physical_to_logical(qp, dt, mapped)} AS "{logical}"')
         else:  # schema evolution: file predates the column
             cols.append(f'CAST(NULL AS {dtype}) AS "{logical}"')
     if change_type == "stored":
@@ -367,7 +389,8 @@ def build_view(con, table, version):
     part_phys = {by_logical[c] if mapped else c for c in logical_parts}
     if adds:
         union = " UNION ALL ".join(
-            file_select(con, table, a, fields, part_phys) for a in adds)
+            file_select(con, table, a, fields, part_phys, mapped=mapped)
+            for a in adds)
     else:
         union = ("SELECT " + ", ".join(
             f'CAST(NULL AS {d}) AS "{l}"' for l, _, d, _ in fields) +
@@ -400,11 +423,13 @@ def build_cdf_view(con, table):
         cdcs = [a["cdc"] for a in actions if a.get("cdc")]
         if cdcs:
             selects.extend(
-                file_select(con, table, c, fields, part_phys, "stored")
+                file_select(con, table, c, fields, part_phys, "stored",
+                            mapped=mapped)
                 for c in cdcs)
         else:
             selects.extend(
-                file_select(con, table, a["add"], fields, part_phys, "insert")
+                file_select(con, table, a["add"], fields, part_phys,
+                            "insert", mapped=mapped)
                 for a in actions
                 if a.get("add") and a["add"].get("dataChange", True))
         v += 1
@@ -414,8 +439,14 @@ def build_cdf_view(con, table):
     return fields
 
 
-def bag_diff(con, left_view, spark_dir, col_names):
-    cols = ", ".join(f'"{c}"' for c in col_names)
+def bag_diff(con, left_view, spark_dir, col_names, col_types=None):
+    # cast the spark side to the SAME logical duckdb types the replay
+    # produced (TIMESTAMPTZ parquet vs TIMESTAMP etc. — the session is
+    # pinned to UTC so instant-preserving casts are deterministic)
+    types = dict(col_types or [])
+    cols = ", ".join(
+        f'CAST("{c}" AS {types[c]}) AS "{c}"' if c in types else f'"{c}"'
+        for c in col_names)
     con.execute(
         f"CREATE OR REPLACE VIEW spark_side AS "
         f"SELECT {cols} FROM read_parquet({spark_dir + '/*.parquet'!r})")
@@ -436,15 +467,18 @@ def main():
     if "--version" in args:
         version = int(args[args.index("--version") + 1])
     con = duckdb.connect()
+    con.execute("SET timezone = 'UTC'")
     if "--cdf" in args:
         fields = build_cdf_view(con, table)
         bag_diff(con, "cdf_replayed", args[args.index("--cdf") + 1],
-                 [l for l, _, _, _ in fields] + ["_change_type"])
+                 [l for l, _, _, _ in fields] + ["_change_type"],
+                 [(l, d) for l, _, d, _ in fields])
         return
     fields = build_view(con, table, version)
     if "--diff" in args:
         bag_diff(con, "replayed", args[args.index("--diff") + 1],
-                 [l for l, _, _, _ in fields])
+                 [l for l, _, _, _ in fields],
+                 [(l, d) for l, _, d, _ in fields])
     elif "--csv" in args:
         for row in con.execute(
                 "SELECT * FROM replayed ORDER BY ALL").fetchall():
