@@ -125,6 +125,63 @@ object EventStreams {
       .toDF("user_id", "view_ts", "click_ts", "purchase_ts", "steps_completed")
   }
 
+  /** Streaming last-touch attribution — streaming twin of EventOps e7:
+    * each purchase credits the user's latest view/click STRICTLY before
+    * it in (ts, event_id) order. Same out-of-order discipline as
+    * [[funnelSteps]]: the anchoring touch may ARRIVE after its
+    * purchase, so state retains the user's touches and purchases
+    * inside the watermark horizon and re-attributes every batch
+    * (Update mode — the last emission per purchase is the answer).
+    * Never a purchases×touches join: state is per-user and linear.
+    */
+  def lastTouchAttribution(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // state: (touches (tsMillis, eventId), purchases (tsMillis, id, value))
+    events
+      .select("user_id", "event_type", "ts", "event_id", "value")
+      .withWatermark("ts", "2 hours")
+      .as[(Long, String, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long,
+         rows: Iterator[(Long, String, java.sql.Timestamp, Long, Double)],
+         state: GroupState[(List[(Long, Long)], List[(Long, Long, Double)])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (touches, purchases) = state.getOption.getOrElse((Nil, Nil))
+            var maxTs = 0L
+            rows.foreach { case (_, typ, ts, id, value) =>
+              val t = ts.getTime
+              maxTs = math.max(maxTs, t)
+              typ match {
+                case "view" | "click" => touches = (t, id) :: touches
+                case "purchase" => purchases = (t, id, value) :: purchases
+                case _ =>
+              }
+            }
+            touches = touches.distinct
+            purchases = purchases.distinct
+            state.update((touches, purchases))
+            val horizon = 2L * 3600 * 1000
+            state.setTimeoutTimestamp(math.max(
+              maxTs + horizon, state.getCurrentWatermarkMs() + horizon))
+            // strictly-before in (ts, event_id) lexicographic order,
+            // latest such touch wins — identical to the batch window's
+            // rowsBetween(unboundedPreceding, -1) frame
+            purchases.iterator.map { case (pt, pid, value) =>
+              val before = touches.filter(tc =>
+                tc._1 < pt || (tc._1 == pt && tc._2 < pid))
+              val last: Option[Long] =
+                if (before.isEmpty) None else Some(before.max._2)
+              (pid, user, last, value)
+            }
+          })
+      .toDF("purchase_id", "user_id", "last_touch", "value")
+  }
+
   /** Streaming exact-dedup — first occurrence of each key passes, later
     * duplicates (within or across micro-batches) are dropped. The
     * custom-state primitive (`flatMapGroupsWithState`) the built-in

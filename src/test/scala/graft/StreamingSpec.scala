@@ -77,6 +77,36 @@ class StreamingSpec extends SparkSuite {
         s"batch ${batch.size}")
   }
 
+  test("streaming last-touch attribution equals the batch window form") {
+    import org.apache.spark.sql.expressions.Window
+    val lastAttr = scala.collection.mutable.Map.empty[Long, (Option[Long], Double)]
+    val q = EventStreams.lastTouchAttribution(
+      EventStreams.readEventStream(spark, streamDir))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach { r =>
+          lastAttr(r.getLong(0)) =
+            (if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getDouble(3))
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val batch = spark.read.parquet(streamDir)
+      .withColumn("last_touch",
+        last(when(col("event_type").isin("view", "click"),
+          col("event_id")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select("event_id", "last_touch", "value").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getDouble(2)))
+      .toMap
+    assert(lastAttr.nonEmpty && lastAttr.toMap == batch,
+      s"attribution divergence: stream ${lastAttr.size}, batch ${batch.size}")
+  }
+
   test("delta micro-batch replay yields per-version batches, offset resumes") {
     import graft.delta.DeltaWriter
     import graft.streaming.DeltaStream
