@@ -268,5 +268,36 @@ object DeltaQueries {
           .orderBy("p_partkey")
       },
       Some("""SELECT p_partkey, p_type AS part_type, p_retailprice
-        |FROM part WHERE p_size <= 25 ORDER BY p_partkey""".stripMargin)))
+        |FROM part WHERE p_size <= 25 ORDER BY p_partkey""".stripMargin)),
+
+    // Row-tracking stability under the oracle: stage customer with
+    // `delta.enableRowTracking`, snapshot each row's stable id, then
+    // OPTIMIZE (bin-pack rewrite, which materializes the ids into
+    // physical columns so they survive the file rewrite per the
+    // protocol's resolution order). The scan after OPTIMIZE must show
+    // every row keeping its pre-OPTIMIZE id, all ids distinct — a
+    // renumbering or collision breaks the pinned constants.
+    "x10_row_ids_stable" -> QueryDef(
+      (s, dir) => {
+        val path = stagedOnce(s, dir, "customer_rowtrack_delta", "customer") { path =>
+          DeltaWriter.write(table(s, dir, "customer"), path,
+            properties = Map("delta.enableRowTracking" -> "true"))
+          DeltaLake.scanDeltaWithRowIds(s, path)
+            .select(col("c_custkey"), col("_row_id").as("id0"))
+            .write.parquet(path + "_before_ids")
+          DeltaWriter.compact(s, path)
+        }
+        val before = s.read.parquet(path + "_before_ids")
+        val after = DeltaLake.scanDeltaWithRowIds(s, path)
+          .select(col("c_custkey"), col("_row_id"))
+        before.join(after, "c_custkey")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            countDistinct(col("_row_id")).as("n_distinct_ids"),
+            sum(when(col("_row_id") === col("id0"), 0L).otherwise(1L))
+              .cast("long").as("n_changed"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_ids,
+        |  CAST(0 AS BIGINT) AS n_changed
+        |FROM customer""".stripMargin)))
 }
