@@ -403,6 +403,37 @@ class OpsSpec extends SparkSuite {
     assert(rows.map(_._2).head == tally.values.max)
   }
 
+  test("e8 anomalies: every flagged hour exceeds 3 sigma of a driver-side tally") {
+    val rows = Registry.all("e8_anomaly").fn(spark, dir).collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "fixture should contain at least one 3-sigma hour")
+    // independent tally: hourly counts and per-type moments, driver-side
+    val hourly = graft.ops.EventOps.readEvents(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)))
+      .groupBy(identity).map { case (k, a) => k -> a.length.toLong }
+    val byType = hourly.groupBy(_._1._2)
+    rows.foreach { case (h, typ, n, z) =>
+      assert(hourly((h, typ)) == n, s"count of ($h,$typ)")
+      val ns = byType(typ).values.map(_.toDouble).toSeq
+      val mean = ns.sum / ns.size
+      val sd = math.sqrt(ns.map(x => (x - mean) * (x - mean)).sum / (ns.size - 1))
+      assert(math.abs(n - mean) > 3 * sd, s"($h,$typ) not 3-sigma: n=$n")
+      assert(math.abs((n - mean) / sd - z) < 0.001, s"z mismatch at ($h,$typ)")
+    }
+    // completeness: no 3-sigma hour is missing from the result
+    val flagged = rows.map(r => (r._1, r._2)).toSet
+    byType.foreach { case (typ, hs) =>
+      val ns = hs.values.map(_.toDouble).toSeq
+      val mean = ns.sum / ns.size
+      val sd = math.sqrt(ns.map(x => (x - mean) * (x - mean)).sum / (ns.size - 1))
+      if (sd > 0) hs.foreach { case ((h, _), n) =>
+        if (math.abs(n - mean) > 3 * sd)
+          assert(flagged.contains((h, typ)), s"missed anomaly ($h,$typ)")
+      }
+    }
+  }
+
   test("e6 retention: offset-0 equals cohort size, later offsets never exceed it") {
     val rows = Registry.all("e6_retention").fn(spark, dir).collect()
       .map(r => (r.get(0).toString, r.getInt(1), r.getLong(2)))
