@@ -302,6 +302,16 @@ object DeltaLake {
     * union by name with null fill, so a window that evolves the schema
     * yields the union schema.
     */
+  /** Change feed starting AFTER the given instant — delta-spark's
+    * `startingTimestamp` analogue: resolves to the greatest version
+    * committed at or before it (ICT-aware when the table records
+    * in-commit timestamps) and streams changes from the next commit.
+    */
+  def scanDeltaCdf(spark: SparkSession, path: String,
+      since: java.time.Instant): DataFrame =
+    scanDeltaCdf(spark, path,
+      graft.delta.DeltaLog.versionAtTimestamp(spark, path, since))
+
   def scanDeltaCdf(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
     val head = DeltaLog.forPath(spark, path)

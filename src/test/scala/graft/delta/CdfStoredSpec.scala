@@ -147,6 +147,24 @@ class CdfStoredSpec extends SparkSuite {
     assert(cdcOf(path, DeltaLog.forPath(spark, path).version).nonEmpty)
   }
 
+  test("timestamp-based CDF start resolves via ICT and matches the version form") {
+    import spark.implicits._
+    val path = tmp("graft_cdf_ts")
+    DeltaWriter.write((1L to 20L).map(i => (i, s"r$i")).toDF("id", "s"),
+      path, properties = CdfOn ++
+        Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaLake.updateWhere(spark, path, Seq(Cond("id", "<=", 3L)),
+      Map("s" -> lit("u1")))                                        // v1
+    DeltaLake.updateWhere(spark, path, Seq(Cond("id", "<=", 5L)),
+      Map("s" -> lit("u2")))                                        // v2
+    val at1 = java.time.Instant.ofEpochMilli(
+      DeltaLog.ictOf(spark, path, 1L).get)
+    val byTs = DeltaLake.scanDeltaCdf(spark, path, at1)
+    val byV = DeltaLake.scanDeltaCdf(spark, path, 1L)
+    assert(byTs.count() == 10L) // v2's 5 pre + 5 post images only
+    assert(byTs.exceptAll(byV).isEmpty && byV.exceptAll(byTs).isEmpty)
+  }
+
   test("vacuum spares cdc files while their commit is readable, reaps after") {
     import spark.implicits._
     val path = tmp("graft_cdf_vac")
