@@ -82,7 +82,7 @@ object DedupOps {
         .select(col("doc_id"), shingles(col("toks")).as("sh"))
     }
 
-  private val NumHashes = 32
+  private[ops] val NumHashes = 32
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
@@ -246,7 +246,7 @@ object DedupOps {
     * pass still pays the full propagation loop (caches are cleared
     * first); warm measures the cache-hit path.
     */
-  private def dedupClusters(
+  private[ops] def dedupClusters(
       s: SparkSession, dir: String, fastHash: Boolean): DataFrame = {
     val ver = docsVersion(s, dir)
     OpCaches.cached(s, s"dedup:d6labels:$dir:$fastHash", ver) {
@@ -288,7 +288,7 @@ object DedupOps {
     * shared by the d3/d4 oracles. Yields `pairs(doc_a, doc_b, mh_a,
     * mh_b)` plus the `sh(doc_id, sh)` shingle relation.
     */
-  private val pairsSql: String =
+  private[ops] val pairsSql: String =
     s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
        |  FROM documents),

@@ -114,5 +114,57 @@ object PipelineOps {
         |SELECT shard, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  CAST(sum(seq * doc_id) AS BIGINT) AS order_fingerprint
-        |FROM seqd GROUP BY shard ORDER BY shard""".stripMargin)))
+        |FROM seqd GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Leakage-controlled train/val split — the eval-hygiene step every
+    // training pipeline needs: docs split by content-stable hash
+    // (~12.5% val), then any val doc whose NEAR-DUP CLUSTER contains a
+    // train doc is dropped (keeping it would leak train content into
+    // eval through paraphrases exact-dedup can't see). Reuses the
+    // corpus-version-cached d6 cluster map — the production shape: one
+    // clustering serves dedup, corpus materialization AND the split.
+    // Scale: one shuffle on cluster_rep for the anti-join; everything
+    // upstream is the cached labeling.
+    "p3_leakage_split" -> QueryDef(
+      (s, dir) => {
+        val labels = DedupOps.dedupClusters(s, dir, fastHash = false)
+        val tagged = labels.withColumn("split",
+          when(substring(md5(to_binary(
+            concat(col("doc_id").cast("string"), lit(":split")),
+            lit("utf-8"))), 1, 1).isin("0", "1"), "val")
+            .otherwise("train"))
+        val trainClusters = tagged.where(col("split") === "train")
+          .select("cluster_rep").distinct()
+        val valClean = tagged.where(col("split") === "val")
+          .join(trainClusters, Seq("cluster_rep"), "left_anti")
+        tagged.where(col("split") === "train").unionByName(valClean)
+          .select(col("doc_id"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${DedupOps.pairsSql},
+        |est AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  WHERE CAST(list_sum([CASE WHEN mh_a[i+1] = mh_b[i+1] THEN 1 ELSE 0 END
+        |    for i in range(${DedupOps.NumHashes})]) AS DOUBLE) / ${DedupOps.NumHashes} >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM est
+        |  UNION ALL SELECT doc_b, doc_a FROM est),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node),
+        |labels AS (
+        |  SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_rep
+        |  FROM reach GROUP BY node),
+        |tagged AS (
+        |  SELECT doc_id, cluster_rep,
+        |    CASE WHEN substring(md5(doc_id::VARCHAR || ':split'), 1, 1)
+        |      IN ('0', '1') THEN 'val' ELSE 'train' END AS split
+        |  FROM labels),
+        |trainc AS (
+        |  SELECT DISTINCT cluster_rep FROM tagged WHERE split = 'train')
+        |SELECT doc_id, split FROM tagged
+        |WHERE split = 'train'
+        |   OR cluster_rep NOT IN (SELECT cluster_rep FROM trainc)
+        |ORDER BY doc_id""".stripMargin)))
 }
