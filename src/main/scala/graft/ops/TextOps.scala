@@ -377,6 +377,38 @@ object TextOps {
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
 
+    // Zipf-exponent fit over the top-100 vocabulary — the corpus-health
+    // statistic (natural text ⇒ alpha ≈ 1; templated/synthetic corpora
+    // drift): alpha = −slope of ln(freq) on ln(rank), via the built-in
+    // regression aggregate over the SAME deterministic top-K both
+    // engines compute for t12. One vocabulary shuffle (map-side
+    // combined) + a 100-row regression — corpus-size-independent after
+    // the count.
+    "t14_zipf_alpha" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("n").desc, col("token").asc)
+        table(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(100)
+          .withColumn("rank", row_number().over(w))
+          .agg(count(lit(1)).as("n_points"),
+            round(-expr("regr_slope(ln(n), ln(rank))"), 6).as("alpha"))
+      },
+      Some("""WITH vocab AS (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |    FROM documents)
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 100),
+        |ranked AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+        |  FROM vocab)
+        |SELECT count(*) AS n_points,
+        |  round(-regr_slope(ln(n), ln(rank)), 6) AS alpha
+        |FROM ranked""".stripMargin)),
+
     // Contamination check — benchmark-overlap decontamination: a
     // deterministic 3-doc "benchmark" probe set (bottom-3 by
     // md5(doc_id)), distinct 5-gram overlap counted per remaining
