@@ -19,7 +19,10 @@ object ScaleRehearsal {
     "t8_contamination", "t10_repetition",
     // round-6 verdict item 6: the r5/r6 additions under the same lens
     "t13_unigram_logprob", "e7_attribution", "p2_shard_export",
-    "q22_approx_vs_exact", "q23_grouping_sets", "x8_cdf_stored_vs_derived")
+    "q22_approx_vs_exact", "q23_grouping_sets", "x8_cdf_stored_vs_derived",
+    // round-7 additions
+    "e8_anomaly", "p3_leakage_split", "t14_zipf_alpha",
+    "x9_delta_rename_drop", "x10_row_ids_stable")
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
