@@ -124,6 +124,35 @@ object DeltaLake {
   def dropColumn(spark: SparkSession, path: String, colName: String): Long =
     DeltaWriter.dropColumn(spark, path, colName)
 
+  /** DESCRIBE DETAIL: the one-row table summary (delta-spark's shape) —
+    * format, id, location, createdAt, partitionColumns, numFiles,
+    * sizeInBytes, properties, protocol versions and feature lists.
+    * Metadata-only: everything comes from the already-replayed snapshot.
+    */
+  def detail(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val snap = graft.delta.DeltaLog.forPath(spark, path, version)
+    val md = snap.metadata
+    val p = snap.protocol
+    Seq((
+      "delta",
+      md.flatMap(_.id).getOrElse(""),
+      path,
+      md.flatMap(_.createdTime).map(new java.sql.Timestamp(_)),
+      md.map(_.partitionColumns).getOrElse(Nil),
+      snap.liveFiles.size.toLong,
+      snap.liveFiles.map(_.size).sum,
+      md.map(_.configuration).getOrElse(Map.empty[String, String]),
+      p.map(_.minReaderVersion).getOrElse(1),
+      p.map(_.minWriterVersion).getOrElse(1),
+      p.flatMap(_.readerFeatures).getOrElse(Nil),
+      p.flatMap(_.writerFeatures).getOrElse(Nil)))
+      .toDF("format", "id", "location", "createdAt", "partitionColumns",
+        "numFiles", "sizeInBytes", "properties", "minReaderVersion",
+        "minWriterVersion", "tableFeatures_reader", "tableFeatures_writer")
+  }
+
   /** DESCRIBE HISTORY: one row per surviving commit, newest first —
     * version, commit timestamp, operation (WRITE/APPEND/DELETE/MERGE/
     * UPDATE/RESTORE/OPTIMIZE/…), file-action counts, and whether the

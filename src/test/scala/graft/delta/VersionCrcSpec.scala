@@ -121,6 +121,32 @@ class VersionCrcSpec extends SparkSuite {
     assert(DeltaLake.scanDelta(spark, path).count() == 10)
   }
 
+  test("DESCRIBE DETAIL summarizes the snapshot and agrees with the crc") {
+    val path = tmp()
+    DeltaWriter.write((1L to 30L).map(i => (i, s"g${i % 3}", i)).toDF("id", "g", "v"),
+      path, partitionBy = Seq("g"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWriter.write(Seq((31L, "g1", 31L)).toDF("id", "g", "v"), path,
+      mode = "append")
+    val d = graft.DeltaLake.detail(spark, path).collect()(0)
+    val snap = DeltaLog.forPath(spark, path)
+    assert(d.getAs[String]("format") == "delta")
+    assert(d.getAs[String]("location") == path)
+    assert(d.getAs[scala.collection.Seq[String]]("partitionColumns")
+      .toSeq == Seq("g"))
+    assert(d.getAs[Long]("numFiles") == snap.liveFiles.size.toLong)
+    assert(d.getAs[Long]("sizeInBytes") == snap.liveFiles.map(_.size).sum)
+    assert(d.getAs[Map[String, String]]("properties")
+      .get("delta.enableChangeDataFeed").contains("true"))
+    // agrees with the independently-written version checksum
+    val crc = crcJson(path, snap.version)
+    assert(d.getAs[Long]("numFiles") == crc.get("numFiles").asLong)
+    assert(d.getAs[Long]("sizeInBytes") == crc.get("tableSizeBytes").asLong)
+    // time travel shows the earlier file count
+    assert(graft.DeltaLake.detail(spark, path, Some(0L)).collect()(0)
+      .getAs[Long]("numFiles") < d.getAs[Long]("numFiles"))
+  }
+
   test("fixture crcs written by delta-spark verify against our replay") {
     // faker2 carries 0..3 crcs from the engine that wrote it; loading
     // any version now cross-checks our replay against them
