@@ -331,15 +331,21 @@ object DeltaLake {
     * union by name with null fill, so a window that evolves the schema
     * yields the union schema.
     */
-  /** Change feed starting AFTER the given instant — delta-spark's
-    * `startingTimestamp` analogue: resolves to the greatest version
-    * committed at or before it (ICT-aware when the table records
-    * in-commit timestamps) and streams changes from the next commit.
+  /** Change feed starting AT the given instant — delta-spark's
+    * `startingTimestamp` semantics: resolves to the FIRST version whose
+    * (ICT-aware, monotonized) commit timestamp is at or after `since`
+    * and streams changes from that commit INCLUSIVE, so a commit
+    * stamped exactly at the boundary instant is part of the feed. If
+    * every commit predates `since`, the feed is empty (delta-spark
+    * raises there unless relaxed; an empty batch is the gentler
+    * equivalent for a batch read).
     */
   def scanDeltaCdf(spark: SparkSession, path: String,
-      since: java.time.Instant): DataFrame =
-    scanDeltaCdf(spark, path,
-      graft.delta.DeltaLog.versionAtTimestamp(spark, path, since))
+      since: java.time.Instant): DataFrame = {
+    val from = graft.delta.DeltaLog.firstVersionAtOrAfter(spark, path, since)
+      .getOrElse(DeltaLog.forPath(spark, path).version + 1)
+    scanDeltaCdf(spark, path, from - 1)
+  }
 
   def scanDeltaCdf(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {

@@ -231,6 +231,35 @@ object DeltaLog {
     */
   def versionAtTimestamp(
       spark: SparkSession, deltaPath: String, ts: java.time.Instant): Long = {
+    val mono = commitTimeline(spark, deltaPath)
+    val eligible = mono.filter(_._2 <= ts.toEpochMilli).map(_._1)
+    require(eligible.nonEmpty,
+      s"no version of $deltaPath existed at or before $ts " +
+        s"(earliest surviving commit: ${mono.map(_._2).min})")
+    eligible.max
+  }
+
+  /** Smallest version whose (monotonized) commit timestamp is at or
+    * after `ts` — the resolution rule of delta-spark's CDF
+    * `startingTimestamp`, which INCLUDES a commit stamped exactly at
+    * the boundary instant. None when every surviving commit is older
+    * than `ts` (nothing has happened since — an empty feed, where
+    * delta-spark would raise unless relaxed by a flag).
+    */
+  def firstVersionAtOrAfter(spark: SparkSession, deltaPath: String,
+      ts: java.time.Instant): Option[Long] =
+    commitTimeline(spark, deltaPath)
+      .find(_._2 >= ts.toEpochMilli).map(_._1)
+
+  /** Surviving commits as (version, effective-timestamp), timestamps
+    * monotonized in version order (clock skew / restored backups can
+    * reorder mtimes; a version must never appear older than its
+    * predecessor or timestamp resolution would include newer commits).
+    * ICT-aware: if the newest commit carries an inCommitTimestamp, all
+    * commits resolve by theirs (mtime fallback per commit).
+    */
+  private def commitTimeline(
+      spark: SparkSession, deltaPath: String): Seq[(Long, Long)] = {
     val (filesystem, dir) = fs(spark, logDir(deltaPath))
     require(filesystem.exists(dir), s"no Delta log under $deltaPath")
     val listed = filesystem.listStatus(dir).toSeq
@@ -248,17 +277,9 @@ object DeltaLog {
           else ictOf(spark, deltaPath, v)
         (v, ict.getOrElse(mtime))
       }
-    // monotonize mtimes in version order (clock skew / restored backups
-    // can reorder them; a version must never appear older than its
-    // predecessor or the resolved version would include newer commits)
-    val mono = commits.scanLeft((Long.MinValue, Long.MinValue)) {
+    commits.scanLeft((Long.MinValue, Long.MinValue)) {
       case ((_, prevT), (v, t)) => (v, math.max(prevT, t))
     }.drop(1)
-    val eligible = mono.filter(_._2 <= ts.toEpochMilli).map(_._1)
-    require(eligible.nonEmpty,
-      s"no version of $deltaPath existed at or before $ts " +
-        s"(earliest surviving commit: ${mono.map(_._2).min})")
-    eligible.max
   }
 
   /** Replay the log to `version` (or latest). Checkpoint-aware:

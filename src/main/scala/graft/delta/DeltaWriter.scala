@@ -3633,15 +3633,25 @@ object DeltaWriter {
   private val StatsStringPrefixLen = 32
 
   /** Upper-bound truncation for a string MAX statistic: the 32-char
-    * prefix with its last non-￿ char incremented, which is
+    * prefix with its last incrementable char incremented, which is
     * strictly greater than the original — a prefix alone would be LESS
-    * than the value it bounds and could wrongly skip files. None when
-    * every prefix char is ￿ (no representable bound).
+    * than the value it bounds and could wrongly skip files. A char is
+    * skipped (move left) when it is ￿ (no successor), when its
+    * successor would land in the surrogate range U+D800–DFFF (e.g.
+    * U+D7FF), or when it is itself a surrogate half — incrementing any
+    * of those would emit a lone surrogate, i.e. malformed UTF-16, into
+    * the commit's stats JSON, which strict UTF-8 consumers reject and
+    * whose ordering is undefined across readers. None when no prefix
+    * char is incrementable (no representable bound → stats omitted,
+    * fail-open on the reader side).
     */
   private def truncatedMax(s: String): Option[String] = {
     val p = s.substring(0, StatsStringPrefixLen)
+    def bumpable(c: Char): Boolean =
+      c != Char.MaxValue && !Character.isSurrogate(c) &&
+        !Character.isSurrogate((c + 1).toChar)
     var i = p.length - 1
-    while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
+    while (i >= 0 && !bumpable(p.charAt(i))) i -= 1
     if (i < 0) None
     else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }

@@ -32,6 +32,13 @@ object DeltaQueries {
     * then sees commits that were never scripted. The fingerprint
     * re-stages from scratch when the driver regenerates the testdata;
     * a missing marker (crash mid-setup) also rebuilds from scratch.
+    *
+    * SINGLE-WRITER ASSUMPTION: the marker protocol is not a mutex. The
+    * harness runs Verify / Bench / sbt test sequentially, never two
+    * JVMs staging the same sfDir concurrently — if that ever changes,
+    * the delete+setup below needs a lock file (or stage-into-temp +
+    * atomic rename), because two JVMs could both see a stale marker
+    * and one would delete the table root mid-query of the other.
     */
   private def stagedOnce(s: SparkSession, dir: String, name: String,
       srcTable: String)(setup: String => Unit): String = {
@@ -50,6 +57,17 @@ object DeltaQueries {
         } catch { case _: java.io.IOException => false }
       if (!fresh) {
         fs.delete(root, true)
+        // Sibling artifacts derived from the old staging (e.g. x10's
+        // `<name>_before_ids` row-id snapshot) must go with the table:
+        // ids snapshotted against old source data would otherwise be
+        // joined against the freshly staged table, and a crash between
+        // their write and the marker write would leave them behind.
+        val parent = root.getParent
+        if (parent != null && fs.exists(parent))
+          fs.listStatus(parent).foreach { st =>
+            if (st.getPath.getName.startsWith(root.getName + "_"))
+              fs.delete(st.getPath, true)
+          }
         setup(path)
         val out = fs.create(ok, true)
         try out.write(fp.getBytes("UTF-8")) finally out.close()
@@ -284,7 +302,7 @@ object DeltaQueries {
             properties = Map("delta.enableRowTracking" -> "true"))
           DeltaLake.scanDeltaWithRowIds(s, path)
             .select(col("c_custkey"), col("_row_id").as("id0"))
-            .write.parquet(path + "_before_ids")
+            .write.mode("overwrite").parquet(path + "_before_ids")
           DeltaWriter.compact(s, path)
         }
         val before = s.read.parquet(path + "_before_ids")

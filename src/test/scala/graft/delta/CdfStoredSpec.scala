@@ -159,10 +159,20 @@ class CdfStoredSpec extends SparkSuite {
       Map("s" -> lit("u2")))                                        // v2
     val at1 = java.time.Instant.ofEpochMilli(
       DeltaLog.ictOf(spark, path, 1L).get)
+    // delta-spark startingTimestamp semantics: a commit stamped exactly
+    // at the instant is INCLUDED, so the feed starts with v1 itself
     val byTs = DeltaLake.scanDeltaCdf(spark, path, at1)
-    val byV = DeltaLake.scanDeltaCdf(spark, path, 1L)
-    assert(byTs.count() == 10L) // v2's 5 pre + 5 post images only
+    val byV = DeltaLake.scanDeltaCdf(spark, path, 0L)
+    assert(byTs.count() == 16L) // v1's 3+3 AND v2's 5+5 images
     assert(byTs.exceptAll(byV).isEmpty && byV.exceptAll(byTs).isEmpty)
+    // strictly after v1's stamp but at v2's → only v2
+    val at2 = java.time.Instant.ofEpochMilli(
+      DeltaLog.ictOf(spark, path, 2L).get)
+    assert(DeltaLake.scanDeltaCdf(spark, path, at2).count() == 10L)
+    // past every commit → empty feed, not an error
+    val after = java.time.Instant.ofEpochMilli(
+      DeltaLog.ictOf(spark, path, 2L).get + 60000L)
+    assert(DeltaLake.scanDeltaCdf(spark, path, after).count() == 0L)
   }
 
   test("vacuum spares cdc files while their commit is readable, reaps after") {

@@ -57,6 +57,33 @@ class StatsTruncationSpec extends SparkSuite {
         Seq(Cond("txt", "=", justAboveTrueMax)))).count() == 0)
   }
 
+  test("incremented max never emits a lone surrogate") {
+    // chars whose successor lands in U+D800–DFFF (here U+D7FF at the
+    // truncation point) must be skipped leftward, not incremented —
+    // a lone surrogate in the stats JSON is malformed UTF-16 that
+    // strict readers reject and order unpredictably
+    val path = tmp()
+    val tricky = "abc" + ("퟿" * 70)        // truncates to 32 chars of mostly U+D7FF
+    val paired = "xy" + ("😀" * 40)   // surrogate PAIRS split at char 32
+    DeltaWriter.write(Seq((1L, tricky), (2L, paired)).toDF("id", "txt")
+      .coalesce(1), path)
+    val st = DeltaLog.forPath(spark, path).liveFiles.head.parsedStats.get
+    val mx = st.maxValues("txt").asText
+    mx.zipWithIndex.foreach { case (c, i) =>
+      val loneHigh = Character.isHighSurrogate(c) &&
+        (i + 1 >= mx.length || !Character.isLowSurrogate(mx.charAt(i + 1)))
+      val loneLow = Character.isLowSurrogate(c) &&
+        (i == 0 || !Character.isHighSurrogate(mx.charAt(i - 1)))
+      assert(!loneHigh && !loneLow, s"lone surrogate at $i in max bound")
+    }
+    assert(mx > tricky && mx > paired, "bound lost its upper-bound property")
+    // both full values must still be findable (fail-open inside bound)
+    assert(DeltaLake.scanDelta(spark, path,
+      ScanSettings(conditions = Seq(Cond("txt", "=", tricky)))).count() == 1)
+    assert(DeltaLake.scanDelta(spark, path,
+      ScanSettings(conditions = Seq(Cond("txt", "=", paired)))).count() == 1)
+  }
+
   test("short strings keep exact stats") {
     val path = tmp()
     DeltaWriter.write(Seq((1L, "abc"), (2L, "xyz")).toDF("id", "s")
