@@ -3035,18 +3035,10 @@ object DeltaWriter {
       dryRun: Boolean = false): Seq[String] = {
     val snap = DeltaLog.forPath(spark, path)
     val root = new Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(hconf)
     val rootUri = root.toUri.getPath.stripSuffix("/")
     val cutoff = System.currentTimeMillis() - graceMs
-    val onDisk = mutable.Set.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath.toUri.getPath
-      if (!p.contains("/_delta_log/") &&
-          (graceMs <= 0L || st.getModificationTime < cutoff))
-        onDisk += p.stripPrefix(rootUri + "/")
-    }
     val liveData = snap.liveFiles.map(a => DeltaScan.decodePath(a.path)).toSet
     // DV files referenced by the current version — "u" form AND "p"
     // (absolute) files that live under the table root
@@ -3059,24 +3051,83 @@ object DeltaWriter {
     // commit out — deleting them earlier would break scanDeltaCdf over
     // history the log still advertises. Files stranded by FAILED
     // commits are referenced by no JSON and fall through to deletion.
+    // The scan is STREAMED line by line (a commit can carry an action
+    // line per rewritten file — buffering whole commits at 100 TB table
+    // sizes is the kind of driver-memory spike vacuum must not have),
+    // with a cheap substring prefilter before the JSON parse.
     val logDirP = new Path(root, "_delta_log")
     val commitJson = "^\\d{20}\\.json$".r
     val liveCdc: Set[String] =
       if (!fs.exists(logDirP)) Set.empty
-      else fs.listStatus(logDirP).toSeq
-        .filter(st => commitJson.matches(st.getPath.getName))
-        .flatMap { st =>
-          val in = fs.open(st.getPath)
-          val text =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          text.split('\n').filter(_.nonEmpty).flatMap { l =>
-            val n = ActionCodec.mapper.readTree(l)
-            Option(n.get("cdc")).filterNot(_.isNull)
-              .flatMap(c => Option(c.get("path")).filterNot(_.isNull)
-                .map(p => DeltaScan.decodePath(p.asText)))
+      else {
+        val acc = mutable.Set.empty[String]
+        fs.listStatus(logDirP).iterator
+          .filter(st => commitJson.matches(st.getPath.getName))
+          .foreach { st =>
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(fs.open(st.getPath), "UTF-8"))
+            try {
+              var l = in.readLine()
+              while (l != null) {
+                if (l.contains("\"cdc\"")) {
+                  val n = ActionCodec.mapper.readTree(l)
+                  Option(n.get("cdc")).filterNot(_.isNull)
+                    .flatMap(c => Option(c.get("path")).filterNot(_.isNull))
+                    .foreach(p => acc += DeltaScan.decodePath(p.asText))
+                }
+                l = in.readLine()
+              }
+            } finally in.close()
           }
-        }.toSet
+        acc.toSet
+      }
+    val live: Set[String] = liveData ++ liveDv ++ liveCdc
+
+    // File discovery splits at the first level: the driver lists only
+    // the table root (O(top-level entries) — partition dirs + root
+    // files), then a SPARK JOB recursively lists every subdirectory and
+    // filters against the broadcast live set, so only already-doomed
+    // paths ever travel back to the driver. At 100 TB (millions of
+    // files across thousands of partition dirs) the old driver-side
+    // fs.listFiles(root, true) walk was the last O(table-files) driver
+    // loop; this is the same shape delta-spark's VacuumCommand uses.
+    val top = fs.listStatus(root).toSeq
+      .filterNot(_.getPath.getName == "_delta_log")
+    val (dirs, rootFiles) = top.partition(_.isDirectory)
+    val topDoomed: Seq[String] = rootFiles
+      .filter(st => graceMs <= 0L || st.getModificationTime < cutoff)
+      .map(_.getPath.toUri.getPath.stripPrefix(rootUri + "/"))
+      .filterNot(live.contains)
+    val subDoomed: Seq[String] =
+      if (dirs.isEmpty) Nil
+      else {
+        val sc = spark.sparkContext
+        val confSer = new SerializableHadoopConf(hconf)
+        val liveB = sc.broadcast(live)
+        val dirStrs = dirs.map(_.getPath.toString)
+        val slices = math.max(1, math.min(dirStrs.size, sc.defaultParallelism))
+        val prevDesc = sc.getLocalProperty("spark.job.description")
+        sc.setJobDescription(s"graft vacuum listing: $path")
+        try
+          sc.parallelize(dirStrs, slices).flatMap { d =>
+            val p = new Path(d)
+            val pfs = p.getFileSystem(confSer.value)
+            val out = mutable.ArrayBuffer.empty[String]
+            val it = pfs.listFiles(p, true)
+            while (it.hasNext) {
+              val st = it.next()
+              val rel = st.getPath.toUri.getPath.stripPrefix(rootUri + "/")
+              if (!liveB.value.contains(rel) &&
+                  (graceMs <= 0L || st.getModificationTime < cutoff))
+                out += rel
+            }
+            out
+          }.collect().toSeq
+        finally {
+          sc.setJobDescription(prevDesc)
+          liveB.unpersist(false)
+        }
+      }
     // Content-addressed v2 sidecars orphaned by CRASHED checkpoint
     // writes: a sidecar referenced by NO checkpoint top file can never
     // be read again (top files themselves are never vacuumed, so every
@@ -3119,9 +3170,29 @@ object DeltaWriter {
             (graceMs <= 0L || st.getModificationTime < cutoff))
           .map(st => "_delta_log/_sidecars/" + st.getPath.getName)
       }
-    val doomed = (onDisk -- liveData -- liveDv -- liveCdc).toSeq.sorted ++
-      doomedSidecars.sorted
-    if (!dryRun) doomed.foreach(rel => fs.delete(new Path(root, rel), false))
+    val doomedData = (topDoomed ++ subDoomed).sorted
+    val doomed = doomedData ++ doomedSidecars.sorted
+    if (!dryRun) {
+      // large reclaims delete in a Spark job too (deleting millions of
+      // files one driver-side RPC at a time is its own bottleneck);
+      // small batches and log-dir sidecars stay driver-side
+      val (bulk, rest): (Seq[String], Seq[String]) =
+        if (doomedData.size > 512) (doomedData, doomedSidecars.sorted)
+        else (Nil, doomed)
+      if (bulk.nonEmpty) {
+        val sc = spark.sparkContext
+        val confSer = new SerializableHadoopConf(hconf)
+        val rootStr = root.toString
+        val slices =
+          math.max(1, math.min(bulk.size / 64 + 1, sc.defaultParallelism))
+        sc.parallelize(bulk, slices).foreachPartition { batch =>
+          val rp = new Path(rootStr)
+          val pfs = rp.getFileSystem(confSer.value)
+          batch.foreach(rel => pfs.delete(new Path(rp, rel), false))
+        }
+      }
+      rest.foreach(rel => fs.delete(new Path(root, rel), false))
+    }
     doomed
   }
 
