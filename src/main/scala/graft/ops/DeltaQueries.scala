@@ -317,5 +317,31 @@ object DeltaQueries {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(*) AS BIGINT) AS n_distinct_ids,
         |  CAST(0 AS BIGINT) AS n_changed
-        |FROM customer""".stripMargin)))
+        |FROM customer""".stripMargin)),
+
+    // Every scan MODIFIER in one pass through scanDelta, under the hash
+    // oracle (reference: duckdb.py:532-546 distinct/limit composition,
+    // delta_meta_retrieval.py:140-151 limit's file-level pruning):
+    // `fields` projects (P6), `actionFilter` drops the l_returnflag=N
+    // files at the ACTION level before any IO (M5), `distinct` dedups
+    // (U2), and `limit` exercises the file-pruning + row-limit path
+    // (M4/U3) — sized above any test scale factor so the retained row
+    // set, and therefore the hash, stays deterministic while the limit
+    // code path still runs (file selection stops at the cumulative-
+    // rows>=limit cutoff; a smaller limit would make WHICH files
+    // satisfy it an implementation detail the oracle can't mirror).
+    "x11_delta_scan_modifiers" -> QueryDef(
+      (s, dir) => {
+        val path = ensureLineitemDelta(s, dir)
+        DeltaLake.scanDelta(s, path, ScanSettings(
+          fields = Some(Seq("l_returnflag", "l_linestatus", "l_shipdate")),
+          distinct = true,
+          limit = Some(10000000L),
+          actionFilter =
+            _.partitionValues.get("l_returnflag").flatten.exists(_ != "N")))
+          .orderBy("l_returnflag", "l_linestatus", "l_shipdate")
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem WHERE l_returnflag <> 'N'
+        |ORDER BY l_returnflag, l_linestatus, l_shipdate""".stripMargin)))
 }
