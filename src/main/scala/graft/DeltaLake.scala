@@ -341,14 +341,26 @@ object DeltaLake {
     * equivalent for a batch read).
     */
   def scanDeltaCdf(spark: SparkSession, path: String,
-      since: java.time.Instant): DataFrame = {
-    val from = graft.delta.DeltaLog.firstVersionAtOrAfter(spark, path, since)
-      .getOrElse(DeltaLog.forPath(spark, path).version + 1)
-    scanDeltaCdf(spark, path, from - 1)
-  }
+      since: java.time.Instant): DataFrame =
+    scanDeltaCdf(spark, path, since, Nil)
 
   def scanDeltaCdf(spark: SparkSession, path: String,
-      sinceVersion: Long): DataFrame = {
+      since: java.time.Instant, conditions: Seq[Cond]): DataFrame = {
+    val from = graft.delta.DeltaLog.firstVersionAtOrAfter(spark, path, since)
+      .getOrElse(DeltaLog.forPath(spark, path).version + 1)
+    scanDeltaCdf(spark, path, from - 1, conditions)
+  }
+
+  def scanDeltaCdf(spark: SparkSession, path: String, sinceVersion: Long,
+      /** Optional predicate for a FILTERED feed consumer: change files
+        * (stored cdc and derived adds alike — both carry
+        * `partitionValues`, adds also stats) whose metadata proves no
+        * row can match are dropped before any IO, then the compiled
+        * predicate filters the surviving rows. A bounded `sinceVersion`
+        * plus a partition predicate therefore reads only the matching
+        * partitions' change files, not the whole `_change_data/` tree.
+        */
+      conditions: Seq[Cond] = Nil): DataFrame = {
     val head = DeltaLog.forPath(spark, path)
     val snap =
       if (sinceVersion < 0) new DeltaSnapshot(spark, path)
@@ -361,16 +373,20 @@ object DeltaLake {
           s"Commit $v of $path is missing; cannot compute changes since " +
             s"$sinceVersion"))
       val priorByPath = snap.liveFiles.map(a => a.path -> a).toMap
-      val spec = CdfEngine.spec(spark, base, priorByPath, lines)
+      val spec = CdfEngine.spec(spark, base, priorByPath, lines,
+        conditions, if (conditions.isEmpty) None else Some(snap.schema))
       lines.foreach(snap.applyActionLine(_, v))
       CdfEngine.materialize(snap, spec).foreach(batches += _)
     }
-    if (batches.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(head.schema.fields :+
-          org.apache.spark.sql.types.StructField(CdfEngine.ChangeTypeCol,
-            org.apache.spark.sql.types.StringType)))
-    else batches.reduce(_.unionByName(_, allowMissingColumns = true))
+    val feed =
+      if (batches.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(head.schema.fields :+
+            org.apache.spark.sql.types.StructField(CdfEngine.ChangeTypeCol,
+              org.apache.spark.sql.types.StringType)))
+      else batches.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (conditions.isEmpty) feed
+    else feed.where(Cond.compile(conditions, Some(head.schema)))
   }
 }

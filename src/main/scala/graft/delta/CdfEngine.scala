@@ -104,20 +104,30 @@ private[graft] object CdfEngine {
 
   def spec(spark: SparkSession, base: String,
       priorByPath: Map[String, AddAction],
-      lines: Seq[JsonNode]): CommitSpec = {
+      lines: Seq[JsonNode],
+      conditions: Seq[Cond] = Nil,
+      pruneSchema: Option[StructType] = None): CommitSpec = {
+    val skip = skipper(conditions, pruneSchema)
     val stored = cdcActions(lines)
-    if (stored.nonEmpty) CommitSpec(stored, Set.empty, Nil, Nil)
+    // protocol exclusivity: a commit WITH cdc actions never falls back
+    // to derived extraction, even when pruning drops every cdc file
+    if (stored.nonEmpty)
+      CommitSpec(stored.filterNot(c =>
+        skip(AddAction(c.path, c.partitionValues, c.size, 0L, None))),
+        Set.empty, Nil, Nil)
     else {
       val adds = lines.flatMap(n =>
         Option(n.get("add")).filterNot(_.isNull).map(ActionCodec.parseAdd))
         .filter(_.dataChange)
       val newPaths = adds.collect {
-        case a if !priorByPath.contains(a.path) => a.path }.toSet
+        case a if !priorByPath.contains(a.path) && !skip(a) => a.path }.toSet
       // re-adds of live paths: diff the DV descriptors — bitmap growth
-      // retracts, shrinkage re-inserts (restore)
+      // retracts, shrinkage re-inserts (restore). The re-add's stats
+      // describe the UNCHANGED physical parquet (only the DV moved), so
+      // zone-map pruning is valid for the retracted/restored rows too.
       var delDiffs = Vector.empty[(AddAction, Seq[Long])]
       var resDiffs = Vector.empty[(AddAction, Seq[Long])]
-      adds.filter(a => priorByPath.contains(a.path)).foreach { a =>
+      adds.filter(a => priorByPath.contains(a.path) && !skip(a)).foreach { a =>
         val (dels, res) = DvCdf.diffIndices(spark, base,
           priorByPath(a.path).deletionVector, a.deletionVector)
         if (dels.nonEmpty) delDiffs :+= (a -> dels)
@@ -126,6 +136,24 @@ private[graft] object CdfEngine {
       CommitSpec(Nil, newPaths, delDiffs, resDiffs)
     }
   }
+
+  /** Metadata pruning for a FILTERED change-feed consumer: cdc actions
+    * carry `partitionValues` exactly like adds (PROTOCOL.md
+    * #add-cdc-file), so the same M2 partition machinery — and, where
+    * the action carries stats, the zone maps — drops change files whose
+    * partition provably can't match BEFORE any IO. Fail-open like the
+    * scan path: `canSkip` keeps the file on any doubt, and a pruned
+    * file's rows are removed by the residual row filter anyway.
+    */
+  private def skipper(conditions: Seq[Cond],
+      schema: Option[StructType]): AddAction => Boolean =
+    schema match {
+      case Some(sch) if conditions.nonEmpty =>
+        val physToField = DeltaSchema.physicalToField(sch)
+        val logToPhys = DeltaSchema.logicalToPhysical(sch)
+        a => FileSkipping.canSkip(a, conditions, physToField, logToPhys)
+      case _ => _ => false
+    }
 
   /** The commit's change rows against the POST-commit snapshot,
     * `_change_type` normalized to {insert, delete}; None when the commit

@@ -175,6 +175,69 @@ class CdfStoredSpec extends SparkSuite {
     assert(DeltaLake.scanDeltaCdf(spark, path, after).count() == 0L)
   }
 
+  test("partition predicate prunes stored change files before any IO") {
+    import spark.implicits._
+    val path = tmp("graft_cdf_prune")
+    val df = (1L to 100L).map(i => (i, i % 2, s"v$i")).toDF("id", "grp", "s")
+    DeltaWriter.write(df, path, partitionBy = Seq("grp"), properties = CdfOn)
+    DeltaLake.updateWhere(spark, path, Seq(Cond("id", "<=", 40L)),
+      Map("s" -> concat(col("s"), lit("!"))))                        // v1
+    val cdcs = cdcOf(path, 1L)
+    assert(cdcs.exists(_.partitionValues.get("grp").flatten.contains("0")) &&
+      cdcs.exists(_.partitionValues.get("grp").flatten.contains("1")),
+      "setup: change files in both partitions")
+
+    // hard proof of no-IO pruning: destroy grp=1's change files on
+    // disk — the grp=0-filtered feed must still answer (it never opens
+    // them), while the unfiltered feed now fails
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    cdcs.filter(_.partitionValues.get("grp").flatten.contains("1"))
+      .foreach { c =>
+        assert(fs.delete(new org.apache.hadoop.fs.Path(root, c.path), false))
+      }
+    val filtered = DeltaLake.scanDeltaCdf(spark, path, 0L,
+      Seq(Cond("grp", "=", 0L)))
+    // grp=0 holds even ids: 20 of the 40 updated rows → 20 pre + 20 post
+    assert(filtered.count() == 40L)
+    assert(filtered.where(col("grp") =!= 0L).isEmpty)
+    intercept[Exception] {
+      DeltaLake.scanDeltaCdf(spark, path, 0L).count()
+    }
+  }
+
+  test("partition predicate prunes derived change files and filters rows") {
+    import spark.implicits._
+    val path = tmp("graft_cdf_prune_derived")
+    // no CDF property → derived feed (appends as inserts)
+    DeltaWriter.write((1L to 50L).map(i => (i, i % 2, s"a$i"))
+      .toDF("id", "grp", "s"), path, partitionBy = Seq("grp"))
+    DeltaWriter.write((51L to 80L).map(i => (i, i % 2, s"b$i"))
+      .toDF("id", "grp", "s"), path, partitionBy = Seq("grp"),
+      mode = "append")                                                // v1
+    val snap = DeltaLog.forPath(spark, path)
+    // destroy grp=1 data files — the grp=0-filtered feed never reads them
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    snap.liveFiles.filter(_.partitionValues.get("grp").flatten.contains("1"))
+      .foreach { a =>
+        assert(fs.delete(new org.apache.hadoop.fs.Path(
+          root, DeltaScan.decodePath(a.path)), false))
+      }
+    val filtered = DeltaLake.scanDeltaCdf(spark, path, 0L,
+      Seq(Cond("grp", "=", 0L)))
+    // v1 appended ids 51..80; grp=0 (even) holds 15 of them
+    assert(filtered.count() == 15L)
+    assert(filtered.where(col("grp") =!= 0L).isEmpty)
+    // a row-level (non-partition) predicate filters rows too
+    val rowFiltered = DeltaLake.scanDeltaCdf(spark, path, 0L,
+      Seq(Cond("grp", "=", 0L), Cond("id", ">", 70L)))
+    assert(rowFiltered.count() == 5L)
+    intercept[Exception] {
+      DeltaLake.scanDeltaCdf(spark, path, 0L).count()
+    }
+  }
+
   test("vacuum spares cdc files while their commit is readable, reaps after") {
     import spark.implicits._
     val path = tmp("graft_cdf_vac")
