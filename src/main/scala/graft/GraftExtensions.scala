@@ -58,6 +58,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName,
         "graft_delta_history"),
       GraftExtensions.historyTableFunction))
+    // Procedure-style MAINTENANCE/DDL verbs — the extension's stated
+    // point is that a pure-SQL session can drive the whole surface, and
+    // these were Scala-only. The side effect runs when the statement is
+    // analyzed (spark.sql analyzes eagerly, so `spark.sql("SELECT *
+    // FROM graft_optimize('/p')")` performs the OPTIMIZE exactly once);
+    // the returned result table reports what happened — the
+    // same shape Iceberg's CALL procedures and delta-spark's SQL
+    // commands report.
+    Seq(
+      "graft_optimize" -> GraftExtensions.optimizeTableFunction,
+      "graft_vacuum" -> GraftExtensions.vacuumTableFunction,
+      "graft_rename_column" -> GraftExtensions.renameColumnTableFunction,
+      "graft_drop_column" -> GraftExtensions.dropColumnTableFunction,
+      "graft_restore" -> GraftExtensions.restoreTableFunction,
+      "graft_detail" -> GraftExtensions.detailTableFunction
+    ).foreach { case (name, builder) =>
+      ext.injectTableFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
   }
 }
 
@@ -139,5 +158,107 @@ object GraftExtensions {
       val path = literalString(args, 0, "graft_delta_history", "path")
       val spark = org.apache.spark.sql.SparkSession.active
       DeltaLake.history(spark, path).queryExecution.analyzed
+    }
+
+  private type Plan = org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  /** `graft_optimize(path[, 'z1,z2'])`: bin-pack compaction, optionally
+    * re-clustered on the Morton key over the given columns (OPTIMIZE
+    * ZORDER BY). One row: the number of source files compacted away.
+    */
+  private[graft] val optimizeTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.nonEmpty && args.size <= 2,
+        "graft_optimize(path[, zorderColumnsCsv]) takes 1 or 2 arguments")
+      val path = literalString(args, 0, "graft_optimize", "path")
+      val zorder =
+        if (args.size < 2) Nil
+        else literalString(args, 1, "graft_optimize", "zorderColumnsCsv")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val spark = org.apache.spark.sql.SparkSession.active
+      val n = graft.delta.DeltaWriter.compact(spark, path, zOrderBy = zorder)
+      import spark.implicits._
+      Seq(n.toLong).toDF("num_compacted_files").queryExecution.analyzed
+    }
+
+  /** `graft_vacuum(path[, graceMs[, dryRun]])`: reclaim unreferenced
+    * files (distributed listing). One row per deleted — or, under
+    * dryRun, would-be-deleted — relative path.
+    */
+  private[graft] val vacuumTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.nonEmpty && args.size <= 3,
+        "graft_vacuum(path[, graceMs[, dryRun]]) takes 1 to 3 arguments")
+      val path = literalString(args, 0, "graft_vacuum", "path")
+      val grace =
+        if (args.size < 2) 0L else literalLong(args, 1, "graft_vacuum", "graceMs")
+      val dry = args.size >= 3 && {
+        require(args(2).foldable, "graft_vacuum arguments must be literals")
+        args(2).eval() match {
+          case b: java.lang.Boolean => b.booleanValue()
+          case other => other.toString.toBoolean
+        }
+      }
+      val spark = org.apache.spark.sql.SparkSession.active
+      val deleted = graft.delta.DeltaWriter.vacuum(spark, path, grace, dry)
+      import spark.implicits._
+      deleted.toDF("path").queryExecution.analyzed
+    }
+
+  /** `graft_rename_column(path, old, new)`: metadata-only RENAME COLUMN
+    * (auto-enables column mapping). One row: the committed version.
+    */
+  private[graft] val renameColumnTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 3,
+        "graft_rename_column(path, oldName, newName) takes 3 arguments")
+      val path = literalString(args, 0, "graft_rename_column", "path")
+      val from = literalString(args, 1, "graft_rename_column", "oldName")
+      val to = literalString(args, 2, "graft_rename_column", "newName")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val v = DeltaLake.renameColumn(spark, path, from, to)
+      import spark.implicits._
+      Seq(v).toDF("version").queryExecution.analyzed
+    }
+
+  /** `graft_drop_column(path, col)`: metadata-only DROP COLUMN. One
+    * row: the committed version.
+    */
+  private[graft] val dropColumnTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 2,
+        "graft_drop_column(path, colName) takes 2 arguments")
+      val path = literalString(args, 0, "graft_drop_column", "path")
+      val colName = literalString(args, 1, "graft_drop_column", "colName")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val v = DeltaLake.dropColumn(spark, path, colName)
+      import spark.implicits._
+      Seq(v).toDF("version").queryExecution.analyzed
+    }
+
+  /** `graft_restore(path, toVersion)`: RESTORE TABLE ... TO VERSION AS
+    * OF. One row of restore statistics.
+    */
+  private[graft] val restoreTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 2,
+        "graft_restore(path, toVersion) takes 2 arguments")
+      val path = literalString(args, 0, "graft_restore", "path")
+      val toV = literalLong(args, 1, "graft_restore", "toVersion")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val st = DeltaLake.restoreTable(spark, path, toV)
+      import spark.implicits._
+      Seq((st.restoredFiles, st.removedFiles, st.dvReverted))
+        .toDF("restored_files", "removed_files", "dv_reverted")
+        .queryExecution.analyzed
+    }
+
+  /** `graft_detail(path)`: DESCRIBE DETAIL as a one-row table. */
+  private[graft] val detailTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 1, "graft_detail(path) takes 1 argument")
+      val path = literalString(args, 0, "graft_detail", "path")
+      val spark = org.apache.spark.sql.SparkSession.active
+      DeltaLake.detail(spark, path).queryExecution.analyzed
     }
 }

@@ -120,4 +120,78 @@ class GraftExtensionsSpec extends SparkSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("maintenance and DDL verbs run from a SQL-only session") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tvf_maint").toString + "/t"
+    // many small files so OPTIMIZE has something to compact
+    (0 until 6).foreach { i =>
+      graft.delta.DeltaWriter.write(
+        (1L to 10L).map(j => (i * 10L + j, s"r$i-$j")).toDF("id", "s")
+          .coalesce(1),
+        path, mode = if (i == 0) "overwrite" else "append")
+    }
+
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+
+      // OPTIMIZE from SQL: compacts the six small files, reports it
+      val compacted = s2.sql(
+        s"SELECT * FROM graft_optimize('$path')")
+        .collect()(0).getLong(0)
+      assert(compacted == 6L)
+      assert(s2.sql(s"SELECT count(*) AS n FROM graft_delta('$path')")
+        .collect()(0).getLong(0) == 60L)
+
+      // VACUUM from SQL: dry run first (reports, deletes nothing),
+      // then the real pass reclaims the compacted-away originals
+      val dry = s2.sql(
+        s"SELECT * FROM graft_vacuum('$path', 0, true)").count()
+      assert(dry >= 6L)
+      val reclaimed = s2.sql(
+        s"SELECT * FROM graft_vacuum('$path')").count()
+      assert(reclaimed == dry)
+      assert(s2.sql(s"SELECT * FROM graft_vacuum('$path')").count() == 0L)
+
+      // RENAME + DROP COLUMN from SQL, readable under the new names
+      assert(s2.sql(
+        s"SELECT * FROM graft_rename_column('$path', 's', 'label')")
+        .collect()(0).getLong(0) > 0L)
+      val dropped = s2.sql(
+        s"SELECT * FROM graft_drop_column('$path', 'label')")
+        .collect()(0).getLong(0)
+      assert(dropped > 0L)
+      val cols = s2.sql(s"SELECT * FROM graft_delta('$path')").columns.toSeq
+      assert(cols == Seq("id"))
+
+      // DESCRIBE DETAIL from SQL: one row, correct file count
+      val det = s2.sql(
+        s"SELECT numFiles FROM graft_detail('$path')").collect()
+      assert(det.length == 1 && det(0).getLong(0) >= 1L)
+
+      // RESTORE from SQL back to the renamed-but-not-dropped version
+      // (v7: after OPTIMIZE at v6 and RENAME; pre-OPTIMIZE versions
+      // reference vacuumed files and correctly refuse to restore)
+      val restored = s2.sql(
+        s"SELECT * FROM graft_restore('$path', 7)").collect()
+      assert(restored.length == 1)
+      assert(s2.sql(s"SELECT * FROM graft_delta('$path')").columns.toSeq ==
+        Seq("id", "label"))
+      // and the refusal is loud, not silent corruption
+      val e = intercept[Exception] {
+        s2.sql(s"SELECT * FROM graft_restore('$path', 5)").collect()
+      }
+      assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
