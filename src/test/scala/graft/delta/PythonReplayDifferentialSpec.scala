@@ -173,6 +173,92 @@ class PythonReplayDifferentialSpec extends SparkSuite {
     }
   }
 
+  test("v2 checkpoint with multiple content-addressed sidecars") {
+    val path = tmp()
+    // 1 ms sidecar window → every distinct file mtime gets its own
+    // content-addressed sidecar, so the reader must resolve SEVERAL
+    // sidecar pointers from the top file, not just one
+    DeltaWriter.write((1L to 10L).map(i => (i, s"r$i")).toDF("id", "s"), path,
+      properties = Map("delta.checkpointPolicy" -> "v2",
+        "delta.checkpointInterval" -> "3",
+        "graft.checkpoint.sidecarWindowMs" -> "1"))
+    (1 to 7).foreach { k =>
+      Thread.sleep(5) // distinct mtimes → distinct sidecar buckets
+      DeltaWriter.write(Seq((100L + k, s"a$k")).toDF("id", "s"), path,
+        mode = "append")
+    }
+    val scDir = new org.apache.hadoop.fs.Path(path, "_delta_log/_sidecars")
+    val fs = scDir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(scDir) && fs.listStatus(scDir).length > 1,
+      "setup: expected multiple sidecar files")
+    assertAgrees(path, 17)
+    // time travel THROUGH the checkpoint boundary still agrees
+    assertAgrees(path, 13, version = Some(3L))
+  }
+
+  test("row tracking: materialized ids survive OPTIMIZE and replay cleanly") {
+    val path = tmp()
+    DeltaWriter.write((1L to 500L).map(i => (i, s"g${i % 4}", s"r$i"))
+      .toDF("id", "g", "s").repartition(4), path,
+      properties = Map("delta.enableRowTracking" -> "true"))
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "<=", 20L)))
+    // OPTIMIZE materializes the stable ids as EXTRA physical columns in
+    // the rewritten parquet — columns absent from the logical schema,
+    // which an independent reader must ignore rather than surface
+    DeltaWriter.compact(spark, path)
+    assertAgrees(path, 480)
+    DeltaWriter.write(Seq((501L, "g0", "new")).toDF("id", "g", "s"), path,
+      mode = "append")
+    assertAgrees(path, 481)
+    // sanity: the ids really are materialized + stable (writer side)
+    val ids = DeltaLake.scanDeltaWithRowIds(spark, path)
+    assert(ids.select("_row_id").distinct().count() == 481)
+  }
+
+  test("identity columns: generated values replay through the python reader") {
+    val path = tmp()
+    DeltaWriter.write(Seq("a", "b", "c").toDF("name"), path,
+      identityColumns = Map("row_id" -> (100L, 10L)))
+    DeltaWriter.write(Seq("d", "e").toDF("name"), path, mode = "append")
+    assertAgrees(path, 5)
+    // the values themselves (not just counts) are covered by the bag
+    // diff; spot-check the high-water continuation after a 3rd append
+    DeltaWriter.write(Seq("f").toDF("name"), path, mode = "append")
+    assertAgrees(path, 6)
+  }
+
+  test("ICT timestamp time travel resolves identically in both readers") {
+    val path = tmp()
+    DeltaWriter.write((1L to 10L).map(i => (i, s"r$i")).toDF("id", "s"), path,
+      properties = Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaWriter.write((11L to 15L).map(i => (i, s"r$i")).toDF("id", "s"),
+      path, mode = "append")                                        // v1
+    DeltaWriter.write((16L to 18L).map(i => (i, s"r$i")).toDF("id", "s"),
+      path, mode = "append")                                        // v2
+    val at1 = DeltaLog.ictOf(spark, path, 1L).get
+    // corrupt every commit-file mtime so only the ICTs can resolve the
+    // instant correctly — both readers must ignore mtimes here
+    val logDir = new org.apache.hadoop.fs.Path(path, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json"))
+      .zipWithIndex.foreach { case (st, i) =>
+        fs.setTimes(st.getPath, at1 + 3600000L * (3 - i), -1)
+      }
+    val dump = java.nio.file.Files
+      .createTempDirectory("graft_pyrep_ict").toString
+    DeltaLake.scanDelta(spark, path, ScanSettings(
+      timestampAsOf = Some(java.time.Instant.ofEpochMilli(at1))))
+      .coalesce(1).write.mode("overwrite").parquet(dump)
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Seq("python3", "tools/delta_replay.py", path,
+      "--timestamp-ms", at1.toString, "--diff", dump) !
+      ProcessLogger(l => out ++= l, l => out ++= l)
+    assert(code == 0, s"ICT time travel diverged: $out")
+    val node = ActionCodec.mapper.readTree(out.toString)
+    assert(node.get("rows").asLong == 15L, out.toString)
+  }
+
   test("DML battery: update, merge, restore") {
     val path = tmp()
     DeltaWriter.write((1L to 100L).map(i => (i, s"g${i % 3}", i * 1.0))

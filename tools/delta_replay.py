@@ -17,6 +17,7 @@ Usage:
   delta_replay.py TABLE_PATH --csv            # dump rows as CSV
   delta_replay.py TABLE_PATH --diff SPARK_DIR # bag-diff vs a parquet dir
   delta_replay.py TABLE_PATH --version N      # time travel
+  delta_replay.py TABLE_PATH --timestamp-ms T # timestamp travel (ICT-aware)
   delta_replay.py TABLE_PATH --cdf SPARK_DIR  # change-feed bag-diff
 
 --diff / --cdf print one JSON line
@@ -261,6 +262,45 @@ def replay(con, table, version=None):
 
 
 # ----------------------------------------------- schema / type mapping --
+def version_at_timestamp(table, ts_ms):
+    """Greatest version whose effective commit timestamp <= ts_ms —
+    timestamp time travel. If the NEWEST commit carries
+    commitInfo.inCommitTimestamp (PROTOCOL.md#in-commit-timestamps),
+    every commit resolves by its own ICT (file-mtime fallback per
+    commit); otherwise by commit-file mtimes. Timestamps are
+    monotonized in version order, so clock skew or restored backups
+    can't make a version resolve older than its predecessor."""
+    logdir = os.path.join(table, "_delta_log")
+    pat = re.compile(r"^(\d{20})\.json$")
+    commits = sorted(int(m.group(1)) for n in log_files(logdir)
+                     if (m := pat.match(n)))
+    assert commits, f"no commits under {logdir}"
+
+    def ict(v):
+        with open(os.path.join(logdir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if line.strip():
+                    ci = json.loads(line).get("commitInfo")
+                    if ci and ci.get("inCommitTimestamp") is not None:
+                        return ci["inCommitTimestamp"]
+        return None
+
+    use_ict = ict(commits[-1]) is not None
+    timeline, prev = [], None
+    for v in commits:
+        t = ict(v) if use_ict else None
+        if t is None:
+            t = int(os.path.getmtime(
+                os.path.join(logdir, f"{v:020d}.json")) * 1000)
+        if prev is not None and t < prev:
+            t = prev
+        prev = t
+        timeline.append((v, t))
+    eligible = [v for v, t in timeline if t <= ts_ms]
+    assert eligible, f"no version of {table} at or before {ts_ms}"
+    return max(eligible)
+
+
 def duck_type(t):
     """Delta schema JSON type -> DuckDB SQL type."""
     if isinstance(t, str):
@@ -466,6 +506,9 @@ def main():
     version = None
     if "--version" in args:
         version = int(args[args.index("--version") + 1])
+    elif "--timestamp-ms" in args:
+        version = version_at_timestamp(
+            table, int(args[args.index("--timestamp-ms") + 1]))
     con = duckdb.connect()
     con.execute("SET timezone = 'UTC'")
     if "--cdf" in args:
