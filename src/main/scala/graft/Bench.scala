@@ -92,8 +92,23 @@ object Bench {
       }
     val kCold = minPass(kernels)
     val kWarm = minPass(kernels)
+    // Round-8 protocol: COLD is the per-query MIN of two cache-cold
+    // passes (OpCaches cleared before each), not a single shot. Single-
+    // shot cold numbers on this box swung ±40% on untouched queries
+    // (q14/s1 across r6/r7), making every round's verdict adjudicate
+    // noise; two samples with the minimum keep the metric "price of a
+    // fresh session" while suppressing one-off GC/box spikes. The
+    // second pass is JIT-warmer than the first — cold therefore reads
+    // slightly lower than the r7-era single-shot and is not comparable
+    // across that boundary.
     graft.ops.OpCaches.clear()
-    val cold = pass(operators)
+    val cold1 = pass(operators)
+    graft.ops.OpCaches.clear()
+    val cold2 = pass(operators)
+    val cold = cold1.zip(cold2).map { case ((n, a), (_, b)) =>
+      val ts = Seq(a, b).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
     val warm = pass(operators)
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -378,7 +378,11 @@ class ProtocolConformanceSpec extends SparkSuite {
     // r5 2026-08-13: unchanged — probe ran, still no second reader;
     // r7 2026-08-13: re-probed — `import deltalake` ModuleNotFoundError,
     // duckdb `INSTALL delta` → "ERROR Connection" (zero egress), LOAD
-    // without install fails. Still environment-blocked; the in-repo
+    // without install fails;
+    // r8 2026-08-14: re-probed — unchanged: pip cannot resolve
+    // deltalake (DNS failure to the index), duckdb INSTALL delta
+    // cannot reach extensions.duckdb.org. Still environment-blocked;
+    // the in-repo
     // compensating differential is PythonReplayDifferentialSpec +
     // tools/delta_replay.py — an independent python+DuckDB reader
     // implementation — which runs green regardless of this probe).
