@@ -2,27 +2,20 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** sf1 scale rehearsal (round-4 verdict item 2): run the top warm
-  * queries at sf0.1 and the ScaleGen-derived sf1 in ONE session with
-  * the Bench protocol (stage → clear caches → cold pass → warm pass),
-  * and report per-query sf1/sf0.1 ratios plus the d6 connected-
-  * components round count at both scales. A query whose warm ratio
-  * blows past ~12x (10x data + shuffle growth) is a scale pathology;
-  * d6's round count must stay flat (O(log n) convergence claim).
+/** sf1 scale rehearsal (round-4 verdict item 2; full registry since
+  * round 8): run EVERY registry query at sf0.1 and the ScaleGen-derived
+  * sf1 in ONE session with the Bench protocol (stage → clear caches →
+  * cold pass → warm pass), and report per-query sf1/sf0.1 ratios plus
+  * the d6 connected-components round count at both scales. A query
+  * whose warm ratio blows past ~12x (10x data + shuffle growth) is a
+  * scale pathology; d6's round count must stay flat (O(log n)
+  * convergence claim).
+  *
+  * Kernel-flagged entries (d7: deliberately-amplified hash
+  * microbenchmarks) are included but marked `[k]` — their ratios
+  * measure the amplified kernel, not an operator.
   */
 object ScaleRehearsal {
-
-  private val TopQueries = Seq(
-    "d3_minhash_pairs", "d4_ngram_jaccard", "d5_simhash_pairs",
-    "d6_dedup_components", "d6_fast_components", "d8_dedup_corpus",
-    "e2_sessionize", "q15_salted_join", "s2_ann_lsh", "s4_ann_ivf",
-    "t8_contamination", "t10_repetition",
-    // round-6 verdict item 6: the r5/r6 additions under the same lens
-    "t13_unigram_logprob", "e7_attribution", "p2_shard_export",
-    "q22_approx_vs_exact", "q23_grouping_sets", "x8_cdf_stored_vs_derived",
-    // round-7 additions
-    "e8_anomaly", "p3_leakage_split", "t14_zipf_alpha",
-    "x9_delta_rename_drop", "x10_row_ids_stable")
 
   def main(args: Array[String]): Unit = {
     val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -35,17 +28,22 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val allKeys = graft.ops.Registry.all.keys.toSeq.sorted
+
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
 
     def passes(dir: String): Map[String, (Double, Double)] = {
-      val qs = TopQueries.map(k => k -> graft.ops.Registry.all(k).fn)
+      val qs = allKeys.map(k => k -> graft.ops.Registry.all(k).fn)
       qs.foreach { case (_, fn) =>
         try { fn(spark, dir); () } catch { case _: Throwable => () } }
       graft.ops.OpCaches.clear()
-      val cold = qs.map { case (k, fn) => k -> time(fn(spark, dir).count()) }
-      val warm = qs.map { case (k, fn) => k -> time(fn(spark, dir).count()) }
+      def one(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+          : Double =
+        try time(fn(spark, dir).count()) catch { case _: Throwable => -1.0 }
+      val cold = qs.map { case (k, fn) => k -> one(fn) }
+      val warm = qs.map { case (k, fn) => k -> one(fn) }
       graft.ops.OpCaches.clear()
       cold.zip(warm).map { case ((k, c), (_, w)) => k -> (c, w) }.toMap
     }
@@ -74,15 +72,20 @@ object ScaleRehearsal {
     val r01 = d6Rounds(sf01)
     val r1 = d6Rounds(sf1)
 
-    println(f"${"query"}%-22s ${"sf0.1 cold"}%10s ${"warm"}%8s " +
+    def isKernel(k: String) = graft.ops.Registry.all(k).kernel
+    println(f"${"query"}%-26s ${"sf0.1 cold"}%10s ${"warm"}%8s " +
       f"${"sf1 cold"}%10s ${"warm"}%8s ${"ratio(warm)"}%12s")
-    TopQueries.foreach { k =>
+    allKeys.foreach { k =>
       val (c0, w0) = base(k); val (c1, w1) = scaled(k)
-      println(f"$k%-22s $c0%10.2f $w0%8.2f $c1%10.2f $w1%8.2f ${w1 / w0}%12.1f")
+      val tag = if (isKernel(k)) s"$k [k]" else k
+      val ratio = if (w0 > 0 && w1 > 0) f"${w1 / w0}%12.1f" else f"${"n/a"}%12s"
+      println(f"$tag%-26s $c0%10.2f $w0%8.2f $c1%10.2f $w1%8.2f $ratio")
     }
-    val tw0 = TopQueries.map(base(_)._2).sum
-    val tw1 = TopQueries.map(scaled(_)._2).sum
-    println(f"TOTAL warm: sf0.1 $tw0%.2f s, sf1 $tw1%.2f s, " +
+    val opKeys = allKeys.filterNot(isKernel)
+      .filter(k => base(k)._2 > 0 && scaled(k)._2 > 0)
+    val tw0 = opKeys.map(base(_)._2).sum
+    val tw1 = opKeys.map(scaled(_)._2).sum
+    println(f"TOTAL warm (operators): sf0.1 $tw0%.2f s, sf1 $tw1%.2f s, " +
       f"ratio ${tw1 / tw0}%.1f")
     println(s"d6 rounds: sf0.1 = $r01, sf1 = $r1")
     spark.stop()
