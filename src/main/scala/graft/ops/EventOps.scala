@@ -287,5 +287,41 @@ object EventOps {
         |  FROM events)
         |SELECT event_id AS purchase_id, user_id, last_touch, value
         |FROM touched WHERE event_type = 'purchase'
-        |ORDER BY purchase_id""".stripMargin)))
+        |ORDER BY purchase_id""".stripMargin)),
+
+    // First-order Markov transition matrix over per-user event
+    // timelines — the behavior-modeling primitive (and a sequence-data
+    // quality check: a transition that "can't happen" showing up means
+    // the ingest reordered events). Each user's consecutive event pair
+    // (prev_type → type) is one observation; output is the count and
+    // the row-normalized transition probability. Scale shape: ONE
+    // user_id shuffle for the lag window, then a combiner-bound
+    // aggregation onto the tiny (type × type) matrix and a broadcast-
+    // sized per-prev normalization window — never a per-user collect
+    // or a self-join on adjacent events.
+    "e9_transitions" -> QueryDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val byPrev = Window.partitionBy("prev_type")
+        events(s, dir)
+          .withColumn("prev_type", lag("event_type", 1).over(byUser))
+          .where(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            round(col("n").cast("double") / sum("n").over(byPrev), 6))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM pairs ORDER BY prev_type, next_type""".stripMargin)))
 }

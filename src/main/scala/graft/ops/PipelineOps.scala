@@ -166,5 +166,39 @@ object PipelineOps {
         |SELECT doc_id, split FROM tagged
         |WHERE split = 'train'
         |   OR cluster_rep NOT IN (SELECT cluster_rep FROM trainc)
-        |ORDER BY doc_id""".stripMargin)))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Temperature-scaled source mixture weights — the data-recipe step
+    // multilingual/multi-source training runs use (XLM-R/mT5-style
+    // α-sampling): per-source token mass, then sampling weight
+    // w_s ∝ n_tokens^α with α=0.5, which upsamples small sources
+    // relative to proportional sampling without letting them dominate.
+    // Scale shape: one combiner-bound per-source aggregation over the
+    // corpus scan (token counting is map-side), then an O(#sources)
+    // normalization kept IN the plan via a broadcast 1-row join — no
+    // driver-side action, same pattern as t13's corpus total.
+    "p4_mixture_weights" -> QueryDef(
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val perSource = table(s, dir, "documents")
+          .select(col("source"), size(toks).cast("long").as("n_tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        val z = broadcast(perSource.agg(
+          sum(sqrt(col("n_tokens").cast("double"))).as("z")))
+        perSource.crossJoin(z)
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(sqrt(col("n_tokens").cast("double")) / col("z"), 6)
+              .as("weight"))
+          .orderBy("source")
+      },
+      Some("""WITH per_source AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(lower(text), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  round(sqrt(n_tokens) /
+        |    (SELECT sum(sqrt(n_tokens)) FROM per_source), 6) AS weight
+        |FROM per_source ORDER BY source""".stripMargin)))
 }
