@@ -639,4 +639,50 @@ class OpsSpec extends SparkSuite {
       s"clean doc $id falsely flagged: $out"))
     assert(cleans.nonEmpty && copies.nonEmpty)
   }
+
+  test("e9 transitions: rows are a probability matrix over true pair counts") {
+    val rows = Registry.all("e9_transitions").fn(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // per-prev probabilities sum to 1 (within the 1e-6 rounding grain)
+    rows.groupBy(_._1._1).foreach { case (prev, rs) =>
+      val p = rs.map(_._3).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"$prev probabilities sum to $p")
+    }
+    // total pair count = total events - one per user (each user's
+    // timeline of n events contributes exactly n-1 transitions)
+    val ev = graft.ops.EventOps.readEvents(spark, dir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == expected)
+    // spot-check one cell against a driver-side tally
+    val timeline = ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values.flatMap { es =>
+        val sorted = es.sortBy(e => (e._2, e._3)).map(_._4).toSeq
+        sorted.zip(sorted.tail)
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { case ((a, b), n, _) =>
+      assert(timeline((a, b)) == n, s"pair ($a,$b)") }
+    assert(timeline.size == rows.length, "missing pairs in the matrix")
+  }
+
+  test("p4 mixture weights: normalized, and flatter than proportional") {
+    val rows = Registry.all("p4_mixture_weights").fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    // alpha=0.5 upsamples small sources: weight ratios must sit between
+    // 1 and the raw token-mass ratios (strictly flatter than
+    // proportional sampling, never inverted)
+    val sorted = rows.sortBy(_._3)
+    val (small, big) = (sorted.head, sorted.last)
+    if (big._3 > small._3) {
+      val wRatio = big._4 / small._4
+      val tRatio = big._3.toDouble / small._3
+      assert(wRatio > 1.0 - 1e-9 && wRatio < tRatio,
+        s"weight ratio $wRatio not in (1, $tRatio)")
+      assert(math.abs(wRatio - math.sqrt(tRatio)) / math.sqrt(tRatio) < 0.01)
+    }
+  }
 }
