@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSuite
+
+/** Round-8 advisor regression: `stagedOnce` re-staging must also remove
+  * SIBLING artifacts of the staged table (x10's `<name>_before_ids`
+  * row-id snapshot). Before the fix, re-staging after testdata
+  * regeneration deleted only the table root; the stale snapshot then
+  * either crashed the re-run (`path already exists`) or — worse —
+  * joined ids captured from OLD source data against the fresh table.
+  */
+class StagingRegressionSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("re-staging removes stale sibling artifacts and stays correct") {
+    val fn = Registry.all("x10_row_ids_stable").fn
+    // first run stages the table + writes the _before_ids snapshot
+    val first = fn(spark, dir).collect()(0)
+    assert(first.getLong(2) == 0L, "baseline: no ids changed")
+
+    val stagePath = s"/tmp/graft_delta_stage/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "/customer_rowtrack_delta"
+    val root = new Path(stagePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(stagePath + "_before_ids")),
+      "setup: snapshot sibling exists after staging")
+
+    // simulate testdata regeneration: corrupt the fingerprint marker
+    // and drop the session-conf fast path, then plant a canary sibling
+    val ok = new Path(stagePath + "._STAGED_OK")
+    val out = fs.create(ok, true)
+    try out.write("stale-fingerprint".getBytes("UTF-8")) finally out.close()
+    val canary = new Path(stagePath + "_canary")
+    fs.mkdirs(canary)
+    spark.conf.unset(s"graft.delta.staged.$stagePath")
+
+    // re-run: must re-stage from scratch, deleting BOTH siblings (the
+    // overwritten _before_ids is rewritten; the canary must be gone)
+    // and still report zero changed ids against the FRESH snapshot
+    val second = fn(spark, dir).collect()(0)
+    assert(second.getLong(2) == 0L, "ids changed after re-staging")
+    assert(second.getLong(0) == first.getLong(0), "row count drifted")
+    assert(!fs.exists(canary), "stale sibling artifact survived re-staging")
+    assert(fs.exists(new Path(stagePath + "_before_ids")),
+      "fresh snapshot missing after re-staging")
+  }
+}
