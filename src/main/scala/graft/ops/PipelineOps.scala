@@ -173,22 +173,23 @@ object PipelineOps {
     // α-sampling): per-source token mass, then sampling weight
     // w_s ∝ n_tokens^α with α=0.5, which upsamples small sources
     // relative to proportional sampling without letting them dominate.
-    // Scale shape: one combiner-bound per-source aggregation over the
-    // corpus scan (token counting is map-side), then an O(#sources)
-    // normalization kept IN the plan via a broadcast 1-row join — no
-    // driver-side action, same pattern as t13's corpus total.
+    // Scale shape: ONE combiner-bound per-source aggregation over a
+    // single corpus scan (token counting is map-side), then the
+    // normalization as an unbounded window over the already-tiny
+    // per-source relation — a broadcast 1-row cross join would force
+    // the aggregate subplan (and the 100 TB scan under it) to run
+    // twice, since ReuseExchange can't unify the two aggregates.
     "p4_mixture_weights" -> QueryDef(
       (s, dir) => {
         val toks = TextOps.tokens(col("text"))
-        val perSource = table(s, dir, "documents")
+        val all = Window.partitionBy()
+        table(s, dir, "documents")
           .select(col("source"), size(toks).cast("long").as("n_tok"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-        val z = broadcast(perSource.agg(
-          sum(sqrt(col("n_tokens").cast("double"))).as("z")))
-        perSource.crossJoin(z)
           .select(col("source"), col("n_docs"), col("n_tokens"),
-            round(sqrt(col("n_tokens").cast("double")) / col("z"), 6)
+            round(sqrt(col("n_tokens").cast("double")) /
+              sum(sqrt(col("n_tokens").cast("double"))).over(all), 6)
               .as("weight"))
           .orderBy("source")
       },
