@@ -72,7 +72,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_rename_column" -> GraftExtensions.renameColumnTableFunction,
       "graft_drop_column" -> GraftExtensions.dropColumnTableFunction,
       "graft_restore" -> GraftExtensions.restoreTableFunction,
-      "graft_detail" -> GraftExtensions.detailTableFunction
+      "graft_detail" -> GraftExtensions.detailTableFunction,
+      "graft_convert" -> GraftExtensions.convertTableFunction
     ).foreach { case (name, builder) =>
       ext.injectTableFunction((new FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
@@ -130,22 +131,39 @@ object GraftExtensions {
     }
   }
 
-  /** `graft_delta_cdf(path, sinceVersion)`: the batch change feed —
-    * rows added strictly after `sinceVersion` (`_change_type='insert'`,
-    * incl. DV-shrink restores) unioned with rows DV-deleted in the
-    * window (`'delete'`). Applying inserts then deletes reproduces the
-    * net state delta; the streaming twin is
-    * [[graft.streaming.DeltaStream.runAvailableNowCdf]].
+  /** `graft_delta_cdf(path, sinceVersion[, col, op, value])`: the batch
+    * change feed — rows added strictly after `sinceVersion`
+    * (`_change_type='insert'`, incl. DV-shrink restores) unioned with
+    * rows DV-deleted in the window (`'delete'`). Applying inserts then
+    * deletes reproduces the net state delta; the streaming twin is
+    * [[graft.streaming.DeltaStream.runAvailableNowCdf]]. The optional
+    * condition triple reaches the FILE-PRUNING path (partition values +
+    * stats drop change files before IO) — a plain SQL WHERE over the
+    * TVF result filters rows but cannot prune files, because the plan
+    * is spliced in already-resolved.
     */
   private[graft] val cdfTableFunction
       : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     args => {
-      require(args.size == 2,
-        "graft_delta_cdf(path, sinceVersion) takes 2 arguments")
+      require(args.size == 2 || args.size == 5,
+        "graft_delta_cdf(path, sinceVersion[, col, op, value]) takes 2 or 5 arguments")
       val path = literalString(args, 0, "graft_delta_cdf", "path")
       val since = literalLong(args, 1, "graft_delta_cdf", "sinceVersion")
+      val conds =
+        if (args.size < 5) Nil
+        else {
+          require(args(4).foldable, "graft_delta_cdf arguments must be literals")
+          Seq(graft.delta.Cond(
+            literalString(args, 2, "graft_delta_cdf", "column"),
+            literalString(args, 3, "graft_delta_cdf", "operator"),
+            args(4).eval() match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+              case v => v
+            }))
+        }
       val spark = org.apache.spark.sql.SparkSession.active
-      DeltaLake.scanDeltaCdf(spark, path, since).queryExecution.analyzed
+      DeltaLake.scanDeltaCdf(spark, path, since, conds)
+        .queryExecution.analyzed
     }
 
   /** `graft_delta_history(path)`: DESCRIBE HISTORY as a table —
@@ -260,5 +278,20 @@ object GraftExtensions {
       val path = literalString(args, 0, "graft_detail", "path")
       val spark = org.apache.spark.sql.SparkSession.active
       DeltaLake.detail(spark, path).queryExecution.analyzed
+    }
+
+  /** `graft_convert(path)`: CONVERT TO DELTA — register an existing
+    * plain-parquet directory as a Delta table in place. One row: the
+    * number of files registered at version 0.
+    */
+  private[graft] val convertTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 1, "graft_convert(path) takes 1 argument")
+      val path = literalString(args, 0, "graft_convert", "path")
+      val spark = org.apache.spark.sql.SparkSession.active
+      DeltaLake.convertParquetToDelta(spark, path)
+      val n = graft.delta.DeltaLog.forPath(spark, path).liveFiles.size
+      import spark.implicits._
+      Seq(n.toLong).toDF("num_files").queryExecution.analyzed
     }
 }

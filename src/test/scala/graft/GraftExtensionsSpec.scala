@@ -194,4 +194,46 @@ class GraftExtensionsSpec extends SparkSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("convert-to-delta and filtered CDF from a SQL-only session") {
+    import spark.implicits._
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_conv").toString + "/t"
+    (1L to 30L).map(i => (i, s"r$i")).toDF("id", "s")
+      .write.parquet(plainDir)
+    val cdfPath = java.nio.file.Files
+      .createTempDirectory("graft_tvf_fcdf").toString + "/t"
+    graft.delta.DeltaWriter.write(
+      (1L to 40L).map(i => (i, (i % 2).toString, s"v$i")).toDF("id", "p", "s"),
+      cdfPath, partitionBy = Seq("p"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLake.updateWhere(spark, cdfPath,
+      Seq(graft.delta.Cond("id", "<=", 10L)),
+      Map("s" -> org.apache.spark.sql.functions.lit("u")))
+
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // CONVERT TO DELTA from SQL, then scan the converted table
+      val nFiles = s2.sql(s"SELECT * FROM graft_convert('$plainDir')")
+        .collect()(0).getLong(0)
+      assert(nFiles >= 1L)
+      assert(s2.sql(s"SELECT count(*) FROM graft_delta('$plainDir')")
+        .collect()(0).getLong(0) == 30L)
+      // filtered CDF: the condition triple reaches the pruning path
+      val rows = s2.sql(
+        s"""SELECT count(*) FROM graft_delta_cdf('$cdfPath', 0, 'p', '=', '0')""")
+        .collect()(0).getLong(0)
+      // p=0 holds the even ids: 5 of the 10 updates -> 5 pre + 5 post
+      assert(rows == 10L)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
