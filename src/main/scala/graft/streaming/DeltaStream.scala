@@ -107,7 +107,23 @@ object DeltaStream {
   def runAvailableNowCdf(
       spark: SparkSession,
       path: String,
-      fromVersion: Long)(batchFn: (Long, DataFrame) => Unit): Long = {
+      fromVersion: Long)(batchFn: (Long, DataFrame) => Unit): Long =
+    runAvailableNowCdf(spark, path, fromVersion, Nil)(batchFn)
+
+  /** Filtered variant — batch/stream parity with
+    * `scanDeltaCdf(path, since, conditions)`: change files whose
+    * partition values / stats prove no matching row are pruned from
+    * each commit's spec BEFORE any IO, and the compiled predicate
+    * filters each batch's surviving rows. A partitioned consumer
+    * (the common CDC-fanout shape: one stream per tenant/partition)
+    * therefore reads only its own partitions' change files.
+    */
+  def runAvailableNowCdf(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Long,
+      conditions: Seq[graft.delta.Cond])(
+      batchFn: (Long, DataFrame) => Unit): Long = {
     val (head, snap) = initReplay(spark, path, fromVersion)
     val base = path.stripSuffix("/")
     var v = fromVersion + 1
@@ -115,9 +131,15 @@ object DeltaStream {
       val lines = commitLines(spark, path, v, fromVersion, head)
       val priorByPath: Map[String, AddAction] =
         snap.liveFiles.map(a => a.path -> a).toMap
-      val spec = CdfEngine.spec(spark, base, priorByPath, lines)
+      val spec = CdfEngine.spec(spark, base, priorByPath, lines,
+        conditions, if (conditions.isEmpty) None else Some(snap.schema))
       lines.foreach(snap.applyActionLine(_, v))
-      CdfEngine.materialize(snap, spec).foreach(batchFn(v, _))
+      CdfEngine.materialize(snap, spec).foreach { df =>
+        val out =
+          if (conditions.isEmpty) df
+          else df.where(graft.delta.Cond.compile(conditions, Some(snap.schema)))
+        batchFn(v, out)
+      }
       v += 1
     }
     head

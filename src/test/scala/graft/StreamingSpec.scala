@@ -331,6 +331,52 @@ class StreamingSpec extends SparkSuite {
     assert(later == Vector("delete" -> 9L), s"got $later")
   }
 
+  test("filtered streaming CDF matches the filtered batch feed and prunes files") {
+    import graft.delta.{Cond, DeltaWriter}
+    import graft.streaming.DeltaStream
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_cdf_f").toString + "/t"
+    DeltaWriter.write(
+      (1L to 60L).map(i => (i, (i % 3).toString, s"v$i")).toDF("id", "p", "s"),
+      path, partitionBy = Seq("p"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLake.updateWhere(spark, path, Seq(Cond("id", "<=", 12L)),
+      Map("s" -> lit("u")))                                           // v1
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 30L)))        // v2
+
+    val conds = Seq(Cond("p", "=", "1"))
+    var streamed = Vector.empty[(String, Long)]
+    DeltaStream.runAvailableNowCdf(spark, path, -1L, conds) { (_, df) =>
+      streamed ++= df.collect().map(r =>
+        r.getAs[String]("_change_type") -> r.getAs[Long]("id"))
+      assert(df.where(col("p") =!= "1").isEmpty, "foreign-partition rows")
+    }
+    val batch = DeltaLake.scanDeltaCdf(spark, path, -1L, conds)
+      .collect().map(r =>
+        r.getAs[String]("_change_type") -> r.getAs[Long]("id"))
+    assert(streamed.sorted == batch.toVector.sorted,
+      s"stream/batch divergence: ${streamed.sorted} vs ${batch.sorted}")
+    // p=1 holds ids ≡ 1 mod 3: creation 20 inserts, update touches
+    // 1,4,7,10 (4 pre + 4 post), delete id=30 is p=0 → filtered out
+    assert(streamed.count(_._1 == "insert") == 24 &&
+      streamed.count(_._1 == "delete") == 4, s"got $streamed")
+
+    // no-IO proof, same trick as the batch spec: destroy p=2's files
+    // (data and change data) — the p=1 stream must still replay
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.toString.contains("p=2")) fs.delete(st.getPath, false)
+    }
+    var again = 0
+    DeltaStream.runAvailableNowCdf(spark, path, -1L, conds) { (_, df) =>
+      again += df.count().toInt }
+    assert(again == streamed.size)
+  }
+
   test("session windows produce bounded, non-overlapping sessions per user") {
     val stream = EventStreams.sessionAgg(
       EventStreams.readEventStream(spark, streamDir))
