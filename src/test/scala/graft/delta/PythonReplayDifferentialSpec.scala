@@ -259,6 +259,33 @@ class PythonReplayDifferentialSpec extends SparkSuite {
     assert(node.get("rows").asLong == 15L, out.toString)
   }
 
+  test("stored CDF under column mapping replays through the python reader") {
+    val path = tmp()
+    DeltaWriter.write((1L to 40L).map(i => (i, s"g${i % 2}", s"r$i"))
+      .toDF("id", "g", "s"), path, partitionBy = Seq("g"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    // rename the PARTITION column and a data column: cdc actions and
+    // change-data files now carry physical names the reader must map
+    DeltaLake.renameColumn(spark, path, "g", "grp")
+    DeltaLake.renameColumn(spark, path, "s", "label")
+    DeltaLake.updateWhere(spark, path, Seq(Cond("id", "<=", 8L)),
+      Map("label" -> concat(col("label"), lit("!"))))
+    DeltaLake.deleteWhere(spark, path, Seq(Cond("id", "=", 20L)))
+
+    val dump = java.nio.file.Files
+      .createTempDirectory("graft_pyrep_cdfmap").toString
+    DeltaLake.scanDeltaCdf(spark, path, -1L)
+      .coalesce(1).write.mode("overwrite").parquet(dump)
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Seq("python3", "tools/delta_replay.py", path, "--cdf", dump) !
+      ProcessLogger(l => out ++= l, l => out ++= l)
+    assert(code == 0, s"mapped CDF replay diverged: $out")
+    val node = ActionCodec.mapper.readTree(out.toString)
+    // 40 creation inserts + update (8 pre + 8 post) + 1 delete
+    assert(node.get("rows").asLong == 40 + 16 + 1, out.toString)
+  }
+
   test("DML battery: update, merge, restore") {
     val path = tmp()
     DeltaWriter.write((1L to 100L).map(i => (i, s"g${i % 3}", i * 1.0))
