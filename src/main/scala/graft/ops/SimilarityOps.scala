@@ -128,24 +128,55 @@ object SimilarityOps {
        |    sum(CASE WHEN pr >= 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sig
        |  FROM proj GROUP BY vec_id, tbl)""".stripMargin
 
+  /** Exact cosine top-k (s1's body; also the s5 recall ground truth):
+    * broadcast query set, one distributed pass, window rank.
+    */
+  private def bruteTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = corpus(s, dir)
+    val queries = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(s, col("qv"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+  }
+
+  /** LSH-bucketed approximate top-k (s2's body; s5's candidate under
+    * test): queries probe their own bucket per hash table.
+    */
+  private def lshTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = corpus(s, dir)
+    val bits = derivedBits(emb.count())
+    val banded = OpCaches.cached(s, s"sim:s2banded:$dir:$bits",
+        OpCaches.tableVersion(s, dir, "embeddings")) {
+      lshTables(emb, "embedding", bits)
+    }
+    val queries = banded.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("tbl"), col("sig"))
+    val scored = banded.join(broadcast(queries), Seq("tbl", "sig"))
+      .where(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(s, col("qv"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     "s1_ann_bruteforce" -> QueryDef(
-      (s, dir) => {
-        val emb = corpus(s, dir)
-        val queries = emb.where(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        val scored = emb.crossJoin(broadcast(queries))
-          .where(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            cosine(s, col("qv"), col("embedding")).as("sim"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= TopK)
-          .select("query_id", "rank", "neighbor_id")
-          .orderBy("query_id", "rank")
-      },
+      (s, dir) => bruteTopK(s, dir)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank"),
       Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |  FROM embeddings WHERE vec_id < $NumQueries),
         |scored AS (
@@ -164,28 +195,9 @@ object SimilarityOps {
     // hash tables; signature width derived from corpus size. Fully
     // oracle-checked — the DuckDB twin rebuilds the same hyperplanes.
     "s2_ann_lsh" -> QueryDef(
-      (s, dir) => {
-        val emb = corpus(s, dir)
-        val bits = derivedBits(emb.count())
-        val banded = OpCaches.cached(s, s"sim:s2banded:$dir:$bits",
-            OpCaches.tableVersion(s, dir, "embeddings")) {
-          lshTables(emb, "embedding", bits)
-        }
-        val queries = banded.where(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            col("tbl"), col("sig"))
-        val scored = banded.join(broadcast(queries), Seq("tbl", "sig"))
-          .where(col("vec_id") =!= col("query_id"))
-          .dropDuplicates("query_id", "vec_id")
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            cosine(s, col("qv"), col("embedding")).as("sim"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= TopK)
-          .select("query_id", "rank", "neighbor_id")
-          .orderBy("query_id", "rank")
-      },
+      (s, dir) => lshTopK(s, dir)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank"),
       Some(s"""WITH ${sigSql(NumTables)},
         |q AS (SELECT vec_id AS query_id, tbl, sig FROM sig
         |  WHERE vec_id < $NumQueries),
@@ -374,5 +386,73 @@ object SimilarityOps {
         |  JOIN embeddings ea ON ea.vec_id = p.vec_a
         |  JOIN embeddings eb ON eb.vec_id = p.vec_b)
         |SELECT vec_a, vec_b, sim FROM simmed
-        |WHERE sim >= 0.2 ORDER BY vec_a, vec_b""".stripMargin)))
+        |WHERE sim >= 0.2 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Recall@k differential — the metric that decides whether the LSH
+    // path is SAFE to use as the scale substitute for brute force:
+    // per-query overlap between s2's bucketed top-k and s1's exact
+    // top-k. The whole comparison (both pipelines + the overlap join)
+    // runs under the hash oracle: DuckDB rebuilds the hyperplanes,
+    // both rankings, and the same recall numbers, so a silent quality
+    // regression in the LSH path (bad signature width, broken banding)
+    // fails correctness, not just a benchmark. Same pattern as the
+    // d3/d4 fast-vs-md5 differentials, for the s-family.
+    "s5_lsh_recall" -> QueryDef(
+      (s, dir) => {
+        val exact = bruteTopK(s, dir).select("query_id", "neighbor_id")
+        val approx = lshTopK(s, dir).select("query_id", "neighbor_id")
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+            "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        exact.select("query_id").distinct()
+          .join(hits, Seq("query_id"), "left")
+          .na.fill(0L, Seq("n_hit"))
+          .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+            round(col("n_hit") / lit(TopK.toDouble), 2).as("recall_at_k"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH ${sigSql(NumTables)},
+        |bq AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < $NumQueries),
+        |b_scored AS (
+        |  SELECT bq.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.query_id),
+        |b_ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM b_scored),
+        |exact AS (SELECT query_id, neighbor_id FROM b_ranked
+        |  WHERE rank <= $TopK),
+        |lq AS (SELECT vec_id AS query_id, tbl, sig FROM sig
+        |  WHERE vec_id < $NumQueries),
+        |cand AS (
+        |  SELECT DISTINCT lq.query_id, s.vec_id AS neighbor_id
+        |  FROM sig s JOIN lq USING (tbl, sig)
+        |  WHERE s.vec_id <> lq.query_id),
+        |l_scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim
+        |  FROM cand c
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id
+        |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+        |l_ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM l_scored),
+        |lsh AS (SELECT query_id, neighbor_id FROM l_ranked
+        |  WHERE rank <= $TopK),
+        |hits AS (
+        |  SELECT e.query_id, count(*) AS n_hit
+        |  FROM exact e JOIN lsh l
+        |    ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+        |  GROUP BY 1)
+        |SELECT qq.query_id,
+        |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(COALESCE(h.n_hit, 0) / $TopK.0, 2) AS recall_at_k
+        |FROM (SELECT DISTINCT query_id FROM exact) qq
+        |LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin)))
 }
