@@ -67,7 +67,10 @@ object DeltaSql {
         s"deltaSql cannot inline $totalDeleted deleted row indices; " +
           "use scanDelta/createViewForDelta for heavily-deleted tables")
 
-    val fileSelects: Seq[String] = actions.map { a =>
+    // Per-action emission pieces: the projection (partition literals +
+    // footer-probed NULL fills) and the per-file DV row-index filter.
+    case class Piece(file: String, colsSql: String, dvFilter: String)
+    val pieces: Seq[Piece] = actions.map { a =>
       val file = DeltaScan.resolvePath(base, a.path)
       // footer probe: which top-level physical columns exist in THIS file
       val present: Set[String] = {
@@ -103,8 +106,36 @@ object DeltaSql {
         if (idx.isEmpty) ""
         else s"\nWHERE _metadata.row_index NOT IN (${idx.mkString(", ")})"
       }.getOrElse("")
-      s"SELECT ${cols.mkString(", ")} FROM parquet.${quoteId(file)}$dvFilter"
+      Piece(file, cols.mkString(", "), dvFilter)
     }
+
+    // Files that can share ONE scan branch — identical projection
+    // (same partition literals AND same footer column set) and no DV
+    // filter (`_metadata.row_index` is per-file) — are grouped into a
+    // single SELECT over a Hadoop brace glob `{f1,f2,…}`, expanded at
+    // planning time. The emitted PLAN is then O(projection groups)
+    // (≈ partition tuples), not O(files): 10x the files per partition
+    // keeps a constant branch count (the string still lists each file,
+    // as the reference's emission does). Paths containing glob
+    // metacharacters keep their own per-file branch — a brace/comma in
+    // a partition value must not be re-interpreted as alternation.
+    def globSafe(p: String): Boolean = !p.exists("{}[]*?,\\".contains(_))
+    def split(p: String): (String, String) = {
+      val i = p.lastIndexOf('/')
+      (p.take(i), p.drop(i + 1))
+    }
+    val (groupable, solo) = pieces.partition(p =>
+      p.dvFilter.isEmpty && globSafe(p.file) && p.file.lastIndexOf('/') > 0)
+    val fileSelects: Seq[String] =
+      groupable.groupBy(p => (p.colsSql, split(p.file)._1)).toSeq
+        .sortBy(_._2.head.file).map { case ((colsSql, parent), ps) =>
+          val src =
+            if (ps.size == 1) ps.head.file
+            else
+              s"$parent/{${ps.map(x => split(x.file)._2).sorted.mkString(",")}}"
+          s"SELECT $colsSql FROM parquet.${quoteId(src)}"
+        } ++ solo.map(p =>
+        s"SELECT ${p.colsSql} FROM parquet.${quoteId(p.file)}${p.dvFilter}")
 
     val union =
       if (fileSelects.nonEmpty) fileSelects.mkString("\nUNION ALL\n")

@@ -230,6 +230,51 @@ class DeltaSqlSpec extends SparkSuite {
     assert(rows.length == 2 && rows.forall(_.getAs[String]("p") == "B"))
   }
 
+  test("same-shape files share one brace-glob scan branch") {
+    val path = tmp()
+    // 6 files across 2 partitions → 2 branches, not 6
+    (0 until 3).foreach { i =>
+      DeltaWriter.write(
+        Seq((i * 2L, "a", "A"), (i * 2 + 1L, "b", "B"))
+          .toDF("id", "payload", "part").repartition(2),
+        path, partitionBy = Seq("part"),
+        mode = if (i == 0) "overwrite" else "append")
+    }
+    assert(DeltaLog.forPath(spark, path).liveFiles.size >= 6)
+    val sql = DeltaLake.deltaSql(spark, path)
+    val branches = "SELECT ".r.findAllIn(sql).size - 1 // minus outer SELECT
+    assert(branches == 2, s"expected 2 grouped branches:\n$sql")
+    assert(sql.contains("{"), "no brace glob emitted")
+    // and it still evaluates to exactly the table
+    val viaSql = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    val viaDf = DeltaLake.scanDelta(spark, path).collect()
+      .map(_.toString).sorted.toSeq
+    assert(viaSql == viaDf && viaSql.size == 6)
+
+    // a deletion vector forces that file back to its own branch
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "=", 0L)))
+    val sql2 = DeltaLake.deltaSql(spark, path)
+    assert(sql2.contains("NOT IN"), "DV filter missing")
+    assert(spark.sql(sql2).count() == 5)
+  }
+
+  test("glob metacharacters in partition paths fall back to per-file branches") {
+    val path = tmp()
+    // partition values with comma and braces — must NOT be emitted
+    // inside a brace alternation where they would be re-parsed as glob
+    DeltaWriter.write(
+      Seq((1L, "a,b"), (2L, "a,b"), (3L, "{c}"), (4L, "plain"))
+        .toDF("id", "p").repartition(1),
+      path, partitionBy = Seq("p"))
+    DeltaWriter.write(Seq((5L, "a,b")).toDF("id", "p"), path,
+      partitionBy = Seq("p"), mode = "append")
+    val sql = DeltaLake.deltaSql(spark, path)
+    val viaSql = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    val viaDf = DeltaLake.scanDelta(spark, path).collect()
+      .map(_.toString).sorted.toSeq
+    assert(viaSql == viaDf && viaSql.size == 5, sql)
+  }
+
   test("legacy partition.<logical> key under column mapping") {
     val mapped =
       """{"type":"struct","fields":[
