@@ -84,13 +84,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   /** Builder for the `graft_delta` table function: literal path +
-    * optional literal version → the analyzed scan plan.
+    * optional time travel — an integral literal is a VERSION, a
+    * TIMESTAMP literal (or parseable timestamp string) scans the
+    * greatest version committed at or before that instant (ICT-aware).
     */
   private[graft] val deltaTableFunction
       : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     args => {
       require(args.nonEmpty && args.size <= 2,
-        "graft_delta(path[, version]) takes 1 or 2 arguments")
+        "graft_delta(path[, versionOrTimestamp]) takes 1 or 2 arguments")
       require(args.forall(_.foldable),
         "graft_delta arguments must be literals")
       val path = args.head.eval() match {
@@ -98,15 +100,30 @@ object GraftExtensions {
           "graft_delta path must not be null")
         case s => s.toString
       }
-      val version = args.lift(1).map(_.eval() match {
-        case null => throw new IllegalArgumentException(
-          "graft_delta version must not be null")
-        case n: Number => n.longValue()
-        case other => other.toString.toLong
-      })
+      var version: Option[Long] = None
+      var asOf: Option[java.time.Instant] = None
+      args.lift(1).foreach { e =>
+        (e.eval(), e.dataType) match {
+          case (null, _) => throw new IllegalArgumentException(
+            "graft_delta versionOrTimestamp must not be null")
+          case (micros: java.lang.Long,
+              _: org.apache.spark.sql.types.TimestampType) =>
+            asOf = Some(java.time.Instant.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L),
+              Math.floorMod(micros, 1000000L) * 1000L))
+          case (n: Number, _) => version = Some(n.longValue())
+          case (other, _) =>
+            val s = other.toString
+            if (s.forall(_.isDigit)) version = Some(s.toLong)
+            else asOf = Some( // string form parsed as a UTC wall clock
+              java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+                .toInstant(java.time.ZoneOffset.UTC))
+        }
+      }
       val spark = org.apache.spark.sql.SparkSession.active
       DeltaLake.scanDelta(spark, path,
-        ScanSettings(version = version)).queryExecution.analyzed
+        ScanSettings(version = version, timestampAsOf = asOf))
+        .queryExecution.analyzed
     }
 
   /** Shared literal-argument extraction for the TVF builders. */

@@ -65,6 +65,19 @@ class GraftExtensionsSpec extends SparkSuite {
         s"SELECT count(*) AS n FROM graft_delta('$path', 0)")
         .collect()(0).getLong(0)
       assert(n0 == 20L)
+      // …and via a TIMESTAMP literal (resolved against commit times)
+      val t0 = new org.apache.hadoop.fs.Path(path + "/_delta_log/" +
+        "%020d.json".format(0))
+      val fs = t0.getFileSystem(s2.sessionState.newHadoopConf())
+      val ts = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(
+          fs.getFileStatus(t0).getModificationTime))
+      val nTs = s2.sql(
+        s"SELECT count(*) AS n FROM graft_delta('$path', TIMESTAMP'$ts')")
+        .collect()(0).getLong(0)
+      assert(nTs == 20L, s"timestamp travel to $ts returned $nTs")
       // non-literal arguments are rejected loudly
       val e = intercept[Exception] {
         s2.sql(s"SELECT * FROM graft_delta(concat('$path', rand()))")
