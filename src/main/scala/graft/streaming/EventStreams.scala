@@ -182,6 +182,53 @@ object EventStreams {
       .toDF("purchase_id", "user_id", "last_touch", "value")
   }
 
+  /** Streaming per-user transition counting — streaming twin of
+    * EventOps e9 (first-order Markov matrix): state holds the user's
+    * (ts, event_id, type) timeline inside the watermark horizon
+    * (sorted, deduped) and re-derives the user's full consecutive-pair
+    * multiset every batch — an out-of-order arrival INSERTS between
+    * existing events and rewrites both adjacent pairs, so greedy
+    * pair-folding would drift. Update mode: the last emission per user
+    * is that user's pair multiset; the corpus matrix is the sum over
+    * users (a downstream stateful agg or the batch reader's job).
+    * State is O(events per user in the horizon), evicted by the
+    * event-time timeout like every stateful op here.
+    */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select("user_id", "ts", "event_id", "event_type")
+      .withWatermark("ts", "2 hours")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long,
+         rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[List[(Long, Long, String)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var timeline = state.getOption.getOrElse(Nil)
+            var maxTs = 0L
+            rows.foreach { case (_, ts, id, typ) =>
+              val t = ts.getTime
+              maxTs = math.max(maxTs, t)
+              timeline = (t, id, typ) :: timeline
+            }
+            timeline = timeline.distinct.sortBy(e => (e._1, e._2))
+            state.update(timeline)
+            val horizon = 2L * 3600 * 1000
+            state.setTimeoutTimestamp(math.max(
+              maxTs + horizon, state.getCurrentWatermarkMs() + horizon))
+            val types = timeline.map(_._3)
+            types.zip(types.drop(1)).groupBy(identity).iterator
+              .map { case ((a, b), ps) => (user, a, b, ps.size.toLong) }
+          })
+      .toDF("user_id", "prev_type", "next_type", "n")
+  }
+
   /** Streaming exact-dedup — first occurrence of each key passes, later
     * duplicates (within or across micro-batches) are dropped. The
     * custom-state primitive (`flatMapGroupsWithState`) the built-in

@@ -77,6 +77,37 @@ class StreamingSpec extends SparkSuite {
         s"batch ${batch.size}")
   }
 
+  test("streaming transition counts equal the batch Markov matrix") {
+    import org.apache.spark.sql.expressions.Window
+    // stream: last Update-mode emission per user is their pair multiset
+    val perUser = scala.collection.mutable
+      .Map.empty[Long, Map[(String, String), Long]]
+    val q = EventStreams.transitionCounts(
+      EventStreams.readEventStream(spark, streamDir))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().groupBy(_.getLong(0)).foreach { case (u, rows) =>
+          perUser(u) = rows.map(r =>
+            (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = perUser.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+
+    // batch: the e9 lag-window form over the same files
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = spark.read.parquet(streamDir)
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch transition divergence: ${streamed.size} vs ${batch.size} cells")
+  }
+
   test("streaming last-touch attribution equals the batch window form") {
     import org.apache.spark.sql.expressions.Window
     val lastAttr = scala.collection.mutable.Map.empty[Long, (Option[Long], Double)]
