@@ -60,12 +60,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.historyTableFunction))
     // Procedure-style MAINTENANCE/DDL verbs — the extension's stated
     // point is that a pure-SQL session can drive the whole surface, and
-    // these were Scala-only. The side effect runs when the statement is
-    // analyzed (spark.sql analyzes eagerly, so `spark.sql("SELECT *
-    // FROM graft_optimize('/p')")` performs the OPTIMIZE exactly once);
-    // the returned result table reports what happened — the
+    // these were Scala-only. Each resolves to a [[graft.plans
+    // .GraftProcedureNode]] whose side effect runs at EXECUTION time
+    // (EXPLAIN plans without running; each execution performs exactly
+    // one invocation); the result table reports what happened — the
     // same shape Iceberg's CALL procedures and delta-spark's SQL
     // commands report.
+    // the physical side of the procedure nodes below
+    ext.injectPlannerStrategy(_ => new graft.plans.GraftProcedureStrategy)
     Seq(
       "graft_optimize" -> GraftExtensions.optimizeTableFunction,
       "graft_vacuum" -> GraftExtensions.vacuumTableFunction,
@@ -103,20 +105,23 @@ object GraftExtensions {
       var version: Option[Long] = None
       var asOf: Option[java.time.Instant] = None
       args.lift(1).foreach { e =>
-        (e.eval(), e.dataType) match {
-          case (null, _) => throw new IllegalArgumentException(
+        external(e.eval(), e.dataType) match {
+          case null => throw new IllegalArgumentException(
             "graft_delta versionOrTimestamp must not be null")
-          case (micros: java.lang.Long,
-              _: org.apache.spark.sql.types.TimestampType) =>
-            asOf = Some(java.time.Instant.ofEpochSecond(
-              Math.floorDiv(micros, 1000000L),
-              Math.floorMod(micros, 1000000L) * 1000L))
-          case (n: Number, _) => version = Some(n.longValue())
-          case (other, _) =>
-            val s = other.toString
+          case i: java.time.Instant => asOf = Some(i)
+          case l: java.time.LocalDateTime => // NTZ literal: UTC wall clock
+            asOf = Some(l.toInstant(java.time.ZoneOffset.UTC))
+          case d: java.time.LocalDate =>
+            asOf = Some(d.atStartOfDay.toInstant(java.time.ZoneOffset.UTC))
+          case n: Number => version = Some(n.longValue())
+          case other =>
+            val s = other.toString.trim
             if (s.forall(_.isDigit)) version = Some(s.toLong)
+            else if (s.length == 10) // 'yyyy-MM-dd' (delta-spark accepts it)
+              asOf = Some(java.time.LocalDate.parse(s).atStartOfDay
+                .toInstant(java.time.ZoneOffset.UTC))
             else asOf = Some( // string form parsed as a UTC wall clock
-              java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+              java.time.LocalDateTime.parse(s.replace(' ', 'T'))
                 .toInstant(java.time.ZoneOffset.UTC))
         }
       }
@@ -125,6 +130,34 @@ object GraftExtensions {
         ScanSettings(version = version, timestampAsOf = asOf))
         .queryExecution.analyzed
     }
+
+  /** Catalyst-internal literal value → the external JVM value the Cond
+    * DSL and ScanSettings expect: dates arrive from eval() as epoch
+    * DAYS, timestamps as MICROS, strings as UTF8String, decimals as
+    * Decimal — handing them over raw would make the compiled predicate
+    * fail analysis (DateType column vs integer literal) or mismatch.
+    */
+  private def external(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types.{DateType, Decimal, TimestampNTZType, TimestampType}
+    (v, dt) match {
+      case (null, _) => null
+      case (s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case (days: Integer, DateType) =>
+        java.time.LocalDate.ofEpochDay(days.longValue)
+      case (micros: java.lang.Long, TimestampType) =>
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L)
+      case (micros: java.lang.Long, TimestampNTZType) =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case (d: Decimal, _) => d.toJavaBigDecimal
+      case (x, _) => x
+    }
+  }
 
   /** Shared literal-argument extraction for the TVF builders. */
   private def literalString(args: Seq[Expression], i: Int,
@@ -173,10 +206,7 @@ object GraftExtensions {
           Seq(graft.delta.Cond(
             literalString(args, 2, "graft_delta_cdf", "column"),
             literalString(args, 3, "graft_delta_cdf", "operator"),
-            args(4).eval() match {
-              case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-              case v => v
-            }))
+            external(args(4).eval(), args(4).dataType)))
         }
       val spark = org.apache.spark.sql.SparkSession.active
       DeltaLake.scanDeltaCdf(spark, path, since, conds)
@@ -210,10 +240,14 @@ object GraftExtensions {
         if (args.size < 2) Nil
         else literalString(args, 1, "graft_optimize", "zorderColumnsCsv")
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      val spark = org.apache.spark.sql.SparkSession.active
-      val n = graft.delta.DeltaWriter.compact(spark, path, zOrderBy = zorder)
-      import spark.implicits._
-      Seq(n.toLong).toDF("num_compacted_files").queryExecution.analyzed
+      graft.plans.GraftProcedureNode("graft_optimize",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("num_compacted_files",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          graft.delta.DeltaWriter.compact(spark, path,
+            zOrderBy = zorder).toLong))
+      }
     }
 
   /** `graft_vacuum(path[, graceMs[, dryRun]])`: reclaim unreferenced
@@ -234,10 +268,13 @@ object GraftExtensions {
           case other => other.toString.toBoolean
         }
       }
-      val spark = org.apache.spark.sql.SparkSession.active
-      val deleted = graft.delta.DeltaWriter.vacuum(spark, path, grace, dry)
-      import spark.implicits._
-      deleted.toDF("path").queryExecution.analyzed
+      graft.plans.GraftProcedureNode("graft_vacuum",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType)))) { spark =>
+        graft.delta.DeltaWriter.vacuum(spark, path, grace, dry)
+          .map(org.apache.spark.sql.Row(_))
+      }
     }
 
   /** `graft_rename_column(path, old, new)`: metadata-only RENAME COLUMN
@@ -250,10 +287,13 @@ object GraftExtensions {
       val path = literalString(args, 0, "graft_rename_column", "path")
       val from = literalString(args, 1, "graft_rename_column", "oldName")
       val to = literalString(args, 2, "graft_rename_column", "newName")
-      val spark = org.apache.spark.sql.SparkSession.active
-      val v = DeltaLake.renameColumn(spark, path, from, to)
-      import spark.implicits._
-      Seq(v).toDF("version").queryExecution.analyzed
+      graft.plans.GraftProcedureNode("graft_rename_column",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.renameColumn(spark, path, from, to)))
+      }
     }
 
   /** `graft_drop_column(path, col)`: metadata-only DROP COLUMN. One
@@ -265,10 +305,13 @@ object GraftExtensions {
         "graft_drop_column(path, colName) takes 2 arguments")
       val path = literalString(args, 0, "graft_drop_column", "path")
       val colName = literalString(args, 1, "graft_drop_column", "colName")
-      val spark = org.apache.spark.sql.SparkSession.active
-      val v = DeltaLake.dropColumn(spark, path, colName)
-      import spark.implicits._
-      Seq(v).toDF("version").queryExecution.analyzed
+      graft.plans.GraftProcedureNode("graft_drop_column",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.dropColumn(spark, path, colName)))
+      }
     }
 
   /** `graft_restore(path, toVersion)`: RESTORE TABLE ... TO VERSION AS
@@ -280,12 +323,18 @@ object GraftExtensions {
         "graft_restore(path, toVersion) takes 2 arguments")
       val path = literalString(args, 0, "graft_restore", "path")
       val toV = literalLong(args, 1, "graft_restore", "toVersion")
-      val spark = org.apache.spark.sql.SparkSession.active
-      val st = DeltaLake.restoreTable(spark, path, toV)
-      import spark.implicits._
-      Seq((st.restoredFiles, st.removedFiles, st.dvReverted))
-        .toDF("restored_files", "removed_files", "dv_reverted")
-        .queryExecution.analyzed
+      graft.plans.GraftProcedureNode("graft_restore",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("restored_files",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("removed_files",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dv_reverted",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        val st = DeltaLake.restoreTable(spark, path, toV)
+        Seq(org.apache.spark.sql.Row(
+          st.restoredFiles, st.removedFiles, st.dvReverted))
+      }
     }
 
   /** `graft_detail(path)`: DESCRIBE DETAIL as a one-row table. */
@@ -305,10 +354,13 @@ object GraftExtensions {
     args => {
       require(args.size == 1, "graft_convert(path) takes 1 argument")
       val path = literalString(args, 0, "graft_convert", "path")
-      val spark = org.apache.spark.sql.SparkSession.active
-      DeltaLake.convertParquetToDelta(spark, path)
-      val n = graft.delta.DeltaLog.forPath(spark, path).liveFiles.size
-      import spark.implicits._
-      Seq(n.toLong).toDF("num_files").queryExecution.analyzed
+      graft.plans.GraftProcedureNode("graft_convert",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("num_files",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        DeltaLake.convertParquetToDelta(spark, path)
+        Seq(org.apache.spark.sql.Row(
+          graft.delta.DeltaLog.forPath(spark, path).liveFiles.size.toLong))
+      }
     }
 }

@@ -3116,8 +3116,14 @@ object DeltaWriter {
             val it = pfs.listFiles(p, true)
             while (it.hasNext) {
               val st = it.next()
-              val rel = st.getPath.toUri.getPath.stripPrefix(rootUri + "/")
-              if (!liveB.value.contains(rel) &&
+              val uriPath = st.getPath.toUri.getPath
+              val rel = uriPath.stripPrefix(rootUri + "/")
+              // spare any NESTED table's transaction log (a Delta table
+              // under a partition subtree — e.g. a backup or a shallow
+              // clone target): its commits are referenced by no action
+              // of the OUTER log, but deleting them destroys that table
+              if (!uriPath.contains("/_delta_log/") &&
+                  !liveB.value.contains(rel) &&
                   (graceMs <= 0L || st.getModificationTime < cutoff))
                 out += rel
             }
@@ -3716,6 +3722,18 @@ object DeltaWriter {
     * char is incrementable (no representable bound → stats omitted,
     * fail-open on the reader side).
     */
+  /** Lower-bound truncation for a string MIN statistic: the 32-char
+    * prefix, trimmed by one char when the cut lands mid-surrogate-pair
+    * — a shorter prefix is still a valid lower bound, and the dangling
+    * high half would be the same malformed UTF-16 [[truncatedMax]]
+    * guards against on the upper side.
+    */
+  private def truncatedMin(s: String): String = {
+    val p = s.substring(0, StatsStringPrefixLen)
+    if (Character.isHighSurrogate(p.charAt(p.length - 1))) p.dropRight(1)
+    else p
+  }
+
   private def truncatedMax(s: String): Option[String] = {
     val p = s.substring(0, StatsStringPrefixLen)
     def bumpable(c: Char): Boolean =
@@ -3763,7 +3781,7 @@ object DeltaWriter {
           .getBytes, StandardCharsets.UTF_8)
         if (s.length <= 64) Some(s)
         else if (isMax) truncatedMax(s)
-        else Some(s.substring(0, StatsStringPrefixLen))
+        else Some(truncatedMin(s))
       case _ => None
     }
     (conv(mn, isMax = false), conv(mx, isMax = true))

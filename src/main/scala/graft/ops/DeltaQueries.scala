@@ -21,6 +21,12 @@ object DeltaQueries {
   private def stage(dir: String, name: String): String =
     s"/tmp/graft_delta_stage/${dir.replaceAll("[^A-Za-z0-9]", "_")}/$name"
 
+  /** Suffixes of derived sibling artifacts a staging script may write
+    * next to its table — cleaned up together with the table on
+    * re-staging (see [[stagedOnce]]).
+    */
+  private val ArtifactSuffixes = Seq("_before_ids")
+
   /** Run `setup` at most once per (sfDir, name, source-data version) —
     * ACROSS JVMs, via an on-disk `_STAGED_OK` marker holding the source
     * table's fingerprint; a session-conf marker then skips even the
@@ -57,17 +63,17 @@ object DeltaQueries {
         } catch { case _: java.io.IOException => false }
       if (!fresh) {
         fs.delete(root, true)
-        // Sibling artifacts derived from the old staging (e.g. x10's
+        // Sibling artifacts derived from the old staging (x10's
         // `<name>_before_ids` row-id snapshot) must go with the table:
         // ids snapshotted against old source data would otherwise be
         // joined against the freshly staged table, and a crash between
         // their write and the marker write would leave them behind.
-        val parent = root.getParent
-        if (parent != null && fs.exists(parent))
-          fs.listStatus(parent).foreach { st =>
-            if (st.getPath.getName.startsWith(root.getName + "_"))
-              fs.delete(st.getPath, true)
-          }
+        // EXPLICIT suffix list, not a `<name>_*` prefix glob — a glob
+        // would also match another staged TABLE whose name extends this
+        // one, deleting it under a still-set session marker. Any new
+        // derived artifact must register its suffix here.
+        ArtifactSuffixes.foreach(sfx =>
+          fs.delete(new org.apache.hadoop.fs.Path(path + sfx), true))
         setup(path)
         val out = fs.create(ok, true)
         try out.write(fp.getBytes("UTF-8")) finally out.close()
@@ -336,7 +342,12 @@ object DeltaQueries {
         DeltaLake.scanDelta(s, path, ScanSettings(
           fields = Some(Seq("l_returnflag", "l_linestatus", "l_shipdate")),
           distinct = true,
-          limit = Some(10000000L),
+          // must exceed lineitem's row count at ANY plausible test
+          // scale (sf300 ≈ 1.8B rows) while staying under Int.MaxValue
+          // so the row-limit code path still executes — a smaller value
+          // would truncate the file selection and hash-diverge from
+          // the LIMIT-less oracle
+          limit = Some(2000000000L),
           actionFilter =
             _.partitionValues.get("l_returnflag").flatten.exists(_ != "N")))
           .orderBy("l_returnflag", "l_linestatus", "l_shipdate")

@@ -422,23 +422,31 @@ object TextOps {
           transform(sequence(lit(0), size(col("tk")) - 5),
             j => concat_ws(" ", slice(col("tk"), j + 1, lit(5)))))
           .otherwise(array(concat_ws(" ", col("tk"))))
-        // Two-level cache. The token-array relation is cached FIRST so
-        // the gram projection reads `tk` from an InMemoryRelation leaf —
-        // a CollapseProject barrier the optimizer cannot cross, which
-        // keeps tokens(text) from being inlined into the gram lambda
-        // (re-split per element — the 90s-vs-3s trap). Earlier rounds
-        // used repartition() as that barrier, which shuffled the FULL
+        // The gram relation is built THROUGH a transient token-array
+        // cache: the gram projection reads `tk` from an InMemoryRelation
+        // leaf — a CollapseProject barrier the optimizer cannot cross,
+        // which keeps tokens(text) from being inlined into the gram
+        // lambda (re-split per element — the 90s-vs-3s trap). Earlier
+        // rounds used repartition() as that barrier, shuffling the FULL
         // corpus once per corpus version just to break projection
-        // fusion; the cache boundary is narrow — no network movement —
-        // and parquet-scan partitioning is already byte-balanced. The
-        // gram relation itself is cached because it is referenced three
-        // times below (probe grams, anti side, sizes).
+        // fusion. The token cache is SCOPED to this build: the gram
+        // relation is materialized eagerly (that work lands in the
+        // staging pass, like every one-time side effect here) and the
+        // token relation unpersisted — keeping a second corpus-sized
+        // relation resident for the whole session would roughly double
+        // the cache footprint for nothing. The gram relation itself is
+        // session-cached: it is referenced three times below (probe
+        // grams, anti side, sizes).
         val ver = OpCaches.tableVersion(s, dir, "documents")
-        val tkRel = OpCaches.cached(s, s"text:tokarr:$dir", ver) {
-          table(s, dir, "documents").select(col("doc_id"), toksC.as("tk"))
-        }
         val docs5 = OpCaches.cached(s, s"text:grams5:$dir", ver) {
-          tkRel.select(col("doc_id"), array_distinct(grams5).as("g"))
+          val tk = table(s, dir, "documents")
+            .select(col("doc_id"), toksC.as("tk")).cache()
+          try {
+            val g = tk.select(col("doc_id"), array_distinct(grams5).as("g"))
+              .cache()
+            g.count() // materialize through the barrier before dropping it
+            g
+          } finally tk.unpersist()
         }
         val probe = table(s, dir, "documents")
           .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))

@@ -198,6 +198,14 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // state: (folded pair counts, live timeline). Pairs whose BOTH
+    // events sit behind the watermark are FINAL — Spark drops any
+    // arrival older than the watermark before it reaches this function,
+    // so nothing can interleave there anymore — and fold into the count
+    // map; the timeline keeps only the last final event (the boundary
+    // anchor, whose pair with the first live event is still mutable)
+    // plus the live tail. A continuously-active user therefore holds
+    // O(events inside the watermark horizon) state, not O(stream).
     events
       .select("user_id", "ts", "event_id", "event_type")
       .withWatermark("ts", "2 hours")
@@ -207,10 +215,11 @@ object EventStreams {
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
         (user: Long,
          rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
-         state: GroupState[List[(Long, Long, String)]]) =>
+         state: GroupState[(Map[(String, String), Long], List[(Long, Long, String)])]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var timeline = state.getOption.getOrElse(Nil)
+            var (folded, timeline) = state.getOption.getOrElse(
+              (Map.empty[(String, String), Long], Nil))
             var maxTs = 0L
             rows.foreach { case (_, ts, id, typ) =>
               val t = ts.getTime
@@ -218,13 +227,22 @@ object EventStreams {
               timeline = (t, id, typ) :: timeline
             }
             timeline = timeline.distinct.sortBy(e => (e._1, e._2))
-            state.update(timeline)
+            val cutoff = state.getCurrentWatermarkMs()
+            val (finals, live) = timeline.span(_._1 < cutoff)
+            if (finals.size > 1) {
+              finals.map(_._3).zip(finals.drop(1).map(_._3))
+                .foreach(p => folded = folded.updated(p, folded.getOrElse(p, 0L) + 1))
+              timeline = finals.last :: live
+            }
+            state.update((folded, timeline))
             val horizon = 2L * 3600 * 1000
             state.setTimeoutTimestamp(math.max(
-              maxTs + horizon, state.getCurrentWatermarkMs() + horizon))
+              maxTs + horizon, cutoff + horizon))
             val types = timeline.map(_._3)
-            types.zip(types.drop(1)).groupBy(identity).iterator
-              .map { case ((a, b), ps) => (user, a, b, ps.size.toLong) }
+            var out = folded
+            types.zip(types.drop(1)).foreach(p =>
+              out = out.updated(p, out.getOrElse(p, 0L) + 1))
+            out.iterator.map { case ((a, b), n) => (user, a, b, n) }
           })
       .toDF("user_id", "prev_type", "next_type", "n")
   }

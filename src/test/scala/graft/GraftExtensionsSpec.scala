@@ -208,6 +208,48 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("procedure verbs run at execution, not analysis: EXPLAIN is harmless") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tvf_explain").toString + "/t"
+    (0 until 3).foreach { i =>
+      graft.delta.DeltaWriter.write(
+        Seq((i.toLong, s"r$i")).toDF("id", "s"), path,
+        mode = if (i == 0) "overwrite" else "append")
+    }
+    graft.delta.DeltaWriter.compact(spark, path) // leaves 3 reclaimables
+
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // EXPLAIN plans the vacuum without deleting anything…
+      val plan = s2.sql(s"EXPLAIN SELECT * FROM graft_vacuum('$path')")
+        .collect()(0).getString(0)
+      assert(plan.contains("GraftProcedure"), plan)
+      val dryCount = s2.sql(
+        s"SELECT * FROM graft_vacuum('$path', 0, true)").count()
+      assert(dryCount >= 3L,
+        s"EXPLAIN already reclaimed the files (only $dryCount left)")
+      // …and sql() without an action performs no OPTIMIZE either
+      val before = graft.delta.DeltaLog.forPath(s2, path).version
+      s2.sql(s"SELECT * FROM graft_optimize('$path')") // no action
+      assert(graft.delta.DeltaLog.forPath(s2, path).version == before,
+        "OPTIMIZE committed during analysis")
+      // executing performs exactly one invocation
+      assert(s2.sql(s"SELECT * FROM graft_vacuum('$path')")
+        .count() == dryCount)
+      assert(s2.sql(s"SELECT * FROM graft_vacuum('$path')").count() == 0L)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("convert-to-delta and filtered CDF from a SQL-only session") {
     import spark.implicits._
     val plainDir = java.nio.file.Files

@@ -84,6 +84,29 @@ class StatsTruncationSpec extends SparkSuite {
       ScanSettings(conditions = Seq(Cond("txt", "=", paired)))).count() == 1)
   }
 
+  test("truncated MIN never ends on a dangling surrogate half") {
+    // the pair-string is the file MINIMUM here, and its 32-char cut
+    // lands exactly on the high half of a pair — the min bound must
+    // trim rather than persist malformed UTF-16
+    val path = tmp()
+    val pairedMin = "xy" + ("😀" * 40)
+    val high = "zz" + ("q" * 100)
+    DeltaWriter.write(Seq((1L, pairedMin), (2L, high)).toDF("id", "txt")
+      .coalesce(1), path)
+    val st = DeltaLog.forPath(spark, path).liveFiles.head.parsedStats.get
+    val mn = st.minValues("txt").asText
+    mn.zipWithIndex.foreach { case (c, i) =>
+      val loneHigh = Character.isHighSurrogate(c) &&
+        (i + 1 >= mn.length || !Character.isLowSurrogate(mn.charAt(i + 1)))
+      val loneLow = Character.isLowSurrogate(c) &&
+        (i == 0 || !Character.isHighSurrogate(mn.charAt(i - 1)))
+      assert(!loneHigh && !loneLow, s"lone surrogate at $i in min bound")
+    }
+    assert(mn <= pairedMin, "min bound lost its lower-bound property")
+    assert(DeltaLake.scanDelta(spark, path,
+      ScanSettings(conditions = Seq(Cond("txt", "=", pairedMin)))).count() == 1)
+  }
+
   test("short strings keep exact stats") {
     val path = tmp()
     DeltaWriter.write(Seq((1L, "abc"), (2L, "xyz")).toDF("id", "s")

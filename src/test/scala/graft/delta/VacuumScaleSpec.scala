@@ -93,6 +93,24 @@ class VacuumScaleSpec extends SparkSuite {
     assert(DeltaWriter.vacuum(spark, path).isEmpty)
   }
 
+  test("a nested table's transaction log survives vacuum") {
+    val path = tmp("graft_vac_nested")
+    DeltaWriter.write(
+      (1L to 20L).map(i => (i, (i % 2).toString)).toDF("id", "p"),
+      path, partitionBy = Seq("p"))
+    // a whole Delta table nested under a partition subtree (backup /
+    // clone-target shape): unreferenced by the outer log, but its
+    // _delta_log must never be reaped
+    val nested = s"$path/p=0/backup/t"
+    DeltaWriter.write((1L to 5L).map(i => (i, s"n$i")).toDF("id", "s"),
+      nested)
+    val deleted = DeltaWriter.vacuum(spark, path)
+    assert(!deleted.exists(_.contains("_delta_log")),
+      s"nested log reaped: ${deleted.filter(_.contains("_delta_log"))}")
+    // the nested table still opens and replays
+    assert(DeltaLog.forPath(spark, nested).version >= 0L)
+  }
+
   test("dry run over many orphans deletes nothing") {
     val path = tmp("graft_vac_dry")
     DeltaWriter.write(

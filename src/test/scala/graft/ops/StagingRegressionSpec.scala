@@ -29,22 +29,30 @@ class StagingRegressionSpec extends SparkSuite {
       "setup: snapshot sibling exists after staging")
 
     // simulate testdata regeneration: corrupt the fingerprint marker
-    // and drop the session-conf fast path, then plant a canary sibling
+    // and drop the session-conf fast path. Plant a MARKER inside the
+    // stale snapshot to prove it was rebuilt, and a sibling named like
+    // another staged TABLE to prove the cleanup does NOT glob it away.
     val ok = new Path(stagePath + "._STAGED_OK")
     val out = fs.create(ok, true)
     try out.write("stale-fingerprint".getBytes("UTF-8")) finally out.close()
-    val canary = new Path(stagePath + "_canary")
-    fs.mkdirs(canary)
+    val staleTag = new Path(stagePath + "_before_ids/STALE_TAG")
+    fs.create(staleTag, true).close()
+    val otherTable = new Path(stagePath + "_other_delta")
+    fs.mkdirs(otherTable)
     spark.conf.unset(s"graft.delta.staged.$stagePath")
 
-    // re-run: must re-stage from scratch, deleting BOTH siblings (the
-    // overwritten _before_ids is rewritten; the canary must be gone)
-    // and still report zero changed ids against the FRESH snapshot
+    // re-run: must re-stage from scratch, rebuilding the registered
+    // _before_ids artifact (stale tag gone), leaving the unrelated
+    // sibling table alone, and still reporting zero changed ids
+    // against the FRESH snapshot
     val second = fn(spark, dir).collect()(0)
     assert(second.getLong(2) == 0L, "ids changed after re-staging")
     assert(second.getLong(0) == first.getLong(0), "row count drifted")
-    assert(!fs.exists(canary), "stale sibling artifact survived re-staging")
+    assert(!fs.exists(staleTag), "stale snapshot survived re-staging")
     assert(fs.exists(new Path(stagePath + "_before_ids")),
       "fresh snapshot missing after re-staging")
+    assert(fs.exists(otherTable),
+      "sibling staged table deleted by artifact cleanup")
+    fs.delete(otherTable, true)
   }
 }
