@@ -227,26 +227,38 @@ object GraftExtensions {
 
   private type Plan = org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-  /** `graft_optimize(path[, 'z1,z2'])`: bin-pack compaction, optionally
-    * re-clustered on the Morton key over the given columns (OPTIMIZE
-    * ZORDER BY). One row: the number of source files compacted away.
+  /** `graft_optimize(path[, 'z1,z2'[, col, op, value]])`: bin-pack
+    * compaction, optionally re-clustered on the Morton key (OPTIMIZE
+    * ZORDER BY; pass '' for none), optionally restricted to partitions
+    * matching the predicate triple (OPTIMIZE … WHERE). One row: the
+    * number of source files compacted away.
     */
   private[graft] val optimizeTableFunction: Seq[Expression] => Plan =
     args => {
-      require(args.nonEmpty && args.size <= 2,
-        "graft_optimize(path[, zorderColumnsCsv]) takes 1 or 2 arguments")
+      require(args.nonEmpty && args.size <= 2 || args.size == 5,
+        "graft_optimize(path[, zorderColumnsCsv[, col, op, value]]) " +
+          "takes 1, 2 or 5 arguments")
       val path = literalString(args, 0, "graft_optimize", "path")
       val zorder =
         if (args.size < 2) Nil
         else literalString(args, 1, "graft_optimize", "zorderColumnsCsv")
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val conds =
+        if (args.size < 5) Nil
+        else {
+          require(args(4).foldable, "graft_optimize arguments must be literals")
+          Seq(graft.delta.Cond(
+            literalString(args, 2, "graft_optimize", "column"),
+            literalString(args, 3, "graft_optimize", "operator"),
+            external(args(4).eval(), args(4).dataType)))
+        }
       graft.plans.GraftProcedureNode("graft_optimize",
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("num_compacted_files",
             org.apache.spark.sql.types.LongType)))) { spark =>
         Seq(org.apache.spark.sql.Row(
           graft.delta.DeltaWriter.compact(spark, path,
-            zOrderBy = zorder).toLong))
+            zOrderBy = zorder, conditions = conds).toLong))
       }
     }
 

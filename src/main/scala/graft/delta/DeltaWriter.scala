@@ -2789,7 +2789,15 @@ object DeltaWriter {
       zOrderBy: Seq[String] = Nil,
       /** Already-current snapshot to compact against, skipping the
         * per-call log replay. */
-      priorSnapshot: Option[DeltaSnapshot] = None): Int = {
+      priorSnapshot: Option[DeltaSnapshot] = None,
+      /** OPTIMIZE … WHERE: restrict the compaction to partitions the
+        * predicate can match (delta-spark's partition-predicate form —
+        * and like it, every referenced column must BE a partition
+        * column; at 100 TB one compacts the hot partitions, not the
+        * table). Fail-open per file: a file whose partition values
+        * can't be proven non-matching is compacted.
+        */
+      conditions: Seq[Cond] = Nil): Int = {
     val snap = priorSnapshot.getOrElse(DeltaLog.forPath(spark, path))
     snap.checkProtocolSupported()
     val base = path.stripSuffix("/")
@@ -2825,6 +2833,17 @@ object DeltaWriter {
     val zCols = zOrderBy.map(c => logToPhys.getOrElse(c, c))
     zCols.foreach(c => require(physReadSchema.fieldNames.contains(c),
       s"zOrderBy column '$c' is not a data column of the table"))
+
+    conditions.foreach(c => require(partCols.contains(c.column),
+      s"OPTIMIZE predicate column '${c.column}' is not a partition " +
+        s"column (partition columns: ${partCols.mkString(", ")})"))
+    val candidates =
+      if (conditions.isEmpty) snap.liveFiles
+      else {
+        val physToField = DeltaSchema.physicalToField(schema)
+        snap.liveFiles.filterNot(a =>
+          FileSkipping.canSkip(a, conditions, physToField, logToPhys))
+      }
 
     val nf = JsonNodeFactory.instance
     val lines = mutable.ArrayBuffer.empty[String]
@@ -2947,7 +2966,7 @@ object DeltaWriter {
       nCompacted += bin.size
     }
 
-    snap.liveFiles.groupBy(_.effectivePartitionValues).foreach { case (pv, files) =>
+    candidates.groupBy(_.effectivePartitionValues).foreach { case (pv, files) =>
       if (zCols.nonEmpty) {
         // recluster the WHOLE partition on the Morton key; skip only
         // partitions that are already a single clean file at/below the
@@ -3005,8 +3024,12 @@ object DeltaWriter {
     }
 
     lines += commitInfoLine("OPTIMIZE",
-      params = if (zOrderBy.isEmpty) Map.empty
-        else Map("zOrderBy" -> zOrderBy.mkString(",")),
+      params = (if (zOrderBy.isEmpty) Map.empty[String, String]
+        else Map("zOrderBy" -> zOrderBy.mkString(","))) ++
+        (if (conditions.isEmpty) Map.empty[String, String]
+         else Map("predicate" ->
+           conditions.map(c => s"${c.column} ${c.op} ${c.value}")
+             .mkString(" AND "))),
       metrics = Map("numCompactedFiles" -> nCompacted.toLong))
     commitDml(spark, path, snap, lines.toSeq,
       removedPaths(lines.toSeq), "OPTIMIZE", snap.configuration)

@@ -498,6 +498,45 @@ class DeltaWriterSpec extends SparkSuite {
     assert(miss.count() == 0L)
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partitions") {
+    val path = tmp()
+    // 3 small files in each of two partitions
+    (0 until 3).foreach { i =>
+      DeltaWriter.write(
+        Seq((i * 2L, "A"), (i * 2 + 1L, "B")).toDF("id", "p").repartition(2),
+        path, partitionBy = Seq("p"),
+        mode = if (i == 0) "overwrite" else "append")
+    }
+    def filesOf(part: String): Set[String] =
+      DeltaLog.forPath(spark, path).liveFiles
+        .filter(_.partitionValues.get("p").flatten.contains(part))
+        .map(_.path).toSet
+    val aBefore = filesOf("A")
+    val bBefore = filesOf("B")
+    assert(aBefore.size == 3 && bBefore.size == 3)
+
+    val n = DeltaWriter.compact(spark, path,
+      conditions = Seq(Cond("p", "=", "A")))
+    assert(n == 3, s"compacted $n files, expected only p=A's 3")
+    assert(filesOf("A").size == 1, "p=A not bin-packed")
+    assert(filesOf("B") == bBefore, "p=B files touched by a p=A OPTIMIZE")
+    assert(DeltaLake.scanDelta(spark, path).count() == 6L)
+    // the commit records the predicate
+    val head = DeltaLog.forPath(spark, path).version
+    val ci = DeltaLog.readCommitJson(spark, path, head).get
+      .flatMap(n => Option(n.get("commitInfo")).filterNot(_.isNull)).head
+    assert(Option(ci.get("operationParameters"))
+      .flatMap(p => Option(p.get("predicate")))
+      .exists(_.asText.contains("p = A")), ci.toString)
+
+    // a non-partition predicate column is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.compact(spark, path,
+        conditions = Seq(Cond("id", ">", 1L)))
+    }
+    assert(e.getMessage.contains("not a partition column"))
+  }
+
   test("setting a property on append re-emits metaData, keeps schema") {
     val path = tmp()
     DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), path)
