@@ -3061,7 +3061,17 @@ object DeltaWriter {
     val hconf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(hconf)
     val rootUri = root.toUri.getPath.stripSuffix("/")
-    val cutoff = System.currentTimeMillis() - graceMs
+    // retention resolution order matches delta-spark: an explicit
+    // caller value wins; otherwise the table's
+    // delta.deletedFileRetentionDuration property governs; otherwise
+    // zero-retention (this engine's documented default — the caller
+    // decides when history is expendable)
+    val effectiveGraceMs =
+      if (graceMs > 0L) graceMs
+      else snap.configuration.get("delta.deletedFileRetentionDuration")
+        .flatMap(parseIntervalMs).getOrElse(0L)
+    val graceOn = effectiveGraceMs > 0L
+    val cutoff = System.currentTimeMillis() - effectiveGraceMs
     val liveData = snap.liveFiles.map(a => DeltaScan.decodePath(a.path)).toSet
     // DV files referenced by the current version — "u" form AND "p"
     // (absolute) files that live under the table root
@@ -3118,7 +3128,7 @@ object DeltaWriter {
       .filterNot(_.getPath.getName == "_delta_log")
     val (dirs, rootFiles) = top.partition(_.isDirectory)
     val topDoomed: Seq[String] = rootFiles
-      .filter(st => graceMs <= 0L || st.getModificationTime < cutoff)
+      .filter(st => !graceOn || st.getModificationTime < cutoff)
       .map(_.getPath.toUri.getPath.stripPrefix(rootUri + "/"))
       .filterNot(live.contains)
     val subDoomed: Seq[String] =
@@ -3147,7 +3157,7 @@ object DeltaWriter {
               // of the OUTER log, but deleting them destroys that table
               if (!uriPath.contains("/_delta_log/") &&
                   !liveB.value.contains(rel) &&
-                  (graceMs <= 0L || st.getModificationTime < cutoff))
+                  (!graceOn || st.getModificationTime < cutoff))
                 out += rel
             }
             out
@@ -3196,7 +3206,7 @@ object DeltaWriter {
         val referenced = refParquet ++ refJson
         fs.listStatus(sidecarDir).toSeq
           .filter(st => !referenced.contains(st.getPath.getName) &&
-            (graceMs <= 0L || st.getModificationTime < cutoff))
+            (!graceOn || st.getModificationTime < cutoff))
           .map(st => "_delta_log/_sidecars/" + st.getPath.getName)
       }
     val doomedData = (topDoomed ++ subDoomed).sorted
@@ -3728,6 +3738,26 @@ object DeltaWriter {
         Some(stats.toString)
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Delta interval-property form ("interval 7 days", "interval 2
+    * hours", …) → milliseconds; None on anything unrecognized
+    * (fail-open to the zero-retention default rather than guessing).
+    */
+  private[delta] def parseIntervalMs(s: String): Option[Long] = {
+    val m = "(?i)^\\s*(?:interval\\s+)?(\\d+)\\s*(week|day|hour|minute|second|millisecond)s?\\s*$"
+      .r.findFirstMatchIn(s)
+    m.map { g =>
+      val n = g.group(1).toLong
+      g.group(2).toLowerCase match {
+        case "week" => n * 7L * 24 * 3600 * 1000
+        case "day" => n * 24L * 3600 * 1000
+        case "hour" => n * 3600L * 1000
+        case "minute" => n * 60L * 1000
+        case "second" => n * 1000L
+        case "millisecond" => n
+      }
+    }
+  }
 
   /** Stats prefix width for long strings — delta-spark's default. */
   private val StatsStringPrefixLen = 32

@@ -129,6 +129,29 @@ class VacuumScaleSpec extends SparkSuite {
     assert(DeltaWriter.vacuum(spark, path).count(_ != "_SUCCESS") == 600)
   }
 
+  test("table retention property governs when no explicit grace is passed") {
+    val path = tmp("graft_vac_prop")
+    DeltaWriter.write(
+      (1L to 10L).map(i => (i, s"r$i")).toDF("id", "s"), path,
+      properties =
+        Map("delta.deletedFileRetentionDuration" -> "interval 2 hours"))
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh = new Path(root, "stranded.parquet")
+    val out = fs.create(fresh, true); out.write(1); out.close()
+    // default call: property's 2-hour window spares the fresh orphan
+    assert(!DeltaWriter.vacuum(spark, path).contains("stranded.parquet"))
+    assert(fs.exists(fresh))
+    // an explicit caller value still wins (1 ms window has elapsed)
+    Thread.sleep(5)
+    assert(DeltaWriter.vacuum(spark, path, graceMs = 1L)
+      .contains("stranded.parquet"))
+    // malformed property falls open to zero retention
+    assert(DeltaWriter.parseIntervalMs("fortnight").isEmpty)
+    assert(DeltaWriter.parseIntervalMs("interval 3 days")
+      .contains(3L * 24 * 3600 * 1000))
+  }
+
   test("grace window spares fresh orphans in the distributed listing") {
     val path = tmp("graft_vac_grace")
     DeltaWriter.write(
