@@ -436,7 +436,11 @@ object TextOps {
         // relation resident for the whole session would roughly double
         // the cache footprint for nothing. The gram relation itself is
         // session-cached: it is referenced three times below (probe
-        // grams, anti side, sizes).
+        // grams, anti side, sizes). Trade-off accepted r8: a cache-cold
+        // run pays one extra pass (building the gram cache through the
+        // token cache, ~+0.3 s at sf0.1 in BENCH cold) in exchange for
+        // dropping the corpus-wide shuffle — the term that grows with
+        // corpus size at 100 TB; warm is unchanged.
         val ver = OpCaches.tableVersion(s, dir, "documents")
         val docs5 = OpCaches.cached(s, s"text:grams5:$dir", ver) {
           val tk = table(s, dir, "documents")
