@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((new FunctionIdentifier("graft_delta_cdf"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_delta_cdf"),
       GraftExtensions.cdfTableFunction))
+    // SELECT * FROM graft_delta_row_ids('/path'[, version]) — the
+    // stable-row-id scan (table columns + _row_id/_row_commit_version,
+    // protocol resolution order) for pure-SQL sessions
+    ext.injectTableFunction((new FunctionIdentifier("graft_delta_row_ids"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_delta_row_ids"),
+      GraftExtensions.rowIdsTableFunction))
     // SELECT * FROM graft_delta_history('/path') — DESCRIBE HISTORY
     ext.injectTableFunction((new FunctionIdentifier("graft_delta_history"),
       new ExpressionInfo(classOf[GraftExtensions].getName,
@@ -210,6 +217,24 @@ object GraftExtensions {
         }
       val spark = org.apache.spark.sql.SparkSession.active
       DeltaLake.scanDeltaCdf(spark, path, since, conds)
+        .queryExecution.analyzed
+    }
+
+  /** `graft_delta_row_ids(path[, version])`: the stable-row-id scan as
+    * a table — table columns + `_row_id` / `_row_commit_version`
+    * resolved per the protocol (materialized columns first, then
+    * baseRowId + row index).
+    */
+  private[graft] val rowIdsTableFunction
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    args => {
+      require(args.nonEmpty && args.size <= 2,
+        "graft_delta_row_ids(path[, version]) takes 1 or 2 arguments")
+      val path = literalString(args, 0, "graft_delta_row_ids", "path")
+      val version = if (args.size < 2) None
+        else Some(literalLong(args, 1, "graft_delta_row_ids", "version"))
+      val spark = org.apache.spark.sql.SparkSession.active
+      DeltaLake.scanDeltaWithRowIds(spark, path, version)
         .queryExecution.analyzed
     }
 

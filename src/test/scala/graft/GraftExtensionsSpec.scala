@@ -286,6 +286,13 @@ class GraftExtensionsSpec extends SparkSuite {
         .collect()(0).getLong(0)
       // p=0 holds the even ids: 5 of the 10 updates -> 5 pre + 5 post
       assert(rows == 10L)
+      // stable row ids from SQL: distinct per row, columns present
+      graft.DeltaLake.enableRowTracking(s2, cdfPath)
+      val idRows = s2.sql(
+        s"""SELECT count(DISTINCT _row_id) AS n,
+           |  count(DISTINCT _row_commit_version) >= 1 AS has_ver
+           |FROM graft_delta_row_ids('$cdfPath')""".stripMargin).collect()(0)
+      assert(idRows.getLong(0) == 40L, s"expected 40 distinct ids: $idRows")
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
