@@ -210,9 +210,13 @@ object GraftExtensions {
         if (args.size < 5) Nil
         else {
           require(args(4).foldable, "graft_delta_cdf arguments must be literals")
+          val op = literalString(args, 3, "graft_delta_cdf", "operator")
+          require(op != "in" && op != "not in",
+            "graft_delta_cdf's predicate triple cannot express list " +
+              "values; use a scalar operator")
           Seq(graft.delta.Cond(
             literalString(args, 2, "graft_delta_cdf", "column"),
-            literalString(args, 3, "graft_delta_cdf", "operator"),
+            op,
             external(args(4).eval(), args(4).dataType)))
         }
       val spark = org.apache.spark.sql.SparkSession.active
@@ -272,9 +276,13 @@ object GraftExtensions {
         if (args.size < 5) Nil
         else {
           require(args(4).foldable, "graft_optimize arguments must be literals")
+          val op = literalString(args, 3, "graft_optimize", "operator")
+          require(op != "in" && op != "not in",
+            "graft_optimize's predicate triple cannot express list " +
+              "values; use a scalar operator")
           Seq(graft.delta.Cond(
             literalString(args, 2, "graft_optimize", "column"),
-            literalString(args, 3, "graft_optimize", "operator"),
+            op,
             external(args(4).eval(), args(4).dataType)))
         }
       graft.plans.GraftProcedureNode("graft_optimize",
@@ -297,7 +305,8 @@ object GraftExtensions {
         "graft_vacuum(path[, graceMs[, dryRun]]) takes 1 to 3 arguments")
       val path = literalString(args, 0, "graft_vacuum", "path")
       val grace =
-        if (args.size < 2) 0L else literalLong(args, 1, "graft_vacuum", "graceMs")
+        if (args.size < 2) -1L // unset: the table's retention property governs
+        else literalLong(args, 1, "graft_vacuum", "graceMs")
       val dry = args.size >= 3 && {
         require(args(2).foldable, "graft_vacuum arguments must be literals")
         args(2).eval() match {

@@ -851,25 +851,14 @@ object DeltaWriter {
     */
   private[delta] def logRetentionMs(config: Map[String, String]): Long = {
     val Default = 30L * 24 * 3600 * 1000
-    config.get("delta.logRetentionDuration").map(_.trim.toLowerCase) match {
+    config.get("delta.logRetentionDuration") match {
       case None => Default
-      case Some(s) =>
-        val interval = "^interval\\s+(\\d+)\\s+(day|hour|minute|week)s?$".r
-        s match {
-          case interval(n, unit) =>
-            n.toLong * (unit match {
-              case "week" => 7L * 24 * 3600 * 1000
-              case "day" => 24L * 3600 * 1000
-              case "hour" => 3600L * 1000
-              case "minute" => 60L * 1000
-            })
-          case ms if ms.matches("\\d+") => ms.toLong
-          case other =>
-            System.err.println(
-              s"[graft] unparseable delta.logRetentionDuration '$other'; " +
-                "using 30 days")
-            Default
-        }
+      case Some(s) => parseIntervalMs(s).getOrElse {
+        System.err.println(
+          s"[graft] unparseable delta.logRetentionDuration '$s'; " +
+            "using 30 days")
+        Default
+      }
     }
   }
 
@@ -2834,9 +2823,18 @@ object DeltaWriter {
     zCols.foreach(c => require(physReadSchema.fieldNames.contains(c),
       s"zOrderBy column '$c' is not a data column of the table"))
 
-    conditions.foreach(c => require(partCols.contains(c.column),
-      s"OPTIMIZE predicate column '${c.column}' is not a partition " +
-        s"column (partition columns: ${partCols.mkString(", ")})"))
+    conditions.foreach { c =>
+      require(partCols.contains(c.column),
+        s"OPTIMIZE predicate column '${c.column}' is not a partition " +
+          s"column (partition columns: ${partCols.mkString(", ")})")
+      // a scalar-valued 'in' would silently skip NOTHING in
+      // FileSkipping (its list cases match Seq values only) and the
+      // whole table would compact — the opposite of a scoped OPTIMIZE
+      if (c.op == "in" || c.op == "not in")
+        require(c.value.isInstanceOf[Seq[_]],
+          s"OPTIMIZE predicate '${c.op}' needs a Seq value, " +
+            s"got ${Option(c.value).map(_.getClass.getSimpleName).orNull}")
+    }
     val candidates =
       if (conditions.isEmpty) snap.liveFiles
       else {
@@ -3053,7 +3051,13 @@ object DeltaWriter {
     * of staging its files is safe.
     */
   def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
-      graceMs: Long = 0L,
+      /** Retention window. Negative (the default) = UNSET: the table's
+        * `delta.deletedFileRetentionDuration` property governs, else
+        * zero retention. An explicit value — INCLUDING an explicit 0,
+        * delta-spark's `RETAIN 0 HOURS` — always wins over the
+        * property.
+        */
+      graceMs: Long = -1L,
       /** DRY RUN: list what would be deleted without touching disk. */
       dryRun: Boolean = false): Seq[String] = {
     val snap = DeltaLog.forPath(spark, path)
@@ -3061,15 +3065,21 @@ object DeltaWriter {
     val hconf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(hconf)
     val rootUri = root.toUri.getPath.stripSuffix("/")
-    // retention resolution order matches delta-spark: an explicit
-    // caller value wins; otherwise the table's
-    // delta.deletedFileRetentionDuration property governs; otherwise
-    // zero-retention (this engine's documented default — the caller
-    // decides when history is expendable)
+    // retention resolution order matches delta-spark: explicit caller
+    // value (0 included) wins; else the table property; else zero. A
+    // PRESENT but unparseable property refuses loudly — silently
+    // zeroing it would discard exactly the in-flight-writer protection
+    // the property was set to provide (delta-spark throws there too).
     val effectiveGraceMs =
-      if (graceMs > 0L) graceMs
-      else snap.configuration.get("delta.deletedFileRetentionDuration")
-        .flatMap(parseIntervalMs).getOrElse(0L)
+      if (graceMs >= 0L) graceMs
+      else snap.configuration.get("delta.deletedFileRetentionDuration") match {
+        case None => 0L
+        case Some(v) => parseIntervalMs(v).getOrElse(
+          throw new IllegalArgumentException(
+            s"unparseable delta.deletedFileRetentionDuration '$v' on " +
+              s"$path — refusing to vacuum with an unknown retention " +
+              "(pass graceMs explicitly to override)"))
+      }
     val graceOn = effectiveGraceMs > 0L
     val cutoff = System.currentTimeMillis() - effectiveGraceMs
     val liveData = snap.liveFiles.map(a => DeltaScan.decodePath(a.path)).toSet
@@ -3739,23 +3749,41 @@ object DeltaWriter {
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Delta interval-property form ("interval 7 days", "interval 2
-    * hours", …) → milliseconds; None on anything unrecognized
-    * (fail-open to the zero-retention default rather than guessing).
+  /** Delta interval-property value → milliseconds. ONE parser for every
+    * interval-shaped property (log retention, file retention): optional
+    * `interval` prefix, one or more `<count> <unit>` terms
+    * (week/day/hour/minute/second/millisecond — compound values like
+    * "interval 1 week 2 days" are valid delta-spark CalendarIntervals),
+    * case-insensitive, plus the plain-milliseconds form. None for
+    * anything else — calendar-ambiguous units (month/year), trailing
+    * garbage, or counts that overflow a Long — so each property decides
+    * its own fallback policy explicitly instead of inheriting one
+    * parser's.
     */
   private[delta] def parseIntervalMs(s: String): Option[Long] = {
-    val m = "(?i)^\\s*(?:interval\\s+)?(\\d+)\\s*(week|day|hour|minute|second|millisecond)s?\\s*$"
-      .r.findFirstMatchIn(s)
-    m.map { g =>
-      val n = g.group(1).toLong
-      g.group(2).toLowerCase match {
-        case "week" => n * 7L * 24 * 3600 * 1000
-        case "day" => n * 24L * 3600 * 1000
-        case "hour" => n * 3600L * 1000
-        case "minute" => n * 60L * 1000
-        case "second" => n * 1000L
-        case "millisecond" => n
-      }
+    val txt = s.trim.toLowerCase
+      .stripPrefix("interval").trim.replaceAll("\\s+", " ")
+    if (txt.isEmpty) None
+    else if (txt.matches("\\d+")) scala.util.Try(txt.toLong).toOption
+    else {
+      val term = "(\\d+) ?(week|day|hour|minute|second|millisecond)s?".r
+      val terms = term.findAllMatchIn(txt).toList
+      // the WHOLE string must be covered by terms — partial matches
+      // ("1 day xyz", "1 month") must not half-parse
+      if (terms.isEmpty || terms.map(_.matched).mkString(" ") != txt) None
+      else scala.util.Try {
+        terms.map { m =>
+          val mult = m.group(2) match {
+            case "week" => 7L * 24 * 3600 * 1000
+            case "day" => 24L * 3600 * 1000
+            case "hour" => 3600L * 1000
+            case "minute" => 60L * 1000
+            case "second" => 1000L
+            case "millisecond" => 1L
+          }
+          Math.multiplyExact(m.group(1).toLong, mult)
+        }.reduce((a, b) => Math.addExact(a, b))
+      }.toOption
     }
   }
 

@@ -142,14 +142,36 @@ class VacuumScaleSpec extends SparkSuite {
     // default call: property's 2-hour window spares the fresh orphan
     assert(!DeltaWriter.vacuum(spark, path).contains("stranded.parquet"))
     assert(fs.exists(fresh))
-    // an explicit caller value still wins (1 ms window has elapsed)
-    Thread.sleep(5)
-    assert(DeltaWriter.vacuum(spark, path, graceMs = 1L)
+    // a dry-run explicit ZERO overrides the property (RETAIN 0 HOURS)
+    assert(DeltaWriter.vacuum(spark, path, graceMs = 0L, dryRun = true)
       .contains("stranded.parquet"))
-    // malformed property falls open to zero retention
-    assert(DeltaWriter.parseIntervalMs("fortnight").isEmpty)
+    assert(fs.exists(fresh))
+    // …and the real explicit-zero call reclaims it
+    assert(DeltaWriter.vacuum(spark, path, graceMs = 0L)
+      .contains("stranded.parquet"))
+    // the shared interval parser: compound delta-spark forms, plain ms,
+    // and loud refusal paths
     assert(DeltaWriter.parseIntervalMs("interval 3 days")
       .contains(3L * 24 * 3600 * 1000))
+    assert(DeltaWriter.parseIntervalMs("interval 1 week 2 days")
+      .contains(9L * 24 * 3600 * 1000))
+    assert(DeltaWriter.parseIntervalMs("3600000").contains(3600000L))
+    assert(DeltaWriter.parseIntervalMs("fortnight").isEmpty)
+    assert(DeltaWriter.parseIntervalMs("interval 1 month").isEmpty)
+    assert(DeltaWriter.parseIntervalMs(
+      "interval 99999999999999999999 days").isEmpty)
+    // a PRESENT but unparseable property refuses instead of silently
+    // zeroing the retention the property was set to provide
+    val bad = tmp("graft_vac_badprop")
+    DeltaWriter.write(Seq((1L, "x")).toDF("id", "s"), bad,
+      properties =
+        Map("delta.deletedFileRetentionDuration" -> "interval 1 month"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.vacuum(spark, bad)
+    }
+    assert(e.getMessage.contains("unparseable"))
+    // an explicit grace still lets the operator proceed
+    assert(DeltaWriter.vacuum(spark, bad, graceMs = 3600000L) != null)
   }
 
   test("grace window spares fresh orphans in the distributed listing") {
