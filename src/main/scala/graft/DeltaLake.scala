@@ -377,26 +377,12 @@ object DeltaLake {
       val spec = CdfEngine.spec(spark, base, priorByPath, lines,
         conditions, if (conditions.isEmpty) None else Some(snap.schema))
       lines.foreach(snap.applyActionLine(_, v))
-      // Emit every batch in the HEAD logical schema. A commit that
-      // predates a RENAME materializes under its version's logical
-      // names; without remapping, the feed's union-by-name would split
-      // one physical column into two half-null logical ones. Columns
-      // correspond by PHYSICAL name (renames keep it), the head name
-      // wins; columns dropped at head leave the feed, columns added
-      // later null-fill via the union. delta-spark refuses such reads
-      // outright on mapped tables — emitting the head schema is the
-      // useful superset of that behavior.
-      val headP2L = DeltaSchema.logicalToPhysical(head.schema)
-        .map(_.swap)
-      val vL2P = DeltaSchema.logicalToPhysical(snap.schema)
-      def q(n: String) = col("`" + n.replace("`", "``") + "`")
-      CdfEngine.materialize(snap, spec).foreach { df0 =>
-        val cols = df0.columns.toSeq.flatMap {
-          case c if c == CdfEngine.ChangeTypeCol => Some(q(c))
-          case c => headP2L.get(vL2P.getOrElse(c, c)).map(hl => q(c).as(hl))
-        }
-        batches += df0.select(cols: _*)
-      }
+      // Emit every batch in the HEAD logical schema (see
+      // CdfEngine.remapToHead — delta-spark refuses reads across a
+      // rename on mapped tables; the head schema is the useful
+      // superset of that behavior).
+      CdfEngine.materialize(snap, spec).foreach(df0 =>
+        batches += CdfEngine.remapToHead(df0, snap.schema, head.schema))
     }
     val feed =
       if (batches.isEmpty)

@@ -137,6 +137,27 @@ private[graft] object CdfEngine {
     }
   }
 
+  /** Remap a change batch materialized under `vSchema` (the snapshot
+    * schema at its commit) onto the HEAD logical schema by
+    * PHYSICAL-name correspondence — renames keep the physical name, so
+    * the head logical name wins; columns dropped at head leave the
+    * feed; later-added columns null-fill in the caller's union. Without
+    * this, a feed window spanning a RENAME splits one physical column
+    * into two half-null logical ones (or, filtered, fails analysis).
+    * Shared by the batch and streaming CDF so they cannot diverge.
+    */
+  def remapToHead(df: DataFrame, vSchema: StructType,
+      headSchema: StructType): DataFrame = {
+    val headP2L = DeltaSchema.logicalToPhysical(headSchema).map(_.swap)
+    val vL2P = DeltaSchema.logicalToPhysical(vSchema)
+    def q(n: String) = col("`" + n.replace("`", "``") + "`")
+    val cols = df.columns.toSeq.flatMap {
+      case c if c == ChangeTypeCol => Some(q(c))
+      case c => headP2L.get(vL2P.getOrElse(c, c)).map(hl => q(c).as(hl))
+    }
+    df.select(cols: _*)
+  }
+
   /** Metadata pruning for a FILTERED change-feed consumer: cdc actions
     * carry `partitionValues` exactly like adds (PROTOCOL.md
     * #add-cdc-file), so the same M2 partition machinery — and, where

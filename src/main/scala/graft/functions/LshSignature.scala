@@ -97,6 +97,12 @@ object LshSignature {
   /** One array pass: vector element decoded once, fanned into all bit
     * accumulators. Per-bit accumulation order stays j-ascending — the
     * same floating-point sum the HOF form and the SQL oracle produce.
+    * Vectors are PROJECTED onto the declared `dim` components by
+    * contract: shorter vectors act zero-padded and longer ones ignore
+    * the tail — exactly what the SQL twin's `for j in range(dim)`
+    * comprehension does, so a wrongly-dimensioned embedding hashes the
+    * same (possibly meaningless) bucket in both engines rather than
+    * diverging them.
     */
   def kernel(v: ArrayData, isFloat: Boolean,
       signs: Array[Double], bits: Int, dim: Int): Long = {

@@ -67,9 +67,16 @@ case class VectorCosine(left: Expression, right: Expression)
 
 object VectorCosine {
 
-  /** Fused single-pass kernel; returns NaN for undefined cosine. */
+  /** Fused single-pass kernel; returns NaN for undefined cosine —
+    * including MISMATCHED vector lengths (a corrupt or
+    * wrongly-dimensioned embedding): min-truncating would drop the
+    * longer side's tail from its own norm and report a confident wrong
+    * similarity (DuckDB's list_cosine_similarity errors on the same
+    * input; NaN→NULL is the engine's SQL-shaped equivalent).
+    */
   def kernel(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

@@ -31,7 +31,9 @@ import Registry.table
   */
 object DedupOps {
 
-  private def tokens(c: Column): Column = split(lower(c), "\\s+")
+  /** THE corpus tokenization — shared with the t/p-families so every
+    * oracle's regexp_split_to_array twin matches one definition. */
+  private def tokens(c: Column): Column = TextOps.tokens(c)
 
   /** Release every cached relation the ops registry holds (shingles,
     * signatures, LSH bands, IVF lists) — the session-lifetime hook for
@@ -623,8 +625,16 @@ object DedupOps {
         val docs = table(s, dir, "documents")
           .select(col("doc_id"),
             SimHash64.simhash64(s, tokens(col("text"))).as("sh"))
-        // 4 bands of 16 bits: a pair within Hamming distance 3 must agree
-        // on at least one band (pigeonhole).
+        // 4 bands of 16 bits: a pair within Hamming distance 3 must
+        // agree on at least one band (pigeonhole), so recall is EXACT
+        // up to distance 3. The hamming<=8 verify filter below keeps
+        // any band-colliding pair up to distance 8 — for distances
+        // 4..8 recall is PARTIAL by design (a pair can spread its
+        // differing bits one-per-band and collide nowhere): the
+        // standard SimHash trade that keeps candidate generation a
+        // bucket join instead of all-pairs. The DuckDB oracle mirrors
+        // the identical banding, so the two engines agree on exactly
+        // which pairs surface.
         val banded = docs.select(col("doc_id"), col("sh"),
           explode(array((0 until 4).map { b =>
             struct(lit(b).as("band"),

@@ -25,9 +25,21 @@ object EventOps {
     */
   def readEvents(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    // harmless when ts is already a timestamp; required for nanos files
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = table(s, dir, "events")
+    // The nanos conf is only flipped for sessions that actually HIT a
+    // legacy INT64-nanos file (Spark refuses them loudly otherwise):
+    // setting it unconditionally would make every other parquet read in
+    // the session silently deliver raw-nanos longs where Spark would
+    // have raised. Once a session needs it, it stays set — the lazy
+    // scan re-consults it at execution, so restoring early would break
+    // the read it just enabled.
+    val df =
+      try table(s, dir, "events")
+      catch {
+        case e: Exception
+            if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(s, dir, "events")
+      }
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer div: epoch-nanos exceed double's 2^53 mantissa

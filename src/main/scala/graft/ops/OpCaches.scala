@@ -33,9 +33,17 @@ private[graft] object OpCaches {
     * version token, is dropped and rebuilt — a cached plan bound to a
     * dead session would throw on first use, and one bound to rewritten
     * source files would silently serve stale rows.
+    *
+    * The check-build-put sequence is synchronized so two racing threads
+    * can't both build and strand one never-unpersisted copy. SCOPE
+    * NOTE: the registry is process-global but entries are per-session —
+    * TWO live sessions querying the same dir would evict each other's
+    * entry on every call (rebuild thrash, never wrong results). The
+    * harness is single-session; a multi-session serving layer should
+    * key this map by (session, key).
     */
   def cached(spark: SparkSession, key: String, version: String = "")(
-      make: => DataFrame): DataFrame =
+      make: => DataFrame): DataFrame = synchronized {
     entries.get(key) match {
       case Some((v, df)) if v == version && (df.sparkSession eq spark) => df
       case stale =>
@@ -45,6 +53,7 @@ private[graft] object OpCaches {
         entries.put(key, (version, fresh))
         fresh
     }
+  }
 
   /** Snapshot fingerprint of the files backing `dir/name.parquet`: a
     * digest over (path, length, modificationTime) of every file under

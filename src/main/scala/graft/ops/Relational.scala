@@ -318,8 +318,13 @@ object Relational {
       (s, dir) => {
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
         val liTbl = s"li_bkt_$tag"; val oTbl = s"o_bkt_$tag"
+        // marker VALUE is the source fingerprint, like every other
+        // staging site (stagedOnce, OpCaches.tableVersion): regenerated
+        // testdata re-buckets instead of serving stale copies
         val marker = s"graft.bucketed.$tag"
-        if (!s.conf.getOption(marker).contains("1")) {
+        val fp = OpCaches.tableVersion(s, dir, "lineitem") + "|" +
+          OpCaches.tableVersion(s, dir, "orders")
+        if (!s.conf.getOption(marker).contains(fp)) {
           val base = s"/tmp/graft_bucketed/$tag"
           Seq(liTbl, oTbl).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
           table(s, dir, "lineitem")
@@ -332,7 +337,7 @@ object Relational {
             .write.format("parquet").option("path", s"$base/$oTbl")
             .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
             .mode("overwrite").saveAsTable(oTbl)
-          s.conf.set(marker, "1")
+          s.conf.set(marker, fp)
         }
         val li = s.table(liTbl)
         val o = s.table(oTbl)

@@ -82,13 +82,31 @@ object DeltaSink {
         return true
       }
       val cached = snapshots.getOrElseUpdate(path, DeltaLog.forPath(spark, path))
-      // two staleness traps the incremental advance cannot cross:
+      // staleness traps the incremental advance cannot cross:
+      //  - the cached snapshot is pinned to ANOTHER SparkSession (same
+      //    JVM, session restarted or two sessions live) — advancing it
+      //    would run against stopped/foreign session state
       //  - a checkpoint newer than the cache (commits aged out past it)
-      //  - the table was deleted+recreated (our cached version's commit
-      //    no longer exists) — a stale watermark would DROP real batches
+      //  - the table was deleted+recreated: either the cached version's
+      //    commit no longer exists, or — recreated with an equal-or-
+      //    LONGER history — it exists but belongs to a DIFFERENT table;
+      //    the table id in commit 0 is the identity that survives
+      //    neither (a stale watermark would silently DROP real batches,
+      //    a stale file list would mix deleted files with new ones). An
+      //    aged-out commit 0 skips the id check; the newer-checkpoint
+      //    branch forces the bootstrap in that shape.
+      def tableIdChanged: Boolean = {
+        val curId = DeltaLog.readCommitJson(spark, path, 0L).toSeq.flatten
+          .flatMap(n => Option(n.get("metaData")).filterNot(_.isNull))
+          .flatMap(m => Option(m.get("id")).filterNot(_.isNull).map(_.asText))
+          .headOption
+        curId.exists(id => !cached.metadata.flatMap(_.id).contains(id))
+      }
       val needBootstrap =
-        DeltaLog.lastCheckpointVersion(spark, path).exists(_ > cached.version) ||
-          DeltaLog.readCommitJson(spark, path, cached.version).isEmpty
+        (cached.spark ne spark) ||
+          DeltaLog.lastCheckpointVersion(spark, path).exists(_ > cached.version) ||
+          DeltaLog.readCommitJson(spark, path, cached.version).isEmpty ||
+          tableIdChanged
       val snap =
         if (needBootstrap) {
           val fresh = DeltaLog.forPath(spark, path)

@@ -124,7 +124,11 @@ object DeltaStream {
       fromVersion: Long,
       conditions: Seq[graft.delta.Cond])(
       batchFn: (Long, DataFrame) => Unit): Long = {
-    val (head, snap) = initReplay(spark, path, fromVersion)
+    val headSnap = DeltaLog.forPath(spark, path)
+    val head = headSnap.version
+    val snap =
+      if (fromVersion < 0) new DeltaSnapshot(spark, path)
+      else DeltaLog.forPath(spark, path, Some(fromVersion))
     val base = path.stripSuffix("/")
     var v = fromVersion + 1
     while (v <= head) {
@@ -134,10 +138,17 @@ object DeltaStream {
       val spec = CdfEngine.spec(spark, base, priorByPath, lines,
         conditions, if (conditions.isEmpty) None else Some(snap.schema))
       lines.foreach(snap.applyActionLine(_, v))
-      CdfEngine.materialize(snap, spec).foreach { df =>
+      // every batch in the HEAD logical schema, like the batch CDF
+      // (CdfEngine.remapToHead) — a replay window spanning a RENAME
+      // would otherwise hand the consumer batches whose column names
+      // flip mid-stream, and the compiled predicate (head names, like
+      // the caller wrote it) would fail analysis on pre-rename batches
+      CdfEngine.materialize(snap, spec).foreach { df0 =>
+        val df = CdfEngine.remapToHead(df0, snap.schema, headSnap.schema)
         val out =
           if (conditions.isEmpty) df
-          else df.where(graft.delta.Cond.compile(conditions, Some(snap.schema)))
+          else df.where(
+            graft.delta.Cond.compile(conditions, Some(headSnap.schema)))
         batchFn(v, out)
       }
       v += 1

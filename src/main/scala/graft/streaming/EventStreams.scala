@@ -31,6 +31,20 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Event-time as epoch MICROS. The stateful twins order and compare
+    * on this — `Timestamp.getTime` truncates to milliseconds, and a
+    * strict `>` against a truncated value diverges from the batch
+    * windows (full micros) whenever two events share a millisecond.
+    */
+  private def microsOf(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def tsFromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
     * streaming twin of EventOps e1.
     */
@@ -73,7 +87,7 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    // state: (minViewTs, clickCandidates, purchaseCandidates), millis
+    // state: (minViewTs, clickCandidates, purchaseCandidates), MICROS
     events
       .select("user_id", "event_type", "ts")
       .withWatermark("ts", "2 hours")
@@ -91,10 +105,10 @@ object EventStreams {
             var minView = v0
             var clicks = clicks0
             var purchases = purchases0
-            var maxTs = 0L
+            var maxTsMs = 0L
             rows.foreach { case (_, typ, ts) =>
-              val t = ts.getTime
-              maxTs = math.max(maxTs, t)
+              val t = microsOf(ts)
+              maxTsMs = math.max(maxTsMs, ts.getTime)
               typ match {
                 case "view" =>
                   if (minView.forall(t < _)) minView = Some(t)
@@ -108,7 +122,7 @@ object EventStreams {
             state.update((minView, clicks, purchases))
             val horizon = 2L * 3600 * 1000
             state.setTimeoutTimestamp(math.max(
-              maxTs + horizon, state.getCurrentWatermarkMs() + horizon))
+              maxTsMs + horizon, state.getCurrentWatermarkMs() + horizon))
             // re-anchor: first click strictly after the (possibly just
             // lowered) first view; first purchase strictly after it
             val c = minView.flatMap(v => clicks.find(_ > v))
@@ -118,9 +132,9 @@ object EventStreams {
               else if (c.isDefined) 2
               else if (minView.isDefined) 1
               else 0
-            Iterator((user, minView.map(new java.sql.Timestamp(_)).orNull,
-              c.map(new java.sql.Timestamp(_)).orNull,
-              p.map(new java.sql.Timestamp(_)).orNull, steps))
+            Iterator((user, minView.map(tsFromMicros).orNull,
+              c.map(tsFromMicros).orNull,
+              p.map(tsFromMicros).orNull, steps))
           })
       .toDF("user_id", "view_ts", "click_ts", "purchase_ts", "steps_completed")
   }
@@ -138,7 +152,7 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    // state: (touches (tsMillis, eventId), purchases (tsMillis, id, value))
+    // state: (touches (tsMicros, eventId), purchases (tsMicros, id, value))
     events
       .select("user_id", "event_type", "ts", "event_id", "value")
       .withWatermark("ts", "2 hours")
@@ -152,10 +166,10 @@ object EventStreams {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var (touches, purchases) = state.getOption.getOrElse((Nil, Nil))
-            var maxTs = 0L
+            var maxTsMs = 0L
             rows.foreach { case (_, typ, ts, id, value) =>
-              val t = ts.getTime
-              maxTs = math.max(maxTs, t)
+              val t = microsOf(ts)
+              maxTsMs = math.max(maxTsMs, ts.getTime)
               typ match {
                 case "view" | "click" => touches = (t, id) :: touches
                 case "purchase" => purchases = (t, id, value) :: purchases
@@ -167,7 +181,7 @@ object EventStreams {
             state.update((touches, purchases))
             val horizon = 2L * 3600 * 1000
             state.setTimeoutTimestamp(math.max(
-              maxTs + horizon, state.getCurrentWatermarkMs() + horizon))
+              maxTsMs + horizon, state.getCurrentWatermarkMs() + horizon))
             // strictly-before in (ts, event_id) lexicographic order,
             // latest such touch wins — identical to the batch window's
             // rowsBetween(unboundedPreceding, -1) frame
@@ -220,14 +234,15 @@ object EventStreams {
           else {
             var (folded, timeline) = state.getOption.getOrElse(
               (Map.empty[(String, String), Long], Nil))
-            var maxTs = 0L
+            var maxTsMs = 0L
             rows.foreach { case (_, ts, id, typ) =>
-              val t = ts.getTime
-              maxTs = math.max(maxTs, t)
+              val t = microsOf(ts)
+              maxTsMs = math.max(maxTsMs, ts.getTime)
               timeline = (t, id, typ) :: timeline
             }
             timeline = timeline.distinct.sortBy(e => (e._1, e._2))
-            val cutoff = state.getCurrentWatermarkMs()
+            // timeline is MICROS; the watermark API is millis
+            val cutoff = state.getCurrentWatermarkMs() * 1000L
             val (finals, live) = timeline.span(_._1 < cutoff)
             if (finals.size > 1) {
               finals.map(_._3).zip(finals.drop(1).map(_._3))
@@ -237,7 +252,7 @@ object EventStreams {
             state.update((folded, timeline))
             val horizon = 2L * 3600 * 1000
             state.setTimeoutTimestamp(math.max(
-              maxTs + horizon, cutoff + horizon))
+              maxTsMs + horizon, state.getCurrentWatermarkMs() + horizon))
             val types = timeline.map(_._3)
             var out = folded
             types.zip(types.drop(1)).foreach(p =>

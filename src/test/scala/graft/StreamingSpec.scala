@@ -77,6 +77,39 @@ class StreamingSpec extends SparkSuite {
         s"batch ${batch.size}")
   }
 
+  test("streaming CDF spanning a rename emits head-schema batches like batch CDF") {
+    import graft.delta.{Cond, DeltaWriter}
+    import graft.streaming.DeltaStream
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_cdf_ren").toString + "/t"
+    DeltaWriter.write((1L to 20L).map(i => (i, s"v$i")).toDF("id", "s"),
+      path, properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLake.renameColumn(spark, path, "s", "label")              // v1
+    DeltaLake.updateWhere(spark, path, Seq(Cond("id", "<=", 5L)),
+      Map("label" -> lit("u")))                                    // v2
+    // filtered replay with the HEAD column name must succeed across the
+    // pre-rename creation batch (it used to fail analysis there), and
+    // every batch must carry head-schema columns
+    var rows = Vector.empty[(String, Long)]
+    DeltaStream.runAvailableNowCdf(spark, path, -1L,
+      Seq(Cond("id", "<=", 5L))) { (_, df) =>
+      assert(df.columns.contains("label") && !df.columns.contains("s"),
+        s"non-head schema batch: ${df.columns.mkString(",")}")
+      rows ++= df.collect().map(r =>
+        r.getAs[String]("_change_type") -> r.getAs[Long]("id"))
+    }
+    // creation inserts 1..5 + update (5 pre + 5 post)
+    assert(rows.count(_._1 == "insert") == 10 &&
+      rows.count(_._1 == "delete") == 5, s"got $rows")
+    val batch = DeltaLake.scanDeltaCdf(spark, path, -1L,
+      Seq(Cond("id", "<=", 5L)))
+      .collect().map(r =>
+        r.getAs[String]("_change_type") -> r.getAs[Long]("id")).toVector
+    assert(rows.sorted == batch.sorted,
+      s"stream/batch divergence across rename: $rows vs $batch")
+  }
+
   test("streaming transition counts equal the batch Markov matrix") {
     import org.apache.spark.sql.expressions.Window
     // stream: last Update-mode emission per user is their pair multiset
