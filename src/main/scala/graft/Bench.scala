@@ -113,10 +113,17 @@ object Bench {
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def tot(rs: Seq[(String, Double)]): Double = rs.map(_._2).filter(_ >= 0).sum
+    // CRASHED queries record -1 and are excluded from the totals; the
+    // count makes that impossible to misread as a speedup (a query that
+    // regresses from 5 s to a crash would otherwise LOWER the total)
+    val failed = (warm ++ cold ++ kWarm ++ kCold)
+      .filter(_._2 < 0).map(_._1).distinct.sorted
     println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec"""" +
       s""","queries":${obj(warm)},"queries_cold":${obj(cold)}""" +
       s""","kernels":${obj(kWarm)},"kernels_cold":${obj(kCold)}""" +
-      s""","total_cold_sec":${tot(cold)},"staging_sec":$staging,"sf":"$sfDir"}""")
+      s""","total_cold_sec":${tot(cold)},"staging_sec":$staging""" +
+      s""","failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }

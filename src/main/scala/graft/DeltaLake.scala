@@ -164,12 +164,13 @@ object DeltaLake {
     */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val dir = new org.apache.hadoop.fs.Path(
-      path.stripSuffix("/") + "/_delta_log")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(dir), s"no Delta log under $path")
-    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong).sorted
+    // timestamps come from the SAME ICT-aware monotonized timeline that
+    // timestamp time travel and the CDF since-resolution use — a
+    // history row's timestamp fed back into time travel must land on
+    // that row's version, which raw commitInfo.timestamp (wall clock,
+    // skewable by external writers) does not guarantee on ICT tables
+    val timeline = DeltaLog.commitTimeline(spark, path).toMap
+    val versions = timeline.keys.toSeq.sorted
     val rows = versions.map { v =>
       val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(Nil)
       def n(field: String) =
@@ -178,8 +179,7 @@ object DeltaLake {
         case l if l.has("commitInfo") && !l.get("commitInfo").isNull =>
           l.get("commitInfo")
       }
-      val ts = ci.flatMap(c => Option(c.get("timestamp")))
-        .filterNot(_.isNull).map(t => new java.sql.Timestamp(t.asLong))
+      val ts = timeline.get(v).map(t => new java.sql.Timestamp(t))
       val op = ci.flatMap(c => Option(c.get("operation")))
         .filterNot(_.isNull).map(_.asText)
       val metrics: Map[String, String] = {
@@ -202,25 +202,6 @@ object DeltaLake {
     try { snap.checkProtocolSupported(); true }
     catch { case _: DeltaProtocolError => false }
 
-  /** Insert-CDF: the rows ADDED strictly after `sinceVersion`, AS
-    * INSERTED — the incremental-ETL extension of the reference's
-    * `update_incremental` (delta_meta_retrieval.py:183-200), which
-    * refreshes metadata but cannot say what changed.
-    *
-    * Determined by walking the commit window (not by diffing live sets,
-    * whose replayed `dataChange` flags are unreliable across
-    * checkpoints): per commit, adds with `dataChange=true` whose path
-    * was not live before the window (re-adds = DV deletes) and not
-    * already collected (first add wins over later rewrites). Files the
-    * window later compacted away are still scanned from their original
-    * (pre-vacuum) location, so no window rows are lost. Deletion
-    * vectors are NOT subtracted here — retractions are
-    * [[scanDeltaDeletedRows]]'s half, and the two compose to the net
-    * state delta. Rows RESTORED by a shrinking deletion vector (an
-    * external writer un-deleting, e.g. RESTORE) count as inserts here:
-    * they became visible in the window. Raises if window commits were
-    * aged out.
-    */
   /** Commit-window walk shared by the change-feed paths: per commit in
     * `(sinceVersion, head]`, adds with `dataChange=true` whose path was
     * not live before the window and not already collected (first add
@@ -247,9 +228,29 @@ object DeltaLake {
     added.values.toSeq
   }
 
+  /** Insert-CDF: the rows ADDED strictly after `sinceVersion`, AS
+    * INSERTED — the incremental-ETL extension of the reference's
+    * `update_incremental` (delta_meta_retrieval.py:183-200), which
+    * refreshes metadata but cannot say what changed.
+    *
+    * Determined by walking the commit window (not by diffing live sets,
+    * whose replayed `dataChange` flags are unreliable across
+    * checkpoints): per commit, adds with `dataChange=true` whose path
+    * was not live before the window (re-adds = DV deletes) and not
+    * already collected (first add wins over later rewrites). Files the
+    * window later compacted away are still scanned from their original
+    * (pre-vacuum) location, so no window rows are lost. Deletion
+    * vectors are NOT subtracted here — retractions are
+    * [[scanDeltaDeletedRows]]'s half, and the two compose to the net
+    * state delta. Rows RESTORED by a shrinking deletion vector (an
+    * external writer un-deleting, e.g. RESTORE) count as inserts here:
+    * they became visible in the window. Raises if window commits were
+    * aged out.
+    */
   def scanDeltaChanges(spark: SparkSession, path: String,
       sinceVersion: Long): DataFrame = {
     val head = DeltaLog.forPath(spark, path)
+    head.checkProtocolSupported() // same gate as every other read path
     val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
     val added = windowAdds(spark, path, sinceVersion, before, head)
     // restored rows: still-live files whose DV shrank across the window
@@ -295,6 +296,7 @@ object DeltaLake {
       sinceVersion: Long): DataFrame = {
     val before = DeltaLog.forPath(spark, path, Some(sinceVersion))
     val after = DeltaLog.forPath(spark, path)
+    after.checkProtocolSupported() // same gate as every other read path
     val base = path.stripSuffix("/")
     val beforeDesc: Map[String, DeletionVectorDescriptor] = before.liveFiles
       .flatMap(a => a.deletionVector.map(a.path -> _)).toMap
@@ -314,24 +316,6 @@ object DeltaLake {
     else DvCdf.rowsAt(after, diffs)
   }
 
-  /** Both change-feed halves in one call: rows that became visible
-    * strictly after `sinceVersion` tagged `_change_type='insert'`
-    * (DV-shrink restores included) unioned with rows retracted in the
-    * window tagged `'delete'`. Walks the window COMMIT BY COMMIT over
-    * one incrementally-advanced snapshot ([[graft.delta.CdfEngine]],
-    * shared with the streaming twin): commits carrying STORED change
-    * data (`cdc` actions → `_change_data/` files) contribute exactly
-    * those rows — UPDATE/MERGE pre-images from any CDF-writing engine
-    * included, `update_pre/postimage` normalized onto delete/insert —
-    * while commits without cdc actions fall back to the derived feed
-    * (new `dataChange` files as inserts, DV bitmap growth as deletes,
-    * shrinkage as restore-inserts). Applying inserts then deletes nets
-    * to the state delta. This is the `graft_delta_cdf` TVF's path.
-    *
-    * Raises if a window commit was aged out past a checkpoint. Batches
-    * union by name with null fill, so a window that evolves the schema
-    * yields the union schema.
-    */
   /** Change feed starting AT the given instant — delta-spark's
     * `startingTimestamp` semantics: resolves to the FIRST version whose
     * (ICT-aware, monotonized) commit timestamp is at or after `since`
@@ -352,6 +336,24 @@ object DeltaLake {
     scanDeltaCdf(spark, path, from - 1, conditions)
   }
 
+  /** Both change-feed halves in one call: rows that became visible
+    * strictly after `sinceVersion` tagged `_change_type='insert'`
+    * (DV-shrink restores included) unioned with rows retracted in the
+    * window tagged `'delete'`. Walks the window COMMIT BY COMMIT over
+    * one incrementally-advanced snapshot ([[graft.delta.CdfEngine]],
+    * shared with the streaming twin): commits carrying STORED change
+    * data (`cdc` actions → `_change_data/` files) contribute exactly
+    * those rows — UPDATE/MERGE pre-images from any CDF-writing engine
+    * included, `update_pre/postimage` normalized onto delete/insert —
+    * while commits without cdc actions fall back to the derived feed
+    * (new `dataChange` files as inserts, DV bitmap growth as deletes,
+    * shrinkage as restore-inserts). Applying inserts then deletes nets
+    * to the state delta. This is the `graft_delta_cdf` TVF's path.
+    *
+    * Raises if a window commit was aged out past a checkpoint. Batches
+    * union by name with null fill, so a window that evolves the schema
+    * yields the union schema.
+    */
   def scanDeltaCdf(spark: SparkSession, path: String, sinceVersion: Long,
       /** Optional predicate for a FILTERED feed consumer: change files
         * (stored cdc and derived adds alike — both carry

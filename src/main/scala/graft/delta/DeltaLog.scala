@@ -258,7 +258,7 @@ object DeltaLog {
     * ICT-aware: if the newest commit carries an inCommitTimestamp, all
     * commits resolve by theirs (mtime fallback per commit).
     */
-  private def commitTimeline(
+  private[graft] def commitTimeline(
       spark: SparkSession, deltaPath: String): Seq[(Long, Long)] = {
     val (filesystem, dir) = fs(spark, logDir(deltaPath))
     require(filesystem.exists(dir), s"no Delta log under $deltaPath")

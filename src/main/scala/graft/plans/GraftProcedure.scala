@@ -25,6 +25,15 @@ final case class GraftProcedureNode(
     override val output: Seq[Attribute],
     run: SparkSession => Seq[Row]) extends LeafNode {
   override def simpleString(maxFields: Int): String = s"GraftProcedure $name"
+
+  // LeafNode.computeStats THROWS by default; without this, EXPLAIN COST
+  // or joining the procedure's result to another relation fails at
+  // planning. Result sets are metadata-sized (a metrics row, a list of
+  // reclaimed paths) — report a small-relation estimate.
+  override def computeStats()
+      : org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = 1L << 20)
 }
 
 object GraftProcedureNode {

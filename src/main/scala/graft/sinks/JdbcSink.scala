@@ -33,10 +33,12 @@ object JdbcSink {
       table: String,
       mode: SaveMode = SaveMode.Overwrite,
       options: JdbcOptions = JdbcOptions()): Unit = {
-    val capped = options.numPartitions match {
-      case Some(n) if df.rdd.getNumPartitions > n => df.coalesce(n)
-      case _ => df
-    }
+    // coalesce(n) unconditionally: it can only ever REDUCE the partition
+    // count, so the old `df.rdd.getNumPartitions > n` guard bought
+    // nothing — and under AQE computing df.rdd forces the final physical
+    // plan, executing every shuffle stage ONCE for the count before the
+    // write executes the query again (2x compute per capped write)
+    val capped = options.numPartitions.map(df.coalesce).getOrElse(df)
     val props = new Properties()
     options.extraProperties.foreach { case (k, v) => props.setProperty(k, v) }
     capped.write

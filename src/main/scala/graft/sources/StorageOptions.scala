@@ -70,7 +70,8 @@ object AzureStorageOptions {
       case Some(key) =>
         base += s"fs.azure.account.auth.type.$host" -> "SharedKey"
         base += s"fs.azure.account.key.$host" -> key
-      case None => opt("sas_token") match {
+      case None => opt("sas_token")
+          .orElse(fromCs.flatMap(_.get("SharedAccessSignature"))) match {
         case Some(sas) =>
           base += s"fs.azure.account.auth.type.$host" -> "SAS"
           base += s"fs.azure.sas.fixed.token.$host" -> sas
@@ -91,6 +92,11 @@ object AzureStorageOptions {
               base += s"fs.azure.account.oauth2.client.endpoint.$host" ->
                 s"https://login.microsoftonline.com/$tenant/oauth2/token"
             case _ =>
+              // Hadoop-ABFS static conf can name exactly ONE provider
+              // class, so only the chain's FIRST element maps here —
+              // multi-element fallback semantics need the
+              // [[resolveOptions]] path, which walks the chain through
+              // the credential hook and pre-fetches a token instead
               val chain = opt("chain").getOrElse(
                 if (opt("anon").contains("true")) "anon" else "default")
               chain.split(";").head match {
@@ -150,12 +156,16 @@ object AzureStorageOptions {
       : (String, Map[String, String]) = {
     val isAzureUrl = path.contains(".blob.core.windows.net") ||
       path.contains(".dfs.core.windows.net")
+    // host-stripped paths are emitted in the CANONICAL az://container/…
+    // form regardless of the input scheme: the az form is what
+    // [[normalizeUri]] consumes, while e.g. `https://container/path`
+    // (the old scheme-preserving strip) is a dead-end URI nothing
+    // downstream can read
     val (newPath, accountFromUrl) =
       if (isAzureUrl) {
         val u = new java.net.URI(path)
         val account = u.getHost.split('.').head
-        (path.replace(s"${u.getScheme}://${u.getHost}", s"${u.getScheme}://")
-          .replace(":///", "://"), Some(account))
+        (s"az://${u.getPath.stripPrefix("/")}", Some(account))
       } else (path, None)
 
     val anon = options.get("anon").map(_.toLowerCase)

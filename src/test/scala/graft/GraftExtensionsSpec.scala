@@ -231,6 +231,13 @@ class GraftExtensionsSpec extends SparkSuite {
       val plan = s2.sql(s"EXPLAIN SELECT * FROM graft_vacuum('$path')")
         .collect()(0).getString(0)
       assert(plan.contains("GraftProcedure"), plan)
+      // …EXPLAIN COST needs stats (LeafNode.computeStats throws by
+      // default) and joining the result to a relation plans fine
+      s2.sql(s"EXPLAIN COST SELECT * FROM graft_vacuum('$path')").collect()
+      assert(s2.sql(
+        s"""SELECT count(*) FROM graft_detail('$path') d
+           |JOIN (SELECT 'delta' AS format) x ON d.format = x.format"""
+          .stripMargin).collect()(0).getLong(0) == 1L)
       val dryCount = s2.sql(
         s"SELECT * FROM graft_vacuum('$path', 0, true)").count()
       assert(dryCount >= 3L,

@@ -25,6 +25,14 @@ class StorageOptionsSpec extends AnyFunSuite {
     assert(c(s"fs.azure.account.key.$host") == "csk==")
   }
 
+  test("SAS inside a connection string is honored (no silent OAuth fallback)") {
+    val c = AzureStorageOptions.toHadoopConf(
+      Map("connection_string" ->
+        "AccountName=acct;SharedAccessSignature=sv=2022&sig=y"))
+    assert(c(s"fs.azure.account.auth.type.$host") == "SAS")
+    assert(c(s"fs.azure.sas.fixed.token.$host") == "sv=2022&sig=y")
+  }
+
   test("sas token → SAS auth") {
     val c = AzureStorageOptions.toHadoopConf(
       Map("account_name" -> "acct", "sas_token" -> "sv=2020&sig=x"))
@@ -80,7 +88,7 @@ class StorageOptionsSpec extends AnyFunSuite {
       val (p2, c2) = AzureStorageOptions.resolveOptions(
         "abfss://accountnamethatslong.dfs.core.windows.net/testlakedb/td/delta/fake",
         opts, _ => Some(FakeCredential))
-      assert(p2 == "abfss://testlakedb/td/delta/fake")
+      assert(p2 == "az://testlakedb/td/delta/fake") // canonical az form
       assert(c2("token") == "fake_token")
       assert(c2("account_name") == "accountnamethatslong")
     }

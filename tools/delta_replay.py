@@ -70,7 +70,10 @@ NO_OFFSET_THRESHOLD = 4
 def read_roaring(buf, pos):
     """Parse one portable 32-bit RoaringBitmap at buf[pos:]; return
     (sorted values, next position)."""
-    cookie = struct.unpack_from("<i", buf, pos)[0]
+    # UNSIGNED reads: with >= 0x8000 containers the signed cookie goes
+    # negative, (cookie >> 16) + 1 with it, and the bitmap would decode
+    # as EMPTY - resurrecting deleted rows silently
+    cookie = struct.unpack_from("<I", buf, pos)[0]
     if (cookie & 0xFFFF) == SERIAL_COOKIE:
         n = (cookie >> 16) + 1
         pos += 4
@@ -79,7 +82,7 @@ def read_roaring(buf, pos):
         has_offsets = n >= NO_OFFSET_THRESHOLD
     elif cookie == SERIAL_COOKIE_NO_RUNCONTAINER:
         pos += 4
-        n = struct.unpack_from("<i", buf, pos)[0]
+        n = struct.unpack_from("<I", buf, pos)[0]
         pos += 4
         runbits = b"\x00" * ((n + 7) // 8)
         has_offsets = True
