@@ -1,0 +1,240 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.delta.{Cond, DeltaLog, DeltaScan, DeltaWriter, ScanSettings}
+import graft.streaming.{DeltaSink, GraftDeltaSource}
+
+/** The ONE registered `graft-delta` format (ServiceLoader →
+  * `DataSourceRegister`): every standard Spark entry point works with no
+  * graft import —
+  *
+  * {{{
+  * spark.read.format("graft-delta").load(path)               // batch read
+  * df.write.format("graft-delta").mode("append").save(path)  // batch write
+  * spark.readStream.format("graft-delta").load(path)         // stream read
+  * df.writeStream.format("graft-delta")
+  *   .option("checkpointLocation", c).start(path)            // stream write
+  * }}}
+  *
+  * Batch reads are a V1 `PrunedFilteredScan`: Spark's pushed `Filter`s
+  * translate to the engine's [[graft.delta.Cond]] DSL (so partition
+  * pruning + stats skipping drop files BEFORE any IO, and the inner scan
+  * keeps parquet-level pushdown), required columns push into the
+  * projection, and every filter is also re-applied by Spark above the
+  * scan (`unhandledFilters` default) — pruning can only skip, never
+  * change results. `versionAsOf` / `timestampAsOf` options time-travel.
+  *
+  * Batch writes map `SaveMode` onto the writer: Overwrite/Append
+  * directly, ErrorIfExists/Ignore against log existence. Partitioning
+  * via `.option("partitionBy", "a,b")` (V1 non-file sources don't
+  * receive `.partitionBy(...)` columns).
+  *
+  * The streaming sink is the exactly-once [[DeltaSink]] ledger: append
+  * mode appends, `mergeKeys` upserts (CDC apply), `mergeKeys` +
+  * `deleteColumn` applies upserts AND tombstones in one commit. Batch
+  * replays after a restart are dropped by the in-table `txn` watermark
+  * under `appId` (default derived from the table path — set it
+  * explicitly when several queries write one table).
+  */
+class GraftDeltaProvider extends DataSourceRegister
+    with RelationProvider
+    with CreatableRelationProvider
+    with StreamSourceProvider
+    with StreamSinkProvider {
+
+  override def shortName(): String = "graft-delta"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta requires a table path (load(path) / save(path) / start(path))"))
+
+  // ---- batch read ----------------------------------------------------
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    GraftDeltaRelation(sqlContext, pathOf(parameters), parameters)
+
+  // ---- batch write ---------------------------------------------------
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    val partitionBy = parameters.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"${path.stripSuffix("/")}/_delta_log")
+      p.getFileSystem(
+        sqlContext.sparkSession.sessionState.newHadoopConf()).exists(p)
+    }
+    mode match {
+      case SaveMode.Overwrite =>
+        DeltaWriter.write(data, path, partitionBy, mode = "overwrite")
+      case SaveMode.Append =>
+        DeltaWriter.write(data, path, partitionBy, mode = "append")
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"Delta table already exists at $path (SaveMode.ErrorIfExists)")
+      case SaveMode.ErrorIfExists =>
+        DeltaWriter.write(data, path, partitionBy, mode = "overwrite")
+      case SaveMode.Ignore =>
+        if (!exists) DeltaWriter.write(data, path, partitionBy, mode = "overwrite")
+    }
+    GraftDeltaRelation(sqlContext, path, Map.empty)
+  }
+
+  // ---- streaming read ------------------------------------------------
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-delta does not accept a user-specified schema; it is read from the Delta log")
+    val snap = DeltaLog.forPath(sqlContext.sparkSession, pathOf(parameters))
+    snap.checkProtocolSupported()
+    (shortName(), snap.schema)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftDeltaSource(sqlContext.sparkSession, metadataPath, parameters)
+
+  // ---- streaming write -----------------------------------------------
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val path = pathOf(parameters)
+    val appId = parameters.getOrElse("appId", s"graft-delta-sink:$path")
+    val partitionBy =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.get("partitionBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    val keys = parameters.get("mergeKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val deleteCol = parameters.get("deleteColumn")
+    require(deleteCol.isEmpty || keys.nonEmpty,
+      "deleteColumn requires mergeKeys (tombstones are applied by key)")
+    require(keys.nonEmpty || outputMode == OutputMode.Append() ||
+      outputMode == OutputMode.Complete(),
+      "update output mode on graft-delta requires mergeKeys " +
+        "(an update stream without keys cannot be applied)")
+    new GraftDeltaStreamSink(path, appId, partitionBy, keys, deleteCol,
+      complete = outputMode == OutputMode.Complete())
+  }
+}
+
+/** Batch relation: schema from the (optionally time-traveled) snapshot,
+  * scans through the full engine with pruning + projection pushed.
+  */
+final case class GraftDeltaRelation(
+    sqlContext: SQLContext,
+    path: String,
+    parameters: Map[String, String]) extends BaseRelation with PrunedFilteredScan {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+
+  private val settingsBase = ScanSettings(
+    version = parameters.get("versionAsOf").map(_.toLong),
+    timestampAsOf = parameters.get("timestampAsOf")
+      .map(t => java.time.Instant.parse(t)))
+
+  override val schema: StructType = {
+    val v = settingsBase.version.orElse(settingsBase.timestampAsOf.map(t =>
+      DeltaLog.versionAtTimestamp(spark, path, t)))
+    val snap = DeltaLog.forPath(spark, path, v)
+    snap.checkProtocolSupported()
+    snap.schema
+  }
+
+  override def buildScan(
+      requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val conds = filters.toSeq.flatMap(GraftDeltaRelation.toConds)
+    val df = DeltaScan.scan(spark, path, settingsBase.copy(
+      conditions = conds,
+      fields = Some(requiredColumns.toSeq)))
+    // column ORDER must match requiredColumns (Spark zips positionally);
+    // 0-column scans (count(*)) yield empty rows of the right count
+    df.select(requiredColumns.toSeq.map(c =>
+      col(s"`${c.replace("`", "``")}`")): _*).rdd
+  }
+}
+
+object GraftDeltaRelation {
+
+  private def condValue(v: Any): Any = v match {
+    case d: java.sql.Date => d.toLocalDate
+    case t: java.sql.Timestamp => t.toInstant
+    case other => other
+  }
+
+  /** Spark `Filter` → engine `Cond`s, best-effort: untranslatable
+    * shapes return Nil (Spark re-applies every filter above the scan,
+    * so a skipped translation only costs pruning, never correctness).
+    * Null-valued equalities map onto the DSL's IS [NOT] NULL forms.
+    */
+  private[sources] def toConds(f: Filter): Seq[Cond] = f match {
+    case EqualTo(a, v) => Seq(Cond(a, "=", condValue(v)))
+    case GreaterThan(a, v) => Seq(Cond(a, ">", condValue(v)))
+    case GreaterThanOrEqual(a, v) => Seq(Cond(a, ">=", condValue(v)))
+    case LessThan(a, v) => Seq(Cond(a, "<", condValue(v)))
+    case LessThanOrEqual(a, v) => Seq(Cond(a, "<=", condValue(v)))
+    case In(a, vs) => Seq(Cond(a, "in", vs.toSeq.map(condValue)))
+    case IsNull(a) => Seq(Cond(a, "=", null))
+    case IsNotNull(a) => Seq(Cond(a, "<>", null))
+    case Not(In(a, vs)) => Seq(Cond(a, "not in", vs.toSeq.map(condValue)))
+    case Not(EqualTo(a, v)) => Seq(Cond(a, "<>", condValue(v)))
+    case And(l, r) => toConds(l) ++ toConds(r)
+    case _ => Nil
+  }
+}
+
+/** Exactly-once streaming sink over the [[DeltaSink]] txn ledger. */
+final class GraftDeltaStreamSink(
+    path: String,
+    appId: String,
+    partitionBy: Seq[String],
+    keys: Seq[String],
+    deleteCol: Option[String],
+    complete: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    addBatchResolved(batchId,
+      org.apache.spark.sql.graft.StreamingBridge.asBatch(data))
+
+  private def addBatchResolved(batchId: Long, batch: DataFrame): Unit =
+    (keys, deleteCol) match {
+      case (Nil, _) if complete =>
+        // Complete mode: each batch is the whole result — overwrite
+        DeltaWriter.write(batch, path, partitionBy, mode = "overwrite",
+          txn = Some(appId -> batchId))
+      case (Nil, _) =>
+        DeltaSink.appendBatch(batch, path, appId, batchId, partitionBy)
+      case (ks, None) =>
+        DeltaSink.upsertBatch(batch, path, appId, batchId, ks, partitionBy)
+      case (ks, Some(dc)) =>
+        DeltaSink.cdcBatch(batch, path, appId, batchId, ks, dc, partitionBy)
+    }
+}
