@@ -106,7 +106,14 @@ class GraftDeltaProvider extends DataSourceRegister
       "graft-delta does not accept a user-specified schema; it is read from the Delta log")
     val snap = DeltaLog.forPath(sqlContext.sparkSession, pathOf(parameters))
     snap.checkProtocolSupported()
-    (shortName(), snap.schema)
+    val declared =
+      if (!parameters.get("readChangeFeed").exists(_.toBoolean)) snap.schema
+      else StructType(snap.schema.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType))
+    (shortName(), declared)
   }
 
   override def createSource(

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.StreamingBridge
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.delta.{ActionCodec, AddAction, CdfEngine, DeltaLog, DeltaScan, DeltaSnapshot, ScanSettings}
 
@@ -61,6 +61,9 @@ object GraftDeltaSource {
   *  - `maxFilesPerTrigger` / `maxBytesPerTrigger`: admission control per
   *    micro-batch (at least one file always admits, so an oversized file
   *    cannot wedge the stream).
+  *  - `readChangeFeed=true`: emit the change feed (`_change_type`,
+  *    `_commit_version`) instead of added rows — see the field doc
+  *    below for the per-commit admission contract.
   *
   * Semantics (delta-spark source parity): layout-only rewrites
   * (`dataChange=false`, OPTIMIZE) and re-adds of already-live paths (DV
@@ -142,14 +145,44 @@ class GraftDeltaSource(
 
   private val initialPos = GraftDeltaSourceOffset(startVersion, 0L)
 
-  /** Schema the stream declared at start — every batch is emitted in it. */
-  override val schema: StructType = {
+  /** Change-data-feed mode (`readChangeFeed=true`): batches carry the
+    * per-commit CHANGES (`_change_type` insert/delete — stored cdc
+    * files preferred, DV diffs derived — plus `_commit_version`)
+    * instead of the added files, through the same [[CdfEngine]] the
+    * batch CDF uses. Admission is per COMMIT (a commit's change set is
+    * atomic — splitting it would publish half an UPDATE), so
+    * `maxFilesPerTrigger` bounds commits per batch and
+    * `maxBytesPerTrigger` weighs each commit by its change-file bytes.
+    * Without `startingVersion`, the initial snapshot arrives as one
+    * batch of `insert` rows stamped with the snapshot version —
+    * delta-spark's CDF-stream default.
+    */
+  private val readChangeFeed: Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
+  /** Logical TABLE schema pinned at start; every batch's data columns
+    * are emitted in it. */
+  private val tableSchema: StructType = {
     val snap = DeltaLog.forPath(spark, path)
     snap.checkProtocolSupported()
+    if (readChangeFeed) {
+      val reserved = Set(CdfEngine.ChangeTypeCol, "_commit_version")
+      require(!snap.schema.fieldNames.exists(reserved.contains),
+        s"readChangeFeed reserves column names ${reserved.mkString(", ")}")
+    }
     snap.schema
   }
+
+  /** The stream's declared schema: the table schema, plus the feed
+    * metadata columns in readChangeFeed mode. */
+  override val schema: StructType =
+    if (!readChangeFeed) tableSchema
+    else StructType(tableSchema.fields :+
+      StructField(CdfEngine.ChangeTypeCol, StringType) :+
+      StructField("_commit_version", LongType))
+
   private val declaredCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
-    schema.fields.toSeq.map(f => (f.name, f.dataType))
+    tableSchema.fields.toSeq.map(f => (f.name, f.dataType))
 
   /** One snapshot walked forward with the stream — O(1) commit reads per
     * version in steady state; rebuilt (checkpoint-aware) only when a
@@ -170,23 +203,53 @@ class GraftDeltaSource(
     */
   private val addsCache = mutable.Map.empty[Long, IndexedSeq[AddAction]]
 
+  /** CDF mode: one [[CdfEngine.CommitSpec]] per version, computed
+    * against the PRE-commit live map (populated together with
+    * [[addsCache]], evicted together on commit). */
+  private val cdfSpecs = mutable.Map.empty[Long, CdfEngine.CommitSpec]
+
+  /** One synthetic whole-commit admission unit (CDF mode): a commit's
+    * change set is consumed atomically, weighted by its change bytes.
+    */
+  private def commitUnit(v: Long, bytes: Long,
+      nonEmpty: Boolean): IndexedSeq[AddAction] =
+    if (!nonEmpty) Vector.empty
+    else Vector(AddAction(s"__graft_cdf_commit_$v", Map.empty, bytes, 0L, None))
+
+  private def commitLines(v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] =
+    DeltaLog.readCommitJson(spark, path, v).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"Commit $v of $path is missing (aged out past a checkpoint?); " +
+          "the stream cannot replay it. Restart from a fresh checkpoint."))
+
   private def addsFor(v: Long): IndexedSeq[AddAction] =
     addsCache.getOrElseUpdate(v, {
-      if (snapshotStart && v == startVersion)
-        snapshotAt(v).liveFiles.sortBy(_.path).toIndexedSeq
-      else {
+      if (snapshotStart && v == startVersion) {
+        val live = snapshotAt(v).liveFiles.sortBy(_.path).toIndexedSeq
+        if (!readChangeFeed) live
+        else commitUnit(v, live.iterator.map(_.size).sum, live.nonEmpty)
+      } else if (!readChangeFeed) {
         val liveBefore: Set[String] =
           if (v == 0) Set.empty
           else snapshotAt(v - 1).liveFiles.iterator.map(_.path).toSet
-        val lines = DeltaLog.readCommitJson(spark, path, v).getOrElse(
-          throw new java.io.FileNotFoundException(
-            s"Commit $v of $path is missing (aged out past a checkpoint?); " +
-              "the stream cannot replay it. Restart from a fresh checkpoint."))
-        lines.iterator
+        commitLines(v).iterator
           .flatMap(n => Option(n.get("add")).filterNot(_.isNull)
             .map(ActionCodec.parseAdd))
           .filter(a => a.dataChange && !liveBefore.contains(a.path))
           .toVector.sortBy(_.path)
+      } else {
+        val prior: Map[String, AddAction] =
+          if (v == 0) Map.empty
+          else snapshotAt(v - 1).liveFiles.iterator.map(a => a.path -> a).toMap
+        val lines = commitLines(v)
+        val spec = CdfEngine.spec(spark, path.stripSuffix("/"), prior, lines)
+        cdfSpecs(v) = spec
+        val bytes = spec.stored.iterator.map(_.size).sum +
+          lines.iterator
+            .flatMap(n => Option(n.get("add")).filterNot(_.isNull)
+              .map(ActionCodec.parseAdd))
+            .filter(_.dataChange).map(_.size).sum
+        commitUnit(v, bytes, !spec.isEmpty)
       }
     })
 
@@ -242,32 +305,31 @@ class GraftDeltaSource(
       val hi = if (v == endO.version) endO.index.toInt else adds.length
       val slice = adds.slice(lo, hi)
       if (slice.isEmpty) None
-      else {
+      else if (!readChangeFeed) {
         val snapV = snapshotAt(v)
-        // older batches may predate columns added since (null-filled
-        // below, by physical identity so renames stay aligned); a
-        // column the DECLARED schema doesn't know is a post-start
-        // evolution the sink can't hold — remapToHead would silently
-        // DROP its data, so detect it on the schemas and fail with the
-        // cure instead
-        val declPhys = graft.delta.DeltaSchema
-          .logicalToPhysical(schema).values.toSet
-        val extra = graft.delta.DeltaSchema.logicalToPhysical(snapV.schema)
-          .filterNot { case (_, p) => declPhys.contains(p) }
-        if (extra.nonEmpty)
-          throw new IllegalStateException(
-            s"schema of $path changed during streaming: version $v carries " +
-              s"column(s) ${extra.keys.mkString(", ")} the stream's declared " +
-              "schema does not; restart the query to pick up the new schema")
+        schemaGuard(v, snapV)
         val paths = slice.iterator.map(_.path).toSet
         val df = CdfEngine.remapToHead(
           DeltaScan.scanSnapshot(snapV,
             ScanSettings(actionFilter = a => paths.contains(a.path))),
-          snapV.schema, schema)
-        val have = df.columns.toSet
-        Some(df.select(declaredCols.map { case (n, dt) =>
-          if (have.contains(n)) col(n) else lit(null).cast(dt).as(n)
-        }: _*))
+          snapV.schema, tableSchema)
+        Some(alignDeclared(df))
+      } else {
+        // the spec (when one exists) was computed by addsFor against
+        // the PRE-commit live map, BEFORE snapshotAt advances past v-1
+        val snapV = snapshotAt(v)
+        schemaGuard(v, snapV)
+        val raw =
+          if (snapshotStart && v == startVersion)
+            Some(DeltaScan.scanSnapshot(snapV)
+              .withColumn(CdfEngine.ChangeTypeCol, lit("insert")))
+          else cdfSpecs.get(v).flatMap(s => CdfEngine.materialize(snapV, s))
+        raw.map { df0 =>
+          val df = alignDeclared(
+            CdfEngine.remapToHead(df0, snapV.schema, tableSchema),
+            keep = Seq(CdfEngine.ChangeTypeCol))
+          df.withColumn("_commit_version", lit(v))
+        }
       }
     }
     frames.reduceOption(_ unionByName _)
@@ -275,9 +337,38 @@ class GraftDeltaSource(
       .getOrElse(StreamingBridge.emptyStreaming(spark, schema))
   }
 
+  /** Older batches may predate columns added since (null-filled by
+    * [[alignDeclared]], by physical identity so renames stay aligned);
+    * a column the DECLARED schema doesn't know is a post-start
+    * evolution the sink can't hold — remapToHead would silently DROP
+    * its data, so detect it on the schemas and fail with the cure.
+    */
+  private def schemaGuard(v: Long, snapV: DeltaSnapshot): Unit = {
+    val declPhys = graft.delta.DeltaSchema
+      .logicalToPhysical(tableSchema).values.toSet
+    val extra = graft.delta.DeltaSchema.logicalToPhysical(snapV.schema)
+      .filterNot { case (_, p) => declPhys.contains(p) }
+    if (extra.nonEmpty)
+      throw new IllegalStateException(
+        s"schema of $path changed during streaming: version $v carries " +
+          s"column(s) ${extra.keys.mkString(", ")} the stream's declared " +
+          "schema does not; restart the query to pick up the new schema")
+  }
+
+  /** Project onto the declared table columns (null-filling what the
+    * batch predates), carrying `keep` metadata columns through. */
+  private def alignDeclared(df: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    val have = df.columns.toSet
+    df.select(declaredCols.map { case (n, dt) =>
+      if (have.contains(n)) col(n) else lit(null).cast(dt).as(n)
+    } ++ keep.map(col): _*)
+  }
+
   override def commit(end: Offset): Unit = {
     val e = of(end)
     addsCache.keys.filter(_ < e.version).toSeq.foreach(addsCache.remove)
+    cdfSpecs.keys.filter(_ < e.version).toSeq.foreach(cdfSpecs.remove)
   }
 
   override def stop(): Unit = ()

@@ -6,6 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.delta.{Cond, DeltaWriter}
+import graft.DeltaLake
 
 /** `spark.readStream.format("graft-delta")` — the registered Structured
   * Streaming source. Each spec drives a real `MicroBatchExecution`
@@ -171,6 +172,70 @@ class GraftDeltaSourceSpec extends SparkSuite {
       val all = (msgs(err) ++
         q.exception.toSeq.flatMap(e => msgs(e))).mkString("\n")
       assert(all.contains("changed during streaming"), all)
+    } finally q.stop()
+  }
+
+  test("readChangeFeed=true replays the stored+derived change feed") {
+    val path = tmp("cdf")
+    DeltaWriter.write(rows(0, 20).coalesce(1), path,
+      properties = Map("delta.enableChangeDataFeed" -> "true")) // v0
+    DeltaLake.updateWhere(spark, path,
+      Seq(Cond("id", "<", 5L)),
+      Map("name" -> concat(col("name"), lit("_u")))) // v1: stored cdc
+    DeltaWriter.delete(spark, path, Seq(Cond("id", ">=", 18L))) // v2
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .load(path)
+      .writeStream.format("memory").queryName("src_cdf").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("src_cdf")
+      assert(got.columns.takeRight(2).toSeq ==
+        Seq("_change_type", "_commit_version"))
+      // stream == batch CDF over the shared window: scanDeltaCdf(0)
+      // streams changes AFTER v0, while startingVersion=0 also emits
+      // v0's own adds (delta-spark's inclusive startingVersion)
+      val batchCdf = DeltaLake.scanDeltaCdf(spark, path, 0L)
+      val tail = got.where(col("_commit_version") >= 1)
+        .drop("_commit_version")
+      assert(tail.exceptAll(batchCdf).isEmpty &&
+        batchCdf.exceptAll(tail).isEmpty)
+      // v0's adds arrive as inserts
+      assert(got.where(col("_commit_version") === 0 &&
+        col("_change_type") === "insert").count() == 20)
+      // v1's UPDATE: 5 deletes (pre-images) + 5 inserts (post-images)
+      val v1 = got.where(col("_commit_version") === 1)
+      assert(v1.where(col("_change_type") === "delete").count() == 5)
+      assert(v1.where(col("_change_type") === "insert" &&
+        col("name").endsWith("_u")).count() == 5)
+      // v2's DV delete retracts — visible here, unlike the data stream
+      val v2 = got.where(col("_commit_version") === 2)
+      assert(v2.where(col("_change_type") === "delete").count() == 2)
+    } finally q.stop()
+  }
+
+  test("readChangeFeed without startingVersion emits the snapshot as inserts") {
+    val path = tmp("cdfsnap")
+    DeltaWriter.write(rows(0, 15).coalesce(1), path) // v0
+    DeltaWriter.delete(spark, path, Seq(Cond("id", "<", 3L))) // v1: DV
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .load(path)
+      .writeStream.format("memory").queryName("src_cdfsnap").start()
+    try {
+      q.processAllAvailable()
+      val snap = spark.table("src_cdfsnap")
+      // post-delete snapshot only, all inserts, stamped with version 1
+      assert(snap.count() == 12)
+      assert(snap.where(col("_change_type") =!= "insert").count() == 0)
+      assert(snap.where(col("_commit_version") =!= 1).count() == 0)
+      // tail: an append arrives as plain inserts
+      DeltaWriter.write(rows(15, 18), path, mode = "append") // v2
+      q.processAllAvailable()
+      val got = spark.table("src_cdfsnap")
+      assert(got.count() == 15)
+      assert(got.where(col("_commit_version") === 2).count() == 3)
     } finally q.stop()
   }
 
