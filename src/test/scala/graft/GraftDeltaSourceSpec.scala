@@ -239,6 +239,72 @@ class GraftDeltaSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("each micro-batch plans as ONE FileSourceScanExec (index path)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def allScans(plan: SparkPlan): Seq[FileSourceScanExec] =
+      (plan.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+      } ++ plan.subqueries.map(allScans)).flatten
+    val path = tmp("planaudit")
+    // many files and partitions in ONE commit: plan width must stay
+    // O(1). foreachBatch re-wraps batches as ExistingRDD, so drive the
+    // Source contract directly to see the REAL batch plan.
+    DeltaWriter.write(rows(0, 60).repartition(6), path,
+      partitionBy = Seq("grp"))
+    val meta = Files.createTempDirectory("graft_src_meta").toString
+    val source = new graft.streaming.GraftDeltaSource(spark, meta,
+      Map("path" -> path))
+    val end = source.getOffset.getOrElse(fail("no offset for staged data"))
+    val batch = source.getBatch(None, end)
+    assert(batch.isStreaming, "getBatch must return a streaming frame")
+    // executing the streaming-tagged frame OUTSIDE a streaming query
+    // needs the batch-unsupported check off for the audit
+    val key = "spark.sql.streaming.unsupportedOperationCheck"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      assert(batch.count() == 60)
+      val scans = allScans(batch.queryExecution.executedPlan)
+      assert(scans.size == 1,
+        s"expected one scan node for the 6-partition snapshot, saw ${scans.size}")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("watermarked window aggregation over the source equals batch") {
+    val path = tmp("wmark")
+    val events = (0 until 200).map { i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-01 ${i % 24}%02d:10:00"
+        .format(i % 24)), s"t${i % 3}", i.toLong)
+    }.toDF("ts", "etype", "value")
+    DeltaWriter.write(events.coalesce(2), path)
+    val streamed = spark.readStream.format("graft-delta").load(path)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("etype"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("window.start").as("ws"), col("etype"), col("n"),
+        col("total"))
+    val q = streamed.writeStream.outputMode("complete")
+      .format("memory").queryName("src_wmark").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("src_wmark")
+      val batch = DeltaLake.scanDelta(spark, path)
+        .groupBy(window(col("ts"), "1 hour"), col("etype"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total"))
+        .select(col("window.start").as("ws"), col("etype"), col("n"),
+          col("total"))
+      assert(got.count() == batch.count())
+      assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    } finally q.stop()
+  }
+
   test("batches arrive with the DV state as of their commit") {
     val path = tmp("dvasof")
     DeltaWriter.write(rows(0, 20).coalesce(1), path) // v0

@@ -299,4 +299,27 @@ class PythonReplayDifferentialSpec extends SparkSuite {
     DeltaWriter.restore(spark, path, 0L)
     assertAgrees(path, 100)
   }
+
+  test("streaming-sink-written table replays through the python reader") {
+    // the r8 registered streaming pipeline end-to-end, validated by the
+    // INDEPENDENT reader: graft-delta source → writeStream sink; the
+    // sink's per-batch commits (txn ledger actions included) must be a
+    // log any third-party replay can consume
+    val src = tmp()
+    val dst = tmp()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_pyrep_ckpt").toString
+    DeltaWriter.write((1L to 30L).map(i => (i, s"v$i"))
+      .toDF("id", "s"), src)
+    val q = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("graft-delta")
+      .option("checkpointLocation", ckpt).start(dst)
+    try {
+      q.processAllAvailable()
+      DeltaWriter.write(Seq((31L, "v31"), (32L, "v32")).toDF("id", "s"),
+        src, mode = "append")
+      q.processAllAvailable()
+    } finally q.stop()
+    assertAgrees(dst, 32)
+  }
 }
