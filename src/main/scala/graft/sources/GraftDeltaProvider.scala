@@ -163,15 +163,20 @@ final case class GraftDeltaRelation(
 
   private def spark: SparkSession = sqlContext.sparkSession
 
-  private val settingsBase = ScanSettings(
-    version = parameters.get("versionAsOf").map(_.toLong),
-    timestampAsOf = parameters.get("timestampAsOf")
-      .map(t => java.time.Instant.parse(t)))
+  /** Version pinned at RELATION creation (an explicit `versionAsOf`, a
+    * resolved `timestampAsOf`, or the head version right now): schema
+    * and data must come from the SAME snapshot — resolving the head
+    * again at buildScan time would let a concurrent commit serve rows
+    * the pinned schema doesn't describe.
+    */
+  private val pinnedVersion: Long =
+    parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map(t =>
+        DeltaLog.versionAtTimestamp(spark, path, java.time.Instant.parse(t))))
+      .getOrElse(DeltaLog.forPath(spark, path).version)
 
   override val schema: StructType = {
-    val v = settingsBase.version.orElse(settingsBase.timestampAsOf.map(t =>
-      DeltaLog.versionAtTimestamp(spark, path, t)))
-    val snap = DeltaLog.forPath(spark, path, v)
+    val snap = DeltaLog.forPath(spark, path, Some(pinnedVersion))
     snap.checkProtocolSupported()
     snap.schema
   }
@@ -179,7 +184,8 @@ final case class GraftDeltaRelation(
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val conds = filters.toSeq.flatMap(GraftDeltaRelation.toConds)
-    val df = DeltaScan.scan(spark, path, settingsBase.copy(
+    val df = DeltaScan.scan(spark, path, ScanSettings(
+      version = Some(pinnedVersion),
       conditions = conds,
       fields = Some(requiredColumns.toSeq)))
     // column ORDER must match requiredColumns (Spark zips positionally);
