@@ -264,7 +264,7 @@ object FileSkipping {
     case other => BigDecimal(other.toString)
   }
 
-  private def parseTs(s: String): Option[Instant] =
+  private[graft] def parseTs(s: String): Option[Instant] =
     try Some(Instant.parse(s))
     catch {
       case _: Exception =>

@@ -108,14 +108,18 @@ class GraftDeltaProvider extends DataSourceRegister
     snap.checkProtocolSupported()
     val declared =
       if (!parameters.get("readChangeFeed").exists(_.toBoolean)) snap.schema
-      else StructType(snap.schema.fields :+
-        org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType) :+
-        org.apache.spark.sql.types.StructField("_commit_version",
-          org.apache.spark.sql.types.LongType))
+      else GraftDeltaSource.withCdfColumns(snap.schema)
     (shortName(), declared)
   }
 
+  /** KNOWN RACE (inherent to the V1 contract, delta-spark shares it):
+    * `sourceSchema` resolves at `load()` and the source's own schema at
+    * `start()`; a schema-evolving commit landing in between makes the
+    * engine's output-arity assertion fail on the first batch. The V1
+    * API hands `createSource` only the USER schema (always None here),
+    * not `sourceSchema`'s result, so the two resolutions cannot be
+    * tied. A restart heals it — both re-resolve to the same head.
+    */
   override def createSource(
       sqlContext: SQLContext,
       metadataPath: String,
@@ -163,29 +167,35 @@ final case class GraftDeltaRelation(
 
   private def spark: SparkSession = sqlContext.sparkSession
 
-  /** Version pinned at RELATION creation (an explicit `versionAsOf`, a
-    * resolved `timestampAsOf`, or the head version right now): schema
-    * and data must come from the SAME snapshot — resolving the head
-    * again at buildScan time would let a concurrent commit serve rows
-    * the pinned schema doesn't describe.
+  /** The ONE snapshot pinned at RELATION creation (an explicit
+    * `versionAsOf`, a resolved `timestampAsOf`, or the current head):
+    * schema and every buildScan serve from it — resolving the head
+    * again at scan time would let a concurrent commit serve rows the
+    * pinned schema doesn't describe, and re-replaying the log per scan
+    * would cost a full replay on every query over the relation.
     */
-  private val pinnedVersion: Long =
-    parameters.get("versionAsOf").map(_.toLong)
-      .orElse(parameters.get("timestampAsOf").map(t =>
-        DeltaLog.versionAtTimestamp(spark, path, java.time.Instant.parse(t))))
-      .getOrElse(DeltaLog.forPath(spark, path).version)
-
-  override val schema: StructType = {
-    val snap = DeltaLog.forPath(spark, path, Some(pinnedVersion))
+  private val pinnedSnap: graft.delta.DeltaSnapshot = {
+    val v: Option[Long] = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { t =>
+        // lenient like the engine's zone-map parser: ISO instants AND
+        // the 'yyyy-MM-dd HH:mm:ss' form delta-spark users write
+        val ts = graft.delta.FileSkipping.parseTs(t).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot parse timestampAsOf '$t' (ISO-8601 instant or " +
+              "yyyy-MM-dd[ HH:mm:ss] expected)"))
+        DeltaLog.versionAtTimestamp(spark, path, ts)
+      })
+    val snap = DeltaLog.forPath(spark, path, v)
     snap.checkProtocolSupported()
-    snap.schema
+    snap
   }
+
+  override val schema: StructType = pinnedSnap.schema
 
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val conds = filters.toSeq.flatMap(GraftDeltaRelation.toConds)
-    val df = DeltaScan.scan(spark, path, ScanSettings(
-      version = Some(pinnedVersion),
+    val df = DeltaScan.scanSnapshot(pinnedSnap, ScanSettings(
       conditions = conds,
       fields = Some(requiredColumns.toSeq)))
     // column ORDER must match requiredColumns (Spark zips positionally);
@@ -239,8 +249,11 @@ final class GraftDeltaStreamSink(
 
   private def addBatchResolved(batchId: Long, batch: DataFrame): Unit =
     (keys, deleteCol) match {
-      case (Nil, _) if complete =>
-        // Complete mode: each batch is the whole result — overwrite
+      case _ if complete =>
+        // Complete mode: each batch is the WHOLE result — overwrite,
+        // even with mergeKeys set (an upsert would never remove rows
+        // that dropped out of the complete result, e.g. a top-k that
+        // rotated)
         DeltaWriter.write(batch, path, partitionBy, mode = "overwrite",
           txn = Some(appId -> batchId))
       case (Nil, _) =>

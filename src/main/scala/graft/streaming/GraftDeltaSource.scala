@@ -4,6 +4,7 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.StreamingBridge
@@ -32,9 +33,24 @@ object GraftDeltaSourceOffset {
 }
 
 object GraftDeltaSource {
-  private[streaming] def pathOf(parameters: Map[String, String]): String =
+  private[graft] def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-delta requires a table path: readStream.format(\"graft-delta\").load(path)"))
+
+  /** The change-feed declared schema — table columns plus the feed
+    * metadata columns — and its reserved-name rule, in ONE place: the
+    * provider's `sourceSchema` and the source's own `schema` must agree
+    * field-for-field or every batch fails the engine's output-arity
+    * assertion.
+    */
+  private[graft] def withCdfColumns(table: StructType): StructType = {
+    val reserved = Seq(CdfEngine.ChangeTypeCol, "_commit_version")
+    require(!table.fieldNames.exists(reserved.contains),
+      s"readChangeFeed reserves column names ${reserved.mkString(", ")}")
+    StructType(table.fields :+
+      StructField(CdfEngine.ChangeTypeCol, StringType) :+
+      StructField("_commit_version", LongType))
+  }
 }
 
 /** `spark.readStream.format("graft-delta")` — a first-class Structured
@@ -79,7 +95,8 @@ object GraftDeltaSource {
 class GraftDeltaSource(
     spark: SparkSession,
     metadataPath: String,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String])
+  extends Source with SupportsTriggerAvailableNow {
 
   import GraftDeltaSourceOffset.of
 
@@ -160,41 +177,63 @@ class GraftDeltaSource(
   private val readChangeFeed: Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)
 
-  /** Logical TABLE schema pinned at start; every batch's data columns
-    * are emitted in it. */
-  private val tableSchema: StructType = {
+  /** Logical TABLE schema pinned at start (at `declaredAtVersion`);
+    * every batch's data columns are emitted in it. */
+  private val (tableSchema: StructType, declaredAtVersion: Long) = {
     val snap = DeltaLog.forPath(spark, path)
     snap.checkProtocolSupported()
-    if (readChangeFeed) {
-      val reserved = Set(CdfEngine.ChangeTypeCol, "_commit_version")
-      require(!snap.schema.fieldNames.exists(reserved.contains),
-        s"readChangeFeed reserves column names ${reserved.mkString(", ")}")
-    }
-    snap.schema
+    if (readChangeFeed) GraftDeltaSource.withCdfColumns(snap.schema)
+    (snap.schema, snap.version)
   }
 
   /** The stream's declared schema: the table schema, plus the feed
     * metadata columns in readChangeFeed mode. */
   override val schema: StructType =
     if (!readChangeFeed) tableSchema
-    else StructType(tableSchema.fields :+
-      StructField(CdfEngine.ChangeTypeCol, StringType) :+
-      StructField("_commit_version", LongType))
+    else GraftDeltaSource.withCdfColumns(tableSchema)
 
   private val declaredCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
     tableSchema.fields.toSeq.map(f => (f.name, f.dataType))
 
-  /** One snapshot walked forward with the stream — O(1) commit reads per
-    * version in steady state; rebuilt (checkpoint-aware) only when a
-    * restart asks for an older version.
+  /** Advance (or rebuild, checkpoint-aware) a snapshot to EXACTLY `v`.
+    * `updateIncremental` stops SILENTLY at a missing commit file (aged
+    * out past a checkpoint while the stream lagged); scanning a lower
+    * version with version v's actionFilter would then emit an empty
+    * batch and commit the offset PAST real data — fail loudly with the
+    * cure instead.
     */
-  private var cursor: DeltaSnapshot = _
+  private def advanced(cur: DeltaSnapshot, v: Long): DeltaSnapshot = {
+    val snap =
+      if (cur == null || cur.version > v) DeltaLog.forPath(spark, path, Some(v))
+      else {
+        if (cur.version < v) cur.updateIncremental(Some(v))
+        cur
+      }
+    if (snap.version != v)
+      throw new java.io.FileNotFoundException(
+        s"Commit $v of $path is missing (aged out past a checkpoint?); " +
+          s"log replay stopped at version ${snap.version}. The stream " +
+          "cannot replay it; restart from a fresh checkpoint.")
+    snap
+  }
 
-  private def snapshotAt(v: Long): DeltaSnapshot = {
-    if (cursor == null || cursor.version > v)
-      cursor = DeltaLog.forPath(spark, path, Some(v))
-    else if (cursor.version < v) cursor.updateIncremental(Some(v))
-    cursor
+  /** TWO independently-advanced snapshots, each O(1) commit reads per
+    * version in steady state: the WALK cursor serves [[addsFor]]'s
+    * pre-commit live maps (getOffset runs it ahead to the admission
+    * horizon), the SCAN cursor serves [[getBatch]]'s per-version scans.
+    * One shared cursor would rebuild from scratch every multi-version
+    * batch — getOffset leaves it at the horizon, getBatch asks for the
+    * range start, and `cursor.version > v` forces a full replay.
+    */
+  private var walkCursor: DeltaSnapshot = _
+  private var scanCursor: DeltaSnapshot = _
+
+  private def walkAt(v: Long): DeltaSnapshot = {
+    walkCursor = advanced(walkCursor, v); walkCursor
+  }
+
+  private def scanAt(v: Long): DeltaSnapshot = {
+    scanCursor = advanced(scanCursor, v); scanCursor
   }
 
   /** Per-version consumable file lists (metadata only; evicted below the
@@ -225,13 +264,13 @@ class GraftDeltaSource(
   private def addsFor(v: Long): IndexedSeq[AddAction] =
     addsCache.getOrElseUpdate(v, {
       if (snapshotStart && v == startVersion) {
-        val live = snapshotAt(v).liveFiles.sortBy(_.path).toIndexedSeq
+        val live = walkAt(v).liveFiles.sortBy(_.path).toIndexedSeq
         if (!readChangeFeed) live
         else commitUnit(v, live.iterator.map(_.size).sum, live.nonEmpty)
       } else if (!readChangeFeed) {
         val liveBefore: Set[String] =
           if (v == 0) Set.empty
-          else snapshotAt(v - 1).liveFiles.iterator.map(_.path).toSet
+          else walkAt(v - 1).liveFiles.iterator.map(_.path).toSet
         commitLines(v).iterator
           .flatMap(n => Option(n.get("add")).filterNot(_.isNull)
             .map(ActionCodec.parseAdd))
@@ -240,12 +279,16 @@ class GraftDeltaSource(
       } else {
         val prior: Map[String, AddAction] =
           if (v == 0) Map.empty
-          else snapshotAt(v - 1).liveFiles.iterator.map(a => a.path -> a).toMap
+          else walkAt(v - 1).liveFiles.iterator.map(a => a.path -> a).toMap
         val lines = commitLines(v)
         val spec = CdfEngine.spec(spark, path.stripSuffix("/"), prior, lines)
         cdfSpecs(v) = spec
-        val bytes = spec.stored.iterator.map(_.size).sum +
-          lines.iterator
+        // stored cdc files are the EXCLUSIVE change data when present
+        // (CdfEngine protocol rule) — weighing the commit's adds too
+        // would double-count and halve admission throughput
+        val bytes =
+          if (spec.stored.nonEmpty) spec.stored.iterator.map(_.size).sum
+          else lines.iterator
             .flatMap(n => Option(n.get("add")).filterNot(_.isNull)
               .map(ActionCodec.parseAdd))
             .filter(_.dataChange).map(_.size).sum
@@ -267,9 +310,16 @@ class GraftDeltaSource(
 
   private var lastOffset: GraftDeltaSourceOffset = _
 
-  override def getOffset: Option[Offset] = {
-    val from = Option(lastOffset).getOrElse(initialPos)
-    val head = headVersion()
+  /** Walk forward from `from`, admitting files (or, in CDF mode, whole
+    * commits) under the limits, up to `cap` (the AvailableNow horizon)
+    * and the current head. At least one unit always admits, else a
+    * single oversized file would wedge the stream.
+    */
+  private def advance(from: GraftDeltaSourceOffset,
+      limFiles: Option[Int], limBytes: Option[Long],
+      cap: Option[GraftDeltaSourceOffset]): GraftDeltaSourceOffset = {
+    val head = cap.map(_.version).map(math.min(_, headVersion()))
+      .getOrElse(headVersion())
     var v = from.version
     var i = from.index
     var files = 0
@@ -277,22 +327,84 @@ class GraftDeltaSource(
     var full = false
     while (!full && v <= head) {
       val adds = addsFor(v)
-      while (!full && i < adds.length) {
+      val len = cap match {
+        case Some(c) if c.version == v => math.min(adds.length.toLong, c.index)
+        case _ => adds.length.toLong
+      }
+      while (!full && i < len) {
         val sz = adds(i.toInt).size
-        // at least one file per batch, else limits wedge on a big file
         val admit = files == 0 ||
-          (maxFiles.forall(files < _) && maxBytes.forall(bytes + sz <= _))
+          (limFiles.forall(files < _) && limBytes.forall(bytes + sz <= _))
         if (admit) { files += 1; bytes += sz; i += 1 } else full = true
       }
-      if (!full && i == adds.length && v < head) { v = v + 1; i = 0 }
-      else if (i == adds.length) full = true
+      if (!full && i >= len && v < head) { v = v + 1; i = 0 }
+      else if (i >= len) full = true
     }
-    val pos = GraftDeltaSourceOffset(v, i)
+    GraftDeltaSourceOffset(v, i)
+  }
+
+  /** Legacy V1 entry point. MicroBatchExecution prefers the
+    * SupportsAdmissionControl path below (which receives the REAL start
+    * offset, surviving restarts); this remains only for callers driving
+    * the Source contract directly.
+    */
+  override def getOffset: Option[Offset] = {
+    val from = Option(lastOffset).getOrElse(initialPos)
+    val pos = advance(from, maxFiles, maxBytes, None)
     if (pos == from && Option(lastOffset).isEmpty) None
     else {
       if (lastOffset == null || lastOffset < pos) lastOffset = pos
       Some(lastOffset)
     }
+  }
+
+  /** Admission-control path (the one `MicroBatchExecution` actually
+    * uses): `start` is the engine's restored position — rate-limited
+    * admission can never regress below a committed offset after a
+    * restart, which the in-memory `getOffset` path could.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = (maxFiles.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxBytes.map(n => ReadLimit.maxBytes(n))).toArray
+    ls.length match {
+      case 0 => ReadLimit.allAvailable()
+      case 1 => ls.head
+      case _ => ReadLimit.compositeLimit(ls)
+    }
+  }
+
+  private def limitsOf(limit: ReadLimit): (Option[Int], Option[Long]) =
+    limit match {
+      case c: CompositeReadLimit =>
+        val parts = c.getReadLimits.toSeq.map(limitsOf)
+        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
+      case f: ReadMaxFiles => (Some(f.maxFiles()), None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+      case _ => (None, None) // allAvailable / unknown shapes: no cap
+    }
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = Option(start)
+      .map(o => of(o.asInstanceOf[Offset]))
+      .getOrElse(initialPos)
+    val (limF, limB) = limitsOf(limit)
+    val pos = advance(from, limF, limB, availableNowCap)
+    if (lastOffset == null || lastOffset < pos) lastOffset = pos
+    if (pos == from && Option(start).isEmpty) null else pos
+  }
+
+  /** Trigger.AvailableNow: pin the horizon once; every subsequent
+    * rate-limited batch advances toward it and the query terminates
+    * there — without this, the AvailableNow wrapper would capture ONE
+    * rate-limited step and stop with data left unread.
+    */
+  private var availableNowCap: Option[GraftDeltaSourceOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val h = headVersion()
+    availableNowCap = Some(
+      if (h < startVersion) initialPos
+      else GraftDeltaSourceOffset(h, addsFor(h).length.toLong))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -306,7 +418,7 @@ class GraftDeltaSource(
       val slice = adds.slice(lo, hi)
       if (slice.isEmpty) None
       else if (!readChangeFeed) {
-        val snapV = snapshotAt(v)
+        val snapV = scanAt(v)
         schemaGuard(v, snapV)
         val paths = slice.iterator.map(_.path).toSet
         val df = CdfEngine.remapToHead(
@@ -316,8 +428,8 @@ class GraftDeltaSource(
         Some(alignDeclared(df))
       } else {
         // the spec (when one exists) was computed by addsFor against
-        // the PRE-commit live map, BEFORE snapshotAt advances past v-1
-        val snapV = snapshotAt(v)
+        // the PRE-commit live map, BEFORE the walk cursor passes v-1
+        val snapV = scanAt(v)
         schemaGuard(v, snapV)
         val raw =
           if (snapshotStart && v == startVersion)
@@ -344,6 +456,13 @@ class GraftDeltaSource(
     * its data, so detect it on the schemas and fail with the cure.
     */
   private def schemaGuard(v: Long, snapV: DeltaSnapshot): Unit = {
+    // only versions AFTER the declared schema was pinned can carry a
+    // genuine post-start evolution; an extra column in an OLDER version
+    // was dropped before the stream started — remapToHead discarding it
+    // is correct (the table's current schema no longer has it), and
+    // throwing would wedge every startingVersion replay crossing a DROP
+    // (restart re-pins the same head schema and throws again)
+    if (v <= declaredAtVersion) return
     val declPhys = graft.delta.DeltaSchema
       .logicalToPhysical(tableSchema).values.toSet
     val extra = graft.delta.DeltaSchema.logicalToPhysical(snapV.schema)

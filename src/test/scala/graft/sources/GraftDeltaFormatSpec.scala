@@ -116,6 +116,52 @@ class GraftDeltaFormatSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("timestampAsOf accepts the space-separated form delta-spark documents") {
+    val path = tmp("lenient_ts")
+    rows(0, 10).write.format("graft-delta").save(path)
+    // a future instant resolves to the head in both syntaxes
+    assert(spark.read.format("graft-delta")
+      .option("timestampAsOf", "2030-01-01 00:00:00").load(path).count() == 10)
+    assert(spark.read.format("graft-delta")
+      .option("timestampAsOf", "2030-01-01T00:00:00Z").load(path).count() == 10)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-delta")
+        .option("timestampAsOf", "not a time").load(path).schema
+    }
+  }
+
+  test("complete output mode overwrites even with mergeKeys set") {
+    val src = tmp("cmp_src")
+    val dst = tmp("cmp_dst")
+    val ckpt = Files.createTempDirectory("graft_fmt_ckpt_cmp").toString
+    DeltaWriter.write(
+      (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k"), src)
+    // complete-mode top-2 by count: when a key leaves the top-2 it must
+    // LEAVE the table too — an upsert would keep the stale row forever
+    def run() = spark.readStream.format("graft-delta").load(src)
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("k")).limit(2)
+      .writeStream.format("graft-delta")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .option("mergeKeys", "k")
+      .start(dst)
+    val q = run()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.format("graft-delta").load(dst)
+        .select("k").collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("a", "b"))
+      DeltaWriter.write(Seq.fill(6)("c").toDF("k"), src, mode = "append")
+      q.processAllAvailable()
+      val got = spark.read.format("graft-delta").load(dst)
+        .orderBy(desc("cnt")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(got.toSeq == Seq(("c", 7L), ("a", 3L)),
+        s"stale top-k rows survived the complete overwrite: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming sink with mergeKeys upserts instead of appending") {
     val src = tmp("ups_src")
     val dst = tmp("ups_dst")
