@@ -336,6 +336,29 @@ object DeltaQueries {
     // code path still runs (file selection stops at the cumulative-
     // rows>=limit cutoff; a smaller limit would make WHICH files
     // satisfy it an implementation detail the oracle can't mirror).
+    // The REGISTERED FORMAT path (r8) under the hash oracle:
+    // spark.read.format("graft-delta") resolves through the
+    // ServiceLoader registry into GraftDeltaRelation — Catalyst pushes
+    // the filters into PrunedFilteredScan.buildScan, where they
+    // translate to Cond for partition pruning + stats skipping, and the
+    // required columns prune the projection. Same staged table as x1,
+    // different entry point: a divergence between the format path and
+    // the library path (filter translation, column order, partition
+    // typing) hash-mismatches here while x1 stays green.
+    "x12_format_read" -> QueryDef(
+      (s, dir) => {
+        val path = ensureLineitemDelta(s, dir)
+        s.read.format("graft-delta").load(path)
+          .where(col("l_returnflag") === "R" && col("l_quantity") > 45.0)
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("sum_price"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus, count(*) AS n,
+        |  sum(l_extendedprice) AS sum_price
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45.0
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
     "x11_delta_scan_modifiers" -> QueryDef(
       (s, dir) => {
         val path = ensureLineitemDelta(s, dir)
