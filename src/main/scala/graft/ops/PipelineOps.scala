@@ -125,6 +125,40 @@ object PipelineOps {
     // clustering serves dedup, corpus materialization AND the split.
     // Scale: one shuffle on cluster_rep for the anti-join; everything
     // upstream is the cached labeling.
+    // Deterministic stratified sampling — the per-language (or
+    // per-source) budget rebalance every multilingual data recipe
+    // runs before training: each stratum keeps AT MOST `cap` docs,
+    // selected by HASH-RANK (row_number over md5(doc_id), not rand())
+    // so the sample is exact-size, reproducible across runs/engines,
+    // and independent of input order — rand()-based sampling can never
+    // sit under a cross-engine hash oracle, and per-stratum
+    // percent-threshold hashing gives only EXPECTED size. Scale shape:
+    // ONE shuffle on the stratum key; the window sorts within each
+    // stratum only. At 100 TB with skewed strata the same semantics
+    // run as threshold refinement (sample md5 quantiles per stratum,
+    // keep rows below the cap-th quantile, exact-fix the boundary) —
+    // the hash-rank DEFINITION here is the semantics both paths must
+    // match.
+    "p5_stratified_sample" -> QueryDef(
+      (s, dir) => {
+        val cap = 60
+        val docs = table(s, dir, "documents")
+        val key = md5(to_binary(
+          concat(col("doc_id").cast("string"), lit(":p5")), lit("utf-8")))
+        docs.withColumn("rk",
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(key, col("doc_id"))))
+          .where(col("rk") <= cap)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR || ':p5'), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 60 ORDER BY doc_id""".stripMargin)),
+
     "p3_leakage_split" -> QueryDef(
       (s, dir) => {
         val labels = DedupOps.dedupClusters(s, dir, fastHash = false)

