@@ -159,6 +159,56 @@ object PipelineOps {
         |  FROM documents)
         |WHERE rk <= 60 ORDER BY doc_id""".stripMargin)),
 
+    // GPT-style concat-and-chunk sequence packing: the corpus is
+    // sharded (doc_id mod S), each shard's documents are concatenated
+    // in doc_id order and cut at fixed token-budget boundaries
+    // (B=256); each document maps to the sequence span
+    // [floor(start/B), floor((start+tokens-1)/B)] its tokens land in —
+    // the exact bookkeeping a pretraining tokenizer-packer emits
+    // (which sequences a doc occupies, how many it straddles). Pure
+    // window arithmetic: a per-shard running token sum, no recursion,
+    // no state. Scale shape: ONE shuffle on the shard key, the cumsum
+    // window sorts within shards only; shards pack independently, so
+    // at 100 TB the job is embarrassingly parallel across S·(corpus/S)
+    // slices and S is chosen to fit a shard per executor. Token
+    // definition shared with t1 (whitespace tokens), so the packer and
+    // the token-count oracle can never disagree.
+    "p6_concat_chunks" -> QueryDef(
+      (s, dir) => {
+        val B = 256L
+        val docs = table(s, dir, "documents")
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs
+          .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+          .withColumn("n_tokens",
+            size(TextOps.tokens(col("text"))).cast("long"))
+          .withColumn("start",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("doc_id"), col("shard"),
+            floor(col("start") / B).cast("long").as("seq_first"),
+            floor((col("start") + col("n_tokens") - 1) / B).cast("long")
+              .as("seq_last"))
+          .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1L)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, shard, seq_first, seq_last,
+        |  seq_last - seq_first + 1 AS n_seqs
+        |FROM (
+        |  SELECT doc_id, shard,
+        |    start // 256 AS seq_first,
+        |    (start + n_tokens - 1) // 256 AS seq_last
+        |  FROM (
+        |    SELECT doc_id, doc_id % 4 AS shard,
+        |      CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |        AS n_tokens,
+        |      COALESCE(CAST(sum(len(regexp_split_to_array(lower(text), '\s+')))
+        |        OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS BIGINT), 0) AS start
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin)),
+
     "p3_leakage_split" -> QueryDef(
       (s, dir) => {
         val labels = DedupOps.dedupClusters(s, dir, fastHash = false)

@@ -686,6 +686,26 @@ class OpsSpec extends SparkSuite {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("p6 concat-chunks: per-shard spans tile with no gaps or overlaps") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Registry.all("p6_concat_chunks").fn(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+        r.getLong(3))) // (shard, doc_id, seq_first, seq_last)
+    out.groupBy(_._1).foreach { case (shard, docs) =>
+      val ordered = docs.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array((_, _, _, prevLast), (_, id, nextFirst, _)) =>
+          // the next doc starts in the sequence the previous one ended
+          // in (shared boundary) or the immediately following one —
+          // anything else is a gap or an overlap in the packing
+          assert(nextFirst == prevLast || nextFirst == prevLast + 1,
+            s"shard $shard doc $id: span $nextFirst after $prevLast")
+        case _ => ()
+      }
+      assert(ordered.head._3 == 0L, s"shard $shard does not start at seq 0")
+    }
+  }
+
   test("p4 mixture weights: normalized, and flatter than proportional") {
     val rows = Registry.all("p4_mixture_weights").fn(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
