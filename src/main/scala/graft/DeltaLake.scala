@@ -73,6 +73,17 @@ object DeltaLake {
       set: Map[String, org.apache.spark.sql.Column]): Long =
     DeltaWriter.update(spark, path, conditions, set)
 
+  /** Predicate-scoped overwrite (delta-spark's `replaceWhere`): ONE
+    * atomic commit deletes every row matching `conditions` and inserts
+    * `data`, which must satisfy the predicate. Partition-provable files
+    * are removed whole by metadata; undecidable ones are DV-masked —
+    * see [[graft.delta.DeltaWriter.replaceWhere]].
+    */
+  def replaceWhere(spark: SparkSession, path: String,
+      conditions: Seq[Cond],
+      data: org.apache.spark.sql.DataFrame): ReplaceWhereStats =
+    DeltaWriter.replaceWhere(spark, path, conditions, data)
+
   /** Roll the table back to an earlier version with one file-set-diff
     * commit (history preserved) — beyond reference parity; see
     * [[graft.delta.DeltaWriter.restore]].

@@ -48,6 +48,17 @@ final case class MergeStats(updatedRows: Long, sourceRows: Long,
 final case class RestoreStats(
     restoredFiles: Long, removedFiles: Long, dvReverted: Long)
 
+/** Result of a [[DeltaWriter.replaceWhere]]: files removed WHOLE by
+  * partition-value proof, rows masked via deletion vectors in files the
+  * metadata could not decide, and source rows written. `deletedRows` is
+  * exact when every whole-removed file carried `numRecords` stats, None
+  * otherwise — counting would force a read of data the commit only
+  * needs to drop.
+  */
+final case class ReplaceWhereStats(
+    removedFiles: Long, maskedRows: Long, writtenRows: Long,
+    deletedRows: Option[Long])
+
 object DeltaWriter {
 
   /** Pin parquet timestamp encoding to INT64 micros for `body`, then
@@ -1527,6 +1538,136 @@ object DeltaWriter {
         removedPaths(lines.toSeq), "UPDATE", snap.configuration)
       updated
     } finally matched.unpersist()
+  }
+
+  /** Predicate-scoped overwrite — delta-spark's `replaceWhere` option:
+    * ONE atomic commit deletes every row matching `conditions` and
+    * inserts `data`, whose rows must ALL satisfy the predicate
+    * (validated before any file lands — rows sneaking outside the scope
+    * would break the disjoint-writer partition-backfill pattern this
+    * exists for). The reference is read-only; this is our extension in
+    * delta-spark's `option("replaceWhere", ...)` shape.
+    *
+    * Scale shape: files whose partition values PROVE every row matches
+    * ([[FileSkipping.provablyAllMatch]], fail-closed) are removed whole
+    * — pure metadata, no data read, the O(changed-partitions) path a
+    * 100 TB partition backfill needs. Only files the metadata cannot
+    * decide (data-column predicates, parse doubt) are scanned and
+    * DV-masked via [[delete]]'s machinery. Concurrency: the commit
+    * conflicts with any winner whose new data may fall inside the
+    * predicate (zone-map tested, fail-closed via `newDataGuard`), so
+    * two backfills of disjoint partitions rebase past each other while
+    * same-region writers abort.
+    */
+  def replaceWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      conditions: Seq[Cond], data: DataFrame): ReplaceWhereStats = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(conditions.nonEmpty, "replaceWhere needs at least one condition")
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    Constraints.requireNotAppendOnly(snap.configuration, "REPLACE WHERE", path)
+    val schema = snap.schema
+    require(data.schema.fieldNames.toSet == schema.fieldNames.toSet,
+      s"replaceWhere source columns [${data.schema.fieldNames.sorted.mkString(",")}]" +
+        s" must equal table columns [${schema.fieldNames.sorted.mkString(",")}]" +
+        " — replaceWhere does not evolve the schema")
+    def q(n: String) = col(s"`${n.replace("`", "``")}`")
+    val src = data.select(schema.fieldNames.toSeq.map(q): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val written = src.count()
+      val pred = Cond.compile(conditions, Some(schema))
+      val offender = src
+        .where(not(coalesce(pred.cast("boolean"), lit(false))))
+        .limit(1).collect()
+      require(offender.isEmpty,
+        s"replaceWhere: source rows violate the predicate " +
+          s"${conditions.mkString(" AND ")} — e.g. ${offender.headOption.getOrElse("")}")
+      Constraints.validateBatch(src, schema, snap.configuration,
+        s"REPLACE WHERE into $path")
+
+      val base = path.stripSuffix("/")
+      val candidates = snap.addActionsFiltered(conditions)
+      val physToField = DeltaSchema.physicalToField(schema)
+      val logToPhys = DeltaSchema.logicalToPhysical(schema)
+      val (whole, rest) = candidates.partition(a =>
+        FileSkipping.provablyAllMatch(a, conditions, physToField, logToPhys))
+
+      val nf = JsonNodeFactory.instance
+      val lines = mutable.ArrayBuffer.empty[String]
+      whole.foreach { a =>
+        val rm = nf.objectNode(); val r = rm.putObject("remove")
+        r.put("path", a.path)
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", true)
+        lines += rm.toString
+      }
+      var masked = 0L
+      val restScanOpt =
+        if (rest.isEmpty) None
+        else Some(DeltaScan.scanWithRowIndex(snap, rest).where(pred))
+      restScanOpt.foreach { matchedDf =>
+        val matching = matchedDf.select("__graft_file", "__graft_row_index")
+        val (dvLines, newlyMasked) =
+          dvActionLines(spark, base, snap, rest, matching)
+        lines ++= dvLines
+        masked = newlyMasked
+      }
+
+      // The DERIVED feed cannot express this commit (CdfEngine.spec
+      // diffs re-ADDS only; a plain remove carries no row data), so a
+      // CDF table stores the complete change set: live rows of
+      // whole-removed files + newly-masked rows as 'delete', the source
+      // as 'insert'.
+      if (cdfEnabled(snap.configuration)) {
+        val cols = schema.fieldNames.toSeq.map(q)
+        val wholeDel =
+          if (whole.isEmpty) None
+          else Some(subtractPriorDv(spark, base, whole,
+            DeltaScan.scanWithRowIndex(snap, whole)).select(cols: _*))
+        val maskDel = restScanOpt.map(m =>
+          subtractPriorDv(spark, base, rest, m).select(cols: _*))
+        val dels = (wholeDel, maskDel) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b) => a.orElse(b)
+        }
+        val ins = src.withColumn("_change_type", lit("insert"))
+        val cdc = dels
+          .map(_.withColumn("_change_type", lit("delete")).unionByName(ins))
+          .getOrElse(ins)
+        lines ++= writeCdcFiles(spark, path, snap, cdc)
+      }
+
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val before = listDataFiles(fs, root)
+      if (written > 0L) withMicrosTimestamps(spark) {
+        toPhysical(src, schema).write.mode("append")
+          .partitionBy(
+            physicalPartitionBy(snap.partitionColumns, schema): _*)
+          .parquet(path)
+      }
+      (listDataFiles(fs, root) -- before).toSeq.sorted.foreach { rel =>
+        lines += addActionLine(fs, root, rel, statsIndexedSchema(
+          DeltaSchema.physicalize(schema), snap.configuration))
+      }
+
+      val wholeRows = whole.foldLeft(Option(0L)) { (acc, a) =>
+        for { s <- acc; n <- a.liveRecords } yield s + n
+      }
+      val deletedRows = wholeRows.map(_ + masked)
+      val removed = removedPaths(lines.toSeq)
+      lines += commitInfoLine("WRITE",
+        params = Map("mode" -> "Overwrite",
+          "predicate" -> conditions.mkString(" AND ")),
+        metrics = Map("numSourceRows" -> written,
+          "numRemovedFiles" -> removed.size.toLong,
+          "numDeletionVectorRows" -> masked) ++
+          deletedRows.map("numDeletedRows" -> _))
+      commitDml(spark, path, snap, lines.toSeq, removed, "REPLACE WHERE",
+        snap.configuration, newDataGuard = Some(conditions))
+      ReplaceWhereStats(whole.size.toLong, masked, written, deletedRows)
+    } finally src.unpersist()
   }
 
   /** RESTORE to an earlier version: one commit that re-states the

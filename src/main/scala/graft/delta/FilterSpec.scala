@@ -118,6 +118,73 @@ object FileSkipping {
       }
     } catch { case scala.util.control.NonFatal(_) => false }
 
+  /** True ⇒ EVERY row of the file provably matches EVERY condition.
+    * Only a partition value can prove that (one concrete value per file,
+    * unlike a min/max range), so any condition on a non-partition
+    * column — or any parse/representation doubt — answers false.
+    * Fail-closed mirror of [[canSkip]] (which is fail-open):
+    * `DeltaWriter.replaceWhere` removes files WHOLE on this answer, and
+    * a false positive would drop rows outside the predicate.
+    */
+  def provablyAllMatch(
+      action: AddAction,
+      conditions: Seq[Cond],
+      physToField: Map[String, StructField],
+      logToPhys: Map[String, String]): Boolean =
+    try {
+      conditions.forall { c =>
+        val phys = logToPhys.getOrElse(c.column, c.column)
+        val dt = physToField.get(phys).map(_.dataType).getOrElse(StringType)
+        action.partitionValueFor(phys, c.column) match {
+          case None => false // not a partition column here — unprovable
+          case Some(pvOpt) =>
+            val pv = pvOpt.orNull
+            def key(v: Any): Option[Any] =
+              try ordKey(dt, v)
+              catch { case scala.util.control.NonFatal(_) => None }
+            lazy val pvKey: Option[Any] =
+              if (pv == null) None
+              else
+                try ordKey(dt, PartitionValues.deserialize(pv, dt))
+                catch { case scala.util.control.NonFatal(_) => None }
+            // provable three-valued comparisons; None/parse failure ⇒ false
+            def provablySame(v: Any): Boolean =
+              if (v == null || pv == null) v == null && pv == null
+              else (for { pk <- pvKey; vk <- key(v) }
+                yield compareKeys(pk, vk) == 0).getOrElse(false)
+            def provablyDifferent(v: Any): Boolean =
+              if (v == null || pv == null) false // NULL <> x is never TRUE
+              else (for { pk <- pvKey; vk <- key(v) }
+                yield compareKeys(pk, vk) != 0).getOrElse(false)
+            (c.op, c.value) match {
+              // Cond.compile turns = / <> with NULL into IS [NOT] NULL
+              case ("=", null) => pv == null
+              case ("=", v) => provablySame(v)
+              case ("<>", null) => pv != null
+              case ("<>", v) => provablyDifferent(v)
+              case ("in", vs: Seq[_]) => vs.exists(provablySame)
+              case ("not in", vs: Seq[_]) =>
+                // x NOT IN (..., NULL) is never TRUE; empty list stays
+                // fail-closed rather than relying on engine edge cases
+                pv != null && vs.nonEmpty &&
+                  vs.forall(v => v != null && provablyDifferent(v))
+              case (op, v) if rangeOps(op) =>
+                if (pv == null || v == null) false
+                else (for { pk <- pvKey; vk <- key(v) } yield {
+                  val x = compareKeys(pk, vk)
+                  op match {
+                    case ">" => x > 0
+                    case ">=" => x >= 0
+                    case "<" => x < 0
+                    case "<=" => x <= 0
+                  }
+                }).getOrElse(false)
+              case _ => false
+            }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   // ---- partition pruning (filter_by_meta.py:117-154) ----
 
   private def partitionSkip(a: AddAction, c: Cond, phys: String, dt: DataType): Boolean =
