@@ -133,6 +133,29 @@ object DeltaLake {
     * the files, readers skip it). Auto-enables column mapping like
     * [[renameColumn]]. Returns the committed version.
     */
+  /** ADD COLUMN, metadata-only (existing files null-fill; mapped tables
+    * mint a fresh identity) — see [[graft.delta.DeltaWriter.addColumn]].
+    */
+  def addColumn(spark: SparkSession, path: String, colName: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      comment: Option[String] = None): Long =
+    DeltaWriter.addColumn(spark, path, colName, dataType, comment)
+
+  /** ALTER TABLE SET TBLPROPERTIES, metadata-only; guarded keys route
+    * to their dedicated APIs — see
+    * [[graft.delta.DeltaWriter.setTableProperties]].
+    */
+  def setTableProperties(spark: SparkSession, path: String,
+      props: Map[String, String]): Long =
+    DeltaWriter.setTableProperties(spark, path, props)
+
+  /** ALTER TABLE UNSET TBLPROPERTIES, metadata-only, idempotent — see
+    * [[graft.delta.DeltaWriter.unsetTableProperties]].
+    */
+  def unsetTableProperties(spark: SparkSession, path: String,
+      keys: Seq[String]): Long =
+    DeltaWriter.unsetTableProperties(spark, path, keys)
+
   def dropColumn(spark: SparkSession, path: String, colName: String): Long =
     DeltaWriter.dropColumn(spark, path, colName)
 

@@ -2545,6 +2545,176 @@ object DeltaWriter {
       "DROP COLUMN", cfg, newDataGuard = Some(Nil))
   }
 
+  /** ADD COLUMN as a metadata-only commit: the field joins the logical
+    * schema and every existing file null-fills it on read (the P4
+    * explicit-read-schema path) — O(1) at any table size, no data
+    * rewrite. New columns must be nullable (existing rows have no
+    * value; delta-spark enforces the same). On column-mapped tables the
+    * field minits a FRESH mapping identity (id above maxColumnId,
+    * col-uuid physical name, nested struct fields included depth-first)
+    * so a re-added previously-dropped name can never resurface the old
+    * bytes.
+    */
+  def addColumn(spark: org.apache.spark.sql.SparkSession,
+      path: String, colName: String, dataType: DataType,
+      comment: Option[String] = None): Long = {
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    val schema = snap.schema
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+      s"column '$colName' already exists in $path")
+    require(colName.nonEmpty && !colName.exists(" ,;{}()\n\t=".contains(_)),
+      s"invalid column name '$colName'")
+    val mapped = snap.configuration
+      .getOrElse("delta.columnMapping.mode", "none") != "none"
+    val baseMeta = comment.foldLeft(new MetadataBuilder()) {
+      (b, c) => b.putString("comment", c)
+    }.build()
+    val (newField, cfg) =
+      if (!mapped)
+        (StructField(colName, dataType, nullable = true, baseMeta),
+          snap.configuration)
+      else {
+        def idsIn(dt: DataType): Seq[Long] = dt match {
+          case s: StructType => s.fields.toSeq.flatMap(f =>
+            (if (f.metadata.contains(DeltaSchema.ColumnIdKey))
+              Seq(f.metadata.getLong(DeltaSchema.ColumnIdKey)) else Nil) ++
+              idsIn(f.dataType))
+          case ArrayType(et, _) => idsIn(et)
+          case MapType(k, v, _) => idsIn(k) ++ idsIn(v)
+          case _ => Nil
+        }
+        // floored by ids already in the schema — a stale maxColumnId
+        // must never mint a duplicate identity
+        var maxId = (snap.configuration
+          .get("delta.columnMapping.maxColumnId")
+          .flatMap(_.toLongOption).getOrElse(0L) +: idsIn(schema)).max
+        def mintNested(dt: DataType): DataType = dt match {
+          case s: StructType => StructType(s.fields.map { nf =>
+            maxId += 1
+            nf.copy(
+              metadata = new MetadataBuilder().withMetadata(nf.metadata)
+                .putLong(DeltaSchema.ColumnIdKey, maxId)
+                .putString(DeltaSchema.PhysicalNameKey,
+                  s"col-${java.util.UUID.randomUUID()}")
+                .build(),
+              dataType = mintNested(nf.dataType))
+          })
+          case ArrayType(et, n) => ArrayType(mintNested(et), n)
+          case MapType(k, v, n) => MapType(mintNested(k), mintNested(v), n)
+          case p => p
+        }
+        maxId += 1
+        val f = StructField(colName, mintNested(dataType), nullable = true,
+          new MetadataBuilder().withMetadata(baseMeta)
+            .putLong(DeltaSchema.ColumnIdKey, maxId)
+            .putString(DeltaSchema.PhysicalNameKey,
+              s"col-${java.util.UUID.randomUUID()}")
+            .build())
+        (f, snap.configuration +
+          ("delta.columnMapping.maxColumnId" -> maxId.toString))
+      }
+    val widened = StructType(schema.fields :+ newField)
+    val lines = mutable.ArrayBuffer.empty[String]
+    lines += metadataLine(path,
+      snap.metadata.get.copy(schemaString = widened.json), cfg)
+    lines += commitInfoLine("ADD COLUMN",
+      params = Map("column" -> colName, "type" -> dataType.simpleString))
+    commitDml(spark, path, snap, lines.toSeq, readSet = Set.empty,
+      "ADD COLUMN", cfg, newDataGuard = Some(Nil))
+  }
+
+  /** ALTER TABLE SET TBLPROPERTIES: merge `props` into
+    * `metaData.configuration` as ONE metadata-only commit — O(1) at any
+    * table size. Properties whose enablement needs coordinated
+    * machinery route to their dedicated APIs and reject here with the
+    * cure; enabling in-commit timestamps IS handled inline (the commit
+    * records its own ICT as the enablement provenance and mints the
+    * writer-only feature, exactly like `write(properties = ...)`).
+    */
+  def setTableProperties(spark: org.apache.spark.sql.SparkSession,
+      path: String, props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setTableProperties needs at least one property")
+    val guarded: Seq[(String => Boolean, String)] = Seq(
+      ((k: String) => k.startsWith("delta.columnMapping."),
+        "column mapping needs coordinated identity assignment — use " +
+          "enableColumnMapping / renameColumn / dropColumn"),
+      ((k: String) => k.startsWith(Constraints.Prefix),
+        "CHECK constraints must validate existing rows first — use " +
+          "addCheckConstraint / dropCheckConstraint"),
+      ((k: String) => k == "delta.enableRowTracking",
+        "row tracking needs backfill gating — use enableRowTracking"),
+      ((k: String) => k.startsWith("delta.inCommitTimestamp."),
+        "ICT enablement provenance is writer-managed — set only " +
+          "delta.enableInCommitTimestamps"))
+    props.keys.foreach(k => guarded.foreach { case (bad, cure) =>
+      require(!bad(k), s"cannot set '$k' via setTableProperties: $cure")
+    })
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    val cfg0 = snap.configuration ++ props
+    if (cfg0 == snap.configuration) return snap.version // no-op, no commit
+    val version = snap.version + 1
+    val newlyIct = ictEnabled(cfg0) && !ictEnabled(snap.configuration)
+    val ictFixed: Option[Long] =
+      if (!newlyIct) None
+      else Some(math.max(System.currentTimeMillis(),
+        DeltaLog.ictOf(spark, path, snap.version).map(_ + 1L).getOrElse(0L)))
+    val cfg = if (!newlyIct) cfg0 else cfg0 +
+      ("delta.inCommitTimestamp.enablementVersion" -> version.toString) +
+      ("delta.inCommitTimestamp.enablementTimestamp" ->
+        ictFixed.get.toString)
+    val lines = mutable.ArrayBuffer.empty[String]
+    if (newlyIct)
+      writerFeatureProtocolLine(snap.protocol, "inCommitTimestamp", None)
+        .foreach(lines += _)
+    lines += metadataLine(path, snap.metadata.get, cfg)
+    lines += commitInfoLine("SET TBLPROPERTIES", params = props)
+    // exact-version commit (no rebase): enablementVersion and the crc's
+    // view of the configuration must name the version actually taken
+    writeCommitAt(spark, path, version, lines.toSeq, cfg,
+      prior = Some(snap), ictFixed = ictFixed)
+    version
+  }
+
+  /** ALTER TABLE UNSET TBLPROPERTIES: drop `keys` from the
+    * configuration, metadata-only. Guarded like [[setTableProperties]]
+    * — and UNSETTING an enablement property a feature depends on
+    * (ICT provenance, row tracking) is rejected rather than silently
+    * corrupting the feature's invariants. Absent keys are a no-op
+    * (delta-spark's IF EXISTS is the only mode here — unset is
+    * idempotent by nature).
+    */
+  def unsetTableProperties(spark: org.apache.spark.sql.SparkSession,
+      path: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "unsetTableProperties needs at least one key")
+    keys.foreach { k =>
+      require(!k.startsWith("delta.columnMapping."),
+        s"cannot unset '$k': readers resolve every file through the " +
+          "mapping — dropping it would corrupt the table")
+      require(k != "delta.enableRowTracking" &&
+          k != "delta.enableInCommitTimestamps" &&
+          !k.startsWith("delta.inCommitTimestamp."),
+        s"cannot unset '$k': the feature's enablement provenance must " +
+          "survive for readers; disable by setting it to false instead")
+      require(!k.startsWith(Constraints.Prefix),
+        s"cannot unset '$k': use dropCheckConstraint")
+    }
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    val cfg = snap.configuration -- keys
+    if (cfg == snap.configuration) return snap.version // no-op, no commit
+    val lines = mutable.ArrayBuffer.empty[String]
+    lines += metadataLine(path, snap.metadata.get, cfg)
+    lines += commitInfoLine("UNSET TBLPROPERTIES",
+      params = Map("keys" -> keys.mkString(",")))
+    commitDml(spark, path, snap, lines.toSeq, readSet = Set.empty,
+      "UNSET TBLPROPERTIES", cfg, newDataGuard = Some(Nil))
+  }
+
   /** Stamp `defaultRowCommitVersion` = the commit's actual version on
     * every add lacking one (restates keep their original) — per
     * attempt, like the ICT, because a rebase moves the version.
@@ -2630,11 +2800,14 @@ object DeltaWriter {
   private def writeCommitAt(spark: org.apache.spark.sql.SparkSession,
       path: String, version: Long, lines: Seq[String],
       config: Map[String, String] = Map.empty,
-      prior: Option[DeltaSnapshot] = None): Unit = {
+      prior: Option[DeltaSnapshot] = None,
+      /** Pins the commit's ICT — the ICT-ENABLING commit must stamp the
+        * same instant it recorded as `enablementTimestamp`. */
+      ictFixed: Option[Long] = None): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val commit = new Path(new Path(root, "_delta_log"), f"$version%020d.json")
-    val lines2 = withIct(spark, path, version, lines, config)
+    val lines2 = withIct(spark, path, version, lines, config, ictFixed)
     val out = fs.create(commit, false)
     try out.write(
       (lines2.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))

@@ -1,0 +1,152 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{DeltaLake, SparkSuite}
+
+/** ADD COLUMN / SET TBLPROPERTIES / UNSET TBLPROPERTIES — the r8
+  * metadata-only ALTER verbs: O(1) at any table size, no data rewrite,
+  * guarded keys route to their dedicated APIs.
+  */
+class AlterTableDdlSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_alter").toString + "/t"
+
+  private def seed(path: String): Unit =
+    DeltaWriter.write(
+      (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name"), path)
+
+  test("addColumn: existing rows null-fill, files untouched, appends fill it") {
+    val path = tmp()
+    seed(path)
+    val filesBefore = DeltaLake.deltaMeta(spark, path).liveFiles
+      .map(_.path).toSet
+
+    val v = DeltaLake.addColumn(spark, path, "score", DoubleType,
+      comment = Some("quality score"))
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.version == v)
+    assert(snap.liveFiles.map(_.path).toSet == filesBefore) // metadata-only
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(snap.schema("score").metadata.getString("comment")
+      == "quality score")
+
+    val scanned = DeltaLake.scanDelta(spark, path)
+    assert(scanned.where($"score".isNull).count() == 10)
+
+    // subsequent appends carry the column
+    DeltaWriter.write(Seq((11L, "n11", 0.5)).toDF("id", "name", "score"),
+      path, mode = "append")
+    assert(DeltaLake.scanDelta(spark, path)
+      .where($"score" === 0.5).count() == 1)
+  }
+
+  test("addColumn on a mapped table mints a fresh identity; re-added name never resurfaces old bytes") {
+    val path = tmp()
+    DeltaWriter.write(
+      (1L to 5L).map(i => (i, i * 100L)).toDF("id", "v"), path)
+    DeltaLake.enableColumnMapping(spark, path)
+    DeltaLake.dropColumn(spark, path, "v")
+    val v = DeltaLake.addColumn(spark, path, "v", LongType)
+    val snap = DeltaLake.deltaMeta(spark, path)
+    assert(snap.version == v)
+    val f = snap.schema("v")
+    assert(f.metadata.getString(DeltaSchema.PhysicalNameKey)
+      .startsWith("col-")) // fresh identity, not the dropped field's
+    assert(f.metadata.getLong(DeltaSchema.ColumnIdKey) >
+      snap.schema("id").metadata.getLong(DeltaSchema.ColumnIdKey))
+    // old bytes stay invisible: the re-added column is all-null
+    assert(DeltaLake.scanDelta(spark, path)
+      .where($"v".isNotNull).count() == 0)
+  }
+
+  test("addColumn rejects duplicates (case-insensitive) and bad names") {
+    val path = tmp()
+    seed(path)
+    intercept[IllegalArgumentException] {
+      DeltaLake.addColumn(spark, path, "NAME", StringType)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLake.addColumn(spark, path, "a b", StringType)
+    }
+  }
+
+  test("setTableProperties merges, no-ops without a commit, and is enforced") {
+    val path = tmp()
+    seed(path)
+    val v0 = DeltaLake.deltaMeta(spark, path).version
+    val v1 = DeltaLake.setTableProperties(spark, path,
+      Map("delta.appendOnly" -> "true", "custom.owner" -> "team-data"))
+    assert(v1 == v0 + 1)
+    val cfg = DeltaLake.deltaMeta(spark, path).configuration
+    assert(cfg.get("delta.appendOnly").contains("true"))
+    assert(cfg.get("custom.owner").contains("team-data"))
+
+    // identical values ⇒ no commit at all
+    val v2 = DeltaLake.setTableProperties(spark, path,
+      Map("custom.owner" -> "team-data"))
+    assert(v2 == v1)
+
+    // the property is live: deletes now refuse
+    intercept[IllegalStateException] {
+      DeltaLake.deleteWhere(spark, path, Seq(Cond("id", "=", 1L)))
+    }
+  }
+
+  test("guarded properties reject with the cure") {
+    val path = tmp()
+    seed(path)
+    def rejects(k: String, v: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        DeltaLake.setTableProperties(spark, path, Map(k -> v))
+      }
+      assert(e.getMessage.contains(k))
+    }
+    rejects("delta.columnMapping.mode", "name")
+    rejects("delta.constraints.c1", "id > 0")
+    rejects("delta.enableRowTracking", "true")
+    rejects("delta.inCommitTimestamp.enablementVersion", "3")
+  }
+
+  test("enabling ICT via setTableProperties records provenance + mints the feature") {
+    val path = tmp()
+    seed(path)
+    val v = DeltaLake.setTableProperties(spark, path,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    val snap = DeltaLake.deltaMeta(spark, path)
+    val cfg = snap.configuration
+    assert(cfg.get("delta.inCommitTimestamp.enablementVersion")
+      .contains(v.toString))
+    val enableTs = cfg("delta.inCommitTimestamp.enablementTimestamp").toLong
+    assert(snap.protocol.exists(_.writerFeatures
+      .exists(_.contains("inCommitTimestamp"))))
+    // the enabling commit's own ICT equals the recorded enablement ts
+    assert(DeltaLog.ictOf(spark, path, v).contains(enableTs))
+    // and later commits carry strictly increasing ICTs
+    DeltaWriter.write(Seq((99L, "x")).toDF("id", "name"), path,
+      mode = "append")
+    assert(DeltaLog.ictOf(spark, path, v + 1).exists(_ > enableTs))
+  }
+
+  test("unsetTableProperties drops keys, is idempotent, guards features") {
+    val path = tmp()
+    seed(path)
+    DeltaLake.setTableProperties(spark, path, Map("custom.a" -> "1"))
+    val v = DeltaLake.unsetTableProperties(spark, path, Seq("custom.a"))
+    assert(!DeltaLake.deltaMeta(spark, path).configuration.contains("custom.a"))
+    // absent key ⇒ no new commit
+    assert(DeltaLake.unsetTableProperties(spark, path, Seq("custom.a")) == v)
+    intercept[IllegalArgumentException] {
+      DeltaLake.unsetTableProperties(spark, path,
+        Seq("delta.enableInCommitTimestamps"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLake.unsetTableProperties(spark, path,
+        Seq("delta.columnMapping.mode"))
+    }
+  }
+}
