@@ -370,6 +370,40 @@ object DeltaLake {
     scanDeltaCdf(spark, path, from - 1, conditions)
   }
 
+  /** Timestamp-windowed change feed — delta-spark's `startingTimestamp`
+    * + `endingTimestamp`: starts at the first commit stamped at or
+    * after `since` (inclusive boundary) and ends at the greatest commit
+    * stamped at or before `until` (inclusive; ICT-aware, monotonized).
+    * Empty when no commit falls in the window.
+    */
+  def scanDeltaCdf(spark: SparkSession, path: String,
+      since: java.time.Instant, until: java.time.Instant,
+      conditions: Seq[Cond]): DataFrame = {
+    require(!until.isBefore(since),
+      s"endingTimestamp $until precedes startingTimestamp $since")
+    val head = DeltaLog.forPath(spark, path)
+    val fromOpt = graft.delta.DeltaLog.firstVersionAtOrAfter(spark, path, since)
+    def empty(schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(
+            graft.delta.CdfEngine.ChangeTypeCol,
+            org.apache.spark.sql.types.StringType)))
+    fromOpt match {
+      case None => empty(head.schema) // every commit predates the window
+      case Some(from) =>
+        // greatest version at or before `until`; the window is empty
+        // when the first eligible commit lands after it
+        val to =
+          try graft.delta.DeltaLog.versionAtTimestamp(spark, path, until)
+          catch { case _: IllegalArgumentException => return empty(head.schema) }
+        if (to < from) empty(head.schema)
+        else scanDeltaCdf(spark, path, from - 1, conditions,
+          untilVersion = Some(to))
+    }
+  }
+
   /** Both change-feed halves in one call: rows that became visible
     * strictly after `sinceVersion` tagged `_change_type='insert'`
     * (DV-shrink restores included) unioned with rows retracted in the
@@ -397,8 +431,20 @@ object DeltaLake {
         * plus a partition predicate therefore reads only the matching
         * partitions' change files, not the whole `_change_data/` tree.
         */
-      conditions: Seq[Cond] = Nil): DataFrame = {
-    val head = DeltaLog.forPath(spark, path)
+      conditions: Seq[Cond] = Nil,
+      /** Inclusive upper bound — delta-spark's `endingVersion`. The
+        * feed stops at this commit and batches emit in ITS logical
+        * schema (a later rename is invisible to a bounded reader).
+        * None = current head.
+        */
+      untilVersion: Option[Long] = None): DataFrame = {
+    val head = DeltaLog.forPath(spark, path, untilVersion)
+    untilVersion.foreach { u =>
+      require(u > sinceVersion,
+        s"untilVersion $u must be greater than sinceVersion $sinceVersion")
+      require(head.version == u,
+        s"version $u of $path does not exist (head is ${head.version})")
+    }
     val snap =
       if (sinceVersion < 0) new DeltaSnapshot(spark, path)
       else DeltaLog.forPath(spark, path, Some(sinceVersion))

@@ -202,25 +202,35 @@ object GraftExtensions {
   private[graft] val cdfTableFunction
       : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     args => {
-      require(args.size == 2 || args.size == 5,
-        "graft_delta_cdf(path, sinceVersion[, col, op, value]) takes 2 or 5 arguments")
+      require(Set(2, 3, 5, 6).contains(args.size),
+        "graft_delta_cdf(path, sinceVersion[, untilVersion][, col, op, " +
+          "value]) takes 2, 3, 5 or 6 arguments")
       val path = literalString(args, 0, "graft_delta_cdf", "path")
       val since = literalLong(args, 1, "graft_delta_cdf", "sinceVersion")
+      // the 3- and 6-arg forms carry an inclusive endingVersion bound
+      val hasUntil = args.size == 3 || args.size == 6
+      val until =
+        if (!hasUntil) None
+        else Some(literalLong(args, 2, "graft_delta_cdf", "untilVersion"))
+      val condBase = if (hasUntil) 3 else 2
       val conds =
         if (args.size < 5) Nil
         else {
-          require(args(4).foldable, "graft_delta_cdf arguments must be literals")
-          val op = literalString(args, 3, "graft_delta_cdf", "operator")
+          require(args(condBase + 2).foldable,
+            "graft_delta_cdf arguments must be literals")
+          val op = literalString(args, condBase + 1, "graft_delta_cdf",
+            "operator")
           require(op != "in" && op != "not in",
             "graft_delta_cdf's predicate triple cannot express list " +
               "values; use a scalar operator")
           Seq(graft.delta.Cond(
-            literalString(args, 2, "graft_delta_cdf", "column"),
+            literalString(args, condBase, "graft_delta_cdf", "column"),
             op,
-            external(args(4).eval(), args(4).dataType)))
+            external(args(condBase + 2).eval(),
+              args(condBase + 2).dataType)))
         }
       val spark = org.apache.spark.sql.SparkSession.active
-      DeltaLake.scanDeltaCdf(spark, path, since, conds)
+      DeltaLake.scanDeltaCdf(spark, path, since, conds, until)
         .queryExecution.analyzed
     }
 

@@ -122,6 +122,14 @@ class GraftExtensionsSpec extends SparkSuite {
         .collect().map(_.getLong(0)).toSeq
       assert(deleted == Seq(3L))
 
+      // 3-arg form: inclusive untilVersion bound caps the window at v1
+      val bounded = s2.sql(
+        s"""SELECT _change_type, count(*) AS n
+           |FROM graft_delta_cdf('$path', 0, 1)
+           |GROUP BY _change_type""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bounded == Map("insert" -> 2L))
+
       val hist = s2.sql(
         s"""SELECT version, operation FROM graft_delta_history('$path')
            |ORDER BY version""".stripMargin)

@@ -175,6 +175,50 @@ class CdfStoredSpec extends SparkSuite {
     assert(DeltaLake.scanDeltaCdf(spark, path, after).count() == 0L)
   }
 
+  test("bounded feed: untilVersion caps the window, timestamp window agrees") {
+    import spark.implicits._
+    val path = tmp("graft_cdf_until")
+    DeltaWriter.write((1L to 10L).map(i => (i, s"v$i")).toDF("id", "s"),
+      path, properties = CdfOn ++
+        Map("delta.enableInCommitTimestamps" -> "true"))  // v0
+    DeltaWriter.write(Seq((11L, "v11")).toDF("id", "s"), path,
+      mode = "append")                                     // v1
+    DeltaLake.deleteWhere(spark, path, Seq(Cond("id", "=", 1L)))  // v2
+    DeltaWriter.write(Seq((12L, "v12")).toDF("id", "s"), path,
+      mode = "append")                                     // v3
+
+    // full feed: insert(v1) + delete(v2) + insert(v3)
+    assert(DeltaLake.scanDeltaCdf(spark, path, 0L).count() == 3L)
+    // bounded at v2: v3's insert is out of the window
+    val bounded = DeltaLake.scanDeltaCdf(spark, path, 0L,
+      untilVersion = Some(2L))
+    assert(bounded.groupBy("_change_type").count().as[(String, Long)]
+      .collect().toMap == Map("insert" -> 1L, "delete" -> 1L))
+    assert(bounded.where($"id" === 12L).isEmpty)
+    // bad bounds reject
+    intercept[IllegalArgumentException] {
+      DeltaLake.scanDeltaCdf(spark, path, 2L, untilVersion = Some(2L))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLake.scanDeltaCdf(spark, path, 0L, untilVersion = Some(99L))
+    }
+
+    // timestamp window [ict(v1), ict(v2)] picks exactly those commits
+    val t1 = java.time.Instant.ofEpochMilli(
+      DeltaLog.ictOf(spark, path, 1L).get)
+    val t2 = java.time.Instant.ofEpochMilli(
+      DeltaLog.ictOf(spark, path, 2L).get)
+    val windowed = DeltaLake.scanDeltaCdf(spark, path, t1, t2, Nil)
+    assert(windowed.groupBy("_change_type").count().as[(String, Long)]
+      .collect().toMap == Map("insert" -> 1L, "delete" -> 1L))
+    // a window before every commit is empty, schema intact
+    val none = DeltaLake.scanDeltaCdf(spark, path,
+      java.time.Instant.ofEpochMilli(1L),
+      java.time.Instant.ofEpochMilli(2L), Nil)
+    assert(none.isEmpty &&
+      none.columns.toSeq == Seq("id", "s", "_change_type"))
+  }
+
   test("partition predicate prunes stored change files before any IO") {
     import spark.implicits._
     val path = tmp("graft_cdf_prune")
