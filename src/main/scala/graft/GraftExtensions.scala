@@ -81,6 +81,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_rename_column" -> GraftExtensions.renameColumnTableFunction,
       "graft_drop_column" -> GraftExtensions.dropColumnTableFunction,
       "graft_restore" -> GraftExtensions.restoreTableFunction,
+      "graft_add_column" -> GraftExtensions.addColumnTableFunction,
+      "graft_set_tblproperties" -> GraftExtensions.setPropsTableFunction,
+      "graft_unset_tblproperties" -> GraftExtensions.unsetPropsTableFunction,
       "graft_detail" -> GraftExtensions.detailTableFunction,
       "graft_convert" -> GraftExtensions.convertTableFunction
     ).foreach { case (name, builder) =>
@@ -390,6 +393,70 @@ object GraftExtensions {
         val st = DeltaLake.restoreTable(spark, path, toV)
         Seq(org.apache.spark.sql.Row(
           st.restoredFiles, st.removedFiles, st.dvReverted))
+      }
+    }
+
+  /** `graft_add_column(path, name, typeDdl)`: metadata-only ADD COLUMN
+    * (nullable; mapped tables mint a fresh identity). The type is Spark
+    * DDL (`'bigint'`, `'struct<a:int,b:string>'`). One row: the
+    * committed version.
+    */
+  private[graft] val addColumnTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 3,
+        "graft_add_column(path, colName, typeDdl) takes 3 arguments")
+      val path = literalString(args, 0, "graft_add_column", "path")
+      val colName = literalString(args, 1, "graft_add_column", "colName")
+      val ddl = literalString(args, 2, "graft_add_column", "typeDdl")
+      val dt = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+      graft.plans.GraftProcedureNode("graft_add_column",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.addColumn(spark, path, colName, dt)))
+      }
+    }
+
+  /** `graft_set_tblproperties(path, key, value[, key, value ...])`:
+    * metadata-only SET TBLPROPERTIES; guarded keys reject with their
+    * cure. One row: the committed version.
+    */
+  private[graft] val setPropsTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size >= 3 && args.size % 2 == 1,
+        "graft_set_tblproperties(path, key, value[, key, value ...]) " +
+          "takes an odd argument count of 3 or more")
+      val path = literalString(args, 0, "graft_set_tblproperties", "path")
+      val props = (1 until args.size by 2).map { i =>
+        literalString(args, i, "graft_set_tblproperties", s"key#$i") ->
+          literalString(args, i + 1, "graft_set_tblproperties", s"value#${i + 1}")
+      }.toMap
+      graft.plans.GraftProcedureNode("graft_set_tblproperties",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.setTableProperties(spark, path, props)))
+      }
+    }
+
+  /** `graft_unset_tblproperties(path, key[, key ...])`: metadata-only,
+    * idempotent UNSET TBLPROPERTIES. One row: the resulting version.
+    */
+  private[graft] val unsetPropsTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size >= 2,
+        "graft_unset_tblproperties(path, key[, key ...]) takes 2+ arguments")
+      val path = literalString(args, 0, "graft_unset_tblproperties", "path")
+      val keys = (1 until args.size).map(i =>
+        literalString(args, i, "graft_unset_tblproperties", s"key#$i"))
+      graft.plans.GraftProcedureNode("graft_unset_tblproperties",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.unsetTableProperties(spark, path, keys)))
       }
     }
 

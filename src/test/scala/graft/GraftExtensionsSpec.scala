@@ -216,6 +216,59 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("ALTER verbs (add column, set/unset tblproperties) from a SQL-only session") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tvf_alter").toString + "/t"
+    graft.delta.DeltaWriter.write(
+      (1L to 5L).map(i => (i, s"n$i")).toDF("id", "s"), path)
+
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+
+      // ADD COLUMN with a Spark-DDL type; existing rows null-fill
+      assert(s2.sql(
+        s"SELECT * FROM graft_add_column('$path', 'score', 'double')")
+        .collect()(0).getLong(0) == 1L)
+      val scanned = s2.sql(s"SELECT * FROM graft_delta('$path')")
+      assert(scanned.columns.toSeq == Seq("id", "s", "score"))
+      assert(scanned.where("score IS NULL").count() == 5L)
+
+      // SET TBLPROPERTIES (two pairs in one call), visible in detail
+      assert(s2.sql(
+        s"""SELECT * FROM graft_set_tblproperties('$path',
+           |  'delta.appendOnly', 'true', 'custom.owner', 'sql-team')"""
+          .stripMargin).collect()(0).getLong(0) == 2L)
+      val props = s2.sql(
+        s"SELECT properties FROM graft_detail('$path')")
+        .collect()(0).getMap[String, String](0)
+      assert(props.get("custom.owner").contains("sql-team"))
+      // the property is live: a guarded key rejects with the cure
+      val e = intercept[Exception] {
+        s2.sql(s"""SELECT * FROM graft_set_tblproperties('$path',
+          |  'delta.enableRowTracking', 'true')""".stripMargin).collect()
+      }
+      assert(e.getMessage.contains("enableRowTracking"))
+
+      // UNSET is idempotent and returns the (unchanged) version on no-op
+      assert(s2.sql(
+        s"SELECT * FROM graft_unset_tblproperties('$path', 'custom.owner')")
+        .collect()(0).getLong(0) == 3L)
+      assert(s2.sql(
+        s"SELECT * FROM graft_unset_tblproperties('$path', 'custom.owner')")
+        .collect()(0).getLong(0) == 3L)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("procedure verbs run at execution, not analysis: EXPLAIN is harmless") {
     import spark.implicits._
     val path = java.nio.file.Files
