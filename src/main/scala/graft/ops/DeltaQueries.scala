@@ -377,5 +377,44 @@ object DeltaQueries {
       },
       Some("""SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
         |FROM lineitem WHERE l_returnflag <> 'N'
-        |ORDER BY l_returnflag, l_linestatus, l_shipdate""".stripMargin)))
+        |ORDER BY l_returnflag, l_linestatus, l_shipdate""".stripMargin)),
+
+    // REPLACE WHERE under the oracle, both execution paths in one
+    // staged history: v1 replaces two partitions by PARTITION-VALUE
+    // PROOF (whole-file removes, no data read — the O(changed-
+    // partitions) backfill path), v2 replaces by a DATA-column
+    // predicate with an empty source (DV-mask path, pure predicate
+    // delete). DuckDB replays both steps relationally.
+    "x13_delta_replace_where" -> QueryDef(
+      (s, dir) => {
+        val path = stagedOnce(s, dir, "supplier_rw_delta", "supplier") { path =>
+          val sup = table(s, dir, "supplier")
+          DeltaWriter.write(sup, path, partitionBy = Seq("s_nationkey"))
+          // v1: partition backfill — nations 3 and 7 replaced by their
+          // even-keyed rows with negated balances
+          val repl = sup
+            .where(col("s_nationkey").isin(3, 7) &&
+              col("s_suppkey") % 2 === 0)
+            .withColumn("s_acctbal", -col("s_acctbal"))
+          DeltaWriter.replaceWhere(s, path,
+            Seq(Cond("s_nationkey", "in", Seq(3, 7))), repl)
+          // v2: data-column scope, empty source = predicate delete via
+          // the DV path (s_acctbal is not a partition column)
+          DeltaWriter.replaceWhere(s, path,
+            Seq(Cond("s_acctbal", ">", 9000.0)), sup.limit(0))
+        }
+        DeltaLake.scanDelta(s, path)
+          .select("s_suppkey", "s_nationkey", "s_acctbal")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH after1 AS (
+        |  SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        |  WHERE s_nationkey NOT IN (3, 7)
+        |  UNION ALL
+        |  SELECT s_suppkey, s_nationkey, -s_acctbal AS s_acctbal
+        |  FROM supplier
+        |  WHERE s_nationkey IN (3, 7) AND s_suppkey % 2 = 0)
+        |SELECT s_suppkey, s_nationkey, s_acctbal FROM after1
+        |WHERE s_acctbal <= 9000.0
+        |ORDER BY s_suppkey""".stripMargin)))
 }
