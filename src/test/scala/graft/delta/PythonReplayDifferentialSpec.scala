@@ -300,6 +300,24 @@ class PythonReplayDifferentialSpec extends SparkSuite {
     assertAgrees(path, 100)
   }
 
+  test("replaceWhere commits replay: whole-file removes and DV masks") {
+    val path = tmp()
+    DeltaWriter.write((1L to 60L).map(i => (i, s"g${i % 3}", i * 1.0))
+      .toDF("id", "g", "x"), path, partitionBy = Seq("g"))
+    // partition path: whole-file removes + fresh adds in one commit
+    DeltaWriter.replaceWhere(spark, path, Seq(Cond("g", "=", "g1")),
+      Seq((500L, "g1", 0.0), (501L, "g1", 0.0)).toDF("id", "g", "x"))
+    assertAgrees(path, 42) // 60 - 20 + 2
+    // data-column path: DV masks + adds in one commit
+    DeltaWriter.replaceWhere(spark, path, Seq(Cond("x", ">", 50.0)),
+      Seq((600L, "g0", 51.0)).toDF("id", "g", "x"))
+    assertAgrees(path, 36) // 42 - 7 + 1 (x>50 ⇒ ids 51..60 minus the
+                           // three already replaced with partition g1)
+    // the pre-replace states replay too (time travel across removes)
+    assertAgrees(path, 60, version = Some(0L))
+    assertAgrees(path, 42, version = Some(1L))
+  }
+
   test("streaming-sink-written table replays through the python reader") {
     // the r8 registered streaming pipeline end-to-end, validated by the
     // INDEPENDENT reader: graft-delta source → writeStream sink; the
