@@ -92,6 +92,14 @@ object DeltaLake {
       toVersion: Long): RestoreStats =
     DeltaWriter.restore(spark, path, toVersion)
 
+  /** REORG TABLE … APPLY (PURGE): rewrite only deletion-vector-bearing
+    * files so soft deletes become physical — see
+    * [[graft.delta.DeltaWriter.purge]]. Returns files rewritten.
+    */
+  def reorgPurge(spark: SparkSession, path: String,
+      conditions: Seq[Cond] = Nil): Int =
+    DeltaWriter.purge(spark, path, conditions = conditions)
+
   /** Register an existing plain-parquet directory as a Delta table in
     * place (no data movement) — CONVERT TO DELTA.
     */

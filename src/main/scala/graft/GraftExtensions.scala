@@ -82,6 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_drop_column" -> GraftExtensions.dropColumnTableFunction,
       "graft_restore" -> GraftExtensions.restoreTableFunction,
       "graft_add_column" -> GraftExtensions.addColumnTableFunction,
+      "graft_reorg" -> GraftExtensions.reorgTableFunction,
       "graft_set_tblproperties" -> GraftExtensions.setPropsTableFunction,
       "graft_unset_tblproperties" -> GraftExtensions.unsetPropsTableFunction,
       "graft_detail" -> GraftExtensions.detailTableFunction,
@@ -393,6 +394,36 @@ object GraftExtensions {
         val st = DeltaLake.restoreTable(spark, path, toV)
         Seq(org.apache.spark.sql.Row(
           st.restoredFiles, st.removedFiles, st.dvReverted))
+      }
+    }
+
+  /** `graft_reorg(path[, col, op, value])`: REORG TABLE … APPLY
+    * (PURGE) — rewrite only DV-bearing files (optionally scoped by a
+    * partition predicate) so soft deletes become physical. One row:
+    * files rewritten.
+    */
+  private[graft] val reorgTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 1 || args.size == 4,
+        "graft_reorg(path[, col, op, value]) takes 1 or 4 arguments")
+      val path = literalString(args, 0, "graft_reorg", "path")
+      val conds =
+        if (args.size < 4) Nil
+        else {
+          require(args(3).foldable, "graft_reorg arguments must be literals")
+          val op = literalString(args, 2, "graft_reorg", "operator")
+          require(op != "in" && op != "not in",
+            "graft_reorg's predicate triple cannot express list values")
+          Seq(graft.delta.Cond(
+            literalString(args, 1, "graft_reorg", "column"), op,
+            external(args(3).eval(), args(3).dataType)))
+        }
+      graft.plans.GraftProcedureNode("graft_reorg",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("num_purged_files",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.reorgPurge(spark, path, conds).toLong))
       }
     }
 

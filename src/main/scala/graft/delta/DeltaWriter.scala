@@ -3100,7 +3100,16 @@ object DeltaWriter {
         * table). Fail-open per file: a file whose partition values
         * can't be proven non-matching is compacted.
         */
-      conditions: Seq[Cond] = Nil): Int = {
+      conditions: Seq[Cond] = Nil,
+      /** REORG TABLE … APPLY (PURGE): restrict the rewrite to files
+        * carrying deletion vectors — their soft-deleted rows are
+        * physically dropped and the descriptors disappear, so a
+        * follow-up vacuum can reclaim the DV bins and the GDPR-style
+        * "make the deletes physical" obligation is dischargeable
+        * without rewriting the whole table. DV-free files are never
+        * touched, whatever their size.
+        */
+      purgeOnly: Boolean = false): Int = {
     val snap = priorSnapshot.getOrElse(DeltaLog.forPath(spark, path))
     snap.checkProtocolSupported()
     val base = path.stripSuffix("/")
@@ -3149,13 +3158,15 @@ object DeltaWriter {
           s"OPTIMIZE predicate '${c.op}' needs a Seq value, " +
             s"got ${Option(c.value).map(_.getClass.getSimpleName).orNull}")
     }
-    val candidates =
+    val candidates0 =
       if (conditions.isEmpty) snap.liveFiles
       else {
         val physToField = DeltaSchema.physicalToField(schema)
         snap.liveFiles.filterNot(a =>
           FileSkipping.canSkip(a, conditions, physToField, logToPhys))
       }
+    val candidates =
+      if (purgeOnly) candidates0.filter(_.hasDeletionVector) else candidates0
 
     val nf = JsonNodeFactory.instance
     val lines = mutable.ArrayBuffer.empty[String]
@@ -3335,18 +3346,34 @@ object DeltaWriter {
             (MatRowVersionKey -> matVer)) +=: lines
     }
 
-    lines += commitInfoLine("OPTIMIZE",
+    val opName = if (purgeOnly) "REORG" else "OPTIMIZE"
+    lines += commitInfoLine(opName,
       params = (if (zOrderBy.isEmpty) Map.empty[String, String]
         else Map("zOrderBy" -> zOrderBy.mkString(","))) ++
         (if (conditions.isEmpty) Map.empty[String, String]
          else Map("predicate" ->
            conditions.map(c => s"${c.column} ${c.op} ${c.value}")
-             .mkString(" AND "))),
+             .mkString(" AND "))) ++
+        (if (purgeOnly) Map("applyPurge" -> "true")
+         else Map.empty[String, String]),
       metrics = Map("numCompactedFiles" -> nCompacted.toLong))
     commitDml(spark, path, snap, lines.toSeq,
-      removedPaths(lines.toSeq), "OPTIMIZE", snap.configuration)
+      removedPaths(lines.toSeq), opName, snap.configuration)
     nCompacted
   }
+
+  /** REORG TABLE … APPLY (PURGE): physically drop soft-deleted rows by
+    * rewriting ONLY the deletion-vector-bearing files (optionally
+    * scoped by a partition predicate like OPTIMIZE WHERE), leaving
+    * every clean file untouched. After the commit no live file carries
+    * a DV, so vacuum can reclaim the bins — the delta-spark
+    * `REORG TABLE … APPLY (PURGE)` shape. Returns files rewritten.
+    */
+  def purge(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      conditions: Seq[Cond] = Nil): Int =
+    compact(spark, path, targetFileBytes, zOrderBy = Nil,
+      priorSnapshot = None, conditions = conditions, purgeOnly = true)
 
   /** Vacuum: physically delete table-root files no longer referenced by
     * the CURRENT version — data files of overwritten/compacted history
