@@ -149,6 +149,15 @@ object DeltaLake {
       comment: Option[String] = None): Long =
     DeltaWriter.addColumn(spark, path, colName, dataType, comment)
 
+  /** ALTER COLUMN … TYPE (lossless type widening), metadata-only;
+    * existing files keep their narrow physical type and readers
+    * up-convert per file — see
+    * [[graft.delta.DeltaWriter.widenColumnType]].
+    */
+  def widenColumnType(spark: SparkSession, path: String, colName: String,
+      to: org.apache.spark.sql.types.DataType): Long =
+    DeltaWriter.widenColumnType(spark, path, colName, to)
+
   /** ALTER TABLE SET TBLPROPERTIES, metadata-only; guarded keys route
     * to their dedicated APIs — see
     * [[graft.delta.DeltaWriter.setTableProperties]].

@@ -2625,6 +2625,99 @@ object DeltaWriter {
       "ADD COLUMN", cfg, newDataGuard = Some(Nil))
   }
 
+  /** Allowed type-widening transitions (the protocol's typeWidening
+    * table feature): integer family upward, integer→double,
+    * float→double, date→timestampNtz, integer→decimal with enough
+    * integral digits, and decimal growth that loses neither integral
+    * digits nor scale. Everything else (including any NARROWING) is
+    * rejected — old files are read under the new type without rewrite,
+    * so the new type must represent every old value exactly.
+    */
+  private def widensTo(from: DataType, to: DataType): Boolean = {
+    def intRank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(1); case ShortType => Some(2)
+      case IntegerType => Some(3); case LongType => Some(4); case _ => None
+    }
+    // integral digits the decimal target must cover (protocol table:
+    // byte/short/int need 10, long needs 20)
+    def intDigits(dt: DataType): Int =
+      if (dt == LongType) 20 else 10
+    (from, to) match {
+      case (a, b) if intRank(a).isDefined && intRank(b).isDefined =>
+        intRank(a).get < intRank(b).get
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (a, d: DecimalType) if intRank(a).isDefined =>
+        d.precision - d.scale >= intDigits(a)
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale &&
+          b.precision - b.scale >= a.precision - a.scale &&
+          (b.precision > a.precision || b.scale > a.scale)
+      case _ => false
+    }
+  }
+
+  /** ALTER COLUMN … TYPE (type widening) as a metadata-only commit:
+    * the logical type widens, existing files keep their narrow physical
+    * type and every reader up-converts per file (Spark's parquet reader
+    * does int32→long/double/decimal, float→double, date→timestampNtz
+    * natively — probe-pinned in TypeWideningProbe). Mints the
+    * `typeWidening` reader+writer feature and records the change in the
+    * field's `delta.typeChanges` metadata, the protocol's shape for
+    * third-party readers. Partition columns are rejected (their values
+    * live as strings keyed by the OLD serialization; delta-spark
+    * rejects them too).
+    */
+  def widenColumnType(spark: org.apache.spark.sql.SparkSession,
+      path: String, colName: String, to: DataType): Long = {
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    val schema = snap.schema
+    require(schema.fieldNames.contains(colName),
+      s"no column '$colName' in $path (have: ${schema.fieldNames.mkString(", ")})")
+    val f = schema(colName)
+    if (f.dataType == to) return snap.version // idempotent no-op
+    require(widensTo(f.dataType, to),
+      s"cannot widen '$colName' from ${f.dataType.simpleString} to " +
+        s"${to.simpleString} — not a lossless widening the protocol " +
+        "allows (integer family upward, integer/float->double, " +
+        "date->timestamp_ntz, ->decimal with enough integral digits)")
+    require(!snap.metadata.get.partitionColumns.contains(colName),
+      s"cannot widen partition column '$colName' (partition values are " +
+        "serialized under the old type)")
+    val change = new MetadataBuilder()
+      .putString("fromType", f.dataType.typeName)
+      .putString("toType", to.typeName)
+      .build()
+    val priorChanges: Array[org.apache.spark.sql.types.Metadata] =
+      if (f.metadata.contains("delta.typeChanges"))
+        f.metadata.getMetadataArray("delta.typeChanges")
+      else Array.empty
+    val widened = StructType(schema.fields.map { x =>
+      if (x.name != colName) x
+      else x.copy(dataType = to,
+        metadata = new MetadataBuilder().withMetadata(x.metadata)
+          .putMetadataArray("delta.typeChanges", priorChanges :+ change)
+          .build())
+    })
+    val lines = mutable.ArrayBuffer.empty[String]
+    val hasFeature = snap.protocol.exists(p =>
+      p.readerFeatures.exists(_.contains("typeWidening")))
+    if (!hasFeature)
+      lines += upgradedProtocolJson(snap.protocol, "typeWidening")
+    lines += metadataLine(path,
+      snap.metadata.get.copy(schemaString = widened.json),
+      snap.configuration)
+    lines += commitInfoLine("ALTER COLUMN",
+      params = Map("column" -> colName,
+        "fromType" -> f.dataType.simpleString,
+        "toType" -> to.simpleString))
+    commitDml(spark, path, snap, lines.toSeq, readSet = Set.empty,
+      "ALTER COLUMN", snap.configuration, newDataGuard = Some(Nil))
+  }
+
   /** ALTER TABLE SET TBLPROPERTIES: merge `props` into
     * `metaData.configuration` as ONE metadata-only commit — O(1) at any
     * table size. Properties whose enablement needs coordinated
@@ -3933,7 +4026,7 @@ object DeltaWriter {
     // (checkConstraints, appendOnly, …) is writer-only and must never
     // land in readerFeatures
     val readerRelevant = Set("columnMapping", "deletionVectors",
-      "timestampNtz", "v2Checkpoint")
+      "timestampNtz", "v2Checkpoint", "typeWidening")
     val rf = (prior.flatMap(_.readerFeatures).getOrElse(
       implied(prior.map(_.minReaderVersion).getOrElse(1), impliedReader)) ++
       features.filter(readerRelevant)).distinct

@@ -336,7 +336,14 @@ object FileSkipping {
     catch {
       case _: Exception =>
         try Some(LocalDateTime.parse(s.replace(" ", "T")).toInstant(ZoneOffset.UTC))
-        catch { case _: Exception => None }
+        catch {
+          case _: Exception =>
+            // date-only strings: the stats of a DATE column widened to
+            // timestamp (typeWidening) — midnight is exact for both the
+            // min and max bound, because every old value IS a midnight
+            try Some(LocalDate.parse(s).atStartOfDay.toInstant(ZoneOffset.UTC))
+            catch { case _: Exception => None }
+        }
     }
 
   private def jsonKey(dt: DataType, n: JsonNode): Option[Any] =

@@ -164,7 +164,11 @@ def load_dv(table, dv):
 
 # --------------------------------------------------------- log replay --
 SUPPORTED_READER_FEATURES = {
-    "columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint"}
+    "columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
+    # typeWidening: old files keep the narrow physical type; this
+    # reader already CASTs every file column to the logical type
+    # (physical_to_logical), which IS the feature's read obligation
+    "typeWidening"}
 
 
 def log_files(logdir):
