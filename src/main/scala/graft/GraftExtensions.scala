@@ -83,6 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_restore" -> GraftExtensions.restoreTableFunction,
       "graft_add_column" -> GraftExtensions.addColumnTableFunction,
       "graft_reorg" -> GraftExtensions.reorgTableFunction,
+      "graft_widen_column" -> GraftExtensions.widenColumnTableFunction,
       "graft_set_tblproperties" -> GraftExtensions.setPropsTableFunction,
       "graft_unset_tblproperties" -> GraftExtensions.unsetPropsTableFunction,
       "graft_detail" -> GraftExtensions.detailTableFunction,
@@ -446,6 +447,27 @@ object GraftExtensions {
             org.apache.spark.sql.types.LongType)))) { spark =>
         Seq(org.apache.spark.sql.Row(
           DeltaLake.addColumn(spark, path, colName, dt)))
+      }
+    }
+
+  /** `graft_widen_column(path, col, typeDdl)`: metadata-only lossless
+    * type widening (ALTER COLUMN … TYPE). One row: the committed
+    * version.
+    */
+  private[graft] val widenColumnTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 3,
+        "graft_widen_column(path, colName, typeDdl) takes 3 arguments")
+      val path = literalString(args, 0, "graft_widen_column", "path")
+      val colName = literalString(args, 1, "graft_widen_column", "colName")
+      val dt = org.apache.spark.sql.types.DataType.fromDDL(
+        literalString(args, 2, "graft_widen_column", "typeDdl"))
+      graft.plans.GraftProcedureNode("graft_widen_column",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.widenColumnType(spark, path, colName, dt)))
       }
     }
 

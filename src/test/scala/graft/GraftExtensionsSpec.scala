@@ -256,13 +256,24 @@ class GraftExtensionsSpec extends SparkSuite {
       }
       assert(e.getMessage.contains("enableRowTracking"))
 
+      // type widening from SQL: a fresh int column becomes bigint
+      assert(s2.sql(
+        s"SELECT * FROM graft_add_column('$path', 'cnt', 'int')")
+        .collect()(0).getLong(0) == 3L)
+      assert(s2.sql(
+        s"SELECT * FROM graft_widen_column('$path', 'cnt', 'bigint')")
+        .collect()(0).getLong(0) == 4L)
+      assert(s2.sql(s"SELECT * FROM graft_delta('$path')")
+        .schema("cnt").dataType ==
+        org.apache.spark.sql.types.LongType)
+
       // UNSET is idempotent and returns the (unchanged) version on no-op
       assert(s2.sql(
         s"SELECT * FROM graft_unset_tblproperties('$path', 'custom.owner')")
-        .collect()(0).getLong(0) == 3L)
+        .collect()(0).getLong(0) == 5L)
       assert(s2.sql(
         s"SELECT * FROM graft_unset_tblproperties('$path', 'custom.owner')")
-        .collect()(0).getLong(0) == 3L)
+        .collect()(0).getLong(0) == 5L)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
