@@ -416,5 +416,37 @@ object DeltaQueries {
         |  WHERE s_nationkey IN (3, 7) AND s_suppkey % 2 = 0)
         |SELECT s_suppkey, s_nationkey, s_acctbal FROM after1
         |WHERE s_acctbal <= 9000.0
-        |ORDER BY s_suppkey""".stripMargin)))
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // Type widening + ADD COLUMN under the oracle: the staged table
+    // holds MIXED physical types (v0 files carry p_size as int32, the
+    // post-widen append carries int64 beyond int range) plus a column
+    // absent from the old files — the per-file up-convert and null-fill
+    // paths a 100 TB table hits after years of schema evolution. DuckDB
+    // replays both steps with casts over the pristine source.
+    "x14_delta_widen_evolve" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        val path = stagedOnce(s, dir, "part_widen_delta", "part") { path =>
+          val p = table(s, dir, "part")
+          DeltaWriter.write(p, path) // v0: p_size is int32
+          DeltaWriter.widenColumnType(s, path, "p_size", LongType) // v1
+          DeltaWriter.addColumn(s, path, "p_margin", DoubleType) // v2
+          val extra = p
+            .withColumn("p_partkey", col("p_partkey") + 7000000L)
+            .withColumn("p_size", col("p_size").cast("long") + 3000000000L)
+            .withColumn("p_margin", col("p_retailprice") * 0.1)
+          DeltaWriter.write(extra, path, mode = "append") // v3: wide rows
+        }
+        DeltaLake.scanDelta(s, path)
+          .select("p_partkey", "p_size", "p_margin")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(NULL AS DOUBLE) AS p_margin FROM part
+        |UNION ALL
+        |SELECT p_partkey + 7000000 AS p_partkey,
+        |  CAST(p_size AS BIGINT) + 3000000000 AS p_size,
+        |  p_retailprice * 0.1 AS p_margin FROM part
+        |ORDER BY p_partkey""".stripMargin)))
 }
