@@ -92,6 +92,22 @@ object DeltaLake {
       toVersion: Long): RestoreStats =
     DeltaWriter.restore(spark, path, toVersion)
 
+  /** RESTORE … TIMESTAMP AS OF: roll back to the greatest version
+    * committed at or before the instant (ICT-aware, monotonized — the
+    * same resolution as timestamp time travel).
+    */
+  def restoreTable(spark: SparkSession, path: String,
+      toTimestamp: java.time.Instant): RestoreStats =
+    DeltaWriter.restore(spark, path,
+      graft.delta.DeltaLog.versionAtTimestamp(spark, path, toTimestamp))
+
+  /** FSCK REPAIR TABLE: drop live entries whose data file or DV bin is
+    * missing from storage — see [[graft.delta.DeltaWriter.fsckRepair]].
+    */
+  def fsckRepair(spark: SparkSession, path: String,
+      dryRun: Boolean = false): Seq[String] =
+    DeltaWriter.fsckRepair(spark, path, dryRun)
+
   /** REORG TABLE … APPLY (PURGE): rewrite only deletion-vector-bearing
     * files so soft deletes become physical — see
     * [[graft.delta.DeltaWriter.purge]]. Returns files rewritten.

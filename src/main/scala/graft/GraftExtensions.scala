@@ -84,6 +84,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_add_column" -> GraftExtensions.addColumnTableFunction,
       "graft_reorg" -> GraftExtensions.reorgTableFunction,
       "graft_widen_column" -> GraftExtensions.widenColumnTableFunction,
+      "graft_fsck" -> GraftExtensions.fsckTableFunction,
       "graft_set_tblproperties" -> GraftExtensions.setPropsTableFunction,
       "graft_unset_tblproperties" -> GraftExtensions.unsetPropsTableFunction,
       "graft_detail" -> GraftExtensions.detailTableFunction,
@@ -395,6 +396,31 @@ object GraftExtensions {
         val st = DeltaLake.restoreTable(spark, path, toV)
         Seq(org.apache.spark.sql.Row(
           st.restoredFiles, st.removedFiles, st.dvReverted))
+      }
+    }
+
+  /** `graft_fsck(path[, dryRun])`: FSCK REPAIR TABLE — drop live
+    * entries whose data file or DV bin is missing from storage. One row
+    * per removed (or, under dryRun, would-be-removed) relative path.
+    */
+  private[graft] val fsckTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.nonEmpty && args.size <= 2,
+        "graft_fsck(path[, dryRun]) takes 1 or 2 arguments")
+      val path = literalString(args, 0, "graft_fsck", "path")
+      val dry = args.size >= 2 && {
+        require(args(1).foldable, "graft_fsck arguments must be literals")
+        args(1).eval() match {
+          case b: java.lang.Boolean => b.booleanValue()
+          case other => other.toString.toBoolean
+        }
+      }
+      graft.plans.GraftProcedureNode("graft_fsck",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType)))) { spark =>
+        DeltaLake.fsckRepair(spark, path, dry)
+          .map(org.apache.spark.sql.Row(_))
       }
     }
 

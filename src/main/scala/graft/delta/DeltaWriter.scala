@@ -1670,6 +1670,63 @@ object DeltaWriter {
     } finally src.unpersist()
   }
 
+  /** FSCK REPAIR TABLE: drop from the log every live entry whose data
+    * file — or referenced deletion-vector bin — no longer exists on
+    * storage, the recovery verb for tables corrupted by an external
+    * delete or an overzealous retention job. The existence probe runs
+    * as a Spark job over the live set (never a driver loop; at millions
+    * of files the probes parallelize like vacuum's listing). Data loss
+    * is acknowledged, not hidden: the removed entries' rows are gone
+    * (delta-spark's FSCK has the same contract) — but every OTHER file
+    * becomes readable again where a scan previously failed wholesale.
+    * `dryRun` reports without committing. Returns the removed relative
+    * paths.
+    */
+  def fsckRepair(spark: org.apache.spark.sql.SparkSession, path: String,
+      dryRun: Boolean = false): Seq[String] = {
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    val base = path.stripSuffix("/")
+    val files = snap.liveFiles
+    if (files.isEmpty) return Nil
+    val sc = spark.sparkContext
+    val confSer = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val probes: Seq[(String, Seq[String])] = files.map { a =>
+      a.path -> (Seq(DeltaScan.resolvePath(base, a.path)) ++
+        a.deletionVector.flatMap(dv =>
+          DeletionVectors.relativeFilePath(dv, base).map(r => s"$base/$r")))
+    }
+    val slices = math.max(1, math.min(probes.size, sc.defaultParallelism))
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft fsck probe: $path")
+    val missing =
+      try sc.parallelize(probes, slices).filter { case (_, uris) =>
+        uris.exists { u =>
+          val p = new Path(u)
+          !p.getFileSystem(confSer.value).exists(p)
+        }
+      }.map(_._1).collect().toSeq.sorted
+      finally sc.setJobDescription(prevDesc)
+    if (missing.isEmpty || dryRun) return missing
+    val nf = JsonNodeFactory.instance
+    val lines = mutable.ArrayBuffer.empty[String]
+    missing.foreach { p =>
+      val rm = nf.objectNode(); val r = rm.putObject("remove")
+      r.put("path", p)
+      r.put("deletionTimestamp", System.currentTimeMillis())
+      r.put("dataChange", true)
+      lines += rm.toString
+    }
+    lines += commitInfoLine("FSCK",
+      params = Map("dryRun" -> "false"),
+      metrics = Map("numRemovedFiles" -> missing.size.toLong))
+    commitDml(spark, path, snap, lines.toSeq, missing.toSet, "FSCK",
+      snap.configuration)
+    missing
+  }
+
   /** RESTORE to an earlier version: one commit that re-states the
     * target version's live file set — re-`add`s for files removed
     * since, `remove`s for files added since, and remove+add pairs
