@@ -1979,8 +1979,16 @@ object DeltaWriter {
   }
 
   def cloneTable(spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, dstPath: String): Unit = {
-    val src = DeltaLog.forPath(spark, srcPath)
+      srcPath: String, dstPath: String,
+      /** CLONE … VERSION AS OF: clone the source's state at this
+        * version (time-travel clone — delta-spark parity). The clone
+        * references that version's files; a later source vacuum can
+        * invalidate them like any shallow clone.
+        */
+      srcVersion: Option[Long] = None): Unit = {
+    val src = DeltaLog.forPath(spark, srcPath, srcVersion)
+    srcVersion.foreach(v => require(src.version == v,
+      s"version $v of $srcPath does not exist (head is ${src.version})"))
     src.checkProtocolSupported()
     require(src.metadata.isDefined, s"no Delta table at $srcPath")
     val dstRoot = new Path(dstPath)

@@ -22,6 +22,22 @@ class CloneSpec extends SparkSuite {
     path
   }
 
+  test("time-travel clone: VERSION AS OF references the old file set") {
+    val src = source() // v0: 100 rows
+    DeltaWriter.delete(spark, src, Seq(Cond("id", "<=", 50L))) // v1
+    DeltaWriter.write(Seq((999L, "1", 0L)).toDF("id", "bucket", "v"),
+      src, mode = "append") // v2
+    val dst = tmp()
+    DeltaWriter.cloneTable(spark, src, dst, srcVersion = Some(0L))
+    assert(DeltaLake.scanDelta(spark, dst).count() == 100) // pristine v0
+    // the source's head is untouched and ahead
+    assert(DeltaLake.scanDelta(spark, src).count() == 51)
+    // nonexistent version rejects loudly
+    intercept[IllegalArgumentException] {
+      DeltaWriter.cloneTable(spark, src, tmp(), srcVersion = Some(99L))
+    }
+  }
+
   test("clone reads the source's files, DVs included, zero data copy") {
     val src = source()
     // give the source a DV so the clone must resolve a "p" descriptor
