@@ -448,5 +448,30 @@ object DeltaQueries {
         |SELECT p_partkey + 7000000 AS p_partkey,
         |  CAST(p_size AS BIGINT) + 3000000000 AS p_size,
         |  p_retailprice * 0.1 AS p_margin FROM part
-        |ORDER BY p_partkey""".stripMargin)))
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // DELETE → REORG PURGE under the oracle: soft-delete the negative
+    // balances via DVs, then physically purge — the scan afterwards
+    // reads only rewritten, DV-free files and must still equal DuckDB's
+    // relational replay of the delete. The staging asserts no live DV
+    // survives, so the oracle genuinely exercises the purged layout.
+    "x15_delta_purge" -> QueryDef(
+      (s, dir) => {
+        val path = stagedOnce(s, dir, "customer_purge_delta", "customer") { path =>
+          DeltaWriter.write(table(s, dir, "customer"), path,
+            partitionBy = Seq("c_mktsegment")) // v0
+          DeltaLake.deleteWhere(s, path,
+            Seq(Cond("c_acctbal", "<", 0.0))) // v1: DV soft delete
+          DeltaWriter.purge(s, path) // v2: rewrite DV-bearing files
+          require(!DeltaLake.deltaMeta(s, path).liveFiles
+              .exists(_.hasDeletionVector),
+            "purge left a live deletion vector")
+        }
+        DeltaLake.scanDelta(s, path)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_acctbal >= 0.0
+        |ORDER BY c_custkey""".stripMargin)))
 }
