@@ -414,26 +414,29 @@ object DeltaLake {
       conditions: Seq[Cond]): DataFrame = {
     require(!until.isBefore(since),
       s"endingTimestamp $until precedes startingTimestamp $since")
-    val head = DeltaLog.forPath(spark, path)
-    val fromOpt = graft.delta.DeltaLog.firstVersionAtOrAfter(spark, path, since)
-    def empty(schema: org.apache.spark.sql.types.StructType) =
+    // ONE timeline resolves both bounds — on ICT tables commitTimeline
+    // reads every commit JSON, so resolving the ends separately would
+    // double that walk
+    val timeline = graft.delta.DeltaLog.commitTimeline(spark, path)
+    val fromOpt = timeline.find(_._2 >= since.toEpochMilli).map(_._1)
+    val toOpt = {
+      val eligible = timeline.filter(_._2 <= until.toEpochMilli)
+      if (eligible.isEmpty) None else Some(eligible.map(_._1).max)
+    }
+    def empty() = {
+      val head = DeltaLog.forPath(spark, path)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructType(head.schema.fields :+
           org.apache.spark.sql.types.StructField(
             graft.delta.CdfEngine.ChangeTypeCol,
             org.apache.spark.sql.types.StringType)))
-    fromOpt match {
-      case None => empty(head.schema) // every commit predates the window
-      case Some(from) =>
-        // greatest version at or before `until`; the window is empty
-        // when the first eligible commit lands after it
-        val to =
-          try graft.delta.DeltaLog.versionAtTimestamp(spark, path, until)
-          catch { case _: IllegalArgumentException => return empty(head.schema) }
-        if (to < from) empty(head.schema)
-        else scanDeltaCdf(spark, path, from - 1, conditions,
+    }
+    (fromOpt, toOpt) match {
+      case (Some(from), Some(to)) if to >= from =>
+        scanDeltaCdf(spark, path, from - 1, conditions,
           untilVersion = Some(to))
+      case _ => empty() // no commit falls inside the window
     }
   }
 

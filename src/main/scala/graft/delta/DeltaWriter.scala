@@ -343,37 +343,13 @@ object DeltaWriter {
               f
             case _ =>
               // conformant id minting for the NEW column AND every
-              // nested struct field under it (depth-first, like
-              // delta-spark): each gets a fresh unique id and a
-              // col-<uuid> physical name; toPhysical's relaxed struct
-              // cast renames nested fields positionally on the data
-              // write, so files land fully physical-named
-              def mintNested(dt: DataType): DataType = dt match {
-                case s: StructType => StructType(s.fields.map { nf =>
-                  maxId += 1
-                  nf.copy(
-                    metadata = new MetadataBuilder()
-                      .withMetadata(nf.metadata)
-                      .putLong(DeltaSchema.ColumnIdKey, maxId)
-                      .putString(DeltaSchema.PhysicalNameKey,
-                        s"col-${java.util.UUID.randomUUID()}")
-                      .build(),
-                    dataType = mintNested(nf.dataType))
-                })
-                case ArrayType(et, n) => ArrayType(mintNested(et), n)
-                case MapType(k, v, n) =>
-                  MapType(mintNested(k), mintNested(v), n)
-                case p => p
-              }
-              maxId += 1
-              f.copy(
-                metadata = new MetadataBuilder()
-                  .withMetadata(f.metadata)
-                  .putLong(DeltaSchema.ColumnIdKey, maxId)
-                  .putString(DeltaSchema.PhysicalNameKey,
-                    s"col-${java.util.UUID.randomUUID()}")
-                  .build(),
-                dataType = mintNested(f.dataType))
+              // nested struct field under it — ONE implementation
+              // (mintFieldIdentity) shared with addColumn; toPhysical's
+              // relaxed struct cast renames nested fields positionally
+              // on the data write, so files land fully physical-named
+              val (minted, m2) = mintFieldIdentity(f, maxId)
+              maxId = m2
+              minted
           }
         }
         val cfg =
@@ -1565,6 +1541,7 @@ object DeltaWriter {
     require(conditions.nonEmpty, "replaceWhere needs at least one condition")
     val snap = DeltaLog.forPath(spark, path)
     snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
     Constraints.requireNotAppendOnly(snap.configuration, "REPLACE WHERE", path)
     val schema = snap.schema
     require(data.schema.fieldNames.toSet == schema.fieldNames.toSet,
@@ -2610,6 +2587,44 @@ object DeltaWriter {
       "DROP COLUMN", cfg, newDataGuard = Some(Nil))
   }
 
+  /** Fresh column-mapping identity for a NEW field and every nested
+    * struct field under it (depth-first, delta-spark's order): the
+    * OUTER field takes `start + 1`, nested fields the ids after it,
+    * each with a col-uuid physical name. The ONE implementation behind
+    * write()-evolution and addColumn — two hand-maintained copies once
+    * diverged in argument evaluation order and minted a struct the
+    * same id as its last nested field.
+    */
+  private def mintFieldIdentity(f: StructField,
+      start: Long): (StructField, Long) = {
+    var maxId = start
+    def mintNested(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { nf =>
+        maxId += 1
+        nf.copy(
+          metadata = new MetadataBuilder().withMetadata(nf.metadata)
+            .putLong(DeltaSchema.ColumnIdKey, maxId)
+            .putString(DeltaSchema.PhysicalNameKey,
+              s"col-${java.util.UUID.randomUUID()}")
+            .build(),
+          dataType = mintNested(nf.dataType))
+      })
+      case ArrayType(et, n) => ArrayType(mintNested(et), n)
+      case MapType(k, v, n) => MapType(mintNested(k), mintNested(v), n)
+      case p => p
+    }
+    maxId += 1
+    val outerId = maxId
+    val mintedType = mintNested(f.dataType)
+    (f.copy(
+      metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong(DeltaSchema.ColumnIdKey, outerId)
+        .putString(DeltaSchema.PhysicalNameKey,
+          s"col-${java.util.UUID.randomUUID()}")
+        .build(),
+      dataType = mintedType), maxId)
+  }
+
   /** ADD COLUMN as a metadata-only commit: the field joins the logical
     * schema and every existing file null-fills it on read (the P4
     * explicit-read-schema path) — O(1) at any table size, no data
@@ -2652,31 +2667,11 @@ object DeltaWriter {
         }
         // floored by ids already in the schema — a stale maxColumnId
         // must never mint a duplicate identity
-        var maxId = (snap.configuration
+        val start = (snap.configuration
           .get("delta.columnMapping.maxColumnId")
           .flatMap(_.toLongOption).getOrElse(0L) +: idsIn(schema)).max
-        def mintNested(dt: DataType): DataType = dt match {
-          case s: StructType => StructType(s.fields.map { nf =>
-            maxId += 1
-            nf.copy(
-              metadata = new MetadataBuilder().withMetadata(nf.metadata)
-                .putLong(DeltaSchema.ColumnIdKey, maxId)
-                .putString(DeltaSchema.PhysicalNameKey,
-                  s"col-${java.util.UUID.randomUUID()}")
-                .build(),
-              dataType = mintNested(nf.dataType))
-          })
-          case ArrayType(et, n) => ArrayType(mintNested(et), n)
-          case MapType(k, v, n) => MapType(mintNested(k), mintNested(v), n)
-          case p => p
-        }
-        maxId += 1
-        val f = StructField(colName, mintNested(dataType), nullable = true,
-          new MetadataBuilder().withMetadata(baseMeta)
-            .putLong(DeltaSchema.ColumnIdKey, maxId)
-            .putString(DeltaSchema.PhysicalNameKey,
-              s"col-${java.util.UUID.randomUUID()}")
-            .build())
+        val (f, maxId) = mintFieldIdentity(
+          StructField(colName, dataType, nullable = true, baseMeta), start)
         (f, snap.configuration +
           ("delta.columnMapping.maxColumnId" -> maxId.toString))
       }
@@ -2801,8 +2796,10 @@ object DeltaWriter {
       ((k: String) => k.startsWith(Constraints.Prefix),
         "CHECK constraints must validate existing rows first — use " +
           "addCheckConstraint / dropCheckConstraint"),
-      ((k: String) => k == "delta.enableRowTracking",
-        "row tracking needs backfill gating — use enableRowTracking"),
+      ((k: String) => k == "delta.enableRowTracking" ||
+          k.startsWith("delta.rowTracking."),
+        "row tracking and its materialized-column provenance are " +
+          "writer-managed — use enableRowTracking"),
       ((k: String) => k.startsWith("delta.inCommitTimestamp."),
         "ICT enablement provenance is writer-managed — set only " +
           "delta.enableInCommitTimestamps"))
@@ -2830,11 +2827,17 @@ object DeltaWriter {
         .foreach(lines += _)
     lines += metadataLine(path, snap.metadata.get, cfg)
     lines += commitInfoLine("SET TBLPROPERTIES", params = props)
-    // exact-version commit (no rebase): enablementVersion and the crc's
-    // view of the configuration must name the version actually taken
-    writeCommitAt(spark, path, version, lines.toSeq, cfg,
-      prior = Some(snap), ictFixed = ictFixed)
-    version
+    if (newlyIct) {
+      // exact-version commit (no rebase): enablementVersion and the
+      // crc's view of the configuration must name the version taken
+      writeCommitAt(spark, path, version, lines.toSeq, cfg,
+        prior = Some(snap), ictFixed = ictFixed)
+      version
+    } else
+      // plain properties rebase past disjoint appends like every other
+      // ALTER verb — tmp-file staging + conflict validation included
+      commitDml(spark, path, snap, lines.toSeq, readSet = Set.empty,
+        "SET TBLPROPERTIES", cfg, newDataGuard = Some(Nil))
   }
 
   /** ALTER TABLE UNSET TBLPROPERTIES: drop `keys` from the
@@ -2853,6 +2856,7 @@ object DeltaWriter {
         s"cannot unset '$k': readers resolve every file through the " +
           "mapping — dropping it would corrupt the table")
       require(k != "delta.enableRowTracking" &&
+          !k.startsWith("delta.rowTracking.") &&
           k != "delta.enableInCommitTimestamps" &&
           !k.startsWith("delta.inCommitTimestamp."),
         s"cannot unset '$k': the feature's enablement provenance must " +

@@ -162,7 +162,11 @@ object FileSkipping {
               case ("=", v) => provablySame(v)
               case ("<>", null) => pv != null
               case ("<>", v) => provablyDifferent(v)
-              case ("in", vs: Seq[_]) => vs.exists(provablySame)
+              // the compiled isin evaluates NULL IN (...) to NULL (not
+              // TRUE) — a null partition value or a null list element
+              // never proves a match
+              case ("in", vs: Seq[_]) =>
+                pv != null && vs.exists(v => v != null && provablySame(v))
               case ("not in", vs: Seq[_]) =>
                 // x NOT IN (..., NULL) is never TRUE; empty list stays
                 // fail-closed rather than relying on engine edge cases

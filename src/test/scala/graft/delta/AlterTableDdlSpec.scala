@@ -64,6 +64,49 @@ class AlterTableDdlSpec extends SparkSuite {
       .where($"v".isNotNull).count() == 0)
   }
 
+  test("struct-typed addColumn on a mapped table mints DISTINCT ids for outer and nested fields") {
+    val path = tmp()
+    seed(path)
+    DeltaLake.enableColumnMapping(spark, path)
+    DeltaLake.addColumn(spark, path, "addr", StructType(Seq(
+      StructField("city", StringType), StructField("zip", IntegerType))))
+    val schema = DeltaLake.deltaMeta(spark, path).configuration
+    val snap = DeltaLake.deltaMeta(spark, path)
+    def idsIn(dt: org.apache.spark.sql.types.DataType,
+        m: org.apache.spark.sql.types.Metadata): Seq[Long] =
+      (if (m.contains(DeltaSchema.ColumnIdKey))
+        Seq(m.getLong(DeltaSchema.ColumnIdKey)) else Nil) ++ (dt match {
+        case s: StructType =>
+          s.fields.toSeq.flatMap(f => idsIn(f.dataType, f.metadata))
+        case _ => Nil
+      })
+    val allIds = snap.schema.fields.toSeq
+      .flatMap(f => idsIn(f.dataType, f.metadata))
+    assert(allIds.distinct.size == allIds.size,
+      s"duplicate column-mapping ids: $allIds")
+    // maxColumnId covers every minted id
+    assert(snap.configuration("delta.columnMapping.maxColumnId").toLong
+      == allIds.max)
+    // the struct and both nested fields all carry fresh identities
+    val addr = snap.schema("addr")
+    assert(addr.metadata.contains(DeltaSchema.ColumnIdKey))
+    addr.dataType.asInstanceOf[StructType].fields.foreach(nf =>
+      assert(nf.metadata.contains(DeltaSchema.PhysicalNameKey)))
+  }
+
+  test("row-tracking provenance keys are guarded in set AND unset") {
+    val path = tmp()
+    seed(path)
+    intercept[IllegalArgumentException] {
+      DeltaLake.setTableProperties(spark, path,
+        Map("delta.rowTracking.materializedRowIdColumnName" -> "evil"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLake.unsetTableProperties(spark, path,
+        Seq("delta.rowTracking.materializedRowIdColumnName"))
+    }
+  }
+
   test("addColumn rejects duplicates (case-insensitive) and bad names") {
     val path = tmp()
     seed(path)

@@ -148,6 +148,24 @@ class ReplaceWhereSpec extends SparkSuite {
     assert(now.count() == 21) // 40 - 20 + 1
   }
 
+  test("NULL partition values never whole-remove under an 'in' predicate") {
+    val path = tmp()
+    val df = Seq((1L, "a", 1L), (2L, null, 2L), (3L, "b", 3L))
+      .toDF("id", "p", "v")
+    DeltaWriter.write(df, path, partitionBy = Seq("p"))
+    // 'p in (a, NULL)': the compiled isin treats NULL IN (...) as NULL,
+    // never TRUE — so the null-partition row must SURVIVE even though
+    // the list names null (fail-closed proof, not set membership)
+    val stats = DeltaLake.replaceWhere(spark, path,
+      Seq(Cond("p", "in", Seq("a", null))),
+      Seq((10L, "a", 0L)).toDF("id", "p", "v"))
+    val now = DeltaLake.scanDelta(spark, path)
+    assert(now.where($"p".isNull).count() == 1) // null row intact
+    assert(now.where($"id" === 1L).count() == 0) // 'a' replaced
+    assert(now.count() == 3) // null + b + replacement
+    assert(stats.maskedRows == 0L)
+  }
+
   test("append-only tables refuse") {
     val path = tmp()
     partitioned(path, Map("delta.appendOnly" -> "true"))
