@@ -424,10 +424,15 @@ object DeltaLake {
       if (eligible.isEmpty) None else Some(eligible.map(_._1).max)
     }
     def empty() = {
-      val head = DeltaLog.forPath(spark, path)
+      // Bounded-reader contract (see untilVersion below): batches emit
+      // in the bound commit's logical schema — the EMPTY window must
+      // honor the same bound, or a rename after `until` leaks
+      // post-window column names into a supposedly bounded read. Head
+      // only when no commit is at or before `until`.
+      val snap = DeltaLog.forPath(spark, path, toOpt)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(head.schema.fields :+
+        org.apache.spark.sql.types.StructType(snap.schema.fields :+
           org.apache.spark.sql.types.StructField(
             graft.delta.CdfEngine.ChangeTypeCol,
             org.apache.spark.sql.types.StringType)))

@@ -2806,38 +2806,93 @@ object DeltaWriter {
     props.keys.foreach(k => guarded.foreach { case (bad, cure) =>
       require(!bad(k), s"cannot set '$k' via setTableProperties: $cure")
     })
-    val snap = DeltaLog.forPath(spark, path)
-    snap.checkProtocolSupported()
-    require(snap.metadata.isDefined, s"$path is not a Delta table")
-    val cfg0 = snap.configuration ++ props
-    if (cfg0 == snap.configuration) return snap.version // no-op, no commit
-    val version = snap.version + 1
-    val newlyIct = ictEnabled(cfg0) && !ictEnabled(snap.configuration)
-    val ictFixed: Option[Long] =
-      if (!newlyIct) None
-      else Some(math.max(System.currentTimeMillis(),
-        DeltaLog.ictOf(spark, path, snap.version).map(_ + 1L).getOrElse(0L)))
-    val cfg = if (!newlyIct) cfg0 else cfg0 +
-      ("delta.inCommitTimestamp.enablementVersion" -> version.toString) +
-      ("delta.inCommitTimestamp.enablementTimestamp" ->
-        ictFixed.get.toString)
-    val lines = mutable.ArrayBuffer.empty[String]
-    if (newlyIct)
-      writerFeatureProtocolLine(snap.protocol, "inCommitTimestamp", None)
-        .foreach(lines += _)
-    lines += metadataLine(path, snap.metadata.get, cfg)
-    lines += commitInfoLine("SET TBLPROPERTIES", params = props)
-    if (newlyIct) {
-      // exact-version commit (no rebase): enablementVersion and the
-      // crc's view of the configuration must name the version taken
-      writeCommitAt(spark, path, version, lines.toSeq, cfg,
-        prior = Some(snap), ictFixed = ictFixed)
-      version
-    } else
-      // plain properties rebase past disjoint appends like every other
-      // ALTER verb — tmp-file staging + conflict validation included
-      commitDml(spark, path, snap, lines.toSeq, readSet = Set.empty,
-        "SET TBLPROPERTIES", cfg, newDataGuard = Some(Nil))
+    // The ICT-enabling commit is pinned to an exact version (its
+    // enablementVersion / enablementTimestamp must name the version and
+    // ICT actually taken), so it cannot rebase inside commitDml like the
+    // plain path — instead the WHOLE attempt (snapshot → merge → commit)
+    // retries when a concurrent writer takes the version first, exactly
+    // the rebase-or-conflict outcome every other ALTER verb gets.
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val snap = DeltaLog.forPath(spark, path)
+      snap.checkProtocolSupported()
+      require(snap.metadata.isDefined, s"$path is not a Delta table")
+      val merged = snap.configuration ++ props
+      // Disabling ICT must not strand its enablement provenance: the
+      // protocol ties delta.inCommitTimestamp.* to an ENABLED feed, and
+      // delta-spark strips the pair in the disabling commit.
+      val cfg0 =
+        if (ictEnabled(merged)) merged
+        else merged.filterNot(_._1.startsWith("delta.inCommitTimestamp."))
+      // Feature-backed properties mint their protocol feature IN the
+      // enabling commit (delta-spark semantics): until then a
+      // protocol-honoring third-party writer is not fenced and could
+      // commit changes a stored feed (or DV-aware reader) would miss.
+      val wantCdf = cdfEnabled(cfg0) &&
+        !snap.protocol.exists(p =>
+          p.writerFeatures.exists(_.contains("changeDataFeed")) ||
+            (p.writerFeatures.isEmpty && p.minWriterVersion >= 4))
+      val wantDv = cfg0.get("delta.enableDeletionVectors")
+        .exists(_.trim.equalsIgnoreCase("true")) &&
+        !snap.protocol.exists(
+          _.readerFeatures.exists(_.contains("deletionVectors")))
+      if (cfg0 == snap.configuration && !wantCdf && !wantDv)
+        return snap.version // no-op, no commit
+      val version = snap.version + 1
+      val newlyIct = ictEnabled(cfg0) && !ictEnabled(snap.configuration)
+      val ictFixed: Option[Long] =
+        if (!newlyIct) None
+        else Some(math.max(System.currentTimeMillis(),
+          DeltaLog.ictOf(spark, path, snap.version).map(_ + 1L).getOrElse(0L)))
+      val cfg = if (!newlyIct) cfg0 else cfg0 +
+        ("delta.inCommitTimestamp.enablementVersion" -> version.toString) +
+        ("delta.inCommitTimestamp.enablementTimestamp" ->
+          ictFixed.get.toString)
+      val lines = mutable.ArrayBuffer.empty[String]
+      if (wantDv)
+        // deletionVectors is a reader-writer feature → features-form
+        // protocol; fold changeDataFeed / inCommitTimestamp into the
+        // SAME line (one protocol action per commit)
+        lines += upgradedProtocolJson(snap.protocol,
+          Seq("deletionVectors") ++ (if (wantCdf) Seq("changeDataFeed")
+          else Nil) ++ (if (newlyIct) Seq("inCommitTimestamp")
+          else Nil): _*)
+      else if (wantCdf && newlyIct)
+        lines += upgradedProtocolJson(snap.protocol,
+          "changeDataFeed", "inCommitTimestamp")
+      else if (wantCdf)
+        writerFeatureProtocolLine(snap.protocol, "changeDataFeed", Some(4))
+          .foreach(lines += _)
+      else if (newlyIct)
+        writerFeatureProtocolLine(snap.protocol, "inCommitTimestamp", None)
+          .foreach(lines += _)
+      lines += metadataLine(path, snap.metadata.get, cfg)
+      lines += commitInfoLine("SET TBLPROPERTIES", params = props)
+      if (newlyIct) {
+        // exact-version commit (no rebase): enablementVersion and the
+        // crc's view of the configuration must name the version taken
+        try {
+          writeCommitAt(spark, path, version, lines.toSeq, cfg,
+            prior = Some(snap), ictFixed = ictFixed)
+          return version
+        } catch {
+          case _: java.io.IOException if attempt < 5 =>
+            // concurrent writer took the version — re-snapshot and
+            // recompute version + enablement instant from scratch
+            ()
+          case e: java.io.IOException =>
+            throw new java.util.ConcurrentModificationException(
+              s"SET TBLPROPERTIES on $path lost the commit race " +
+                s"$attempt times; last error: ${e.getMessage}")
+        }
+      } else
+        // plain properties rebase past disjoint appends like every other
+        // ALTER verb — tmp-file staging + conflict validation included
+        return commitDml(spark, path, snap, lines.toSeq, readSet = Set.empty,
+          "SET TBLPROPERTIES", cfg, newDataGuard = Some(Nil))
+    }
+    -1L // unreachable
   }
 
   /** ALTER TABLE UNSET TBLPROPERTIES: drop `keys` from the

@@ -175,6 +175,80 @@ class AlterTableDdlSpec extends SparkSuite {
     assert(DeltaLog.ictOf(spark, path, v + 1).exists(_ > enableTs))
   }
 
+  test("enabling CDF via setTableProperties mints changeDataFeed in the SAME commit") {
+    val path = tmp()
+    seed(path)
+    val v0 = DeltaLake.deltaMeta(spark, path).version
+    val v = DeltaLake.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    assert(v == v0 + 1) // one commit: property + protocol together
+    val p = DeltaLake.deltaMeta(spark, path).protocol.get
+    // a protocol-honoring third-party writer is fenced from the
+    // enabling commit onward, not from the first CDC-producing write
+    assert(p.writerFeatures.exists(_.contains("changeDataFeed")) ||
+      (p.writerFeatures.isEmpty && p.minWriterVersion >= 4))
+    // idempotent: feature present + property unchanged ⇒ no commit
+    assert(DeltaLake.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true")) == v)
+  }
+
+  test("enabling DVs via setTableProperties mints the reader-writer feature inline") {
+    val path = tmp()
+    seed(path)
+    val v0 = DeltaLake.deltaMeta(spark, path).version
+    val v = DeltaLake.setTableProperties(spark, path,
+      Map("delta.enableDeletionVectors" -> "true"))
+    assert(v == v0 + 1)
+    val p = DeltaLake.deltaMeta(spark, path).protocol.get
+    assert(p.readerFeatures.exists(_.contains("deletionVectors")))
+    assert(p.writerFeatures.exists(_.contains("deletionVectors")))
+    // legacy-implied features survived the upgrade to features form
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    // the table still reads fine under the new protocol
+    assert(DeltaLake.scanDelta(spark, path).count() == 10)
+  }
+
+  test("disabling ICT strips the enablement provenance in the same commit") {
+    val path = tmp()
+    seed(path)
+    DeltaLake.setTableProperties(spark, path,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    assert(DeltaLake.deltaMeta(spark, path).configuration
+      .contains("delta.inCommitTimestamp.enablementVersion"))
+    DeltaLake.setTableProperties(spark, path,
+      Map("delta.enableInCommitTimestamps" -> "false"))
+    val cfg = DeltaLake.deltaMeta(spark, path).configuration
+    // a disabled table must not carry enablement provenance — readers
+    // would see a disabled feed still claiming an enablement point
+    assert(!cfg.keys.exists(_.startsWith("delta.inCommitTimestamp.")))
+    assert(cfg.get("delta.enableInCommitTimestamps").contains("false"))
+    // and plain (non-ICT) commits still work afterwards
+    DeltaWriter.write(Seq((42L, "z")).toDF("id", "name"), path,
+      mode = "append")
+    assert(DeltaLake.scanDelta(spark, path).count() == 11)
+  }
+
+  test("empty timestamp-window CDF emits the bound commit's schema, not head's") {
+    val path = tmp()
+    seed(path) // v0: columns (id, name)
+    Thread.sleep(50)
+    DeltaLake.enableColumnMapping(spark, path) // v1
+    Thread.sleep(50)
+    val renameV = DeltaLake.renameColumn(spark, path, "name", "label")
+    val timeline = DeltaLog.commitTimeline(spark, path).toMap
+    val tsBefore = timeline(renameV - 1)
+    val tsRename = timeline(renameV)
+    assert(tsRename > tsBefore + 1, "commit mtimes too close for the window")
+    // window strictly between the two commits: no commit inside ⇒ empty,
+    // but the bound (toOpt = renameV - 1) pins the PRE-rename schema
+    val mid = java.time.Instant.ofEpochMilli(tsBefore + 1)
+    val out = DeltaLake.scanDeltaCdf(spark, path, mid, mid, Nil)
+    assert(out.count() == 0)
+    assert(out.schema.fieldNames.contains("name"),
+      s"expected pre-rename schema, got ${out.schema.fieldNames.toSeq}")
+    assert(!out.schema.fieldNames.contains("label"))
+  }
+
   test("unsetTableProperties drops keys, is idempotent, guards features") {
     val path = tmp()
     seed(path)

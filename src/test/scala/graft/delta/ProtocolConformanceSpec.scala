@@ -381,7 +381,11 @@ class ProtocolConformanceSpec extends SparkSuite {
     // without install fails;
     // r8 2026-08-14: re-probed — unchanged: pip cannot resolve
     // deltalake (DNS failure to the index), duckdb INSTALL delta
-    // cannot reach extensions.duckdb.org. Still environment-blocked;
+    // cannot reach extensions.duckdb.org;
+    // r9 2026-08-14: re-probed — a docker CLIENT now exists at
+    // /usr/local/bin/docker but no daemon is running ("Cannot connect
+    // to the Docker daemon"), python `deltalake` still absent, duckdb
+    // INSTALL delta still ERROR Connection. Still environment-blocked;
     // the in-repo
     // compensating differential is PythonReplayDifferentialSpec +
     // tools/delta_replay.py — an independent python+DuckDB reader
