@@ -88,7 +88,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_set_tblproperties" -> GraftExtensions.setPropsTableFunction,
       "graft_unset_tblproperties" -> GraftExtensions.unsetPropsTableFunction,
       "graft_detail" -> GraftExtensions.detailTableFunction,
-      "graft_convert" -> GraftExtensions.convertTableFunction
+      "graft_convert" -> GraftExtensions.convertTableFunction,
+      // DML verbs — with these, a pure-SQL session runs the FULL table
+      // lifecycle (create via graft-delta writes or graft_convert, read
+      // via graft_delta, then update/delete/merge/replaceWhere/clone),
+      // closing the gap where SQL could ALTER and OPTIMIZE a table it
+      // could not modify
+      "graft_update" -> GraftExtensions.updateTableFunction,
+      "graft_delete" -> GraftExtensions.deleteTableFunction,
+      "graft_merge" -> GraftExtensions.mergeTableFunction,
+      "graft_replace_where" -> GraftExtensions.replaceWhereTableFunction,
+      "graft_clone" -> GraftExtensions.cloneTableFunction
     ).foreach { case (name, builder) =>
       ext.injectTableFunction((new FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
@@ -536,6 +546,166 @@ object GraftExtensions {
             org.apache.spark.sql.types.LongType)))) { spark =>
         Seq(org.apache.spark.sql.Row(
           DeltaLake.unsetTableProperties(spark, path, keys)))
+      }
+    }
+
+  /** One `(col, op, value)` predicate triple starting at `base` —
+    * the TVF-argument encoding of the [[graft.delta.Cond]] DSL shared
+    * by every predicate-taking verb.
+    */
+  private def condTriple(args: Seq[Expression], base: Int,
+      fn: String): graft.delta.Cond = {
+    require(args(base + 2).foldable, s"$fn arguments must be literals")
+    val op = literalString(args, base + 1, fn, "operator")
+    require(op != "in" && op != "not in",
+      s"$fn's predicate triple cannot express list values; " +
+        "use a scalar operator")
+    graft.delta.Cond(literalString(args, base, fn, "column"), op,
+      external(args(base + 2).eval(), args(base + 2).dataType))
+  }
+
+  /** `graft_delete(path, col, op, value)`: DELETE FROM … WHERE — rows
+    * matching the predicate are masked via deletion vectors (no data
+    * rewrite). One row: rows newly deleted.
+    */
+  private[graft] val deleteTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 4,
+        "graft_delete(path, col, op, value) takes 4 arguments")
+      val path = literalString(args, 0, "graft_delete", "path")
+      val conds = Seq(condTriple(args, 1, "graft_delete"))
+      graft.plans.GraftProcedureNode("graft_delete",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("deleted_rows",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.deleteWhere(spark, path, conds)))
+      }
+    }
+
+  /** `graft_update(path, col, op, value, setCol, setExprSql[, setCol,
+    * setExprSql ...])`: UPDATE … SET … WHERE — matching rows get DV-
+    * masked and their updated images appended, one commit. Each
+    * assignment value is a SQL expression over the table's columns
+    * (`'price * 1.1'`, `'upper(name)'`). One row: rows updated.
+    */
+  private[graft] val updateTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size >= 6 && args.size % 2 == 0,
+        "graft_update(path, col, op, value, setCol, setExprSql[, " +
+          "setCol, setExprSql ...]) takes an even argument count of 6+")
+      val path = literalString(args, 0, "graft_update", "path")
+      val conds = Seq(condTriple(args, 1, "graft_update"))
+      val set = (4 until args.size by 2).map { i =>
+        literalString(args, i, "graft_update", s"setCol#$i") ->
+          org.apache.spark.sql.functions.expr(
+            literalString(args, i + 1, "graft_update", s"setExpr#${i + 1}"))
+      }.toMap
+      graft.plans.GraftProcedureNode("graft_update",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("updated_rows",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.updateWhere(spark, path, conds, set)))
+      }
+    }
+
+  /** `graft_merge(path, sourceSql, keysCsv[, deleteWhenSql])`: MERGE
+    * INTO with upsert semantics — `WHEN MATCHED THEN UPDATE SET * WHEN
+    * NOT MATCHED THEN INSERT *`, plus `WHEN MATCHED AND <deleteWhenSql>
+    * THEN DELETE` when the fourth argument is given. The source is ANY
+    * SQL query the session can express — including other `graft_delta`
+    * TVF reads — evaluated when the statement EXECUTES, not when it
+    * plans. One row of merge statistics.
+    */
+  private[graft] val mergeTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 3 || args.size == 4,
+        "graft_merge(path, sourceSql, keysCsv[, deleteWhenSql]) takes " +
+          "3 or 4 arguments")
+      val path = literalString(args, 0, "graft_merge", "path")
+      val sourceSql = literalString(args, 1, "graft_merge", "sourceSql")
+      val keys = literalString(args, 2, "graft_merge", "keysCsv")
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      require(keys.nonEmpty, "graft_merge needs at least one key column")
+      val deleteWhen = args.lift(3).map(_ =>
+        org.apache.spark.sql.functions.expr(
+          literalString(args, 3, "graft_merge", "deleteWhenSql")))
+      graft.plans.GraftProcedureNode("graft_merge",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("updated_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("deleted_rows",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        val st = graft.delta.DeltaWriter.merge(spark, path,
+          spark.sql(sourceSql), keys, deleteWhen = deleteWhen)
+        Seq(org.apache.spark.sql.Row(
+          st.updatedRows, st.sourceRows, st.deletedRows))
+      }
+    }
+
+  /** `graft_replace_where(path, sourceSql, col, op, value)`: the
+    * predicate-scoped atomic overwrite — delete every row matching the
+    * predicate and insert the source query's rows (which must all
+    * satisfy it), ONE commit. Partition-provable files are removed
+    * whole by metadata; undecidable ones are DV-masked. One row of
+    * replace statistics (`deleted_rows` is null when a whole-removed
+    * file carried no row-count stats).
+    */
+  private[graft] val replaceWhereTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 5,
+        "graft_replace_where(path, sourceSql, col, op, value) takes " +
+          "5 arguments")
+      val path = literalString(args, 0, "graft_replace_where", "path")
+      val sourceSql =
+        literalString(args, 1, "graft_replace_where", "sourceSql")
+      val conds = Seq(condTriple(args, 2, "graft_replace_where"))
+      graft.plans.GraftProcedureNode("graft_replace_where",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("removed_files",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("masked_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("written_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("deleted_rows",
+            org.apache.spark.sql.types.LongType, nullable = true)))) { spark =>
+        val st = DeltaLake.replaceWhere(spark, path, conds,
+          spark.sql(sourceSql))
+        Seq(org.apache.spark.sql.Row(
+          st.removedFiles, st.maskedRows, st.writtenRows,
+          st.deletedRows.map(Long.box).orNull))
+      }
+    }
+
+  /** `graft_clone(srcPath, dstPath[, srcVersion])`: SHALLOW CLONE —
+    * a new table whose version 0 references the source's files
+    * (optionally at a past version) without copying data. One row:
+    * the source version cloned and the files referenced.
+    */
+  private[graft] val cloneTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 2 || args.size == 3,
+        "graft_clone(srcPath, dstPath[, srcVersion]) takes 2 or 3 " +
+          "arguments")
+      val src = literalString(args, 0, "graft_clone", "srcPath")
+      val dst = literalString(args, 1, "graft_clone", "dstPath")
+      val srcVersion = if (args.size < 3) None
+        else Some(literalLong(args, 2, "graft_clone", "srcVersion"))
+      graft.plans.GraftProcedureNode("graft_clone",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source_version",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("num_files",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        graft.delta.DeltaWriter.cloneTable(spark, src, dst, srcVersion)
+        val cloned = graft.delta.DeltaLog.forPath(spark, dst)
+        val srcV = srcVersion.getOrElse(
+          graft.delta.DeltaLog.forPath(spark, src).version)
+        Seq(org.apache.spark.sql.Row(srcV, cloned.liveFiles.size.toLong))
       }
     }
 

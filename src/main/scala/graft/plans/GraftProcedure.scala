@@ -66,10 +66,14 @@ final case class GraftProcedureExec(
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
     val converted =
       rows.map(r => toCatalyst(r).asInstanceOf[InternalRow].copy())
+    // local copy: referencing `schema` directly would capture `this` in
+    // the task closure — and with it `run`, whose captures (Columns,
+    // DataFrames) need not be serializable
+    val localSchema = schema
     sparkContext.parallelize(converted, 1).mapPartitions { it =>
       // parents consume UnsafeRows (SparkPlan.getByteArrayRdd casts)
       val proj = org.apache.spark.sql.catalyst.expressions
-        .UnsafeProjection.create(schema)
+        .UnsafeProjection.create(localSchema)
       it.map(r => proj(r).copy())
     }
   }

@@ -216,6 +216,99 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("DML verbs (update/delete/merge/replace_where/clone) from a SQL-only session") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_dml").toString
+    val path = dir + "/t"
+    graft.delta.DeltaWriter.write(
+      (1L to 20L).map(i => (i, s"n$i", i * 10L)).toDF("id", "name", "v"),
+      path)
+
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+
+      // UPDATE … SET v = v * 2, name = upper(name) WHERE id <= 3
+      val updated = s2.sql(
+        s"""SELECT * FROM graft_update('$path', 'id', '<=', 3,
+           |  'v', 'v * 2', 'name', 'upper(name)')""".stripMargin)
+        .collect()(0).getLong(0)
+      assert(updated == 3L)
+      val r1 = s2.sql(
+        s"SELECT name, v FROM graft_delta('$path') WHERE id = 2")
+        .collect()(0)
+      assert(r1.getString(0) == "N2" && r1.getLong(1) == 40L)
+
+      // DELETE WHERE id > 18
+      val deleted = s2.sql(
+        s"SELECT * FROM graft_delete('$path', 'id', '>', 18)")
+        .collect()(0).getLong(0)
+      assert(deleted == 2L)
+      assert(s2.sql(s"SELECT count(*) AS n FROM graft_delta('$path')")
+        .collect()(0).getLong(0) == 18L)
+
+      // MERGE: source = a SQL query (upsert id 1 + insert id 100),
+      // plus a delete clause that tombstones id 4
+      val m = s2.sql(
+        s"""SELECT * FROM graft_merge('$path',
+           |  'SELECT * FROM VALUES (1L, ''merged'', 999L), (100L, ''new'', 1L),
+           |     (4L, ''gone'', 0L) AS src(id, name, v)',
+           |  'id', 'name = ''gone''')""".stripMargin).collect()(0)
+      assert(m.getLong(0) == 1L, s"updated ${m.getLong(0)}") // id 1
+      assert(m.getLong(2) == 1L, s"deleted ${m.getLong(2)}") // id 4
+      val after = s2.sql(
+        s"SELECT name FROM graft_delta('$path') WHERE id = 1").collect()
+      assert(after.map(_.getString(0)).toSeq == Seq("merged"))
+      assert(s2.sql(
+        s"SELECT count(*) AS n FROM graft_delta('$path') WHERE id = 4")
+        .collect()(0).getLong(0) == 0L)
+      assert(s2.sql(
+        s"SELECT count(*) AS n FROM graft_delta('$path') WHERE id = 100")
+        .collect()(0).getLong(0) == 1L)
+
+      // REPLACE WHERE: atomically swap the id <= 2 slice
+      val rw = s2.sql(
+        s"""SELECT * FROM graft_replace_where('$path',
+           |  'SELECT * FROM VALUES (1L, ''rw'', 1L), (2L, ''rw'', 2L)
+           |     AS src(id, name, v)',
+           |  'id', '<=', 2)""".stripMargin).collect()(0)
+      assert(rw.getLong(2) == 2L) // written_rows
+      assert(s2.sql(
+        s"SELECT count(*) AS n FROM graft_delta('$path') WHERE name = 'rw'")
+        .collect()(0).getLong(0) == 2L)
+
+      // CLONE to a fresh path at a PAST version, then check the clone
+      // time-traveled: the pre-merge state has no id 100
+      val headV = graft.delta.DeltaLog.forPath(s2, path).version
+      val c = s2.sql(
+        s"SELECT * FROM graft_clone('$path', '$dir/clone', ${headV - 1})")
+        .collect()(0)
+      assert(c.getLong(0) == headV - 1)
+      assert(s2.sql(
+        s"SELECT count(*) AS n FROM graft_delta('$dir/clone') WHERE id = 100")
+        .collect()(0).getLong(0) == 1L) // merge (headV-1 = post-merge) visible
+      assert(s2.sql(
+        s"SELECT count(*) AS n FROM graft_delta('$dir/clone') WHERE name = 'rw'")
+        .collect()(0).getLong(0) == 0L) // replace_where not yet visible
+
+      // EXPLAIN plans a DML verb without running it
+      s2.sql(s"EXPLAIN SELECT * FROM graft_delete('$path', 'id', '=', 7)")
+        .collect()
+      assert(s2.sql(
+        s"SELECT count(*) AS n FROM graft_delta('$path') WHERE id = 7")
+        .collect()(0).getLong(0) == 1L)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("ALTER verbs (add column, set/unset tblproperties) from a SQL-only session") {
     import spark.implicits._
     val path = java.nio.file.Files
