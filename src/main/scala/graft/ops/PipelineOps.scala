@@ -21,6 +21,68 @@ import Registry.table
   */
 object PipelineOps {
 
+  /** p5's scale path: per-stratum top-`cap` by (md5 key, doc_id) via
+    * THRESHOLD REFINEMENT — identical output to the single-window
+    * definition, but no stratum ever sorts through one task.
+    *
+    * Phase 1 counts each stratum (combiner-bound). Phase 2 derives a
+    * per-stratum key threshold from hash uniformity — md5 keys are
+    * uniform in the 60-bit prefix domain, so the cap-th smallest of n
+    * sits near `cap/n · 2^60`; a `margin`× inflation makes undershoot
+    * astronomically unlikely (Chernoff: P[Binom(n, 4c/n) < c] ≈ e^-c).
+    * Phase 3 keeps only rows below their stratum's threshold
+    * (broadcast join — the per-stratum relation is metadata-sized) and
+    * VERIFIES each stratum kept ≥ min(cap, n) survivors; any stratum
+    * the bound failed for (approx-theory violated, e.g. adversarial
+    * keys) is re-admitted WHOLE, restoring exactness unconditionally.
+    * Phase 4 runs the exact rank window on survivors only — each
+    * partition now holds ≤ ~margin·cap rows, so the window is uniform
+    * regardless of stratum skew.
+    *
+    * Cost shape at 100 TB: three passes over a 2-column projection
+    * (count, filter, window input) instead of one full shuffle of the
+    * corpus into as few partitions as there are strata. The collect is
+    * the VIOLATION list only — empty in every non-adversarial run.
+    */
+  private[ops] def stratifiedSampleRefined(
+      docs: org.apache.spark.sql.DataFrame, cap: Int,
+      margin: Int = 4): org.apache.spark.sql.DataFrame = {
+    val key = md5(to_binary(
+      concat(col("doc_id").cast("string"), lit(":p5")), lit("utf-8")))
+    // 15 hex chars = 60 bits: a numeric, order-preserving prefix of the
+    // full key (prefix(a) < prefix(b) ⇒ a < b lexicographically), so a
+    // prefix threshold admitting ≥ cap rows provably contains the
+    // true top-cap
+    val keyed = docs.select(col("doc_id"), col("lang"))
+      .withColumn("k", key)
+      .withColumn("kp", conv(substring(col("k"), 1, 15), 16, 10)
+        .cast("long"))
+    val thr = keyed.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("t",
+        when(col("n") <= lit(margin.toLong * cap), lit(Long.MaxValue))
+          .otherwise(((lit(margin.toDouble * cap) / col("n")) *
+            lit(math.pow(2, 60))).cast("long") + 1L))
+    val joined = keyed.join(broadcast(thr), "lang")
+    val survivors = joined.where(col("kp") <= col("t"))
+    // verify from the COUNTS side: a stratum with zero survivors is
+    // absent from the survivor groupBy and must still be flagged
+    val bad = thr.select("lang", "n")
+      .join(survivors.groupBy("lang").agg(count(lit(1)).as("m")),
+        Seq("lang"), "left")
+      .where(coalesce(col("m"), lit(0L)) < least(lit(cap.toLong), col("n")))
+      .select("lang").collect().map(_.getString(0))
+    val admitted =
+      if (bad.isEmpty) survivors
+      else joined.where(col("kp") <= col("t") || col("lang").isin(
+        bad.toSeq: _*))
+    admitted
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("k"), col("doc_id"))))
+      .where(col("rk") <= cap)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // quality gate → exact dedup (min doc_id per content hash) →
@@ -135,10 +197,10 @@ object PipelineOps {
     // percent-threshold hashing gives only EXPECTED size. Scale shape:
     // ONE shuffle on the stratum key; the window sorts within each
     // stratum only. At 100 TB with skewed strata the same semantics
-    // run as threshold refinement (sample md5 quantiles per stratum,
-    // keep rows below the cap-th quantile, exact-fix the boundary) —
-    // the hash-rank DEFINITION here is the semantics both paths must
-    // match.
+    // run as threshold refinement — IMPLEMENTED as
+    // [[stratifiedSampleRefined]] / p5_stratified_refined, pinned to
+    // this same oracle — while the hash-rank DEFINITION here is the
+    // semantics both paths must match.
     "p5_stratified_sample" -> QueryDef(
       (s, dir) => {
         val cap = 60
@@ -152,6 +214,22 @@ object PipelineOps {
           .select(col("doc_id"), col("lang"))
           .orderBy("doc_id")
       },
+      Some("""SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR || ':p5'), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 60 ORDER BY doc_id""".stripMargin)),
+
+    // The SAME stratified sample computed by the 100 TB path: per-
+    // stratum THRESHOLD REFINEMENT instead of one row_number window
+    // whose biggest stratum serializes through a single task. Same
+    // oracle SQL as p5 — the hash-rank semantics pin BOTH paths; any
+    // divergence between the scale path and the definition fails the
+    // correctness gate, not a benchmark.
+    "p5_stratified_refined" -> QueryDef(
+      (s, dir) => stratifiedSampleRefined(
+        table(s, dir, "documents"), cap = 60),
       Some("""SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang
