@@ -450,6 +450,74 @@ object DeltaQueries {
         |  p_retailprice * 0.1 AS p_margin FROM part
         |ORDER BY p_partkey""".stripMargin)),
 
+    // The STREAMING change feed under the hash oracle: a scripted
+    // history (write → UPDATE → DELETE → append, CDF stored) is
+    // drained through the registered `graft-delta` source with
+    // readChangeFeed=true from version 0 — per-commit admission,
+    // (version, index) offsets, stored-CDC-preferred batches — and the
+    // drained feed is reduced to per-(change_type, commit) counts and
+    // checksums DuckDB replays relationally. Any divergence in change
+    // attribution (a lost preimage, a double-counted update add file,
+    // a snapshot leaking into the v0 replay) hash-mismatches here.
+    // Disjoint UPDATE/DELETE predicates keep the relational replay
+    // exact: deleted rows still carry their original prices.
+    "x16_stream_cdf" -> QueryDef(
+      (s, dir) => {
+        val path = stagedOnce(s, dir, "orders_cdfstream_delta", "orders") { path =>
+          val orders = table(s, dir, "orders")
+          DeltaWriter.write(orders, path,
+            properties = Map("delta.enableChangeDataFeed" -> "true")) // v0
+          DeltaWriter.update(s, path,
+            Seq(Cond("o_orderpriority", "=", "1-URGENT")),
+            Map("o_totalprice" -> (col("o_totalprice") * 2))) // v1
+          DeltaWriter.delete(s, path,
+            Seq(Cond("o_orderpriority", "=", "5-LOW"))) // v2
+          DeltaWriter.write(
+            orders.where(col("o_orderpriority") === "3-MEDIUM")
+              .withColumn("o_orderkey", col("o_orderkey") + 100000000L),
+            path, mode = "append") // v3
+        }
+        // fresh checkpoint per drain: the feed must replay from v0
+        // every invocation, not resume a prior run's offsets
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_x16_ckpt").toString
+        val sink = "x16_stream_cdf_sink"
+        val q = s.readStream.format("graft-delta")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "0")
+          .load(path)
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink)
+          .groupBy(col("_change_type"), col("_commit_version"))
+          .agg(count(lit(1)).as("n"),
+            sum("o_orderkey").cast("long").as("key_sum"),
+            round(sum("o_totalprice"), 2).as("price_sum"))
+          .orderBy("_change_type", "_commit_version")
+      },
+      Some("""WITH feed AS (
+        |  SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version,
+        |    o_orderkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT 'delete', 1, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT 'insert', 1, o_orderkey, o_totalprice * 2 FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT 'delete', 2, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderpriority = '5-LOW'
+        |  UNION ALL
+        |  SELECT 'insert', 3, o_orderkey + 100000000, o_totalprice FROM orders
+        |  WHERE o_orderpriority = '3-MEDIUM')
+        |SELECT _change_type, _commit_version, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  round(sum(o_totalprice), 2) AS price_sum
+        |FROM feed GROUP BY _change_type, _commit_version
+        |ORDER BY _change_type, _commit_version""".stripMargin)),
+
     // DELETE → REORG PURGE under the oracle: soft-delete the negative
     // balances via DVs, then physically purge — the scan afterwards
     // reads only rewritten, DV-free files and must still equal DuckDB's
