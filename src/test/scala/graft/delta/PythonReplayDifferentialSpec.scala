@@ -318,6 +318,75 @@ class PythonReplayDifferentialSpec extends SparkSuite {
     assertAgrees(path, 42, version = Some(1L))
   }
 
+  test("shallow clones replay: absolute add URIs and p-form DV descriptors") {
+    // exactly the artifacts external readers trip on: the clone's add
+    // actions carry absolute percent-encoded file: URIs into ANOTHER
+    // table's directory, and its DV descriptors are "p"-form absolute
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pyrep_clone").toString
+    val src = dir + "/src with space" // the URI encoding must survive
+    // few large files (coalesce) so the scattered per-file DVs exceed
+    // the 512-byte inline threshold and spill to "u" files
+    DeltaWriter.write((1L to 30000L).map(i => (i, s"g${i % 3}", s"r$i"))
+      .toDF("id", "g", "s").coalesce(3), src, partitionBy = Seq("g"))
+    // scattered delete → file-form "u" DV, which the clone must
+    // convert to an absolute "p" descriptor
+    DeltaWriter.delete(spark, src,
+      Seq(Cond("id", "in", (6L to 30000L by 2).map(Long.box))))
+    DeltaWriter.cloneTable(spark, src, dir + "/clone")
+    val dvs = DeltaLog.forPath(spark, dir + "/clone").liveFiles
+      .flatMap(_.deletionVector).map(_.storageType).toSet
+    assert(dvs.contains("p"), s"expected p-form DVs in the clone, got $dvs")
+    assertAgrees(dir + "/clone", 30000L - 14998)
+    // VERSION AS OF clone: the pre-delete state through absolute URIs
+    DeltaWriter.cloneTable(spark, src, dir + "/clone0", Some(0L))
+    assertAgrees(dir + "/clone0", 30000)
+  }
+
+  test("REORG PURGE'd table replays: rewritten files, no DVs, history intact") {
+    val path = tmp()
+    DeltaWriter.write((1L to 500L).map(i => (i, s"g${i % 2}", i * 1.0))
+      .toDF("id", "g", "x"), path, partitionBy = Seq("g"))
+    DeltaLake.deleteWhere(spark, path, Seq(Cond("x", "<", 100.0))) // v1: DVs
+    DeltaWriter.purge(spark, path) // v2: physical rewrite
+    assert(!DeltaLog.forPath(spark, path).liveFiles
+      .exists(_.hasDeletionVector), "purge left a DV")
+    assertAgrees(path, 401)
+    // the DV-bearing intermediate state still time-travels
+    assertAgrees(path, 401, version = Some(1L))
+    assertAgrees(path, 500, version = Some(0L))
+  }
+
+  test("bounded CDF windows replay identically through the python reader") {
+    val path = tmp()
+    DeltaWriter.write((1L to 40L).map(i => (i, s"r$i")).toDF("id", "s"),
+      path, properties = Map("delta.enableChangeDataFeed" -> "true")) // v0
+    DeltaLake.updateWhere(spark, path, Seq(Cond("id", "<=", 5L)),
+      Map("s" -> concat(col("s"), lit("!")))) // v1: 5 pre + 5 post
+    DeltaLake.deleteWhere(spark, path, Seq(Cond("id", "=", 30L))) // v2: 1 del
+    DeltaWriter.write(Seq((41L, "r41")).toDF("id", "s"), path,
+      mode = "append") // v3: 1 insert
+
+    def cdfDiff(since: Long, until: Long, expectRows: Long): Unit = {
+      val dump = java.nio.file.Files
+        .createTempDirectory("graft_pyrep_cdfw").toString
+      DeltaLake.scanDeltaCdf(spark, path, since, Nil, Some(until))
+        .coalesce(1).write.mode("overwrite").parquet(dump)
+      import scala.sys.process._
+      val out = new StringBuilder
+      val code = Seq("python3", "tools/delta_replay.py", path,
+        "--cdf", dump, "--cdf-since", since.toString,
+        "--cdf-until", until.toString) !
+        ProcessLogger(l => out ++= l, l => out ++= l)
+      assert(code == 0, s"bounded CDF replay diverged: $out")
+      val node = ActionCodec.mapper.readTree(out.toString)
+      assert(node.get("rows").asLong == expectRows, out.toString)
+    }
+    cdfDiff(0, 2, 11) // update (10) + delete (1), creation excluded
+    cdfDiff(1, 3, 2)  // delete (1) + append (1)
+    cdfDiff(2, 3, 1)  // append only
+  }
+
   test("streaming-sink-written table replays through the python reader") {
     // the r8 registered streaming pipeline end-to-end, validated by the
     // INDEPENDENT reader: graft-delta source → writeStream sink; the

@@ -389,8 +389,16 @@ def file_select(con, table, add, fields, part_phys, change_type=None,
     change_type: None = plain scan; "insert" = derived-CDF literal;
     "stored" = read the cdc file's own _change_type, normalized
     (update_preimage -> delete, update_postimage -> insert)."""
-    rel = urllib.parse.unquote(add["path"])
-    fpath = os.path.join(table, rel)
+    # add.path is normally RELATIVE and percent-encoded, but shallow
+    # clones emit absolute percent-encoded URIs (scheme + authority
+    # preserved); decode the path COMPONENT after parsing, not before —
+    # unquoting first would corrupt a path containing literal '%XX'
+    raw = add["path"]
+    if raw.startswith("file:"):
+        fpath = urllib.parse.unquote(urllib.parse.urlparse(raw).path)
+    else:
+        rel = urllib.parse.unquote(raw)
+        fpath = os.path.join(table, rel)  # absolute rel stays absolute
     present = {r[0] for r in con.execute(
         f"DESCRIBE SELECT * FROM read_parquet({fpath!r})").fetchall()}
     pv = add.get("partitionValues") or {}
@@ -446,11 +454,13 @@ def build_view(con, table, version):
     return fields
 
 
-def build_cdf_view(con, table):
-    """Replay the CHANGE FEED from version 0: per commit, stored cdc
-    actions win exclusively (the protocol's CDF read contract — the
-    commit's add/remove actions are then IGNORED for the feed), else
-    dataChange=true adds derive an insert batch. Final logical schema
+def build_cdf_view(con, table, since=-1, until=None):
+    """Replay the CHANGE FEED: per commit, stored cdc actions win
+    exclusively (the protocol's CDF read contract — the commit's
+    add/remove actions are then IGNORED for the feed), else
+    dataChange=true adds derive an insert batch. Window bounds match
+    the engine's scanDeltaCdf: `since` EXCLUSIVE (default -1 = from
+    version 0), `until` INCLUSIVE (default head). Final logical schema
     is applied throughout (battery tables don't evolve mid-feed)."""
     meta, _, _ = replay(con, table)
     fields = top_fields(meta)
@@ -460,8 +470,8 @@ def build_cdf_view(con, table):
     by_logical = {l: p for l, p, _, _ in fields}
     part_phys = {by_logical[c] if mapped else c for c in logical_parts}
     logdir = os.path.join(table, "_delta_log")
-    selects, v = [], 0
-    while True:
+    selects, v = [], since + 1
+    while until is None or v <= until:
         f = os.path.join(logdir, f"{v:020d}.json")
         if not os.path.exists(f):
             break
@@ -519,7 +529,11 @@ def main():
     con = duckdb.connect()
     con.execute("SET timezone = 'UTC'")
     if "--cdf" in args:
-        fields = build_cdf_view(con, table)
+        since = (int(args[args.index("--cdf-since") + 1])
+                 if "--cdf-since" in args else -1)
+        until = (int(args[args.index("--cdf-until") + 1])
+                 if "--cdf-until" in args else None)
+        fields = build_cdf_view(con, table, since, until)
         bag_diff(con, "cdf_replayed", args[args.index("--cdf") + 1],
                  [l for l, _, _, _ in fields] + ["_change_type"],
                  [(l, d) for l, _, d, _ in fields])
