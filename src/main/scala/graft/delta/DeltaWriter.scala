@@ -3608,6 +3608,29 @@ object DeltaWriter {
     * the window are spared, so any writer that commits within `graceMs`
     * of staging its files is safe.
     */
+  /** Decoded `cdc.path`s in one commit JSON, streamed line by line —
+    * runs driver-side for small logs and executor-side inside the
+    * vacuum cdc-liveness job for large ones.
+    */
+  private def cdcPathsIn(fs: FileSystem, commit: Path): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(commit), "UTF-8"))
+    try {
+      var l = in.readLine()
+      while (l != null) {
+        if (l.contains("\"cdc\"")) {
+          val n = ActionCodec.mapper.readTree(l)
+          Option(n.get("cdc")).filterNot(_.isNull)
+            .flatMap(c => Option(c.get("path")).filterNot(_.isNull))
+            .foreach(p => out += DeltaScan.decodePath(p.asText))
+        }
+        l = in.readLine()
+      }
+    } finally in.close()
+    out.toSeq
+  }
+
   def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
       /** Retention window. Negative (the default) = UNSET: the table's
         * `delta.deletedFileRetentionDuration` property governs, else
@@ -3652,35 +3675,42 @@ object DeltaWriter {
     // commit out — deleting them earlier would break scanDeltaCdf over
     // history the log still advertises. Files stranded by FAILED
     // commits are referenced by no JSON and fall through to deletion.
-    // The scan is STREAMED line by line (a commit can carry an action
-    // line per rewritten file — buffering whole commits at 100 TB table
-    // sizes is the kind of driver-memory spike vacuum must not have),
-    // with a cheap substring prefilter before the JSON parse.
+    // Each commit is STREAMED line by line (a commit can carry an
+    // action line per rewritten file — buffering whole commits at
+    // 100 TB table sizes is the kind of driver-memory spike vacuum
+    // must not have), with a cheap substring prefilter before the JSON
+    // parse. Retention-bounded but potentially LARGE (a per-micro-batch
+    // streaming committer under 30-day log retention is tens of
+    // thousands of commits), so past a small threshold the per-commit
+    // scans run as a SPARK JOB — the driver sees only the cdc path
+    // list, the same shape as the file-discovery job below. Small logs
+    // stay on the driver: a job's scheduling overhead would dominate.
     val logDirP = new Path(root, "_delta_log")
     val commitJson = "^\\d{20}\\.json$".r
     val liveCdc: Set[String] =
       if (!fs.exists(logDirP)) Set.empty
       else {
-        val acc = mutable.Set.empty[String]
-        fs.listStatus(logDirP).iterator
+        val commitPaths = fs.listStatus(logDirP).iterator
           .filter(st => commitJson.matches(st.getPath.getName))
-          .foreach { st =>
-            val in = new java.io.BufferedReader(
-              new java.io.InputStreamReader(fs.open(st.getPath), "UTF-8"))
-            try {
-              var l = in.readLine()
-              while (l != null) {
-                if (l.contains("\"cdc\"")) {
-                  val n = ActionCodec.mapper.readTree(l)
-                  Option(n.get("cdc")).filterNot(_.isNull)
-                    .flatMap(c => Option(c.get("path")).filterNot(_.isNull))
-                    .foreach(p => acc += DeltaScan.decodePath(p.asText))
-                }
-                l = in.readLine()
+          .map(_.getPath.toString).toSeq
+        if (commitPaths.size <= 32)
+          commitPaths.flatMap(p => cdcPathsIn(fs, new Path(p))).toSet
+        else {
+          val sc = spark.sparkContext
+          val confSer = new SerializableHadoopConf(hconf)
+          val slices =
+            math.max(1, math.min(commitPaths.size, sc.defaultParallelism))
+          val prevDesc = sc.getLocalProperty("spark.job.description")
+          sc.setJobDescription(s"graft vacuum cdc-liveness scan: $path")
+          try
+            sc.parallelize(commitPaths, slices).mapPartitions { it =>
+              it.flatMap { d =>
+                val p = new Path(d)
+                cdcPathsIn(p.getFileSystem(confSer.value), p)
               }
-            } finally in.close()
-          }
-        acc.toSet
+            }.collect().toSet
+          finally sc.setJobDescription(prevDesc)
+        }
       }
     val live: Set[String] = liveData ++ liveDv ++ liveCdc
 

@@ -93,6 +93,36 @@ class VacuumScaleSpec extends SparkSuite {
     assert(DeltaWriter.vacuum(spark, path).isEmpty)
   }
 
+  test("cdc liveness over a long log runs as a Spark job and spares every referenced file") {
+    val path = tmp("graft_vac_cdclog")
+    DeltaWriter.write((1L to 80L).map(i => (i, s"r$i")).toDF("id", "s"),
+      path, properties = Map("delta.enableChangeDataFeed" -> "true"))
+    // 40 CDC-producing commits → 41 commit JSONs, past the ≤32 driver
+    // fast path, so the liveness scan takes the distributed branch
+    (1L to 40L).foreach { i =>
+      graft.DeltaLake.updateWhere(spark, path, Seq(Cond("id", "=", i)),
+        Map("s" -> org.apache.spark.sql.functions.lit(s"u$i")))
+    }
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(new Path(root, "_delta_log"))
+      .count(_.getPath.getName.matches("\\d{20}\\.json")) > 32)
+    // plant one stranded cdc orphan: referenced by no commit → reclaimed
+    val stray = new Path(root, "_change_data/stray-cdc-orphan.parquet")
+    val o = fs.create(stray, false)
+    try o.write(Array[Byte](7)) finally o.close()
+
+    val deleted = DeltaWriter.vacuum(spark, path)
+    assert(deleted.contains("_change_data/stray-cdc-orphan.parquet"))
+    assert(!deleted.exists(p =>
+        p.startsWith("_change_data/") && p.endsWith(".parquet") &&
+          !p.contains("stray")),
+      s"distributed cdc-liveness scan missed a referenced file: $deleted")
+    // the full advertised feed still reads: 80 inserts + 40×(pre+post)
+    assert(graft.DeltaLake.scanDeltaCdf(spark, path, -1L).count() ==
+      80L + 80L)
+  }
+
   test("a nested table's transaction log survives vacuum") {
     val path = tmp("graft_vac_nested")
     DeltaWriter.write(
