@@ -120,16 +120,26 @@ object DedupOps {
       shingleTable(s, dir, ver)
         .select(col("doc_id"), minhashes(col("sh"), fastHash).as("mh"))
     }
-    // band key: md5 over the joined hex strings for the oracle flavor
-    // (DuckDB recomputes it byte-for-byte); xxhash64 straight over the
-    // long-array slice for the fast flavor — no string materialization
+    bandedFrom(docs, fastHash)
+  }
+
+  /** Band explosion over ANY `(doc_id, mh)` signature relation — the
+    * session-cached corpus signatures and the PERSISTED store
+    * ([[incrementalSignatures]]) share it, so the two paths can never
+    * band differently.
+    *
+    * Band key: md5 over the joined hex strings for the oracle flavor
+    * (DuckDB recomputes it byte-for-byte); xxhash64 straight over the
+    * long-array slice for the fast flavor — no string materialization.
+    */
+  private def bandedFrom(sigs: DataFrame, fastHash: Boolean): DataFrame = {
     def bandSig(b: Int): Column =
       if (fastHash)
         xxhash64(slice(col("mh"), b * RowsPerBand + 1, RowsPerBand))
       else md5(to_binary(
         concat_ws("|", slice(col("mh"), b * RowsPerBand + 1, RowsPerBand)),
         lit("utf-8")))
-    docs.select(col("doc_id"), col("mh"),
+    sigs.select(col("doc_id"), col("mh"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band"), bandSig(b).as("sig"))
       }: _*)).as("bk"))
@@ -143,8 +153,11 @@ object DedupOps {
     */
   private[graft] def minhashPairs(
       s: SparkSession, dir: String, fastHash: Boolean = true,
-      ver: Option[String] = None): DataFrame = {
-    val b = bandedDocs(s, dir, fastHash, ver.getOrElse(docsVersion(s, dir)))
+      ver: Option[String] = None): DataFrame =
+    pairsFrom(bandedDocs(s, dir, fastHash, ver.getOrElse(docsVersion(s, dir))))
+
+  /** The LSH candidate join over a banded relation ([[bandedFrom]]). */
+  private def pairsFrom(b: DataFrame): DataFrame = {
     val l = b.select(col("band"), col("sig"),
       col("doc_id").as("doc_a"), col("mh").as("mh_a"))
     val r = b.select(col("band"), col("sig"),
@@ -159,6 +172,62 @@ object DedupOps {
           (acc, v) => acc + v).cast("double") / NumHashes)
       .select("doc_a", "doc_b", "est_jaccard")
   }
+
+  /** Md5-flavor MinHash signatures straight from `(doc_id, text)` rows
+    * — the per-document computation [[incrementalSignatures]] runs on
+    * exactly the NEW documents of an increment.
+    */
+  private def signaturesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .select(col("doc_id"), minhashes(col("sh"), fastHash = false).as("mh"))
+
+  /** PERSISTED incremental signature store — the production shape of
+    * corpus dedup at 100 TB: signature computation (shingling + k
+    * hashes over the full text, the term that scales with corpus
+    * BYTES) runs once per document EVER, not once per dedup run. The
+    * store is a graft Delta table `(doc_id, mh)`; each call diffs the
+    * incoming corpus against the stored doc_ids (anti-join on the
+    * narrow id projection) and appends signatures for the NEW
+    * documents only — an increment's cost tracks the increment, not
+    * the corpus. No new documents ⇒ no commit (the store's history
+    * stays one commit per real increment). Returns the full store
+    * scan; [[incrementalMinhashPairs]] bands it with the exact
+    * machinery the batch path uses, so store-driven pairs are
+    * definitionally the batch pairs (d9's oracle row pins that).
+    *
+    * Deletes/edits: a REMOVED document's signature is retired with a
+    * plain Delta DELETE on the store; an EDITED document is a retire +
+    * re-add (its doc_id would otherwise pin the stale signature).
+    */
+  def incrementalSignatures(s: SparkSession, storePath: String,
+      docs: DataFrame): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val exists =
+      fs.exists(new org.apache.hadoop.fs.Path(root, "_delta_log"))
+    if (!exists)
+      graft.delta.DeltaWriter.write(signaturesOf(docs), storePath)
+    else {
+      val known = graft.DeltaLake.scanDelta(s, storePath).select("doc_id")
+      val fresh = docs.join(known, Seq("doc_id"), "left_anti")
+      if (!fresh.isEmpty)
+        graft.delta.DeltaWriter.write(signaturesOf(fresh), storePath,
+          mode = "append")
+    }
+    graft.DeltaLake.scanDelta(s, storePath)
+  }
+
+  /** LSH near-dup pairs computed FROM the persisted store — byte-equal
+    * to the batch d3 definition over the same corpus.
+    */
+  def incrementalMinhashPairs(s: SparkSession,
+      storePath: String): DataFrame =
+    pairsFrom(bandedFrom(graft.DeltaLake.scanDelta(s, storePath),
+      fastHash = false))
+      .where(col("est_jaccard") >= 0.2)
+      .orderBy("doc_a", "doc_b")
 
   /** d3 body: LSH candidate pairs above the similarity floor. Shared by
     * the md5 oracle entry, the xxhash64 fast twin, and the fast-vs-md5
@@ -550,6 +619,35 @@ object DedupOps {
         |FROM documents d JOIN labels l
         |  ON l.doc_id = d.doc_id AND l.rep = d.doc_id
         |ORDER BY d.doc_id""".stripMargin)),
+
+    // INCREMENTAL dedup against the persisted signature store, under
+    // the SAME oracle as d3: the staging seeds the store from half the
+    // corpus, then increments it with the full corpus (signatures
+    // computed only for the new half, appended as one Delta commit),
+    // and the query bands the STORE — store-driven pairs must
+    // hash-equal the batch definition over the whole corpus, so a
+    // drift between the incremental path and the one-shot path fails
+    // the correctness gate. Append-only semantics, commit counting,
+    // and the no-op re-increment are spec'd in DedupIncrementalSpec.
+    "d9_dedup_incremental" -> QueryDef(
+      (s, dir) => {
+        val store = DeltaQueries.stagedOnce(
+          s, dir, "minhash_sig_store", "documents") { path =>
+          val docs = table(s, dir, "documents")
+          incrementalSignatures(s, path, docs.where(col("doc_id") % 2 === 0))
+          incrementalSignatures(s, path, docs)
+          ()
+        }
+        incrementalMinhashPairs(s, store)
+      },
+      Some(s"""WITH $pairsSql,
+        |est AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum([CASE WHEN mh_a[i+1] = mh_b[i+1] THEN 1 ELSE 0 END
+        |      for i in range($NumHashes)]) AS DOUBLE) / $NumHashes AS est_jaccard
+        |  FROM pairs)
+        |SELECT doc_a, doc_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Production fast-path twins (xxhash64 signatures — the public API
     // default): rows-only entries, no SQL oracle (xxhash64 isn't

@@ -46,7 +46,7 @@ object DeltaQueries {
     * atomic rename), because two JVMs could both see a stale marker
     * and one would delete the table root mid-query of the other.
     */
-  private def stagedOnce(s: SparkSession, dir: String, name: String,
+  private[ops] def stagedOnce(s: SparkSession, dir: String, name: String,
       srcTable: String)(setup: String => Unit): String = {
     val path = stage(dir, name)
     val marker = s"graft.delta.staged.$path"
