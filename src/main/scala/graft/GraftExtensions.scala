@@ -596,11 +596,19 @@ object GraftExtensions {
           "setCol, setExprSql ...]) takes an even argument count of 6+")
       val path = literalString(args, 0, "graft_update", "path")
       val conds = Seq(condTriple(args, 1, "graft_update"))
-      val set = (4 until args.size by 2).map { i =>
+      val assignments = (4 until args.size by 2).map { i =>
         literalString(args, i, "graft_update", s"setCol#$i") ->
           org.apache.spark.sql.functions.expr(
             literalString(args, i + 1, "graft_update", s"setExpr#${i + 1}"))
-      }.toMap
+      }
+      // delta-spark rejects duplicate SET targets; silently letting the
+      // last one win would discard an assignment with no diagnostic
+      val dup = assignments.map(_._1).groupBy(identity)
+        .collect { case (k, v) if v.size > 1 => k }
+      require(dup.isEmpty,
+        s"graft_update: duplicate assignment for column(s) " +
+          dup.mkString(", "))
+      val set = assignments.toMap
       graft.plans.GraftProcedureNode("graft_update",
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("updated_rows",
@@ -701,10 +709,13 @@ object GraftExtensions {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("num_files",
             org.apache.spark.sql.types.LongType)))) { spark =>
-        graft.delta.DeltaWriter.cloneTable(spark, src, dst, srcVersion)
-        val cloned = graft.delta.DeltaLog.forPath(spark, dst)
+        // resolve the version BEFORE cloning and pin the clone to it —
+        // re-reading the source head afterwards could name a version a
+        // concurrent commit moved past the one actually cloned
         val srcV = srcVersion.getOrElse(
           graft.delta.DeltaLog.forPath(spark, src).version)
+        graft.delta.DeltaWriter.cloneTable(spark, src, dst, Some(srcV))
+        val cloned = graft.delta.DeltaLog.forPath(spark, dst)
         Seq(org.apache.spark.sql.Row(srcV, cloned.liveFiles.size.toLong))
       }
     }

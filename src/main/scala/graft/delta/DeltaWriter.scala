@@ -2877,14 +2877,23 @@ object DeltaWriter {
             prior = Some(snap), ictFixed = ictFixed)
           return version
         } catch {
-          case _: java.io.IOException if attempt < 5 =>
-            // concurrent writer took the version — re-snapshot and
-            // recompute version + enablement instant from scratch
-            ()
           case e: java.io.IOException =>
-            throw new java.util.ConcurrentModificationException(
-              s"SET TBLPROPERTIES on $path lost the commit race " +
-                s"$attempt times; last error: ${e.getMessage}")
+            // a RACE means the target version now exists on disk; any
+            // other IOException is a genuine storage failure and must
+            // surface as itself, not as a concurrency conflict
+            val raced = {
+              val fs = new Path(path)
+                .getFileSystem(spark.sessionState.newHadoopConf())
+              fs.exists(new Path(new Path(path, "_delta_log"),
+                f"$version%020d.json"))
+            }
+            if (!raced) throw e
+            if (attempt >= 5)
+              throw new java.util.ConcurrentModificationException(
+                s"SET TBLPROPERTIES on $path lost the commit race " +
+                  s"$attempt times; last error: ${e.getMessage}")
+            // else: re-snapshot and recompute version + enablement
+            // instant from scratch
         }
       } else
         // plain properties rebase past disjoint appends like every other

@@ -489,7 +489,15 @@ object DeltaQueries {
           .writeStream.format("memory").queryName(sink)
           .option("checkpointLocation", ckpt)
           .start()
-        try q.processAllAvailable() finally q.stop()
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          // the drained rows live in the memory sink; the throwaway
+          // checkpoint would otherwise accumulate per invocation
+          val cp = new org.apache.hadoop.fs.Path(ckpt)
+          cp.getFileSystem(s.sessionState.newHadoopConf())
+            .delete(cp, true)
+        }
         s.table(sink)
           .groupBy(col("_change_type"), col("_commit_version"))
           .agg(count(lit(1)).as("n"),

@@ -40,13 +40,19 @@ object PipelineOps {
     * regardless of stratum skew.
     *
     * Cost shape at 100 TB: three passes over a 2-column projection
-    * (count, filter, window input) instead of one full shuffle of the
-    * corpus into as few partitions as there are strata. The collect is
-    * the VIOLATION list only — empty in every non-adversarial run.
+    * (count, survivor verify, window input). The per-stratum relation
+    * is collected ONCE (stratum cardinality is assumed driver-sized,
+    * like IVF's centroid list — languages, sources, domains) and
+    * re-broadcast as a literal frame, so the count aggregation never
+    * recomputes; the violation re-admit list is empty in every
+    * non-adversarial run. NULL is a stratum like any other (the
+    * definition's window and the DuckDB oracle both keep a NULL
+    * partition), so every join here is null-safe.
     */
   private[ops] def stratifiedSampleRefined(
       docs: org.apache.spark.sql.DataFrame, cap: Int,
       margin: Int = 4): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
     val key = md5(to_binary(
       concat(col("doc_id").cast("string"), lit(":p5")), lit("utf-8")))
     // 15 hex chars = 60 bits: a numeric, order-preserving prefix of the
@@ -57,24 +63,49 @@ object PipelineOps {
       .withColumn("k", key)
       .withColumn("kp", conv(substring(col("k"), 1, 15), 16, 10)
         .cast("long"))
-    val thr = keyed.groupBy("lang").agg(count(lit(1)).as("n"))
+    // pass 1: per-stratum counts → thresholds, collected once (NULL
+    // stratum included — groupBy keeps null keys) and rebuilt as a
+    // literal frame so later references don't re-run the aggregation
+    val thrRows = keyed.groupBy("lang").agg(count(lit(1)).as("n"))
       .withColumn("t",
         when(col("n") <= lit(margin.toLong * cap), lit(Long.MaxValue))
           .otherwise(((lit(margin.toDouble * cap) / col("n")) *
             lit(math.pow(2, 60))).cast("long") + 1L))
-    val joined = keyed.join(broadcast(thr), "lang")
+      .collect().toSeq
+    val thr = spark.createDataFrame(
+      spark.sparkContext.parallelize(thrRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // null-safe join: an equi-join on "lang" would silently drop the
+    // NULL stratum
+    val joined = keyed.join(broadcast(thr.withColumnRenamed("lang", "__l")),
+      col("lang") <=> col("__l")).drop("__l")
     val survivors = joined.where(col("kp") <= col("t"))
-    // verify from the COUNTS side: a stratum with zero survivors is
-    // absent from the survivor groupBy and must still be flagged
-    val bad = thr.select("lang", "n")
-      .join(survivors.groupBy("lang").agg(count(lit(1)).as("m")),
-        Seq("lang"), "left")
+    // pass 2 — verify from the COUNTS side: a stratum with zero
+    // survivors is absent from the survivor groupBy and must still be
+    // flagged
+    val bad: Seq[Option[String]] = thr.select("lang", "n")
+      .join(survivors.groupBy("lang").agg(count(lit(1)).as("m"))
+        .withColumnRenamed("lang", "__l"),
+        col("lang") <=> col("__l"), "left")
       .where(coalesce(col("m"), lit(0L)) < least(lit(cap.toLong), col("n")))
-      .select("lang").collect().map(_.getString(0))
+      .select("lang").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getString(0))).toSeq
     val admitted =
       if (bad.isEmpty) survivors
-      else joined.where(col("kp") <= col("t") || col("lang").isin(
-        bad.toSeq: _*))
+      else {
+        val readmit = bad.map {
+          case None => col("lang").isNull
+          case Some(v) => col("lang") === v
+        }.reduce(_ || _)
+        joined.where(col("kp") <= col("t") || readmit)
+      }
+    // pass 3: the exact rank window over ≤ ~margin·cap rows per stratum
     admitted
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("k"), col("doc_id"))))

@@ -297,6 +297,15 @@ class GraftExtensionsSpec extends SparkSuite {
         s"SELECT count(*) AS n FROM graft_delta('$dir/clone') WHERE name = 'rw'")
         .collect()(0).getLong(0) == 0L) // replace_where not yet visible
 
+      // duplicate SET targets reject loudly (delta-spark parity) —
+      // last-one-wins would silently discard an assignment
+      val dupE = intercept[Exception] {
+        s2.sql(s"""SELECT * FROM graft_update('$path', 'id', '>', 0,
+          |  'v', 'v * 2', 'v', 'v + 1')""".stripMargin).collect()
+      }
+      assert(dupE.getMessage.contains("duplicate assignment"),
+        dupE.getMessage)
+
       // EXPLAIN plans a DML verb without running it
       s2.sql(s"EXPLAIN SELECT * FROM graft_delete('$path', 'id', '=', 7)")
         .collect()

@@ -385,6 +385,11 @@ class PythonReplayDifferentialSpec extends SparkSuite {
     cdfDiff(0, 2, 11) // update (10) + delete (1), creation excluded
     cdfDiff(1, 3, 2)  // delete (1) + append (1)
     cdfDiff(2, 3, 1)  // append only
+    // a legitimately EMPTY bounded window replays as an empty feed on
+    // both sides (the unbounded form still refuses on a missing log)
+    DeltaLake.setTableProperties(spark, path,
+      Map("custom.note" -> "metadata-only")) // v4: no change rows
+    cdfDiff(3, 4, 0)
   }
 
   test("streaming-sink-written table replays through the python reader") {

@@ -60,4 +60,21 @@ class PipelineOpsSpec extends SparkSuite {
     val got = PipelineOps.stratifiedSampleRefined(df, cap = 1000)
     assert(got.count() == 40)
   }
+
+  test("a NULL stratum is sampled like any other, including the fallback path") {
+    // null lang is a stratum: the window definition and the DuckDB
+    // oracle both keep a NULL partition — a plain equi-join would
+    // silently drop it
+    val df = docs(900).withColumn("lang",
+      when(col("doc_id") % 4 === 0, lit(null)).otherwise(col("lang")))
+    val expected = definitionRows(df, 15)
+    assert(expected.count(_._2 == null) == 15, "fixture lost its null stratum")
+    val got = PipelineOps.stratifiedSampleRefined(df, cap = 15)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == expected)
+    // and through the sabotaged-threshold re-admit fallback too
+    val gotFb = PipelineOps.stratifiedSampleRefined(df, cap = 15, margin = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(gotFb == expected)
+  }
 }

@@ -490,7 +490,19 @@ def build_cdf_view(con, table, since=-1, until=None):
                 for a in actions
                 if a.get("add") and a["add"].get("dataChange", True))
         v += 1
-    assert selects, f"no commits found under {logdir}"
+    if not selects:
+        # a BOUNDED window can legitimately contain no change-producing
+        # commits — replay an empty feed like the engine does; the
+        # unbounded form still refuses (it means a wrong table path)
+        assert since > -1 or until is not None, \
+            f"no commits found under {logdir}"
+        cols = ", ".join(f'CAST(NULL AS {d}) AS "{l}"'
+                         for l, _, d, _ in fields)
+        con.execute(
+            "CREATE OR REPLACE VIEW cdf_replayed AS "
+            f"SELECT {cols}, CAST(NULL AS VARCHAR) AS \"_change_type\" "
+            "WHERE 1=0")
+        return fields
     con.execute(
         "CREATE OR REPLACE VIEW cdf_replayed AS " + " UNION ALL ".join(selects))
     return fields
