@@ -192,6 +192,21 @@ object DeltaLake {
   def dropColumn(spark: SparkSession, path: String, colName: String): Long =
     DeltaWriter.dropColumn(spark, path, colName)
 
+  /** ALTER TABLE ADD CONSTRAINT: register CHECK constraint `name`
+    * after one distributed validation pass over the existing rows —
+    * see [[graft.delta.DeltaWriter.addCheckConstraint]].
+    */
+  def addCheckConstraint(spark: SparkSession, path: String,
+      name: String, sqlExpr: String): Long =
+    DeltaWriter.addCheckConstraint(spark, path, name, sqlExpr)
+
+  /** ALTER TABLE DROP CONSTRAINT, metadata-only — see
+    * [[graft.delta.DeltaWriter.dropCheckConstraint]].
+    */
+  def dropCheckConstraint(spark: SparkSession, path: String,
+      name: String): Long =
+    DeltaWriter.dropCheckConstraint(spark, path, name)
+
   /** DESCRIBE DETAIL: the one-row table summary (delta-spark's shape) —
     * format, id, location, createdAt, partitionColumns, numFiles,
     * sizeInBytes, properties, protocol versions and feature lists.

@@ -98,7 +98,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_delete" -> GraftExtensions.deleteTableFunction,
       "graft_merge" -> GraftExtensions.mergeTableFunction,
       "graft_replace_where" -> GraftExtensions.replaceWhereTableFunction,
-      "graft_clone" -> GraftExtensions.cloneTableFunction
+      "graft_clone" -> GraftExtensions.cloneTableFunction,
+      "graft_add_constraint" -> GraftExtensions.addConstraintTableFunction,
+      "graft_drop_constraint" -> GraftExtensions.dropConstraintTableFunction
     ).foreach { case (name, builder) =>
       ext.injectTableFunction((new FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
@@ -546,6 +548,46 @@ object GraftExtensions {
             org.apache.spark.sql.types.LongType)))) { spark =>
         Seq(org.apache.spark.sql.Row(
           DeltaLake.unsetTableProperties(spark, path, keys)))
+      }
+    }
+
+  /** `graft_add_constraint(path, name, checkExprSql)`: ALTER TABLE ADD
+    * CONSTRAINT — validates the CHECK expression over every existing
+    * row (one distributed short-circuit scan), then one metadata-only
+    * commit. One row: the committed version.
+    */
+  private[graft] val addConstraintTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 3,
+        "graft_add_constraint(path, name, checkExprSql) takes 3 arguments")
+      val path = literalString(args, 0, "graft_add_constraint", "path")
+      val name = literalString(args, 1, "graft_add_constraint", "name")
+      val sqlExpr =
+        literalString(args, 2, "graft_add_constraint", "checkExprSql")
+      graft.plans.GraftProcedureNode("graft_add_constraint",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.addCheckConstraint(spark, path, name, sqlExpr)))
+      }
+    }
+
+  /** `graft_drop_constraint(path, name)`: ALTER TABLE DROP CONSTRAINT,
+    * metadata-only. One row: the committed version.
+    */
+  private[graft] val dropConstraintTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 2,
+        "graft_drop_constraint(path, name) takes 2 arguments")
+      val path = literalString(args, 0, "graft_drop_constraint", "path")
+      val name = literalString(args, 1, "graft_drop_constraint", "name")
+      graft.plans.GraftProcedureNode("graft_drop_constraint",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.dropCheckConstraint(spark, path, name)))
       }
     }
 

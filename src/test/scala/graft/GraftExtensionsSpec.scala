@@ -382,6 +382,57 @@ class GraftExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("constraint verbs (add/drop) from a SQL-only session") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tvf_constraint").toString + "/t"
+    graft.delta.DeltaWriter.write(
+      (1L to 9L).map(i => (i, i * 10L)).toDF("id", "v"), path)
+
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+
+      // ADD CONSTRAINT validates existing rows, then enforces writes
+      assert(s2.sql(
+        s"SELECT * FROM graft_add_constraint('$path', 'v_pos', 'v > 0')")
+        .collect()(0).getLong(0) == 1L)
+      val props = s2.sql(s"SELECT properties FROM graft_detail('$path')")
+        .collect()(0).getMap[String, String](0)
+      assert(props.get("delta.constraints.v_pos").contains("v > 0"))
+      val bad = intercept[Exception] {
+        graft.delta.DeltaWriter.write(
+          Seq((99L, -5L)).toDF("id", "v"), path, mode = "append")
+      }
+      assert(bad.getMessage.contains("v_pos"), bad.getMessage)
+
+      // an ADD whose CHECK an existing row violates rejects up front
+      val e = intercept[Exception] {
+        s2.sql(s"SELECT * FROM graft_add_constraint('$path', 'v_small', 'v < 50')")
+          .collect()
+      }
+      assert(e.getMessage.contains("v_small"), e.getMessage)
+
+      // DROP CONSTRAINT lifts enforcement
+      assert(s2.sql(
+        s"SELECT * FROM graft_drop_constraint('$path', 'v_pos')")
+        .collect()(0).getLong(0) == 2L)
+      graft.delta.DeltaWriter.write(
+        Seq((99L, -5L)).toDF("id", "v"), path, mode = "append")
+      assert(s2.sql(
+        s"SELECT count(*) AS n FROM graft_delta('$path') WHERE v < 0")
+        .collect()(0).getLong(0) == 1L)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("procedure verbs run at execution, not analysis: EXPLAIN is harmless") {
     import spark.implicits._
     val path = java.nio.file.Files
