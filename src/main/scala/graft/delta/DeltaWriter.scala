@@ -420,13 +420,33 @@ object DeltaWriter {
     // default, also carries no usable column statistics). Data files
     // carry PHYSICAL column names — appending logical-named files to a
     // column-mapped table would null-fill silently on read.
+    //
+    // Optimized write (`delta.autoOptimize.optimizeWrite`): one AQE
+    // REBALANCE shuffle before the write, so output files land near
+    // the advisory partition size — undersized shuffle partitions
+    // coalesce and skewed ones split, both AQE-native. A partitioned
+    // write rebalances ON the partition columns, clustering rows by
+    // target directory first: without it every input task writes a
+    // file into every matching directory, the classic
+    // tasks × partitions small-file explosion at 100 TB. Explicit
+    // z-ordering already prescribes its own layout and wins.
+    val optimizeWrite = newCfg.get("delta.autoOptimize.optimizeWrite")
+      .exists(_.trim.equalsIgnoreCase("true"))
     val df1 =
-      if (zOrderBy.isEmpty) dfV
-      else dfV.repartitionByRange(zFiles, zOrderColumn(dfV, zOrderBy).asc)
+      if (zOrderBy.nonEmpty)
+        dfV.repartitionByRange(zFiles, zOrderColumn(dfV, zOrderBy).asc)
+      else if (optimizeWrite) {
+        if (partitionBy.nonEmpty) dfV.hint("rebalance",
+          partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        else dfV.hint("rebalance")
+      } else dfV
     try withMicrosTimestamps(spark) {
-      toPhysical(df1, tableSchema).write.mode("append")
-        .partitionBy(physicalPartitionBy(partitionBy, tableSchema): _*)
-        .parquet(path)
+      withAdvisorySize(spark,
+        if (optimizeWrite) targetFileSize(newCfg) else None) {
+        toPhysical(df1, tableSchema).write.mode("append")
+          .partitionBy(physicalPartitionBy(partitionBy, tableSchema): _*)
+          .parquet(path)
+      }
     } finally {
       if (enforced) dfV.unpersist()
       idCache.foreach(_.unpersist())
@@ -642,6 +662,69 @@ object DeltaWriter {
     // are not in `prior`, so incremental accounting would be wrong
     if (v == version) writeCrc(spark, path, v, prior, stampedLines)
     maybeCheckpoint(spark, path, v, newCfg)
+    maybeAutoCompact(spark, path, newCfg)
+  }
+
+  /** `delta.targetFileSize` as bytes (accepts a plain count or a
+    * size suffix like `128mb`), when set and parseable.
+    */
+  private def targetFileSize(cfg: Map[String, String]): Option[Long] =
+    cfg.get("delta.targetFileSize").flatMap { raw =>
+      try Some(org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(raw.trim))
+      catch { case _: NumberFormatException => None }
+    }.filter(_ > 0)
+
+  /** Scope AQE's advisory partition size to `body` so an optimized
+    * write honors `delta.targetFileSize` — the REBALANCE shuffle then
+    * coalesces/splits toward that size instead of the session default.
+    */
+  private def withAdvisorySize[A](
+      spark: org.apache.spark.sql.SparkSession,
+      bytes: Option[Long])(body: => A): A = bytes match {
+    case None => body
+    case Some(b) =>
+      val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, b.toString)
+      try body
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+  }
+
+  /** Post-commit auto-compaction (`delta.autoOptimize.autoCompact`):
+    * when the table has accumulated at least
+    * `graft.autoCompact.minNumFiles` (default 50) live files smaller
+    * than half the target file size, run one dataChange=false
+    * compaction inline. Best-effort like auto-checkpointing — the
+    * append is already durable, so a failed or OCC-beaten compaction
+    * only warns. Row-tracked tables skip: compact refuses there
+    * (bin-packing would renumber another engine's stable row ids).
+    * The 100 TB shape: a high-frequency appender self-heals its
+    * small-file debt without an external OPTIMIZE scheduler, and the
+    * threshold keeps the amortized cost at one rewrite per
+    * `minNumFiles` appends.
+    */
+  private def maybeAutoCompact(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      config: Map[String, String]): Unit = {
+    if (!config.get("delta.autoOptimize.autoCompact")
+        .exists(_.trim.equalsIgnoreCase("true"))) return
+    if (rowTrackingEnabled(config)) return
+    val minFiles = config.get("graft.autoCompact.minNumFiles")
+      .flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(50)
+    val target = targetFileSize(config).getOrElse(128L * 1024 * 1024)
+    try {
+      val snap = DeltaLog.forPath(spark, path)
+      val small = snap.liveFiles.count(_.size < target / 2)
+      if (small >= minFiles)
+        compact(spark, path, target, priorSnapshot = Some(snap))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] auto-compact of $path failed: $e")
+    }
   }
 
   /** The writer features each legacy minWriterVersion implies
