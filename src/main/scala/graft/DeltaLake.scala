@@ -192,6 +192,21 @@ object DeltaLake {
   def dropColumn(spark: SparkSession, path: String, colName: String): Long =
     DeltaWriter.dropColumn(spark, path, colName)
 
+  /** ALTER TABLE ALTER COLUMN … SET DEFAULT, metadata-only; future
+    * omitting inserts materialize the value — see
+    * [[graft.delta.DeltaWriter.setColumnDefault]].
+    */
+  def setColumnDefault(spark: SparkSession, path: String,
+      colName: String, sqlExpr: String): Long =
+    DeltaWriter.setColumnDefault(spark, path, colName, sqlExpr)
+
+  /** ALTER TABLE ALTER COLUMN … DROP DEFAULT, metadata-only,
+    * idempotent — see [[graft.delta.DeltaWriter.dropColumnDefault]].
+    */
+  def dropColumnDefault(spark: SparkSession, path: String,
+      colName: String): Long =
+    DeltaWriter.dropColumnDefault(spark, path, colName)
+
   /** ALTER TABLE ADD CONSTRAINT: register CHECK constraint `name`
     * after one distributed validation pass over the existing rows —
     * see [[graft.delta.DeltaWriter.addCheckConstraint]].

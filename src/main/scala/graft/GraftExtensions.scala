@@ -100,7 +100,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_replace_where" -> GraftExtensions.replaceWhereTableFunction,
       "graft_clone" -> GraftExtensions.cloneTableFunction,
       "graft_add_constraint" -> GraftExtensions.addConstraintTableFunction,
-      "graft_drop_constraint" -> GraftExtensions.dropConstraintTableFunction
+      "graft_drop_constraint" -> GraftExtensions.dropConstraintTableFunction,
+      "graft_set_default" -> GraftExtensions.setDefaultTableFunction,
+      "graft_drop_default" -> GraftExtensions.dropDefaultTableFunction
     ).foreach { case (name, builder) =>
       ext.injectTableFunction((new FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
@@ -588,6 +590,44 @@ object GraftExtensions {
             org.apache.spark.sql.types.LongType)))) { spark =>
         Seq(org.apache.spark.sql.Row(
           DeltaLake.dropCheckConstraint(spark, path, name)))
+      }
+    }
+
+  /** `graft_set_default(path, colName, defaultSql)`: ALTER COLUMN …
+    * SET DEFAULT (metadata-only; constant expression). One row: the
+    * committed version.
+    */
+  private[graft] val setDefaultTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 3,
+        "graft_set_default(path, colName, defaultSql) takes 3 arguments")
+      val path = literalString(args, 0, "graft_set_default", "path")
+      val colName = literalString(args, 1, "graft_set_default", "colName")
+      val sqlExpr = literalString(args, 2, "graft_set_default", "defaultSql")
+      graft.plans.GraftProcedureNode("graft_set_default",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.setColumnDefault(spark, path, colName, sqlExpr)))
+      }
+    }
+
+  /** `graft_drop_default(path, colName)`: ALTER COLUMN … DROP DEFAULT,
+    * metadata-only, idempotent. One row: the resulting version.
+    */
+  private[graft] val dropDefaultTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 2,
+        "graft_drop_default(path, colName) takes 2 arguments")
+      val path = literalString(args, 0, "graft_drop_default", "path")
+      val colName = literalString(args, 1, "graft_drop_default", "colName")
+      graft.plans.GraftProcedureNode("graft_drop_default",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.dropColumnDefault(spark, path, colName)))
       }
     }
 

@@ -51,6 +51,23 @@ object Constraints {
       .filter(_.metadata.contains(GenerationKey))
       .map(f => f.name -> f.metadata.getString(GenerationKey))
 
+  /** Column-default field-metadata keys (PROTOCOL.md#default-columns —
+    * Spark's own ResolveDefaultColumns constants, the shape delta-spark
+    * persists): CURRENT_DEFAULT governs future inserts that omit the
+    * column; EXISTS_DEFAULT would govern pre-existing rows and is only
+    * stamped at table creation (never by ALTER … SET DEFAULT), so a
+    * Spark-based reader can never disagree with our null-filling reader
+    * about files written before a default existed.
+    */
+  val DefaultKey = "CURRENT_DEFAULT"
+  val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  /** (column, default sql) for every defaulted column in `schema`. */
+  def columnDefaults(schema: StructType): Seq[(String, String)] =
+    schema.fields.toSeq
+      .filter(_.metadata.contains(DefaultKey))
+      .map(f => f.name -> f.metadata.getString(DefaultKey))
+
   /** Identity-column field-metadata keys (delta-spark's shape,
     * PROTOCOL.md#identity-columns).
     */

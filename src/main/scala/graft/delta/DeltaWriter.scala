@@ -130,7 +130,16 @@ object DeltaWriter {
         * per append makes concurrent identity appends CONFLICT via OCC
         * instead of silently assigning duplicate values.
         */
-      identityColumns: Map[String, (Long, Long)] = Map.empty): Unit = {
+      identityColumns: Map[String, (Long, Long)] = Map.empty,
+      /** Column defaults (PROTOCOL.md#default-columns — delta-spark's
+        * `CURRENT_DEFAULT` field metadata), declared at
+        * create/overwrite as column → constant SQL expression. Any
+        * later append that omits the column writes the default VALUE,
+        * materialized into the data file — readers need no feature
+        * support, and explicit values always win. The expression may
+        * not reference columns (delta-spark's constant rule).
+        */
+      defaultColumns: Map[String, String] = Map.empty): Unit = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -153,6 +162,14 @@ object DeltaWriter {
     require(identityColumns.isEmpty || isCreate,
       "identityColumns can only be declared at table create/overwrite" +
         " — appends inherit them from the table schema")
+    require(defaultColumns.isEmpty || isCreate,
+      "defaultColumns can only be declared at table create/overwrite" +
+        " — appends inherit them from the table schema")
+    defaultColumns.foreach { case (n, sql) =>
+      require(!generatedColumns.contains(n) && !identityColumns.contains(n),
+        s"column '$n' cannot combine a default with generation/identity")
+      validateDefaultExpr(spark, n, sql)
+    }
     identityColumns.foreach { case (n, (_, step)) =>
       require(step > 0, s"identity column '$n' needs a positive step")
       require(!generatedColumns.contains(n),
@@ -166,7 +183,27 @@ object DeltaWriter {
       }
       else prior.map(p => Constraints.identityColumns(p.schema))
         .getOrElse(Nil)
-    val (dfId, idHwms, idCache) = assignIdentityValues(spark, df, idSpecs)
+    val (dfId0, idHwms, idCache) = assignIdentityValues(spark, df, idSpecs)
+    // column defaults: an append omitting a defaulted column gets the
+    // default VALUE (cast to the table's declared type) materialized
+    // into the written file — runs before generation so a generated
+    // column may reference a defaulted one. Create-time declarations
+    // require the column present in the batch (the batch defines the
+    // schema); appends inherit defaults from the table schema.
+    val dfId = {
+      val defSpecs: Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+        if (isCreate) Nil
+        else prior.map { p =>
+          Constraints.columnDefaults(p.schema).map { case (n, sql) =>
+            (n, sql, p.schema(n).dataType)
+          }
+        }.getOrElse(Nil)
+      defSpecs.filterNot(s => dfId0.columns.contains(s._1))
+        .foldLeft(dfId0) { case (d, (n, sql, dt)) =>
+          d.withColumn(n,
+            org.apache.spark.sql.functions.expr(sql).cast(dt))
+        }
+    }
     val genExprs: Seq[(String, String)] =
       if (isCreate) generatedColumns.toSeq.sortBy(_._1)
       else prior.map(p => Constraints.generatedColumns(p.schema))
@@ -225,6 +262,7 @@ object DeltaWriter {
           df0.schema.fields.filterNot(f => curNames.contains(f.name))
             .map { f =>
               val cleaned = Seq(Constraints.GenerationKey,
+                Constraints.DefaultKey, Constraints.ExistsDefaultKey,
                 Constraints.IdentityStartKey, Constraints.IdentityStepKey,
                 Constraints.IdentityHighWaterMarkKey,
                 Constraints.IdentityAllowExplicitKey,
@@ -235,18 +273,31 @@ object DeltaWriter {
               f.copy(nullable = true, metadata = cleaned)
             })
       case _ =>
-        // create/overwrite: stamp declared generation expressions into
-        // the named fields' metadata (the protocol's persistence shape)
+        // create/overwrite: stamp declared generation expressions and
+        // column defaults into the named fields' metadata (the
+        // protocol's persistence shape). EXISTS_DEFAULT is stamped
+        // here and ONLY here — at creation no pre-default files exist,
+        // so Spark-based readers that honor it can never diverge.
         generatedColumns.keys.foreach(k =>
           require(df0.schema.fieldNames.contains(k),
             s"generated column '$k' is not a schema column"))
-        StructType(df0.schema.fields.map(f =>
-          generatedColumns.get(f.name) match {
-            case Some(sql) => f.copy(metadata = new MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putString(Constraints.GenerationKey, sql).build())
-            case None => f
-          }))
+        defaultColumns.keys.foreach(k =>
+          require(df0.schema.fieldNames.contains(k),
+            s"defaulted column '$k' is not a schema column"))
+        StructType(df0.schema.fields.map { f =>
+          if (!generatedColumns.contains(f.name) &&
+              !defaultColumns.contains(f.name)) f
+          else {
+            val b = new MetadataBuilder().withMetadata(f.metadata)
+            generatedColumns.get(f.name)
+              .foreach(b.putString(Constraints.GenerationKey, _))
+            defaultColumns.get(f.name).foreach { sql =>
+              b.putString(Constraints.DefaultKey, sql)
+              b.putString(Constraints.ExistsDefaultKey, sql)
+            }
+            f.copy(metadata = b.build())
+          }
+        })
     }
     // identity metadata: declaration stamped at create; the advanced
     // high-water mark stamped on EVERY assigning write. The resulting
@@ -474,6 +525,7 @@ object DeltaWriter {
         newCfg.keys.exists(_.startsWith(Constraints.Prefix))
       val hasGenerated = Constraints.generatedColumns(mergedSchema).nonEmpty
       val hasIdentity = Constraints.identityColumns(mergedSchema).nonEmpty
+      val hasDefaults = Constraints.columnDefaults(mergedSchema).nonEmpty
       val wantIct = ictEnabled(newCfg)
       if (version == 0L || mode == "overwrite") {
         val rw = (if (needsNtz) Seq("timestampNtz") else Nil) ++
@@ -482,6 +534,7 @@ object DeltaWriter {
           (if (hasConstraints) Seq("checkConstraints") else Nil) ++
             (if (hasGenerated) Seq("generatedColumns") else Nil) ++
             (if (hasIdentity) Seq("identityColumns") else Nil) ++
+            (if (hasDefaults) Seq("allowColumnDefaults") else Nil) ++
             (if (wantIct) Seq("inCommitTimestamp") else Nil) ++
             (if (rtEnabled) Seq("rowTracking", "domainMetadata") else Nil)
         val protocol = nf.objectNode()
@@ -494,9 +547,10 @@ object DeltaWriter {
           val rfa = p.putArray("readerFeatures"); rw.foreach(rfa.add)
           val wfa = p.putArray("writerFeatures")
           (rw ++ writerOnly).foreach(wfa.add)
-        } else if (wantIct || rtEnabled) {
-          // no legacy writer version implies inCommitTimestamp or
-          // rowTracking: writer features only, reader stays legacy
+        } else if (wantIct || rtEnabled || hasDefaults) {
+          // no legacy writer version implies inCommitTimestamp,
+          // rowTracking or allowColumnDefaults: writer features only,
+          // reader stays legacy
           p.put("minReaderVersion", 1).put("minWriterVersion", 7)
           val wfa = p.putArray("writerFeatures")
           (Seq("appendOnly", "invariants") ++ writerOnly).foreach(wfa.add)
@@ -2858,6 +2912,115 @@ object DeltaWriter {
         "fromType" -> f.dataType.simpleString,
         "toType" -> to.simpleString))
     commitDml(spark, path, snap, lines.toSeq, readSet = Set.empty,
+      "ALTER COLUMN", snap.configuration, newDataGuard = Some(Nil))
+  }
+
+  /** A column default must be a constant expression: no column
+    * references, no non-deterministic functions (delta-spark's rule —
+    * a default that changed per row or per read would make "the
+    * value an omitting insert gets" unreproducible). Analysis against
+    * a zero-column projection rejects column references and typos in
+    * one pass.
+    */
+  private def validateDefaultExpr(
+      spark: org.apache.spark.sql.SparkSession, colName: String,
+      sql: String): Unit = {
+    val e =
+      try org.apache.spark.sql.functions.expr(sql)
+      catch {
+        case t: Throwable => throw new IllegalArgumentException(
+          s"default for '$colName' does not parse: $sql", t)
+      }
+    val analyzed =
+      try spark.range(1).toDF("__graft_probe").select(e)
+        .queryExecution.analyzed.expressions.head
+      catch {
+        case t: Throwable => throw new IllegalArgumentException(
+          s"default for '$colName' must be a constant expression " +
+            s"(no column references): $sql", t)
+      }
+    require(analyzed.deterministic,
+      s"default for '$colName' must be deterministic: $sql")
+  }
+
+  /** ALTER TABLE ALTER COLUMN … SET DEFAULT: stamp `CURRENT_DEFAULT`
+    * into the column's field metadata (one metadata-only commit) and
+    * mint the `allowColumnDefaults` writer feature. Only FUTURE
+    * inserts that omit the column are affected — the default value is
+    * materialized into each written file, so no reader support is
+    * needed and existing rows are untouched (EXISTS_DEFAULT is never
+    * stamped here; see [[Constraints.ExistsDefaultKey]]). Returns the
+    * committed version.
+    */
+  def setColumnDefault(spark: org.apache.spark.sql.SparkSession,
+      path: String, colName: String, sqlExpr: String): Long = {
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    val schema = snap.schema
+    require(schema.fieldNames.contains(colName),
+      s"no column '$colName' in $path (have: ${schema.fieldNames.mkString(", ")})")
+    val f = schema(colName)
+    require(!f.metadata.contains(Constraints.GenerationKey) &&
+        !f.metadata.contains(Constraints.IdentityStartKey),
+      s"column '$colName' is generated/identity — it cannot also carry " +
+        "a default")
+    validateDefaultExpr(spark, colName, sqlExpr)
+    // the default must cast to the column's declared type — reject at
+    // ALTER time, not at the first omitting append
+    try spark.range(1).select(org.apache.spark.sql.functions
+      .expr(sqlExpr).cast(f.dataType)).collect()
+    catch {
+      case t: Throwable => throw new IllegalArgumentException(
+        s"default for '$colName' does not cast to " +
+          s"${f.dataType.simpleString}: $sqlExpr", t)
+    }
+    val updated = StructType(schema.fields.map { x =>
+      if (x.name != colName) x
+      else x.copy(metadata = new MetadataBuilder().withMetadata(x.metadata)
+        .putString(Constraints.DefaultKey, sqlExpr).build())
+    })
+    val lines = mutable.ArrayBuffer.empty[String]
+    val hasFeature = snap.protocol.exists(
+      _.writerFeatures.exists(_.contains("allowColumnDefaults")))
+    if (!hasFeature)
+      lines += upgradedProtocolJson(snap.protocol, "allowColumnDefaults")
+    lines += metadataLine(path,
+      snap.metadata.get.copy(schemaString = updated.json),
+      snap.configuration)
+    lines += commitInfoLine("ALTER COLUMN",
+      params = Map("column" -> colName, "default" -> sqlExpr))
+    commitDml(spark, path, snap, lines.toSeq, readSet = Set.empty,
+      "ALTER COLUMN", snap.configuration, newDataGuard = Some(Nil))
+  }
+
+  /** ALTER TABLE ALTER COLUMN … DROP DEFAULT: remove the column's
+    * `CURRENT_DEFAULT` (idempotent; no protocol downgrade — feature
+    * lists only grow). Omitting appends go back to null-filling.
+    * Returns the committed (or current, on no-op) version.
+    */
+  def dropColumnDefault(spark: org.apache.spark.sql.SparkSession,
+      path: String, colName: String): Long = {
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    val schema = snap.schema
+    require(schema.fieldNames.contains(colName),
+      s"no column '$colName' in $path (have: ${schema.fieldNames.mkString(", ")})")
+    if (!schema(colName).metadata.contains(Constraints.DefaultKey))
+      return snap.version
+    val updated = StructType(schema.fields.map { x =>
+      if (x.name != colName) x
+      else x.copy(metadata = new MetadataBuilder().withMetadata(x.metadata)
+        .remove(Constraints.DefaultKey).build())
+    })
+    val lines = Seq(
+      metadataLine(path,
+        snap.metadata.get.copy(schemaString = updated.json),
+        snap.configuration),
+      commitInfoLine("ALTER COLUMN",
+        params = Map("column" -> colName, "dropDefault" -> "true")))
+    commitDml(spark, path, snap, lines, readSet = Set.empty,
       "ALTER COLUMN", snap.configuration, newDataGuard = Some(Nil))
   }
 
