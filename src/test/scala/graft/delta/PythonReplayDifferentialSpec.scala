@@ -414,4 +414,30 @@ class PythonReplayDifferentialSpec extends SparkSuite {
     } finally q.stop()
     assertAgrees(dst, 32)
   }
+
+  test("defaulted + optimize-written table replays through the python reader") {
+    // r9 writer artifacts: CURRENT_DEFAULT/EXISTS_DEFAULT schema
+    // metadata, the allowColumnDefaults writer feature, AQE-rebalanced
+    // file layout, and an autoCompact OPTIMIZE commit — none may
+    // confuse an independent reader (defaults are materialized into
+    // the files, so replay needs no default logic to agree)
+    val path = tmp()
+    DeltaWriter.write(
+      (1L to 20L).map(i => (i, Option(s"v$i"))).toDF("id", "s")
+        .repartition(8),
+      path,
+      defaultColumns = Map("s" -> "'dflt'"),
+      properties = Map(
+        "delta.autoOptimize.optimizeWrite" -> "true",
+        "delta.autoOptimize.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "3"))
+    (21L to 24L).foreach { i =>
+      DeltaWriter.write(Seq(Tuple1(i)).toDF("id"), path, mode = "append")
+    }
+    // the default landed and an autoCompact OPTIMIZE ran mid-history
+    assert(DeltaLake.scanDelta(spark, path)
+      .where("s = 'dflt'").count() == 4L)
+    assert(DeltaLog.forPath(spark, path).liveFiles.size <= 3)
+    assertAgrees(path, 24)
+  }
 }
