@@ -192,6 +192,21 @@ object DeltaLake {
   def dropColumn(spark: SparkSession, path: String, colName: String): Long =
     DeltaWriter.dropColumn(spark, path, colName)
 
+  /** ALTER TABLE … CLUSTER BY (liquid clustering): declare or replace
+    * the clustering columns; `Nil` = CLUSTER BY NONE. The next
+    * parameterless OPTIMIZE reclusters on the stored columns — see
+    * [[graft.delta.DeltaWriter.alterClusterBy]].
+    */
+  def alterClusterBy(spark: SparkSession, path: String,
+      cols: Seq[String]): Long =
+    DeltaWriter.alterClusterBy(spark, path, cols)
+
+  /** The table's clustering columns (logical names; empty when not
+    * clustered) — parsed from the `delta.clustering` domain.
+    */
+  def clusteringColumns(spark: SparkSession, path: String): Seq[String] =
+    DeltaWriter.clusteringColumns(DeltaLog.forPath(spark, path))
+
   /** ALTER TABLE ALTER COLUMN … SET DEFAULT, metadata-only; future
     * omitting inserts materialize the value — see
     * [[graft.delta.DeltaWriter.setColumnDefault]].

@@ -102,7 +102,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_add_constraint" -> GraftExtensions.addConstraintTableFunction,
       "graft_drop_constraint" -> GraftExtensions.dropConstraintTableFunction,
       "graft_set_default" -> GraftExtensions.setDefaultTableFunction,
-      "graft_drop_default" -> GraftExtensions.dropDefaultTableFunction
+      "graft_drop_default" -> GraftExtensions.dropDefaultTableFunction,
+      "graft_cluster_by" -> GraftExtensions.clusterByTableFunction
     ).foreach { case (name, builder) =>
       ext.injectTableFunction((new FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
@@ -628,6 +629,25 @@ object GraftExtensions {
             org.apache.spark.sql.types.LongType)))) { spark =>
         Seq(org.apache.spark.sql.Row(
           DeltaLake.dropColumnDefault(spark, path, colName)))
+      }
+    }
+
+  /** `graft_cluster_by(path, colsCsv)`: ALTER TABLE … CLUSTER BY
+    * (empty string = CLUSTER BY NONE). One row: the committed version.
+    */
+  private[graft] val clusterByTableFunction: Seq[Expression] => Plan =
+    args => {
+      require(args.size == 2,
+        "graft_cluster_by(path, colsCsv) takes 2 arguments")
+      val path = literalString(args, 0, "graft_cluster_by", "path")
+      val cols = literalString(args, 1, "graft_cluster_by", "colsCsv")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      graft.plans.GraftProcedureNode("graft_cluster_by",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType)))) { spark =>
+        Seq(org.apache.spark.sql.Row(
+          DeltaLake.alterClusterBy(spark, path, cols)))
       }
     }
 

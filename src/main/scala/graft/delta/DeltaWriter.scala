@@ -139,7 +139,18 @@ object DeltaWriter {
         * support, and explicit values always win. The expression may
         * not reference columns (delta-spark's constant rule).
         */
-      defaultColumns: Map[String, String] = Map.empty): Unit = {
+      defaultColumns: Map[String, String] = Map.empty,
+      /** Clustered table (PROTOCOL.md#clustered-table — delta-spark's
+        * liquid clustering), declared at create/overwrite: the columns
+        * land in the `delta.clustering` domain (physical names) under
+        * the `clustering` writer feature, this write lays its data out
+        * z-ordered on them, and every later parameterless OPTIMIZE
+        * RECLUSTERS on the stored columns instead of bin-packing —
+        * the layout spec travels with the table, not the job. Mutually
+        * exclusive with `partitionBy` (delta-spark's rule) and with an
+        * explicit `zOrderBy` (clusterBy IS the layout declaration).
+        */
+      clusterBy: Seq[String] = Nil): Unit = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -165,6 +176,13 @@ object DeltaWriter {
     require(defaultColumns.isEmpty || isCreate,
       "defaultColumns can only be declared at table create/overwrite" +
         " — appends inherit them from the table schema")
+    require(clusterBy.isEmpty || isCreate,
+      "clusterBy can only be declared at table create/overwrite — use " +
+        "alterClusterBy to change a live table's clustering columns")
+    require(clusterBy.isEmpty || partitionBy.isEmpty,
+      "a table is either clustered or partitioned, not both")
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy IS the layout declaration — do not pass zOrderBy too")
     defaultColumns.foreach { case (n, sql) =>
       require(!generatedColumns.contains(n) && !identityColumns.contains(n),
         s"column '$n' cannot combine a default with generation/identity")
@@ -483,9 +501,10 @@ object DeltaWriter {
     // z-ordering already prescribes its own layout and wins.
     val optimizeWrite = newCfg.get("delta.autoOptimize.optimizeWrite")
       .exists(_.trim.equalsIgnoreCase("true"))
+    val layoutCols = if (clusterBy.nonEmpty) clusterBy else zOrderBy
     val df1 =
-      if (zOrderBy.nonEmpty)
-        dfV.repartitionByRange(zFiles, zOrderColumn(dfV, zOrderBy).asc)
+      if (layoutCols.nonEmpty)
+        dfV.repartitionByRange(zFiles, zOrderColumn(dfV, layoutCols).asc)
       else if (optimizeWrite) {
         if (partitionBy.nonEmpty) dfV.hint("rebalance",
           partitionBy.map(org.apache.spark.sql.functions.col): _*)
@@ -536,7 +555,10 @@ object DeltaWriter {
             (if (hasIdentity) Seq("identityColumns") else Nil) ++
             (if (hasDefaults) Seq("allowColumnDefaults") else Nil) ++
             (if (wantIct) Seq("inCommitTimestamp") else Nil) ++
-            (if (rtEnabled) Seq("rowTracking", "domainMetadata") else Nil)
+            (if (clusterBy.nonEmpty) Seq("clustering") else Nil) ++
+            (if (rtEnabled || clusterBy.nonEmpty) Seq("domainMetadata")
+             else Nil) ++
+            (if (rtEnabled) Seq("rowTracking") else Nil)
         val protocol = nf.objectNode()
         val p = protocol.putObject("protocol")
         if (rw.nonEmpty) {
@@ -547,10 +569,11 @@ object DeltaWriter {
           val rfa = p.putArray("readerFeatures"); rw.foreach(rfa.add)
           val wfa = p.putArray("writerFeatures")
           (rw ++ writerOnly).foreach(wfa.add)
-        } else if (wantIct || rtEnabled || hasDefaults) {
+        } else if (wantIct || rtEnabled || hasDefaults ||
+            clusterBy.nonEmpty) {
           // no legacy writer version implies inCommitTimestamp,
-          // rowTracking or allowColumnDefaults: writer features only,
-          // reader stays legacy
+          // rowTracking, allowColumnDefaults or clustering: writer
+          // features only, reader stays legacy
           p.put("minReaderVersion", 1).put("minWriterVersion", 7)
           val wfa = p.putArray("writerFeatures")
           (Seq("appendOnly", "invariants") ++ writerOnly).foreach(wfa.add)
@@ -618,6 +641,15 @@ object DeltaWriter {
         (if (mode == "append") prior.flatMap(_.metadata).flatMap(_.createdTime)
         else None).getOrElse(System.currentTimeMillis()))
       lines += meta.toString
+    }
+    // clustered table: the clustering columns live in the
+    // delta.clustering domain under their PHYSICAL names (the spec's
+    // shape), so renames never orphan the declaration
+    if (isCreate && clusterBy.nonEmpty) {
+      val logToPhys = DeltaSchema.logicalToPhysical(tableSchema)
+      clusterBy.foreach(c => require(logToPhys.contains(c),
+        s"clusterBy column '$c' is not a schema column"))
+      lines += clusteringDomainLine(clusterBy.map(logToPhys))
     }
 
     if (mode == "overwrite") prior.foreach(_.liveFiles.foreach { a =>
@@ -748,6 +780,85 @@ object DeltaWriter {
       }
   }
 
+  /** `domainMetadata` action declaring the clustering columns
+    * (PROTOCOL.md#clustered-table: domain `delta.clustering`,
+    * configuration `{"clusteringColumns":[["phys"],…]}` — each inner
+    * array is a physical-name path, one element for top-level columns).
+    */
+  private def clusteringDomainLine(physCols: Seq[String]): String = {
+    val nf = JsonNodeFactory.instance
+    val o = nf.objectNode()
+    val d = o.putObject("domainMetadata")
+    d.put("domain", "delta.clustering")
+    val cfg = nf.objectNode()
+    val arr = cfg.putArray("clusteringColumns")
+    physCols.foreach(c => arr.addArray().add(c))
+    d.put("configuration", cfg.toString)
+    d.put("removed", false)
+    o.toString
+  }
+
+  /** The table's clustering columns as LOGICAL names (empty when not a
+    * clustered table): parses the `delta.clustering` domain and maps
+    * the stored physical names back through the current schema.
+    */
+  def clusteringColumns(snap: DeltaSnapshot): Seq[String] = {
+    val raw = snap.domains.get("delta.clustering")
+    raw.toSeq.flatMap { json =>
+      val node = ActionCodec.mapper.readTree(json)
+      if (node.path("removed").asBoolean(false)) Nil
+      else {
+        val cfg = ActionCodec.mapper.readTree(
+          node.path("configuration").asText("{}"))
+        val physToField = DeltaSchema.physicalToField(snap.schema)
+        import scala.jdk.CollectionConverters._
+        cfg.path("clusteringColumns").elements().asScala.toSeq
+          .flatMap(p => Option(p.get(0)).map(_.asText))
+          .map(phys => physToField.get(phys).map(_.name).getOrElse(phys))
+      }
+    }
+  }
+
+  /** ALTER TABLE … CLUSTER BY: replace the clustering columns (or
+    * declare them on an unclustered, unpartitioned table) in one
+    * metadata-only commit — existing data keeps its layout; the next
+    * OPTIMIZE reclusters on the new columns. `Nil` removes the
+    * declaration (ALTER TABLE … CLUSTER BY NONE). Returns the
+    * committed version.
+    */
+  def alterClusterBy(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String]): Long = {
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    require(snap.metadata.isDefined, s"$path is not a Delta table")
+    require(cols.isEmpty || snap.partitionColumns.isEmpty,
+      "a table is either clustered or partitioned, not both")
+    val logToPhys = DeltaSchema.logicalToPhysical(snap.schema)
+    cols.foreach(c => require(logToPhys.contains(c),
+      s"clusterBy column '$c' is not a schema column " +
+        s"(have: ${snap.schema.fieldNames.mkString(", ")})"))
+    val lines = mutable.ArrayBuffer.empty[String]
+    val hasFeature = snap.protocol.exists(p =>
+      p.writerFeatures.exists(fs => fs.contains("clustering") &&
+        fs.contains("domainMetadata")))
+    if (cols.nonEmpty && !hasFeature)
+      lines += upgradedProtocolJson(snap.protocol,
+        "clustering", "domainMetadata")
+    if (cols.isEmpty) {
+      val nf = JsonNodeFactory.instance
+      val o = nf.objectNode()
+      val d = o.putObject("domainMetadata")
+      d.put("domain", "delta.clustering")
+      d.put("configuration", "{}")
+      d.put("removed", true)
+      lines += o.toString
+    } else lines += clusteringDomainLine(cols.map(logToPhys))
+    lines += commitInfoLine("CLUSTER BY",
+      params = Map("clusterBy" -> cols.mkString(",")))
+    commitDml(spark, path, snap, lines.toSeq, readSet = Set.empty,
+      "CLUSTER BY", snap.configuration)
+  }
+
   /** Post-commit auto-compaction (`delta.autoOptimize.autoCompact`):
     * when the table has accumulated at least
     * `graft.autoCompact.minNumFiles` (default 50) live files smaller
@@ -774,7 +885,8 @@ object DeltaWriter {
       val snap = DeltaLog.forPath(spark, path)
       val small = snap.liveFiles.count(_.size < target / 2)
       if (small >= minFiles)
-        compact(spark, path, target, priorSnapshot = Some(snap))
+        compact(spark, path, target, priorSnapshot = Some(snap),
+          reclusterIfClustered = false)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] auto-compact of $path failed: $e")
@@ -3581,7 +3693,14 @@ object DeltaWriter {
         * without rewriting the whole table. DV-free files are never
         * touched, whatever their size.
         */
-      purgeOnly: Boolean = false): Int = {
+      purgeOnly: Boolean = false,
+      /** When false, a clustered table's stored clustering columns are
+        * NOT auto-picked up — plain small-file bin-packing instead of a
+        * full recluster. Set by autoCompact, whose job is debt control,
+        * not layout maintenance (a threshold-triggered whole-table
+        * rewrite after every Nth append would be pathological).
+        */
+      reclusterIfClustered: Boolean = true): Int = {
     val snap = priorSnapshot.getOrElse(DeltaLog.forPath(spark, path))
     snap.checkProtocolSupported()
     val base = path.stripSuffix("/")
@@ -3614,7 +3733,14 @@ object DeltaWriter {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
 
     val logToPhys = DeltaSchema.logicalToPhysical(schema)
-    val zCols = zOrderBy.map(c => logToPhys.getOrElse(c, c))
+    // a clustered table's parameterless OPTIMIZE RECLUSTERS on the
+    // stored columns (the whole point of the stored declaration);
+    // explicit zOrderBy overrides, and REORG PURGE never reclusters
+    // (it is a file-scoped rewrite, not a layout operation)
+    val effectiveZ =
+      if (zOrderBy.nonEmpty || purgeOnly || !reclusterIfClustered) zOrderBy
+      else clusteringColumns(snap)
+    val zCols = effectiveZ.map(c => logToPhys.getOrElse(c, c))
     zCols.foreach(c => require(physReadSchema.fieldNames.contains(c),
       s"zOrderBy column '$c' is not a data column of the table"))
 
@@ -3820,8 +3946,8 @@ object DeltaWriter {
 
     val opName = if (purgeOnly) "REORG" else "OPTIMIZE"
     lines += commitInfoLine(opName,
-      params = (if (zOrderBy.isEmpty) Map.empty[String, String]
-        else Map("zOrderBy" -> zOrderBy.mkString(","))) ++
+      params = (if (effectiveZ.isEmpty) Map.empty[String, String]
+        else Map("zOrderBy" -> effectiveZ.mkString(","))) ++
         (if (conditions.isEmpty) Map.empty[String, String]
          else Map("predicate" ->
            conditions.map(c => s"${c.column} ${c.op} ${c.value}")

@@ -531,6 +531,55 @@ object DeltaQueries {
     // reads only rewritten, DV-free files and must still equal DuckDB's
     // relational replay of the delete. The staging asserts no live DV
     // survives, so the oracle genuinely exercises the purged layout.
+    // Clustered table (liquid clustering) end-to-end under the hash
+    // oracle: clustered create -> unclustered appends -> parameterless
+    // OPTIMIZE that RECLUSTERS on the stored columns. The staging
+    // requires the layout facts (domain present, every live file
+    // rewritten, per-file o_custkey ranges pairwise disjoint), so a
+    // recluster that silently stopped clustering would fail here even
+    // though the row set alone could not see it; the oracle then pins
+    // the data: reclustering must be a pure layout change.
+    "x17_delta_clustered" -> QueryDef(
+      (s, dir) => {
+        val path = stagedOnce(s, dir, "orders_clustered_delta", "orders") { path =>
+          val orders = table(s, dir, "orders")
+          DeltaWriter.write(
+            orders.where(col("o_orderkey") % 2 === 0), path,
+            clusterBy = Seq("o_custkey"), zFiles = 4) // v0: clustered
+          DeltaWriter.write(
+            orders.where(col("o_orderkey") % 2 === 1), path,
+            mode = "append") // v1: unclustered debt
+          val nBefore = DeltaLake.deltaMeta(s, path).liveFiles.size
+          val n = DeltaWriter.compact(s, path) // v2: recluster
+          val snap = DeltaLake.deltaMeta(s, path)
+          require(DeltaWriter.clusteringColumns(snap) == Seq("o_custkey"),
+            "clustering declaration lost")
+          require(n == nBefore,
+            s"recluster must rewrite all $nBefore live files, got $n")
+          val ranges = snap.liveFiles.flatMap { a =>
+            val st = a.parsedStats
+            for {
+              mn <- st.flatMap(_.minValues.get("o_custkey"))
+              mx <- st.flatMap(_.maxValues.get("o_custkey"))
+            } yield (mn.asLong, mx.asLong)
+          }.sortBy(_._1)
+          ranges.sliding(2).foreach {
+            case Seq((_, aMax), (bMin, _)) => require(aMax <= bMin,
+              s"recluster left overlapping o_custkey ranges: $ranges")
+            case _ =>
+          }
+        }
+        DeltaLake.scanDelta(s, path,
+            ScanSettings(conditions =
+              Seq(Cond("o_custkey", ">=", 100L),
+                Cond("o_custkey", "<", 400L))))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey >= 100 AND o_custkey < 400
+        |ORDER BY o_orderkey""".stripMargin)),
+
     "x15_delta_purge" -> QueryDef(
       (s, dir) => {
         val path = stagedOnce(s, dir, "customer_purge_delta", "customer") { path =>

@@ -70,9 +70,13 @@ class GraftDeltaProvider extends DataSourceRegister
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
     val path = pathOf(parameters)
-    val partitionBy = parameters.get("partitionBy")
+    def csv(key: String): Seq[String] = parameters.get(key)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    val partitionBy = csv("partitionBy")
+    // `.option("clusterBy", "a,b")`: liquid-clustered create/overwrite
+    // through the registered format (appends inherit from the table)
+    val clusterBy = csv("clusterBy")
     val exists = {
       val p = new org.apache.hadoop.fs.Path(
         s"${path.stripSuffix("/")}/_delta_log")
@@ -81,16 +85,22 @@ class GraftDeltaProvider extends DataSourceRegister
     }
     mode match {
       case SaveMode.Overwrite =>
-        DeltaWriter.write(data, path, partitionBy, mode = "overwrite")
+        DeltaWriter.write(data, path, partitionBy, mode = "overwrite",
+          clusterBy = clusterBy)
       case SaveMode.Append =>
-        DeltaWriter.write(data, path, partitionBy, mode = "append")
+        // passed through so a clusterBy option on an append to a LIVE
+        // table rejects loudly instead of being silently dropped
+        DeltaWriter.write(data, path, partitionBy, mode = "append",
+          clusterBy = clusterBy)
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(
           s"Delta table already exists at $path (SaveMode.ErrorIfExists)")
       case SaveMode.ErrorIfExists =>
-        DeltaWriter.write(data, path, partitionBy, mode = "overwrite")
+        DeltaWriter.write(data, path, partitionBy, mode = "overwrite",
+          clusterBy = clusterBy)
       case SaveMode.Ignore =>
-        if (!exists) DeltaWriter.write(data, path, partitionBy, mode = "overwrite")
+        if (!exists) DeltaWriter.write(data, path, partitionBy,
+          mode = "overwrite", clusterBy = clusterBy)
     }
     GraftDeltaRelation(sqlContext, path, Map.empty)
   }
