@@ -58,7 +58,7 @@ object Bench {
     })
     // drop relations the staging invocations populated, so the cold
     // pass pays cache materialization like a fresh session would
-    graft.ops.OpCaches.clear()
+    graft.ops.OpCaches.deepClean(spark)
     def pass(qs: Seq[(String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
       qs.map { case (name, fn) =>
@@ -101,9 +101,12 @@ object Bench {
     // second pass is JIT-warmer than the first — cold therefore reads
     // slightly lower than the r7-era single-shot and is not comparable
     // across that boundary.
-    graft.ops.OpCaches.clear()
+    // deepClean, not clear(): localCheckpoint blocks and memory-sink
+    // tables from the staging invocations sit outside the registry and
+    // would otherwise make the later passes measure storage eviction
+    graft.ops.OpCaches.deepClean(spark)
     val cold1 = pass(operators)
-    graft.ops.OpCaches.clear()
+    graft.ops.OpCaches.deepClean(spark)
     val cold2 = pass(operators)
     val cold = cold1.zip(cold2).map { case ((n, a), (_, b)) =>
       val ts = Seq(a, b).filter(_ >= 0)

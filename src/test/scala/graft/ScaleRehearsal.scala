@@ -38,13 +38,17 @@ object ScaleRehearsal {
       val qs = allKeys.map(k => k -> graft.ops.Registry.all(k).fn)
       qs.foreach { case (_, fn) =>
         try { fn(spark, dir); () } catch { case _: Throwable => () } }
-      graft.ops.OpCaches.clear()
+      // deepClean, not clear(): localCheckpoint blocks and memory-sink
+      // tables accumulate OUTSIDE the registry over the three passes,
+      // and the last (ratio-base) pass would otherwise measure storage
+      // eviction instead of the operators
+      graft.ops.OpCaches.deepClean(spark)
       def one(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
           : Double =
         try time(fn(spark, dir).count()) catch { case _: Throwable => -1.0 }
       val cold = qs.map { case (k, fn) => k -> one(fn) }
       val warm = qs.map { case (k, fn) => k -> one(fn) }
-      graft.ops.OpCaches.clear()
+      graft.ops.OpCaches.deepClean(spark)
       cold.zip(warm).map { case ((k, c), (_, w)) => k -> (c, w) }.toMap
     }
 
