@@ -254,6 +254,7 @@ object DeltaLake {
       path,
       md.flatMap(_.createdTime).map(new java.sql.Timestamp(_)),
       md.map(_.partitionColumns).getOrElse(Nil),
+      DeltaWriter.clusteringColumns(snap),
       snap.liveFiles.size.toLong,
       snap.liveFiles.map(_.size).sum,
       md.map(_.configuration).getOrElse(Map.empty[String, String]),
@@ -262,8 +263,9 @@ object DeltaLake {
       p.flatMap(_.readerFeatures).getOrElse(Nil),
       p.flatMap(_.writerFeatures).getOrElse(Nil)))
       .toDF("format", "id", "location", "createdAt", "partitionColumns",
-        "numFiles", "sizeInBytes", "properties", "minReaderVersion",
-        "minWriterVersion", "tableFeatures_reader", "tableFeatures_writer")
+        "clusteringColumns", "numFiles", "sizeInBytes", "properties",
+        "minReaderVersion", "minWriterVersion", "tableFeatures_reader",
+        "tableFeatures_writer")
   }
 
   /** DESCRIBE HISTORY: one row per surviving commit, newest first —

@@ -131,6 +131,11 @@ class ClusteredTableSpec extends SparkSuite {
     DeltaWriter.write(df(100), src, clusterBy = Seq("k"))
     DeltaWriter.cloneTable(spark, src, dst)
     assert(DeltaLake.clusteringColumns(spark, dst) == Seq("k"))
+    // DESCRIBE DETAIL reports the clustering columns (delta-spark's
+    // shape)
+    assert(DeltaLake.detail(spark, dst)
+      .selectExpr("clusteringColumns").as[Seq[String]].collect()(0)
+      == Seq("k"))
   }
 
   test("autoCompact bin-packs a clustered table without reclustering") {
