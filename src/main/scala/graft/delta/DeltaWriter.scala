@@ -186,7 +186,9 @@ object DeltaWriter {
     defaultColumns.foreach { case (n, sql) =>
       require(!generatedColumns.contains(n) && !identityColumns.contains(n),
         s"column '$n' cannot combine a default with generation/identity")
-      validateDefaultExpr(spark, n, sql)
+      require(df.columns.contains(n),
+        s"defaulted column '$n' is not a schema column")
+      validateDefaultExpr(spark, n, sql, df.schema(n).dataType)
     }
     identityColumns.foreach { case (n, (_, step)) =>
       require(step > 0, s"identity column '$n' needs a positive step")
@@ -525,6 +527,25 @@ object DeltaWriter {
     val after = listDataFiles(fs, root)
     val newFiles = (after -- before).toSeq.sorted
 
+    // a clustered table's declaration (the delta.clustering domain)
+    // SURVIVES log replay across an overwrite, so an overwrite that
+    // does not re-declare must decide its fate explicitly: keep it
+    // when it still makes sense (unpartitioned, every stored physical
+    // column still in the new schema — the protocol then keeps the
+    // clustering feature too), tombstone it otherwise — a silently
+    // surviving stale declaration would leave the table "partitioned
+    // AND clustered" or point OPTIMIZE at columns that no longer exist
+    val priorClusterPhys: Seq[String] =
+      if (mode != "overwrite") Nil
+      else prior.map(clusteringPhysicalColumns).getOrElse(Nil)
+    val keepPriorCluster = clusterBy.isEmpty && priorClusterPhys.nonEmpty &&
+      partitionBy.isEmpty && {
+        val newPhys = tableSchema.fields.map(DeltaSchema.physicalName).toSet
+        priorClusterPhys.forall(newPhys)
+      }
+    val dropPriorCluster =
+      clusterBy.isEmpty && priorClusterPhys.nonEmpty && !keepPriorCluster
+
     val nf = JsonNodeFactory.instance
     val lines = mutable.ArrayBuffer.empty[String]
 
@@ -546,6 +567,7 @@ object DeltaWriter {
       val hasIdentity = Constraints.identityColumns(mergedSchema).nonEmpty
       val hasDefaults = Constraints.columnDefaults(mergedSchema).nonEmpty
       val wantIct = ictEnabled(newCfg)
+      val declaresCluster = clusterBy.nonEmpty || keepPriorCluster
       if (version == 0L || mode == "overwrite") {
         val rw = (if (needsNtz) Seq("timestampNtz") else Nil) ++
           (if (wantsV2Cp) Seq("v2Checkpoint") else Nil)
@@ -555,9 +577,9 @@ object DeltaWriter {
             (if (hasIdentity) Seq("identityColumns") else Nil) ++
             (if (hasDefaults) Seq("allowColumnDefaults") else Nil) ++
             (if (wantIct) Seq("inCommitTimestamp") else Nil) ++
-            (if (clusterBy.nonEmpty) Seq("clustering") else Nil) ++
-            (if (rtEnabled || clusterBy.nonEmpty) Seq("domainMetadata")
-             else Nil) ++
+            (if (declaresCluster) Seq("clustering") else Nil) ++
+            (if (rtEnabled || declaresCluster || dropPriorCluster)
+              Seq("domainMetadata") else Nil) ++
             (if (rtEnabled) Seq("rowTracking") else Nil)
         val protocol = nf.objectNode()
         val p = protocol.putObject("protocol")
@@ -570,10 +592,11 @@ object DeltaWriter {
           val wfa = p.putArray("writerFeatures")
           (rw ++ writerOnly).foreach(wfa.add)
         } else if (wantIct || rtEnabled || hasDefaults ||
-            clusterBy.nonEmpty) {
+            declaresCluster || dropPriorCluster) {
           // no legacy writer version implies inCommitTimestamp,
-          // rowTracking, allowColumnDefaults or clustering: writer
-          // features only, reader stays legacy
+          // rowTracking, allowColumnDefaults or clustering (the
+          // tombstone for a dropped declaration is a domainMetadata
+          // action too): writer features only, reader stays legacy
           p.put("minReaderVersion", 1).put("minWriterVersion", 7)
           val wfa = p.putArray("writerFeatures")
           (Seq("appendOnly", "invariants") ++ writerOnly).foreach(wfa.add)
@@ -650,6 +673,13 @@ object DeltaWriter {
       clusterBy.foreach(c => require(logToPhys.contains(c),
         s"clusterBy column '$c' is not a schema column"))
       lines += clusteringDomainLine(clusterBy.map(logToPhys))
+    } else if (dropPriorCluster) {
+      val o = nf.objectNode()
+      val d = o.putObject("domainMetadata")
+      d.put("domain", "delta.clustering")
+      d.put("configuration", "{}")
+      d.put("removed", true)
+      lines += o.toString
     }
 
     if (mode == "overwrite") prior.foreach(_.liveFiles.foreach { a =>
@@ -748,7 +778,15 @@ object DeltaWriter {
     // are not in `prior`, so incremental accounting would be wrong
     if (v == version) writeCrc(spark, path, v, prior, stampedLines)
     maybeCheckpoint(spark, path, v, newCfg)
-    maybeAutoCompact(spark, path, newCfg)
+    // live-file sizes derivable from what this call already holds (the
+    // prior snapshot's adds on append, plus the files just written) —
+    // so the below-threshold common case never replays the log
+    maybeAutoCompact(spark, path, newCfg, {
+      val carried = if (mode == "append")
+        prior.map(_.liveFiles.map(_.size)).getOrElse(Nil) else Nil
+      carried ++ newFiles.map(rel =>
+        fs.getFileStatus(new Path(root, rel)).getLen)
+    })
   }
 
   /** `delta.targetFileSize` as bytes (accepts a plain count or a
@@ -798,25 +836,30 @@ object DeltaWriter {
     o.toString
   }
 
-  /** The table's clustering columns as LOGICAL names (empty when not a
-    * clustered table): parses the `delta.clustering` domain and maps
-    * the stored physical names back through the current schema.
+  /** The table's clustering columns as stored — PHYSICAL names (empty
+    * when not a clustered table or when the declaration is tombstoned).
     */
-  def clusteringColumns(snap: DeltaSnapshot): Seq[String] = {
-    val raw = snap.domains.get("delta.clustering")
-    raw.toSeq.flatMap { json =>
+  private[delta] def clusteringPhysicalColumns(
+      snap: DeltaSnapshot): Seq[String] =
+    snap.domains.get("delta.clustering").toSeq.flatMap { json =>
       val node = ActionCodec.mapper.readTree(json)
       if (node.path("removed").asBoolean(false)) Nil
       else {
         val cfg = ActionCodec.mapper.readTree(
           node.path("configuration").asText("{}"))
-        val physToField = DeltaSchema.physicalToField(snap.schema)
         import scala.jdk.CollectionConverters._
         cfg.path("clusteringColumns").elements().asScala.toSeq
           .flatMap(p => Option(p.get(0)).map(_.asText))
-          .map(phys => physToField.get(phys).map(_.name).getOrElse(phys))
       }
     }
+
+  /** The table's clustering columns as LOGICAL names: maps the stored
+    * physical names back through the current schema.
+    */
+  def clusteringColumns(snap: DeltaSnapshot): Seq[String] = {
+    val physToField = DeltaSchema.physicalToField(snap.schema)
+    clusteringPhysicalColumns(snap)
+      .map(phys => physToField.get(phys).map(_.name).getOrElse(phys))
   }
 
   /** ALTER TABLE … CLUSTER BY: replace the clustering columns (or
@@ -865,16 +908,21 @@ object DeltaWriter {
     * than half the target file size, run one dataChange=false
     * compaction inline. Best-effort like auto-checkpointing — the
     * append is already durable, so a failed or OCC-beaten compaction
-    * only warns. Row-tracked tables skip: compact refuses there
-    * (bin-packing would renumber another engine's stable row ids).
-    * The 100 TB shape: a high-frequency appender self-heals its
-    * small-file debt without an external OPTIMIZE scheduler, and the
-    * threshold keeps the amortized cost at one rewrite per
-    * `minNumFiles` appends.
+    * only warns. Row-tracked tables skip: compact SUPPORTS them (via
+    * materialized row-id columns), but the first such compaction
+    * commits a table-property change to do it — a decision an
+    * automatic post-commit hook must not take silently; that choice
+    * belongs to an explicit OPTIMIZE. `liveSizes` comes from state the
+    * committing write already holds, so the below-threshold common
+    * case costs one in-memory count — no log replay; only a triggered
+    * compaction re-reads the log (inside compact itself). The 100 TB
+    * shape: a high-frequency appender self-heals its small-file debt
+    * without an external OPTIMIZE scheduler, and the threshold keeps
+    * the amortized cost at one rewrite per `minNumFiles` appends.
     */
   private def maybeAutoCompact(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      config: Map[String, String]): Unit = {
+      config: Map[String, String], liveSizes: => Seq[Long]): Unit = {
     if (!config.get("delta.autoOptimize.autoCompact")
         .exists(_.trim.equalsIgnoreCase("true"))) return
     if (rowTrackingEnabled(config)) return
@@ -882,11 +930,8 @@ object DeltaWriter {
       .flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(50)
     val target = targetFileSize(config).getOrElse(128L * 1024 * 1024)
     try {
-      val snap = DeltaLog.forPath(spark, path)
-      val small = snap.liveFiles.count(_.size < target / 2)
-      if (small >= minFiles)
-        compact(spark, path, target, priorSnapshot = Some(snap),
-          reclusterIfClustered = false)
+      if (liveSizes.count(_ < target / 2) >= minFiles)
+        compact(spark, path, target, reclusterIfClustered = false)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] auto-compact of $path failed: $e")
@@ -2819,6 +2864,9 @@ object DeltaWriter {
       s"cannot drop partition column '$colName'")
     require(schema.fields.length > 1,
       s"cannot drop the only column of $path")
+    require(!clusteringColumns(snap).contains(colName),
+      s"cannot drop clustering column '$colName' — run " +
+        "alterClusterBy first to re-declare (or remove) the clustering")
     requireUnreferenced(snap.configuration, schema, colName, "drop")
     val remaining = StructType(schema.fields.filterNot(_.name == colName))
     val cfg =
@@ -3032,11 +3080,14 @@ object DeltaWriter {
     * a default that changed per row or per read would make "the
     * value an omitting insert gets" unreproducible). Analysis against
     * a zero-column projection rejects column references and typos in
-    * one pass.
+    * one pass, and the cast probe rejects a value that cannot become
+    * the column's declared type AT DECLARATION — create and ALTER
+    * share this path, so neither defers the failure to the first
+    * omitting append.
     */
   private def validateDefaultExpr(
       spark: org.apache.spark.sql.SparkSession, colName: String,
-      sql: String): Unit = {
+      sql: String, declaredType: DataType): Unit = {
     val e =
       try org.apache.spark.sql.functions.expr(sql)
       catch {
@@ -3053,6 +3104,13 @@ object DeltaWriter {
       }
     require(analyzed.deterministic,
       s"default for '$colName' must be deterministic: $sql")
+    try spark.range(1).select(
+      org.apache.spark.sql.functions.expr(sql).cast(declaredType)).collect()
+    catch {
+      case t: Throwable => throw new IllegalArgumentException(
+        s"default for '$colName' does not cast to " +
+          s"${declaredType.simpleString}: $sql", t)
+    }
   }
 
   /** ALTER TABLE ALTER COLUMN … SET DEFAULT: stamp `CURRENT_DEFAULT`
@@ -3077,16 +3135,7 @@ object DeltaWriter {
         !f.metadata.contains(Constraints.IdentityStartKey),
       s"column '$colName' is generated/identity — it cannot also carry " +
         "a default")
-    validateDefaultExpr(spark, colName, sqlExpr)
-    // the default must cast to the column's declared type — reject at
-    // ALTER time, not at the first omitting append
-    try spark.range(1).select(org.apache.spark.sql.functions
-      .expr(sqlExpr).cast(f.dataType)).collect()
-    catch {
-      case t: Throwable => throw new IllegalArgumentException(
-        s"default for '$colName' does not cast to " +
-          s"${f.dataType.simpleString}: $sqlExpr", t)
-    }
+    validateDefaultExpr(spark, colName, sqlExpr, f.dataType)
     val updated = StructType(schema.fields.map { x =>
       if (x.name != colName) x
       else x.copy(metadata = new MetadataBuilder().withMetadata(x.metadata)

@@ -526,11 +526,6 @@ object DeltaQueries {
         |FROM feed GROUP BY _change_type, _commit_version
         |ORDER BY _change_type, _commit_version""".stripMargin)),
 
-    // DELETE → REORG PURGE under the oracle: soft-delete the negative
-    // balances via DVs, then physically purge — the scan afterwards
-    // reads only rewritten, DV-free files and must still equal DuckDB's
-    // relational replay of the delete. The staging asserts no live DV
-    // survives, so the oracle genuinely exercises the purged layout.
     // Clustered table (liquid clustering) end-to-end under the hash
     // oracle: clustered create -> unclustered appends -> parameterless
     // OPTIMIZE that RECLUSTERS on the stored columns. The staging
@@ -580,6 +575,11 @@ object DeltaQueries {
         |WHERE o_custkey >= 100 AND o_custkey < 400
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // DELETE → REORG PURGE under the oracle: soft-delete the negative
+    // balances via DVs, then physically purge — the scan afterwards
+    // reads only rewritten, DV-free files and must still equal DuckDB's
+    // relational replay of the delete. The staging asserts no live DV
+    // survives, so the oracle genuinely exercises the purged layout.
     "x15_delta_purge" -> QueryDef(
       (s, dir) => {
         val path = stagedOnce(s, dir, "customer_purge_delta", "customer") { path =>

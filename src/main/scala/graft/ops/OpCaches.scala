@@ -42,27 +42,6 @@ private[graft] object OpCaches {
     * harness is single-session; a multi-session serving layer should
     * key this map by (session, key).
     */
-  /** Release EVERYTHING a benchmark pass may have left in storage, not
-    * just the tracked entries: `localCheckpoint` results hold RDD
-    * blocks the DataFrame-level unpersist in [[clear]] cannot reach
-    * (they belong to the RDD and are only reclaimed after the wrapper
-    * is garbage-collected), and memory-sink tables from streaming
-    * drains live outside the registry entirely. A multi-pass session
-    * that only calls [[clear]] accumulates those until late passes
-    * measure storage eviction instead of the operators — the bench and
-    * the sf1 rehearsal call this at pass boundaries so every pass
-    * starts from the same storage state. The System.gc() nudge lets
-    * the ContextCleaner's weak references fire NOW instead of during
-    * the next timed query.
-    */
-  def deepClean(spark: SparkSession): Unit = {
-    clear()
-    spark.sharedState.cacheManager.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
-    System.gc()
-  }
-
   def cached(spark: SparkSession, key: String, version: String = "")(
       make: => DataFrame): DataFrame = synchronized {
     entries.get(key) match {
@@ -118,5 +97,26 @@ private[graft] object OpCaches {
     entries.values.foreach { case (_, df) =>
       if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
     entries.clear()
+  }
+
+  /** Release EVERYTHING a benchmark pass may have left in storage, not
+    * just the tracked entries: `localCheckpoint` results hold RDD
+    * blocks the DataFrame-level unpersist in [[clear]] cannot reach
+    * (they belong to the RDD and are only reclaimed after the wrapper
+    * is garbage-collected), and memory-sink tables from streaming
+    * drains live outside the registry entirely. A multi-pass session
+    * that only calls [[clear]] accumulates those until late passes
+    * measure storage eviction instead of the operators — the bench and
+    * the sf1 rehearsal call this at pass boundaries so every pass
+    * starts from the same storage state. The System.gc() nudge lets
+    * the ContextCleaner's weak references fire NOW instead of during
+    * the next timed query.
+    */
+  def deepClean(spark: SparkSession): Unit = {
+    clear()
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
   }
 }

@@ -160,6 +160,45 @@ class ClusteredTableSpec extends SparkSuite {
       !_.get("commitInfo").path("operationParameters").has("zOrderBy")))
   }
 
+  test("an overwrite decides the surviving declaration's fate explicitly") {
+    // plain overwrite, clustering column still present -> survives,
+    // protocol keeps the features
+    val keep = tmp()
+    DeltaWriter.write(df(100), keep, clusterBy = Seq("k"))
+    DeltaWriter.write(df(50), keep, mode = "overwrite")
+    assert(DeltaLake.clusteringColumns(spark, keep) == Seq("k"))
+    assert(DeltaLog.forPath(spark, keep).protocol.get.writerFeatures
+      .exists(fs => fs.contains("clustering")))
+    // overwrite to a PARTITIONED layout -> the stale declaration is
+    // tombstoned (a table is never both), and OPTIMIZE bin-packs
+    val part = tmp()
+    DeltaWriter.write(df(100), part, clusterBy = Seq("k"))
+    DeltaWriter.write(df(50), part, partitionBy = Seq("k"),
+      mode = "overwrite")
+    assert(DeltaLake.clusteringColumns(spark, part).isEmpty)
+    // overwrite whose new schema DROPS the clustering column ->
+    // tombstoned instead of a dangling physical name breaking OPTIMIZE
+    val gone = tmp()
+    DeltaWriter.write(df(100), gone, clusterBy = Seq("k"))
+    DeltaWriter.write(spark.range(0, 50).toDF("id"), gone,
+      mode = "overwrite")
+    assert(DeltaLake.clusteringColumns(spark, gone).isEmpty)
+    DeltaWriter.compact(spark, gone) // parameterless OPTIMIZE still works
+  }
+
+  test("dropping a clustering column rejects with the cure") {
+    val path = tmp()
+    DeltaWriter.write(df(100), path, clusterBy = Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.dropColumn(spark, path, "k")
+    }
+    assert(e.getMessage.contains("alterClusterBy"), e.getMessage)
+    // after re-declaring without it, the drop goes through
+    DeltaLake.alterClusterBy(spark, path, Seq("id"))
+    DeltaLake.dropColumn(spark, path, "k")
+    assert(!DeltaLake.scanDelta(spark, path).columns.contains("k"))
+  }
+
   test("clusterBy through the registered format option") {
     val path = tmp()
     df(300).write.format("graft-delta")

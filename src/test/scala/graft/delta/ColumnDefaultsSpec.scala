@@ -85,6 +85,13 @@ class ColumnDefaultsSpec extends SparkSuite {
         defaultColumns = Map("s" -> "id"))
     }
     assert(e4.getMessage.contains("constant"), e4.getMessage)
+    // ...including the cast probe — create and ALTER share the rule,
+    // neither defers the failure to the first omitting append
+    val e5 = intercept[IllegalArgumentException] {
+      DeltaWriter.write(Seq((1L, "x")).toDF("id", "s"), tmp(),
+        defaultColumns = Map("id" -> "'oops'"))
+    }
+    assert(e5.getMessage.contains("cast"), e5.getMessage)
   }
 
   test("a generated column may reference a defaulted column") {
