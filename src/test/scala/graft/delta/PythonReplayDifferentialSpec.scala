@@ -440,4 +440,25 @@ class PythonReplayDifferentialSpec extends SparkSuite {
     assert(DeltaLog.forPath(spark, path).liveFiles.size <= 3)
     assertAgrees(path, 24)
   }
+
+  test("clustered table with a recluster and a tombstoned declaration replays") {
+    // domainMetadata actions (declaration, recluster's dataChange=false
+    // rewrite, and the overwrite-tombstone) are opaque to a plain
+    // reader — the python replay must agree at every stage
+    val path = tmp()
+    DeltaWriter.write(
+      (1L to 40L).map(i => (i, (i * 37) % 10)).toDF("id", "k"), path,
+      clusterBy = Seq("k"), zFiles = 2)
+    DeltaWriter.write((41L to 50L).map(i => (i, i % 10)).toDF("id", "k"),
+      path, mode = "append")
+    DeltaWriter.compact(spark, path) // recluster
+    assertAgrees(path, 50)
+    assertAgrees(path, 40, version = Some(0L)) // time travel under domains
+    // partitioned overwrite tombstones the declaration
+    DeltaWriter.write((1L to 20L).map(i => (i, i % 3)).toDF("id", "k"),
+      path, partitionBy = Seq("k"), mode = "overwrite")
+    assert(DeltaWriter.clusteringColumns(
+      DeltaLog.forPath(spark, path)).isEmpty)
+    assertAgrees(path, 20)
+  }
 }
