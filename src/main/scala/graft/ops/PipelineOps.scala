@@ -372,6 +372,58 @@ object PipelineOps {
     // per-source relation — a broadcast 1-row cross join would force
     // the aggregate subplan (and the 100 TB scan under it) to run
     // twice, since ReuseExchange can't unify the two aggregates.
+    // Domain-level curation (C4/RefinedWeb-style): score each SOURCE by
+    // the mean lexical-diversity of its documents and keep only docs
+    // from sources at or above the corpus-wide mean — the filter every
+    // web-scale recipe applies one level ABOVE the per-doc gate (a spam
+    // domain's individually-plausible pages all go together). The
+    // threshold compare is exact integer math (cross-multiplied sums of
+    // per-doc diversity in milli-units), so the keep/drop decision can
+    // never diverge across engines on a float tie. Scale shape: one
+    // combiner-bound per-source aggregation over a single corpus scan,
+    // then a BROADCAST semi-join of the corpus against the tiny
+    // surviving-source list — the corpus itself is never shuffled; at
+    // 100 TB this is a scan + a map-side filter.
+    "p7_domain_filter" -> QueryDef(
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val all = Window.partitionBy()
+        val base = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(array_distinct(toks)).cast("long").as("d"),
+            size(toks).cast("long").as("t"))
+          .select(col("doc_id"), col("source"),
+            expr("(1000 * d) div t").as("dr"))
+        val good = base.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("dr").as("s_dr"))
+          .select(col("source"), col("n_docs"), col("s_dr"),
+            sum(col("n_docs")).over(all).as("nn"),
+            sum(col("s_dr")).over(all).as("ss"))
+          .where(col("s_dr") * col("nn") >= col("ss") * col("n_docs"))
+          .select("source")
+        base.join(broadcast(good), Seq("source"), "left_semi")
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, source,
+        |    (1000 * len(list_distinct(regexp_split_to_array(lower(text), '\s+'))))
+        |      // len(regexp_split_to_array(lower(text), '\s+')) AS dr
+        |  FROM documents),
+        |per_source AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(dr) AS BIGINT) AS s_dr
+        |  FROM base GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+        |    CAST(sum(s_dr) AS BIGINT) AS ss
+        |  FROM per_source),
+        |good AS (
+        |  SELECT source FROM per_source, tot
+        |  WHERE s_dr * nn >= ss * n_docs)
+        |SELECT doc_id, source FROM base
+        |WHERE source IN (SELECT source FROM good)
+        |ORDER BY doc_id""".stripMargin)),
+
     "p4_mixture_weights" -> QueryDef(
       (s, dir) => {
         val toks = TextOps.tokens(col("text"))

@@ -706,6 +706,40 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("p7 domain filter: keeps exactly the sources at/above the mean") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.all("p7_domain_filter").fn(spark, dir)
+    val keptSources = out.select("source").distinct().collect()
+      .map(_.getString(0)).toSet
+    // recompute the per-source decision independently (plain Scala over
+    // the collected per-doc diversity scores)
+    val toks = split(lower(col("text")), "\\s+")
+    val perDoc = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        (size(array_distinct(toks)).cast("long") * 1000L).as("num"),
+        size(toks).cast("long").as("den"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / r.getLong(2)))
+    val bySrc = perDoc.groupBy(_._1).map { case (s0, xs) =>
+      s0 -> (xs.length.toLong, xs.map(_._2).sum) }
+    val nn = bySrc.values.map(_._1).sum
+    val ss = bySrc.values.map(_._2).sum
+    val expected = bySrc.collect {
+      case (s0, (n, sd)) if sd * nn >= ss * n => s0 }.toSet
+    assert(keptSources == expected, s"kept $keptSources vs $expected")
+    // the scale claim: the corpus joins the tiny kept-source list via
+    // BROADCAST semi-join — a shuffled corpus here is a plan regression
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"p7 semi-join not broadcast:\n$plan")
+    // a genuine filter: some sources survive, some are dropped
+    assert(expected.nonEmpty && expected.size < bySrc.size)
+    // doc-level output covers every doc of every kept source
+    val nKept = out.count()
+    val nExpected = bySrc.collect {
+      case (s0, (n, _)) if expected(s0) => n }.sum
+    assert(nKept == nExpected, s"$nKept docs kept, expected $nExpected")
+  }
+
   test("p4 mixture weights: normalized, and flatter than proportional") {
     val rows = Registry.all("p4_mixture_weights").fn(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

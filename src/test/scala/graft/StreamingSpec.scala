@@ -238,6 +238,47 @@ class StreamingSpec extends SparkSuite {
     assert(!DeltaSink.appendBatch(dup, path, "ev-app", wm + 1))
   }
 
+  test("delta sink: auto-compact self-heals micro-batch debt, ledger intact") {
+    import graft.delta.{DeltaLog, DeltaWriter}
+    import graft.streaming.DeltaSink
+    import spark.implicits._
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_acsink").toString + "/t"
+    // table created with the auto-compact property and a low threshold —
+    // the sink's appends inherit it (write() folds the stored config)
+    DeltaWriter.write(Seq((0L, 0.0)).toDF("event_id", "value"), path,
+      properties = Map(
+        "delta.autoOptimize.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "6"))
+    // a high-frequency appender: 11 one-row micro-batches through the
+    // exactly-once ledger, each a separate commit
+    (1 to 11).foreach { b =>
+      assert(DeltaSink.appendBatch(
+        Seq((b.toLong, b.toDouble)).toDF("event_id", "value"),
+        path, "ac-app", b.toLong), s"batch $b should append")
+    }
+    // without the hook there would be 12 one-row live files; the
+    // post-commit compaction keeps the debt bounded by the threshold
+    val snap = DeltaLog.forPath(spark, path)
+    assert(snap.liveFiles.size <= 6,
+      s"small-file debt not healed: ${snap.liveFiles.size} live files")
+    val hist = DeltaLake.history(spark, path)
+      .selectExpr("operation").as[String].collect().toSeq
+    assert(hist.contains("OPTIMIZE"), hist.mkString(","))
+    // every row exactly once — compaction commits never touch data
+    val ids = DeltaLake.scanDelta(spark, path)
+      .select("event_id").as[Long].collect()
+    assert(ids.length == 12 && ids.toSet.size == 12)
+    // the ledger watermark survived the interleaved OPTIMIZE commits:
+    // a replayed batch id is a no-op, the next id appends
+    assert(DeltaLog.forPath(spark, path).txnVersions("ac-app") == 11L)
+    val extra = Seq((99L, 99.0)).toDF("event_id", "value")
+    assert(!DeltaSink.appendBatch(extra, path, "ac-app", 11L))
+    assert(DeltaLake.scanDelta(spark, path).count() == 12L)
+    assert(DeltaSink.appendBatch(extra, path, "ac-app", 12L))
+    assert(DeltaLake.scanDelta(spark, path).count() == 13L)
+  }
+
   test("delta sink: exactly-once streaming upserts (CDC apply)") {
     import graft.delta.{DeltaLog, DeltaWriter, MergeStats}
     import graft.streaming.DeltaSink
