@@ -378,35 +378,42 @@ object PipelineOps {
     // web-scale recipe applies one level ABOVE the per-doc gate (a spam
     // domain's individually-plausible pages all go together). The
     // threshold compare is exact integer math (cross-multiplied sums of
-    // per-doc diversity in milli-units), so the keep/drop decision can
-    // never diverge across engines on a float tie. Scale shape: one
-    // combiner-bound per-source aggregation over a single corpus scan,
-    // then a BROADCAST semi-join of the corpus against the tiny
-    // surviving-source list — the corpus itself is never shuffled; at
-    // 100 TB this is a scan + a map-side filter.
+    // per-doc diversity in milli-units, carried in DECIMAL(38,0) /
+    // HUGEINT — the products reach ~1000·n_docs², past BIGINT at a few
+    // billion docs), so the keep/drop decision can never diverge across
+    // engines on a float tie OR overflow at corpus scale. Scale shape:
+    // one combiner-bound per-source aggregation over a (source, dr)
+    // projection — the ONLY pass that pays the tokenization — then a
+    // second (doc_id, source)-only projection filtered by a BROADCAST
+    // semi-join against the tiny kept-source list; neither pass
+    // shuffles corpus volume (the agg exchange carries ~n_sources rows
+    // per partition). The final orderBy is driver-compare
+    // presentation, not part of the operator.
     "p7_domain_filter" -> QueryDef(
       (s, dir) => {
         val toks = TextOps.tokens(col("text"))
         val all = Window.partitionBy()
-        val base = table(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
+        val dec = "decimal(38,0)"
+        val scored = table(s, dir, "documents")
+          .select(col("source"),
             size(array_distinct(toks)).cast("long").as("d"),
             size(toks).cast("long").as("t"))
-          .select(col("doc_id"), col("source"),
-            expr("(1000 * d) div t").as("dr"))
-        val good = base.groupBy("source")
+          .select(col("source"), expr("(1000 * d) div t").as("dr"))
+        val good = scored.groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("dr").as("s_dr"))
           .select(col("source"), col("n_docs"), col("s_dr"),
             sum(col("n_docs")).over(all).as("nn"),
             sum(col("s_dr")).over(all).as("ss"))
-          .where(col("s_dr") * col("nn") >= col("ss") * col("n_docs"))
+          .where(col("s_dr").cast(dec) * col("nn").cast(dec) >=
+            col("ss").cast(dec) * col("n_docs").cast(dec))
           .select("source")
-        base.join(broadcast(good), Seq("source"), "left_semi")
+        table(s, dir, "documents").select(col("doc_id"), col("source"))
+          .join(broadcast(good), Seq("source"), "left_semi")
           .select(col("doc_id"), col("source"))
           .orderBy("doc_id")
       },
       Some("""WITH base AS (
-        |  SELECT doc_id, source,
+        |  SELECT source,
         |    (1000 * len(list_distinct(regexp_split_to_array(lower(text), '\s+'))))
         |      // len(regexp_split_to_array(lower(text), '\s+')) AS dr
         |  FROM documents),
@@ -419,8 +426,8 @@ object PipelineOps {
         |  FROM per_source),
         |good AS (
         |  SELECT source FROM per_source, tot
-        |  WHERE s_dr * nn >= ss * n_docs)
-        |SELECT doc_id, source FROM base
+        |  WHERE s_dr::HUGEINT * nn::HUGEINT >= ss::HUGEINT * n_docs::HUGEINT)
+        |SELECT doc_id, source FROM documents
         |WHERE source IN (SELECT source FROM good)
         |ORDER BY doc_id""".stripMargin)),
 

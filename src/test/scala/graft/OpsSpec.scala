@@ -721,16 +721,19 @@ class OpsSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1) / r.getLong(2)))
     val bySrc = perDoc.groupBy(_._1).map { case (s0, xs) =>
       s0 -> (xs.length.toLong, xs.map(_._2).sum) }
-    val nn = bySrc.values.map(_._1).sum
-    val ss = bySrc.values.map(_._2).sum
+    val nn = BigInt(bySrc.values.map(_._1).sum)
+    val ss = BigInt(bySrc.values.map(_._2).sum)
     val expected = bySrc.collect {
-      case (s0, (n, sd)) if sd * nn >= ss * n => s0 }.toSet
+      case (s0, (n, sd)) if BigInt(sd) * nn >= ss * BigInt(n) => s0 }.toSet
     assert(keptSources == expected, s"kept $keptSources vs $expected")
     // the scale claim: the corpus joins the tiny kept-source list via
-    // BROADCAST semi-join — a shuffled corpus here is a plan regression
+    // BROADCAST semi-join — the only corpus-sized exchange in the plan
+    // is the final presentation orderBy, never a join shuffle
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       s"p7 semi-join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"p7 semi-join degraded to a shuffle join:\n$plan")
     // a genuine filter: some sources survive, some are dropped
     assert(expected.nonEmpty && expected.size < bySrc.size)
     // doc-level output covers every doc of every kept source
