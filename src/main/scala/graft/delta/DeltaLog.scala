@@ -34,9 +34,10 @@ final class DeltaSnapshot(
   private[delta] var lastCommitInfo: Option[CommitInfo] = None
   private[delta] val txns = mutable.Map.empty[String, Long]
   // domainMetadata actions (PROTOCOL.md#domain-metadata): per-domain
-  // state external engines persist in the log (row tracking, liquid
-  // clustering, …). We never originate these, but a checkpoint WE
-  // write must re-state them — dropping a domain would corrupt the
+  // state persisted in the log (row tracking, liquid clustering, …).
+  // Replayed for foreign engines AND originated by us — write()/
+  // alterClusterBy mint `delta.clustering` domains. A checkpoint WE
+  // write must re-state every domain — dropping one would corrupt the
   // owning engine's state. Raw inner-JSON per domain, latest wins
   // (removal tombstones retained verbatim).
   private[delta] val domains = mutable.LinkedHashMap.empty[String, String]

@@ -501,6 +501,31 @@ object DeltaWriter {
     // file into every matching directory, the classic
     // tasks × partitions small-file explosion at 100 TB. Explicit
     // z-ordering already prescribes its own layout and wins.
+    // a clustered table's declaration (the delta.clustering domain)
+    // SURVIVES log replay across an overwrite, so an overwrite that
+    // does not re-declare must decide its fate explicitly: keep it
+    // when it still makes sense (unpartitioned, every stored physical
+    // column still in the new schema — the protocol then keeps the
+    // clustering feature too), tombstone it otherwise — a silently
+    // surviving stale declaration would leave the table "partitioned
+    // AND clustered" or point OPTIMIZE at columns that no longer exist
+    val priorClusterPhys: Seq[String] =
+      if (mode != "overwrite") Nil
+      else prior.map(clusteringPhysicalColumns).getOrElse(Nil)
+    val keepPriorCluster = clusterBy.isEmpty && priorClusterPhys.nonEmpty &&
+      partitionBy.isEmpty && {
+        val newPhys = tableSchema.fields.map(DeltaSchema.physicalName).toSet
+        priorClusterPhys.forall(newPhys)
+      }
+    val dropPriorCluster =
+      clusterBy.isEmpty && priorClusterPhys.nonEmpty && !keepPriorCluster
+    // delta-spark parity: ZORDER BY contradicts a clustering
+    // declaration the table keeps — the layout it writes is not the
+    // one the next parameterless OPTIMIZE would rebuild
+    require(zOrderBy.isEmpty || !keepPriorCluster,
+      "zOrderBy on an overwrite that keeps the table's clustering " +
+        "declaration is not allowed — re-declare clusterBy instead")
+
     val optimizeWrite = newCfg.get("delta.autoOptimize.optimizeWrite")
       .exists(_.trim.equalsIgnoreCase("true"))
     val layoutCols = if (clusterBy.nonEmpty) clusterBy else zOrderBy
@@ -526,25 +551,6 @@ object DeltaWriter {
 
     val after = listDataFiles(fs, root)
     val newFiles = (after -- before).toSeq.sorted
-
-    // a clustered table's declaration (the delta.clustering domain)
-    // SURVIVES log replay across an overwrite, so an overwrite that
-    // does not re-declare must decide its fate explicitly: keep it
-    // when it still makes sense (unpartitioned, every stored physical
-    // column still in the new schema — the protocol then keeps the
-    // clustering feature too), tombstone it otherwise — a silently
-    // surviving stale declaration would leave the table "partitioned
-    // AND clustered" or point OPTIMIZE at columns that no longer exist
-    val priorClusterPhys: Seq[String] =
-      if (mode != "overwrite") Nil
-      else prior.map(clusteringPhysicalColumns).getOrElse(Nil)
-    val keepPriorCluster = clusterBy.isEmpty && priorClusterPhys.nonEmpty &&
-      partitionBy.isEmpty && {
-        val newPhys = tableSchema.fields.map(DeltaSchema.physicalName).toSet
-        priorClusterPhys.forall(newPhys)
-      }
-    val dropPriorCluster =
-      clusterBy.isEmpty && priorClusterPhys.nonEmpty && !keepPriorCluster
 
     val nf = JsonNodeFactory.instance
     val lines = mutable.ArrayBuffer.empty[String]
@@ -607,7 +613,17 @@ object DeltaWriter {
             if (hasIdentity) 6
             else if (hasGenerated) 4
             else if (hasConstraints) 3 else 2)
-        lines += protocol.toString
+        // an overwrite must never DOWNGRADE the protocol — the Delta
+        // spec only removes features via the explicit drop-feature
+        // process, so a replaced table keeps every previously minted
+        // feature (clustering, allowColumnDefaults, …) even when the
+        // new data no longer exercises it
+        val recomputed = ActionCodec.parseProtocol(protocol.get("protocol"))
+        val merged = prior.flatMap(_.protocol)
+          .map(unionProtocols(recomputed, _)).getOrElse(recomputed)
+        val mergedObj = nf.objectNode()
+        mergedObj.set[JsonNode]("protocol", protocolNode(merged))
+        lines += mergedObj.toString
       } else {
         // evolution introduced an NTZ column and/or the properties newly
         // opted into v2 checkpoints: the protocol must gain the features
@@ -802,6 +818,13 @@ object DeltaWriter {
   /** Scope AQE's advisory partition size to `body` so an optimized
     * write honors `delta.targetFileSize` — the REBALANCE shuffle then
     * coalesces/splits toward that size instead of the session default.
+    * Single-writer assumption: this set/restore mutates the SHARED
+    * session conf, so a concurrent query in the same SparkSession can
+    * observe the temporary value (or have its own setting clobbered by
+    * the restore). Writers are expected to own their session for the
+    * duration of a write — the same contract delta-spark's
+    * optimized-write path has; a fully isolated alternative would
+    * clone the session per write, which breaks relation cache reuse.
     */
   private def withAdvisorySize[A](
       spark: org.apache.spark.sql.SparkSession,
@@ -887,6 +910,11 @@ object DeltaWriter {
     if (cols.nonEmpty && !hasFeature)
       lines += upgradedProtocolJson(snap.protocol,
         "clustering", "domainMetadata")
+    if (cols.isEmpty && clusteringPhysicalColumns(snap).isEmpty)
+      // CLUSTER BY NONE on a never-clustered table: committing the
+      // tombstone would write a domainMetadata action a legacy
+      // protocol never minted the feature for — no-op instead.
+      return snap.version
     if (cols.isEmpty) {
       val nf = JsonNodeFactory.instance
       val o = nf.objectNode()
@@ -3784,8 +3812,14 @@ object DeltaWriter {
     val logToPhys = DeltaSchema.logicalToPhysical(schema)
     // a clustered table's parameterless OPTIMIZE RECLUSTERS on the
     // stored columns (the whole point of the stored declaration);
-    // explicit zOrderBy overrides, and REORG PURGE never reclusters
-    // (it is a file-scoped rewrite, not a layout operation)
+    // REORG PURGE never reclusters (it is a file-scoped rewrite, not
+    // a layout operation). Explicit zOrderBy on a clustered table
+    // rejects (delta-spark parity): it would lay out files the next
+    // parameterless OPTIMIZE contradicts — change the declaration via
+    // alterClusterBy instead.
+    require(zOrderBy.isEmpty || clusteringColumns(snap).isEmpty,
+      "OPTIMIZE ZORDER BY is not allowed on a clustered table — use " +
+        "alterClusterBy to change the clustering columns, then OPTIMIZE")
     val effectiveZ =
       if (zOrderBy.nonEmpty || purgeOnly || !reclusterIfClustered) zOrderBy
       else clusteringColumns(snap)
@@ -4601,6 +4635,33 @@ object DeltaWriter {
     * implied (PROTOCOL.md feature table) — a feature-version protocol
     * must list EVERY active feature.
     */
+  /** Least upper bound of two protocols: max min-versions, feature
+    * unions, with a legacy side's implied features folded in whenever
+    * the result must take the feature form. Used on overwrite so a
+    * recomputed protocol can never drop a feature the table already
+    * minted (the spec's drop-feature process is the only legal way
+    * down).
+    */
+  private[delta] def unionProtocols(a: DeltaProtocol,
+      b: DeltaProtocol): DeltaProtocol = {
+    def implied(v: Int, table: Seq[(Int, String)]): Seq[String] =
+      table.collect { case (minV, f) if v >= minV => f }
+    val impliedReader = Seq(2 -> "columnMapping")
+    if (a.writerFeatures.isEmpty && b.writerFeatures.isEmpty)
+      return DeltaProtocol(
+        math.max(a.minReaderVersion, b.minReaderVersion),
+        math.max(a.minWriterVersion, b.minWriterVersion), None, None)
+    def wfOf(p: DeltaProtocol) = p.writerFeatures.getOrElse(
+      implied(p.minWriterVersion, ImpliedWriterFeatures))
+    val wf = (wfOf(a) ++ wfOf(b)).distinct
+    if (a.readerFeatures.isDefined || b.readerFeatures.isDefined) {
+      def rfOf(p: DeltaProtocol) = p.readerFeatures.getOrElse(
+        implied(p.minReaderVersion, impliedReader))
+      DeltaProtocol(3, 7, Some((rfOf(a) ++ rfOf(b)).distinct), Some(wf))
+    } else DeltaProtocol(
+      math.max(a.minReaderVersion, b.minReaderVersion), 7, None, Some(wf))
+  }
+
   private def upgradedProtocolJson(
       prior: Option[DeltaProtocol], features: String*): String = {
     def implied(v: Int, table: Seq[(Int, String)]): Seq[String] =

@@ -186,6 +186,59 @@ class ClusteredTableSpec extends SparkSuite {
     DeltaWriter.compact(spark, gone) // parameterless OPTIMIZE still works
   }
 
+  test("CLUSTER BY NONE on a never-clustered table is a no-op") {
+    // committing the tombstone would write a domainMetadata action a
+    // legacy protocol never minted the feature for (r9 ADVICE)
+    val path = tmp()
+    DeltaWriter.write(df(100), path) // legacy protocol, no clustering
+    val v0 = DeltaLog.forPath(spark, path).version
+    assert(DeltaLake.alterClusterBy(spark, path, Nil) == v0)
+    val snap = DeltaLog.forPath(spark, path)
+    assert(snap.version == v0, "no commit may land")
+    assert(snap.protocol.forall(_.writerFeatures.isEmpty),
+      "legacy protocol must stay legacy")
+  }
+
+  test("ZORDER BY on a clustered table rejects (delta-spark parity)") {
+    val path = tmp()
+    DeltaWriter.write(df(100), path, clusterBy = Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.compact(spark, path, zOrderBy = Seq("id"))
+    }
+    assert(e.getMessage.contains("alterClusterBy"), e.getMessage)
+    // write-time zOrderBy on an overwrite that KEEPS the declaration
+    // contradicts it the same way
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWriter.write(df(50), path, mode = "overwrite",
+        zOrderBy = Seq("id"))
+    }
+    assert(e2.getMessage.contains("clusterBy"), e2.getMessage)
+    // but is fine when the overwrite drops the declaration anyway
+    DeltaWriter.write(df(50), path, mode = "overwrite",
+      partitionBy = Seq("k"), zOrderBy = Seq("id"))
+    assert(DeltaLake.clusteringColumns(spark, path).isEmpty)
+  }
+
+  test("an overwrite never downgrades the protocol's writer features") {
+    val path = tmp()
+    DeltaWriter.write(df(100), path, clusterBy = Seq("k"))
+    // plain overwrite that tombstones the declaration (schema drops k)
+    DeltaWriter.write(spark.range(0, 50).toDF("id"), path,
+      mode = "overwrite")
+    val fs1 = DeltaLog.forPath(spark, path).protocol.get
+      .writerFeatures.getOrElse(Nil)
+    assert(fs1.contains("clustering") && fs1.contains("domainMetadata"),
+      s"drop-feature is the only legal way down, got $fs1")
+    // same for allowColumnDefaults minted by an earlier version
+    val path2 = tmp()
+    DeltaWriter.write(df(10), path2,
+      defaultColumns = Map("k" -> "7"))
+    DeltaWriter.write(df(10), path2, mode = "overwrite")
+    val fs2 = DeltaLog.forPath(spark, path2).protocol.get
+      .writerFeatures.getOrElse(Nil)
+    assert(fs2.contains("allowColumnDefaults"), fs2.toString)
+  }
+
   test("dropping a clustering column rejects with the cure") {
     val path = tmp()
     DeltaWriter.write(df(100), path, clusterBy = Seq("k"))
