@@ -166,12 +166,16 @@ object DedupOps {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("mh_a"), col("mh_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("mh_a"), col("mh_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
-          (acc, v) => acc + v).cast("double") / NumHashes)
+      .withColumn("est_jaccard", estJaccard(col("mh_a"), col("mh_b")))
       .select("doc_a", "doc_b", "est_jaccard")
   }
+
+  /** Fraction of agreeing minhash positions — the LSH Jaccard
+    * estimate, one definition for the batch and store-driven paths.
+    */
+  private def estJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / NumHashes
 
   /** Md5-flavor MinHash signatures straight from `(doc_id, text)` rows
     * — the per-document computation [[incrementalSignatures]] runs on
@@ -203,31 +207,147 @@ object DedupOps {
     */
   def incrementalSignatures(s: SparkSession, storePath: String,
       docs: DataFrame): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(storePath)
-    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    val exists =
-      fs.exists(new org.apache.hadoop.fs.Path(root, "_delta_log"))
-    if (!exists)
-      graft.delta.DeltaWriter.write(signaturesOf(docs), storePath)
-    else {
-      val known = graft.DeltaLake.scanDelta(s, storePath).select("doc_id")
-      val fresh = docs.join(known, Seq("doc_id"), "left_anti")
-      if (!fresh.isEmpty)
-        graft.delta.DeltaWriter.write(signaturesOf(fresh), storePath,
-          mode = "append")
-    }
+    appendIncrement(s, storePath, docs)
     graft.DeltaLake.scanDelta(s, storePath)
   }
 
-  /** LSH near-dup pairs computed FROM the persisted store — byte-equal
-    * to the batch d3 definition over the same corpus.
+  /** The banded projection's table path — a sibling of the signature
+    * store (registered in DeltaQueries.ArtifactSuffixes so restaging
+    * deletes both together).
+    */
+  private def bandStorePath(storePath: String): String =
+    storePath + "_bands"
+
+  private def tableExists(s: SparkSession, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    fs.exists(new org.apache.hadoop.fs.Path(root, "_delta_log"))
+  }
+
+  /** The PERSISTED banded projection `(band, sig, doc_id)` of a
+    * signature store, partitioned by band (8 directories — the probe
+    * join's shuffle key is (band, sig), and the narrow 3-column rows
+    * make the whole index a rounding error next to the corpus). Built
+    * once from the full store for stores created before the projection
+    * existed; [[appendIncrement]] keeps it in sync afterwards.
+    */
+  private def bandStore(s: SparkSession, storePath: String): DataFrame = {
+    val bp = bandStorePath(storePath)
+    if (!tableExists(s, bp))
+      graft.delta.DeltaWriter.write(
+        bandedFrom(graft.DeltaLake.scanDelta(s, storePath),
+          fastHash = false).select(col("band"), col("sig"), col("doc_id")),
+        bp, partitionBy = Seq("band"))
+    graft.DeltaLake.scanDelta(s, bp)
+  }
+
+  /** Appends an increment to the signature store AND its banded
+    * projection (one commit each, none when the increment brings
+    * nothing new); returns the new documents' id relation when
+    * anything was appended. Shingling, hashing AND banding run over
+    * the increment only.
+    */
+  private def appendIncrement(s: SparkSession, storePath: String,
+      docs: DataFrame): Option[DataFrame] = {
+    val freshIds: Option[DataFrame] =
+      if (!tableExists(s, storePath)) {
+        graft.delta.DeltaWriter.write(signaturesOf(docs), storePath)
+        Some(docs.select("doc_id"))
+      } else {
+        val known = graft.DeltaLake.scanDelta(s, storePath).select("doc_id")
+        val fresh = docs.join(known, Seq("doc_id"), "left_anti")
+        if (fresh.isEmpty) None
+        else {
+          graft.delta.DeltaWriter.write(signaturesOf(fresh), storePath,
+            mode = "append")
+          Some(fresh.select("doc_id"))
+        }
+      }
+    freshIds.foreach { ids =>
+      val bp = bandStorePath(storePath)
+      if (!tableExists(s, bp)) { bandStore(s, storePath); () }
+      else {
+        // band ONLY the increment's signatures, read back from the
+        // store so the projection can never band values the store
+        // doesn't hold
+        val sigs = graft.DeltaLake.scanDelta(s, storePath)
+          .join(ids, Seq("doc_id"), "left_semi")
+        graft.delta.DeltaWriter.write(
+          bandedFrom(sigs, fastHash = false)
+            .select(col("band"), col("sig"), col("doc_id")),
+          bp, mode = "append", partitionBy = Seq("band"))
+      }
+    }
+    freshIds
+  }
+
+  /** Retire documents from the signature store AND its banded
+    * projection — the delete/edit flow's first half (an edit is a
+    * retire + re-increment).
+    */
+  def retireSignatures(s: SparkSession, storePath: String,
+      ids: Seq[Long]): Unit = {
+    val cond = Seq(graft.delta.Cond("doc_id", "in", ids))
+    graft.DeltaLake.deleteWhere(s, storePath, cond)
+    if (tableExists(s, bandStorePath(storePath)))
+      graft.DeltaLake.deleteWhere(s, bandStorePath(storePath), cond)
+  }
+
+  /** Near-dup pairs with an endpoint in `ids`, probed from the
+    * PERSISTED banded projection: only the probe set's banded rows (8
+    * per doc) drive the collision join, so an increment's pairing cost
+    * tracks the INCREMENT, not the corpus — the production complement
+    * to [[appendIncrement]]'s incremental signature compute. Byte-equal
+    * to the batch d3 definition restricted to pairs touching `ids`
+    * (d9b pins that under the DuckDB oracle).
+    */
+  def pairsTouching(s: SparkSession, storePath: String,
+      ids: DataFrame): DataFrame = {
+    val bands = bandStore(s, storePath)
+    val probe = bands.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+    val cand = probe
+      .select(col("band"), col("sig"), col("doc_id").as("p"))
+      .join(bands.select(col("band"), col("sig"), col("doc_id").as("q")),
+        Seq("band", "sig"))
+      .where(col("p") =!= col("q"))
+      .select(least(col("p"), col("q")).as("doc_a"),
+        greatest(col("p"), col("q")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sigs = graft.DeltaLake.scanDelta(s, storePath)
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")),
+        "doc_b")
+      .withColumn("est_jaccard", estJaccard(col("mh_a"), col("mh_b")))
+      .where(col("est_jaccard") >= 0.2)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** One production dedup increment: append `docs`' new documents to
+    * the stores and return the near-dup pairs the increment introduced
+    * (empty when nothing was new). Cost tracks the increment on BOTH
+    * terms — signature compute and pairing.
+    */
+  def incrementAndPair(s: SparkSession, storePath: String,
+      docs: DataFrame): DataFrame =
+    appendIncrement(s, storePath, docs) match {
+      case Some(ids) => pairsTouching(s, storePath, ids)
+      case None =>
+        import s.implicits._
+        Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "est_jaccard")
+    }
+
+  /** LSH near-dup pairs over the FULL persisted store — byte-equal to
+    * the batch d3 definition over the same corpus. Reads the persisted
+    * banded projection (probe set = every stored doc) instead of
+    * re-deriving bands from the signatures.
     */
   def incrementalMinhashPairs(s: SparkSession,
       storePath: String): DataFrame =
-    pairsFrom(bandedFrom(graft.DeltaLake.scanDelta(s, storePath),
-      fastHash = false))
-      .where(col("est_jaccard") >= 0.2)
-      .orderBy("doc_a", "doc_b")
+    pairsTouching(s, storePath,
+      graft.DeltaLake.scanDelta(s, storePath).select("doc_id"))
 
   /** d3 body: LSH candidate pairs above the similarity floor. Shared by
     * the md5 oracle entry, the xxhash64 fast twin, and the fast-vs-md5
@@ -648,6 +768,39 @@ object DedupOps {
         |  FROM pairs)
         |SELECT doc_a, doc_b, est_jaccard FROM est
         |WHERE est_jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // INCREMENTAL PAIRING against the persisted BANDED projection
+    // (r9 verdict item 1 — the join half of the incremental story):
+    // the probe set is the increment's banded rows only, so pairing
+    // cost tracks the increment, not the corpus. The oracle is the
+    // batch d3 definition RESTRICTED to pairs touching the increment
+    // (here: the odd doc_ids the second incrementalSignatures call
+    // appended) — any divergence between the store-probe join and the
+    // one-shot definition fails the correctness gate. The append/
+    // retire mechanics of the banded store are spec'd in
+    // DedupIncrementalSpec.
+    "d9b_incremental_pairs" -> QueryDef(
+      (s, dir) => {
+        val store = DeltaQueries.stagedOnce(
+          s, dir, "minhash_sig_store", "documents") { path =>
+          val docs = table(s, dir, "documents")
+          incrementalSignatures(s, path, docs.where(col("doc_id") % 2 === 0))
+          incrementalSignatures(s, path, docs)
+          ()
+        }
+        pairsTouching(s, store,
+          table(s, dir, "documents")
+            .where(col("doc_id") % 2 === 1).select("doc_id"))
+      },
+      Some(s"""WITH $pairsSql,
+        |est AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum([CASE WHEN mh_a[i+1] = mh_b[i+1] THEN 1 ELSE 0 END
+        |      for i in range($NumHashes)]) AS DOUBLE) / $NumHashes AS est_jaccard
+        |  FROM pairs)
+        |SELECT doc_a, doc_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.2 AND (doc_a % 2 = 1 OR doc_b % 2 = 1)
+        |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Production fast-path twins (xxhash64 signatures — the public API
     // default): rows-only entries, no SQL oracle (xxhash64 isn't

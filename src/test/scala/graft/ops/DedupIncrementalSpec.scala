@@ -98,4 +98,80 @@ class DedupIncrementalSpec extends SparkSuite {
     assert(after(0).getSeq[String](0) != before, "signature not recomputed")
     assert(DeltaLake.scanDelta(spark, store).count() == 20)
   }
+
+  test("the banded projection appends in lockstep with the store") {
+    val store = tmp()
+    val docs = corpus(60)
+    DedupOps.incrementalSignatures(spark, store,
+      docs.where(col("doc_id") <= 40))
+    val bands = store + "_bands"
+    assert(DeltaLake.scanDelta(spark, bands).count() == 40L * 8,
+      "8 banded rows per stored signature")
+    assert(DeltaLake.deltaMeta(spark, bands).version == 0L)
+
+    DedupOps.incrementalSignatures(spark, docs = docs, storePath = store)
+    // ONE append commit holding only the increment's 20×8 banded rows
+    val snap = DeltaLake.deltaMeta(spark, bands)
+    assert(snap.version == 1L)
+    assert(DeltaLake.scanDelta(spark, bands).count() == 60L * 8)
+    val appended = DeltaLake.scanDelta(spark, bands)
+      .join(DeltaLake.scanDelta(spark, bands,
+        graft.delta.ScanSettings(version = Some(0L)))
+        .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    assert(appended.count() == 20L * 8)
+    // no-op increment commits to NEITHER table
+    DedupOps.incrementalSignatures(spark, store, docs)
+    assert(DeltaLake.deltaMeta(spark, bands).version == 1L)
+
+    // retire drops a document from BOTH tables
+    DedupOps.retireSignatures(spark, store, Seq(7L, 8L))
+    assert(DeltaLake.scanDelta(spark, store)
+      .where(col("doc_id").isin(7L, 8L)).count() == 0)
+    assert(DeltaLake.scanDelta(spark, bands)
+      .where(col("doc_id").isin(7L, 8L)).count() == 0)
+    assert(DeltaLake.scanDelta(spark, bands).count() == 58L * 8)
+  }
+
+  test("incrementAndPair returns exactly the pairs touching the increment") {
+    val store = tmp()
+    val docs = corpus(80)
+    DedupOps.incrementalSignatures(spark, store,
+      docs.where(col("doc_id") % 2 === 0))
+    val incPairs = DedupOps.incrementAndPair(spark, store,
+      docs) // odd half is new
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // reference: full-store pairs restricted to pairs touching an odd id
+    val all = DedupOps.incrementalMinhashPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val touching = all.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(incPairs == touching)
+    assert(incPairs.nonEmpty, "corpus produced no near-dup pairs")
+    assert(incPairs != all, "restriction must actually restrict " +
+      "(even-even pairs exist in this corpus)")
+
+    // a no-op increment pairs nothing
+    assert(DedupOps.incrementAndPair(spark, store, docs).isEmpty)
+  }
+
+  test("a pre-projection store gets its banded projection backfilled once") {
+    // simulate an r9-era store: signatures live, no _bands sibling
+    val store = tmp()
+    val docs = corpus(40)
+    DedupOps.incrementalSignatures(spark, store, docs)
+    val bands = store + "_bands"
+    val bandsRoot = new org.apache.hadoop.fs.Path(bands)
+    bandsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(bandsRoot, true)
+
+    // first pairing call rebuilds the projection from the full store…
+    val pairs = DedupOps.incrementalMinhashPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(DeltaLake.scanDelta(spark, bands).count() == 40L * 8)
+    // …and later increments append to the backfilled projection
+    DedupOps.incrementalSignatures(spark, store, corpus(45))
+    assert(DeltaLake.scanDelta(spark, bands).count() == 45L * 8)
+    assert(DeltaLake.deltaMeta(spark, bands).version == 1L)
+    assert(pairs.nonEmpty)
+  }
 }
