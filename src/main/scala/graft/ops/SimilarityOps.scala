@@ -61,11 +61,15 @@ object SimilarityOps {
     math.max(4, math.min(20, b))
   }
 
-  /** The same derivation as a DuckDB scalar subquery over the corpus. */
-  private def bitsSql(target: Long = TargetBucket): String =
+  /** The same derivation as a DuckDB scalar subquery over the corpus
+    * (`where` restricts it to the subset an index was BUILT from —
+    * signature width is fixed at build time and survives refreshes).
+    */
+  private def bitsSql(target: Long = TargetBucket,
+      where: String = ""): String =
     s"""(SELECT GREATEST(4, LEAST(20, CASE WHEN m <= 1 THEN 0
        |  ELSE length(bin(m - 1)) END))
-       | FROM (SELECT (count(*) + ${target - 1}) // $target AS m FROM embeddings))""".stripMargin
+       | FROM (SELECT (count(*) + ${target - 1}) // $target AS m FROM embeddings $where))""".stripMargin
 
   /** `bits`-bit random-hyperplane signature of vector column `v` for
     * hash table `tbl` — the fused native kernel
@@ -110,8 +114,8 @@ object SimilarityOps {
   /** The SQL twin of the signature computation: per (vector, table) rows
     * with the same BIGINT signature. Shared by the s2/s3 oracles.
     */
-  private def sigSql(tables: Int): String =
-    s"""p AS (SELECT ${bitsSql()} AS nbits),
+  private def sigSql(tables: Int, bitsWhere: String = ""): String =
+    s"""p AS (SELECT ${bitsSql(where = bitsWhere)} AS nbits),
        |signs AS (
        |  SELECT t.tbl, bb.b,
        |    [CASE WHEN substring(md5(t.tbl::VARCHAR || ':' || bb.b::VARCHAR || ':' || j::VARCHAR), 1, 1)
@@ -171,6 +175,95 @@ object SimilarityOps {
       .where(col("rank") <= TopK)
   }
 
+  // ---------------------------------------------------------------
+  // PERSISTED ANN index (r9 verdict item 2): the LSH buckets live as
+  // a graft Delta table instead of a session cache, so a query batch
+  // probes the store without rebuilding anything — the d9 pattern for
+  // the s-family. Two tables: `indexPath` holds the narrow banded
+  // rows (tbl, sig, vec_id), partitioned by tbl (the probe join's key
+  // prefix); `indexPath + "_vecs"` holds (vec_id, embedding) so
+  // scoring never re-reads the source corpus. Signature width is
+  // fixed at BUILD time (persisted in `graft.ann.bits`) — a refresh
+  // keeps it (resizing means re-signing every vector: that is a
+  // rebuild, not a refresh).
+  // ---------------------------------------------------------------
+
+  private val VecsSuffix = "_vecs"
+
+  private def tableExists(s: SparkSession, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    fs.exists(new org.apache.hadoop.fs.Path(root, "_delta_log"))
+  }
+
+  private def storedBits(s: SparkSession, indexPath: String): Int =
+    graft.delta.DeltaLog.forPath(s, indexPath)
+      .configuration("graft.ann.bits").toInt
+
+  /** Build the index from `vectors` (vec_id, embedding), or refresh it
+    * with their NEW vec_ids: signatures are computed for the increment
+    * only (at the STORED width) and appended as one commit per table —
+    * a no-op refresh commits nothing. The production corpus-append
+    * flow: refresh the index, then [[annProbeFromStore]] serves query
+    * batches without touching the corpus.
+    */
+  def buildOrRefreshAnnIndex(s: SparkSession, indexPath: String,
+      vectors: DataFrame): Unit = {
+    val vecsPath = indexPath + VecsSuffix
+    if (!tableExists(s, indexPath)) {
+      val bits = derivedBits(vectors.count())
+      graft.delta.DeltaWriter.write(
+        lshTables(vectors, "embedding", bits)
+          .select(col("tbl"), col("sig"), col("vec_id")),
+        indexPath, partitionBy = Seq("tbl"),
+        properties = Map("graft.ann.bits" -> bits.toString,
+          "graft.ann.tables" -> NumTables.toString))
+      graft.delta.DeltaWriter.write(
+        vectors.select("vec_id", "embedding"), vecsPath)
+    } else {
+      val known = graft.DeltaLake.scanDelta(s, vecsPath).select("vec_id")
+      val fresh = vectors.join(known, Seq("vec_id"), "left_anti")
+      if (!fresh.isEmpty) {
+        val bits = storedBits(s, indexPath)
+        graft.delta.DeltaWriter.write(
+          lshTables(fresh, "embedding", bits)
+            .select(col("tbl"), col("sig"), col("vec_id")),
+          indexPath, mode = "append", partitionBy = Seq("tbl"))
+        graft.delta.DeltaWriter.write(
+          fresh.select("vec_id", "embedding"), vecsPath, mode = "append")
+      }
+    }
+  }
+
+  /** Approximate top-k from the PERSISTED index: the query batch
+    * (query_id, qv) is signed at the stored width, probes the banded
+    * store per hash table, and scores candidates against the stored
+    * vectors — no index rebuild, no corpus scan. Queries that are also
+    * index members never match themselves.
+    */
+  def annProbeFromStore(s: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int = TopK): DataFrame = {
+    val bits = storedBits(s, indexPath)
+    val index = graft.DeltaLake.scanDelta(s, indexPath)
+    val vecs = graft.DeltaLake.scanDelta(s, indexPath + VecsSuffix)
+    val qsig = lshTables(
+      queries.select(col("query_id").as("vec_id"), col("qv").as("embedding")),
+      "embedding", bits)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("tbl"), col("sig"))
+    val cand = index.join(broadcast(qsig), Seq("tbl", "sig"))
+      .where(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("qv"), col("vec_id"))
+    val scored = cand.join(vecs, "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(s, col("qv"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     "s1_ann_bruteforce" -> QueryDef(
@@ -199,6 +292,53 @@ object SimilarityOps {
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank"),
       Some(s"""WITH ${sigSql(NumTables)},
+        |q AS (SELECT vec_id AS query_id, tbl, sig FROM sig
+        |  WHERE vec_id < $NumQueries),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+        |  FROM sig s JOIN q USING (tbl, sig)
+        |  WHERE s.vec_id <> q.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim
+        |  FROM cand c
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id
+        |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked
+        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
+    // Probe-from-store (s6): the persisted index is BUILT from the
+    // even half of the corpus (fixing the signature width), REFRESHED
+    // with the full corpus (incremental append — only the odd half is
+    // signed), then the standard query batch probes the store. The
+    // oracle replays the whole lifecycle in SQL: hyperplanes at the
+    // build-time width (nbits derived over the even half), candidates
+    // from the full refreshed membership — so a refresh that re-signs
+    // at the wrong width, drops an increment, or a probe that misses a
+    // bucket all hash-mismatch. Store mechanics (append commit counts,
+    // no-op refresh, width persistence) are spec'd in AnnIndexSpec.
+    "s6_ann_probe_store" -> QueryDef(
+      (s, dir) => {
+        val idx = DeltaQueries.stagedOnce(
+          s, dir, "ann_index", "embeddings") { path =>
+          val emb = corpus(s, dir)
+          buildOrRefreshAnnIndex(s, path,
+            emb.where(col("vec_id") % 2 === 0))
+          buildOrRefreshAnnIndex(s, path, emb)
+          ()
+        }
+        val queries = corpus(s, dir).where(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        annProbeFromStore(s, idx, queries)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${sigSql(NumTables, "WHERE vec_id % 2 = 0")},
         |q AS (SELECT vec_id AS query_id, tbl, sig FROM sig
         |  WHERE vec_id < $NumQueries),
         |cand AS (
