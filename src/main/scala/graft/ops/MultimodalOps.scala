@@ -97,6 +97,115 @@ object MultimodalOps {
     }(enc)
   }
 
+  // ---------------------------------------------------------------
+  // REAL codec path (r9 verdict item 3): deterministic PNGs staged as
+  // the blob column and decoded with the in-JDK javax.imageio codec —
+  // the stub twin (m2/m3) stays as the oracle-checkable flavor; m5
+  // exercises a REAL decode whose output is pinned by the generation
+  // parameters, so the oracle is exact (the generator's closed form),
+  // not a hash of stub arithmetic.
+  // ---------------------------------------------------------------
+
+  /** Deterministic image parameters for `doc_id`: every pixel channel
+    * value is a closed-form function of (doc_id, x, y, c), so the
+    * decode's pixel statistics are recomputable by any engine WITHOUT
+    * a codec — that is what lets a real PNG roundtrip sit under the
+    * DuckDB oracle. PNG is lossless; TYPE_INT_RGB keeps exactly these
+    * 3×8-bit samples.
+    */
+  private[graft] def genWidth(id: Long): Int = 16 + (id % 48).toInt
+  private[graft] def genHeight(id: Long): Int = 16 + ((id * 7) % 48).toInt
+  private[graft] def genSample(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + x * 3 + y * 7 + c * 11) % 256).toInt
+
+  /** One seeded PNG blob per document id — generated DISTRIBUTED
+    * (mapPartitions; the encoder is JDK-internal, no external codec),
+    * staged once as a graft Delta table by the m5 entry.
+    */
+  private[graft] def generatePngs(s: SparkSession, ids: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ids.select("doc_id").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = genWidth(id); val h = genHeight(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              (genSample(id, x, y, 0) << 16) |
+                (genSample(id, x, y, 1) << 8) | genSample(id, x, y, 2))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row(id, out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** REAL decode of PNG blobs with javax.imageio, in the same
+    * one-init-per-partition shape as the stub path: ONE ImageReader is
+    * created per partition and re-used for every row (the codec-init
+    * amortization a real pipeline needs — per-row `ImageIO.read` would
+    * re-run the full plugin lookup each time). Emits the decoded
+    * dimensions, band count, and the EXACT integer pixel sum (lossless
+    * roundtrip ⇒ equals the generator's closed form). `initCounter`
+    * lets the spec pin codec inits == partitions.
+    */
+  def decodePng(blobs: DataFrame,
+      initCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("px_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    blobs.select("doc_id", "blob").mapPartitions { it =>
+      // codec init: once per partition, before the row loop
+      initCounter.foreach(_.add(1L))
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        reader.setInput(iis)
+        val img = reader.read(0)
+        val raster = img.getRaster
+        val w = img.getWidth; val h = img.getHeight
+        val bands = raster.getNumBands
+        var sum = 0L
+        val px = new Array[Int](bands)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.getPixel(x, y, px)
+            var c = 0
+            while (c < bands) { sum += px(c); c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        iis.close()
+        Row(id, w, h, bands, sum)
+      }
+    }(enc)
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // Typed metadata over the opaque binary column — pure built-ins.
@@ -165,6 +274,41 @@ object MultimodalOps {
         |  avg(list_reduce(list_transform(feats, x -> x * x),
         |    (a, b) -> a + b)) AS avg_sq_norm
         |FROM d GROUP BY 1 ORDER BY mp_bucket""".stripMargin)),
+
+    // REAL codec roundtrip: seeded PNGs staged once as a Delta blob
+    // table, decoded with javax.imageio (one reader per partition).
+    // The oracle is EXACT — the generator's closed form, not a stub
+    // hash: a decode that mangled a pixel, a stage that re-encoded
+    // lossily, or a band-order mixup all change px_sum and
+    // hash-mismatch. Codec-init-per-partition is spec'd in OpsSpec.
+    "m5_decode_real_png" -> QueryDef(
+      (s, dir) => {
+        val path = DeltaQueries.stagedOnce(
+          s, dir, "png_blobs", "documents") { p =>
+          graft.delta.DeltaWriter.write(
+            generatePngs(s, table(s, dir, "documents")), p)
+          ()
+        }
+        decodePng(graft.DeltaLake.scanDelta(s, path)).orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+        |  SELECT doc_id,
+        |    16 + doc_id % 48 AS width,
+        |    16 + (doc_id * 7) % 48 AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height,
+        |    sum((d.doc_id * 31 + x.j * 3 + y.j * 7 + ch.j * 11) % 256)
+        |      AS px_sum
+        |  FROM dims d
+        |  JOIN range(64) x(j) ON x.j < d.width
+        |  JOIN range(64) y(j) ON y.j < d.height
+        |  CROSS JOIN range(3) ch(j)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(width AS INT) AS width,
+        |  CAST(height AS INT) AS height, CAST(3 AS INT) AS channels,
+        |  CAST(px_sum AS BIGINT) AS px_sum
+        |FROM px ORDER BY doc_id""".stripMargin)),
 
     // Frame sampling over a "video" payload: probe the container for
     // its frame count (stub: 8 + h % 56), then decode 4 evenly spaced

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.SimHash64
-import graft.ops.{DedupOps, Registry, SimilarityOps}
+import graft.ops.{DedupOps, MultimodalOps, Registry, SimilarityOps}
 
 /** Behavioral checks of the pipeline operators (beyond the driver's
   * oracle harness): planted duplicates must be found, sketches must be
@@ -476,6 +476,37 @@ class OpsSpec extends SparkSuite {
     val again = Registry.all("m4_frame_sample").fn(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
     assert(rows.toSeq == again.toSeq)
+  }
+
+  test("m5 real PNG roundtrip: decode matches the generator, one codec init per partition") {
+    import org.apache.spark.sql.functions.col
+    val ids = spark.range(0, 37).toDF("doc_id").repartition(5)
+    val blobs = MultimodalOps.generatePngs(spark, ids)
+    // real PNG bytes on the wire (magic header)
+    val first = blobs.orderBy("doc_id").select("blob").head.getAs[Array[Byte]](0)
+    assert(first.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+
+    val inits = spark.sparkContext.longAccumulator("codec_inits")
+    val staged = blobs.repartition(5)
+    val out = MultimodalOps.decodePng(staged, Some(inits))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(inits.value == 5L, s"codec inits ${inits.value} != partitions 5")
+
+    assert(out.length == 37)
+    out.foreach { case (id, w, h, ch, sum) =>
+      assert(w == MultimodalOps.genWidth(id))
+      assert(h == MultimodalOps.genHeight(id))
+      assert(ch == 3)
+      var exp = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        exp += MultimodalOps.genSample(id, x, y, c)
+      assert(sum == exp, s"doc $id pixel sum $sum != $exp — lossy roundtrip")
+    }
+    // decode is narrow: partition count flows through unchanged
+    assert(MultimodalOps.decodePng(staged).rdd.getNumPartitions == 5)
+    assert(ids.select(col("doc_id")).count() == 37)
   }
 
   test("dedup corpus keeps exactly the cluster representatives") {
