@@ -8,7 +8,7 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
-import graft.delta.{Cond, DeltaLog, DeltaScan, DeltaWriter, ScanSettings}
+import graft.delta.{Cond, DeltaLog, DeltaScan, DeltaSchema, DeltaWriter, ScanSettings}
 import graft.streaming.{DeltaSink, GraftDeltaSource}
 
 /** The ONE registered `graft-delta` format (ServiceLoader →
@@ -22,6 +22,20 @@ import graft.streaming.{DeltaSink, GraftDeltaSource}
   * df.writeStream.format("graft-delta")
   *   .option("checkpointLocation", c).start(path)            // stream write
   * }}}
+  *
+  * The CATALOG surface works through the same V1 relation
+  * (GraftDeltaCatalogSpec pins each form):
+  * {{{
+  * CREATE TABLE t USING `graft-delta` LOCATION path [AS SELECT ...]
+  * df.write.format("graft-delta").saveAsTable("t")   // managed table
+  * spark.table("t"); INSERT INTO t ...; INSERT OVERWRITE t ...
+  * }}}
+  * Time travel on a CATALOG NAME is rejected by Spark's analyzer (V1
+  * relations have no time-travel hook) — use the path-based read with
+  * `versionAsOf`/`timestampAsOf`. Out-of-band writes to the table path
+  * (engine API / another session) need `REFRESH TABLE t` to drop the
+  * session catalog's cached relation; in-band INSERTs invalidate it
+  * themselves.
   *
   * Batch reads are a V1 `PrunedFilteredScan`: Spark's pushed `Filter`s
   * translate to the engine's [[graft.delta.Cond]] DSL (so partition
@@ -173,7 +187,30 @@ class GraftDeltaProvider extends DataSourceRegister
 final case class GraftDeltaRelation(
     sqlContext: SQLContext,
     path: String,
-    parameters: Map[String, String]) extends BaseRelation with PrunedFilteredScan {
+    parameters: Map[String, String]) extends BaseRelation
+    with PrunedFilteredScan with InsertableRelation {
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a catalog table backed
+    * by this relation (Spark resolves columns by position and casts to
+    * [[schema]] before calling). Partition columns come from the LOG,
+    * not an option — the catalog user never re-declares layout.
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    // the log stores PHYSICAL partition names on column-mapped tables;
+    // the writer API takes logical ones
+    val physToField = DeltaSchema.physicalToField(pinnedSnap.schema)
+    val logicalPb = pinnedSnap.partitionColumns
+      .map(p => physToField.get(p).map(_.name).getOrElse(p))
+    DeltaWriter.write(data, path, partitionBy = logicalPb,
+      mode = if (overwrite) "overwrite" else "append")
+    // this relation instance pins its snapshot at creation; the
+    // session catalog caches resolved relations per table name, so
+    // without invalidation the next spark.table(...) would serve the
+    // PRE-insert snapshot from this very instance. The blanket
+    // invalidation (we don't know our catalog name here) costs one log
+    // replay per table on next access — correctness over cache warmth.
+    sqlContext.sparkSession.sessionState.catalog.invalidateAllCachedTables()
+  }
 
   private def spark: SparkSession = sqlContext.sparkSession
 
