@@ -25,7 +25,8 @@ object DeltaQueries {
     * next to its table — cleaned up together with the table on
     * re-staging (see [[stagedOnce]]).
     */
-  private val ArtifactSuffixes = Seq("_before_ids", "_bands", "_vecs")
+  private val ArtifactSuffixes =
+    Seq("_before_ids", "_bands", "_vecs", "_manifest")
 
   /** Run `setup` at most once per (sfDir, name, source-data version) —
     * ACROSS JVMs, via an on-disk `_STAGED_OK` marker holding the source
