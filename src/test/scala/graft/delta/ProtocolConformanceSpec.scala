@@ -385,8 +385,12 @@ class ProtocolConformanceSpec extends SparkSuite {
     // r9 2026-08-14: re-probed — a docker CLIENT now exists at
     // /usr/local/bin/docker but no daemon is running ("Cannot connect
     // to the Docker daemon"), python `deltalake` still absent, duckdb
-    // INSTALL delta still ERROR Connection. Still environment-blocked;
-    // the in-repo
+    // INSTALL delta still ERROR Connection;
+    // r10 2026-08-14: re-probed — unchanged from r9: docker client
+    // present but /var/run/docker.sock does not exist (no daemon),
+    // `import deltalake` ModuleNotFoundError, `pip install deltalake`
+    // hangs on the unreachable index, duckdb INSTALL delta still
+    // ERROR Connection. Still environment-blocked; the in-repo
     // compensating differential is PythonReplayDifferentialSpec +
     // tools/delta_replay.py — an independent python+DuckDB reader
     // implementation — which runs green regardless of this probe).

@@ -461,4 +461,54 @@ class PythonReplayDifferentialSpec extends SparkSuite {
       DeltaLog.forPath(spark, path)).isEmpty)
     assertAgrees(path, 20)
   }
+
+  test("post-ALTER default: pre-existing rows stay null through replay") {
+    // ALTER … SET DEFAULT stamps CURRENT_DEFAULT only (never
+    // EXISTS_DEFAULT) — exactly the distinction external readers get
+    // wrong: rows written BEFORE the alter must stay null, while an
+    // omitting append AFTER it carries the materialized default. The
+    // python reader has no default logic at all, so a writer that
+    // leaked backfill semantics into the files (or a scan that
+    // backfilled old nulls) would diverge here.
+    val path = tmp()
+    DeltaWriter.write(
+      Seq((1L, Option("a")), (2L, None), (3L, None))
+        .toDF("id", "s"), path) // v0
+    DeltaWriter.setColumnDefault(spark, path, "s", "'dflt'") // v1
+    DeltaWriter.write(Seq(Tuple1(4L)).toDF("id"), path,
+      mode = "append") // v2
+    val rows = DeltaLake.scanDelta(spark, path)
+      .select("id", "s").as[(Long, Option[String])].collect().toMap
+    assert(rows(2L).isEmpty && rows(3L).isEmpty, rows.toString)
+    assert(rows(4L).contains("dflt"), rows.toString)
+    assertAgrees(path, 4)
+    assertAgrees(path, 3, version = Some(0L)) // pre-ALTER time travel
+  }
+
+  test("auto-compacted history replays at every commit version") {
+    // dataChange=false OPTIMIZE commits interleaved with appends: the
+    // replay must agree not just at HEAD but at each version in the
+    // history — including the compaction commit itself, whose row bag
+    // must equal the version before it.
+    val path = tmp()
+    DeltaWriter.write(Seq((0L, "r0")).toDF("id", "s"), path,
+      properties = Map(
+        "delta.autoOptimize.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "3"))
+    (1 to 4).foreach { i =>
+      DeltaWriter.write(Seq((i.toLong, s"r$i")).toDF("id", "s"), path,
+        mode = "append")
+    }
+    val hist = DeltaLake.history(spark, path)
+      .selectExpr("version", "operation").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(hist.exists(_._2 == "OPTIMIZE"), hist.mkString(","))
+    var rows = 0L
+    hist.foreach { case (v, op) =>
+      // every data write in this script is exactly 1 row (the create
+      // commits as WRITE, appends as APPEND); OPTIMIZE adds none
+      if (op == "WRITE" || op == "APPEND") rows += 1
+      assertAgrees(path, rows, version = Some(v))
+    }
+  }
 }
