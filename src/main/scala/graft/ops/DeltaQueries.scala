@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.DeltaLake
@@ -482,28 +482,59 @@ object DeltaQueries {
         // every invocation, not resume a prior run's offsets
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_x16_ckpt").toString
-        val sink = "x16_stream_cdf_sink"
+        // foreachBatch incremental aggregate: every micro-batch reduces
+        // DISTRIBUTED to per-(change_type, commit) partials and only
+        // those K rows reach the driver, where they merge into a
+        // running map — the feed is never materialized driver-side, so
+        // drain memory is O(change_types × commits) no matter the
+        // change volume (the prior memory-sink shape held every CDF
+        // row on the driver before aggregating).
+        val acc = new java.util.concurrent.ConcurrentHashMap[
+          (String, Long), (Long, Long, Double)]()
         val q = s.readStream.format("graft-delta")
           .option("readChangeFeed", "true")
           .option("startingVersion", "0")
           .load(path)
-          .writeStream.format("memory").queryName(sink)
+          .writeStream
           .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.groupBy(col("_change_type"), col("_commit_version"))
+              .agg(count(lit(1)).as("n"),
+                sum("o_orderkey").cast("long").as("key_sum"),
+                sum("o_totalprice").as("price_sum"))
+              .collect().foreach { r =>
+                acc.merge((r.getString(0), r.getLong(1)),
+                  (r.getLong(2), r.getLong(3), r.getDouble(4)),
+                  (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+              }
+            ()
+          }
           .start()
         try q.processAllAvailable()
         finally {
           q.stop()
-          // the drained rows live in the memory sink; the throwaway
-          // checkpoint would otherwise accumulate per invocation
+          // the throwaway checkpoint would otherwise accumulate per
+          // invocation
           val cp = new org.apache.hadoop.fs.Path(ckpt)
           cp.getFileSystem(s.sessionState.newHadoopConf())
             .delete(cp, true)
         }
-        s.table(sink)
-          .groupBy(col("_change_type"), col("_commit_version"))
-          .agg(count(lit(1)).as("n"),
-            sum("o_orderkey").cast("long").as("key_sum"),
-            round(sum("o_totalprice"), 2).as("price_sum"))
+        import org.apache.spark.sql.types.{DoubleType, LongType,
+          StringType, StructField, StructType}
+        import scala.jdk.CollectionConverters._
+        val rows = acc.asScala.toSeq.map { case ((ct, v), (n, ks, ps)) =>
+          org.apache.spark.sql.Row(ct, v, n, ks,
+            BigDecimal(ps).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+        }
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1),
+          StructType(Seq(
+            StructField("_change_type", StringType),
+            StructField("_commit_version", LongType, nullable = false),
+            StructField("n", LongType, nullable = false),
+            StructField("key_sum", LongType, nullable = false),
+            StructField("price_sum", DoubleType, nullable = false))))
           .orderBy("_change_type", "_commit_version")
       },
       Some("""WITH feed AS (
