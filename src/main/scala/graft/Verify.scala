@@ -48,7 +48,11 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (local
+    // iteration on one operator; the driver always runs the full set)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,7 +61,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val failed = dump(spark, sfDir, outDir, SparkEntry.queries.toSeq)
+    val failed = dump(spark, sfDir, outDir,
+      SparkEntry.queries.toSeq.filter(q => only.forall(_.contains(q._1))))
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} quer" +
         s"${if (failed.size == 1) "y" else "ies"} FAILED " +

@@ -305,24 +305,34 @@ object DedupOps {
       ids: DataFrame): DataFrame = {
     val bands = bandStore(s, storePath)
     val probe = bands.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
-    val cand = probe
+    pairsOver(probe, bands, graft.DeltaLake.scanDelta(s, storePath))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The store-driven LSH pair join, shared by the synchronous
+    * ([[pairsTouching]]) and streaming ([[drainBatch]]) paths so the two
+    * can never band or estimate differently: collide `probeBands`
+    * against `allBands` on (band, sig), then estimate Jaccard from the
+    * endpoints' signatures in `allSigs`.
+    */
+  private def pairsOver(probeBands: DataFrame, allBands: DataFrame,
+      allSigs: DataFrame): DataFrame = {
+    val cand = probeBands
       .select(col("band"), col("sig"), col("doc_id").as("p"))
-      .join(bands.select(col("band"), col("sig"), col("doc_id").as("q")),
+      .join(allBands.select(col("band"), col("sig"), col("doc_id").as("q")),
         Seq("band", "sig"))
       .where(col("p") =!= col("q"))
       .select(least(col("p"), col("q")).as("doc_a"),
         greatest(col("p"), col("q")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val sigs = graft.DeltaLake.scanDelta(s, storePath)
     cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")),
+      .join(allSigs.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")),
         "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")),
+      .join(allSigs.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")),
         "doc_b")
       .withColumn("est_jaccard", estJaccard(col("mh_a"), col("mh_b")))
       .where(col("est_jaccard") >= 0.2)
       .select("doc_a", "doc_b", "est_jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** One production dedup increment: append `docs`' new documents to
@@ -348,6 +358,114 @@ object DedupOps {
       storePath: String): DataFrame =
     pairsTouching(s, storePath,
       graft.DeltaLake.scanDelta(s, storePath).select("doc_id"))
+
+  /** One streaming dedup increment, applied EXACTLY ONCE even when
+    * Structured Streaming replays the batch after a crash — the
+    * `foreachBatch` body of [[streamDedupDrain]], usable directly on any
+    * stream of `(doc_id, text)` micro-batches.
+    *
+    * The crash-consistency protocol: the increment (the batch's docs not
+    * yet in the signature store) is decided against the store, and the
+    * store commits LAST — so every replay of an interrupted batch
+    * recomputes the SAME increment. The three commits — near-dup pairs,
+    * banded projection, signatures — each carry the `(appId, batchId)`
+    * txn ledger ([[graft.streaming.DeltaSink.appendBatch]]), so a leg
+    * that already committed skips itself on replay. Whatever the crash
+    * point, replay converges to the uninterrupted outcome: no pair is
+    * ever emitted twice (the ledger) and none is lost (the increment
+    * stays recomputable until the final leg lands).
+    *
+    * Pairing probes only the increment's ~8 banded rows/doc against the
+    * stored projection ∪ the increment itself, so a pair is emitted by
+    * exactly the batch that completes it and the batch's cost tracks the
+    * INCREMENT, not the corpus. Readers between legs see the table pair
+    * as if the increment had not happened yet (single-writer pipeline
+    * assumed, as with any Delta streaming sink).
+    */
+  def drainBatch(s: SparkSession, storePath: String, pairsPath: String,
+      appId: String)(batch: DataFrame, batchId: Long): Unit =
+    drainBatchSeam(s, storePath, pairsPath, appId)(batch, batchId)
+
+  /** [[drainBatch]] with a crash-injection seam: throw after the
+    * `crashAfterLeg`-th commit (1 = pairs, 2 = bands), so specs can pin
+    * the replay convergence the docstring promises.
+    */
+  private[ops] def drainBatchSeam(s: SparkSession, storePath: String,
+      pairsPath: String, appId: String,
+      crashAfterLeg: Int = Int.MaxValue)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.streaming.DeltaSink
+    val storeExists = tableExists(s, storePath)
+    val fresh =
+      if (!storeExists) batch
+      else batch.join(
+        graft.DeltaLake.scanDelta(s, storePath).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    // materialize the increment's signatures once: three consumers
+    // (bands, pairs, the store append) and a shingling pass we must not
+    // repeat per consumer
+    val incSigs = signaturesOf(fresh).localCheckpoint()
+    if (incSigs.isEmpty) return // no-op increment: no commit anywhere
+    // an adopted pre-projection store needs its banded projection
+    // backfilled before this increment's bands are appended to it
+    if (storeExists) { bandStore(s, storePath); () }
+    val incBands = bandedFrom(incSigs, fastHash = false)
+      .select("band", "sig", "doc_id").localCheckpoint()
+    val bp = bandStorePath(storePath)
+    val allBands =
+      if (storeExists)
+        graft.DeltaLake.scanDelta(s, bp).select("band", "sig", "doc_id")
+          .unionByName(incBands)
+      else incBands
+    val allSigs =
+      if (storeExists)
+        graft.DeltaLake.scanDelta(s, storePath).select("doc_id", "mh")
+          .unionByName(incSigs)
+      else incSigs
+    val pairs = pairsOver(incBands, allBands, allSigs)
+    def crashPoint(leg: Int): Unit =
+      if (leg >= crashAfterLeg)
+        throw new IllegalStateException(s"injected crash after leg $leg")
+    // pair-less batches skip the pairs commit: the empty result is
+    // deterministic on replay, so no ledger entry is needed
+    if (!pairs.isEmpty) DeltaSink.appendBatch(pairs, pairsPath, appId, batchId)
+    crashPoint(1)
+    DeltaSink.appendBatch(incBands, bp, appId, batchId,
+      partitionBy = Seq("band"))
+    crashPoint(2)
+    DeltaSink.appendBatch(incSigs, storePath, appId, batchId)
+    ()
+  }
+
+  /** STREAMING drain of a documents Delta table through the increment
+    * machinery: every micro-batch runs one [[drainBatch]] — pairs,
+    * banded projection and signature store each advance by at most one
+    * ledgered commit per batch (none for no-op batches), exactly once
+    * under crash replay. `feed` drives the script — it receives a sync
+    * callback (processAllAvailable) to call between source appends, so
+    * each append becomes its own increment. The accumulated pairs table
+    * equals the batch d3 definition over the full corpus (the d10
+    * oracle pins that).
+    */
+  def streamDedupDrain(s: SparkSession, srcPath: String,
+      storePath: String, pairsPath: String)(
+      feed: (() => Unit) => Unit): Unit = {
+    // the ledger identity must survive restarts: derive it from the
+    // pipeline's output location, not from a session-random id
+    val appId = "graft-dedup-drain:" + pairsPath
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_streamdedup_ckpt").toString
+    val q = s.readStream.format("graft-delta").load(srcPath)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(drainBatch(s, storePath, pairsPath, appId) _)
+      .start()
+    try feed(() => q.processAllAvailable())
+    finally {
+      q.stop()
+      val cp = new org.apache.hadoop.fs.Path(ckpt)
+      cp.getFileSystem(s.sessionState.newHadoopConf()).delete(cp, true)
+    }
+  }
 
   /** d3 body: LSH candidate pairs above the similarity floor. Shared by
     * the md5 oracle entry, the xxhash64 fast twin, and the fast-vs-md5
@@ -801,6 +919,115 @@ object DedupOps {
         |SELECT doc_a, doc_b, est_jaccard FROM est
         |WHERE est_jaccard >= 0.2 AND (doc_a % 2 = 1 OR doc_b % 2 = 1)
         |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // STREAMING incremental dedup (r10): continuous ingestion drives
+    // the SAME increment machinery. A documents Delta table is drained
+    // as a stream in three scripted appends; foreachBatch appends each
+    // micro-batch to the persisted signature store + banded projection
+    // and writes the batch's `incrementAndPair` result to a Delta
+    // pairs table. Each near-dup pair is emitted EXACTLY ONCE — by the
+    // batch that completes it (the probe side is only the increment's
+    // banded rows, so a pair both of whose endpoints predate the batch
+    // can never re-join) — which is why the ACCUMULATED pairs table
+    // must equal the batch d3 definition over the full corpus: that
+    // equality is the oracle. The drain runs once at staging (the
+    // production shape: a continuously-fed pipeline materializes
+    // pairs; queries read the result), so a lost batch, a double-fed
+    // increment, or a pair emitted twice all hash-mismatch here.
+    "d10_stream_dedup" -> QueryDef(
+      (s, dir) => {
+        val pairsPath = DeltaQueries.stagedOnce(
+          s, dir, "stream_dedup_pairs", "documents") { path =>
+          val src = path + "_src"
+          val store = path + "_store"
+          val docs = table(s, dir, "documents")
+          graft.delta.DeltaWriter.write(
+            docs.where(col("doc_id") % 3 === 0), src)
+          streamDedupDrain(s, src, store, path) { sync =>
+            sync()
+            graft.delta.DeltaWriter.write(
+              docs.where(col("doc_id") % 3 === 1), src, mode = "append")
+            sync()
+            graft.delta.DeltaWriter.write(
+              docs.where(col("doc_id") % 3 === 2), src, mode = "append")
+            sync()
+          }
+        }
+        graft.DeltaLake.scanDelta(s, pairsPath)
+          .select("doc_a", "doc_b", "est_jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $pairsSql,
+        |est AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum([CASE WHEN mh_a[i+1] = mh_b[i+1] THEN 1 ELSE 0 END
+        |      for i in range($NumHashes)]) AS DOUBLE) / $NumHashes AS est_jaccard
+        |  FROM pairs)
+        |SELECT doc_a, doc_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Segment-level dedup (the CCNet/RefinedWeb "line-level" pass,
+    // segmented here as non-overlapping 16-token chunks since the
+    // synthetic corpus has no newlines): every repeated segment keeps
+    // only its FIRST occurrence — ordered by (doc_id, seg_idx) — and
+    // each document is rebuilt from its surviving segments in order.
+    // Unlike document-level dedup (d1–d8) this removes boilerplate
+    // REGIONS from otherwise-unique documents. Scale shape: the
+    // keeper-per-hash reduction is ONE corpus shuffle with map-side
+    // combine — `min(struct(doc_id, seg_idx, seg))` needs no join-back
+    // because the minimal struct CARRIES the surviving text, and the
+    // combiner absorbs hot segments (a boilerplate line duplicated 10^6
+    // times arrives at its reducer as one row per map task, so no skew
+    // sort); the rebuild is a second shuffle proportional to the
+    // DEDUPED corpus. No window over the raw corpus anywhere.
+    "d11_segment_dedup" -> QueryDef(
+      (s, dir) => {
+        val ver = docsVersion(s, dir)
+        val nSegs = floor((size(col("toks")) + 15) / 16).cast("int")
+        val segs = toksTable(s, dir, ver)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), nSegs - 1),
+              j => concat_ws(" ", slice(col("toks"), j * 16 + 1, lit(16)))))
+              .as(Seq("seg_idx", "seg")))
+        val kept = segs
+          .groupBy(md5(col("seg")).as("h"))
+          .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg"))).as("k"))
+          .select(col("k.doc_id").as("doc_id"),
+            col("k.seg_idx").as("seg_idx"), col("k.seg").as("seg"))
+        val rebuilt = kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_segs_kept"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("seg_idx"), col("seg")))),
+              x => x.getField("seg")), " ").as("clean_text"))
+        table(s, dir, "documents")
+          .select(col("doc_id"), floor((size(tokens(col("text"))) + 15) / 16)
+            .cast("long").as("n_segs_total"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_segs_total"),
+            coalesce(col("n_segs_kept"), lit(0L)).as("n_segs_kept"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents),
+        |segsarr AS (
+        |  SELECT doc_id,
+        |    [struct_pack(i := j, seg := array_to_string(tk[j*16+1 : j*16+16], ' '))
+        |     for j in range((len(tk)+15)//16)] AS sa
+        |  FROM toks),
+        |segs AS (
+        |  SELECT doc_id, u.i AS seg_idx, u.seg AS seg, md5(u.seg) AS h
+        |  FROM (SELECT doc_id, unnest(sa) AS u FROM segsarr)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) rn
+        |  FROM segs),
+        |kept AS (SELECT * FROM ranked WHERE rn = 1),
+        |tot AS (SELECT doc_id, (len(tk)+15)//16 AS n_segs_total FROM toks)
+        |SELECT t.doc_id, t.n_segs_total, count(k.doc_id)::BIGINT AS n_segs_kept,
+        |  coalesce(string_agg(k.seg, ' ' ORDER BY k.seg_idx), '') AS clean_text
+        |FROM tot t LEFT JOIN kept k USING (doc_id)
+        |GROUP BY t.doc_id, t.n_segs_total ORDER BY t.doc_id""".stripMargin)),
 
     // Production fast-path twins (xxhash64 signatures — the public API
     // default): rows-only entries, no SQL oracle (xxhash64 isn't

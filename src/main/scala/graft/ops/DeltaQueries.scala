@@ -26,7 +26,8 @@ object DeltaQueries {
     * re-staging (see [[stagedOnce]]).
     */
   private val ArtifactSuffixes =
-    Seq("_before_ids", "_bands", "_vecs", "_manifest")
+    Seq("_before_ids", "_bands", "_vecs", "_manifest",
+      "_src", "_store", "_store_bands")
 
   /** Run `setup` at most once per (sfDir, name, source-data version) —
     * ACROSS JVMs, via an on-disk `_STAGED_OK` marker holding the source

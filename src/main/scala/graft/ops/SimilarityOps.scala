@@ -264,6 +264,107 @@ object SimilarityOps {
       .where(col("rank") <= k)
   }
 
+  // ---------------------------------------------------------------
+  // IVF coarse quantizer — shared by s4 (ANN serving) and d12
+  // (SemDeDup semantic dedup). Deterministic cross-engine: md5-ordered
+  // seeding, one Lloyd step with means quantized to 6 decimals (Spark's
+  // distributed avg and the oracle's sequential avg sum doubles in
+  // different orders; an unquantized ulp could flip a near-tie
+  // assignment), assignment through the fused NearestCentroid kernel.
+  // ---------------------------------------------------------------
+
+  private[ops] val IvfK = 16
+
+  /** Fused kernel: one vector pass fans into all K dot accumulators
+    * (graft.functions.NearestCentroid) — the assignment step is the
+    * O(n·K·D) hot loop, where K composed cosine expressions would each
+    * re-walk the vector.
+    */
+  private def nearestCentroid(s: SparkSession,
+      cents: Array[Seq[Double]], v: Column): Column =
+    graft.functions.NearestCentroid.nearestCentroid(s, v, typedlit(cents.toSeq))
+
+  /** Train the quantizer and assign the corpus: returns the cached
+    * (vec_id, embedding, cl) lists and the trained centroids. Centroids
+    * live on the driver (K×Dim doubles — the classic tiny coarse
+    * quantizer); everything else is distributed. The assignment is
+    * cached per corpus version, so the second caller reuses the lists.
+    */
+  private def ivfModel(s: SparkSession, dir: String)
+      : (DataFrame, Array[Seq[Double]]) = {
+    val K = IvfK
+    val emb = OpCaches.cached(s, s"sim:emb:$dir",
+      OpCaches.tableVersion(s, dir, "embeddings"))(corpus(s, dir))
+
+    // seed centroids: hash-ordered corpus sample (deterministic,
+    // cross-engine: md5 of the decimal id, id tiebreak)
+    val seeds: Array[Seq[Double]] = emb
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id").limit(K)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+
+    // one Lloyd step: assign to seed, recompute per-cluster means
+    val assigned = emb.withColumn("cl",
+      nearestCentroid(s, seeds, col("embedding")))
+    val means = assigned
+      .select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cl", "pos").agg(round(avg("x"), 6).as("m"))
+      .groupBy("cl").agg(sort_array(collect_list(struct(col("pos"), col("m"))))
+        .as("mv"))
+      .select(col("cl"), col("mv.m").as("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .toMap
+    val centroids: Array[Seq[Double]] =
+      (0 until K).map(i => means.getOrElse(i, seeds(i))).toArray
+
+    // inverted lists: final assignment on the trained centroids
+    // (deterministic per dir: seeding and the Lloyd step are
+    // md5-ordered, so the cached plan is stable across invocations)
+    val lists = OpCaches.cached(s, s"sim:s4lists:$dir",
+        OpCaches.tableVersion(s, dir, "embeddings")) {
+      emb.withColumn("cl", nearestCentroid(s, centroids, col("embedding")))
+    }
+    (lists, centroids)
+  }
+
+  /** SQL twin of [[ivfModel]]: CTE chain `seeds → a1 → m → mc → cents →
+    * a2` where `a2` is (vec_id, cl) and `cents` is (cl, c). Assignment
+    * mirrors the kernel's dot·(1/sqrt(norm)) form exactly (not dot/sqrt
+    * — one fewer rounding difference) with lowest-cl tie-break.
+    */
+  private def ivfSql: String =
+    s"""seeds AS (
+       |  SELECT cl, c FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl,
+       |           embedding::DOUBLE[] AS c
+       |    FROM embeddings) t WHERE cl < $IvfK),
+       |a1 AS (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT e.vec_id, s.cl,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum([e.embedding[j+1]::DOUBLE * s.c[j+1] for j in range($Dim)]) *
+       |          (1.0 / sqrt(list_sum([s.c[j+1] * s.c[j+1] for j in range($Dim)]))) DESC,
+       |        s.cl) AS rn
+       |    FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
+       |m AS (
+       |  SELECT a1.cl, r.j, round(avg(e.embedding[r.j+1]::DOUBLE), 6) AS mval
+       |  FROM a1 JOIN embeddings e USING (vec_id) CROSS JOIN range($Dim) r(j)
+       |  GROUP BY a1.cl, r.j),
+       |mc AS (SELECT cl, list(mval ORDER BY j) AS c FROM m GROUP BY cl),
+       |cents AS (
+       |  SELECT s.cl, coalesce(mc.c, s.c) AS c
+       |  FROM seeds s LEFT JOIN mc ON mc.cl = s.cl),
+       |a2 AS (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT e.vec_id, s.cl,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum([e.embedding[j+1]::DOUBLE * s.c[j+1] for j in range($Dim)]) *
+       |          (1.0 / sqrt(list_sum([s.c[j+1] * s.c[j+1] for j in range($Dim)]))) DESC,
+       |        s.cl) AS rn
+       |    FROM embeddings e CROSS JOIN cents s) t WHERE rn = 1)""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     "s1_ann_bruteforce" -> QueryDef(
@@ -368,53 +469,8 @@ object SimilarityOps {
     // pick the identical seed set and replay the whole pipeline.
     "s4_ann_ivf" -> QueryDef(
       (s, dir) => {
-        val K = 16; val nprobe = 4
-        val emb = OpCaches.cached(s, s"sim:emb:$dir",
-          OpCaches.tableVersion(s, dir, "embeddings"))(corpus(s, dir))
-
-        // seed centroids: hash-ordered corpus sample (deterministic,
-        // cross-engine: md5 of the decimal id, id tiebreak)
-        val seeds: Array[Seq[Double]] = emb
-          .withColumn("h", md5(col("vec_id").cast("string")))
-          .orderBy("h", "vec_id").limit(K)
-          .select("embedding").collect()
-          .map(_.getSeq[Float](0).map(_.toDouble))
-
-        // fused kernel: one vector pass fans into all K dot accumulators
-        // (graft.functions.NearestCentroid) — the assignment step is the
-        // O(n·K·D) hot loop of IVF, where K composed cosine expressions
-        // would each re-walk the vector
-        def nearestCentroid(cents: Array[Seq[Double]], v: Column): Column =
-          graft.functions.NearestCentroid.nearestCentroid(
-            s, v, typedlit(cents.toSeq))
-
-        // one Lloyd step: assign to seed, recompute per-cluster means.
-        // Means are quantized to 6 decimals: Spark's distributed avg and
-        // the oracle's sequential avg sum doubles in different orders,
-        // and an unquantized ulp difference could flip a near-tie
-        // assignment between engines. Ties exactly on a 1e-6 rounding
-        // boundary within one ulp are negligible; ulp-level argmax ties
-        // are not.
-        val assigned = emb.withColumn("cl", nearestCentroid(seeds, col("embedding")))
-        val means = assigned
-          .select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy("cl", "pos").agg(round(avg("x"), 6).as("m"))
-          .groupBy("cl").agg(sort_array(collect_list(struct(col("pos"), col("m"))))
-            .as("mv"))
-          .select(col("cl"), col("mv.m").as("centroid"))
-          .collect()
-          .map(r => r.getInt(0) -> r.getSeq[Double](1))
-          .toMap
-        val centroids: Array[Seq[Double]] =
-          (0 until K).map(i => means.getOrElse(i, seeds(i))).toArray
-
-        // inverted lists: final assignment on the trained centroids
-        // (deterministic per dir: seeding and the Lloyd step are
-        // md5-ordered, so the cached plan is stable across invocations)
-        val lists = OpCaches.cached(s, s"sim:s4lists:$dir",
-            OpCaches.tableVersion(s, dir, "embeddings")) {
-          emb.withColumn("cl", nearestCentroid(centroids, col("embedding")))
-        }
+        val K = IvfK; val nprobe = 4
+        val (lists, centroids) = ivfModel(s, dir)
 
         // queries probe their nprobe closest lists
         val probes = lists.where(col("vec_id") < NumQueries)
@@ -440,40 +496,10 @@ object SimilarityOps {
           .select("query_id", "rank", "neighbor_id", "sim")
           .orderBy("query_id", "rank")
       },
-      // Full SQL replay of the IVF pipeline: md5-ordered seeds, one
-      // Lloyd step, nprobe probing. Assignment mirrors the kernel's
-      // dot·(1/sqrt(norm)) form exactly (not dot/sqrt — one fewer
-      // rounding difference) with lowest-cl tie-break; probe tie-break
-      // is cl DESC to match sort_array(struct desc).
-      Some(s"""WITH seeds AS (
-        |  SELECT cl, c FROM (
-        |    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl,
-        |           embedding::DOUBLE[] AS c
-        |    FROM embeddings) t WHERE cl < 16),
-        |a1 AS (
-        |  SELECT vec_id, cl FROM (
-        |    SELECT e.vec_id, s.cl,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_sum([e.embedding[j+1]::DOUBLE * s.c[j+1] for j in range($Dim)]) *
-        |          (1.0 / sqrt(list_sum([s.c[j+1] * s.c[j+1] for j in range($Dim)]))) DESC,
-        |        s.cl) AS rn
-        |    FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
-        |m AS (
-        |  SELECT a1.cl, r.j, round(avg(e.embedding[r.j+1]::DOUBLE), 6) AS mval
-        |  FROM a1 JOIN embeddings e USING (vec_id) CROSS JOIN range($Dim) r(j)
-        |  GROUP BY a1.cl, r.j),
-        |mc AS (SELECT cl, list(mval ORDER BY j) AS c FROM m GROUP BY cl),
-        |cents AS (
-        |  SELECT s.cl, coalesce(mc.c, s.c) AS c
-        |  FROM seeds s LEFT JOIN mc ON mc.cl = s.cl),
-        |a2 AS (
-        |  SELECT vec_id, cl FROM (
-        |    SELECT e.vec_id, s.cl,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_sum([e.embedding[j+1]::DOUBLE * s.c[j+1] for j in range($Dim)]) *
-        |          (1.0 / sqrt(list_sum([s.c[j+1] * s.c[j+1] for j in range($Dim)]))) DESC,
-        |        s.cl) AS rn
-        |    FROM embeddings e CROSS JOIN cents s) t WHERE rn = 1),
+      // Full SQL replay of the IVF pipeline (shared [[ivfSql]] quantizer
+      // chain + nprobe probing); probe tie-break is cl DESC to match
+      // sort_array(struct desc).
+      Some(s"""WITH $ivfSql,
         |probe AS (
         |  SELECT query_id, cl FROM (
         |    SELECT q.vec_id AS query_id, c.cl,
@@ -496,6 +522,48 @@ object SimilarityOps {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked
         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster the
+    // embedding corpus with the IVF coarse quantizer, then within each
+    // cluster drop every vector that has a LOWER-id clustermate above
+    // the cosine threshold — semantically-redundant documents that
+    // lexical dedup (d1–d11) can't see, pruned without any corpus-wide
+    // pair join. The within-cluster pair comparison IS the published
+    // algorithm: its cost is Σ|cluster|², bounded in production by
+    // scaling K with the corpus (cluster size stays ~constant, the
+    // pair join shuffles on the cluster key and parallelizes across
+    // clusters). K=16 at harness scale; the keep rule (lowest id
+    // survives) replaces the paper's random representative so both
+    // engines agree deterministically.
+    "d12_sem_dedup" -> QueryDef(
+      (s, dir) => {
+        val tau = 0.35
+        val (lists, _) = ivfModel(s, dir)
+        val slim = lists.select(col("cl"), col("vec_id"), col("embedding"))
+        val dropped = slim
+          .join(slim.select(col("cl"), col("vec_id").as("prior_id"),
+            col("embedding").as("prior_emb")), "cl")
+          .where(col("prior_id") < col("vec_id"))
+          .where(cosine(s, col("embedding"), col("prior_emb")) >= tau)
+          .select(col("vec_id")).distinct()
+          .withColumn("is_dropped", lit(true))
+        lists.join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cl"),
+            coalesce(!col("is_dropped"), lit(true)).as("kept"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $ivfSql,
+        |pairs AS (
+        |  SELECT b.vec_id
+        |  FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+        |    eb.embedding::DOUBLE[]) >= 0.35),
+        |dropped AS (SELECT DISTINCT vec_id FROM pairs)
+        |SELECT a2.vec_id, a2.cl,
+        |  a2.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+        |FROM a2 ORDER BY a2.vec_id""".stripMargin)),
 
     // Embedding-cosine near-duplicate pairs within LSH buckets (one
     // table; width derived from corpus size). Oracle-checked.

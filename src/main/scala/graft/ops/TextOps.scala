@@ -539,5 +539,63 @@ object TextOps {
         |  FROM toks t JOIN tf USING (tok))
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(avg(nlp), 6) AS avg_neg_logp
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Model-based quality filter (the GPT-3/LLaMA-recipe classifier
+    // stage): a fastText-shaped linear model over hashed unigram +
+    // bigram features scores each document, docs below the decision
+    // boundary are dropped. The "trained" weight vector is a hash
+    // projection — w(feature) = md5-derived integer in [-1000, 1000]
+    // milli-units — which keeps the op deterministic and cross-engine
+    // while exercising the EXACT production shape: per-row feature
+    // extraction + dot-product against a weight table that never
+    // materializes (hashing IS the lookup, the classic hashing-trick
+    // deployment of fastText-style filters). Scoring is a pure per-row
+    // map over codegen built-ins — zero shuffles, zero UDFs; at 100 TB
+    // it scales with input splits and nothing else. The decision
+    // (w_sum >= 0) and the score sum are EXACT integer math — no
+    // engine's float summation order can flip a borderline doc — and
+    // the reported mean is one deterministic IEEE division at the end.
+    "t15_classifier_filter" -> QueryDef(
+      (s, dir) => {
+        // weight lookup: first 6 md5 hex digits → [0, 2000] → centered
+        // milli-units. conv() and DuckDB's 0x-cast read the same hex.
+        def w(f: Column): Column =
+          conv(substring(md5(f), 1, 6), 16, 10).cast("long") % 2001L - 1000L
+        // toks materialized first: lambdas re-evaluate captured
+        // expressions per element (no CSE in higher-order functions)
+        table(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .select(col("doc_id"), concat(col("tk"),
+            when(size(col("tk")) >= 2,
+              transform(sequence(lit(0), size(col("tk")) - 2),
+                j => concat_ws(" ", slice(col("tk"), j + 1, lit(2)))))
+              .otherwise(array().cast("array<string>"))).as("feats"))
+          .select(col("doc_id"), size(col("feats")).as("n_feats"),
+            aggregate(col("feats"), lit(0L), (acc, f) => acc + w(f))
+              .as("w_sum_milli"))
+          .select(col("doc_id"), col("n_feats"), col("w_sum_milli"),
+            (col("w_sum_milli") >= 0L).as("kept"),
+            round(col("w_sum_milli").cast("double") /
+              (col("n_feats") * 1000.0), 6).as("mean_w"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, tk || CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[j+1:j+2], ' ') for j in range(len(tk) - 1)]
+        |    ELSE []::VARCHAR[] END AS feats
+        |  FROM toks),
+        |scored AS (
+        |  SELECT doc_id, len(feats) AS n_feats,
+        |    list_sum(list_transform(feats, f ->
+        |      ('0x' || substr(md5(f), 1, 6))::BIGINT % 2001 - 1000))::BIGINT
+        |      AS w_sum_milli
+        |  FROM feats)
+        |SELECT doc_id, CAST(n_feats AS INTEGER) AS n_feats, w_sum_milli,
+        |  w_sum_milli >= 0 AS kept,
+        |  round(w_sum_milli::DOUBLE / (n_feats * 1000.0), 6) AS mean_w
+        |FROM scored ORDER BY doc_id""".stripMargin)))
 }

@@ -792,4 +792,94 @@ class OpsSpec extends SparkSuite {
       assert(math.abs(wRatio - math.sqrt(tRatio)) / math.sqrt(tRatio) < 0.01)
     }
   }
+
+  test("t15 classifier: weights match a driver-side model, decision exact") {
+    val rows = Registry.all("t15_classifier_filter").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // independent reimplementation of the hashed linear model for a
+    // sample of docs: same tokenization, same md5-hex-prefix weights
+    def w(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(f.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val byId = rows.map(r => r._1 -> r).toMap
+    for (id <- docs.keys.toSeq.sorted.take(25)) {
+      val toks = docs(id).toLowerCase.split("\\s+").toSeq
+      val feats = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val (_, nFeats, wSum, kept) = byId(id)
+      assert(nFeats == feats.size, s"doc $id n_feats")
+      assert(wSum == feats.map(w).sum, s"doc $id w_sum")
+      assert(kept == (wSum >= 0L))
+    }
+    // the filter is a genuine split at this corpus
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
+  test("t15 scoring is per-row only: no exchange in the plan") {
+    val plan = Registry.all("t15_classifier_filter").fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the trailing presentation orderBy is the only allowed exchange
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"t15 shuffled more than the final sort:\n$plan")
+  }
+
+  test("d11 segment dedup: kept segments are globally unique and rebuild docs") {
+    val out = Registry.all("d11_segment_dedup").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.length == docs.size)
+    // driver-side reference: first occurrence per segment across the
+    // corpus in (doc_id, seg_idx) order
+    def segsOf(text: String): Seq[String] =
+      text.toLowerCase.split("\\s+").toSeq.grouped(16).map(_.mkString(" ")).toSeq
+    val seen = collection.mutable.Set[String]()
+    val expect = docs.keys.toSeq.sorted.map { id =>
+      val kept = segsOf(docs(id)).filter(sg => seen.add(sg))
+      id -> kept
+    }.toMap
+    for ((id, total, nKept, clean) <- out) {
+      val segs = segsOf(docs(id))
+      assert(total == segs.size, s"doc $id total")
+      assert(nKept == expect(id).size, s"doc $id kept")
+      assert(clean == expect(id).mkString(" "), s"doc $id text")
+    }
+    // something was actually deduplicated, but not everything
+    assert(out.exists(r => r._3 < r._2))
+    assert(out.forall(_._3 >= 0) && out.exists(_._3 > 0))
+  }
+
+  test("d12 semantic dedup: drop decisions match a driver-side replay") {
+    val out = Registry.all("d12_sem_dedup").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toMap
+    val cl = out.map(r => r._1 -> r._2).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // a vector is dropped iff SOME lower-id clustermate is >= tau close
+    // (driver replay at a tolerance window: the exact boundary is the
+    // oracle's job, the RULE is this spec's)
+    var drops = 0
+    for ((id, c, kept) <- out) {
+      val conflict = out.exists { case (pid, pc, _) =>
+        pid < id && pc == c && cos(emb(pid), emb(id)) >= 0.35 }
+      assert(kept == !conflict, s"vec $id kept=$kept conflict=$conflict")
+      if (!kept) drops += 1
+    }
+    assert(drops > 0 && drops < out.length)
+    // every cluster retains at least its lowest-id member
+    assert(out.groupBy(_._2).forall { case (_, vs) => vs.minBy(_._1)._3 })
+  }
 }

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{DeltaLake, SparkSuite}
+
+/** Streaming incremental dedup (d10): the foreachBatch drain must feed
+  * each micro-batch through the increment machinery exactly once. The
+  * d10 oracle pins the accumulated pairs against the batch d3
+  * definition at the harness SFs; this spec pins the streaming
+  * MECHANICS the oracle can't see — exactly-once pair emission, one
+  * pairs commit per pair-producing batch, and that pairs SPANNING two
+  * increments are really found by the cross-batch probe (not just
+  * within-batch collisions).
+  */
+class StreamingDedupSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("graft_streamdedup")
+      .toString + "/" + name
+
+  private def corpus(n: Int) =
+    (1 to n).map { i =>
+      val base = s"the quick brown fox ${i % 7} jumps over the lazy dog " +
+        s"while counting ${i % 7} stars"
+      (i.toLong, if (i % 3 == 0) base else base + s" extra tail $i")
+    }.toDF("doc_id", "text")
+
+  test("streamed pairs equal the one-shot store definition, exactly once") {
+    val src = tmp("src"); val store = tmp("store"); val pairs = tmp("pairs")
+    val docs = corpus(60)
+    graft.delta.DeltaWriter.write(docs.where(col("doc_id") <= 20), src)
+    DedupOps.streamDedupDrain(spark, src, store, pairs) { sync =>
+      sync()
+      graft.delta.DeltaWriter.write(
+        docs.where(col("doc_id") > 20 && col("doc_id") <= 40), src,
+        mode = "append")
+      sync()
+      graft.delta.DeltaWriter.write(
+        docs.where(col("doc_id") > 40), src, mode = "append")
+      sync()
+    }
+
+    val streamed = DeltaLake.scanDelta(spark, pairs)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // exactly-once: no pair may be emitted by two different batches
+    assert(streamed.length == streamed.toSet.size,
+      s"duplicate pairs in the streamed table: ${streamed.length} rows, " +
+        s"${streamed.toSet.size} distinct")
+
+    // equality with the one-shot store over the same corpus
+    val oneShot = tmp("oneshot")
+    DedupOps.incrementalSignatures(spark, oneShot, docs)
+    val batch = DedupOps.incrementalMinhashPairs(spark, oneShot)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.toSet == batch)
+    assert(batch.nonEmpty, "corpus produced no near-dup pairs")
+
+    // the cross-batch path was genuinely exercised: at least one pair
+    // spans two increments (endpoints in different 20-doc batches)
+    def batchOf(id: Long): Long = (id - 1) / 20
+    assert(streamed.exists { case (a, b, _) => batchOf(a) != batchOf(b) },
+      "no pair spans two increments — the cross-batch probe went untested")
+  }
+
+  test("one pairs commit per pair-producing batch; no-op batch commits nothing") {
+    val src = tmp("src"); val store = tmp("store"); val pairs = tmp("pairs")
+    val docs = corpus(40)
+    graft.delta.DeltaWriter.write(docs.where(col("doc_id") <= 20), src)
+    DedupOps.streamDedupDrain(spark, src, store, pairs) { sync =>
+      sync()
+      // re-feeding the SAME docs is a no-op increment: nothing fresh,
+      // no store commit, no pairs commit
+      graft.delta.DeltaWriter.write(
+        docs.where(col("doc_id") <= 20), src, mode = "append")
+      sync()
+      graft.delta.DeltaWriter.write(
+        docs.where(col("doc_id") > 20), src, mode = "append")
+      sync()
+    }
+    // the same increments run manually against a parallel store tell
+    // us which batches produce pairs — the streamed pairs table must
+    // have exactly one commit per such batch (the no-op re-feed can
+    // never commit: nothing fresh, no probe)
+    val manual = tmp("manual")
+    val p1 = DedupOps.incrementAndPair(spark, manual,
+      docs.where(col("doc_id") <= 20)).count()
+    val pNoop = DedupOps.incrementAndPair(spark, manual,
+      docs.where(col("doc_id") <= 20)).count()
+    val p3 = DedupOps.incrementAndPair(spark, manual,
+      docs.where(col("doc_id") > 20)).count()
+    assert(pNoop == 0L)
+    val pairCommits = Seq(p1, p3).count(_ > 0L)
+    assert(pairCommits > 0, "corpus produced no near-dup pairs at all")
+    assert(DeltaLake.deltaMeta(spark, pairs).version == pairCommits - 1L)
+    // store history: seed + one real increment (the no-op is absent)
+    assert(DeltaLake.deltaMeta(spark, store).version == 1L)
+  }
+
+  private def rows(path: String): Set[(Long, Long, Double)] =
+    DeltaLake.scanDelta(spark, path)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("crash replay converges: no pair lost or doubled at either crash point") {
+    val docs = corpus(60)
+    val b0 = docs.where(col("doc_id") <= 30)
+    val b1 = docs.where(col("doc_id") > 30)
+    // the uninterrupted run both crash flavors must converge to
+    val refStore = tmp("refstore"); val refPairs = tmp("refpairs")
+    DedupOps.drainBatch(spark, refStore, refPairs, "ref")(b0, 0L)
+    DedupOps.drainBatch(spark, refStore, refPairs, "ref")(b1, 1L)
+    val want = rows(refPairs)
+    assert(want.nonEmpty)
+
+    for (crashLeg <- Seq(1, 2)) withClue(s"crash after leg $crashLeg: ") {
+      val store = tmp(s"store$crashLeg"); val pairs = tmp(s"pairs$crashLeg")
+      DedupOps.drainBatch(spark, store, pairs, "app")(b0, 0L)
+      // leg 1 = pairs committed; leg 2 = pairs + bands committed; the
+      // signature store always lags, so the increment stays recomputable
+      intercept[IllegalStateException] {
+        DedupOps.drainBatchSeam(spark, store, pairs, "app",
+          crashAfterLeg = crashLeg)(b1, 1L)
+      }
+      val pairsVerAtCrash = DeltaLake.deltaMeta(spark, pairs).version
+      // Structured Streaming replays the batch
+      DedupOps.drainBatch(spark, store, pairs, "app")(b1, 1L)
+      // the pairs leg was ledger-skipped, not re-committed …
+      assert(DeltaLake.deltaMeta(spark, pairs).version == pairsVerAtCrash)
+      // … and every table converged to the uninterrupted outcome
+      assert(rows(pairs) == want)
+      assert(DeltaLake.scanDelta(spark, store).count() ==
+        DeltaLake.scanDelta(spark, refStore).count())
+      assert(DeltaLake.scanDelta(spark, store + "_bands").count() ==
+        DeltaLake.scanDelta(spark, refStore + "_bands").count())
+      // a replay of the FULLY committed batch is a no-op everywhere
+      val vp = DeltaLake.deltaMeta(spark, pairs).version
+      val vs = DeltaLake.deltaMeta(spark, store).version
+      DedupOps.drainBatch(spark, store, pairs, "app")(b1, 1L)
+      assert(DeltaLake.deltaMeta(spark, pairs).version == vp)
+      assert(DeltaLake.deltaMeta(spark, store).version == vs)
+    }
+  }
+}
