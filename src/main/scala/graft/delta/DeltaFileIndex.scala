@@ -130,9 +130,13 @@ final class DeltaFileIndex(
           })
         groups.filter { case (row, _) => predicate.eval(row) }
       }
-    // stats skipping: pushed data filters, per file, fail-open
-    val conds = dataFilters.flatMap(e =>
+    // stats skipping: pushed data filters, per file, fail-open —
+    // widened with partition conds implied through generated-column
+    // expressions (a filter on `ts` prunes `event_date` partitions)
+    val dataConds = dataFilters.flatMap(e =>
       try toCond(e) catch { case scala.util.control.NonFatal(_) => None })
+    val conds = dataConds ++
+      GeneratedPruning.derive(dataConds, schema, snap.partitionColumns)
     pruned.map { case (row, as) =>
       val kept =
         if (conds.isEmpty) as

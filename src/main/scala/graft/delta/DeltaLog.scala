@@ -145,6 +145,10 @@ final class DeltaSnapshot(
     val sch = schema
     val physToField = DeltaSchema.physicalToField(sch)
     val logToPhys = DeltaSchema.logicalToPhysical(sch)
+    // widen with partition conds implied through generated-column
+    // expressions (GeneratedPruning) — derived, sound to AND on
+    val conditions0 = conditions ++
+      GeneratedPruning.derive(conditions, sch, partitionColumns)
     val out = mutable.ArrayBuffer.empty[AddAction]
     var total = 0L
     val it = addActions.values.iterator
@@ -152,8 +156,8 @@ final class DeltaSnapshot(
     while (it.hasNext && !break) {
       val ac = it.next()
       if (actionFilter(ac) &&
-          !(conditions.nonEmpty &&
-            FileSkipping.canSkip(ac, conditions, physToField, logToPhys))) {
+          !(conditions0.nonEmpty &&
+            FileSkipping.canSkip(ac, conditions0, physToField, logToPhys))) {
         out += ac
         if (conditions.isEmpty) limit.foreach { lim =>
           // count rows the scan will actually yield (minus DV deletions)

@@ -269,9 +269,10 @@ object DedupOps {
       else {
         // band ONLY the increment's signatures, read back from the
         // store so the projection can never band values the store
-        // doesn't hold
+        // doesn't hold; the increment's id set broadcasts into the
+        // semi-join so the store scan streams unshuffled
         val sigs = graft.DeltaLake.scanDelta(s, storePath)
-          .join(ids, Seq("doc_id"), "left_semi")
+          .join(broadcast(ids), Seq("doc_id"), "left_semi")
         graft.delta.DeltaWriter.write(
           bandedFrom(sigs, fastHash = false)
             .select(col("band"), col("sig"), col("doc_id")),
@@ -300,12 +301,29 @@ object DedupOps {
     * to [[appendIncrement]]'s incremental signature compute. Byte-equal
     * to the batch d3 definition restricted to pairs touching `ids`
     * (d9b pins that under the DuckDB oracle).
+    *
+    * `ids` is an INCREMENT by contract (micro-batch-sized, not the
+    * corpus — full-store pairing is [[incrementalMinhashPairs]]): the
+    * probe side is built by re-banding the probe set's ~|ids| signature
+    * rows (picked from the store under a broadcast semi-join — banding
+    * is deterministic, so this equals the persisted projection's rows
+    * for those ids without scanning the projection) and is BROADCAST
+    * into the collision join. The store side is then ONE streamed
+    * narrow columnar scan of the projection — never shuffled, never
+    * re-banded. The residual O(store) term is that scan; true
+    * sub-corpus probing would need the projection bucketed by
+    * (band, sig), which the Delta layout can't express — partitioning
+    * by band alone can't prune (every probe touches all bands).
     */
   def pairsTouching(s: SparkSession, storePath: String,
       ids: DataFrame): DataFrame = {
     val bands = bandStore(s, storePath)
-    val probe = bands.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
-    pairsOver(probe, bands, graft.DeltaLake.scanDelta(s, storePath))
+    val sigs = graft.DeltaLake.scanDelta(s, storePath)
+    val probeSigs = sigs.join(broadcast(ids.select("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val probe = bandedFrom(probeSigs, fastHash = false)
+      .select("band", "sig", "doc_id").localCheckpoint()
+    pairsOver(broadcast(probe), bands, sigs)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -352,12 +370,17 @@ object DedupOps {
   /** LSH near-dup pairs over the FULL persisted store — byte-equal to
     * the batch d3 definition over the same corpus. Reads the persisted
     * banded projection (probe set = every stored doc) instead of
-    * re-deriving bands from the signatures.
+    * re-deriving bands from the signatures; a corpus-sized probe is a
+    * shuffled self-collision join, NOT [[pairsTouching]]'s broadcast
+    * shape (broadcasting every stored id would not survive a real
+    * store).
     */
   def incrementalMinhashPairs(s: SparkSession,
-      storePath: String): DataFrame =
-    pairsTouching(s, storePath,
-      graft.DeltaLake.scanDelta(s, storePath).select("doc_id"))
+      storePath: String): DataFrame = {
+    val bands = bandStore(s, storePath)
+    pairsOver(bands, bands, graft.DeltaLake.scanDelta(s, storePath))
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** One streaming dedup increment, applied EXACTLY ONCE even when
     * Structured Streaming replays the batch after a crash — the
@@ -422,7 +445,7 @@ object DedupOps {
         graft.DeltaLake.scanDelta(s, storePath).select("doc_id", "mh")
           .unionByName(incSigs)
       else incSigs
-    val pairs = pairsOver(incBands, allBands, allSigs)
+    val pairs = pairsOver(broadcast(incBands), allBands, allSigs)
     def crashPoint(leg: Int): Unit =
       if (leg >= crashAfterLeg)
         throw new IllegalStateException(s"injected crash after leg $leg")

@@ -631,5 +631,45 @@ object DeltaQueries {
       },
       Some("""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE c_acctbal >= 0.0
-        |ORDER BY c_custkey""".stripMargin)))
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Generated-column partition pruning under the oracle: events live
+    // in a Delta table partitioned by event_date GENERATED ALWAYS AS
+    // (CAST(ts AS DATE)) — the canonical 100 TB event-log layout — and
+    // the query filters only on ts. Stats indexing is switched OFF at
+    // staging, so the ONLY way the scan can avoid a file is the
+    // partition cond derived through the generation expression
+    // (GeneratedPruning); staging requires the ts window to touch <= 4
+    // of the ~30 daily partitions, so a derivation regression fails
+    // correctness. The oracle then pins that pruning changed nothing:
+    // the aggregate must equal DuckDB's over the raw parquet.
+    "x18_delta_generated_prune" -> QueryDef(
+      (s, dir) => {
+        val lo = java.time.Instant.parse("2024-01-10T06:00:00Z")
+        val hi = java.time.Instant.parse("2024-01-13T18:00:00Z")
+        val conds = Seq(Cond("ts", ">=", lo), Cond("ts", "<", hi))
+        val path = stagedOnce(s, dir, "events_genpart_delta", "events") { path =>
+          DeltaWriter.write(table(s, dir, "events"), path,
+            partitionBy = Seq("event_date"),
+            generatedColumns = Map("event_date" -> "CAST(ts AS DATE)"),
+            properties = Map("delta.dataSkippingNumIndexedCols" -> "0"))
+          val snap = DeltaLake.deltaMeta(s, path)
+          val touched = snap.addActionsFiltered(conds)
+            .flatMap(_.partitionValues.get("event_date").flatten).distinct
+          require(touched.size <= 4 && touched.nonEmpty,
+            s"generated pruning touched ${touched.size} partitions " +
+              s"(${touched.sorted.mkString(",")}) — expected the 4 dates " +
+              "the ts window can reach")
+        }
+        DeltaLake.scanDelta(s, path, ScanSettings(conditions = conds))
+          .groupBy("event_date", "event_type")
+          .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+          .orderBy("event_date", "event_type")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |  count(*) AS n, sum(value) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 06:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 18:00:00'
+        |GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin)))
 }
