@@ -264,6 +264,88 @@ object SimilarityOps {
       .where(col("rank") <= k)
   }
 
+  /** One streaming ANN-index increment, applied EXACTLY ONCE under
+    * crash replay — the `foreachBatch` body of [[streamAnnIndexDrain]].
+    * Same protocol as the dedup drain (DedupOps.drainBatch): the
+    * increment (the batch's vec_ids not yet indexed) is decided against
+    * the VECTORS table, which commits LAST, so a replay of an
+    * interrupted batch recomputes the same increment; both commits —
+    * banded index rows, then vectors — carry the `(appId, batchId)` txn
+    * ledger, so an already-committed leg skips itself. The seed batch
+    * fixes the signature width (persisted as `graft.ann.bits`, derived
+    * from the seed's size) exactly like a synchronous build; later
+    * batches sign at the stored width. Per-batch cost tracks the BATCH:
+    * signing and banding run over the increment only.
+    */
+  def annDrainBatch(s: SparkSession, indexPath: String, appId: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    annDrainBatchSeam(s, indexPath, appId)(batch, batchId)
+
+  /** [[annDrainBatch]] with a crash-injection seam (throw after the
+    * index-leg commit) so specs can pin the replay convergence.
+    */
+  private[ops] def annDrainBatchSeam(s: SparkSession, indexPath: String,
+      appId: String, crashAfterLeg: Int = Int.MaxValue)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.streaming.DeltaSink
+    val vecsPath = indexPath + VecsSuffix
+    val indexExists = tableExists(s, indexPath)
+    val vecsExists = tableExists(s, vecsPath)
+    val fresh =
+      if (!vecsExists) batch
+      else batch.join(
+        graft.DeltaLake.scanDelta(s, vecsPath).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    val inc = fresh.select("vec_id", "embedding").localCheckpoint()
+    if (inc.isEmpty) return // no-op batch: no commit anywhere
+    val bits =
+      if (indexExists) storedBits(s, indexPath)
+      else derivedBits(inc.count())
+    val banded = lshTables(inc, "embedding", bits)
+      .select("tbl", "sig", "vec_id")
+    if (!indexExists)
+      graft.delta.DeltaWriter.write(banded, indexPath,
+        partitionBy = Seq("tbl"), txn = Some(appId -> batchId),
+        properties = Map("graft.ann.bits" -> bits.toString,
+          "graft.ann.tables" -> NumTables.toString))
+    else { DeltaSink.appendBatch(banded, indexPath, appId, batchId,
+      partitionBy = Seq("tbl")); () }
+    if (crashAfterLeg <= 1)
+      throw new IllegalStateException("injected crash after index leg")
+    if (!vecsExists)
+      graft.delta.DeltaWriter.write(inc, vecsPath,
+        txn = Some(appId -> batchId))
+    else { DeltaSink.appendBatch(inc, vecsPath, appId, batchId); () }
+  }
+
+  /** STREAMING maintenance of the persisted ANN index: drain a vectors
+    * Delta table (vec_id, embedding, …) through [[annDrainBatch]] —
+    * each micro-batch refreshes the index by at most one ledgered
+    * commit per table, exactly once under crash replay, and
+    * [[annProbeFromStore]] serves query batches from the result without
+    * any rebuild. `feed` receives a sync callback (processAllAvailable)
+    * to call between source appends so each append becomes its own
+    * increment.
+    */
+  def streamAnnIndexDrain(s: SparkSession, srcPath: String,
+      indexPath: String)(feed: (() => Unit) => Unit): Unit = {
+    // ledger identity derived from the output location — survives
+    // restarts, unlike a session-random id
+    val appId = "graft-ann-drain:" + indexPath
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_annstream_ckpt").toString
+    val q = s.readStream.format("graft-delta").load(srcPath)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(annDrainBatch(s, indexPath, appId) _)
+      .start()
+    try feed(() => q.processAllAvailable())
+    finally {
+      q.stop()
+      val cp = new org.apache.hadoop.fs.Path(ckpt)
+      cp.getFileSystem(s.sessionState.newHadoopConf()).delete(cp, true)
+    }
+  }
+
   // ---------------------------------------------------------------
   // IVF coarse quantizer — shared by s4 (ANN serving) and d12
   // (SemDeDup semantic dedup). Deterministic cross-engine: md5-ordered
@@ -440,6 +522,61 @@ object SimilarityOps {
           .orderBy("query_id", "rank")
       },
       Some(s"""WITH ${sigSql(NumTables, "WHERE vec_id % 2 = 0")},
+        |q AS (SELECT vec_id AS query_id, tbl, sig FROM sig
+        |  WHERE vec_id < $NumQueries),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+        |  FROM sig s JOIN q USING (tbl, sig)
+        |  WHERE s.vec_id <> q.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim
+        |  FROM cand c
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id
+        |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked
+        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
+    // STREAMING ANN-index maintenance (r10): the vectors arrive as a
+    // Delta stream and every micro-batch refreshes the persisted index
+    // through the exactly-once drain — the s-family twin of d10. The
+    // staging script seeds a vectors source table with a third of the
+    // corpus and appends the rest in two commits while the drain runs;
+    // the seed batch fixes the signature width (vec_id % 3 = 0 in the
+    // oracle's width subquery), later batches sign at that stored
+    // width. The query then probes the DRAINED index — a batch lost,
+    // doubled, or signed at the wrong width all change the candidate
+    // sets and hash-mismatch against DuckDB's full replay.
+    "s7_stream_ann_index" -> QueryDef(
+      (s, dir) => {
+        val idx = DeltaQueries.stagedOnce(
+          s, dir, "ann_index_streamed", "embeddings") { path =>
+          val src = path + "_src"
+          val emb = corpus(s, dir)
+          graft.delta.DeltaWriter.write(
+            emb.where(col("vec_id") % 3 === 0), src)
+          streamAnnIndexDrain(s, src, path) { sync =>
+            sync()
+            graft.delta.DeltaWriter.write(
+              emb.where(col("vec_id") % 3 === 1), src, mode = "append")
+            sync()
+            graft.delta.DeltaWriter.write(
+              emb.where(col("vec_id") % 3 === 2), src, mode = "append")
+            sync()
+          }
+        }
+        val queries = corpus(s, dir).where(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        annProbeFromStore(s, idx, queries)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${sigSql(NumTables, "WHERE vec_id % 3 = 0")},
         |q AS (SELECT vec_id AS query_id, tbl, sig FROM sig
         |  WHERE vec_id < $NumQueries),
         |cand AS (
