@@ -167,6 +167,25 @@ object DeltaWriter {
     // generation expressions in force: the declaration at
     // create/overwrite, or the table schema's on append
     val isCreate = version == 0L || mode == "overwrite"
+    // append: the TABLE's partitioning is the layout law — inherit it
+    // when the caller passes none and reject a contradiction
+    // (delta-spark parity: an append can never change partitioning).
+    // Without this an argless append to a partitioned table writes
+    // files with NO partitionValues — rows a reader then sees with a
+    // null partition column instead of their real values.
+    val partCols: Seq[String] =
+      if (isCreate) partitionBy
+      else {
+        val tablePart = prior.map(_.partitionColumns).getOrElse(Nil)
+        if (partitionBy.isEmpty) tablePart
+        else {
+          require(tablePart == partitionBy,
+            s"append partitionBy (${partitionBy.mkString(",")}) " +
+              s"contradicts the table's partitioning " +
+              s"(${tablePart.mkString(",")})")
+          partitionBy
+        }
+      }
     require(generatedColumns.isEmpty || isCreate,
       "generatedColumns can only be declared at table create/overwrite" +
         " — appends inherit them from the table schema")
@@ -533,15 +552,24 @@ object DeltaWriter {
       if (layoutCols.nonEmpty)
         dfV.repartitionByRange(zFiles, zOrderColumn(dfV, layoutCols).asc)
       else if (optimizeWrite) {
-        if (partitionBy.nonEmpty) dfV.hint("rebalance",
-          partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        if (partCols.nonEmpty) dfV.hint("rebalance",
+          partCols.map(org.apache.spark.sql.functions.col): _*)
         else dfV.hint("rebalance")
       } else dfV
+    // an append may legally omit a nullable partition column — fill it
+    // with null so the hive layout records it (HIVE_DEFAULT dir → null
+    // partitionValue), exactly what a reader of the omitted column sees
+    val df2 = partCols.filterNot(df1.columns.contains).foldLeft(df1) {
+      (d, c) => d.withColumn(c, org.apache.spark.sql.functions.lit(null)
+        .cast(tableSchema.fields.find(_.name == c)
+          .map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)))
+    }
     try withMicrosTimestamps(spark) {
       withAdvisorySize(spark,
         if (optimizeWrite) targetFileSize(newCfg) else None) {
-        toPhysical(df1, tableSchema).write.mode("append")
-          .partitionBy(physicalPartitionBy(partitionBy, tableSchema): _*)
+        toPhysical(df2, tableSchema).write.mode("append")
+          .partitionBy(physicalPartitionBy(partCols, tableSchema): _*)
           .parquet(path)
       }
     } finally {
@@ -670,9 +698,7 @@ object DeltaWriter {
       fmt.put("provider", "parquet"); fmt.putObject("options")
       m.put("schemaString", tableSchema.json)
       val pc = m.putArray("partitionColumns")
-      (if (mode == "append")
-        prior.map(_.partitionColumns).filter(_.nonEmpty).getOrElse(partitionBy)
-      else partitionBy).foreach(pc.add)
+      partCols.foreach(pc.add)
       // inherited properties merged with the caller's (never wiped)
       val cfg = m.putObject("configuration")
       newCfg.foreach { case (k, v) => cfg.put(k, v) }
@@ -717,8 +743,8 @@ object DeltaWriter {
     lines += commitInfoLine(
       if (mode == "overwrite") "WRITE" else "APPEND",
       params = Map("mode" -> mode) ++
-        (if (partitionBy.nonEmpty)
-          Map("partitionBy" -> partitionBy.mkString(",")) else Map.empty),
+        (if (partCols.nonEmpty)
+          Map("partitionBy" -> partCols.mkString(",")) else Map.empty),
       metrics = Map("numFiles" -> newFiles.size.toLong))
 
     val logDir = new Path(root, "_delta_log")

@@ -91,6 +91,19 @@ class GraftDeltaProvider extends DataSourceRegister
     // `.option("clusterBy", "a,b")`: liquid-clustered create/overwrite
     // through the registered format (appends inherit from the table)
     val clusterBy = csv("clusterBy")
+    // `.option("generatedColumns", "col=SQL; col2=SQL")`: generated
+    // columns on create/overwrite through the registered format — `;`
+    // separates pairs because generation SQL can itself contain commas
+    // (date_trunc('MONTH', ts)). Appends inherit from the table and
+    // reject a re-declaration loudly (same contract as clusterBy).
+    val generatedColumns: Map[String, String] = parameters
+      .get("generatedColumns").map(_.split(";").toSeq
+        .map(_.trim).filter(_.nonEmpty).map { pair =>
+          val i = pair.indexOf('=')
+          require(i > 0, s"generatedColumns entry '$pair' is not col=SQL")
+          pair.take(i).trim -> pair.drop(i + 1).trim
+        }.toMap)
+      .getOrElse(Map.empty)
     val exists = {
       val p = new org.apache.hadoop.fs.Path(
         s"${path.stripSuffix("/")}/_delta_log")
@@ -100,21 +113,23 @@ class GraftDeltaProvider extends DataSourceRegister
     mode match {
       case SaveMode.Overwrite =>
         DeltaWriter.write(data, path, partitionBy, mode = "overwrite",
-          clusterBy = clusterBy)
+          clusterBy = clusterBy, generatedColumns = generatedColumns)
       case SaveMode.Append =>
-        // passed through so a clusterBy option on an append to a LIVE
-        // table rejects loudly instead of being silently dropped
+        // passed through so a clusterBy/generatedColumns option on an
+        // append to a LIVE table rejects loudly instead of being
+        // silently dropped
         DeltaWriter.write(data, path, partitionBy, mode = "append",
-          clusterBy = clusterBy)
+          clusterBy = clusterBy, generatedColumns = generatedColumns)
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(
           s"Delta table already exists at $path (SaveMode.ErrorIfExists)")
       case SaveMode.ErrorIfExists =>
         DeltaWriter.write(data, path, partitionBy, mode = "overwrite",
-          clusterBy = clusterBy)
+          clusterBy = clusterBy, generatedColumns = generatedColumns)
       case SaveMode.Ignore =>
         if (!exists) DeltaWriter.write(data, path, partitionBy,
-          mode = "overwrite", clusterBy = clusterBy)
+          mode = "overwrite", clusterBy = clusterBy,
+          generatedColumns = generatedColumns)
     }
     GraftDeltaRelation(sqlContext, path, Map.empty)
   }

@@ -186,4 +186,43 @@ class GraftDeltaFormatSpec extends SparkSuite {
       assert(got.toSeq == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
     } finally q.stop()
   }
+
+  test("generatedColumns option: declared at create, filled on omitting appends") {
+    import java.time.Instant
+    val path = tmp("genopt")
+    val batch = (0 until 48).map(h =>
+      (h.toLong, Instant.parse("2024-05-01T00:30:00Z").plusSeconds(h * 3600L)))
+      .toDF("id", "ts")
+    batch.write.format("graft-delta")
+      .option("partitionBy", "event_date")
+      .option("generatedColumns", "event_date=CAST(ts AS DATE)")
+      .save(path)
+    val read = spark.read.format("graft-delta").load(path)
+    assert(read.select("event_date").distinct().count() == 2)
+    // an omitting INSERT through the format computes the value
+    Seq((100L, Instant.parse("2024-05-03T12:00:00Z"))).toDF("id", "ts")
+      .write.format("graft-delta").mode(SaveMode.Append).save(path)
+    assert(spark.read.format("graft-delta").load(path)
+      .where(col("event_date") === lit("2024-05-03").cast("date"))
+      .count() == 1)
+    // and the derived pruning works through the format's pushed filters
+    assert(spark.read.format("graft-delta").load(path)
+      .where(col("ts") >= lit("2024-05-03 00:00:00")).count() == 1)
+
+    // re-declaring on an append rejects loudly (same contract as
+    // clusterBy), and a malformed option fails fast
+    val e = intercept[Exception] {
+      Seq((101L, Instant.parse("2024-05-04T00:00:00Z"))).toDF("id", "ts")
+        .write.format("graft-delta").mode(SaveMode.Append)
+        .option("generatedColumns", "event_date=CAST(ts AS DATE)")
+        .save(path)
+    }
+    assert(e.getMessage.contains("generatedColumns"), e.getMessage)
+    val bad = intercept[Exception] {
+      batch.write.format("graft-delta")
+        .option("generatedColumns", "no-equals-sign")
+        .save(tmp("genopt_bad"))
+    }
+    assert(bad.getMessage.contains("col=SQL"), bad.getMessage)
+  }
 }
