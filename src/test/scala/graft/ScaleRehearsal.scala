@@ -4,12 +4,25 @@ import org.apache.spark.sql.SparkSession
 
 /** sf1 scale rehearsal (round-4 verdict item 2; full registry since
   * round 8): run EVERY registry query at sf0.1 and the ScaleGen-derived
-  * sf1 in ONE session with the Bench protocol (stage → clear caches →
-  * cold pass → warm pass), and report per-query sf1/sf0.1 ratios plus
-  * the d6 connected-components round count at both scales. A query
-  * whose warm ratio blows past ~12x (10x data + shuffle growth) is a
-  * scale pathology; d6's round count must stay flat (O(log n)
-  * convergence claim).
+  * sf1 with the Bench protocol (stage → clear caches → cold pass →
+  * warm pass), and report per-query sf1/sf0.1 warm ratios plus the d6
+  * connected-components round count at both scales. A query whose warm
+  * ratio blows past ~12x (10x data + shuffle growth) is a scale
+  * pathology; d6's round count must stay flat (O(log n) convergence
+  * claim).
+  *
+  * PROTOCOL (round 10): one FRESH FORKED JVM per scale —
+  * `--one <dir> <out.tsv>` runs a single scale and writes a TSV,
+  * `--merge <sf01.tsv> <sf1.tsv>` prints the ratio table. The r8/r9
+  * three-passes-in-one-JVM shape (sf0.1 warmup → sf1 → sf0.1 base)
+  * re-broke in r10: with 110 registry entries the base pass runs in a
+  * JVM whose heap has already staged and cached two full suites, and
+  * its numbers measured GC pressure, not the operators (warm ratios
+  * inverted below 1.0 suite-wide; that run was discarded). Per-scale
+  * JVMs make the two warm passes equally fresh — each JVM stages, runs
+  * every query once cold (JIT + cache build), then once warm — so the
+  * ratio isolates the data-volume effect, which is the thing being
+  * rehearsed.
   *
   * Kernel-flagged entries (d7: deliberately-amplified hash
   * microbenchmarks) are included but marked `[k]` — their ratios
@@ -17,9 +30,15 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleRehearsal {
 
-  def main(args: Array[String]): Unit = {
-    val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val sf1 = args.lift(1).getOrElse("/root/repo/target/sf1")
+  def main(args: Array[String]): Unit = args.toSeq match {
+    case Seq("--one", dir, out) => runOne(dir, out)
+    case Seq("--merge", a, b) => merge(a, b)
+    case other => sys.error(
+      s"usage: --one <sfDir> <out.tsv> | --merge <sf01.tsv> <sf1.tsv>" +
+        s" (got: ${other.mkString(" ")})")
+  }
+
+  private def runOne(dir: String, out: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,64 +53,70 @@ object ScaleRehearsal {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
 
-    def passes(dir: String): Map[String, (Double, Double)] = {
-      val qs = allKeys.map(k => k -> graft.ops.Registry.all(k).fn)
-      qs.foreach { case (_, fn) =>
-        try { fn(spark, dir); () } catch { case _: Throwable => () } }
-      // deepClean, not clear(): localCheckpoint blocks and memory-sink
-      // tables accumulate OUTSIDE the registry over the three passes,
-      // and the last (ratio-base) pass would otherwise measure storage
-      // eviction instead of the operators
-      graft.ops.OpCaches.deepClean(spark)
-      def one(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-          : Double =
-        try time(fn(spark, dir).count()) catch { case _: Throwable => -1.0 }
-      val cold = qs.map { case (k, fn) => k -> one(fn) }
-      val warm = qs.map { case (k, fn) => k -> one(fn) }
-      graft.ops.OpCaches.deepClean(spark)
-      cold.zip(warm).map { case ((k, c), (_, w)) => k -> (c, w) }.toMap
-    }
+    val qs = allKeys.map(k => k -> graft.ops.Registry.all(k).fn)
+    // stage the one-time artifacts (invoking runs the idempotent side
+    // effects), then deep-clean so the cold pass pays cache builds
+    qs.foreach { case (_, fn) =>
+      try { fn(spark, dir); () } catch { case _: Throwable => () } }
+    graft.ops.OpCaches.deepClean(spark)
+    def one(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double =
+      try time(fn(spark, dir).count()) catch { case _: Throwable => -1.0 }
+    val cold = qs.map { case (k, fn) => k -> one(fn) }.toMap
+    val warm = qs.map { case (k, fn) => k -> one(fn) }.toMap
 
-    def d6Rounds(dir: String): Int = {
+    val rounds = {
       import org.apache.spark.sql.functions.col
       val edges = graft.ops.DedupOps.minhashPairs(spark, dir)
         .where(col("est_jaccard") >= 0.2)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
-      val (_, rounds) =
+      val (_, r) =
         graft.ops.DedupOps.connectedComponentsWithRounds(docs, edges)
-      graft.ops.OpCaches.clear()
-      rounds
+      r
     }
 
-    // THREE passes: sf0.1 first warms JIT/codegen for the whole suite,
-    // then sf1, then sf0.1 AGAIN — the REPLAY is the ratio base. With a
-    // single sf0.1-then-sf1 order the small queries' sf0.1 numbers are
-    // dominated by first-touch JIT (the engine compiles under them) and
-    // sf1 "wins" spuriously; ratios against the JIT-warm replay isolate
-    // the data-volume effect, which is the thing being rehearsed.
-    passes(sf01)
-    val scaled = passes(sf1)
-    val base = passes(sf01)
-    val r01 = d6Rounds(sf01)
-    val r1 = d6Rounds(sf1)
+    val lines = allKeys.map { k =>
+      val kern = if (graft.ops.Registry.all(k).kernel) 1 else 0
+      f"$k\t${cold(k)}%.3f\t${warm(k)}%.3f\t$kern"
+    } :+ s"#d6rounds\t$rounds"
+    val p = java.nio.file.Paths.get(out)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    println(s"rehearsal tsv written to ${p.toAbsolutePath}")
+    spark.stop()
+  }
 
-    def isKernel(k: String) = graft.ops.Registry.all(k).kernel
+  private def merge(sf01Tsv: String, sf1Tsv: String): Unit = {
+    def read(f: String): (Map[String, (Double, Double, Boolean)], Int) = {
+      val ls = scala.io.Source.fromFile(f).getLines().toSeq
+      val rounds = ls.find(_.startsWith("#d6rounds"))
+        .map(_.split("\t")(1).toInt).getOrElse(-1)
+      val rows = ls.filterNot(_.startsWith("#")).map { l =>
+        val a = l.split("\t")
+        a(0) -> (a(1).toDouble, a(2).toDouble, a(3) == "1")
+      }.toMap
+      (rows, rounds)
+    }
+    val (base, r01) = read(sf01Tsv)
+    val (scaled, r1) = read(sf1Tsv)
+    val keys = base.keys.toSeq.sorted
     println(f"${"query"}%-26s ${"sf0.1 cold"}%10s ${"warm"}%8s " +
       f"${"sf1 cold"}%10s ${"warm"}%8s ${"ratio(warm)"}%12s")
-    allKeys.foreach { k =>
-      val (c0, w0) = base(k); val (c1, w1) = scaled(k)
-      val tag = if (isKernel(k)) s"$k [k]" else k
+    keys.foreach { k =>
+      val (c0, w0, kern) = base(k)
+      val (c1, w1, _) = scaled.getOrElse(k, (-1.0, -1.0, false))
+      val tag = if (kern) s"$k [k]" else k
       val ratio = if (w0 > 0 && w1 > 0) f"${w1 / w0}%12.1f" else f"${"n/a"}%12s"
       println(f"$tag%-26s $c0%10.2f $w0%8.2f $c1%10.2f $w1%8.2f $ratio")
     }
-    val opKeys = allKeys.filterNot(isKernel)
-      .filter(k => base(k)._2 > 0 && scaled(k)._2 > 0)
+    val opKeys = keys.filter(k => !base(k)._3 &&
+      base(k)._2 > 0 && scaled.get(k).exists(_._2 > 0))
     val tw0 = opKeys.map(base(_)._2).sum
     val tw1 = opKeys.map(scaled(_)._2).sum
     println(f"TOTAL warm (operators): sf0.1 $tw0%.2f s, sf1 $tw1%.2f s, " +
       f"ratio ${tw1 / tw0}%.1f")
     println(s"d6 rounds: sf0.1 = $r01, sf1 = $r1")
-    spark.stop()
   }
 }
