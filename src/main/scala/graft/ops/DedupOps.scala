@@ -490,6 +490,100 @@ object DedupOps {
     }
   }
 
+  /** One CDF-following dedup increment: deletes and update-preimages
+    * RETIRE documents (signatures, banded rows, and every near-dup pair
+    * touching them), then the documents whose NET batch effect is a
+    * live row run the normal [[drainBatch]] increment — so the dedup
+    * state continuously tracks a MUTATING source table, not just an
+    * append-only feed. An UPDATE is a retire + re-sign: its pairs are
+    * recomputed against the new text. Net effect is the doc's LAST
+    * change in the batch (postimage outranks preimage within a commit),
+    * so insert-then-delete nets to absent and insert-then-update nets
+    * to the final image — a micro-batch may span several source
+    * commits.
+    *
+    * Crash replay: the increment half is [[drainBatch]]'s ledgered
+    * protocol; the signature/band retire is materially idempotent; and
+    * the PAIRS retire is guarded by the pairs table's own ledger
+    * watermark — it runs iff this batch's pairs commit has NOT landed
+    * yet. Without that guard, replaying an UPDATE batch that crashed
+    * right after the pairs commit would delete the doc's freshly
+    * committed pairs and then ledger-skip re-adding them (the one
+    * non-idempotent interleaving); with it, replay of a fully committed
+    * batch also skips retiring the doc's NEW signatures. The retire set
+    * is micro-batch-sized by contract — it rides a Cond IN list, the
+    * same boundedness assumption as [[retireSignatures]].
+    */
+  def cdfDrainBatch(s: SparkSession, storePath: String, pairsPath: String,
+      appId: String)(batch: DataFrame, batchId: Long): Unit =
+    cdfDrainBatchSeam(s, storePath, pairsPath, appId)(batch, batchId)
+
+  /** [[cdfDrainBatch]] with [[drainBatchSeam]]'s crash-injection seam. */
+  private[ops] def cdfDrainBatchSeam(s: SparkSession, storePath: String,
+      pairsPath: String, appId: String,
+      crashAfterLeg: Int = Int.MaxValue)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val pairsApplied = tableExists(s, pairsPath) &&
+      graft.delta.DeltaLog.forPath(s, pairsPath)
+        .txnVersions.get(appId).exists(_ >= batchId)
+    val gone: Seq[Long] = batch
+      .where(col("_change_type").isin("delete", "update_preimage"))
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (gone.nonEmpty && !pairsApplied && tableExists(s, storePath)) {
+      retireSignatures(s, storePath, gone)
+      if (tableExists(s, pairsPath)) {
+        // AND-only Cond DSL: a pair touches the retired set through
+        // either endpoint, so two one-sided deletes
+        graft.DeltaLake.deleteWhere(s, pairsPath,
+          Seq(graft.delta.Cond("doc_a", "in", gone)))
+        graft.DeltaLake.deleteWhere(s, pairsPath,
+          Seq(graft.delta.Cond("doc_b", "in", gone)))
+      }
+    }
+    // the doc's LAST change in the batch decides its net effect;
+    // within one commit an update's postimage outranks its preimage
+    val w = Window.partitionBy("doc_id").orderBy(
+      col("_commit_version").desc,
+      when(col("_change_type").isin("insert", "update_postimage"), 1)
+        .otherwise(0).desc)
+    val added = batch.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1 &&
+        col("_change_type").isin("insert", "update_postimage"))
+      .select("doc_id", "text")
+    drainBatchSeam(s, storePath, pairsPath, appId, crashAfterLeg)(
+      added, batchId)
+  }
+
+  /** STREAMING drain of a MUTATING documents Delta table through its
+    * change feed: `readChangeFeed` delivers inserts, deletes and both
+    * update images, and every micro-batch applies one [[cdfDrainBatch]]
+    * — the production shape where the dedup index FOLLOWS the source
+    * table (the d13 oracle pins the accumulated pairs against the batch
+    * d3 definition over the source's FINAL LIVE rows).
+    */
+  def streamDedupFollowCdf(s: SparkSession, srcPath: String,
+      storePath: String, pairsPath: String)(
+      feed: (() => Unit) => Unit): Unit = {
+    val appId = "graft-dedup-cdf:" + pairsPath
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdfdedup_ckpt").toString
+    val q = s.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .load(srcPath)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(cdfDrainBatch(s, storePath, pairsPath, appId) _)
+      .start()
+    try feed(() => q.processAllAvailable())
+    finally {
+      q.stop()
+      val cp = new org.apache.hadoop.fs.Path(ckpt)
+      cp.getFileSystem(s.sessionState.newHadoopConf()).delete(cp, true)
+    }
+  }
+
   /** d3 body: LSH candidate pairs above the similarity floor. Shared by
     * the md5 oracle entry, the xxhash64 fast twin, and the fast-vs-md5
     * differential — cached per flavor under the corpus version so the
@@ -618,12 +712,15 @@ object DedupOps {
 
   /** The SQL twin of tokenize → shingle → minhash → band → collide,
     * shared by the d3/d4 oracles. Yields `pairs(doc_a, doc_b, mh_a,
-    * mh_b)` plus the `sh(doc_id, sh)` shingle relation.
+    * mh_b)` plus the `sh(doc_id, sh)` shingle relation. `from` names
+    * the corpus relation — `documents`, or an aliased derived table
+    * (d13 replays the batch definition over the FINAL LIVE rows of a
+    * mutated source).
     */
-  private[ops] val pairsSql: String =
+  private[ops] def pairsSqlOver(from: String): String =
     s"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
-       |  FROM documents),
+       |  FROM $from),
        |sh AS (
        |  SELECT doc_id, CASE WHEN len(tk) >= 3
        |    THEN [array_to_string(tk[j+1:j+3], ' ') for j in range(len(tk) - 2)]
@@ -644,6 +741,8 @@ object DedupOps {
        |  FROM keyed l JOIN keyed r
        |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
        |  GROUP BY l.doc_id, r.doc_id)""".stripMargin
+
+  private[ops] val pairsSql: String = pairsSqlOver("documents")
 
   /** Connected components by alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
@@ -981,6 +1080,60 @@ object DedupOps {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $pairsSql,
+        |est AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum([CASE WHEN mh_a[i+1] = mh_b[i+1] THEN 1 ELSE 0 END
+        |      for i in range($NumHashes)]) AS DOUBLE) / $NumHashes AS est_jaccard
+        |  FROM pairs)
+        |SELECT doc_a, doc_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // CDF-FOLLOWING dedup (r10): the dedup state tracks a MUTATING
+    // source — the documents table takes an append, an UPDATE (text
+    // rewritten) and a DELETE after the drain starts, and every
+    // micro-batch retires the changed docs' signatures/bands/pairs
+    // before running the normal increment. The accumulated pairs table
+    // must equal the batch d3 definition over the source's FINAL LIVE
+    // rows (updated text included, deleted docs absent) — a stale pair
+    // surviving an update, a retire that missed a table, or a replay
+    // that dropped a batch all hash-mismatch against DuckDB's replay
+    // of the final corpus.
+    "d13_cdf_dedup" -> QueryDef(
+      (s, dir) => {
+        val pairsPath = DeltaQueries.stagedOnce(
+          s, dir, "cdf_dedup_pairs", "documents") { path =>
+          val src = path + "_src"
+          val store = path + "_store"
+          val docs = table(s, dir, "documents")
+          val updIds = docs.where(col("doc_id") % 10 === 7)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+          val delIds = docs.where(col("doc_id") % 10 === 3)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+          graft.delta.DeltaWriter.write(
+            docs.where(col("doc_id") % 2 === 0), src,
+            properties = Map("delta.enableChangeDataFeed" -> "true"))
+          streamDedupFollowCdf(s, src, store, path) { sync =>
+            sync()
+            graft.delta.DeltaWriter.write(
+              docs.where(col("doc_id") % 2 === 1), src, mode = "append")
+            sync()
+            graft.delta.DeltaWriter.update(s, src,
+              Seq(graft.delta.Cond("doc_id", "in", updIds)),
+              Map("text" -> concat(col("text"), lit(" upd"))))
+            sync()
+            graft.delta.DeltaWriter.delete(s, src,
+              Seq(graft.delta.Cond("doc_id", "in", delIds)))
+            sync()
+          }
+        }
+        graft.DeltaLake.scanDelta(s, pairsPath)
+          .select("doc_a", "doc_b", "est_jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ${pairsSqlOver(
+          "(SELECT doc_id, CASE WHEN doc_id % 10 = 7 THEN text || ' upd' " +
+            "ELSE text END AS text FROM documents WHERE doc_id % 10 <> 3) " +
+            "live_corpus")},
         |est AS (
         |  SELECT doc_a, doc_b,
         |    CAST(list_sum([CASE WHEN mh_a[i+1] = mh_b[i+1] THEN 1 ELSE 0 END

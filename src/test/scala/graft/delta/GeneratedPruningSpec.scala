@@ -204,6 +204,26 @@ class GeneratedPruningSpec extends SparkSuite {
     }
   }
 
+  test("DML inherits the derivation: deleteWhere on ts touches only derivable partitions") {
+    val (path, _) = stageDaily()
+    val before = DeltaLog.forPath(spark, path).liveFiles
+      .map(_.path).toSet
+    DeltaLake.deleteWhere(spark, path, Seq(
+      Cond("ts", ">=", Instant.parse("2024-01-20T00:00:00Z")),
+      Cond("ts", "<", Instant.parse("2024-01-21T00:00:00Z"))))
+    val snap = DeltaLog.forPath(spark, path)
+    // exactly the Jan-20 partition's file may be touched (DV'd or
+    // rewritten); every other file must survive IDENTICALLY — the
+    // candidate set came from addActionsFiltered, which derives the
+    // event_date cond from the ts predicate
+    val touched = snap.liveFiles.filter(a =>
+      !before.contains(a.path) || a.hasDeletionVector)
+    assert(touched.size <= 1, s"delete touched ${touched.size} files")
+    assert(touched.forall(_.partitionValues.get("event_date").flatten
+      .contains("2024-01-20")))
+    assert(DeltaLake.scanDelta(spark, path).count() == 40L * 24 - 24)
+  }
+
   test("null semantics carry: IsNull/IsNotNull on the base prune by partition") {
     val path = tmp()
     val df = Seq(

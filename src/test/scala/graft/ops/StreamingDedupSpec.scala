@@ -106,6 +106,108 @@ class StreamingDedupSpec extends SparkSuite {
       .select("doc_a", "doc_b", "est_jaccard")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
+  test("CDF follow: updates re-pair, deletes retire, net effects resolve") {
+    val src = tmp("cdfsrc"); val store = tmp("cdfstore")
+    val pairs = tmp("cdfpairs")
+    val docs = corpus(60)
+    graft.delta.DeltaWriter.write(docs.where(col("doc_id") <= 30), src,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DedupOps.streamDedupFollowCdf(spark, src, store, pairs) { sync =>
+      sync()
+      graft.delta.DeltaWriter.write(
+        docs.where(col("doc_id") > 30), src, mode = "append") // v1
+      sync()
+      // UPDATE: docs 6,12,18 move to a different near-dup family
+      graft.delta.DeltaWriter.update(spark, src,
+        Seq(graft.delta.Cond("doc_id", "in", Seq(6L, 12L, 18L))),
+        Map("text" -> concat(col("text"), lit(" rewritten tail")))) // v2
+      sync()
+      graft.delta.DeltaWriter.delete(spark, src,
+        Seq(graft.delta.Cond("doc_id", "in", Seq(7L, 14L, 21L)))) // v3
+      sync()
+    }
+    // reference: one-shot store over the FINAL LIVE corpus
+    val finalCorpus = DeltaLake.scanDelta(spark, src).select("doc_id", "text")
+    val ref = tmp("cdfref")
+    DedupOps.incrementalSignatures(spark, ref, finalCorpus)
+    val want = DedupOps.incrementalMinhashPairs(spark, ref)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(pairs) == want)
+    assert(want.nonEmpty)
+    // the mutation genuinely mattered: no pair touches a deleted doc,
+    // and the store holds exactly the live corpus
+    assert(!want.exists { case (a, b, _) =>
+      Seq(7L, 14L, 21L).contains(a) || Seq(7L, 14L, 21L).contains(b) })
+    assert(DeltaLake.scanDelta(spark, store).count() == finalCorpus.count())
+  }
+
+  test("CDF crash poison case: replaying an update batch after the pairs leg") {
+    import spark.implicits._
+    val store = tmp("pstore"); val pairs = tmp("ppairs")
+    val appId = "spec-cdf"
+    def cdf(rows: Seq[(Long, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "_change_type", "_commit_version")
+    val base = (1L to 20L).map(i =>
+      (i, s"the quick brown fox ${i % 4} jumps over the lazy dog " +
+        s"number ${i % 4} again", "insert", 0L))
+    DedupOps.cdfDrainBatch(spark, store, pairs, appId)(cdf(base), 0L)
+    assert(rows(pairs).nonEmpty)
+
+    // batch 1 UPDATES doc 5 (preimage + postimage) — crash right after
+    // the pairs commit, before bands/signatures
+    val upd = Seq(
+      (5L, base(4)._2, "update_preimage", 1L),
+      (5L, base(4)._2 + " still similar", "update_postimage", 1L))
+    intercept[IllegalStateException] {
+      DedupOps.cdfDrainBatchSeam(spark, store, pairs, appId,
+        crashAfterLeg = 1)(cdf(upd), 1L)
+    }
+    val afterCrash = rows(pairs)
+    // replay must NOT delete the freshly committed pairs and skip
+    // re-adding them — the ledger-watermark guard
+    DedupOps.cdfDrainBatch(spark, store, pairs, appId)(cdf(upd), 1L)
+    assert(rows(pairs) == afterCrash)
+    // the converged state equals a never-crashed run of the same feed
+    val store2 = tmp("pstore2"); val pairs2 = tmp("ppairs2")
+    DedupOps.cdfDrainBatch(spark, store2, pairs2, "spec-cdf2")(cdf(base), 0L)
+    DedupOps.cdfDrainBatch(spark, store2, pairs2, "spec-cdf2")(cdf(upd), 1L)
+    assert(rows(pairs) == rows(pairs2))
+    assert(DeltaLake.scanDelta(spark, store).count() ==
+      DeltaLake.scanDelta(spark, store2).count())
+    // and a replay of the FULLY committed batch changes nothing —
+    // including not retiring doc 5's NEW signatures
+    val vs = graft.delta.DeltaLog.forPath(spark, store).version
+    DedupOps.cdfDrainBatch(spark, store, pairs, appId)(cdf(upd), 1L)
+    assert(graft.delta.DeltaLog.forPath(spark, store).version == vs)
+    assert(rows(pairs) == rows(pairs2))
+  }
+
+  test("CDF net effects: insert-then-delete in one batch nets to absent") {
+    import spark.implicits._
+    val store = tmp("nstore"); val pairs = tmp("npairs")
+    val appId = "spec-cdf-net"
+    def doc(i: Long) = s"alpha beta gamma delta epsilon zeta ${i % 3} end"
+    val b0 = (1L to 10L).map(i => (i, doc(i), "insert", 0L))
+    DedupOps.cdfDrainBatch(spark, store, pairs, appId)(
+      b0.toDF("doc_id", "text", "_change_type", "_commit_version"), 0L)
+    // one batch spanning two commits: doc 50 inserted at v1 and
+    // deleted at v2 (net absent); doc 51 inserted at v1 and updated at
+    // v2 (net = final image)
+    val b1 = Seq(
+      (50L, doc(50), "insert", 1L),
+      (51L, doc(51), "insert", 1L),
+      (50L, doc(50), "delete", 2L),
+      (51L, doc(51), "update_preimage", 2L),
+      (51L, doc(51) + " final", "update_postimage", 2L))
+    DedupOps.cdfDrainBatch(spark, store, pairs, appId)(
+      b1.toDF("doc_id", "text", "_change_type", "_commit_version"), 1L)
+    val stored = DeltaLake.scanDelta(spark, store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!stored.contains(50L), "insert-then-delete must net to absent")
+    assert(stored.contains(51L))
+    assert(!rows(pairs).exists { case (a, b, _) => a == 50L || b == 50L })
+  }
+
   test("crash replay converges: no pair lost or doubled at either crash point") {
     val docs = corpus(60)
     val b0 = docs.where(col("doc_id") <= 30)
