@@ -115,6 +115,16 @@ object SimilarityOps {
     * with the same BIGINT signature. Shared by the s2/s3 oracles.
     */
   private def sigSql(tables: Int, bitsWhere: String = ""): String =
+    sigSqlOver(tables, bitsWhere, "embeddings")
+
+  /** [[sigSql]] over an arbitrary corpus relation — `from` may be an
+    * aliased derived table (s8 signs the FINAL LIVE rows of a mutated
+    * source); the width subquery always measures the RAW embeddings
+    * table under `bitsWhere` (width is fixed by the seed/build set,
+    * which predates any mutation).
+    */
+  private def sigSqlOver(tables: Int, bitsWhere: String,
+      from: String): String =
     s"""p AS (SELECT ${bitsSql(where = bitsWhere)} AS nbits),
        |signs AS (
        |  SELECT t.tbl, bb.b,
@@ -126,7 +136,7 @@ object SimilarityOps {
        |proj AS (
        |  SELECT e.vec_id, s.tbl, s.b,
        |    list_sum([e.embedding[j+1]::DOUBLE * s.sv[j+1] for j in range($Dim)]) AS pr
-       |  FROM embeddings e CROSS JOIN signs s),
+       |  FROM $from e CROSS JOIN signs s),
        |sig AS (
        |  SELECT vec_id, tbl,
        |    sum(CASE WHEN pr >= 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sig
@@ -316,6 +326,83 @@ object SimilarityOps {
       graft.delta.DeltaWriter.write(inc, vecsPath,
         txn = Some(appId -> batchId))
     else { DeltaSink.appendBatch(inc, vecsPath, appId, batchId); () }
+  }
+
+  /** One CDF-following ANN-index increment: deletes and
+    * update-preimages RETIRE vectors from both index tables, then the
+    * vectors whose NET batch effect is a live row run the normal
+    * [[annDrainBatch]] increment — the index tracks a MUTATING vector
+    * corpus (re-embedded documents are updates: retire + re-sign at
+    * the stored width). Net effect is the vector's last change in the
+    * batch, postimage outranking preimage within a commit.
+    *
+    * Crash replay: the retire — a `vec_id IN` delete per table — is
+    * materially idempotent, EXCEPT when a replay re-retires a vector
+    * whose NEW rows this very batch already committed (the update
+    * poison case). Each table's retire is therefore guarded by THAT
+    * table's own ledger watermark: the retire runs iff the batch's
+    * append to that table has not landed yet — the same ordering
+    * argument as the dedup drain's pairs guard, applied per leg.
+    */
+  def annCdfDrainBatch(s: SparkSession, indexPath: String, appId: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    annCdfDrainBatchSeam(s, indexPath, appId)(batch, batchId)
+
+  /** [[annCdfDrainBatch]] with [[annDrainBatchSeam]]'s crash seam. */
+  private[ops] def annCdfDrainBatchSeam(s: SparkSession, indexPath: String,
+      appId: String, crashAfterLeg: Int = Int.MaxValue)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val vecsPath = indexPath + VecsSuffix
+    def applied(p: String): Boolean = tableExists(s, p) &&
+      graft.delta.DeltaLog.forPath(s, p)
+        .txnVersions.get(appId).exists(_ >= batchId)
+    val gone: Seq[Long] = batch
+      .where(col("_change_type").isin("delete", "update_preimage"))
+      .select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (gone.nonEmpty) {
+      val cond = Seq(graft.delta.Cond("vec_id", "in", gone))
+      if (tableExists(s, indexPath) && !applied(indexPath))
+        graft.DeltaLake.deleteWhere(s, indexPath, cond)
+      if (tableExists(s, vecsPath) && !applied(vecsPath))
+        graft.DeltaLake.deleteWhere(s, vecsPath, cond)
+    }
+    val w = Window.partitionBy("vec_id").orderBy(
+      col("_commit_version").desc,
+      when(col("_change_type").isin("insert", "update_postimage"), 1)
+        .otherwise(0).desc)
+    val added = batch.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1 &&
+        col("_change_type").isin("insert", "update_postimage"))
+      .select("vec_id", "embedding")
+    annDrainBatchSeam(s, indexPath, appId, crashAfterLeg)(added, batchId)
+  }
+
+  /** STREAMING drain of a MUTATING vectors table through its change
+    * feed — every micro-batch applies one [[annCdfDrainBatch]], so the
+    * persisted ANN index FOLLOWS the source (the s8 oracle pins probes
+    * of the drained index against DuckDB's replay over the source's
+    * FINAL LIVE vectors at the seed-batch width).
+    */
+  def streamAnnFollowCdf(s: SparkSession, srcPath: String,
+      indexPath: String)(feed: (() => Unit) => Unit): Unit = {
+    val appId = "graft-ann-cdf:" + indexPath
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_anncdf_ckpt").toString
+    val q = s.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .load(srcPath)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(annCdfDrainBatch(s, indexPath, appId) _)
+      .start()
+    try feed(() => q.processAllAvailable())
+    finally {
+      q.stop()
+      val cp = new org.apache.hadoop.fs.Path(ckpt)
+      cp.getFileSystem(s.sessionState.newHadoopConf()).delete(cp, true)
+    }
   }
 
   /** STREAMING maintenance of the persisted ANN index: drain a vectors
@@ -589,6 +676,78 @@ object SimilarityOps {
         |  FROM cand c
         |  JOIN embeddings qe ON qe.vec_id = c.query_id
         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked
+        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
+    // CDF-FOLLOWING ANN index (r10): the persisted index tracks a
+    // MUTATING vector corpus — the source takes an append, an UPDATE
+    // (vectors negated: every LSH signature flips) and a DELETE after
+    // the drain starts; every micro-batch retires the changed vec_ids
+    // from both index tables before the normal ledgered increment.
+    // Probing the drained index must equal DuckDB's replay over the
+    // source's FINAL LIVE vectors at the seed-batch width — a stale
+    // signature surviving a re-embed, a retire that missed a table, or
+    // a dropped batch all change candidate sets and hash-mismatch.
+    // The mutated ids sit outside the query range, so the query
+    // vectors themselves are stable.
+    "s8_cdf_ann_index" -> QueryDef(
+      (s, dir) => {
+        val idx = DeltaQueries.stagedOnce(
+          s, dir, "ann_index_cdf", "embeddings") { path =>
+          val src = path + "_src"
+          val emb = corpus(s, dir)
+          val updIds = emb.where(col("vec_id") >= 100 &&
+              col("vec_id") % 10 === 7)
+            .select("vec_id").collect().map(_.getLong(0)).toSeq
+          val delIds = emb.where(col("vec_id") >= 100 &&
+              col("vec_id") % 10 === 3)
+            .select("vec_id").collect().map(_.getLong(0)).toSeq
+          graft.delta.DeltaWriter.write(
+            emb.where(col("vec_id") % 2 === 0), src,
+            properties = Map("delta.enableChangeDataFeed" -> "true"))
+          streamAnnFollowCdf(s, src, path) { sync =>
+            sync()
+            graft.delta.DeltaWriter.write(
+              emb.where(col("vec_id") % 2 === 1), src, mode = "append")
+            sync()
+            graft.delta.DeltaWriter.update(s, src,
+              Seq(graft.delta.Cond("vec_id", "in", updIds)),
+              Map("embedding" ->
+                expr("transform(embedding, x -> cast(-x AS float))")))
+            sync()
+            graft.delta.DeltaWriter.delete(s, src,
+              Seq(graft.delta.Cond("vec_id", "in", delIds)))
+            sync()
+          }
+        }
+        val queries = corpus(s, dir).where(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        annProbeFromStore(s, idx, queries)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH corpus_live AS (
+        |  SELECT vec_id, CASE WHEN vec_id >= 100 AND vec_id % 10 = 7
+        |    THEN [-x for x in embedding] ELSE embedding END AS embedding
+        |  FROM embeddings WHERE NOT (vec_id >= 100 AND vec_id % 10 = 3)),
+        |${sigSqlOver(NumTables, "WHERE vec_id % 2 = 0", "corpus_live")},
+        |q AS (SELECT vec_id AS query_id, tbl, sig FROM sig
+        |  WHERE vec_id < $NumQueries),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+        |  FROM sig s JOIN q USING (tbl, sig)
+        |  WHERE s.vec_id <> q.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim
+        |  FROM cand c
+        |  JOIN corpus_live qe ON qe.vec_id = c.query_id
+        |  JOIN corpus_live ne ON ne.vec_id = c.neighbor_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id

@@ -98,6 +98,78 @@ class AnnIndexStreamSpec extends SparkSuite {
     assert(DeltaLog.forPath(spark, idx + "_vecs").version == 1L)
   }
 
+  test("CDF follow: re-embeds re-sign, deletes retire, equals one-shot over live rows") {
+    val src = tmp("cdfsrc"); val idx = tmp("cdfidx")
+    graft.delta.DeltaWriter.write(vecs(0L until 30L), src,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    SimilarityOps.streamAnnFollowCdf(spark, src, idx) { sync =>
+      sync()
+      graft.delta.DeltaWriter.write(vecs(30L until 60L), src, mode = "append")
+      sync()
+      // re-embed 11 and 17: negate (every LSH signature flips)
+      graft.delta.DeltaWriter.update(spark, src,
+        Seq(graft.delta.Cond("vec_id", "in", Seq(11L, 17L))),
+        Map("embedding" ->
+          expr("transform(embedding, x -> cast(-x AS float))")))
+      sync()
+      graft.delta.DeltaWriter.delete(spark, src,
+        Seq(graft.delta.Cond("vec_id", "in", Seq(8L, 44L))))
+      sync()
+    }
+    // reference: one-shot build over the final live vectors — widths
+    // agree because derivedBits clamps to the same floor at these sizes
+    val ref = tmp("cdfref")
+    val live = DeltaLake.scanDelta(spark, src).select("vec_id", "embedding")
+    SimilarityOps.buildOrRefreshAnnIndex(spark, ref, live)
+    def rows(p: String) = DeltaLake.scanDelta(spark, p)
+      .select("tbl", "sig", "vec_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(idx) == rows(ref))
+    assert(DeltaLake.scanDelta(spark, idx + "_vecs").count() == 58L)
+    // the re-embedded vector's rows really changed (negation flips
+    // every signature bit pattern vs the original build)
+    val before = tmp("orig")
+    SimilarityOps.buildOrRefreshAnnIndex(spark, before,
+      vecs(0L until 60L))
+    assert(rows(idx) != rows(before))
+  }
+
+  test("CDF poison case: replay after the index leg keeps the new rows") {
+    import spark.implicits._
+    val idx = tmp("pidx"); val appId = "spec-ann-cdf"
+    def cdf(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("vec_id", "_change_type", "_commit_version")
+        .withColumn("embedding",
+          expr("transform(sequence(0, 63), j -> cast(" +
+            "sin((vec_id % 5) * 1.3 + j * 0.1) * " +
+            "(CASE WHEN _change_type = 'update_postimage' THEN -1.0 " +
+            "ELSE 1.0 END) AS float))"))
+    SimilarityOps.annCdfDrainBatch(spark, idx, appId)(
+      cdf((1L to 20L).map((_, "insert", 0L))), 0L)
+    val vecsBefore = DeltaLake.scanDelta(spark, idx + "_vecs").count()
+    // update vec 5 — crash right after the index leg
+    val upd = Seq((5L, "update_preimage", 1L), (5L, "update_postimage", 1L))
+    intercept[IllegalStateException] {
+      SimilarityOps.annCdfDrainBatchSeam(spark, idx, appId,
+        crashAfterLeg = 1)(cdf(upd), 1L)
+    }
+    val idxAfterCrash = DeltaLake.scanDelta(spark, idx)
+      .where(col("vec_id") === 5L).count()
+    assert(idxAfterCrash == 4L, "the new signatures landed before the crash")
+    // replay: the index retire is watermark-skipped (would delete the
+    // NEW rows), the vecs legs complete
+    SimilarityOps.annCdfDrainBatch(spark, idx, appId)(cdf(upd), 1L)
+    assert(DeltaLake.scanDelta(spark, idx)
+      .where(col("vec_id") === 5L).count() == 4L)
+    assert(DeltaLake.scanDelta(spark, idx + "_vecs").count() == vecsBefore)
+    // a replay of the fully committed batch is a no-op everywhere
+    val vi = DeltaLog.forPath(spark, idx).version
+    val vv = DeltaLog.forPath(spark, idx + "_vecs").version
+    SimilarityOps.annCdfDrainBatch(spark, idx, appId)(cdf(upd), 1L)
+    assert(DeltaLog.forPath(spark, idx).version == vi)
+    assert(DeltaLog.forPath(spark, idx + "_vecs").version == vv)
+  }
+
   test("seed crash before the vectors table exists replays cleanly") {
     val appId = "spec-ann-seed"
     val idx = tmp("idx3")
