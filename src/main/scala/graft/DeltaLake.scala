@@ -56,6 +56,15 @@ object DeltaLake {
       version: Option[Long] = None): DeltaSnapshot =
     DeltaLog.forPath(spark, path, version)
 
+  /** True iff a Delta table exists at `path` (a `_delta_log` probe —
+    * the canonical existence check every maintenance pipeline needs).
+    */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"${path.stripSuffix("/")}/_delta_log")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Delete matching rows via deletion vectors (no data rewrite) —
     * beyond reference parity; see [[graft.delta.DeltaWriter.delete]].
     * Returns the number of newly deleted rows.

@@ -548,27 +548,30 @@ object DeltaWriter {
     val optimizeWrite = newCfg.get("delta.autoOptimize.optimizeWrite")
       .exists(_.trim.equalsIgnoreCase("true"))
     val layoutCols = if (clusterBy.nonEmpty) clusterBy else zOrderBy
-    val df1 =
-      if (layoutCols.nonEmpty)
-        dfV.repartitionByRange(zFiles, zOrderColumn(dfV, layoutCols).asc)
-      else if (optimizeWrite) {
-        if (partCols.nonEmpty) dfV.hint("rebalance",
-          partCols.map(org.apache.spark.sql.functions.col): _*)
-        else dfV.hint("rebalance")
-      } else dfV
     // an append may legally omit a nullable partition column — fill it
     // with null so the hive layout records it (HIVE_DEFAULT dir → null
-    // partitionValue), exactly what a reader of the omitted column sees
-    val df2 = partCols.filterNot(df1.columns.contains).foldLeft(df1) {
+    // partitionValue), exactly what a reader of the omitted column
+    // sees. The fill must precede the optimized-write rebalance hint
+    // below: the hint's expressions name the partition columns and
+    // would fail analysis against a frame missing one.
+    val dfF = partCols.filterNot(dfV.columns.contains).foldLeft(dfV) {
       (d, c) => d.withColumn(c, org.apache.spark.sql.functions.lit(null)
         .cast(tableSchema.fields.find(_.name == c)
           .map(_.dataType)
           .getOrElse(org.apache.spark.sql.types.StringType)))
     }
+    val df1 =
+      if (layoutCols.nonEmpty)
+        dfF.repartitionByRange(zFiles, zOrderColumn(dfF, layoutCols).asc)
+      else if (optimizeWrite) {
+        if (partCols.nonEmpty) dfF.hint("rebalance",
+          partCols.map(org.apache.spark.sql.functions.col): _*)
+        else dfF.hint("rebalance")
+      } else dfF
     try withMicrosTimestamps(spark) {
       withAdvisorySize(spark,
         if (optimizeWrite) targetFileSize(newCfg) else None) {
-        toPhysical(df2, tableSchema).write.mode("append")
+        toPhysical(df1, tableSchema).write.mode("append")
           .partitionBy(physicalPartitionBy(partCols, tableSchema): _*)
           .parquet(path)
       }

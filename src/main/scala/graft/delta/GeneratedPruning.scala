@@ -41,10 +41,14 @@ import org.apache.spark.sql.types._
   * monotone over time. Unrecognized expressions and unconvertible
   * literals derive nothing (fail-open, the partition is read).
   *
-  * Timestamp bases are interpreted in UTC: the engine pins
-  * `spark.sql.session.timeZone=UTC` and the writer materializes
-  * generated partition values under that same session, so the
-  * derivation and the stored partitionValues agree by construction.
+  * Timestamp bases are interpreted in UTC, and the derivation FIRES
+  * ONLY when the current session timezone normalizes to UTC (the
+  * engine's harness default): the writer materialized partition values
+  * under its own session timezone, so UTC-reader-over-UTC-writer is
+  * the provable case — a consistent-UTC pipeline is the documented
+  * assumption. Under any other session timezone the scan stays
+  * correct-but-unpruned rather than risking silently dropped
+  * partitions.
   */
 object GeneratedPruning {
 
@@ -145,6 +149,14 @@ object GeneratedPruning {
   def derive(conds: Seq[Cond], schema: StructType,
       partitionColumns: Seq[String]): Seq[Cond] = {
     if (conds.isEmpty || partitionColumns.isEmpty) return Nil
+    // the recognized families are timezone-sensitive: the writer
+    // materialized partition values under ITS session timezone, and
+    // this derivation converts literals in UTC — they only provably
+    // agree when the reading session is pinned to UTC too (the
+    // engine's harness default; a consistent-UTC pipeline is the
+    // documented assumption). Any other session timezone derives
+    // nothing: correct-but-unpruned beats silently dropped partitions.
+    if (!sessionIsUtc) return Nil
     val gens: Seq[(String, Gen)] = schema.fields.toSeq
       .filter(f => partitionColumns.contains(f.name) &&
         f.metadata.contains(Constraints.GenerationKey))
@@ -157,6 +169,12 @@ object GeneratedPruning {
       d <- deriveOne(p, g, c)
     } yield d
   }
+
+  private def sessionIsUtc: Boolean =
+    try java.time.ZoneId
+      .of(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      .normalized() == ZoneOffset.UTC
+    catch { case scala.util.control.NonFatal(_) => false }
 
   private def deriveOne(p: String, g: Gen, c: Cond): Option[Cond] =
     (c.op, c.value) match {

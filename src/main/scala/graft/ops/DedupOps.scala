@@ -218,11 +218,8 @@ object DedupOps {
   private def bandStorePath(storePath: String): String =
     storePath + "_bands"
 
-  private def tableExists(s: SparkSession, path: String): Boolean = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    fs.exists(new org.apache.hadoop.fs.Path(root, "_delta_log"))
-  }
+  private def tableExists(s: SparkSession, path: String): Boolean =
+    graft.DeltaLake.tableExists(s, path)
 
   /** The PERSISTED banded projection `(band, sig, doc_id)` of a
     * signature store, partitioned by band (8 directories — the probe
@@ -255,7 +252,11 @@ object DedupOps {
         Some(docs.select("doc_id"))
       } else {
         val known = graft.DeltaLake.scanDelta(s, storePath).select("doc_id")
+        // materialize once: the anti-join scans the store's id column,
+        // and the emptiness check, the signature write and the bands
+        // semi-join would otherwise each re-execute it
         val fresh = docs.join(known, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
         if (fresh.isEmpty) None
         else {
           graft.delta.DeltaWriter.write(signaturesOf(fresh), storePath,
@@ -445,7 +446,11 @@ object DedupOps {
         graft.DeltaLake.scanDelta(s, storePath).select("doc_id", "mh")
           .unionByName(incSigs)
       else incSigs
+    // materialize once: the collision join scans the full banded
+    // projection, and both the emptiness check and the ledgered append
+    // would otherwise execute it
     val pairs = pairsOver(broadcast(incBands), allBands, allSigs)
+      .localCheckpoint()
     def crashPoint(leg: Int): Unit =
       if (leg >= crashAfterLeg)
         throw new IllegalStateException(s"injected crash after leg $leg")
@@ -476,18 +481,8 @@ object DedupOps {
     // the ledger identity must survive restarts: derive it from the
     // pipeline's output location, not from a session-random id
     val appId = "graft-dedup-drain:" + pairsPath
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_streamdedup_ckpt").toString
-    val q = s.readStream.format("graft-delta").load(srcPath)
-      .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch(drainBatch(s, storePath, pairsPath, appId) _)
-      .start()
-    try feed(() => q.processAllAvailable())
-    finally {
-      q.stop()
-      val cp = new org.apache.hadoop.fs.Path(ckpt)
-      cp.getFileSystem(s.sessionState.newHadoopConf()).delete(cp, true)
-    }
+    graft.streaming.DrainHarness.drain(s, srcPath, readChangeFeed = false)(
+      drainBatch(s, storePath, pairsPath, appId))(feed)
   }
 
   /** One CDF-following dedup increment: deletes and update-preimages
@@ -503,16 +498,16 @@ object DedupOps {
     * commits.
     *
     * Crash replay: the increment half is [[drainBatch]]'s ledgered
-    * protocol; the signature/band retire is materially idempotent; and
-    * the PAIRS retire is guarded by the pairs table's own ledger
-    * watermark — it runs iff this batch's pairs commit has NOT landed
-    * yet. Without that guard, replaying an UPDATE batch that crashed
-    * right after the pairs commit would delete the doc's freshly
-    * committed pairs and then ledger-skip re-adding them (the one
-    * non-idempotent interleaving); with it, replay of a fully committed
-    * batch also skips retiring the doc's NEW signatures. The retire set
-    * is micro-batch-sized by contract — it rides a Cond IN list, the
-    * same boundedness assumption as [[retireSignatures]].
+    * protocol, and EACH table's retire is guarded by that table's own
+    * ledger watermark — it runs iff this batch's append to that table
+    * has NOT landed yet. Without the per-table guards, replaying an
+    * UPDATE batch after one of its commits landed would delete rows
+    * that very batch freshly committed and then ledger-skip re-adding
+    * them (pairs after the pairs leg; bands/signatures after theirs —
+    * the latter reachable by a no-pairs update batch, whose skipped
+    * empty pairs commit never advances the pairs watermark). The retire
+    * set is micro-batch-sized by contract — it rides a Cond IN list,
+    * the same boundedness assumption as [[retireSignatures]].
     */
   def cdfDrainBatch(s: SparkSession, storePath: String, pairsPath: String,
       appId: String)(batch: DataFrame, batchId: Long): Unit =
@@ -524,16 +519,29 @@ object DedupOps {
       crashAfterLeg: Int = Int.MaxValue)(
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val pairsApplied = tableExists(s, pairsPath) &&
-      graft.delta.DeltaLog.forPath(s, pairsPath)
+    // EACH table's retire is guarded by THAT table's own ledger
+    // watermark (same per-leg argument as the ANN drain): the retire
+    // runs iff this batch's append to that table has not landed. A
+    // single pairs-watermark guard is NOT enough — a no-pairs update
+    // batch never advances the pairs watermark (drainBatch skips the
+    // empty pairs commit), so its replay after the bands/signature
+    // legs would re-retire the doc's freshly committed rows and then
+    // ledger-skip re-adding them.
+    def applied(p: String): Boolean = tableExists(s, p) &&
+      graft.delta.DeltaLog.forPath(s, p)
         .txnVersions.get(appId).exists(_ >= batchId)
     val gone: Seq[Long] = batch
       .where(col("_change_type").isin("delete", "update_preimage"))
       .select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    if (gone.nonEmpty && !pairsApplied && tableExists(s, storePath)) {
-      retireSignatures(s, storePath, gone)
-      if (tableExists(s, pairsPath)) {
+    if (gone.nonEmpty) {
+      val cond = Seq(graft.delta.Cond("doc_id", "in", gone))
+      if (tableExists(s, storePath) && !applied(storePath))
+        graft.DeltaLake.deleteWhere(s, storePath, cond)
+      val bp = bandStorePath(storePath)
+      if (tableExists(s, bp) && !applied(bp))
+        graft.DeltaLake.deleteWhere(s, bp, cond)
+      if (tableExists(s, pairsPath) && !applied(pairsPath)) {
         // AND-only Cond DSL: a pair touches the retired set through
         // either endpoint, so two one-sided deletes
         graft.DeltaLake.deleteWhere(s, pairsPath,
@@ -567,21 +575,8 @@ object DedupOps {
       storePath: String, pairsPath: String)(
       feed: (() => Unit) => Unit): Unit = {
     val appId = "graft-dedup-cdf:" + pairsPath
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_cdfdedup_ckpt").toString
-    val q = s.readStream.format("graft-delta")
-      .option("readChangeFeed", "true")
-      .option("startingVersion", "0")
-      .load(srcPath)
-      .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch(cdfDrainBatch(s, storePath, pairsPath, appId) _)
-      .start()
-    try feed(() => q.processAllAvailable())
-    finally {
-      q.stop()
-      val cp = new org.apache.hadoop.fs.Path(ckpt)
-      cp.getFileSystem(s.sessionState.newHadoopConf()).delete(cp, true)
-    }
+    graft.streaming.DrainHarness.drain(s, srcPath, readChangeFeed = true)(
+      cdfDrainBatch(s, storePath, pairsPath, appId))(feed)
   }
 
   /** d3 body: LSH candidate pairs above the similarity floor. Shared by

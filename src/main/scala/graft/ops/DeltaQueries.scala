@@ -492,22 +492,29 @@ object DeltaQueries {
         // row on the driver before aggregating).
         val acc = new java.util.concurrent.ConcurrentHashMap[
           (String, Long), (Long, Long, Double)]()
+        // foreachBatch is at-least-once: a replayed batchId must not
+        // merge its partials twice (the memory sink this replaced
+        // deduped on batchId internally)
+        val seen = java.util.concurrent.ConcurrentHashMap
+          .newKeySet[Long]()
         val q = s.readStream.format("graft-delta")
           .option("readChangeFeed", "true")
           .option("startingVersion", "0")
           .load(path)
           .writeStream
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.groupBy(col("_change_type"), col("_commit_version"))
-              .agg(count(lit(1)).as("n"),
-                sum("o_orderkey").cast("long").as("key_sum"),
-                sum("o_totalprice").as("price_sum"))
-              .collect().foreach { r =>
-                acc.merge((r.getString(0), r.getLong(1)),
-                  (r.getLong(2), r.getLong(3), r.getDouble(4)),
-                  (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
-              }
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (seen.add(batchId)) {
+              batch.groupBy(col("_change_type"), col("_commit_version"))
+                .agg(count(lit(1)).as("n"),
+                  sum("o_orderkey").cast("long").as("key_sum"),
+                  sum("o_totalprice").as("price_sum"))
+                .collect().foreach { r =>
+                  acc.merge((r.getString(0), r.getLong(1)),
+                    (r.getLong(2), r.getLong(3), r.getDouble(4)),
+                    (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+                }
+            }
             ()
           }
           .start()

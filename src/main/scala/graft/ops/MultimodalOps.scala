@@ -195,7 +195,9 @@ object MultimodalOps {
           while (x < w) {
             raster.getPixel(x, y, px)
             var c = 0
-            while (c < bands) { sum += px(c); c += 1 }
+            // channel-WEIGHTED sum: a plain sum is permutation-
+            // invariant across bands, so an RGB/BGR mixup would pass it
+            while (c < bands) { sum += (c + 1) * px(c); c += 1 }
             x += 1
           }
           y += 1
@@ -298,7 +300,8 @@ object MultimodalOps {
         |  FROM documents),
         |px AS (
         |  SELECT d.doc_id, d.width, d.height,
-        |    sum((d.doc_id * 31 + x.j * 3 + y.j * 7 + ch.j * 11) % 256)
+        |    sum((ch.j + 1) *
+        |        ((d.doc_id * 31 + x.j * 3 + y.j * 7 + ch.j * 11) % 256))
         |      AS px_sum
         |  FROM dims d
         |  JOIN range(64) x(j) ON x.j < d.width

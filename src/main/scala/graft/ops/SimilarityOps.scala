@@ -142,6 +142,33 @@ object SimilarityOps {
        |    sum(CASE WHEN pr >= 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sig
        |  FROM proj GROUP BY vec_id, tbl)""".stripMargin
 
+  /** The shared probe-ranking tail of the s6/s7/s8 oracles: query
+    * signatures from `sig`, bucket-collision candidates, cosine scoring
+    * against `corpusRel`, rank <= TopK. One copy serves all three —
+    * only the signed corpus (the WITH prefix) and the scoring relation
+    * differ.
+    */
+  private def probeTailSql(corpusRel: String): String =
+    s"""q AS (SELECT vec_id AS query_id, tbl, sig FROM sig
+       |  WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+       |  FROM sig s JOIN q USING (tbl, sig)
+       |  WHERE s.vec_id <> q.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim
+       |  FROM cand c
+       |  JOIN $corpusRel qe ON qe.vec_id = c.query_id
+       |  JOIN $corpusRel ne ON ne.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id FROM ranked
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   /** Exact cosine top-k (s1's body; also the s5 recall ground truth):
     * broadcast query set, one distributed pass, window rank.
     */
@@ -200,11 +227,8 @@ object SimilarityOps {
 
   private val VecsSuffix = "_vecs"
 
-  private def tableExists(s: SparkSession, path: String): Boolean = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-    fs.exists(new org.apache.hadoop.fs.Path(root, "_delta_log"))
-  }
+  private def tableExists(s: SparkSession, path: String): Boolean =
+    graft.DeltaLake.tableExists(s, path)
 
   private def storedBits(s: SparkSession, indexPath: String): Int =
     graft.delta.DeltaLog.forPath(s, indexPath)
@@ -388,21 +412,8 @@ object SimilarityOps {
   def streamAnnFollowCdf(s: SparkSession, srcPath: String,
       indexPath: String)(feed: (() => Unit) => Unit): Unit = {
     val appId = "graft-ann-cdf:" + indexPath
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_anncdf_ckpt").toString
-    val q = s.readStream.format("graft-delta")
-      .option("readChangeFeed", "true")
-      .option("startingVersion", "0")
-      .load(srcPath)
-      .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch(annCdfDrainBatch(s, indexPath, appId) _)
-      .start()
-    try feed(() => q.processAllAvailable())
-    finally {
-      q.stop()
-      val cp = new org.apache.hadoop.fs.Path(ckpt)
-      cp.getFileSystem(s.sessionState.newHadoopConf()).delete(cp, true)
-    }
+    graft.streaming.DrainHarness.drain(s, srcPath, readChangeFeed = true)(
+      annCdfDrainBatch(s, indexPath, appId))(feed)
   }
 
   /** STREAMING maintenance of the persisted ANN index: drain a vectors
@@ -419,18 +430,8 @@ object SimilarityOps {
     // ledger identity derived from the output location — survives
     // restarts, unlike a session-random id
     val appId = "graft-ann-drain:" + indexPath
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_annstream_ckpt").toString
-    val q = s.readStream.format("graft-delta").load(srcPath)
-      .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch(annDrainBatch(s, indexPath, appId) _)
-      .start()
-    try feed(() => q.processAllAvailable())
-    finally {
-      q.stop()
-      val cp = new org.apache.hadoop.fs.Path(ckpt)
-      cp.getFileSystem(s.sessionState.newHadoopConf()).delete(cp, true)
-    }
+    graft.streaming.DrainHarness.drain(s, srcPath, readChangeFeed = false)(
+      annDrainBatch(s, indexPath, appId))(feed)
   }
 
   // ---------------------------------------------------------------
@@ -609,25 +610,7 @@ object SimilarityOps {
           .orderBy("query_id", "rank")
       },
       Some(s"""WITH ${sigSql(NumTables, "WHERE vec_id % 2 = 0")},
-        |q AS (SELECT vec_id AS query_id, tbl, sig FROM sig
-        |  WHERE vec_id < $NumQueries),
-        |cand AS (
-        |  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
-        |  FROM sig s JOIN q USING (tbl, sig)
-        |  WHERE s.vec_id <> q.query_id),
-        |scored AS (
-        |  SELECT c.query_id, c.neighbor_id,
-        |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim
-        |  FROM cand c
-        |  JOIN embeddings qe ON qe.vec_id = c.query_id
-        |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, neighbor_id FROM ranked
-        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+        |${probeTailSql("embeddings")}""".stripMargin)),
 
     // STREAMING ANN-index maintenance (r10): the vectors arrive as a
     // Delta stream and every micro-batch refreshes the persisted index
@@ -664,25 +647,7 @@ object SimilarityOps {
           .orderBy("query_id", "rank")
       },
       Some(s"""WITH ${sigSql(NumTables, "WHERE vec_id % 3 = 0")},
-        |q AS (SELECT vec_id AS query_id, tbl, sig FROM sig
-        |  WHERE vec_id < $NumQueries),
-        |cand AS (
-        |  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
-        |  FROM sig s JOIN q USING (tbl, sig)
-        |  WHERE s.vec_id <> q.query_id),
-        |scored AS (
-        |  SELECT c.query_id, c.neighbor_id,
-        |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim
-        |  FROM cand c
-        |  JOIN embeddings qe ON qe.vec_id = c.query_id
-        |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, neighbor_id FROM ranked
-        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+        |${probeTailSql("embeddings")}""".stripMargin)),
 
     // CDF-FOLLOWING ANN index (r10): the persisted index tracks a
     // MUTATING vector corpus — the source takes an append, an UPDATE
@@ -736,25 +701,7 @@ object SimilarityOps {
         |    THEN [-x for x in embedding] ELSE embedding END AS embedding
         |  FROM embeddings WHERE NOT (vec_id >= 100 AND vec_id % 10 = 3)),
         |${sigSqlOver(NumTables, "WHERE vec_id % 2 = 0", "corpus_live")},
-        |q AS (SELECT vec_id AS query_id, tbl, sig FROM sig
-        |  WHERE vec_id < $NumQueries),
-        |cand AS (
-        |  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
-        |  FROM sig s JOIN q USING (tbl, sig)
-        |  WHERE s.vec_id <> q.query_id),
-        |scored AS (
-        |  SELECT c.query_id, c.neighbor_id,
-        |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim
-        |  FROM cand c
-        |  JOIN corpus_live qe ON qe.vec_id = c.query_id
-        |  JOIN corpus_live ne ON ne.vec_id = c.neighbor_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, neighbor_id FROM ranked
-        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+        |${probeTailSql("corpus_live")}""".stripMargin)),
 
     // IVF ANN — the other scale path: a coarse quantizer (k-means-lite,
     // deterministic hash-ordered seeding + one Lloyd step) partitions

@@ -500,8 +500,9 @@ class OpsSpec extends SparkSuite {
       assert(h == MultimodalOps.genHeight(id))
       assert(ch == 3)
       var exp = 0L
+      // channel-weighted like the decoder: a band-order mixup must fail
       for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
-        exp += MultimodalOps.genSample(id, x, y, c)
+        exp += (c + 1) * MultimodalOps.genSample(id, x, y, c)
       assert(sum == exp, s"doc $id pixel sum $sum != $exp — lossy roundtrip")
     }
     // decode is narrow: partition count flows through unchanged

@@ -165,6 +165,29 @@ class GeneratedPruningSpec extends SparkSuite {
       .count() == 30)
   }
 
+  test("a non-UTC session derives nothing (correct-but-unpruned)") {
+    val (path, _) = stageDaily()
+    val snap = DeltaLog.forPath(spark, path)
+    val conds = Seq(
+      Cond("ts", ">=", Instant.parse("2024-01-10T05:00:00Z")),
+      Cond("ts", "<", Instant.parse("2024-01-12T07:00:00Z")))
+    val prunedUtc = snap.addActionsFiltered(conds).size
+    val all = snap.addActionsFiltered().size
+    assert(prunedUtc < all)
+    // the writer materialized UTC dates; a non-UTC reading session
+    // cannot prove the derivation sound, so it must not fire — the
+    // scan stays correct (row set checked) but unpruned
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      assert(snap.addActionsFiltered(conds).size == all,
+        "derivation fired under a non-UTC session")
+      val got = DeltaLake.scanDelta(spark, path,
+          ScanSettings(conditions = conds))
+        .select("id").as[Long].collect().sorted
+      assert(got.length == 50)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("non-monotone and unrecognized expressions derive nothing") {
     import GeneratedPruning.parse
     assert(parse("month(ts)").isEmpty)
