@@ -441,9 +441,31 @@ object SimilarityOps {
   // distributed avg and the oracle's sequential avg sum doubles in
   // different orders; an unquantized ulp could flip a near-tie
   // assignment), assignment through the fused NearestCentroid kernel.
+  //
+  // K SCALES WITH THE CORPUS (the [[derivedBits]] pattern): a fixed K
+  // makes d12's within-cluster pairwise join O(n²/K) — quadratic in
+  // the corpus — and real SemDeDup runs K in the tens of thousands
+  // precisely so cluster size stays bounded. [[derivedK]] targets a
+  // constant expected cluster size, so the pairwise cost Σ|cluster|² ≈
+  // n·TargetCluster grows LINEARLY with the corpus (D12Rehearsal pins
+  // the candidate-pair growth sf0.1 → sf1). The centroid matrix stays
+  // a driver/broadcast constant — K×Dim doubles, ≤32 MB at the 65536
+  // clamp; beyond that a production deployment goes two-level (a
+  // coarse quantizer over the centroids themselves), which changes the
+  // assignment data flow, not this operator's shape.
   // ---------------------------------------------------------------
 
-  private[ops] val IvfK = 16
+  /** Expected-cluster-size target for the IVF quantizer: K ≈ n/target. */
+  private val TargetCluster = 32L
+
+  /** Quantizer size for a corpus of `n` vectors: ceil(n/target),
+    * clamped to [16, 65536]. Integer arithmetic only, so the SQL twin
+    * (`(count(*) + t - 1) // t`) derives the identical value.
+    */
+  private[graft] def derivedK(n: Long, target: Long = TargetCluster): Int = {
+    val k = (n + target - 1) / target
+    math.max(16L, math.min(65536L, k)).toInt
+  }
 
   /** Fused kernel: one vector pass fans into all K dot accumulators
     * (graft.functions.NearestCentroid) — the assignment step is the
@@ -462,9 +484,9 @@ object SimilarityOps {
     */
   private def ivfModel(s: SparkSession, dir: String)
       : (DataFrame, Array[Seq[Double]]) = {
-    val K = IvfK
     val emb = OpCaches.cached(s, s"sim:emb:$dir",
       OpCaches.tableVersion(s, dir, "embeddings"))(corpus(s, dir))
+    val K = derivedK(emb.count())
 
     // seed centroids: hash-ordered corpus sample (deterministic,
     // cross-engine: md5 of the decimal id, id tiebreak)
@@ -499,17 +521,23 @@ object SimilarityOps {
     (lists, centroids)
   }
 
-  /** SQL twin of [[ivfModel]]: CTE chain `seeds → a1 → m → mc → cents →
-    * a2` where `a2` is (vec_id, cl) and `cents` is (cl, c). Assignment
-    * mirrors the kernel's dot·(1/sqrt(norm)) form exactly (not dot/sqrt
-    * — one fewer rounding difference) with lowest-cl tie-break.
+  /** SQL twin of [[ivfModel]]: CTE chain `kp → seeds → a1 → m → mc →
+    * cents → a2` where `a2` is (vec_id, cl) and `cents` is (cl, c).
+    * `kp` re-derives [[derivedK]] from the corpus count — the oracle
+    * recomputes the SAME K the engine derived, exactly as `bitsSql`
+    * does for the LSH signature width. Assignment mirrors the kernel's
+    * dot·(1/sqrt(norm)) form exactly (not dot/sqrt — one fewer
+    * rounding difference) with lowest-cl tie-break.
     */
   private def ivfSql: String =
-    s"""seeds AS (
+    s"""kp AS (SELECT GREATEST(16, LEAST(65536,
+       |    (count(*) + ${TargetCluster - 1}) // $TargetCluster)) AS k
+       |  FROM embeddings),
+       |seeds AS (
        |  SELECT cl, c FROM (
        |    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl,
        |           embedding::DOUBLE[] AS c
-       |    FROM embeddings) t WHERE cl < $IvfK),
+       |    FROM embeddings) t WHERE cl < (SELECT k FROM kp)),
        |a1 AS (
        |  SELECT vec_id, cl FROM (
        |    SELECT e.vec_id, s.cl,
@@ -534,6 +562,24 @@ object SimilarityOps {
        |          (1.0 / sqrt(list_sum([s.c[j+1] * s.c[j+1] for j in range($Dim)]))) DESC,
        |        s.cl) AS rn
        |    FROM embeddings e CROSS JOIN cents s) t WHERE rn = 1)""".stripMargin
+
+  /** d12's scale profile for one corpus dir: (corpus size, derived K,
+    * within-cluster candidate-pair count Σ|c|·(|c|−1)/2, largest
+    * cluster). The rehearsal main (graft.D12Rehearsal) reads this at
+    * two scales to pin that candidate pairs grow ~linearly with the
+    * corpus — the property [[derivedK]] exists to provide.
+    */
+  private[graft] def semDedupCandidateStats(s: SparkSession, dir: String)
+      : (Long, Int, Long, Long) = {
+    val (lists, centroids) = ivfModel(s, dir)
+    val sizes = lists.groupBy("cl").count()
+      .agg(sum(col("count")).as("n"),
+        sum(col("count") * (col("count") - 1)).as("pairs2"),
+        max(col("count")).as("mx"))
+      .head()
+    (sizes.getLong(0), centroids.length,
+      sizes.getLong(1) / 2, sizes.getLong(2))
+  }
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -712,20 +758,27 @@ object SimilarityOps {
     // pick the identical seed set and replay the whole pipeline.
     "s4_ann_ivf" -> QueryDef(
       (s, dir) => {
-        val K = IvfK; val nprobe = 4
+        val nprobe = 4
         val (lists, centroids) = ivfModel(s, dir)
 
-        // queries probe their nprobe closest lists
+        // queries probe their nprobe closest lists: centroids as a
+        // BROADCAST relation (K rows), not K unrolled literal
+        // expressions — with K derived from the corpus, an expression
+        // per centroid would blow up codegen at scale while a
+        // (queries × K) broadcast cross join stays tiny (queries are a
+        // batch, K ≤ 65536). Tie-break cl DESC matches the oracle's
+        // ORDER BY sim DESC, cl DESC.
+        import s.implicits._
+        val centDf = centroids.toSeq.zipWithIndex
+          .map { case (c, i) => (i, c) }.toDF("cl", "c")
+        val pw = Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cl").desc)
         val probes = lists.where(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-          .withColumn("csims", array(centroids.map(c =>
-            cosine(s, typedlit(c), col("qv"))): _*))
-          .withColumn("ranked", sort_array(
-            zip_with(col("csims"), sequence(lit(0), lit(K - 1)),
-              (sim, i) => struct(sim.as("sim"), i.as("idx"))),
-            asc = false))
-          .withColumn("cl", explode(
-            transform(slice(col("ranked"), 1, nprobe), x => x.getField("idx"))))
+          .crossJoin(broadcast(centDf))
+          .withColumn("csim", cosine(s, col("c"), col("qv")))
+          .withColumn("rn", row_number().over(pw))
+          .where(col("rn") <= nprobe)
           .select("query_id", "qv", "cl")
 
         val scored = lists.join(broadcast(probes), Seq("cl"))
@@ -772,10 +825,12 @@ object SimilarityOps {
     // the cosine threshold — semantically-redundant documents that
     // lexical dedup (d1–d11) can't see, pruned without any corpus-wide
     // pair join. The within-cluster pair comparison IS the published
-    // algorithm: its cost is Σ|cluster|², bounded in production by
-    // scaling K with the corpus (cluster size stays ~constant, the
-    // pair join shuffles on the cluster key and parallelizes across
-    // clusters). K=16 at harness scale; the keep rule (lowest id
+    // algorithm: its cost is Σ|cluster|², bounded by [[derivedK]] —
+    // K scales with the corpus so expected cluster size stays
+    // ~TargetCluster and the candidate-pair count grows LINEARLY in n
+    // (D12Rehearsal pins the sf0.1 → sf1 growth; the oracle's `kp` CTE
+    // re-derives the same K). The pair join shuffles on the cluster
+    // key and parallelizes across clusters. The keep rule (lowest id
     // survives) replaces the paper's random representative so both
     // engines agree deterministically.
     "d12_sem_dedup" -> QueryDef(
