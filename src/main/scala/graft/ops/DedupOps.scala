@@ -481,7 +481,9 @@ object DedupOps {
     // the ledger identity must survive restarts: derive it from the
     // pipeline's output location, not from a session-random id
     val appId = "graft-dedup-drain:" + pairsPath
-    graft.streaming.DrainHarness.drain(s, srcPath, readChangeFeed = false)(
+    graft.streaming.DrainHarness.drain(s, srcPath, readChangeFeed = false,
+      outputPath = pairsPath, appId = appId,
+      ledgerTables = Seq(pairsPath, storePath, bandStorePath(storePath)))(
       drainBatch(s, storePath, pairsPath, appId))(feed)
   }
 
@@ -575,7 +577,9 @@ object DedupOps {
       storePath: String, pairsPath: String)(
       feed: (() => Unit) => Unit): Unit = {
     val appId = "graft-dedup-cdf:" + pairsPath
-    graft.streaming.DrainHarness.drain(s, srcPath, readChangeFeed = true)(
+    graft.streaming.DrainHarness.drain(s, srcPath, readChangeFeed = true,
+      outputPath = pairsPath, appId = appId,
+      ledgerTables = Seq(pairsPath, storePath, bandStorePath(storePath)))(
       cdfDrainBatch(s, storePath, pairsPath, appId))(feed)
   }
 

@@ -27,7 +27,7 @@ object DeltaQueries {
     */
   private val ArtifactSuffixes =
     Seq("_before_ids", "_bands", "_vecs", "_manifest",
-      "_src", "_store", "_store_bands")
+      "_src", "_store", "_store_bands", "_ckpt")
 
   /** Run `setup` at most once per (sfDir, name, source-data version) —
     * ACROSS JVMs, via an on-disk `_STAGED_OK` marker holding the source

@@ -412,7 +412,9 @@ object SimilarityOps {
   def streamAnnFollowCdf(s: SparkSession, srcPath: String,
       indexPath: String)(feed: (() => Unit) => Unit): Unit = {
     val appId = "graft-ann-cdf:" + indexPath
-    graft.streaming.DrainHarness.drain(s, srcPath, readChangeFeed = true)(
+    graft.streaming.DrainHarness.drain(s, srcPath, readChangeFeed = true,
+      outputPath = indexPath, appId = appId,
+      ledgerTables = Seq(indexPath, indexPath + VecsSuffix))(
       annCdfDrainBatch(s, indexPath, appId))(feed)
   }
 
@@ -430,7 +432,9 @@ object SimilarityOps {
     // ledger identity derived from the output location — survives
     // restarts, unlike a session-random id
     val appId = "graft-ann-drain:" + indexPath
-    graft.streaming.DrainHarness.drain(s, srcPath, readChangeFeed = false)(
+    graft.streaming.DrainHarness.drain(s, srcPath, readChangeFeed = false,
+      outputPath = indexPath, appId = appId,
+      ledgerTables = Seq(indexPath, indexPath + VecsSuffix))(
       annDrainBatch(s, indexPath, appId))(feed)
   }
 

@@ -4,19 +4,60 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared scaffold for the streaming maintenance drains (dedup d10/d13,
   * ANN s7/s8): a graft-delta stream — the snapshot+appends feed, or the
-  * change feed from version 0 — into a `foreachBatch` body under a
-  * throwaway checkpoint, with a sync callback handed to the feeding
-  * script so each source commit can become its own micro-batch. One
-  * place owns the checkpoint lifecycle: a fix here (e.g. cleanup on a
-  * failing feed) reaches every drain.
+  * change feed from version 0 — into a `foreachBatch` body, with a sync
+  * callback handed to the feeding script so each source commit can
+  * become its own micro-batch. One place owns the checkpoint lifecycle:
+  * a fix here (e.g. the restart semantics below) reaches every drain.
+  *
+  * Restart semantics: the checkpoint is a STABLE sibling of the drain's
+  * output table (`<outputPath>_ckpt`), matching the output-derived txn
+  * appId — so a re-invoked drain RESUMES its source offsets and batchIds
+  * continue past the output tables' ledger watermark. A per-invocation
+  * throwaway checkpoint (the original design) restarted batchIds at 0 on
+  * every call while the appId stayed stable, and the exactly-once ledger
+  * then silently SKIPPED every genuinely new batch of the second run —
+  * permanent data loss with no error. The checkpoint is therefore kept
+  * after the run, and deleted only together with the output table
+  * (DeltaQueries.ArtifactSuffixes registers the suffix).
+  *
+  * If the checkpoint is lost while the outputs survive (manual
+  * deletion), the hazard reappears — a fresh checkpoint restarts at
+  * batch 0 under a ledger watermark ≥ 0. The drain detects that shape
+  * up front (fresh checkpoint + any `ledgerTables` entry already
+  * watermarked for `appId`) and fails fast instead of silently dropping
+  * data; recovery is deleting the outputs too (rebuild) or restoring
+  * the checkpoint.
   */
 object DrainHarness {
 
-  def drain(s: SparkSession, srcPath: String, readChangeFeed: Boolean)(
+  /** The drain's checkpoint location for an output table — a sibling,
+    * like the dedup store's `_bands` projection.
+    */
+  def checkpointPath(outputPath: String): String =
+    outputPath.stripSuffix("/") + "_ckpt"
+
+  def drain(s: SparkSession, srcPath: String, readChangeFeed: Boolean,
+      outputPath: String, appId: String, ledgerTables: Seq[String])(
       body: (DataFrame, Long) => Unit)(
       feed: (() => Unit) => Unit): Unit = {
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_drain_ckpt").toString
+    val ckpt = checkpointPath(outputPath)
+    val hc = s.sessionState.newHadoopConf()
+    val offsets = new org.apache.hadoop.fs.Path(ckpt + "/offsets")
+    val fs = offsets.getFileSystem(hc)
+    val resuming = fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
+    if (!resuming) {
+      val watermarked = ledgerTables.filter { t =>
+        graft.DeltaLake.tableExists(s, t) &&
+          graft.delta.DeltaLog.forPath(s, t).txnVersions.contains(appId)
+      }
+      if (watermarked.nonEmpty) throw new IllegalStateException(
+        s"drain checkpoint $ckpt is fresh but " +
+          s"${watermarked.mkString(", ")} already carries a txn ledger " +
+          s"watermark for appId '$appId' — a fresh checkpoint restarts " +
+          "batchIds at 0 and the exactly-once ledger would silently " +
+          "skip every new batch. Restore the checkpoint, or delete the " +
+          "output tables to rebuild from scratch.")
+    }
     val reader = {
       val r = s.readStream.format("graft-delta")
       if (readChangeFeed)
@@ -28,10 +69,6 @@ object DrainHarness {
       .foreachBatch(body)
       .start()
     try feed(() => q.processAllAvailable())
-    finally {
-      q.stop()
-      val cp = new org.apache.hadoop.fs.Path(ckpt)
-      cp.getFileSystem(s.sessionState.newHadoopConf()).delete(cp, true)
-    }
+    finally q.stop() // checkpoint stays: the next invocation resumes it
   }
 }

@@ -170,6 +170,23 @@ class AnnIndexStreamSpec extends SparkSuite {
     assert(DeltaLog.forPath(spark, idx + "_vecs").version == vv)
   }
 
+  test("re-invoked drain resumes its checkpoint: the second run's vectors land") {
+    val src = tmp("rsrc"); val idx = tmp("ridx")
+    graft.delta.DeltaWriter.write(vecs(0L until 30L), src)
+    SimilarityOps.streamAnnIndexDrain(spark, src, idx)(sync => sync())
+    assert(DeltaLake.scanDelta(spark, idx + "_vecs").count() == 30L)
+    // vectors arrive between invocations; the re-invoked drain must
+    // resume its offsets (stable checkpoint), not restart batchIds at 0
+    // under the appId's ledger watermark and silently skip them
+    graft.delta.DeltaWriter.write(vecs(30L until 50L), src, mode = "append")
+    SimilarityOps.streamAnnIndexDrain(spark, src, idx)(sync => sync())
+    assert(DeltaLake.scanDelta(spark, idx + "_vecs").count() == 50L,
+      "second invocation's vectors must land in the index store")
+    assert(DeltaLake.scanDelta(spark, idx)
+      .where(col("vec_id") >= 30L).count() == 20L * 4,
+      "second invocation's banded rows must land in the index")
+  }
+
   test("seed crash before the vectors table exists replays cleanly") {
     val appId = "spec-ann-seed"
     val idx = tmp("idx3")

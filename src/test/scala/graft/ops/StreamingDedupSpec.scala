@@ -208,6 +208,50 @@ class StreamingDedupSpec extends SparkSuite {
     assert(!rows(pairs).exists { case (a, b, _) => a == 50L || b == 50L })
   }
 
+  test("re-invoked drain resumes its checkpoint: the second run's rows land") {
+    val src = tmp("rsrc"); val store = tmp("rstore"); val pairs = tmp("rpairs")
+    val docs = corpus(60)
+    graft.delta.DeltaWriter.write(docs.where(col("doc_id") <= 30), src)
+    DedupOps.streamDedupDrain(spark, src, store, pairs)(sync => sync())
+    val afterFirst = rows(pairs)
+    assert(afterFirst.nonEmpty)
+    // new source rows arrive while NO drain is running, then the drain
+    // is re-invoked over the same output — a per-invocation throwaway
+    // checkpoint restarted batchIds at 0 here, and the stable
+    // output-derived appId's ledger watermark then silently SKIPPED
+    // every batch of this second run (permanent data loss)
+    graft.delta.DeltaWriter.write(
+      docs.where(col("doc_id") > 30), src, mode = "append")
+    DedupOps.streamDedupDrain(spark, src, store, pairs)(sync => sync())
+    assert(DeltaLake.scanDelta(spark, store).count() == 60L,
+      "second invocation's documents must land in the signature store")
+    val ref = tmp("rref")
+    DedupOps.incrementalSignatures(spark, ref, docs)
+    val want = DedupOps.incrementalMinhashPairs(spark, ref)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(pairs) == want)
+    assert(rows(pairs) != afterFirst,
+      "the corpus must grow pairs across the restart or the test is vacuous")
+  }
+
+  test("lost checkpoint with surviving outputs fails fast, never skips silently") {
+    val src = tmp("lsrc"); val store = tmp("lstore"); val pairs = tmp("lpairs")
+    val docs = corpus(40)
+    graft.delta.DeltaWriter.write(docs.where(col("doc_id") <= 20), src)
+    DedupOps.streamDedupDrain(spark, src, store, pairs)(sync => sync())
+    // simulate checkpoint loss (the outputs and their ledger survive)
+    val ckpt = new org.apache.hadoop.fs.Path(
+      graft.streaming.DrainHarness.checkpointPath(pairs))
+    ckpt.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(ckpt, true)
+    graft.delta.DeltaWriter.write(
+      docs.where(col("doc_id") > 20), src, mode = "append")
+    val e = intercept[IllegalStateException] {
+      DedupOps.streamDedupDrain(spark, src, store, pairs)(sync => sync())
+    }
+    assert(e.getMessage.contains("watermark"))
+  }
+
   test("crash replay converges: no pair lost or doubled at either crash point") {
     val docs = corpus(60)
     val b0 = docs.where(col("doc_id") <= 30)
