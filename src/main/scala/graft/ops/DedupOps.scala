@@ -230,11 +230,27 @@ object DedupOps {
     */
   private def bandStore(s: SparkSession, storePath: String): DataFrame = {
     val bp = bandStorePath(storePath)
-    if (!tableExists(s, bp))
+    if (!tableExists(s, bp)) {
+      // lexicographic (band, sig) range layout at constant rows per
+      // file: each file holds ONE band's contiguous sig range with a
+      // tight sig zone map, so [[probePairs]]'s in-list pushdown prunes
+      // the store-side read to ~1 file per probed (band, sig). A
+      // sig-only (or z-curve) range would align the sig buckets ACROSS
+      // the 8 band directories and multiply every hit by the band
+      // count (measured 647 vs ~200 file hits for a 200-sig probe).
+      // File count scales with the store — the pruned FRACTION shrinks
+      // as the store grows while absolute probe I/O stays flat.
+      val rowsPerFile = s.conf.getOption("graft.dedup.bandsRowsPerFile")
+        .map(_.toLong).getOrElse(2500000L)
+      val docs = graft.DeltaLake.scanDelta(s, storePath).count()
+      val parts = math.max(1L,
+        (docs * Bands + rowsPerFile - 1) / rowsPerFile).toInt
       graft.delta.DeltaWriter.write(
         bandedFrom(graft.DeltaLake.scanDelta(s, storePath),
-          fastHash = false).select(col("band"), col("sig"), col("doc_id")),
+          fastHash = false).select(col("band"), col("sig"), col("doc_id"))
+          .repartitionByRange(parts, col("band"), col("sig")),
         bp, partitionBy = Seq("band"))
+    }
     graft.DeltaLake.scanDelta(s, bp)
   }
 
@@ -306,26 +322,94 @@ object DedupOps {
     * `ids` is an INCREMENT by contract (micro-batch-sized, not the
     * corpus — full-store pairing is [[incrementalMinhashPairs]]): the
     * probe side is built by re-banding the probe set's ~|ids| signature
-    * rows (picked from the store under a broadcast semi-join — banding
-    * is deterministic, so this equals the persisted projection's rows
-    * for those ids without scanning the projection) and is BROADCAST
-    * into the collision join. The store side is then ONE streamed
-    * narrow columnar scan of the projection — never shuffled, never
-    * re-banded. The residual O(store) term is that scan; true
-    * sub-corpus probing would need the projection bucketed by
-    * (band, sig), which the Delta layout can't express — partitioning
-    * by band alone can't prune (every probe touches all bands).
+    * rows (banding is deterministic, so this equals the persisted
+    * projection's rows for those ids) and is BROADCAST into the
+    * collision join. Every store-side scan is PRUNED by a pushed
+    * in-list — the increment's doc_ids against the signature store,
+    * its ~8 sigs/doc against the (sig-sorted, [[bandStore]]) banded
+    * projection, the candidates' endpoints against the store again for
+    * the estimate — so the increment's I/O tracks the INCREMENT's file
+    * hits, not the store: zone maps skip every file whose sig/doc_id
+    * range contains no probe value. An over-cap probe
+    * (`graft.dedup.maxProbeIds`, default 16384 — not an increment)
+    * falls back to streamed corpus-shape scans.
     */
   def pairsTouching(s: SparkSession, storePath: String,
-      ids: DataFrame): DataFrame = {
-    val bands = bandStore(s, storePath)
-    val sigs = graft.DeltaLake.scanDelta(s, storePath)
-    val probeSigs = sigs.join(broadcast(ids.select("doc_id")),
-      Seq("doc_id"), "left_semi")
+      ids: DataFrame): DataFrame =
+    probePairs(s, storePath, ids).pairs
+
+  /** [[pairsTouching]] plus the metadata predicates each store-side
+    * scan pushed (empty = that scan streamed unpruned) — the audit seam
+    * for IncrementRehearsal/DedupIncrementalSpec to measure file-level
+    * pruning through exactly the conditions production used.
+    * `bandConds` holds one AND-set per probed band (the projection is
+    * probed band-by-band so partition pruning and the per-band sig
+    * in-list compose).
+    */
+  private[graft] final case class ProbePlan(
+      pairs: DataFrame,
+      storeConds: Seq[graft.delta.Cond],
+      bandConds: Seq[Seq[graft.delta.Cond]],
+      estConds: Seq[graft.delta.Cond])
+
+  private[graft] def probePairs(s: SparkSession, storePath: String,
+      ids: DataFrame): ProbePlan = {
+    import graft.delta.{Cond, ScanSettings}
+    val bands0 = bandStore(s, storePath) // ensure/adopt the projection
+    val cap = s.conf.getOption("graft.dedup.maxProbeIds")
+      .map(_.toInt).getOrElse(16384)
+    val idRows = ids.select("doc_id").distinct().limit(cap + 1).collect()
+    if (idRows.length > cap) {
+      // over-cap probe: the corpus-shape scans (broadcasting the id set
+      // or compiling a corpus-sized in-list would not survive)
+      val sigs = graft.DeltaLake.scanDelta(s, storePath)
+      val probeSigs = sigs.join(broadcast(ids.select("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val probe = bandedFrom(probeSigs, fastHash = false)
+        .select("band", "sig", "doc_id").localCheckpoint()
+      return ProbePlan(pairsOver(broadcast(probe), bands0, sigs)
+        .orderBy("doc_a", "doc_b"), Nil, Nil, Nil)
+    }
+    val storeConds = Seq(Cond("doc_id", "in", idRows.map(_.getLong(0)).toSeq))
+    val probeSigs = graft.DeltaLake.scanDelta(s, storePath,
+      ScanSettings(conditions = storeConds))
     val probe = bandedFrom(probeSigs, fastHash = false)
       .select("band", "sig", "doc_id").localCheckpoint()
-    pairsOver(broadcast(probe), bands, sigs)
-      .orderBy("doc_a", "doc_b")
+    val probeKeys = probe.select("band", "sig").distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    if (probeKeys.isEmpty) { // no probed id is in the store
+      import s.implicits._
+      return ProbePlan(
+        Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "est_jaccard"),
+        storeConds, Nil, Nil)
+    }
+    // probe the projection BAND BY BAND: the condition DSL is AND-only,
+    // so a single sig in-list would hit each probed sig's range file in
+    // every band directory (8x the file reads) — `band = b AND sig IN
+    // (b's probe sigs)` composes partition pruning with the zone-map
+    // in-list, ~1 file per probed (band, sig)
+    val bandConds = probeKeys.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (b, ps) => Seq(Cond("band", "=", b),
+        Cond("sig", "in", ps.map(_._2).toSeq))
+    }
+    val bands = bandConds.map(conds =>
+      graft.DeltaLake.scanDelta(s, bandStorePath(storePath),
+        ScanSettings(conditions = conds)))
+      .reduce(_.unionByName(_))
+    val cand = candidatesOver(broadcast(probe), bands).localCheckpoint()
+    val endRows = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct().limit(8 * cap + 1).collect()
+    val (sigsForEst, estConds) =
+      if (endRows.length > 8 * cap)
+        (graft.DeltaLake.scanDelta(s, storePath), Seq.empty[Cond])
+      else {
+        val conds = Seq(Cond("doc_id", "in", endRows.map(_.getLong(0)).toSeq))
+        (graft.DeltaLake.scanDelta(s, storePath,
+          ScanSettings(conditions = conds)), conds)
+      }
+    ProbePlan(estimateOver(cand, sigsForEst).orderBy("doc_a", "doc_b"),
+      storeConds, bandConds, estConds)
   }
 
   /** The store-driven LSH pair join, shared by the synchronous
@@ -335,8 +419,15 @@ object DedupOps {
     * endpoints' signatures in `allSigs`.
     */
   private def pairsOver(probeBands: DataFrame, allBands: DataFrame,
-      allSigs: DataFrame): DataFrame = {
-    val cand = probeBands
+      allSigs: DataFrame): DataFrame =
+    estimateOver(candidatesOver(probeBands, allBands), allSigs)
+
+  /** The collision half of [[pairsOver]]: distinct candidate pairs from
+    * any shared (band, sig) bucket.
+    */
+  private def candidatesOver(probeBands: DataFrame,
+      allBands: DataFrame): DataFrame =
+    probeBands
       .select(col("band"), col("sig"), col("doc_id").as("p"))
       .join(allBands.select(col("band"), col("sig"), col("doc_id").as("q")),
         Seq("band", "sig"))
@@ -344,6 +435,11 @@ object DedupOps {
       .select(least(col("p"), col("q")).as("doc_a"),
         greatest(col("p"), col("q")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+
+  /** The estimate half of [[pairsOver]]: look up both endpoints'
+    * signatures and keep pairs above the similarity floor.
+    */
+  private def estimateOver(cand: DataFrame, allSigs: DataFrame): DataFrame =
     cand
       .join(allSigs.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")),
         "doc_a")
@@ -352,7 +448,6 @@ object DedupOps {
       .withColumn("est_jaccard", estJaccard(col("mh_a"), col("mh_b")))
       .where(col("est_jaccard") >= 0.2)
       .select("doc_a", "doc_b", "est_jaccard")
-  }
 
   /** One production dedup increment: append `docs`' new documents to
     * the stores and return the near-dup pairs the increment introduced

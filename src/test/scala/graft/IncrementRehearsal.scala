@@ -43,10 +43,24 @@ object IncrementRehearsal {
         .delete(path, true)
     }
 
+    /** Files/bytes pruned scans read vs the table total, through
+      * exactly the condition sets production pushed (one AND-set per
+      * scan; band-disjoint for the projection, so sums don't double
+      * count). */
+    def scanIO(path: String,
+        condSets: Seq[Seq[graft.delta.Cond]]): (Int, Long, Int, Long) = {
+      val log = graft.delta.DeltaLog.forPath(spark, path)
+      val all = log.addActionsFiltered()
+      val hit =
+        if (condSets.isEmpty || condSets.exists(_.isEmpty)) all
+        else condSets.flatMap(log.addActionsFiltered(_))
+      (hit.size, hit.map(_.size).sum, all.size, all.map(_.size).sum)
+    }
+
     /** (store docs, cold incrementAndPair s, warm pairsTouching s,
-      * pair count) for one scale dir.
+      * pair count, store-side I/O audit line) for one scale dir.
       */
-    def pass(dir: String, tag: String): (Long, Double, Double, Long) = {
+    def pass(dir: String, tag: String): (Long, Double, Double, Long, String) = {
       val store = s"/root/repo/target/incr_store_$tag"
       rmrf(store); rmrf(store + "_bands")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -64,19 +78,41 @@ object IncrementRehearsal {
       val warm = time {
         graft.ops.DedupOps.pairsTouching(spark, store, ids).count()
       }
+      // store-side I/O: a 25-doc probe (a micro-batch) through the
+      // production in-list pushdown — files/bytes hit must track the
+      // PROBE, not the store (flat across the 10x store growth). The
+      // projection is REBUILT at constant rows per file first, so the
+      // file count scales with the store, emulating at sf0.1/sf1 the
+      // many-file layout a 100 TB table has (the timing above ran on
+      // the default layout, where this scale's projection is one file)
+      rmrf(store + "_bands")
+      spark.conf.set("graft.dedup.bandsRowsPerFile", "100")
+      val probe = graft.ops.DedupOps.probePairs(spark, store,
+        docs.where(col("doc_id") >= 500 && col("doc_id") < 525)
+          .select("doc_id"))
+      probe.pairs.count()
+      spark.conf.unset("graft.dedup.bandsRowsPerFile")
+      val (bf, bb, btf, btb) = scanIO(store + "_bands", probe.bandConds)
+      val (sf, sb, stf, stb) = scanIO(store, Seq(probe.estConds))
+      val audit = f"$tag%-8s bands $bf%5d/$btf%-5d files ${bb / 1024}%7d/" +
+        f"${btb / 1024}%-7d KiB   sigs $sf%4d/$stf%-4d files " +
+        f"${sb / 1024}%6d/${stb / 1024}%-6d KiB"
       graft.ops.OpCaches.deepClean(spark)
-      (nStore, cold, warm, pairs)
+      (nStore, cold, warm, pairs, audit)
     }
 
     pass(sf01, "warmup") // JIT warmup, discarded
-    val (n1, c1, w1, p1) = pass(sf1, "sf1")
-    val (n0, c0, w0, p0) = pass(sf01, "sf01")
+    val (n1, c1, w1, p1, a1) = pass(sf1, "sf1")
+    val (n0, c0, w0, p0, a0) = pass(sf01, "sf01")
     println(f"${"scale"}%-8s ${"store docs"}%10s ${"incr+pair"}%10s " +
       f"${"pair-only"}%10s ${"pairs"}%8s")
     println(f"${"sf0.1"}%-8s $n0%10d $c0%10.2f $w0%10.2f $p0%8d")
     println(f"${"sf1"}%-8s $n1%10d $c1%10.2f $w1%10.2f $p1%8d")
     println(f"RATIO (10x store, fixed 500-doc increment): " +
       f"incr+pair ${c1 / c0}%.2f, pair-only ${w1 / w0}%.2f")
+    println("store-side I/O of a 25-doc probe (hit/total):")
+    println(a0)
+    println(a1)
     spark.stop()
   }
 }

@@ -154,6 +154,73 @@ class DedupIncrementalSpec extends SparkSuite {
     assert(DedupOps.incrementAndPair(spark, store, docs).isEmpty)
   }
 
+  test("probePairs pushes in-lists that prune the store-side file reads") {
+    val store = tmp()
+    // many small projection files (constant rows per file), so zone-map
+    // pruning is observable at spec scale — the layout shape a 100 TB
+    // projection has
+    spark.conf.set("graft.dedup.bandsRowsPerFile", "20")
+    try {
+      val docs = corpus(800)
+      DedupOps.incrementalSignatures(spark, store, docs)
+      val ids = docs.where(col("doc_id") <= 5).select("doc_id")
+      val plan = DedupOps.probePairs(spark, store, ids)
+      val pruned = plan.pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      assert(plan.storeConds.nonEmpty && plan.bandConds.nonEmpty &&
+        plan.estConds.nonEmpty, "an in-contract increment must push " +
+        "in-lists into every store-side scan")
+      // metadata-level pruning through exactly the production conds:
+      // the sig-sorted projection must skip most files for a 5-doc
+      // probe (per-band AND-sets are band-disjoint — summing is exact)
+      val blog = graft.delta.DeltaLog.forPath(spark, store + "_bands")
+      val btotal = blog.addActionsFiltered().size
+      val bhit = plan.bandConds.map(blog.addActionsFiltered(_).size).sum
+      assert(btotal >= 100,
+        s"layout produced only $btotal files — pruning unobservable")
+      assert(bhit < btotal / 2,
+        s"banded projection scan not pruned: $bhit of $btotal files")
+      // the signature store's endpoint lookup pushes an in-list too —
+      // file hits there depend on how the corpus's near-dup families
+      // spread over the id space (this corpus pairs across the whole
+      // range, so zone maps legitimately keep every file); assert only
+      // that the pushed list is endpoint-bounded, not corpus-sized
+      val endpoints = plan.estConds.head.value.asInstanceOf[Seq[_]]
+      assert(endpoints.size < 800,
+        s"estimate in-list is corpus-sized: ${endpoints.size}")
+
+      // and pruning never changes the answer: equals the full-store
+      // pairs restricted to pairs touching the probe set
+      val all = DedupOps.incrementalMinhashPairs(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val touching = all.filter(p => p._1 <= 5 || p._2 <= 5)
+      assert(pruned == touching)
+      assert(pruned.nonEmpty, "probe produced no pairs — test is vacuous")
+    } finally spark.conf.unset("graft.dedup.bandsRowsPerFile")
+  }
+
+  test("an over-cap probe falls back to the corpus-shape scans, same answer") {
+    val store = tmp()
+    val docs = corpus(60)
+    DedupOps.incrementalSignatures(spark, store, docs)
+    spark.conf.set("graft.dedup.maxProbeIds", "10")
+    try {
+      val ids = docs.where(col("doc_id") <= 30).select("doc_id") // 30 > cap
+      val plan = DedupOps.probePairs(spark, store, ids)
+      assert(plan.storeConds.isEmpty && plan.bandConds.isEmpty &&
+        plan.estConds.isEmpty, "over-cap probe must not collect in-lists")
+      val got = plan.pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val all = DedupOps.incrementalMinhashPairs(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == all.filter(p => p._1 <= 30 || p._2 <= 30))
+      assert(got.nonEmpty)
+    } finally spark.conf.unset("graft.dedup.maxProbeIds")
+  }
+
   test("a pre-projection store gets its banded projection backfilled once") {
     // simulate an r9-era store: signatures live, no _bands sibling
     val store = tmp()
