@@ -5,35 +5,129 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark main: runs every registered query at local[32]
   * over SPARK_GRAFT_SF_DIR, prints ONE JSON line.
   *
-  * Protocol (round 4): a staging pass first INVOKES every query
-  * function without executing it, which runs the idempotent one-time
-  * side effects (x1-x4's Delta stage, q18's bucketed tables — gated by
-  * session markers) so data-staging writes never pollute query times.
-  * Kernel-flagged microbenchmarks (QueryDef.kernel) then run in a
-  * clean-memory window — primed once untimed (absorbing JIT and the
-  * shared token/shingle cache builds), then timed twice; with the full
-  * operator cache set resident they measured GC pressure, not hashing,
-  * so `kernels_cold`/`kernels` are NOT comparable to the r3-era
-  * protocol — both are post-prime passes and should agree closely.
-  * Operator queries keep the round-3 protocol: caches cleared, then
-  * timed twice — `cold` is the first full execution (JIT/codegen
-  * compilation, cache population), `warm` the second. Reporting both
-  * keeps round-over-round comparisons from conflating methodology with
-  * regressions; the headline `total` stays the warm operator sum,
-  * matching round 2.
+  * Round-12 protocol: each measurement FAMILY runs in its own forked
+  * fresh JVM (the per-scale fork ScaleRehearsal uses), because a warm
+  * pass measured LAST in a JVM that had run staging + kernels + three
+  * full passes read 1.5x SLOWER than cold from accumulated heap/GC
+  * pressure (r11: x5 warm 13.6x its own cold) — the headline was
+  * measuring JVM history, not the operators. Families:
   *
-  * Round-5 note: dedup cluster labelings and the d3/d4 outputs are now
-  * corpus-version-cached per hash flavor (one clustering serves d6, d8,
-  * and the fast-vs-md5 differentials — the production artifact shape).
-  * WARM times for those queries therefore measure the cache-hit path;
-  * the COLD pass still pays the full computation (caches are cleared
-  * first) and is the number to read for algorithm cost. d7 kernel
-  * amplification was capped 5x->3x the same round, so kernel magnitudes
-  * are not comparable to r4.
+  *  - `kernels`: deliberately-amplified microbenchmarks
+  *    (QueryDef.kernel) — staged, primed once untimed (JIT + shared
+  *    token/shingle cache builds), then two min-of-3 passes
+  *    (`kernels_cold`/`kernels` are BOTH post-prime and should agree).
+  *  - `cold`: staged, caches deep-cleaned, then two full passes with a
+  *    deep-clean between; per-query COLD = min of the two (round-8
+  *    protocol: single shots swung ±40% on this box).
+  *  - `warm`: staged, deep-cleaned, one untimed priming pass (a fresh
+  *    session's first execution, populating the operator caches), then
+  *    two timed passes with the per-query min (symmetric with cold's
+  *    min-of-2).
+  *
+  * Staging itself is idempotent across JVMs (on-disk `._STAGED_OK`
+  * markers), so each child pays only the invocation walk. The headline
+  * `total` stays the warm operator sum, matching every round since 2;
+  * the parent checks the warm-not-above-cold sanity invariant per
+  * query and reports violations in `warm_gt_cold` (small queries can
+  * cross by noise — a non-empty LARGE entry there means the protocol
+  * broke again).
+  *
+  * Round-5 note (still true): dedup cluster labelings and the d3/d4
+  * outputs are corpus-version-cached per hash flavor, so WARM times
+  * for those measure the cache-hit path; COLD pays the full
+  * computation and is the number to read for algorithm cost.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
+
+  def main(args: Array[String]): Unit = args.toSeq match {
+    case Seq("--family", fam, sfDir, out) => runFamily(fam, sfDir, out)
+    case _ => orchestrate()
+  }
+
+  // ---------------------------------------------------------------
+  // parent: fork one fresh JVM per family, merge, emit the JSON line
+  // ---------------------------------------------------------------
+
+  private def orchestrate(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val cp = System.getProperty("java.class.path")
+    def fork(fam: String): java.nio.file.Path = {
+      val out = java.nio.file.Files.createTempFile(s"bench_$fam", ".tsv")
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp"); cmd.add(cp)
+      cmd.add("graft.Bench")
+      cmd.add("--family"); cmd.add(fam); cmd.add(sfDir)
+      cmd.add(out.toString)
+      val rc = new ProcessBuilder(cmd).inheritIO().start().waitFor()
+      require(rc == 0, s"bench family '$fam' exited with $rc")
+      out
+    }
+    def read(p: java.nio.file.Path): Map[String, Seq[(String, Double)]] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala.toSeq
+        .map(_.split('\t'))
+        .collect { case Array(sec, k, v) => (sec, k, v.toDouble) }
+        .groupBy(_._1).map { case (s, rs) => s -> rs.map(r => (r._2, r._3)) }
+    }
+    // sequential: these are timing runs on one box
+    val kernels = read(fork("kernels"))
+    val coldF = read(fork("cold"))
+    val warmF = read(fork("warm"))
+
+    val kCold = kernels.getOrElse("kernels_cold", Nil).sortBy(_._1)
+    val kWarm = kernels.getOrElse("kernels", Nil).sortBy(_._1)
+    val cold = coldF.getOrElse("cold", Nil).sortBy(_._1)
+    val warm = warmF.getOrElse("warm", Nil).sortBy(_._1)
+    val staging = coldF.getOrElse("staging", Nil).headOption.map(_._2)
+      .getOrElse(-1.0)
+
+    def obj(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def tot(rs: Seq[(String, Double)]): Double =
+      rs.map(_._2).filter(_ >= 0).sum
+    // CRASHED queries record -1 and are excluded from the totals; the
+    // count makes that impossible to misread as a speedup
+    val failed = (warm ++ cold ++ kWarm ++ kCold)
+      .filter(_._2 < 0).map(_._1).distinct.sorted
+    // the invariant the forked protocol exists to restore: warm (cache
+    // hits, fresh JVM) must not exceed cold. Sub-second queries can
+    // cross by scheduler noise; anything larger is a protocol breach.
+    val coldByName = cold.toMap
+    val warmGtCold = warm.collect {
+      case (n, w) if w >= 0 && coldByName.get(n).exists(c =>
+        c >= 0 && w > c * 1.5 && w - c > 0.5) => n
+    }.sorted
+    if (warmGtCold.nonEmpty)
+      System.err.println("WARNING warm>cold beyond noise: " +
+        warmGtCold.mkString(","))
+    val json = s"""{"metric":"total","value":${tot(warm)},"unit":"sec"""" +
+      s""","queries":${obj(warm)},"queries_cold":${obj(cold)}""" +
+      s""","kernels":${obj(kWarm)},"kernels_cold":${obj(kCold)}""" +
+      s""","total_cold_sec":${tot(cold)},"staging_sec":$staging""" +
+      s""","failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","warm_gt_cold":${warmGtCold.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","protocol":"forked-jvm-per-family (r12)","sf":"$sfDir"}"""
+    println(json)
+    // The driver's stdout tail capture truncated this line two rounds
+    // running (BENCH_r08/r09 "parsed": null) — persist the full result
+    // where the judge can always read it.
+    val outFile = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(outFile.getParent)
+    java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))
+    println(s"bench json written to ${outFile.toAbsolutePath}")
+  }
+
+  // ---------------------------------------------------------------
+  // child: one measurement family in a fresh JVM
+  // ---------------------------------------------------------------
+
+  private def runFamily(fam: String, sfDir: String, out: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,17 +142,15 @@ object Bench {
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // stage side effects WITHOUT executing the scans: invoking the
-    // function body writes the one-time tables; no count() runs the
-    // query. Driver-eager queries (d6's propagation loop, s4's Lloyd
-    // step) DO execute here — that can't be avoided without running
-    // their staging writes too — so their caches are dropped below and
-    // their cold numbers are cache-cold but JIT-warm.
+    // function body writes the one-time tables (idempotent across JVMs
+    // via on-disk markers); no count() runs the query. Driver-eager
+    // queries (d6's propagation loop, s4's Lloyd step) DO execute here.
     val staging = time(ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir); () } catch { case _: Throwable => () }
     })
-    // drop relations the staging invocations populated, so the cold
-    // pass pays cache materialization like a fresh session would
-    graft.ops.OpCaches.deepClean(spark)
+    def isKernel(k: String) =
+      graft.ops.Registry.all.get(k).exists(_.kernel)
+    val (kernels, operators) = ordered.partition(p => isKernel(p._1))
     def pass(qs: Seq[(String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
       qs.map { case (name, fn) =>
@@ -66,21 +158,8 @@ object Bench {
         catch { case _: Throwable => -1.0 }
         name -> t
       }
-    // kernel-flagged entries are deliberately-amplified microbenchmarks
-    // (QueryDef.kernel): reported in their own section so the headline
-    // totals keep measuring the operator suite, not synthetic workloads.
-    // They run FIRST, in a low-pressure window — measured with the full
-    // operator cache set resident, the md5 kernel's warm time was 3x
-    // its cold time from GC pressure alone — primed once untimed so
-    // both timed passes measure the kernel, not shared-cache builds.
-    def isKernel(k: String) =
-      graft.ops.Registry.all.get(k).exists(_.kernel)
-    val (kernels, operators) = ordered.partition(p => isKernel(p._1))
-    kernels.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () } }
     // min-of-3 per kernel pass (round-6 verdict item 7): a single GC or
-    // box spike once printed 26.7 s for a 1 s kernel; the min of three
-    // back-to-back runs measures the kernel, not the noise floor.
+    // box spike once printed 26.7 s for a 1 s kernel.
     def minPass(qs: Seq[(String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
       qs.map { case (name, fn) =>
@@ -90,51 +169,51 @@ object Bench {
         }.filter(_ >= 0)
         name -> (if (ts.isEmpty) -1.0 else ts.min)
       }
-    val kCold = minPass(kernels)
-    val kWarm = minPass(kernels)
-    // Round-8 protocol: COLD is the per-query MIN of two cache-cold
-    // passes (OpCaches cleared before each), not a single shot. Single-
-    // shot cold numbers on this box swung ±40% on untouched queries
-    // (q14/s1 across r6/r7), making every round's verdict adjudicate
-    // noise; two samples with the minimum keep the metric "price of a
-    // fresh session" while suppressing one-off GC/box spikes. The
-    // second pass is JIT-warmer than the first — cold therefore reads
-    // slightly lower than the r7-era single-shot and is not comparable
-    // across that boundary.
-    // deepClean, not clear(): localCheckpoint blocks and memory-sink
-    // tables from the staging invocations sit outside the registry and
-    // would otherwise make the later passes measure storage eviction
-    graft.ops.OpCaches.deepClean(spark)
-    val cold1 = pass(operators)
-    graft.ops.OpCaches.deepClean(spark)
-    val cold2 = pass(operators)
-    val cold = cold1.zip(cold2).map { case ((n, a), (_, b)) =>
-      val ts = Seq(a, b).filter(_ >= 0)
-      n -> (if (ts.isEmpty) -1.0 else ts.min)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    def emit(section: String, rs: Seq[(String, Double)]): Unit =
+      rs.foreach { case (k, v) => lines += s"$section\t$k\t$v" }
+    fam match {
+      case "kernels" =>
+        // primed once untimed (JIT + shared cache builds), then both
+        // timed passes measure the kernel
+        kernels.foreach { case (_, fn) =>
+          try { fn(spark, sfDir).count(); () }
+          catch { case _: Throwable => () } }
+        emit("kernels_cold", minPass(kernels))
+        emit("kernels", minPass(kernels))
+      case "cold" =>
+        // deepClean, not clear(): localCheckpoint blocks and memory-sink
+        // tables from the staging invocations sit outside the registry
+        graft.ops.OpCaches.deepClean(spark)
+        val cold1 = pass(operators)
+        graft.ops.OpCaches.deepClean(spark)
+        val cold2 = pass(operators)
+        val cold = cold1.zip(cold2).map { case ((n, a), (_, b)) =>
+          val ts = Seq(a, b).filter(_ >= 0)
+          n -> (if (ts.isEmpty) -1.0 else ts.min)
+        }
+        emit("cold", cold)
+        emit("staging", Seq("staging_sec" -> staging))
+      case "warm" =>
+        // one untimed priming execution (a fresh session's first run,
+        // populating the operator caches), then TWO timed passes with
+        // the per-query min — symmetric with the cold family's
+        // min-of-2, so a single scheduler hiccup can't print a fake
+        // warm-above-cold inversion
+        graft.ops.OpCaches.deepClean(spark)
+        operators.foreach { case (_, fn) =>
+          try { fn(spark, sfDir).count(); () }
+          catch { case _: Throwable => () } }
+        val w1 = pass(operators)
+        val w2 = pass(operators)
+        emit("warm", w1.zip(w2).map { case ((n, a), (_, b)) =>
+          val ts = Seq(a, b).filter(_ >= 0)
+          n -> (if (ts.isEmpty) -1.0 else ts.min)
+        })
+      case other => sys.error(s"unknown bench family '$other'")
     }
-    val warm = pass(operators)
-    def obj(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def tot(rs: Seq[(String, Double)]): Double = rs.map(_._2).filter(_ >= 0).sum
-    // CRASHED queries record -1 and are excluded from the totals; the
-    // count makes that impossible to misread as a speedup (a query that
-    // regresses from 5 s to a crash would otherwise LOWER the total)
-    val failed = (warm ++ cold ++ kWarm ++ kCold)
-      .filter(_._2 < 0).map(_._1).distinct.sorted
-    val json = s"""{"metric":"total","value":${tot(warm)},"unit":"sec"""" +
-      s""","queries":${obj(warm)},"queries_cold":${obj(cold)}""" +
-      s""","kernels":${obj(kWarm)},"kernels_cold":${obj(kCold)}""" +
-      s""","total_cold_sec":${tot(cold)},"staging_sec":$staging""" +
-      s""","failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
-      s""","sf":"$sfDir"}"""
-    println(json)
-    // The driver's stdout tail capture truncated this line two rounds
-    // running (BENCH_r08/r09 "parsed": null) — persist the full result
-    // where the judge can always read it.
-    val outFile = java.nio.file.Paths.get("target", "bench.json")
-    java.nio.file.Files.createDirectories(outFile.getParent)
-    java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))
-    println(s"bench json written to ${outFile.toAbsolutePath}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      lines.mkString("\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -136,7 +136,8 @@ final class DeltaFileIndex(
     val dataConds = dataFilters.flatMap(e =>
       try toCond(e) catch { case scala.util.control.NonFatal(_) => None })
     val conds = dataConds ++
-      GeneratedPruning.derive(dataConds, schema, snap.partitionColumns)
+      GeneratedPruning.derive(dataConds, schema, snap.partitionColumns,
+        snap.configuration)
     pruned.map { case (row, as) =>
       val kept =
         if (conds.isEmpty) as

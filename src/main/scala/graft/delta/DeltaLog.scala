@@ -148,7 +148,8 @@ final class DeltaSnapshot(
     // widen with partition conds implied through generated-column
     // expressions (GeneratedPruning) — derived, sound to AND on
     val conditions0 = conditions ++
-      GeneratedPruning.derive(conditions, sch, partitionColumns)
+      GeneratedPruning.derive(conditions, sch, partitionColumns,
+        configuration)
     val out = mutable.ArrayBuffer.empty[AddAction]
     var total = 0L
     val it = addActions.values.iterator

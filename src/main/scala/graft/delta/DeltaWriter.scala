@@ -368,7 +368,34 @@ object DeltaWriter {
     // change forces a metaData re-emission even on a plain append
     val priorCfg =
       prior.flatMap(_.metadata).map(_.configuration).getOrElse(Map.empty)
-    val propCfg0 = priorCfg ++ properties
+    val propCfg00 = priorCfg ++ properties
+    // generated-column partition pruning is timezone-sensitive: record
+    // the zone this session materializes generated partition values
+    // under (GeneratedPruning derives only when the recorded zone
+    // matches the reading session). An append under a DIFFERENT zone
+    // downgrades the property to "mixed" — the appended values are
+    // correct, but the cross-zone monotone relation is no longer
+    // provable, so derivation must disable rather than silently skip
+    // matching partitions. Legacy tables (no recorded zone) are never
+    // stamped on append: their history's zone is unknown.
+    val propCfg0 = {
+      val genPart = genExprs.exists { case (n, _) => partCols.contains(n) }
+      if (!genPart) propCfg00
+      else {
+        val sessionZone = java.time.ZoneId
+          .of(spark.sessionState.conf.sessionLocalTimeZone)
+          .normalized().getId
+        if (isCreate)
+          propCfg00 + (GeneratedPruning.WriterZoneKey -> sessionZone)
+        else propCfg00.get(GeneratedPruning.WriterZoneKey) match {
+          case Some(z) if z != GeneratedPruning.MixedZone &&
+              z != sessionZone =>
+            propCfg00 +
+              (GeneratedPruning.WriterZoneKey -> GeneratedPruning.MixedZone)
+          case _ => propCfg00
+        }
+      }
+    }
     // in-commit timestamps: the ENABLING commit records its provenance
     // (spec: enablementVersion = this commit, enablementTimestamp =
     // this commit's own ICT — pinned via ictFixed so they agree).
@@ -1557,6 +1584,11 @@ object DeltaWriter {
       if (snap.txnVersions.get(appId).exists(_ >= v)) return MergeStats(0L, 0L)
     }
     val schema = snap.schema
+    // merge recomputes generated partition values under THIS session's
+    // zone without a metadata commit — cross-zone merges must refuse,
+    // not silently poison the recorded writer zone
+    GeneratedPruning.requireZoneConsistent(snap.configuration, schema,
+      snap.partitionColumns, "MERGE")
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key '$k' is not a table column"))
     if (deleteWhen.isEmpty)
@@ -1783,6 +1815,11 @@ object DeltaWriter {
     val schema = snap.schema
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"update assignment '$k' is not a table column"))
+    // update recomputes generated partition values under THIS session's
+    // zone without a metadata commit — cross-zone updates must refuse,
+    // not silently poison the recorded writer zone
+    GeneratedPruning.requireZoneConsistent(snap.configuration, schema,
+      snap.partitionColumns, "UPDATE")
     val base = path.stripSuffix("/")
     val candidates = snap.addActionsFiltered(conditions)
     if (candidates.isEmpty) return 0L

@@ -1,6 +1,6 @@
 package graft.delta
 
-import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneId, ZoneOffset}
 import java.time.format.DateTimeFormatter
 import java.time.temporal.ChronoUnit
 
@@ -41,16 +41,30 @@ import org.apache.spark.sql.types._
   * monotone over time. Unrecognized expressions and unconvertible
   * literals derive nothing (fail-open, the partition is read).
   *
-  * Timestamp bases are interpreted in UTC, and the derivation FIRES
-  * ONLY when the current session timezone normalizes to UTC (the
-  * engine's harness default): the writer materialized partition values
-  * under its own session timezone, so UTC-reader-over-UTC-writer is
-  * the provable case — a consistent-UTC pipeline is the documented
-  * assumption. Under any other session timezone the scan stays
-  * correct-but-unpruned rather than risking silently dropped
-  * partitions.
+  * Timezone contract (round 12): the recognized families are
+  * timezone-sensitive — the writer materialized partition values under
+  * ITS session timezone. [[DeltaWriter]] therefore records that zone as
+  * the `graft.generated.writerTimeZone` table property when a partition
+  * column is generated (at create/overwrite; a later append under a
+  * DIFFERENT zone downgrades the property to `mixed`), and the
+  * derivation fires only when the property holds a zone equal to the
+  * READING session's — truncations are then computed on the writer's
+  * wall clock, so the derived values agree with the materialized
+  * partition values by construction. Legacy tables (no recorded zone)
+  * and `mixed` tables derive nothing: correct-but-unpruned beats
+  * silently dropped partitions. (Before round 12 the gate was
+  * "session is UTC", which silently skipped matching partitions when a
+  * non-UTC WRITER's values were read by a UTC session.)
   */
 object GeneratedPruning {
+
+  /** Table property recording the session timezone the writer
+    * materialized generated partition values under (normalized ZoneId;
+    * [[MixedZone]] once writes under differing zones touched the
+    * table).
+    */
+  val WriterZoneKey = "graft.generated.writerTimeZone"
+  val MixedZone = "mixed"
 
   /** A recognized generation transform: maps a base-column literal into
     * the partition-column domain (None ⇒ unconvertible, derive nothing).
@@ -61,10 +75,11 @@ object GeneratedPruning {
     * weakened `≤` would keep.
     */
   private[delta] final case class Gen(base: String, to: Any => Option[Any],
-      floorUnit: String) {
+      floorUnit: String, zone: ZoneId) {
     def isFloor(v: Any): Boolean =
-      (toInstant(v), truncated(floorUnit, v)) match {
-        case (Some(i), Some(t)) => i == t
+      (toWall(v, zone), toWall(v, zone).flatMap(truncWall(floorUnit, _)))
+        match {
+        case (Some(w), Some(t)) => w == t
         case _ => false
       }
   }
@@ -80,88 +95,110 @@ object GeneratedPruning {
 
   private val MonotoneFormats = Set("yyyy-MM-dd", "yyyy-MM", "yyyy")
 
-  private def toInstant(v: Any): Option[Instant] = v match {
-    case i: Instant => Some(i)
-    case t: java.sql.Timestamp => Some(t.toInstant)
-    case l: LocalDateTime => Some(l.toInstant(ZoneOffset.UTC))
-    case d: LocalDate => Some(d.atStartOfDay.toInstant(ZoneOffset.UTC))
-    case d: java.sql.Date =>
-      Some(d.toLocalDate.atStartOfDay.toInstant(ZoneOffset.UTC))
+  /** The literal as the WRITER's wall clock: absolute values convert
+    * through `zone`; local values (LocalDateTime, LocalDate, strings —
+    * the reading session equals the recorded zone when derivation
+    * fires, so a local literal means writer wall clock) pass through.
+    */
+  private def toWall(v: Any, zone: ZoneId): Option[LocalDateTime] = v match {
+    case i: Instant => Some(LocalDateTime.ofInstant(i, zone))
+    case t: java.sql.Timestamp =>
+      Some(LocalDateTime.ofInstant(t.toInstant, zone))
+    case l: LocalDateTime => Some(l)
+    case d: LocalDate => Some(d.atStartOfDay)
+    case d: java.sql.Date => Some(d.toLocalDate.atStartOfDay)
+    // parseTs anchors the wall-clock string at UTC; unanchoring at UTC
+    // recovers the wall clock verbatim
     case s: String => FileSkipping.parseTs(s)
+      .map(i => LocalDateTime.ofInstant(i, ZoneOffset.UTC))
     case _ => None
   }
 
-  private def utcDate(v: Any): Option[LocalDate] =
-    toInstant(v).map(i => LocalDateTime.ofInstant(i, ZoneOffset.UTC).toLocalDate)
+  private def wallDate(v: Any, zone: ZoneId): Option[LocalDate] =
+    toWall(v, zone).map(_.toLocalDate)
 
-  private def truncated(unit: String, v: Any): Option[Instant] =
-    toInstant(v).flatMap { i =>
-      val ldt = LocalDateTime.ofInstant(i, ZoneOffset.UTC)
-      val t: Option[LocalDateTime] = unit.toUpperCase match {
-        case "YEAR" | "YYYY" | "YY" =>
-          Some(ldt.toLocalDate.withDayOfYear(1).atStartOfDay)
-        case "QUARTER" => Some(LocalDate
-          .of(ldt.getYear, ((ldt.getMonthValue - 1) / 3) * 3 + 1, 1)
-          .atStartOfDay)
-        case "MONTH" | "MON" | "MM" =>
-          Some(ldt.toLocalDate.withDayOfMonth(1).atStartOfDay)
-        // Spark's WEEK truncation: the Monday of the value's ISO week
-        case "WEEK" => Some(ldt.toLocalDate
-          .minusDays(ldt.getDayOfWeek.getValue - 1L).atStartOfDay)
-        case "DAY" | "DD" => Some(ldt.toLocalDate.atStartOfDay)
-        case "HOUR" => Some(ldt.truncatedTo(ChronoUnit.HOURS))
-        case "MINUTE" => Some(ldt.truncatedTo(ChronoUnit.MINUTES))
-        case "SECOND" => Some(ldt.truncatedTo(ChronoUnit.SECONDS))
-        case _ => None
-      }
-      t.map(_.toInstant(ZoneOffset.UTC))
+  private def truncWall(unit: String,
+      ldt: LocalDateTime): Option[LocalDateTime] =
+    unit.toUpperCase match {
+      case "YEAR" | "YYYY" | "YY" =>
+        Some(ldt.toLocalDate.withDayOfYear(1).atStartOfDay)
+      case "QUARTER" => Some(LocalDate
+        .of(ldt.getYear, ((ldt.getMonthValue - 1) / 3) * 3 + 1, 1)
+        .atStartOfDay)
+      case "MONTH" | "MON" | "MM" =>
+        Some(ldt.toLocalDate.withDayOfMonth(1).atStartOfDay)
+      // Spark's WEEK truncation: the Monday of the value's ISO week
+      case "WEEK" => Some(ldt.toLocalDate
+        .minusDays(ldt.getDayOfWeek.getValue - 1L).atStartOfDay)
+      case "DAY" | "DD" => Some(ldt.toLocalDate.atStartOfDay)
+      case "HOUR" => Some(ldt.truncatedTo(ChronoUnit.HOURS))
+      case "MINUTE" => Some(ldt.truncatedTo(ChronoUnit.MINUTES))
+      case "SECOND" => Some(ldt.truncatedTo(ChronoUnit.SECONDS))
+      case _ => None
     }
+
+  /** Truncate on the writer's wall clock, re-anchored at UTC — the same
+    * anchor PartitionValues.deserialize uses for stored timestamp
+    * partition strings, so comparisons happen wall-clock-to-wall-clock.
+    */
+  private def truncated(unit: String, v: Any, zone: ZoneId): Option[Instant] =
+    toWall(v, zone).flatMap(truncWall(unit, _))
+      .map(_.toInstant(ZoneOffset.UTC))
 
   /** Parse one generation-expression SQL string into a recognized
     * transform; None for anything outside the monotone families.
     */
-  private[delta] def parse(sql: String): Option[Gen] = sql match {
-    case CastDate(base) => Some(Gen(base, utcDate, "DAY"))
-    case DateTrunc(unit, base) =>
-      // refuse unknown units up front so derive() stays fail-open
-      if (truncated(unit, Instant.EPOCH).isEmpty) None
-      else Some(Gen(base, v => truncated(unit, v), unit))
-    case YearOf(base) =>
-      Some(Gen(base, v => utcDate(v).map(d => d.getYear: Any), "YEAR"))
-    case DateFmt(base, fmt) if MonotoneFormats.contains(fmt) =>
-      val f = DateTimeFormatter.ofPattern(fmt)
-      val unit = fmt match {
-        case "yyyy-MM-dd" => "DAY"
-        case "yyyy-MM" => "MONTH"
-        case _ => "YEAR"
-      }
-      Some(Gen(base, v =>
-        toInstant(v).map(i =>
-          LocalDateTime.ofInstant(i, ZoneOffset.UTC).format(f): Any), unit))
-    case _ => None
-  }
+  private[delta] def parse(sql: String, zone: ZoneId): Option[Gen] =
+    sql match {
+      case CastDate(base) =>
+        Some(Gen(base, v => wallDate(v, zone).map(d => d: Any), "DAY", zone))
+      case DateTrunc(unit, base) =>
+        // refuse unknown units up front so derive() stays fail-open
+        if (truncWall(unit, LocalDateTime.of(1970, 1, 1, 0, 0)).isEmpty) None
+        else Some(Gen(base, v => truncated(unit, v, zone).map(i => i: Any),
+          unit, zone))
+      case YearOf(base) =>
+        Some(Gen(base, v => wallDate(v, zone).map(d => d.getYear: Any),
+          "YEAR", zone))
+      case DateFmt(base, fmt) if MonotoneFormats.contains(fmt) =>
+        val f = DateTimeFormatter.ofPattern(fmt)
+        val unit = fmt match {
+          case "yyyy-MM-dd" => "DAY"
+          case "yyyy-MM" => "MONTH"
+          case _ => "YEAR"
+        }
+        Some(Gen(base, v => toWall(v, zone).map(_.format(f): Any), unit,
+          zone))
+      case _ => None
+    }
 
   /** Conds on generated PARTITION columns implied by `conds` on their
     * base columns. Callers AND these onto the original set — they are
     * derived, never a replacement (rows inside a surviving partition
-    * still need the base predicate).
+    * still need the base predicate). `config` is the table's
+    * configuration; derivation fires only when its recorded writer
+    * zone ([[WriterZoneKey]]) matches the reading session (see the
+    * timezone contract above).
     */
   def derive(conds: Seq[Cond], schema: StructType,
-      partitionColumns: Seq[String]): Seq[Cond] = {
+      partitionColumns: Seq[String],
+      config: Map[String, String]): Seq[Cond] = {
     if (conds.isEmpty || partitionColumns.isEmpty) return Nil
-    // the recognized families are timezone-sensitive: the writer
-    // materialized partition values under ITS session timezone, and
-    // this derivation converts literals in UTC — they only provably
-    // agree when the reading session is pinned to UTC too (the
-    // engine's harness default; a consistent-UTC pipeline is the
-    // documented assumption). Any other session timezone derives
-    // nothing: correct-but-unpruned beats silently dropped partitions.
-    if (!sessionIsUtc) return Nil
+    val zone: ZoneId = config.get(WriterZoneKey) match {
+      case Some(MixedZone) => return Nil // cross-zone writes: unprovable
+      case Some(z) =>
+        val wz =
+          try ZoneId.of(z).normalized()
+          catch { case scala.util.control.NonFatal(_) => return Nil }
+        if (!sessionZone.contains(wz)) return Nil
+        wz
+      case None => return Nil // legacy table: writer zone unrecorded
+    }
     val gens: Seq[(String, Gen)] = schema.fields.toSeq
       .filter(f => partitionColumns.contains(f.name) &&
         f.metadata.contains(Constraints.GenerationKey))
       .flatMap(f =>
-        parse(f.metadata.getString(Constraints.GenerationKey))
+        parse(f.metadata.getString(Constraints.GenerationKey), zone)
           .map(f.name -> _))
     for {
       (p, g) <- gens
@@ -170,11 +207,46 @@ object GeneratedPruning {
     } yield d
   }
 
-  private def sessionIsUtc: Boolean =
-    try java.time.ZoneId
+  private def sessionZone: Option[ZoneId] =
+    try Some(ZoneId
       .of(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-      .normalized() == ZoneOffset.UTC
-    catch { case scala.util.control.NonFatal(_) => false }
+      .normalized())
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** True when `schema` generates a PARTITION column through one of the
+    * recognized (timezone-sensitive) families — the shape whose
+    * materialized values depend on the writing session's zone.
+    */
+  private[delta] def hasZoneSensitiveGeneration(schema: StructType,
+      partitionColumns: Seq[String]): Boolean =
+    schema.fields.exists(f => partitionColumns.contains(f.name) &&
+      f.metadata.contains(Constraints.GenerationKey) &&
+      parse(f.metadata.getString(Constraints.GenerationKey),
+        ZoneOffset.UTC).isDefined)
+
+  /** DML guard: update/merge recompute generated columns under THEIR
+    * session zone but emit no metadata commit that could downgrade the
+    * recorded writer zone — silently mixing zones would poison the
+    * derivation for every later reader. Refuse loudly instead; appends
+    * via [[DeltaWriter.write]] record the downgrade (`mixed`) and stay
+    * allowed.
+    */
+  private[delta] def requireZoneConsistent(config: Map[String, String],
+      schema: StructType, partitionColumns: Seq[String], op: String): Unit =
+    config.get(WriterZoneKey).filter(_ != MixedZone).foreach { z =>
+      if (hasZoneSensitiveGeneration(schema, partitionColumns) &&
+          !sessionZone.exists(sz =>
+            try sz == ZoneId.of(z).normalized()
+            catch { case scala.util.control.NonFatal(_) => false }))
+        throw new IllegalStateException(
+          s"$op recomputes generated partition values under session " +
+            s"timezone '${org.apache.spark.sql.internal.SQLConf.get
+              .sessionLocalTimeZone}' but the table records writer " +
+            s"timezone '$z' ($WriterZoneKey) — run under the recorded " +
+            "zone, or append through DeltaWriter.write (which records " +
+            "the downgrade to 'mixed' and disables generated-column " +
+            "pruning)")
+    }
 
   private def deriveOne(p: String, g: Gen, c: Cond): Option[Cond] =
     (c.op, c.value) match {

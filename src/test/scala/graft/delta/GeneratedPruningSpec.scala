@@ -189,7 +189,8 @@ class GeneratedPruningSpec extends SparkSuite {
   }
 
   test("non-monotone and unrecognized expressions derive nothing") {
-    import GeneratedPruning.parse
+    import java.time.ZoneOffset.UTC
+    def parse(s: String) = GeneratedPruning.parse(s, UTC)
     assert(parse("month(ts)").isEmpty)
     assert(parse("day(ts)").isEmpty)
     assert(parse("hour(ts)").isEmpty)
@@ -202,6 +203,109 @@ class GeneratedPruningSpec extends SparkSuite {
     assert(parse("cast(ts as date)").nonEmpty)
     assert(parse("DATE_TRUNC('week', ts)").nonEmpty)
     assert(parse("year(`ts`)").nonEmpty)
+  }
+
+  test("recorded non-UTC writer zone: same-zone reader prunes, others don't") {
+    val path = tmp()
+    val rows = (0 until 40 * 24).map { h =>
+      (h.toLong, Instant.parse("2024-01-01T00:30:00Z").plusSeconds(h * 3600L))
+    }
+    // write under a half-hour-offset zone: partition dates are IST wall
+    // dates (a row at 19:30Z lands in the NEXT day's partition) — the
+    // exact shape the round-10 UTC-reader gate silently mispruned
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try {
+      DeltaWriter.write(rows.toDF("id", "ts"), path,
+        partitionBy = Seq("event_date"),
+        generatedColumns = Map("event_date" -> "CAST(ts AS DATE)"),
+        properties = Map("delta.dataSkippingNumIndexedCols" -> "0"))
+      val snap = DeltaLog.forPath(spark, path)
+      assert(snap.configuration.get(GeneratedPruning.WriterZoneKey)
+        .contains(java.time.ZoneId.of("Asia/Kolkata").normalized().getId))
+      val all = snap.addActionsFiltered().size
+      val a = Instant.parse("2024-01-10T05:00:00Z")
+      val b = Instant.parse("2024-01-12T07:00:00Z")
+      val conds = Seq(Cond("ts", ">=", a), Cond("ts", "<", b))
+      // the matching-zone reader derives and prunes …
+      assert(snap.addActionsFiltered(conds).size < all,
+        "derivation did not fire for the matching-zone reader")
+      // … and never drops a matching row
+      val want = rows.filter(r => !r._2.isBefore(a) && r._2.isBefore(b))
+        .map(_._1).sorted.toArray
+      val got = DeltaLake.scanDelta(spark, path,
+          ScanSettings(conditions = conds))
+        .select("id").as[Long].collect().sorted
+      assert(got.sameElements(want))
+      assert(got.length == 50)
+      // a UTC reader of the IST-written table must NOT derive (its UTC
+      // truncations disagree with the materialized IST dates) — the
+      // scan stays correct-but-unpruned
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      assert(snap.addActionsFiltered(conds).size == all,
+        "derivation fired for a reader whose zone differs from the writer's")
+      val gotUtc = DeltaLake.scanDelta(spark, path,
+          ScanSettings(conditions = conds))
+        .select("id").as[Long].collect().sorted
+      assert(gotUtc.sameElements(want))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("legacy table (no recorded writer zone) derives nothing") {
+    val (path, _) = stageDaily()
+    val snap = DeltaLog.forPath(spark, path)
+    val conds = Seq(
+      Cond("ts", ">=", Instant.parse("2024-01-10T05:00:00Z")),
+      Cond("ts", "<", Instant.parse("2024-01-12T07:00:00Z")))
+    assert(GeneratedPruning.derive(conds, snap.schema,
+      snap.partitionColumns, snap.configuration).nonEmpty)
+    // the same table without the property — a pre-round-12 table whose
+    // writes' zones are unknown — must fail open
+    assert(GeneratedPruning.derive(conds, snap.schema,
+      snap.partitionColumns, Map.empty).isEmpty)
+    assert(GeneratedPruning.derive(conds, snap.schema,
+      snap.partitionColumns,
+      Map(GeneratedPruning.WriterZoneKey ->
+        GeneratedPruning.MixedZone)).isEmpty)
+  }
+
+  test("cross-zone append downgrades to mixed; cross-zone DML refuses") {
+    val (path, _) = stageDaily() // recorded zone: UTC ("Z")
+    val snap0 = DeltaLog.forPath(spark, path)
+    assert(snap0.configuration.get(GeneratedPruning.WriterZoneKey)
+      .contains("Z"))
+    val conds = Seq(
+      Cond("ts", ">=", Instant.parse("2024-01-10T05:00:00Z")),
+      Cond("ts", "<", Instant.parse("2024-01-12T07:00:00Z")))
+    val all0 = snap0.addActionsFiltered().size
+    assert(snap0.addActionsFiltered(conds).size < all0)
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      // DML under the wrong zone refuses loudly (it would rewrite
+      // generated values with no metadata commit to record the mix)
+      val e = intercept[IllegalStateException] {
+        DeltaWriter.update(spark, path,
+          Seq(Cond("id", "=", 0L)),
+          Map("ts" -> lit(java.sql.Timestamp.from(
+            Instant.parse("2024-03-01T00:00:00Z")))))
+      }
+      assert(e.getMessage.contains("timezone"))
+      // an append under the wrong zone is allowed but downgrades the
+      // table to "mixed" in the same commit …
+      DeltaWriter.write(
+        Seq((99999L, Instant.parse("2024-06-01T10:00:00Z"))).toDF("id", "ts"),
+        path, mode = "append")
+      val snap1 = DeltaLog.forPath(spark, path)
+      assert(snap1.configuration.get(GeneratedPruning.WriterZoneKey)
+        .contains(GeneratedPruning.MixedZone))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // … and derivation stays disabled for EVERY later reader, in any
+    // zone — correct-but-unpruned
+    val snap2 = DeltaLog.forPath(spark, path)
+    val all2 = snap2.addActionsFiltered().size
+    assert(snap2.addActionsFiltered(conds).size == all2,
+      "derivation fired on a mixed-zone table")
+    assert(DeltaLake.scanDelta(spark, path,
+      ScanSettings(conditions = conds)).count() == 50)
   }
 
   test("derivation is sound under randomized timestamps (property sweep)") {
