@@ -75,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // commands report.
     // the physical side of the procedure nodes below
     ext.injectPlannerStrategy(_ => new graft.plans.GraftProcedureStrategy)
+    // SQL time travel on catalog names (`FROM t VERSION AS OF 3`):
+    // substituted at parse time — Spark's analyzer rejects V1 time
+    // travel inside its built-in resolution rules, before any injected
+    // resolution rule could fire
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     Seq(
       "graft_optimize" -> GraftExtensions.optimizeTableFunction,
       "graft_vacuum" -> GraftExtensions.vacuumTableFunction,
@@ -128,7 +133,8 @@ object GraftExtensions {
       val path = args.head.eval() match {
         case null => throw new IllegalArgumentException(
           "graft_delta path must not be null")
-        case s => s.toString
+        case s => graft.sources.GraftCatalogResolution.resolveTableRef(
+          org.apache.spark.sql.SparkSession.active, s.toString)
       }
       var version: Option[Long] = None
       var asOf: Option[java.time.Instant] = None
@@ -187,6 +193,18 @@ object GraftExtensions {
     }
   }
 
+  /** Path-or-name argument for the TVF builders: a session-catalog
+    * NAME whose provider is graft-delta resolves to its location, so
+    * every verb works on the tables a SQL user created
+    * (`graft_optimize('sales')`); anything else is a filesystem path
+    * verbatim.
+    */
+  private def literalPath(args: Seq[Expression], i: Int,
+      fn: String): String =
+    graft.sources.GraftCatalogResolution.resolveTableRef(
+      org.apache.spark.sql.SparkSession.active,
+      literalString(args, i, fn, "path"))
+
   /** Shared literal-argument extraction for the TVF builders. */
   private def literalString(args: Seq[Expression], i: Int,
       fn: String, what: String): String = {
@@ -226,7 +244,7 @@ object GraftExtensions {
       require(Set(2, 3, 5, 6).contains(args.size),
         "graft_delta_cdf(path, sinceVersion[, untilVersion][, col, op, " +
           "value]) takes 2, 3, 5 or 6 arguments")
-      val path = literalString(args, 0, "graft_delta_cdf", "path")
+      val path = literalPath(args, 0, "graft_delta_cdf")
       val since = literalLong(args, 1, "graft_delta_cdf", "sinceVersion")
       // the 3- and 6-arg forms carry an inclusive endingVersion bound
       val hasUntil = args.size == 3 || args.size == 6
@@ -265,7 +283,7 @@ object GraftExtensions {
     args => {
       require(args.nonEmpty && args.size <= 2,
         "graft_delta_row_ids(path[, version]) takes 1 or 2 arguments")
-      val path = literalString(args, 0, "graft_delta_row_ids", "path")
+      val path = literalPath(args, 0, "graft_delta_row_ids")
       val version = if (args.size < 2) None
         else Some(literalLong(args, 1, "graft_delta_row_ids", "version"))
       val spark = org.apache.spark.sql.SparkSession.active
@@ -280,7 +298,7 @@ object GraftExtensions {
       : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     args => {
       require(args.size == 1, "graft_delta_history(path) takes 1 argument")
-      val path = literalString(args, 0, "graft_delta_history", "path")
+      val path = literalPath(args, 0, "graft_delta_history")
       val spark = org.apache.spark.sql.SparkSession.active
       DeltaLake.history(spark, path).queryExecution.analyzed
     }
@@ -298,7 +316,7 @@ object GraftExtensions {
       require(args.nonEmpty && args.size <= 2 || args.size == 5,
         "graft_optimize(path[, zorderColumnsCsv[, col, op, value]]) " +
           "takes 1, 2 or 5 arguments")
-      val path = literalString(args, 0, "graft_optimize", "path")
+      val path = literalPath(args, 0, "graft_optimize")
       val zorder =
         if (args.size < 2) Nil
         else literalString(args, 1, "graft_optimize", "zorderColumnsCsv")
@@ -334,7 +352,7 @@ object GraftExtensions {
     args => {
       require(args.nonEmpty && args.size <= 3,
         "graft_vacuum(path[, graceMs[, dryRun]]) takes 1 to 3 arguments")
-      val path = literalString(args, 0, "graft_vacuum", "path")
+      val path = literalPath(args, 0, "graft_vacuum")
       val grace =
         if (args.size < 2) -1L // unset: the table's retention property governs
         else literalLong(args, 1, "graft_vacuum", "graceMs")
@@ -361,7 +379,7 @@ object GraftExtensions {
     args => {
       require(args.size == 3,
         "graft_rename_column(path, oldName, newName) takes 3 arguments")
-      val path = literalString(args, 0, "graft_rename_column", "path")
+      val path = literalPath(args, 0, "graft_rename_column")
       val from = literalString(args, 1, "graft_rename_column", "oldName")
       val to = literalString(args, 2, "graft_rename_column", "newName")
       graft.plans.GraftProcedureNode("graft_rename_column",
@@ -380,7 +398,7 @@ object GraftExtensions {
     args => {
       require(args.size == 2,
         "graft_drop_column(path, colName) takes 2 arguments")
-      val path = literalString(args, 0, "graft_drop_column", "path")
+      val path = literalPath(args, 0, "graft_drop_column")
       val colName = literalString(args, 1, "graft_drop_column", "colName")
       graft.plans.GraftProcedureNode("graft_drop_column",
         org.apache.spark.sql.types.StructType(Seq(
@@ -398,7 +416,7 @@ object GraftExtensions {
     args => {
       require(args.size == 2,
         "graft_restore(path, toVersion) takes 2 arguments")
-      val path = literalString(args, 0, "graft_restore", "path")
+      val path = literalPath(args, 0, "graft_restore")
       val toV = literalLong(args, 1, "graft_restore", "toVersion")
       graft.plans.GraftProcedureNode("graft_restore",
         org.apache.spark.sql.types.StructType(Seq(
@@ -422,7 +440,7 @@ object GraftExtensions {
     args => {
       require(args.nonEmpty && args.size <= 2,
         "graft_fsck(path[, dryRun]) takes 1 or 2 arguments")
-      val path = literalString(args, 0, "graft_fsck", "path")
+      val path = literalPath(args, 0, "graft_fsck")
       val dry = args.size >= 2 && {
         require(args(1).foldable, "graft_fsck arguments must be literals")
         args(1).eval() match {
@@ -448,7 +466,7 @@ object GraftExtensions {
     args => {
       require(args.size == 1 || args.size == 4,
         "graft_reorg(path[, col, op, value]) takes 1 or 4 arguments")
-      val path = literalString(args, 0, "graft_reorg", "path")
+      val path = literalPath(args, 0, "graft_reorg")
       val conds =
         if (args.size < 4) Nil
         else {
@@ -478,7 +496,7 @@ object GraftExtensions {
     args => {
       require(args.size == 3,
         "graft_add_column(path, colName, typeDdl) takes 3 arguments")
-      val path = literalString(args, 0, "graft_add_column", "path")
+      val path = literalPath(args, 0, "graft_add_column")
       val colName = literalString(args, 1, "graft_add_column", "colName")
       val ddl = literalString(args, 2, "graft_add_column", "typeDdl")
       val dt = org.apache.spark.sql.types.DataType.fromDDL(ddl)
@@ -499,7 +517,7 @@ object GraftExtensions {
     args => {
       require(args.size == 3,
         "graft_widen_column(path, colName, typeDdl) takes 3 arguments")
-      val path = literalString(args, 0, "graft_widen_column", "path")
+      val path = literalPath(args, 0, "graft_widen_column")
       val colName = literalString(args, 1, "graft_widen_column", "colName")
       val dt = org.apache.spark.sql.types.DataType.fromDDL(
         literalString(args, 2, "graft_widen_column", "typeDdl"))
@@ -521,7 +539,7 @@ object GraftExtensions {
       require(args.size >= 3 && args.size % 2 == 1,
         "graft_set_tblproperties(path, key, value[, key, value ...]) " +
           "takes an odd argument count of 3 or more")
-      val path = literalString(args, 0, "graft_set_tblproperties", "path")
+      val path = literalPath(args, 0, "graft_set_tblproperties")
       val props = (1 until args.size by 2).map { i =>
         literalString(args, i, "graft_set_tblproperties", s"key#$i") ->
           literalString(args, i + 1, "graft_set_tblproperties", s"value#${i + 1}")
@@ -542,7 +560,7 @@ object GraftExtensions {
     args => {
       require(args.size >= 2,
         "graft_unset_tblproperties(path, key[, key ...]) takes 2+ arguments")
-      val path = literalString(args, 0, "graft_unset_tblproperties", "path")
+      val path = literalPath(args, 0, "graft_unset_tblproperties")
       val keys = (1 until args.size).map(i =>
         literalString(args, i, "graft_unset_tblproperties", s"key#$i"))
       graft.plans.GraftProcedureNode("graft_unset_tblproperties",
@@ -563,7 +581,7 @@ object GraftExtensions {
     args => {
       require(args.size == 3,
         "graft_add_constraint(path, name, checkExprSql) takes 3 arguments")
-      val path = literalString(args, 0, "graft_add_constraint", "path")
+      val path = literalPath(args, 0, "graft_add_constraint")
       val name = literalString(args, 1, "graft_add_constraint", "name")
       val sqlExpr =
         literalString(args, 2, "graft_add_constraint", "checkExprSql")
@@ -583,7 +601,7 @@ object GraftExtensions {
     args => {
       require(args.size == 2,
         "graft_drop_constraint(path, name) takes 2 arguments")
-      val path = literalString(args, 0, "graft_drop_constraint", "path")
+      val path = literalPath(args, 0, "graft_drop_constraint")
       val name = literalString(args, 1, "graft_drop_constraint", "name")
       graft.plans.GraftProcedureNode("graft_drop_constraint",
         org.apache.spark.sql.types.StructType(Seq(
@@ -602,7 +620,7 @@ object GraftExtensions {
     args => {
       require(args.size == 3,
         "graft_set_default(path, colName, defaultSql) takes 3 arguments")
-      val path = literalString(args, 0, "graft_set_default", "path")
+      val path = literalPath(args, 0, "graft_set_default")
       val colName = literalString(args, 1, "graft_set_default", "colName")
       val sqlExpr = literalString(args, 2, "graft_set_default", "defaultSql")
       graft.plans.GraftProcedureNode("graft_set_default",
@@ -621,7 +639,7 @@ object GraftExtensions {
     args => {
       require(args.size == 2,
         "graft_drop_default(path, colName) takes 2 arguments")
-      val path = literalString(args, 0, "graft_drop_default", "path")
+      val path = literalPath(args, 0, "graft_drop_default")
       val colName = literalString(args, 1, "graft_drop_default", "colName")
       graft.plans.GraftProcedureNode("graft_drop_default",
         org.apache.spark.sql.types.StructType(Seq(
@@ -639,7 +657,7 @@ object GraftExtensions {
     args => {
       require(args.size == 2,
         "graft_cluster_by(path, colsCsv) takes 2 arguments")
-      val path = literalString(args, 0, "graft_cluster_by", "path")
+      val path = literalPath(args, 0, "graft_cluster_by")
       val cols = literalString(args, 1, "graft_cluster_by", "colsCsv")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       graft.plans.GraftProcedureNode("graft_cluster_by",
@@ -674,7 +692,7 @@ object GraftExtensions {
     args => {
       require(args.size == 4,
         "graft_delete(path, col, op, value) takes 4 arguments")
-      val path = literalString(args, 0, "graft_delete", "path")
+      val path = literalPath(args, 0, "graft_delete")
       val conds = Seq(condTriple(args, 1, "graft_delete"))
       graft.plans.GraftProcedureNode("graft_delete",
         org.apache.spark.sql.types.StructType(Seq(
@@ -696,7 +714,7 @@ object GraftExtensions {
       require(args.size >= 6 && args.size % 2 == 0,
         "graft_update(path, col, op, value, setCol, setExprSql[, " +
           "setCol, setExprSql ...]) takes an even argument count of 6+")
-      val path = literalString(args, 0, "graft_update", "path")
+      val path = literalPath(args, 0, "graft_update")
       val conds = Seq(condTriple(args, 1, "graft_update"))
       val assignments = (4 until args.size by 2).map { i =>
         literalString(args, i, "graft_update", s"setCol#$i") ->
@@ -733,7 +751,7 @@ object GraftExtensions {
       require(args.size == 3 || args.size == 4,
         "graft_merge(path, sourceSql, keysCsv[, deleteWhenSql]) takes " +
           "3 or 4 arguments")
-      val path = literalString(args, 0, "graft_merge", "path")
+      val path = literalPath(args, 0, "graft_merge")
       val sourceSql = literalString(args, 1, "graft_merge", "sourceSql")
       val keys = literalString(args, 2, "graft_merge", "keysCsv")
         .split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -769,7 +787,7 @@ object GraftExtensions {
       require(args.size == 5,
         "graft_replace_where(path, sourceSql, col, op, value) takes " +
           "5 arguments")
-      val path = literalString(args, 0, "graft_replace_where", "path")
+      val path = literalPath(args, 0, "graft_replace_where")
       val sourceSql =
         literalString(args, 1, "graft_replace_where", "sourceSql")
       val conds = Seq(condTriple(args, 2, "graft_replace_where"))
@@ -801,7 +819,7 @@ object GraftExtensions {
       require(args.size == 2 || args.size == 3,
         "graft_clone(srcPath, dstPath[, srcVersion]) takes 2 or 3 " +
           "arguments")
-      val src = literalString(args, 0, "graft_clone", "srcPath")
+      val src = literalPath(args, 0, "graft_clone")
       val dst = literalString(args, 1, "graft_clone", "dstPath")
       val srcVersion = if (args.size < 3) None
         else Some(literalLong(args, 2, "graft_clone", "srcVersion"))
@@ -826,7 +844,7 @@ object GraftExtensions {
   private[graft] val detailTableFunction: Seq[Expression] => Plan =
     args => {
       require(args.size == 1, "graft_detail(path) takes 1 argument")
-      val path = literalString(args, 0, "graft_detail", "path")
+      val path = literalPath(args, 0, "graft_detail")
       val spark = org.apache.spark.sql.SparkSession.active
       DeltaLake.detail(spark, path).queryExecution.analyzed
     }
@@ -838,7 +856,7 @@ object GraftExtensions {
   private[graft] val convertTableFunction: Seq[Expression] => Plan =
     args => {
       require(args.size == 1, "graft_convert(path) takes 1 argument")
-      val path = literalString(args, 0, "graft_convert", "path")
+      val path = literalPath(args, 0, "graft_convert")
       graft.plans.GraftProcedureNode("graft_convert",
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("num_files",

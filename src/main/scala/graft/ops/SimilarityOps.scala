@@ -471,6 +471,19 @@ object SimilarityOps {
     math.max(16L, math.min(65536L, k)).toInt
   }
 
+  /** Probe width for a K-list quantizer: ceil(sqrt(K)), floored at 4 —
+    * the classic IVF guidance. A FIXED nprobe with a derived K makes
+    * the probed fraction (nprobe/K) shrink as the corpus grows and
+    * recall silently decays at scale; sqrt keeps expected probed
+    * vectors ≈ sqrt(K)·TargetCluster, growing with the corpus. ceil of
+    * an IEEE-correctly-rounded sqrt of an integer is identical across
+    * engines, so the SQL twin (`GREATEST(4, CAST(ceil(sqrt(k)) AS
+    * BIGINT))`) derives the same value. At the 500-vector oracle corpus
+    * K = 16 ⇒ nprobe = 4, byte-identical to the previous constant.
+    */
+  private[graft] def derivedNprobe(k: Int): Int =
+    math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
+
   /** Fused kernel: one vector pass fans into all K dot accumulators
     * (graft.functions.NearestCentroid) — the assignment step is the
     * O(n·K·D) hot loop, where K composed cosine expressions would each
@@ -512,8 +525,12 @@ object SimilarityOps {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1))
       .toMap
+    // a corpus below the K clamp floor seeds fewer than K centroids —
+    // the quantizer degrades to |corpus| lists (the oracle's seeds CTE
+    // does the same), instead of indexing past the seed array
     val centroids: Array[Seq[Double]] =
-      (0 until K).map(i => means.getOrElse(i, seeds(i))).toArray
+      (0 until math.min(K, seeds.length))
+        .map(i => means.getOrElse(i, seeds(i))).toArray
 
     // inverted lists: final assignment on the trained centroids
     // (deterministic per dir: seeding and the Lloyd step are
@@ -762,8 +779,13 @@ object SimilarityOps {
     // pick the identical seed set and replay the whole pipeline.
     "s4_ann_ivf" -> QueryDef(
       (s, dir) => {
-        val nprobe = 4
         val (lists, centroids) = ivfModel(s, dir)
+        // probe width derived WITH the quantizer size: fixed nprobe=4
+        // made the probed fraction shrink as K scaled with the corpus
+        // (4/16 at the clamp floor, 4/625 at sf1) — recall silently
+        // decayed at scale. The oracle's `np` CTE derives the same
+        // value from its `kp`.
+        val nprobe = derivedNprobe(centroids.length)
 
         // queries probe their nprobe closest lists: centroids as a
         // BROADCAST relation (K rows), not K unrolled literal
@@ -800,13 +822,15 @@ object SimilarityOps {
       // chain + nprobe probing); probe tie-break is cl DESC to match
       // sort_array(struct desc).
       Some(s"""WITH $ivfSql,
+        |np AS (SELECT GREATEST(4, CAST(ceil(sqrt(k)) AS BIGINT)) AS np
+        |  FROM kp),
         |probe AS (
         |  SELECT query_id, cl FROM (
         |    SELECT q.vec_id AS query_id, c.cl,
         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
         |        list_cosine_similarity(c.c, q.embedding::DOUBLE[]) DESC, c.cl DESC) AS rn
         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < $NumQueries) t
-        |  WHERE rn <= 4),
+        |  WHERE rn <= (SELECT np FROM np)),
         |scored AS (
         |  SELECT p.query_id, a2.vec_id AS neighbor_id,
         |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim

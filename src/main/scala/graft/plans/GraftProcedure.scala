@@ -62,7 +62,14 @@ final case class GraftProcedureExec(
   override protected def doExecute(): RDD[InternalRow] = {
     // driver-side: the procedure body may itself launch Spark jobs
     // (OPTIMIZE's rewrites, vacuum's distributed listing)
-    val rows = run(org.apache.spark.sql.SparkSession.active)
+    val session = org.apache.spark.sql.SparkSession.active
+    val rows = run(session)
+    // a maintenance verb may have rewritten/reclaimed files under a
+    // CATALOG table whose resolved V1 relation pins a pre-verb
+    // snapshot (graft_vacuum then spark.table(name) would read deleted
+    // files) — same blanket invalidation as InsertableRelation.insert:
+    // correctness over cache warmth
+    session.sessionState.catalog.invalidateAllCachedTables()
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
     val converted =
       rows.map(r => toCatalyst(r).asInstanceOf[InternalRow].copy())

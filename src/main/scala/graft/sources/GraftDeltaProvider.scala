@@ -30,8 +30,14 @@ import graft.streaming.{DeltaSink, GraftDeltaSource}
   * df.write.format("graft-delta").saveAsTable("t")   // managed table
   * spark.table("t"); INSERT INTO t ...; INSERT OVERWRITE t ...
   * }}}
-  * Time travel on a CATALOG NAME is rejected by Spark's analyzer (V1
-  * relations have no time-travel hook) — use the path-based read with
+  * SQL time travel on a CATALOG NAME (`FROM t VERSION AS OF 3`,
+  * `TIMESTAMP AS OF '…'`) works in sessions built with
+  * [[graft.GraftExtensions]] — the injected parser substitutes the
+  * time-traveled relation before Spark's analyzer (which has no V1
+  * time-travel hook) can reject it; the same extension lets every
+  * maintenance verb take a catalog name (`graft_optimize('t')`).
+  * Without the extension, the DataFrame-option form on a name is still
+  * rejected loudly — use the path-based read with
   * `versionAsOf`/`timestampAsOf`. Out-of-band writes to the table path
   * (engine API / another session) need `REFRESH TABLE t` to drop the
   * session catalog's cached relation; in-band INSERTs invalidate it

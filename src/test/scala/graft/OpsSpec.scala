@@ -259,8 +259,56 @@ class OpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty)
     val recall = bf.count(ivf.contains).toDouble / bf.size
-    // nprobe=4 of 16 lists must recover a reasonable share of true top-5
+    // nprobe = derivedNprobe(derivedK(n)) of derivedK(n) lists (4 of 16
+    // at this corpus's size — the clamp floor) must recover a
+    // reasonable share of the true top-5
     assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
+  test("ann IVF recall holds where K exceeds the clamp floor (derived nprobe)") {
+    // 2,000 synthetic vectors => derivedK = 63, derivedNprobe = 8: the
+    // regime the fixed nprobe=4 silently degraded in (probing 4/63 of
+    // the lists) — unobserved before because the only recall spec ran
+    // at the 500-vector corpus where derivedK == 16
+    import spark.implicits._
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_ivf_recall").toString
+    (0L until 2000L).map { i =>
+      (i, (0 until 64).map(j =>
+        (math.sin((i % 40) * 1.7 + j * 0.23) +
+          0.02 * math.cos(i * 0.011 + j)).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+      .write.parquet(dir2 + "/embeddings.parquet")
+    assert(SimilarityOps.derivedK(2000L) == 63)
+    assert(SimilarityOps.derivedNprobe(63) == 8)
+    val bf = SimilarityOps.defs("s1_ann_bruteforce").fn(spark, dir2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.defs("s4_ann_ivf").fn(spark, dir2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall $recall too low at derived K=63")
+  }
+
+  test("ivf model degrades to |corpus| lists below the K clamp floor") {
+    // 8 vectors: derivedK clamps to 16 but only 8 seeds exist — the
+    // quantizer must degrade to 8 lists (like the oracle's seeds CTE),
+    // not throw on seeds(8..15)
+    import spark.implicits._
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_ivf_tiny").toString
+    (0L until 8L).map { i =>
+      (i, (0 until 64).map(j =>
+        math.sin(i * 1.3 + j * 0.1).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+      .write.parquet(dir2 + "/embeddings.parquet")
+    val (n, k, _, mx) = SimilarityOps.semDedupCandidateStats(spark, dir2)
+    assert(n == 8L)
+    assert(k == 8, s"expected 8 degraded lists, got $k")
+    assert(mx <= 8L)
+    // the dependent operators run end-to-end on the tiny corpus
+    assert(SimilarityOps.defs("d12_sem_dedup").fn(spark, dir2).count() == 8L)
   }
 
   test("bucketed join plan has no shuffle exchange before the join") {

@@ -390,10 +390,16 @@ class ProtocolConformanceSpec extends SparkSuite {
     // present but /var/run/docker.sock does not exist (no daemon),
     // `import deltalake` ModuleNotFoundError, `pip install deltalake`
     // hangs on the unreachable index, duckdb INSTALL delta still
+    // ERROR Connection;
+    // r12 2026-08-15: re-probed — unchanged: docker client 28.2.2 but
+    // /var/run/docker.sock absent (no daemon), `import deltalake`
+    // ModuleNotFoundError, `pip install deltalake` DNS-fails to the
+    // index ("Name or service not known"), duckdb INSTALL delta still
     // ERROR Connection. Still environment-blocked; the in-repo
     // compensating differential is PythonReplayDifferentialSpec +
     // tools/delta_replay.py — an independent python+DuckDB reader
-    // implementation — which runs green regardless of this probe).
+    // implementation (since r12 also covering txn-ledger watermarks
+    // via --txn) — which runs green regardless of this probe).
     secondReader() match {
       case None =>
         cancel("no THIRD-PARTY Delta reader in the sandbox (deltalake " +

@@ -539,4 +539,81 @@ class PythonReplayDifferentialSpec extends SparkSuite {
     assert(DeltaLake.scanDelta(spark, path)
       .select("event_date").distinct().count() >= 3)
   }
+
+  /** Ledger watermarks through the independent reader: --txn folds the
+    * log's SetTransaction actions with zero shared code.
+    */
+  private def replayTxn(path: String): Map[String, Long] = {
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Seq("python3", "tools/delta_replay.py", path, "--txn") !
+      ProcessLogger(l => out ++= l, l => out ++= l)
+    assert(code == 0, s"python txn replay failed: $out")
+    val node = ActionCodec.mapper.readTree(out.toString).get("txn")
+    val it = node.fieldNames()
+    val b = Map.newBuilder[String, Long]
+    while (it.hasNext) { val k = it.next(); b += k -> node.get(k).asLong }
+    b.result()
+  }
+
+  test("dedup drain tables: data AND txn watermarks replay identically") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pyrep_drain").toString
+    val store = base + "/store"; val pairs = base + "/pairs"
+    val appId = "pyrep-drain"
+    def doc(i: Long) = s"the quick brown fox ${i % 4} jumps over the " +
+      s"lazy dog number ${i % 4} again tail $i"
+    val b0 = (1L to 20L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val b1 = (21L to 40L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    graft.ops.DedupOps.drainBatch(spark, store, pairs, appId)(b0, 0L)
+    graft.ops.DedupOps.drainBatch(spark, store, pairs, appId)(b1, 1L)
+    // every drain table — signatures, banded projection, pairs — must
+    // replay to identical rows in the independent reader …
+    for (p <- Seq(store, store + "_bands", pairs)) {
+      val rows = DeltaLake.scanDelta(spark, p).count()
+      assert(rows > 0, s"$p is empty — vacuous differential")
+      assertAgrees(p, rows)
+      // … and the exactly-once ledger must fold to the same watermarks
+      val want = DeltaLog.forPath(spark, p).txnVersions
+      assert(want.contains(appId), s"$p carries no ledger for $appId")
+      assert(replayTxn(p) == want, s"txn ledger diverged for $p")
+    }
+    assert(DeltaLog.forPath(spark, store).txnVersions(appId) == 1L)
+  }
+
+  test("ANN index drain tables: data AND txn watermarks replay identically") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pyrep_ann").toString
+    val idx = base + "/idx"
+    val appId = "pyrep-ann"
+    def vecs(ids: Seq[Long]) = ids.toDF("vec_id").withColumn("embedding",
+      expr("transform(sequence(0, 31), " +
+        "j -> cast(sin((vec_id % 5) * 1.3 + j * 0.1) AS float))"))
+    graft.ops.SimilarityOps.annDrainBatch(spark, idx, appId)(
+      vecs(0L until 20L), 0L)
+    graft.ops.SimilarityOps.annDrainBatch(spark, idx, appId)(
+      vecs(20L until 40L), 1L)
+    for (p <- Seq(idx, idx + "_vecs")) {
+      val rows = DeltaLake.scanDelta(spark, p).count()
+      assertAgrees(p, rows)
+      val want = DeltaLog.forPath(spark, p).txnVersions
+      assert(want.get(appId).contains(1L))
+      assert(replayTxn(p) == want, s"txn ledger diverged for $p")
+    }
+  }
+
+  test("p8 shard export + stored manifest replay identically") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pyrep_p8").toString
+    (1L to 60L).map(i => (i, s"alpha beta gamma delta $i words here",
+        "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(base + "/documents.parquet")
+    val out = graft.ops.PipelineOps.exportShards(spark, base,
+      base + "/export", shards = 4)
+    // the partitioned optimized-write export and its manifest both
+    // replay row-identical through the independent reader
+    assertAgrees(out, 60)
+    assertAgrees(out + "_manifest", 4)
+  }
 }

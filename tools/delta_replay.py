@@ -19,6 +19,7 @@ Usage:
   delta_replay.py TABLE_PATH --version N      # time travel
   delta_replay.py TABLE_PATH --timestamp-ms T # timestamp travel (ICT-aware)
   delta_replay.py TABLE_PATH --cdf SPARK_DIR  # change-feed bag-diff
+  delta_replay.py TABLE_PATH --txn            # {appId: version} ledger
 
 --diff / --cdf print one JSON line
 {"rows": N, "only_replay": a, "only_spark": b} and exit 1 unless
@@ -223,8 +224,11 @@ def prune(x):
     return x
 
 
-def replay(con, table, version=None):
-    """Fold the log into (metadata, protocol, {path: add})."""
+def replay(con, table, version=None, txns=None):
+    """Fold the log into (metadata, protocol, {path: add}). When `txns`
+    is a dict it also folds `txn` (SetTransaction) actions into it —
+    appId -> version, latest occurrence in log order wins — so a caller
+    can compare streaming-ledger watermarks across implementations."""
     logdir = os.path.join(table, "_delta_log")
     names = log_files(logdir)
     cp_version, cp_files = best_checkpoint(names, version)
@@ -237,6 +241,8 @@ def replay(con, table, version=None):
             meta = a["metaData"]
         if a.get("protocol"):
             proto = a["protocol"]
+        if txns is not None and a.get("txn"):
+            txns[a["txn"]["appId"]] = a["txn"]["version"]
         if a.get("add"):
             adds[a["add"]["path"]] = a["add"]
         if allow_remove and a.get("remove"):
@@ -540,6 +546,13 @@ def main():
             table, int(args[args.index("--timestamp-ms") + 1]))
     con = duckdb.connect()
     con.execute("SET timezone = 'UTC'")
+    if "--txn" in args:
+        # streaming-ledger watermarks: {appId: version} folded from the
+        # log (checkpoints included), independent of the engine's replay
+        txns = {}
+        replay(con, table, version, txns=txns)
+        print(json.dumps({"txn": dict(sorted(txns.items()))}))
+        return
     if "--cdf" in args:
         since = (int(args[args.index("--cdf-since") + 1])
                  if "--cdf-since" in args else -1)
