@@ -221,6 +221,14 @@ object DedupOps {
   private def tableExists(s: SparkSession, path: String): Boolean =
     graft.DeltaLake.tableExists(s, path)
 
+  /** Cap on driver-collected probe in-lists, shared by the synchronous
+    * ([[probePairs]]) and streaming ([[drainBatchSeam]]) increment
+    * paths — above it the scans fall back to the streamed corpus
+    * shape.
+    */
+  private def probeCap(s: SparkSession): Int =
+    s.conf.getOption("graft.dedup.maxProbeIds").map(_.toInt).getOrElse(16384)
+
   /** The PERSISTED banded projection `(band, sig, doc_id)` of a
     * signature store, partitioned by band (8 directories — the probe
     * join's shuffle key is (band, sig), and the narrow 3-column rows
@@ -356,8 +364,7 @@ object DedupOps {
       ids: DataFrame): ProbePlan = {
     import graft.delta.{Cond, ScanSettings}
     val bands0 = bandStore(s, storePath) // ensure/adopt the projection
-    val cap = s.conf.getOption("graft.dedup.maxProbeIds")
-      .map(_.toInt).getOrElse(16384)
+    val cap = probeCap(s)
     val idRows = ids.select("doc_id").distinct().limit(cap + 1).collect()
     if (idRows.length > cap) {
       // over-cap probe: the corpus-shape scans (broadcasting the id set
@@ -497,7 +504,10 @@ object DedupOps {
     * Pairing probes only the increment's ~8 banded rows/doc against the
     * stored projection ∪ the increment itself, so a pair is emitted by
     * exactly the batch that completes it and the batch's cost tracks the
-    * INCREMENT, not the corpus. Readers between legs see the table pair
+    * INCREMENT, not the corpus — in I/O too: every store-side scan
+    * pushes the same in-lists as [[probePairs]] (batch ids, probe sigs
+    * band-by-band, candidate endpoints), so zone maps prune the reads
+    * to the batch's file hits. Readers between legs see the table pair
     * as if the increment had not happened yet (single-writer pipeline
     * assumed, as with any Delta streaming sink).
     */
@@ -513,13 +523,31 @@ object DedupOps {
       pairsPath: String, appId: String,
       crashAfterLeg: Int = Int.MaxValue)(
       batch: DataFrame, batchId: Long): Unit = {
+    import graft.delta.{Cond, ScanSettings}
     import graft.streaming.DeltaSink
     val storeExists = tableExists(s, storePath)
+    val cap = probeCap(s)
+    // the per-batch store-side scans are PRUNED exactly like
+    // [[probePairs]]: the batch's doc_ids into the store (the anti-join
+    // only cares about store rows whose id is IN the batch), its ~8
+    // sigs/doc into the banded projection, the candidates' endpoints
+    // into the store for the estimate — so a micro-batch's I/O tracks
+    // the BATCH, not the accumulated store. An over-cap batch falls
+    // back to the streamed corpus-shape scans.
+    val batchIds: Option[Seq[Long]] = {
+      val rows = batch.select("doc_id").distinct().limit(cap + 1).collect()
+      if (rows.length > cap) None else Some(rows.map(_.getLong(0)).toSeq)
+    }
     val fresh =
       if (!storeExists) batch
-      else batch.join(
-        graft.DeltaLake.scanDelta(s, storePath).select("doc_id"),
-        Seq("doc_id"), "left_anti")
+      else {
+        val known = batchIds match {
+          case Some(ids) => graft.DeltaLake.scanDelta(s, storePath,
+            ScanSettings(conditions = Seq(Cond("doc_id", "in", ids))))
+          case None => graft.DeltaLake.scanDelta(s, storePath)
+        }
+        batch.join(known.select("doc_id"), Seq("doc_id"), "left_anti")
+      }
     // materialize the increment's signatures once: three consumers
     // (bands, pairs, the store append) and a shingling pass we must not
     // repeat per consumer
@@ -531,21 +559,52 @@ object DedupOps {
     val incBands = bandedFrom(incSigs, fastHash = false)
       .select("band", "sig", "doc_id").localCheckpoint()
     val bp = bandStorePath(storePath)
-    val allBands =
-      if (storeExists)
-        graft.DeltaLake.scanDelta(s, bp).select("band", "sig", "doc_id")
-          .unionByName(incBands)
-      else incBands
-    val allSigs =
-      if (storeExists)
-        graft.DeltaLake.scanDelta(s, storePath).select("doc_id", "mh")
-          .unionByName(incSigs)
-      else incSigs
-    // materialize once: the collision join scans the full banded
-    // projection, and both the emptiness check and the ledgered append
-    // would otherwise execute it
-    val pairs = pairsOver(broadcast(incBands), allBands, allSigs)
+    val storedBands: Option[DataFrame] =
+      if (!storeExists) None
+      else {
+        val keys = incBands.select("band", "sig").distinct()
+          .limit(cap + 1).collect()
+        if (batchIds.isEmpty || keys.length > cap)
+          Some(graft.DeltaLake.scanDelta(s, bp)
+            .select("band", "sig", "doc_id"))
+        else Some(keys.map(r => (r.getInt(0), r.getString(1)))
+          .groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ps) =>
+            graft.DeltaLake.scanDelta(s, bp, ScanSettings(conditions =
+              Seq(Cond("band", "=", b),
+                Cond("sig", "in", ps.map(_._2).toSeq))))
+              .select("band", "sig", "doc_id")
+          }.reduce(_.unionByName(_)))
+      }
+    val allBands = storedBands match {
+      case Some(stored) => stored.unionByName(incBands)
+      case None => incBands
+    }
+    // collision candidates first, then PRUNED endpoint lookups for the
+    // estimate — materialized once (the emptiness check and the
+    // ledgered append would otherwise re-run the collision join)
+    val cand = candidatesOver(broadcast(incBands), allBands)
       .localCheckpoint()
+    val endpoints: Option[Seq[Long]] =
+      if (!storeExists || batchIds.isEmpty) None
+      else {
+        val rows = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id")))
+          .distinct().limit(8 * cap + 1).collect()
+        if (rows.length > 8 * cap) None
+        else Some(rows.map(_.getLong(0)).toSeq)
+      }
+    val allSigs =
+      if (!storeExists) incSigs.select("doc_id", "mh")
+      else {
+        val stored = endpoints match {
+          case Some(ids) => graft.DeltaLake.scanDelta(s, storePath,
+            ScanSettings(conditions = Seq(Cond("doc_id", "in", ids))))
+          case None => graft.DeltaLake.scanDelta(s, storePath)
+        }
+        stored.select("doc_id", "mh")
+          .unionByName(incSigs.select("doc_id", "mh"))
+      }
+    val pairs = estimateOver(cand, allSigs).localCheckpoint()
     def crashPoint(leg: Int): Unit =
       if (leg >= crashAfterLeg)
         throw new IllegalStateException(s"injected crash after leg $leg")

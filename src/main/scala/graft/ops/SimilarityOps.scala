@@ -227,6 +227,31 @@ object SimilarityOps {
 
   private val VecsSuffix = "_vecs"
 
+  /** Cap on driver-collected probe in-lists for the persisted-index
+    * probes (the DedupOps probeCap pattern) — above it the scans fall
+    * back to the streamed corpus shape.
+    */
+  private def annProbeCap(s: SparkSession): Int =
+    s.conf.getOption("graft.ann.maxProbeKeys").map(_.toInt).getOrElse(65536)
+
+  /** Lexicographic (tbl, sig) range layout at constant rows per file
+    * for the banded index's CREATING write — one hash table's
+    * contiguous sig range per file, so [[annProbeFromStore]]'s per-tbl
+    * in-list pushdown prunes the probe to ~1 file per probed
+    * (tbl, sig). Same layout lesson as DedupOps.bandStore: a sig-only
+    * (or cross-table-aligned) range multiplies every hit by the table
+    * count. File count scales with the corpus, so the pruned FRACTION
+    * shrinks as the index grows while absolute probe I/O stays flat.
+    */
+  private def indexLayout(s: SparkSession, banded: DataFrame,
+      n: Long): DataFrame = {
+    val rowsPerFile = s.conf.getOption("graft.ann.indexRowsPerFile")
+      .map(_.toLong).getOrElse(2500000L)
+    val parts = math.max(1L,
+      (n * NumTables + rowsPerFile - 1) / rowsPerFile).toInt
+    banded.repartitionByRange(parts, col("tbl"), col("sig"))
+  }
+
   private def tableExists(s: SparkSession, path: String): Boolean =
     graft.DeltaLake.tableExists(s, path)
 
@@ -245,10 +270,11 @@ object SimilarityOps {
       vectors: DataFrame): Unit = {
     val vecsPath = indexPath + VecsSuffix
     if (!tableExists(s, indexPath)) {
-      val bits = derivedBits(vectors.count())
+      val n = vectors.count()
+      val bits = derivedBits(n)
       graft.delta.DeltaWriter.write(
-        lshTables(vectors, "embedding", bits)
-          .select(col("tbl"), col("sig"), col("vec_id")),
+        indexLayout(s, lshTables(vectors, "embedding", bits)
+          .select(col("tbl"), col("sig"), col("vec_id")), n),
         indexPath, partitionBy = Seq("tbl"),
         properties = Map("graft.ann.bits" -> bits.toString,
           "graft.ann.tables" -> NumTables.toString))
@@ -276,26 +302,72 @@ object SimilarityOps {
     * index members never match themselves.
     */
   def annProbeFromStore(s: SparkSession, indexPath: String,
-      queries: DataFrame, k: Int = TopK): DataFrame = {
+      queries: DataFrame, k: Int = TopK): DataFrame =
+    annProbePlan(s, indexPath, queries, k).result
+
+  /** [[annProbeFromStore]] plus the metadata predicates each store-side
+    * scan pushed (the DedupOps.ProbePlan audit seam): `indexConds` one
+    * AND-set per probed hash table, `vecConds` the candidate vec_id
+    * in-list; empty = that scan streamed unpruned (over-cap batch).
+    */
+  private[graft] final case class AnnProbePlan(result: DataFrame,
+      indexConds: Seq[Seq[graft.delta.Cond]],
+      vecConds: Seq[graft.delta.Cond])
+
+  private[graft] def annProbePlan(s: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int = TopK): AnnProbePlan = {
+    import graft.delta.{Cond, ScanSettings}
     val bits = storedBits(s, indexPath)
-    val index = graft.DeltaLake.scanDelta(s, indexPath)
-    val vecs = graft.DeltaLake.scanDelta(s, indexPath + VecsSuffix)
+    val vecsPath = indexPath + VecsSuffix
+    // batch-bounded: |queries| x NumTables rows, materialized once for
+    // the key collect, the collision join, and the scoring join
     val qsig = lshTables(
       queries.select(col("query_id").as("vec_id"), col("qv").as("embedding")),
       "embedding", bits)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("tbl"), col("sig"))
+      .localCheckpoint()
+    val cap = annProbeCap(s)
+    // probe the index TABLE BY TABLE with the batch's sig in-lists (the
+    // projection layout is (tbl, sig)-range at constant rows per file),
+    // so zone maps prune the store-side read to ~1 file per probed
+    // (tbl, sig) — the serving-path twin of DedupOps.probePairs
+    val keys = qsig.select("tbl", "sig").distinct().limit(cap + 1).collect()
+    val (index, indexConds) =
+      if (keys.length > cap)
+        (graft.DeltaLake.scanDelta(s, indexPath),
+          Seq.empty[Seq[Cond]])
+      else {
+        val condSets = keys.map(r => (r.getInt(0), r.getLong(1)))
+          .groupBy(_._1).toSeq.sortBy(_._1).map { case (t, ps) =>
+            Seq(Cond("tbl", "=", t), Cond("sig", "in", ps.map(_._2).toSeq))
+          }
+        (condSets.map(cs => graft.DeltaLake.scanDelta(s, indexPath,
+          ScanSettings(conditions = cs))).reduce(_.unionByName(_)),
+          condSets)
+      }
     val cand = index.join(broadcast(qsig), Seq("tbl", "sig"))
       .where(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("qv"), col("vec_id"))
+      .localCheckpoint()
+    // candidate endpoints prune the vectors lookup the same way
+    val idRows = cand.select("vec_id").distinct().limit(8 * cap + 1).collect()
+    val (vecs, vecConds) =
+      if (idRows.length > 8 * cap)
+        (graft.DeltaLake.scanDelta(s, vecsPath), Seq.empty[Cond])
+      else {
+        val conds = Seq(Cond("vec_id", "in", idRows.map(_.getLong(0)).toSeq))
+        (graft.DeltaLake.scanDelta(s, vecsPath,
+          ScanSettings(conditions = conds)), conds)
+      }
     val scored = cand.join(vecs, "vec_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(s, col("qv"), col("embedding")).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    AnnProbePlan(scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k), indexConds, vecConds)
   }
 
   /** One streaming ANN-index increment, applied EXACTLY ONCE under
@@ -321,24 +393,36 @@ object SimilarityOps {
   private[ops] def annDrainBatchSeam(s: SparkSession, indexPath: String,
       appId: String, crashAfterLeg: Int = Int.MaxValue)(
       batch: DataFrame, batchId: Long): Unit = {
+    import graft.delta.{Cond, ScanSettings}
     import graft.streaming.DeltaSink
     val vecsPath = indexPath + VecsSuffix
     val indexExists = tableExists(s, indexPath)
     val vecsExists = tableExists(s, vecsPath)
+    // anti-join pruned to the batch's ids: the store-side scan only
+    // needs rows whose vec_id is IN the batch — a micro-batch's I/O
+    // must track the batch, not the accumulated store
     val fresh =
       if (!vecsExists) batch
-      else batch.join(
-        graft.DeltaLake.scanDelta(s, vecsPath).select("vec_id"),
-        Seq("vec_id"), "left_anti")
+      else {
+        val cap = annProbeCap(s)
+        val rows = batch.select("vec_id").distinct().limit(cap + 1).collect()
+        val known =
+          if (rows.length > cap) graft.DeltaLake.scanDelta(s, vecsPath)
+          else graft.DeltaLake.scanDelta(s, vecsPath,
+            ScanSettings(conditions = Seq(
+              Cond("vec_id", "in", rows.map(_.getLong(0)).toSeq))))
+        batch.join(known.select("vec_id"), Seq("vec_id"), "left_anti")
+      }
     val inc = fresh.select("vec_id", "embedding").localCheckpoint()
     if (inc.isEmpty) return // no-op batch: no commit anywhere
+    val n = inc.count()
     val bits =
       if (indexExists) storedBits(s, indexPath)
-      else derivedBits(inc.count())
+      else derivedBits(n)
     val banded = lshTables(inc, "embedding", bits)
       .select("tbl", "sig", "vec_id")
     if (!indexExists)
-      graft.delta.DeltaWriter.write(banded, indexPath,
+      graft.delta.DeltaWriter.write(indexLayout(s, banded, n), indexPath,
         partitionBy = Seq("tbl"), txn = Some(appId -> batchId),
         properties = Map("graft.ann.bits" -> bits.toString,
           "graft.ann.tables" -> NumTables.toString))

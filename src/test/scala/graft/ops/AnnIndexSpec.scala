@@ -85,4 +85,50 @@ class AnnIndexSpec extends SparkSuite {
     assert(out.forall(r => r.getLong(1) < 50L),
       "neighbors must come from the stored corpus")
   }
+
+  test("probe pushes in-lists that prune the index and vector file reads") {
+    val idx = tmp()
+    // many small index files (constant rows per file): the layout a
+    // 100 TB index has, so zone-map pruning is observable at spec
+    // scale. 97 vector families (not this suite's 5) so the corpus
+    // produces enough DISTINCT (tbl, sig) keys for the range
+    // partitioner to actually cut ~80 files — identical keys can't
+    // split across boundaries
+    def dvecs(ids: Seq[Long]) = ids.toDF("vec_id").withColumn("embedding",
+      expr("transform(sequence(0, 63), " +
+        "j -> cast(sin((vec_id % 97) * 0.37 + j * 0.11) + " +
+        "0.003 * vec_id AS float))"))
+    spark.conf.set("graft.ann.indexRowsPerFile", "40")
+    try {
+      SimilarityOps.buildOrRefreshAnnIndex(spark, idx, dvecs(0L until 800L))
+      val q = dvecs(Seq(3L, 7L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val plan = SimilarityOps.annProbePlan(spark, idx, q, k = 8)
+      val got = plan.result.select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(plan.indexConds.nonEmpty && plan.vecConds.nonEmpty,
+        "an in-cap probe must push in-lists into both store-side scans")
+      // metadata-level pruning through exactly the production conds
+      // (per-tbl AND-sets are table-disjoint, summing is exact)
+      val ilog = graft.delta.DeltaLog.forPath(spark, idx)
+      val itotal = ilog.addActionsFiltered().size
+      val ihit = plan.indexConds.map(ilog.addActionsFiltered(_).size).sum
+      assert(itotal >= 50,
+        s"layout produced only $itotal files - pruning unobservable")
+      assert(ihit < itotal / 2,
+        s"index scan not pruned: $ihit of $itotal files")
+      // pruning never changes the answer: equals the over-cap fallback
+      // (full streamed scans) on the same probe
+      spark.conf.set("graft.ann.maxProbeKeys", "1")
+      val full = SimilarityOps.annProbePlan(spark, idx, q, k = 8)
+      assert(full.indexConds.isEmpty && full.vecConds.isEmpty)
+      val want = full.result.select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.unset("graft.ann.indexRowsPerFile")
+      spark.conf.unset("graft.ann.maxProbeKeys")
+    }
+  }
 }
