@@ -1932,6 +1932,11 @@ object DeltaWriter {
     require(snap.metadata.isDefined, s"$path is not a Delta table")
     Constraints.requireNotAppendOnly(snap.configuration, "REPLACE WHERE", path)
     val schema = snap.schema
+    // replaceWhere materializes generated partition values under THIS
+    // session's zone with no metadata commit — same cross-zone refusal
+    // as merge/update
+    GeneratedPruning.requireZoneConsistent(snap.configuration, schema,
+      snap.partitionColumns, "REPLACE WHERE")
     require(data.schema.fieldNames.toSet == schema.fieldNames.toSet,
       s"replaceWhere source columns [${data.schema.fieldNames.sorted.mkString(",")}]" +
         s" must equal table columns [${schema.fieldNames.sorted.mkString(",")}]" +

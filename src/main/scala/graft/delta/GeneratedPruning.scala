@@ -77,11 +77,7 @@ object GeneratedPruning {
   private[delta] final case class Gen(base: String, to: Any => Option[Any],
       floorUnit: String, zone: ZoneId) {
     def isFloor(v: Any): Boolean =
-      (toWall(v, zone), toWall(v, zone).flatMap(truncWall(floorUnit, _)))
-        match {
-        case (Some(w), Some(t)) => w == t
-        case _ => false
-      }
+      toWall(v, zone).exists(w => truncWall(floorUnit, w).contains(w))
   }
 
   private val Id = "`?([A-Za-z_][A-Za-z0-9_]*)`?"
@@ -191,6 +187,15 @@ object GeneratedPruning {
           try ZoneId.of(z).normalized()
           catch { case scala.util.control.NonFatal(_) => return Nil }
         if (!sessionZone.contains(wz)) return Nil
+        // DST zones break the soundness argument for the RANGE
+        // derivations: instant -> wall clock is non-monotone across a
+        // fall-back transition (two instants an hour apart share wall
+        // times in reverse order), so `ts >= v` does NOT imply
+        // `f(ts) >= f(v)` — a matching row materialized into the
+        // repeated hour's partition would be silently pruned. Only
+        // fixed-offset zones (UTC, +05:30, …) keep wall-clock order
+        // equal to instant order; anything else derives nothing.
+        if (!wz.getRules.isFixedOffset) return Nil
         wz
       case None => return Nil // legacy table: writer zone unrecorded
     }

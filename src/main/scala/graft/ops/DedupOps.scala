@@ -362,11 +362,11 @@ object DedupOps {
 
   private[graft] def probePairs(s: SparkSession, storePath: String,
       ids: DataFrame): ProbePlan = {
-    import graft.delta.{Cond, ScanSettings}
     val bands0 = bandStore(s, storePath) // ensure/adopt the projection
     val cap = probeCap(s)
-    val idRows = ids.select("doc_id").distinct().limit(cap + 1).collect()
-    if (idRows.length > cap) {
+    val idVals = ProbePushdown.collectCapped(ids.select("doc_id"), cap)
+      .map(_.map(_.getLong(0)).toSeq)
+    if (idVals.isEmpty) {
       // over-cap probe: the corpus-shape scans (broadcasting the id set
       // or compiling a corpus-sized in-list would not survive)
       val sigs = graft.DeltaLake.scanDelta(s, storePath)
@@ -377,13 +377,12 @@ object DedupOps {
       return ProbePlan(pairsOver(broadcast(probe), bands0, sigs)
         .orderBy("doc_a", "doc_b"), Nil, Nil, Nil)
     }
-    val storeConds = Seq(Cond("doc_id", "in", idRows.map(_.getLong(0)).toSeq))
-    val probeSigs = graft.DeltaLake.scanDelta(s, storePath,
-      ScanSettings(conditions = storeConds))
+    val (probeSigs, storeConds) =
+      ProbePushdown.inListScan(s, storePath, "doc_id", idVals)
     val probe = bandedFrom(probeSigs, fastHash = false)
       .select("band", "sig", "doc_id").localCheckpoint()
     val probeKeys = probe.select("band", "sig").distinct()
-      .collect().map(r => (r.getInt(0), r.getString(1)))
+      .collect().map(r => (r.getInt(0): Any, r.getString(1): Any)).toSeq
     if (probeKeys.isEmpty) { // no probed id is in the store
       import s.implicits._
       return ProbePlan(
@@ -395,26 +394,16 @@ object DedupOps {
     // every band directory (8x the file reads) — `band = b AND sig IN
     // (b's probe sigs)` composes partition pruning with the zone-map
     // in-list, ~1 file per probed (band, sig)
-    val bandConds = probeKeys.groupBy(_._1).toSeq.sortBy(_._1).map {
-      case (b, ps) => Seq(Cond("band", "=", b),
-        Cond("sig", "in", ps.map(_._2).toSeq))
-    }
-    val bands = bandConds.map(conds =>
-      graft.DeltaLake.scanDelta(s, bandStorePath(storePath),
-        ScanSettings(conditions = conds)))
-      .reduce(_.unionByName(_))
+    val (bands, bandConds) = ProbePushdown.groupedScan(s,
+      bandStorePath(storePath), "band", "sig", probeKeys,
+      Seq("band", "sig", "doc_id"))
     val cand = candidatesOver(broadcast(probe), bands).localCheckpoint()
-    val endRows = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id")))
-      .distinct().limit(8 * cap + 1).collect()
+    val endVals = ProbePushdown.collectCapped(
+      cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))), 8 * cap)
+      .map(_.map(_.getLong(0)).toSeq)
     val (sigsForEst, estConds) =
-      if (endRows.length > 8 * cap)
-        (graft.DeltaLake.scanDelta(s, storePath), Seq.empty[Cond])
-      else {
-        val conds = Seq(Cond("doc_id", "in", endRows.map(_.getLong(0)).toSeq))
-        (graft.DeltaLake.scanDelta(s, storePath,
-          ScanSettings(conditions = conds)), conds)
-      }
+      ProbePushdown.inListScan(s, storePath, "doc_id", endVals)
     ProbePlan(estimateOver(cand, sigsForEst).orderBy("doc_a", "doc_b"),
       storeConds, bandConds, estConds)
   }
@@ -523,7 +512,6 @@ object DedupOps {
       pairsPath: String, appId: String,
       crashAfterLeg: Int = Int.MaxValue)(
       batch: DataFrame, batchId: Long): Unit = {
-    import graft.delta.{Cond, ScanSettings}
     import graft.streaming.DeltaSink
     val storeExists = tableExists(s, storePath)
     val cap = probeCap(s)
@@ -534,20 +522,15 @@ object DedupOps {
     // into the store for the estimate — so a micro-batch's I/O tracks
     // the BATCH, not the accumulated store. An over-cap batch falls
     // back to the streamed corpus-shape scans.
-    val batchIds: Option[Seq[Long]] = {
-      val rows = batch.select("doc_id").distinct().limit(cap + 1).collect()
-      if (rows.length > cap) None else Some(rows.map(_.getLong(0)).toSeq)
-    }
+    val batchIds: Option[Seq[Long]] =
+      ProbePushdown.collectCapped(batch.select("doc_id"), cap)
+        .map(_.map(_.getLong(0)).toSeq)
     val fresh =
       if (!storeExists) batch
-      else {
-        val known = batchIds match {
-          case Some(ids) => graft.DeltaLake.scanDelta(s, storePath,
-            ScanSettings(conditions = Seq(Cond("doc_id", "in", ids))))
-          case None => graft.DeltaLake.scanDelta(s, storePath)
-        }
-        batch.join(known.select("doc_id"), Seq("doc_id"), "left_anti")
-      }
+      else batch.join(
+        ProbePushdown.inListScan(s, storePath, "doc_id", batchIds)
+          ._1.select("doc_id"),
+        Seq("doc_id"), "left_anti")
     // materialize the increment's signatures once: three consumers
     // (bands, pairs, the store append) and a shingling pass we must not
     // repeat per consumer
@@ -561,19 +544,17 @@ object DedupOps {
     val bp = bandStorePath(storePath)
     val storedBands: Option[DataFrame] =
       if (!storeExists) None
-      else {
-        val keys = incBands.select("band", "sig").distinct()
-          .limit(cap + 1).collect()
-        if (batchIds.isEmpty || keys.length > cap)
-          Some(graft.DeltaLake.scanDelta(s, bp)
-            .select("band", "sig", "doc_id"))
-        else Some(keys.map(r => (r.getInt(0), r.getString(1)))
-          .groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ps) =>
-            graft.DeltaLake.scanDelta(s, bp, ScanSettings(conditions =
-              Seq(Cond("band", "=", b),
-                Cond("sig", "in", ps.map(_._2).toSeq))))
-              .select("band", "sig", "doc_id")
-          }.reduce(_.unionByName(_)))
+      else if (batchIds.isEmpty) // over-cap batch: corpus-shape scans
+        Some(graft.DeltaLake.scanDelta(s, bp)
+          .select("band", "sig", "doc_id"))
+      else ProbePushdown.collectCapped(
+          incBands.select("band", "sig"), 8 * cap) match {
+        case Some(keys) => Some(ProbePushdown.groupedScan(s, bp,
+          "band", "sig",
+          keys.map(r => (r.getInt(0): Any, r.getString(1): Any)).toSeq,
+          Seq("band", "sig", "doc_id"))._1)
+        case None => Some(graft.DeltaLake.scanDelta(s, bp)
+          .select("band", "sig", "doc_id"))
       }
     val allBands = storedBands match {
       case Some(stored) => stored.unionByName(incBands)
@@ -586,24 +567,15 @@ object DedupOps {
       .localCheckpoint()
     val endpoints: Option[Seq[Long]] =
       if (!storeExists || batchIds.isEmpty) None
-      else {
-        val rows = cand.select(col("doc_a").as("doc_id"))
-          .union(cand.select(col("doc_b").as("doc_id")))
-          .distinct().limit(8 * cap + 1).collect()
-        if (rows.length > 8 * cap) None
-        else Some(rows.map(_.getLong(0)).toSeq)
-      }
+      else ProbePushdown.collectCapped(
+        cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))), 8 * cap)
+        .map(_.map(_.getLong(0)).toSeq)
     val allSigs =
       if (!storeExists) incSigs.select("doc_id", "mh")
-      else {
-        val stored = endpoints match {
-          case Some(ids) => graft.DeltaLake.scanDelta(s, storePath,
-            ScanSettings(conditions = Seq(Cond("doc_id", "in", ids))))
-          case None => graft.DeltaLake.scanDelta(s, storePath)
-        }
-        stored.select("doc_id", "mh")
-          .unionByName(incSigs.select("doc_id", "mh"))
-      }
+      else ProbePushdown.inListScan(s, storePath, "doc_id", endpoints)
+        ._1.select("doc_id", "mh")
+        .unionByName(incSigs.select("doc_id", "mh"))
     val pairs = estimateOver(cand, allSigs).localCheckpoint()
     def crashPoint(leg: Int): Unit =
       if (leg >= crashAfterLeg)

@@ -316,7 +316,6 @@ object SimilarityOps {
 
   private[graft] def annProbePlan(s: SparkSession, indexPath: String,
       queries: DataFrame, k: Int = TopK): AnnProbePlan = {
-    import graft.delta.{Cond, ScanSettings}
     val bits = storedBits(s, indexPath)
     val vecsPath = indexPath + VecsSuffix
     // batch-bounded: |queries| x NumTables rows, materialized once for
@@ -332,19 +331,15 @@ object SimilarityOps {
     // projection layout is (tbl, sig)-range at constant rows per file),
     // so zone maps prune the store-side read to ~1 file per probed
     // (tbl, sig) — the serving-path twin of DedupOps.probePairs
-    val keys = qsig.select("tbl", "sig").distinct().limit(cap + 1).collect()
     val (index, indexConds) =
-      if (keys.length > cap)
-        (graft.DeltaLake.scanDelta(s, indexPath),
-          Seq.empty[Seq[Cond]])
-      else {
-        val condSets = keys.map(r => (r.getInt(0), r.getLong(1)))
-          .groupBy(_._1).toSeq.sortBy(_._1).map { case (t, ps) =>
-            Seq(Cond("tbl", "=", t), Cond("sig", "in", ps.map(_._2).toSeq))
-          }
-        (condSets.map(cs => graft.DeltaLake.scanDelta(s, indexPath,
-          ScanSettings(conditions = cs))).reduce(_.unionByName(_)),
-          condSets)
+      ProbePushdown.collectCapped(qsig.select("tbl", "sig"), cap) match {
+        case Some(keys) =>
+          ProbePushdown.groupedScan(s, indexPath, "tbl", "sig",
+            keys.map(r => (r.getInt(0): Any, r.getLong(1): Any)).toSeq,
+            Seq("tbl", "sig", "vec_id"))
+        case None =>
+          (graft.DeltaLake.scanDelta(s, indexPath),
+            Seq.empty[Seq[graft.delta.Cond]])
       }
     val cand = index.join(broadcast(qsig), Seq("tbl", "sig"))
       .where(col("vec_id") =!= col("query_id"))
@@ -352,15 +347,9 @@ object SimilarityOps {
       .select(col("query_id"), col("qv"), col("vec_id"))
       .localCheckpoint()
     // candidate endpoints prune the vectors lookup the same way
-    val idRows = cand.select("vec_id").distinct().limit(8 * cap + 1).collect()
-    val (vecs, vecConds) =
-      if (idRows.length > 8 * cap)
-        (graft.DeltaLake.scanDelta(s, vecsPath), Seq.empty[Cond])
-      else {
-        val conds = Seq(Cond("vec_id", "in", idRows.map(_.getLong(0)).toSeq))
-        (graft.DeltaLake.scanDelta(s, vecsPath,
-          ScanSettings(conditions = conds)), conds)
-      }
+    val (vecs, vecConds) = ProbePushdown.inListScan(s, vecsPath, "vec_id",
+      ProbePushdown.collectCapped(cand.select("vec_id"), 8 * cap)
+        .map(_.map(_.getLong(0)).toSeq))
     val scored = cand.join(vecs, "vec_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(s, col("qv"), col("embedding")).as("sim"))
@@ -393,7 +382,6 @@ object SimilarityOps {
   private[ops] def annDrainBatchSeam(s: SparkSession, indexPath: String,
       appId: String, crashAfterLeg: Int = Int.MaxValue)(
       batch: DataFrame, batchId: Long): Unit = {
-    import graft.delta.{Cond, ScanSettings}
     import graft.streaming.DeltaSink
     val vecsPath = indexPath + VecsSuffix
     val indexExists = tableExists(s, indexPath)
@@ -403,16 +391,12 @@ object SimilarityOps {
     // must track the batch, not the accumulated store
     val fresh =
       if (!vecsExists) batch
-      else {
-        val cap = annProbeCap(s)
-        val rows = batch.select("vec_id").distinct().limit(cap + 1).collect()
-        val known =
-          if (rows.length > cap) graft.DeltaLake.scanDelta(s, vecsPath)
-          else graft.DeltaLake.scanDelta(s, vecsPath,
-            ScanSettings(conditions = Seq(
-              Cond("vec_id", "in", rows.map(_.getLong(0)).toSeq))))
-        batch.join(known.select("vec_id"), Seq("vec_id"), "left_anti")
-      }
+      else batch.join(
+        ProbePushdown.inListScan(s, vecsPath, "vec_id",
+          ProbePushdown.collectCapped(batch.select("vec_id"),
+            annProbeCap(s)).map(_.map(_.getLong(0)).toSeq))
+          ._1.select("vec_id"),
+        Seq("vec_id"), "left_anti")
     val inc = fresh.select("vec_id", "embedding").localCheckpoint()
     if (inc.isEmpty) return // no-op batch: no commit anywhere
     val n = inc.count()

@@ -30,17 +30,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DrainHarness {
 
-  /** The drain's checkpoint location for an output table — a sibling,
-    * like the dedup store's `_bands` projection.
+  /** Root of the drain checkpoints for an output table — a sibling,
+    * like the dedup store's `_bands` projection (registered in
+    * DeltaQueries.ArtifactSuffixes). Each (flavor, source) pair gets
+    * its own SUBDIRECTORY under it: the snapshot and CDF drains of one
+    * output read DIFFERENT offset sequences (the CDF stream starts at
+    * version 0 with change options), and the same drain re-pointed at
+    * a different source must not inherit foreign offsets — either
+    * shape silently skipping source versions. A flavor/source switch
+    * therefore lands on a fresh subdirectory, where the
+    * watermark-vs-fresh-checkpoint guard below fails fast instead.
     */
-  def checkpointPath(outputPath: String): String =
+  def checkpointRoot(outputPath: String): String =
     outputPath.stripSuffix("/") + "_ckpt"
 
   def drain(s: SparkSession, srcPath: String, readChangeFeed: Boolean,
       outputPath: String, appId: String, ledgerTables: Seq[String])(
       body: (DataFrame, Long) => Unit)(
       feed: (() => Unit) => Unit): Unit = {
-    val ckpt = checkpointPath(outputPath)
+    val flavor = if (readChangeFeed) "cdf" else "snapshot"
+    val srcTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(srcPath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val ckpt = s"${checkpointRoot(outputPath)}/$flavor-$srcTag"
     val hc = s.sessionState.newHadoopConf()
     val offsets = new org.apache.hadoop.fs.Path(ckpt + "/offsets")
     val fs = offsets.getFileSystem(hc)
@@ -57,6 +69,23 @@ object DrainHarness {
           "batchIds at 0 and the exactly-once ledger would silently " +
           "skip every new batch. Restore the checkpoint, or delete the " +
           "output tables to rebuild from scratch.")
+    } else {
+      // the MIRROR divergence: outputs deleted while the checkpoint
+      // survived. Resuming would re-consume nothing — every source
+      // version the old run processed is permanently missing from the
+      // rebuilt outputs. Committed batches with NO output table left
+      // is that shape (a batch that committed always ledgered at least
+      // one table; all-no-op drains presuppose a surviving store).
+      val commits = new org.apache.hadoop.fs.Path(ckpt + "/commits")
+      val committed = fs.exists(commits) && fs.listStatus(commits).nonEmpty
+      if (committed &&
+          !ledgerTables.exists(t => graft.DeltaLake.tableExists(s, t)))
+        throw new IllegalStateException(
+          s"drain checkpoint $ckpt has committed batches but none of " +
+            s"${ledgerTables.mkString(", ")} exists — the outputs were " +
+            "deleted without the checkpoint, and resuming would skip " +
+            "every already-consumed source version. Delete " +
+            s"${checkpointRoot(outputPath)} too to rebuild from scratch.")
     }
     val reader = {
       val r = s.readStream.format("graft-delta")

@@ -210,10 +210,13 @@ class GeneratedPruningSpec extends SparkSuite {
     val rows = (0 until 40 * 24).map { h =>
       (h.toLong, Instant.parse("2024-01-01T00:30:00Z").plusSeconds(h * 3600L))
     }
-    // write under a half-hour-offset zone: partition dates are IST wall
-    // dates (a row at 19:30Z lands in the NEXT day's partition) — the
-    // exact shape the round-10 UTC-reader gate silently mispruned
-    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    // write under a half-hour FIXED-OFFSET zone: partition dates are
+    // +05:30 wall dates (a row at 19:30Z lands in the NEXT day's
+    // partition) — the exact shape the round-10 UTC-reader gate
+    // silently mispruned. A fixed offset (not a region zone like
+    // Asia/Kolkata, whose historical TZDB transitions make its rules
+    // non-fixed) is what the derivation's monotonicity gate admits.
+    spark.conf.set("spark.sql.session.timeZone", "+05:30")
     try {
       DeltaWriter.write(rows.toDF("id", "ts"), path,
         partitionBy = Seq("event_date"),
@@ -221,7 +224,7 @@ class GeneratedPruningSpec extends SparkSuite {
         properties = Map("delta.dataSkippingNumIndexedCols" -> "0"))
       val snap = DeltaLog.forPath(spark, path)
       assert(snap.configuration.get(GeneratedPruning.WriterZoneKey)
-        .contains(java.time.ZoneId.of("Asia/Kolkata").normalized().getId))
+        .contains("+05:30"))
       val all = snap.addActionsFiltered().size
       val a = Instant.parse("2024-01-10T05:00:00Z")
       val b = Instant.parse("2024-01-12T07:00:00Z")
@@ -237,9 +240,9 @@ class GeneratedPruningSpec extends SparkSuite {
         .select("id").as[Long].collect().sorted
       assert(got.sameElements(want))
       assert(got.length == 50)
-      // a UTC reader of the IST-written table must NOT derive (its UTC
-      // truncations disagree with the materialized IST dates) — the
-      // scan stays correct-but-unpruned
+      // a UTC reader of the +05:30-written table must NOT derive (its
+      // UTC truncations disagree with the materialized wall dates) —
+      // the scan stays correct-but-unpruned
       spark.conf.set("spark.sql.session.timeZone", "UTC")
       assert(snap.addActionsFiltered(conds).size == all,
         "derivation fired for a reader whose zone differs from the writer's")
@@ -247,6 +250,45 @@ class GeneratedPruningSpec extends SparkSuite {
           ScanSettings(conditions = conds))
         .select("id").as[Long].collect().sorted
       assert(gotUtc.sameElements(want))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("DST writer zone derives nothing even for a matching reader") {
+    // instant -> wall clock is non-monotone across a fall-back
+    // transition, so range derivations are unsound for any
+    // non-fixed-offset zone: e.g. under America/New_York,
+    // ts >= 2026-11-01T05:30:00Z (wall 01:30 EDT) must NOT derive
+    // day >= f(v) — a matching row at 06:10Z (wall 01:10 EST, later
+    // instant, EARLIER wall clock) would be pruned. Fixed-offset zones
+    // (the Asia/Kolkata case above) keep wall order = instant order.
+    val path = tmp()
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val rows = (0 until 40 * 24).map { h =>
+        (h.toLong,
+          Instant.parse("2024-01-01T00:30:00Z").plusSeconds(h * 3600L))
+      }
+      DeltaWriter.write(rows.toDF("id", "ts"), path,
+        partitionBy = Seq("event_date"),
+        generatedColumns = Map("event_date" -> "CAST(ts AS DATE)"),
+        properties = Map("delta.dataSkippingNumIndexedCols" -> "0"))
+      val snap = DeltaLog.forPath(spark, path)
+      assert(snap.configuration.contains(GeneratedPruning.WriterZoneKey))
+      val all = snap.addActionsFiltered().size
+      val conds = Seq(
+        Cond("ts", ">=", Instant.parse("2024-01-10T05:00:00Z")),
+        Cond("ts", "<", Instant.parse("2024-01-12T07:00:00Z")))
+      assert(snap.addActionsFiltered(conds).size == all,
+        "derivation fired under a DST (non-fixed-offset) writer zone")
+      // the scan stays correct, just unpruned
+      val want = rows.filter(r =>
+        !r._2.isBefore(Instant.parse("2024-01-10T05:00:00Z")) &&
+          r._2.isBefore(Instant.parse("2024-01-12T07:00:00Z")))
+        .map(_._1).sorted.toArray
+      val got = DeltaLake.scanDelta(spark, path,
+          ScanSettings(conditions = conds))
+        .select("id").as[Long].collect().sorted
+      assert(got.sameElements(want))
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
@@ -289,6 +331,13 @@ class GeneratedPruningSpec extends SparkSuite {
             Instant.parse("2024-03-01T00:00:00Z")))))
       }
       assert(e.getMessage.contains("timezone"))
+      // replaceWhere materializes generated values too — same refusal
+      val e2 = intercept[IllegalStateException] {
+        DeltaWriter.replaceWhere(spark, path,
+          Seq(Cond("id", "=", 0L)),
+          Seq((0L, Instant.parse("2024-01-01T00:30:00Z"))).toDF("id", "ts"))
+      }
+      assert(e2.getMessage.contains("timezone"))
       // an append under the wrong zone is allowed but downgrades the
       // table to "mixed" in the same commit …
       DeltaWriter.write(

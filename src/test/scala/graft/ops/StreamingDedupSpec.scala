@@ -241,7 +241,7 @@ class StreamingDedupSpec extends SparkSuite {
     DedupOps.streamDedupDrain(spark, src, store, pairs)(sync => sync())
     // simulate checkpoint loss (the outputs and their ledger survive)
     val ckpt = new org.apache.hadoop.fs.Path(
-      graft.streaming.DrainHarness.checkpointPath(pairs))
+      graft.streaming.DrainHarness.checkpointRoot(pairs))
     ckpt.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(ckpt, true)
     graft.delta.DeltaWriter.write(
@@ -250,6 +250,57 @@ class StreamingDedupSpec extends SparkSuite {
       DedupOps.streamDedupDrain(spark, src, store, pairs)(sync => sync())
     }
     assert(e.getMessage.contains("watermark"))
+  }
+
+  test("drain flavors keep separate checkpoints: a CDF follow after a snapshot drain replays from v0") {
+    val src = tmp("fsrc"); val store = tmp("fstore"); val pairs = tmp("fpairs")
+    val docs = corpus(40)
+    graft.delta.DeltaWriter.write(docs.where(col("doc_id") <= 30), src,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DedupOps.streamDedupDrain(spark, src, store, pairs)(sync => sync())
+    assert(DeltaLake.scanDelta(spark, store).count() == 30L)
+    // mutate the source, then switch to the CDF-following drain over
+    // the SAME output: with a shared checkpoint it would resume the
+    // snapshot drain's offsets and silently skip these changes; each
+    // (flavor, source) pair owns its own checkpoint subdirectory, so
+    // the CDF run replays the feed from version 0 and converges
+    graft.delta.DeltaWriter.delete(spark, src,
+      Seq(graft.delta.Cond("doc_id", "in", Seq(7L, 14L))))
+    graft.delta.DeltaWriter.write(docs.where(col("doc_id") > 30), src,
+      mode = "append")
+    DedupOps.streamDedupFollowCdf(spark, src, store, pairs)(sync => sync())
+    val live = DeltaLake.scanDelta(spark, src).select("doc_id", "text")
+    assert(DeltaLake.scanDelta(spark, store).count() == live.count())
+    assert(DeltaLake.scanDelta(spark, store)
+      .where(col("doc_id").isin(7L, 14L)).count() == 0,
+      "the CDF drain must have seen the delete commits")
+    val ref = tmp("fref")
+    DedupOps.incrementalSignatures(spark, ref, live)
+    val want = DedupOps.incrementalMinhashPairs(spark, ref)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(pairs) == want)
+    assert(want.nonEmpty)
+  }
+
+  test("deleted outputs with a surviving checkpoint fail fast") {
+    val src = tmp("dsrc"); val store = tmp("dstore"); val pairs = tmp("dpairs")
+    val docs = corpus(40)
+    graft.delta.DeltaWriter.write(docs.where(col("doc_id") <= 20), src)
+    DedupOps.streamDedupDrain(spark, src, store, pairs)(sync => sync())
+    // the user deletes the output tables to rebuild but leaves the
+    // checkpoint: resuming would skip every already-consumed source
+    // version — the mirror of the lost-checkpoint case, same fail-fast
+    val hc = spark.sessionState.newHadoopConf()
+    Seq(pairs, store, store + "_bands").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hc).delete(hp, true)
+    }
+    graft.delta.DeltaWriter.write(docs.where(col("doc_id") > 20), src,
+      mode = "append")
+    val e = intercept[IllegalStateException] {
+      DedupOps.streamDedupDrain(spark, src, store, pairs)(sync => sync())
+    }
+    assert(e.getMessage.contains("deleted without the checkpoint"))
   }
 
   test("crash replay converges: no pair lost or doubled at either crash point") {
