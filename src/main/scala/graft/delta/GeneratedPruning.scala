@@ -47,14 +47,18 @@ import org.apache.spark.sql.types._
   * the `graft.generated.writerTimeZone` table property when a partition
   * column is generated (at create/overwrite; a later append under a
   * DIFFERENT zone downgrades the property to `mixed`), and the
-  * derivation fires only when the property holds a zone equal to the
-  * READING session's — truncations are then computed on the writer's
-  * wall clock, so the derived values agree with the materialized
-  * partition values by construction. Legacy tables (no recorded zone)
-  * and `mixed` tables derive nothing: correct-but-unpruned beats
-  * silently dropped partitions. (Before round 12 the gate was
-  * "session is UTC", which silently skipped matching partitions when a
-  * non-UTC WRITER's values were read by a UTC session.)
+  * derivation fires only when the property holds a FIXED-OFFSET zone
+  * (UTC, +05:30, …) equal to the READING session's — truncations are
+  * then computed on the writer's wall clock, so the derived values
+  * agree with the materialized partition values by construction.
+  * Region zones with DST or historical transitions are refused even
+  * when matched: instant → wall clock is non-monotone across a
+  * fall-back transition, which breaks the range derivations' order
+  * argument. Legacy tables (no recorded zone) and `mixed` tables
+  * derive nothing: correct-but-unpruned beats silently dropped
+  * partitions. (Before round 12 the gate was "session is UTC", which
+  * silently skipped matching partitions when a non-UTC WRITER's
+  * values were read by a UTC session.)
   */
 object GeneratedPruning {
 
