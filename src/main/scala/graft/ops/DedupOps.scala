@@ -248,6 +248,12 @@ object DedupOps {
       // count (measured 647 vs ~200 file hits for a 200-sig probe).
       // File count scales with the store — the pruned FRACTION shrinks
       // as the store grows while absolute probe I/O stays flat.
+      // Increments APPEND unclustered files (uniform-hash sigs span
+      // the space); `DeltaWriter.compact(bp, zOrderBy = Seq("sig"))`
+      // re-clusters each band partition and restores the layout — the
+      // periodic maintenance step for a long-lived drained store
+      // (DedupIncrementalSpec pins that it improves pruning without
+      // changing answers; DrainMaintenanceSpec pins it racing a drain).
       val rowsPerFile = s.conf.getOption("graft.dedup.bandsRowsPerFile")
         .map(_.toLong).getOrElse(2500000L)
       val docs = graft.DeltaLake.scanDelta(s, storePath).count()

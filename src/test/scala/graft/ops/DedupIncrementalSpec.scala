@@ -221,6 +221,61 @@ class DedupIncrementalSpec extends SparkSuite {
     } finally spark.conf.unset("graft.dedup.maxProbeIds")
   }
 
+  test("OPTIMIZE restores the projection's pruning layout after appends") {
+    // increments APPEND small band-partitioned files whose sig ranges
+    // span the whole space (hashes are uniform), so zone maps can't
+    // prune them; `compact(zOrderBy = Seq("sig"))` re-clusters each
+    // band partition by sig — the maintenance step that keeps the
+    // probe's file hits tracking the PROBE as a drained store ages
+    val store = tmp()
+    spark.conf.set("graft.dedup.bandsRowsPerFile", "20")
+    try {
+      val docs = corpus(800)
+      // build from a seed, then grow through many small increments —
+      // the production shape that fragments the projection
+      DedupOps.incrementalSignatures(spark, store,
+        docs.where(col("doc_id") <= 400))
+      (0 until 8).foreach { i =>
+        DedupOps.incrementalSignatures(spark, store,
+          docs.where(col("doc_id") > 400 + i * 50 &&
+            col("doc_id") <= 450 + i * 50))
+      }
+      val bp = store + "_bands"
+      val ids = docs.where(col("doc_id") <= 5).select("doc_id")
+      val before = {
+        val plan = DedupOps.probePairs(spark, store, ids)
+        val log = graft.delta.DeltaLog.forPath(spark, bp)
+        (plan.bandConds.map(log.addActionsFiltered(_).size).sum,
+          log.addActionsFiltered().size,
+          plan.pairs.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+      }
+      // the appended increment files are unclustered: re-cluster
+      graft.delta.DeltaWriter.compact(spark, bp,
+        targetFileBytes = 2L << 10, zOrderBy = Seq("sig"))
+      val after = {
+        val plan = DedupOps.probePairs(spark, store, ids)
+        val log = graft.delta.DeltaLog.forPath(spark, bp)
+        (plan.bandConds.map(log.addActionsFiltered(_).size).sum,
+          log.addActionsFiltered().size,
+          plan.pairs.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+      }
+      assert(after._3 == before._3, "compaction changed the answers")
+      assert(after._3.nonEmpty)
+      // pruning effectiveness (fraction of files read) must improve
+      val fracBefore = before._1.toDouble / before._2
+      val fracAfter = after._1.toDouble / after._2
+      assert(fracAfter < fracBefore,
+        s"re-clustering did not improve pruning: " +
+          s"${before._1}/${before._2} -> ${after._1}/${after._2}")
+      // and the drain ledger on the projection survives the rewrite
+      // (dataChange=false must not disturb txn actions) — trivially
+      // empty here, but the commit count proves OPTIMIZE landed
+      assert(graft.delta.DeltaLog.forPath(spark, bp).version >= 9L)
+    } finally spark.conf.unset("graft.dedup.bandsRowsPerFile")
+  }
+
   test("a pre-projection store gets its banded projection backfilled once") {
     // simulate an r9-era store: signatures live, no _bands sibling
     val store = tmp()
