@@ -117,6 +117,26 @@ final class DeltaSnapshot(
     */
   def domainMetadataRaw: Seq[String] = domains.values.toSeq
 
+  /** Structural copy. The snapshot cache publishes IMMUTABLE masters and
+    * hands every caller its own private copy — `updateIncremental` is
+    * public (the streaming source and DeltaSink advance their snapshots
+    * in place), so returning the master itself would let one caller's
+    * catch-up mutate the add-file set under another caller's running
+    * scan. O(live files) map copies: microseconds against the log
+    * replay it replaces.
+    */
+  private[delta] def copySnap(): DeltaSnapshot = {
+    val s = new DeltaSnapshot(spark, deltaPath)
+    s.lastMetadata = lastMetadata
+    s.protocolOpt = protocolOpt
+    s.addActions ++= addActions
+    s.lastCommitInfo = lastCommitInfo
+    s.txns ++= txns
+    s.domains ++= domains
+    s.version = version
+    s
+  }
+
   /** Continue replay from `version+1` until a commit file is missing.
     * Spec: MetaState.update_incremental (delta_meta_retrieval.py:183-200).
     */
@@ -186,6 +206,7 @@ object DeltaLog {
   private def fmtVersion(v: Long): String = f"$v%020d"
 
   private def readSmallFile(spark: SparkSession, path: String): Option[Seq[String]] = {
+    logReads.incrementAndGet()
     val (filesystem, p) = fs(spark, path)
     if (!filesystem.exists(p)) None
     else {
@@ -288,6 +309,122 @@ object DeltaLog {
     }.drop(1)
   }
 
+  // ---------------------------------------------------------------
+  // Session-scoped snapshot cache (round 13): every repeated open of
+  // an unchanged table — a probe's per-cond-set scans, the drains'
+  // batch seams, DeltaQueries staging, the SQL TVFs — costs one
+  // staleness probe instead of a full log replay. The reference gets
+  // the same behavior from MetaState reuse
+  // (delta_meta_retrieval.py:183-200).
+  //
+  // Consistency: an entry is anchored on the IDENTITY of the loaded
+  // version's on-disk tail — (modTime, length) of the tail commit
+  // JSON and of its optional .crc — plus a probe for the next commit.
+  // A new commit is caught by the probe (and folded in incrementally,
+  // cloned — masters are immutable once published); a rewritten /
+  // recreated / restored-from-backup table changes the tail files'
+  // identity and forces a full replay; checkpoint-aged log cleanup
+  // deletes a contiguous log PREFIX, so a vanished tail commit (full
+  // replay, correct either way) also covers the aged-gap case — a
+  // checkpoint newer than the cached version cannot exist while the
+  // cached version's commit JSON still does.
+  // ---------------------------------------------------------------
+
+  /** Full log replays performed — spec/audit probe. */
+  private[graft] val fullReplays = new java.util.concurrent.atomic.AtomicLong
+  /** Small log-file reads (commit JSONs, _last_checkpoint, .crc) —
+    * spec/audit probe.
+    */
+  private[graft] val logReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** (modTime, len) of the tail commit JSON and its .crc — the cached
+    * version's on-disk identity. None = file absent.
+    */
+  private final case class TailId(commit: Option[(Long, Long)],
+      crc: Option[(Long, Long)])
+
+  private final case class CachedSnap(master: DeltaSnapshot, tail: TailId)
+
+  private val MaxCacheEntries = 64
+  private val cache =
+    new java.util.LinkedHashMap[(SparkSession, String), CachedSnap](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), CachedSnap]) =
+        size() > MaxCacheEntries
+    }
+
+  private def cacheGet(k: (SparkSession, String)): Option[CachedSnap] =
+    cache.synchronized(Option(cache.get(k)))
+  private def cachePut(k: (SparkSession, String), v: CachedSnap): Unit =
+    cache.synchronized { cache.put(k, v); () }
+
+  /** Drop every cached snapshot — spec hook (e.g. before asserting
+    * replay behavior) and escape hatch.
+    */
+  private[graft] def clearSnapshotCache(): Unit =
+    cache.synchronized(cache.clear())
+
+  private def statusOf(filesystem: FileSystem, p: Path): Option[(Long, Long)] =
+    try {
+      val st = filesystem.getFileStatus(p)
+      Some((st.getModificationTime, st.getLen))
+    } catch { case _: FileNotFoundException => None }
+
+  private def tailIdOf(spark: SparkSession, deltaPath: String,
+      v: Long): TailId = {
+    val (filesystem, _) = fs(spark, deltaPath)
+    val dir = logDir(deltaPath)
+    TailId(
+      statusOf(filesystem, new Path(s"$dir/${fmtVersion(v)}.json")),
+      statusOf(filesystem, new Path(s"$dir/${fmtVersion(v)}.crc")))
+  }
+
+  /** Snapshot of the LATEST version, through the cache: a hit pays one
+    * tail-identity status check plus one next-commit probe (new commits
+    * fold in incrementally on a private clone). Explicit `version`
+    * requests (time travel) bypass the cache — a snapshot is a forward
+    * fold and cannot rewind. Returned snapshots are always private
+    * copies: callers may `updateIncremental` them freely.
+    */
+  def forPath(
+      spark: SparkSession,
+      deltaPath: String,
+      version: Option[Long] = None): DeltaSnapshot = {
+    if (version.isDefined) return replay(spark, deltaPath, version)
+    if (!spark.conf.get("graft.delta.snapshotCache", "true").toBoolean)
+      return replay(spark, deltaPath, None)
+    val key = (spark, deltaPath.stripSuffix("/"))
+    def loadAndCache(): DeltaSnapshot = {
+      val snap = replay(spark, deltaPath, None)
+      val tail = tailIdOf(spark, deltaPath, snap.version)
+      // only anchor-able snapshots are cacheable: a table whose tail
+      // commit JSON is already aged out has no cheap identity check
+      if (tail.commit.isDefined) {
+        cachePut(key, CachedSnap(snap.copySnap(), tail))
+      }
+      snap
+    }
+    cacheGet(key) match {
+      case None => loadAndCache()
+      case Some(CachedSnap(master, tail)) =>
+        if (tailIdOf(spark, deltaPath, master.version) != tail)
+          loadAndCache() // rewritten / recreated / aged — start over
+        else readCommitJson(spark, deltaPath, master.version + 1) match {
+          case None => master.copySnap() // current
+          case Some(lines) =>
+            val adv = master.copySnap()
+            lines.foreach(adv.applyActionLine(_, master.version + 1))
+            adv.updateIncremental()
+            verifyCrc(spark, deltaPath, adv)
+            val newTail = tailIdOf(spark, deltaPath, adv.version)
+            if (newTail.commit.isDefined)
+              cachePut(key, CachedSnap(adv.copySnap(), newTail))
+            adv
+        }
+    }
+  }
+
   /** Replay the log to `version` (or latest). Checkpoint-aware:
     * O(commits-since-checkpoint) JSON reads, not O(all versions).
     * Spec: get_meta (delta_meta_retrieval.py:406-455); instead of the
@@ -295,10 +432,11 @@ object DeltaLog {
     * list the log directory once and pick the greatest checkpoint ≤
     * version — exact at the cost of one listing.
     */
-  def forPath(
+  private def replay(
       spark: SparkSession,
       deltaPath: String,
-      version: Option[Long] = None): DeltaSnapshot = {
+      version: Option[Long]): DeltaSnapshot = {
+    fullReplays.incrementAndGet()
     val snap = new DeltaSnapshot(spark, deltaPath)
     val lastCp: Option[Long] = lastCheckpointVersion(spark, deltaPath)
 

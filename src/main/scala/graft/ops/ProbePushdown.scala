@@ -29,15 +29,24 @@ private[ops] object ProbePushdown {
     * one `partCol = p AND keyCol IN (p's keys)` AND-set per partition
     * value in `keys`, projected to `cols`. The cond sets are
     * partition-disjoint, so audits may sum their file hits.
+    *
+    * ONE snapshot serves every cond-set (round-13 fix for the round-12
+    * regression): the per-cond-set `scanDelta` calls each replayed the
+    * Delta log from scratch — ~10 replays of an unchanged table per
+    * dedup/ANN probe, the fixed planning constant that dominated
+    * s6/s7/s8 at sf0.1. Replaying once also makes the probe
+    * snapshot-CONSISTENT: every partition scan sees the same table
+    * version even if a writer commits mid-probe.
     */
   def groupedScan(s: SparkSession, path: String, partCol: String,
       keyCol: String, keys: Seq[(Any, Any)],
       cols: Seq[String]): (DataFrame, Seq[Seq[Cond]]) = {
+    val snap = graft.delta.DeltaLog.forPath(s, path)
     val condSets = keys.groupBy(_._1).toSeq
       .sortBy(_._1.toString).map { case (p, ks) =>
         Seq(Cond(partCol, "=", p), Cond(keyCol, "in", ks.map(_._2)))
       }
-    val scan = condSets.map(cs => graft.DeltaLake.scanDelta(s, path,
+    val scan = condSets.map(cs => graft.delta.DeltaScan.scanSnapshot(snap,
         ScanSettings(conditions = cs)).select(cols.head, cols.tail: _*))
       .reduce(_.unionByName(_))
     (scan, condSets)
