@@ -96,9 +96,15 @@ object GeneratedPruning {
   private val MonotoneFormats = Set("yyyy-MM-dd", "yyyy-MM", "yyyy")
 
   /** The literal as the WRITER's wall clock: absolute values convert
-    * through `zone`; local values (LocalDateTime, LocalDate, strings —
-    * the reading session equals the recorded zone when derivation
-    * fires, so a local literal means writer wall clock) pass through.
+    * through `zone`; local values (LocalDateTime, LocalDate, zoneless
+    * strings — the reading session equals the recorded zone when
+    * derivation fires, so a local literal means writer wall clock)
+    * pass through. A string carrying an explicit offset ('…Z',
+    * '…+02:00') is an ABSOLUTE instant and must convert through `zone`
+    * like the Instant case — re-anchoring it at UTC under a non-UTC
+    * matching zone shifted the derived wall clock by the offset and
+    * pruned a partition holding matching rows (round-12 advice,
+    * medium).
     */
   private def toWall(v: Any, zone: ZoneId): Option[LocalDateTime] = v match {
     case i: Instant => Some(LocalDateTime.ofInstant(i, zone))
@@ -107,11 +113,27 @@ object GeneratedPruning {
     case l: LocalDateTime => Some(l)
     case d: LocalDate => Some(d.atStartOfDay)
     case d: java.sql.Date => Some(d.toLocalDate.atStartOfDay)
-    // parseTs anchors the wall-clock string at UTC; unanchoring at UTC
-    // recovers the wall clock verbatim
-    case s: String => FileSkipping.parseTs(s)
-      .map(i => LocalDateTime.ofInstant(i, ZoneOffset.UTC))
+    case s: String => absoluteInstant(s) match {
+      case Some(i) => Some(LocalDateTime.ofInstant(i, zone))
+      // zoneless string: parseTs anchors the wall clock at UTC;
+      // unanchoring at UTC recovers it verbatim
+      case None => FileSkipping.parseTs(s)
+        .map(i => LocalDateTime.ofInstant(i, ZoneOffset.UTC))
+    }
     case _ => None
+  }
+
+  /** Parse `s` as an offset-bearing (absolute) timestamp string; None
+    * for zoneless wall-clock strings.
+    */
+  private[delta] def absoluteInstant(s: String): Option[Instant] = {
+    val t = s.replace(" ", "T")
+    try Some(Instant.parse(t))
+    catch {
+      case _: Exception =>
+        try Some(java.time.OffsetDateTime.parse(t).toInstant)
+        catch { case _: Exception => None }
+    }
   }
 
   private def wallDate(v: Any, zone: ZoneId): Option[LocalDate] =

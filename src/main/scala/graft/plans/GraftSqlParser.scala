@@ -80,12 +80,35 @@ object GraftSqlParser {
 
   /** Evaluate the parser's `TIMESTAMP AS OF` expression when it is a
     * plain literal (string or timestamp) — the forms users write.
-    * Computed expressions stay with Spark's own error path.
+    * Computed expressions stay with Spark's own error path. Zoneless
+    * strings ('2024-01-01 00:00:00') resolve in the SESSION timezone —
+    * Spark/Delta time-travel semantics — not at UTC (round-12 advice:
+    * a non-UTC session silently traveled to a boundary shifted by the
+    * session offset); offset-bearing strings are absolute.
     */
   private def evalInstant(e: Expression): Option[java.time.Instant] =
     e match {
       case Literal(s, StringType) if s != null =>
-        graft.delta.FileSkipping.parseTs(s.toString)
+        val raw = s.toString
+        val t = raw.replace(" ", "T")
+        val abs =
+          try Some(java.time.Instant.parse(t))
+          catch {
+            case _: Exception =>
+              try Some(java.time.OffsetDateTime.parse(t).toInstant)
+              catch { case _: Exception => None }
+          }
+        abs.orElse {
+          val zone = java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          try Some(java.time.LocalDateTime.parse(t).atZone(zone).toInstant)
+          catch {
+            case _: Exception =>
+              try Some(java.time.LocalDate.parse(raw)
+                .atStartOfDay(zone).toInstant)
+              catch { case _: Exception => None }
+          }
+        }
       case Literal(micros: Long, TimestampType) =>
         Some(java.time.Instant.ofEpochSecond(
           Math.floorDiv(micros, 1000000L),

@@ -43,9 +43,21 @@ object GraftCatalogResolution {
     * graft-delta resolves to its location; anything else — including
     * every string containing a path separator, which can never be a
     * catalog name — is returned verbatim as a path.
+    *
+    * Precedence (round-12 advice): an EXISTING Delta table at the
+    * string taken as a filesystem path wins over a same-named catalog
+    * entry — a caller running `graft_optimize('store')` from the
+    * table's parent directory meant the local directory, and silently
+    * redirecting it to an unrelated catalog table's location would
+    * maintain the wrong table. A name that is not also a local Delta
+    * directory resolves through the catalog as before.
     */
   def resolveTableRef(spark: SparkSession, ref: String): String = {
     if (ref.contains("/") || ref.contains("\\")) return ref
+    val isLocalDelta =
+      try graft.DeltaLake.tableExists(spark, ref)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (isLocalDelta) return ref
     val parts =
       try spark.sessionState.sqlParser.parseMultipartIdentifier(ref)
       catch { case scala.util.control.NonFatal(_) => return ref }

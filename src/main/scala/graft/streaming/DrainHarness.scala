@@ -44,6 +44,34 @@ object DrainHarness {
   def checkpointRoot(outputPath: String): String =
     outputPath.stripSuffix("/") + "_ckpt"
 
+  /** Sidecar inside the checkpoint recording which ledger tables had
+    * been watermarked for the drain's appId when the run stopped —
+    * what lets a resume detect a PARTIALLY deleted output set (one
+    * table gone, siblings surviving), which the existence-of-any check
+    * below cannot see.
+    */
+  private val WatermarkedSidecar = "_graft_watermarked"
+
+  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      ckpt: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$ckpt/$WatermarkedSidecar")
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toVector
+      finally in.close()
+    }
+  }
+
+  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      ckpt: String, tables: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$ckpt/$WatermarkedSidecar")
+    val out = fs.create(p, true)
+    try out.write(tables.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   def drain(s: SparkSession, srcPath: String, readChangeFeed: Boolean,
       outputPath: String, appId: String, ledgerTables: Seq[String])(
       body: (DataFrame, Long) => Unit)(
@@ -86,6 +114,21 @@ object DrainHarness {
             "deleted without the checkpoint, and resuming would skip " +
             "every already-consumed source version. Delete " +
             s"${checkpointRoot(outputPath)} too to rebuild from scratch.")
+      // PARTIAL deletion (round-12 advice): the sidecar records which
+      // tables were watermarked when the last run stopped; any of them
+      // missing now means its already-consumed rows are permanently
+      // gone — the same data-loss shape, one table at a time.
+      val gone = readSidecar(fs, ckpt)
+        .filterNot(t => graft.DeltaLake.tableExists(s, t))
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"drain checkpoint $ckpt was watermarked into " +
+            s"${gone.mkString(", ")}, which no longer exist(s) — " +
+            "resuming would permanently skip every source version " +
+            "already consumed into the deleted table(s). Delete " +
+            s"${checkpointRoot(outputPath)} and the surviving outputs " +
+            "too to rebuild from scratch, or restore the deleted " +
+            "table(s).")
     }
     val reader = {
       val r = s.readStream.format("graft-delta")
@@ -98,6 +141,17 @@ object DrainHarness {
       .foreachBatch(body)
       .start()
     try feed(() => q.processAllAvailable())
-    finally q.stop() // checkpoint stays: the next invocation resumes it
+    finally {
+      q.stop() // checkpoint stays: the next invocation resumes it
+      // record which ledger tables this drain has watermarked —
+      // best-effort (a hard JVM kill skips it; the next clean stop
+      // rewrites it), but enough to catch the realistic shape of a
+      // manual between-runs deletion of one output table
+      try writeSidecar(fs, ckpt, ledgerTables.filter { t =>
+        graft.DeltaLake.tableExists(s, t) &&
+          graft.delta.DeltaLog.forPath(s, t).txnVersions.contains(appId)
+      })
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 }

@@ -569,6 +569,22 @@ class GraftExtensionsSpec extends SparkSuite {
         assert(s2.sql(
           s"SELECT count(*) AS n FROM tt_cat TIMESTAMP AS OF '$ts'")
           .collect()(0).getLong(0) == 10L)
+        // zoneless TIMESTAMP AS OF resolves in the SESSION timezone
+        // (round-12 advice): the same commit-0 boundary expressed as a
+        // +05:30 wall clock must land on version 0 under a +05:30
+        // session — the pre-fix UTC anchoring shifted the boundary 5.5 h
+        // earlier, before the first commit, and raised instead
+        val ts530 = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneId.of("+05:30"))
+          .format(java.time.Instant.ofEpochMilli(
+            fs.getFileStatus(c0).getModificationTime))
+        s2.conf.set("spark.sql.session.timeZone", "+05:30")
+        try {
+          assert(s2.sql(
+            s"SELECT count(*) AS n FROM tt_cat TIMESTAMP AS OF '$ts530'")
+            .collect()(0).getLong(0) == 10L)
+        } finally s2.conf.set("spark.sql.session.timeZone", "UTC")
         // the scan TVF composes with time travel on the name
         assert(s2.sql("SELECT count(*) AS n FROM graft_delta('tt_cat', 0)")
           .collect()(0).getLong(0) == 10L)

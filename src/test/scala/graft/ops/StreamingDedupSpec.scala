@@ -303,6 +303,27 @@ class StreamingDedupSpec extends SparkSuite {
     assert(e.getMessage.contains("deleted without the checkpoint"))
   }
 
+  test("PARTIAL output deletion under a surviving checkpoint fails fast") {
+    val src = tmp("psrc"); val store = tmp("pstore"); val pairs = tmp("ppairs")
+    val docs = corpus(40)
+    graft.delta.DeltaWriter.write(docs.where(col("doc_id") <= 20), src)
+    DedupOps.streamDedupDrain(spark, src, store, pairs)(sync => sync())
+    assert(DeltaLake.tableExists(spark, pairs))
+    // only the PAIRS table is deleted; store and _bands survive — the
+    // round-12 guard (none of the ledger tables exists) cannot see
+    // this, but every already-consumed version's pairs are permanently
+    // missing all the same. The checkpoint's watermarked-tables sidecar
+    // must fail the resume fast.
+    val hp = new org.apache.hadoop.fs.Path(pairs)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    graft.delta.DeltaWriter.write(docs.where(col("doc_id") > 20), src,
+      mode = "append")
+    val e = intercept[IllegalStateException] {
+      DedupOps.streamDedupDrain(spark, src, store, pairs)(sync => sync())
+    }
+    assert(e.getMessage.contains("no longer exist"), e.getMessage)
+  }
+
   test("crash replay converges: no pair lost or doubled at either crash point") {
     val docs = corpus(60)
     val b0 = docs.where(col("doc_id") <= 30)
