@@ -1523,6 +1523,92 @@ object DeltaWriter {
     newlyDeleted
   }
 
+  /** DELETE every row whose key tuple appears in `keys` (a DataFrame
+    * holding exactly the key columns) — the join-based twin of
+    * [[delete]] for retire sets too large to drive a literal in-list
+    * (round-12 verdict: a mass-delete micro-batch — a GDPR purge, a
+    * tombstone compaction — must not materialize an unbounded driver
+    * list). The match is ONE distributed semi-join (the merge
+    * machinery's shape): candidate files are pruned through the keys'
+    * min/max bounds (fail-open zone maps), matched row indexes become
+    * deletion vectors executor-side, and stored-CDF pre-images are
+    * emitted exactly like [[delete]]'s. Only compact DV bytes reach
+    * the driver. Returns the newly deleted row count.
+    */
+  private[graft] def deleteMatching(spark: org.apache.spark.sql.SparkSession,
+      path: String, keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val snap = DeltaLog.forPath(spark, path)
+    snap.checkProtocolSupported()
+    Constraints.requireNotAppendOnly(snap.configuration, "DELETE", path)
+    val schema = snap.schema
+    def q(n: String) = col(s"`${n.replace("`", "``")}`")
+    val keyCols = keys.schema.fieldNames.toSeq
+    require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"delete key '$k' is not a table column"))
+    val src = keys.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // key bounds -> candidate-file pruning (merge's move): one tiny
+      // agg, so a purge touching recent partitions never scans cold ones
+      val orderableKeys = keyCols.filter(k => schema(k).dataType match {
+        case _: org.apache.spark.sql.types.NumericType |
+            org.apache.spark.sql.types.StringType |
+            org.apache.spark.sql.types.DateType |
+            org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      })
+      def condValue(v: Any): Any = v match {
+        case d: java.sql.Date => d.toLocalDate
+        case t: java.sql.Timestamp => t.toInstant
+        case d: java.math.BigDecimal => BigDecimal(d)
+        case other => other
+      }
+      val bounds: Seq[Cond] =
+        if (orderableKeys.isEmpty) Nil
+        else {
+          val aggs = orderableKeys.zipWithIndex.flatMap { case (k, i) =>
+            Seq(min(q(k)).as(s"mn_$i"), max(q(k)).as(s"mx_$i"))
+          }
+          val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+          orderableKeys.zipWithIndex.flatMap { case (k, i) =>
+            (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
+              case (Some(mn), Some(mx)) => Seq(
+                Cond(k, ">=", condValue(mn)), Cond(k, "<=", condValue(mx)))
+              case _ => Nil // all-NULL keys never match (SQL equality)
+            }
+          }
+        }
+      val base = path.stripSuffix("/")
+      val candidates = snap.addActionsFiltered(bounds)
+      if (candidates.isEmpty) return 0L
+      val matchedDf = DeltaScan.scanWithRowIndex(snap, candidates)
+        .join(src, keyCols, "left_semi")
+      val matching = matchedDf.select("__graft_file", "__graft_row_index")
+      val (dvLines, newlyDeleted) =
+        dvActionLines(spark, base, snap, candidates, matching)
+      if (dvLines.isEmpty) return 0L
+      val lines = mutable.ArrayBuffer(dvLines: _*)
+      if (cdfEnabled(snap.configuration)) {
+        val cdc = subtractPriorDv(spark, base, candidates, matchedDf)
+          .select(schema.fieldNames.toSeq.map(q): _*)
+          .withColumn("_change_type", lit("delete"))
+        lines ++= writeCdcFiles(spark, path, snap, cdc)
+      }
+      val removed = removedPaths(lines.toSeq)
+      val all = lines.toSeq :+ commitInfoLine("DELETE",
+        params = Map("predicate" ->
+          s"key semi-join on (${keyCols.mkString(", ")})"),
+        metrics = Map("numDeletedRows" -> newlyDeleted,
+          "numRemovedFiles" -> removed.size.toLong))
+      commitDml(spark, path, snap, all, removed, "DELETE",
+        snap.configuration)
+      newlyDeleted
+    } finally { src.unpersist(); () }
+  }
+
   /** MERGE (upsert): target rows whose key tuple appears in `source`
     * are replaced by the source row; source rows matching no target row
     * are inserts — `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED

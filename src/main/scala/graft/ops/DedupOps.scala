@@ -215,7 +215,7 @@ object DedupOps {
     * store (registered in DeltaQueries.ArtifactSuffixes so restaging
     * deletes both together).
     */
-  private def bandStorePath(storePath: String): String =
+  private[ops] def bandStorePath(storePath: String): String =
     storePath + "_bands"
 
   private def tableExists(s: SparkSession, path: String): Boolean =
@@ -664,25 +664,37 @@ object DedupOps {
     def applied(p: String): Boolean = tableExists(s, p) &&
       graft.delta.DeltaLog.forPath(s, p)
         .txnVersions.get(appId).exists(_ >= batchId)
-    val gone: Seq[Long] = batch
+    // retire set CAPPED like the probe sides (round-12 verdict): a
+    // mass-delete micro-batch (GDPR purge, tombstone compaction) above
+    // the cap retires through a distributed key semi-join instead of
+    // materializing an unbounded driver in-list
+    val goneDf = batch
       .where(col("_change_type").isin("delete", "update_preimage"))
       .select("doc_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    if (gone.nonEmpty) {
-      val cond = Seq(graft.delta.Cond("doc_id", "in", gone))
+    val gone: Option[Seq[Long]] =
+      ProbePushdown.collectCapped(goneDf, probeCap(s))
+        .map(_.map(_.getLong(0)).toSeq)
+    if (!gone.exists(_.isEmpty)) {
+      def retire(p: String, keyCols: String*): Unit = gone match {
+        case Some(ids) => keyCols.foreach { k =>
+          // AND-only Cond DSL: a pair touches the retired set through
+          // either endpoint, so one one-sided delete per key column
+          graft.DeltaLake.deleteWhere(s, p,
+            Seq(graft.delta.Cond(k, "in", ids)))
+        }
+        case None => keyCols.foreach { k =>
+          graft.delta.DeltaWriter.deleteMatching(s, p,
+            goneDf.select(col("doc_id").as(k)))
+          ()
+        }
+      }
       if (tableExists(s, storePath) && !applied(storePath))
-        graft.DeltaLake.deleteWhere(s, storePath, cond)
+        retire(storePath, "doc_id")
       val bp = bandStorePath(storePath)
       if (tableExists(s, bp) && !applied(bp))
-        graft.DeltaLake.deleteWhere(s, bp, cond)
-      if (tableExists(s, pairsPath) && !applied(pairsPath)) {
-        // AND-only Cond DSL: a pair touches the retired set through
-        // either endpoint, so two one-sided deletes
-        graft.DeltaLake.deleteWhere(s, pairsPath,
-          Seq(graft.delta.Cond("doc_a", "in", gone)))
-        graft.DeltaLake.deleteWhere(s, pairsPath,
-          Seq(graft.delta.Cond("doc_b", "in", gone)))
-      }
+        retire(bp, "doc_id")
+      if (tableExists(s, pairsPath) && !applied(pairsPath))
+        retire(pairsPath, "doc_a", "doc_b")
     }
     // the doc's LAST change in the batch decides its net effect;
     // within one commit an update's postimage outranks its preimage

@@ -449,16 +449,27 @@ object SimilarityOps {
     def applied(p: String): Boolean = tableExists(s, p) &&
       graft.delta.DeltaLog.forPath(s, p)
         .txnVersions.get(appId).exists(_ >= batchId)
-    val gone: Seq[Long] = batch
+    // retire set CAPPED like the probe sides (round-12 verdict): a
+    // mass-delete batch above the cap retires through a distributed
+    // key semi-join instead of an unbounded driver in-list
+    val goneDf = batch
       .where(col("_change_type").isin("delete", "update_preimage"))
       .select("vec_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    if (gone.nonEmpty) {
-      val cond = Seq(graft.delta.Cond("vec_id", "in", gone))
+    val gone: Option[Seq[Long]] =
+      ProbePushdown.collectCapped(goneDf, annProbeCap(s))
+        .map(_.map(_.getLong(0)).toSeq)
+    if (!gone.exists(_.isEmpty)) {
+      def retire(p: String): Unit = gone match {
+        case Some(ids) => graft.DeltaLake.deleteWhere(s, p,
+          Seq(graft.delta.Cond("vec_id", "in", ids)))
+        case None =>
+          graft.delta.DeltaWriter.deleteMatching(s, p, goneDf)
+          ()
+      }
       if (tableExists(s, indexPath) && !applied(indexPath))
-        graft.DeltaLake.deleteWhere(s, indexPath, cond)
+        retire(indexPath)
       if (tableExists(s, vecsPath) && !applied(vecsPath))
-        graft.DeltaLake.deleteWhere(s, vecsPath, cond)
+        retire(vecsPath)
     }
     val w = Window.partitionBy("vec_id").orderBy(
       col("_commit_version").desc,

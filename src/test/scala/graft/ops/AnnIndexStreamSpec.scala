@@ -134,6 +134,33 @@ class AnnIndexStreamSpec extends SparkSuite {
     assert(rows(idx) != rows(before))
   }
 
+  test("mass-delete batch above the retire cap: semi-join retire, same index") {
+    val src = tmp("mdsrc"); val idx = tmp("mdidx")
+    graft.delta.DeltaWriter.write(vecs(0L until 60L), src,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    // cap of 4: the 30-vector purge can never ride a driver in-list —
+    // the retire must take the distributed key-semi-join path and
+    // still converge to the one-shot index over the live rows
+    spark.conf.set("graft.ann.maxProbeKeys", "4")
+    try {
+      SimilarityOps.streamAnnFollowCdf(spark, src, idx) { sync =>
+        sync()
+        graft.delta.DeltaWriter.delete(spark, src,
+          Seq(graft.delta.Cond("vec_id", ">=", 30L)))
+        sync()
+      }
+    } finally spark.conf.unset("graft.ann.maxProbeKeys")
+    val ref = tmp("mdref")
+    val live = DeltaLake.scanDelta(spark, src).select("vec_id", "embedding")
+    assert(live.count() == 30L)
+    SimilarityOps.buildOrRefreshAnnIndex(spark, ref, live)
+    def rows(p: String) = DeltaLake.scanDelta(spark, p)
+      .select("tbl", "sig", "vec_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(idx) == rows(ref))
+    assert(DeltaLake.scanDelta(spark, idx + "_vecs").count() == 30L)
+  }
+
   test("CDF poison case: replay after the index leg keeps the new rows") {
     import spark.implicits._
     val idx = tmp("pidx"); val appId = "spec-ann-cdf"

@@ -141,6 +141,40 @@ class StreamingDedupSpec extends SparkSuite {
     assert(DeltaLake.scanDelta(spark, store).count() == finalCorpus.count())
   }
 
+  test("mass-delete batch above the retire cap: semi-join retire, same answer") {
+    val src = tmp("msrc"); val store = tmp("mstore"); val pairs = tmp("mpairs")
+    val docs = corpus(60)
+    graft.delta.DeltaWriter.write(docs, src,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    // cap of 4: the 30-doc purge below can never ride a driver in-list
+    // (collectCapped returns None), so the retire must take the
+    // distributed key-semi-join path — with a bounded driver footprint
+    // by construction — and converge to the same state
+    spark.conf.set("graft.dedup.maxProbeIds", "4")
+    try {
+      DedupOps.streamDedupFollowCdf(spark, src, store, pairs) { sync =>
+        sync()
+        // one source commit deletes HALF the corpus (a GDPR-purge /
+        // tombstone-compaction shaped micro-batch)
+        graft.delta.DeltaWriter.delete(spark, src,
+          Seq(graft.delta.Cond("doc_id", ">", 30L)))
+        sync()
+      }
+    } finally spark.conf.unset("graft.dedup.maxProbeIds")
+    val finalCorpus = DeltaLake.scanDelta(spark, src).select("doc_id", "text")
+    assert(finalCorpus.count() == 30L)
+    val ref = tmp("mref")
+    DedupOps.incrementalSignatures(spark, ref, finalCorpus)
+    val want = DedupOps.incrementalMinhashPairs(spark, ref)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(pairs) == want)
+    assert(want.nonEmpty)
+    assert(!want.exists { case (a, b, _) => a > 30L || b > 30L })
+    assert(DeltaLake.scanDelta(spark, store).count() == 30L)
+    assert(DeltaLake.scanDelta(spark, DedupOps.bandStorePath(store))
+      .select("doc_id").where(col("doc_id") > 30L).count() == 0L)
+  }
+
   test("CDF crash poison case: replaying an update batch after the pairs leg") {
     import spark.implicits._
     val store = tmp("pstore"); val pairs = tmp("ppairs")
