@@ -1285,6 +1285,76 @@ object DedupOps {
         |SELECT doc_a, doc_b, est_jaccard FROM est
         |WHERE est_jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // FULL MAINTENANCE LIFECYCLE under the oracle (r13): drain →
+    // OPTIMIZE → resumed drain (append + update + delete) → OPTIMIZE →
+    // probe. DrainMaintenanceSpec pins the race/answer invariance at
+    // spec scale and 94dd916 pins the layout restore; this key pins
+    // the production cycle END TO END under the DuckDB hash oracle at
+    // the harness SFs: the stream checkpoint and txn ledgers must
+    // survive the compaction commits (dataChange=false), the
+    // re-invoked drain must RESUME (not re-consume or skip), the
+    // bands' sig re-cluster must not change answers, and the
+    // accumulated pairs must equal the batch d3 definition over the
+    // source's FINAL LIVE rows.
+    "d14_drain_optimize_probe" -> QueryDef(
+      (s, dir) => {
+        val pairsPath = DeltaQueries.stagedOnce(
+          s, dir, "lifecycle_dedup_pairs", "documents") { path =>
+          val src = path + "_src"
+          val store = path + "_store"
+          val docs = table(s, dir, "documents")
+          val updIds = docs.where(col("doc_id") % 10 === 4)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+          val delIds = docs.where(col("doc_id") % 10 === 6)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+          graft.delta.DeltaWriter.write(
+            docs.where(col("doc_id") % 2 === 0), src,
+            properties = Map("delta.enableChangeDataFeed" -> "true"))
+          // drain session 1: the seed snapshot
+          streamDedupFollowCdf(s, src, store, path)(sync => sync())
+          // maintenance between drain sessions: bin-pack everything,
+          // re-cluster the banded projection on sig (the layout the
+          // probe pushdown prunes by)
+          def maintain(): Unit =
+            Seq(path, store, bandStorePath(store)).foreach { p =>
+              if (tableExists(s, p))
+                graft.delta.DeltaWriter.compact(s, p,
+                  targetFileBytes = 1L << 20,
+                  zOrderBy =
+                    if (p == bandStorePath(store)) Seq("sig") else Nil)
+            }
+          maintain()
+          // drain session 2 RESUMES the checkpoint over the mutations
+          streamDedupFollowCdf(s, src, store, path) { sync =>
+            graft.delta.DeltaWriter.write(
+              docs.where(col("doc_id") % 2 === 1), src, mode = "append")
+            sync()
+            graft.delta.DeltaWriter.update(s, src,
+              Seq(graft.delta.Cond("doc_id", "in", updIds)),
+              Map("text" -> concat(col("text"), lit(" upd"))))
+            sync()
+            graft.delta.DeltaWriter.delete(s, src,
+              Seq(graft.delta.Cond("doc_id", "in", delIds)))
+            sync()
+          }
+          maintain()
+        }
+        graft.DeltaLake.scanDelta(s, pairsPath)
+          .select("doc_a", "doc_b", "est_jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ${pairsSqlOver(
+          "(SELECT doc_id, CASE WHEN doc_id % 10 = 4 THEN text || ' upd' " +
+            "ELSE text END AS text FROM documents WHERE doc_id % 10 <> 6) " +
+            "live_corpus")},
+        |est AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum([CASE WHEN mh_a[i+1] = mh_b[i+1] THEN 1 ELSE 0 END
+        |      for i in range($NumHashes)]) AS DOUBLE) / $NumHashes AS est_jaccard
+        |  FROM pairs)
+        |SELECT doc_a, doc_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Segment-level dedup (the CCNet/RefinedWeb "line-level" pass,
     // segmented here as non-overlapping 16-token chunks since the
     // synthetic corpus has no newlines): every repeated segment keeps
