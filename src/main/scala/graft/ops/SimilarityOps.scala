@@ -531,24 +531,40 @@ object SimilarityOps {
   // precisely so cluster size stays bounded. [[derivedK]] targets a
   // constant expected cluster size, so the pairwise cost Σ|cluster|² ≈
   // n·TargetCluster grows LINEARLY with the corpus (D12Rehearsal pins
-  // the candidate-pair growth sf0.1 → sf1). The centroid matrix stays
-  // a driver/broadcast constant — K×Dim doubles, ≤32 MB at the 65536
-  // clamp; beyond that a production deployment goes two-level (a
-  // coarse quantizer over the centroids themselves), which changes the
-  // assignment data flow, not this operator's shape.
+  // the candidate-pair growth sf0.1 → sf1 → the 10×-sf1 tile).
+  //
+  // TWO-LEVEL past [[TwoLevelK]] (round-13, the follow-up named since
+  // r10): the single-level assignment is O(n·K·D) with a K×Dim
+  // driver/broadcast centroid literal — fine to K ≈ 4096 (2 MB,
+  // ~130k vectors), quadratic-in-n beyond it since K ∝ n. Above the
+  // threshold [[ivfModel]] switches to a coarse quantizer over the
+  // SEEDS themselves: G = ceil(sqrt(K)) group centroids stay the only
+  // driver literal, every vector takes one O(G·D) kernel pass to its
+  // group, and the within-group nearest-seed step is a distributed
+  // join with ~K/G = sqrt(K) candidates per vector — assignment cost
+  // O(n·sqrt(K)·D), K never materializes on the driver, and the
+  // clamp that used to freeze K at 65536 (Σ|c|² superlinear past ~2M
+  // vectors) moves out to 2^22 (~134M vectors at the target size).
   // ---------------------------------------------------------------
 
   /** Expected-cluster-size target for the IVF quantizer: K ≈ n/target. */
   private val TargetCluster = 32L
 
   /** Quantizer size for a corpus of `n` vectors: ceil(n/target),
-    * clamped to [16, 65536]. Integer arithmetic only, so the SQL twin
+    * clamped to [16, 2^22]. Integer arithmetic only, so the SQL twin
     * (`(count(*) + t - 1) // t`) derives the identical value.
     */
   private[graft] def derivedK(n: Long, target: Long = TargetCluster): Int = {
     val k = (n + target - 1) / target
-    math.max(16L, math.min(65536L, k)).toInt
+    math.max(16L, math.min(1L << 22, k)).toInt
   }
+
+  /** K above which [[ivfModel]] assigns through the two-level
+    * quantizer (knob: `graft.ivf.twoLevelK` — specs force the path on
+    * small corpora).
+    */
+  private def twoLevelK(s: SparkSession): Int =
+    s.conf.getOption("graft.ivf.twoLevelK").map(_.toInt).getOrElse(4096)
 
   /** Probe width for a K-list quantizer: ceil(sqrt(K)), floored at 4 —
     * the classic IVF guidance. A FIXED nprobe with a derived K makes
@@ -572,17 +588,28 @@ object SimilarityOps {
       cents: Array[Seq[Double]], v: Column): Column =
     graft.functions.NearestCentroid.nearestCentroid(s, v, typedlit(cents.toSeq))
 
-  /** Train the quantizer and assign the corpus: returns the cached
-    * (vec_id, embedding, cl) lists and the trained centroids. Centroids
-    * live on the driver (K×Dim doubles — the classic tiny coarse
-    * quantizer); everything else is distributed. The assignment is
-    * cached per corpus version, so the second caller reuses the lists.
+  /** The trained quantizer and assignment. `lists` is the cached
+    * (vec_id, embedding, cl) relation; `cents` the trained centroids
+    * as a RELATION (cl, c, grp) — K rows, never required on the
+    * driver; `coarse` the G group centroids when the model is
+    * two-level (None = single-level: every centroid is in grp 0 and
+    * small enough to broadcast/inline).
     */
-  private def ivfModel(s: SparkSession, dir: String)
-      : (DataFrame, Array[Seq[Double]]) = {
+  private[graft] final case class IvfModel(lists: DataFrame,
+      cents: DataFrame, k: Int, coarse: Option[Array[Seq[Double]]])
+
+  /** Train the quantizer and assign the corpus. Single-level up to
+    * [[twoLevelK]] (the oracle-checked path: centroids live on the
+    * driver, K×Dim doubles); two-level beyond it (see the section
+    * comment — only the G group centroids are ever literal). The
+    * assignment is cached per corpus version, so the second caller
+    * reuses the lists.
+    */
+  private[graft] def ivfModel(s: SparkSession, dir: String): IvfModel = {
     val emb = OpCaches.cached(s, s"sim:emb:$dir",
       OpCaches.tableVersion(s, dir, "embeddings"))(corpus(s, dir))
     val K = derivedK(emb.count())
+    if (K > twoLevelK(s)) return ivfModelTwoLevel(s, dir, emb, K)
 
     // seed centroids: hash-ordered corpus sample (deterministic,
     // cross-engine: md5 of the decimal id, id tiebreak)
@@ -618,7 +645,119 @@ object SimilarityOps {
         OpCaches.tableVersion(s, dir, "embeddings")) {
       emb.withColumn("cl", nearestCentroid(s, centroids, col("embedding")))
     }
-    (lists, centroids)
+    import s.implicits._
+    val centDf = centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c, 0) }.toDF("cl", "c", "grp")
+    IvfModel(lists, centDf, centroids.length, None)
+  }
+
+  /** Two-level training/assignment for K past [[twoLevelK]]: the only
+    * driver-resident structure is the G = ceil(sqrt(K)) coarse group
+    * centroids (first G of the same md5 seed order); the K seeds stay
+    * a distributed relation, grouped by their nearest coarse centroid.
+    * Every vector takes one O(G·D) kernel pass to its group, then a
+    * distributed join ranks it against only that group's ~sqrt(K)
+    * centroids — O(n·sqrt(K)·D) total, vs O(n·K·D) single-level. The
+    * one Lloyd step recomputes per-cluster means distributed (no
+    * K-row collect). Deterministic end to end (md5 order, fixed
+    * tie-breaks) but NOT assignment-identical to the single-level
+    * model — a vector whose true nearest seed sits in another group
+    * lands with its group's best; the trade every IVF-style quantizer
+    * makes, here applied to training as well as serving.
+    */
+  private def ivfModelTwoLevel(s: SparkSession, dir: String,
+      emb: DataFrame, k: Int): IvfModel = {
+    import s.implicits._
+    val g = math.max(16, math.min(2048,
+      math.ceil(math.sqrt(k.toDouble)).toInt))
+    val ordered = emb
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id")
+    val coarse0: Array[Seq[Double]] = ordered.limit(g)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    // K seeds, distributed: cl = md5 rank. The rank window runs over K
+    // rows (already limited), not the corpus.
+    val rw = Window.orderBy("h", "vec_id")
+    val seeds0 = ordered.limit(k)
+      .withColumn("cl", (row_number().over(rw) - 1).cast("int"))
+      // seed i < G IS coarse centroid i: pin it to its own group —
+      // under duplicate seed vectors the nearest-coarse tie-break
+      // would otherwise leave group i EMPTY, which would break the
+      // Lloyd means below. With the pin each group holds its own seed.
+      .withColumn("grp0", when(col("cl") < g, col("cl")).otherwise(
+        nearestCentroid(s, coarse0, col("embedding"))))
+      .select(col("cl"), col("grp0"),
+        col("embedding").cast("array<double>").as("c"))
+      .localCheckpoint()
+    // one coarse-level Lloyd step over the SEEDS (a K-row aggregate —
+    // no extra corpus pass): raw first-G-seed cells are as unbalanced
+    // as the sample is, and an over-wide cell inflates its clusters'
+    // candidate pairs (measured 22.9 vs the exact path's 18.8
+    // pairs/vector on the 200k rehearsal tile before this step).
+    // Re-centering on the per-cell seed mass tightens the partition
+    // the corpus routes through.
+    val coarseMeans: Map[Int, Seq[Double]] = seeds0
+      .select(col("grp0"), posexplode(col("c")).as(Seq("pos", "x")))
+      .groupBy("grp0", "pos").agg(round(avg("x"), 6).as("m"))
+      .groupBy("grp0")
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("mv"))
+      .select(col("grp0"), col("mv.m").as("gc"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val coarse1: Array[Seq[Double]] =
+      (0 until g).map(i => coarseMeans.getOrElse(i, coarse0(i))).toArray
+    // re-group the seeds under the trained cells; cells that end up
+    // seedless are DROPPED and the rest re-indexed (a corpus vector
+    // routed to a seedless cell would vanish in the assignment join),
+    // which cannot disturb the surviving seeds' choices — a seed's
+    // nearest cell within a subset that contains it is unchanged.
+    val regrouped = seeds0.withColumn("grp1",
+      nearestCentroid(s, coarse1, col("c")))
+    val occupied: Array[Int] = regrouped.select("grp1").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val remap = occupied.zipWithIndex.toMap
+    val coarse: Array[Seq[Double]] = occupied.map(coarse1)
+    val remapDf = {
+      import s.implicits._
+      remap.toSeq.map { case (g1, ng) => (g1, ng) }.toDF("grp1", "grp")
+    }
+    val seeds = regrouped.join(broadcast(remapDf), "grp1")
+      .select(col("cl"), col("grp"), col("c"))
+      .localCheckpoint()
+
+    // vector -> group (kernel pass) -> nearest of the group's seeds
+    // (distributed join, ~K/G candidates each; sim DESC, lowest cl
+    // tie-break like the kernel's)
+    def assign(cents: DataFrame): DataFrame = {
+      val aw = Window.partitionBy("vec_id")
+        .orderBy(col("__sim").desc, col("cl"))
+      emb.withColumn("grp", nearestCentroid(s, coarse, col("embedding")))
+        .join(cents, "grp")
+        .withColumn("__sim", cosine(s, col("c"), col("embedding")))
+        .withColumn("__rn", row_number().over(aw))
+        .where(col("__rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cl"))
+    }
+
+    // one Lloyd step, all-distributed: per-cluster means, quantized
+    // like the single-level path; empty clusters keep their seed
+    val a1 = assign(seeds)
+    val means = a1
+      .select(col("cl"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cl", "pos").agg(round(avg("x"), 6).as("m"))
+      .groupBy("cl").agg(sort_array(collect_list(struct(col("pos"), col("m"))))
+        .as("mv"))
+      .select(col("cl"), col("mv.m").as("c2"))
+    val trained = seeds.join(means, Seq("cl"), "left")
+      .select(col("cl"), col("grp"),
+        coalesce(col("c2"), col("c")).as("c"))
+      .localCheckpoint()
+    // cache key distinct from the single-level path's: specs flip the
+    // threshold knob mid-session, and a mode switch must never serve
+    // the other mode's cached assignment
+    val lists = OpCaches.cached(s, s"sim:s4lists2l:$dir",
+        OpCaches.tableVersion(s, dir, "embeddings"))(assign(trained))
+    IvfModel(lists, trained, k, Some(coarse))
   }
 
   /** SQL twin of [[ivfModel]]: CTE chain `kp → seeds → a1 → m → mc →
@@ -630,7 +769,7 @@ object SimilarityOps {
     * rounding difference) with lowest-cl tie-break.
     */
   private def ivfSql: String =
-    s"""kp AS (SELECT GREATEST(16, LEAST(65536,
+    s"""kp AS (SELECT GREATEST(16, LEAST(4194304,
        |    (count(*) + ${TargetCluster - 1}) // $TargetCluster)) AS k
        |  FROM embeddings),
        |seeds AS (
@@ -671,13 +810,13 @@ object SimilarityOps {
     */
   private[graft] def semDedupCandidateStats(s: SparkSession, dir: String)
       : (Long, Int, Long, Long) = {
-    val (lists, centroids) = ivfModel(s, dir)
-    val sizes = lists.groupBy("cl").count()
+    val model = ivfModel(s, dir)
+    val sizes = model.lists.groupBy("cl").count()
       .agg(sum(col("count")).as("n"),
         sum(col("count") * (col("count") - 1)).as("pairs2"),
         max(col("count")).as("mx"))
       .head()
-    (sizes.getLong(0), centroids.length,
+    (sizes.getLong(0), model.k,
       sizes.getLong(1) / 2, sizes.getLong(2))
   }
 
@@ -858,33 +997,59 @@ object SimilarityOps {
     // pick the identical seed set and replay the whole pipeline.
     "s4_ann_ivf" -> QueryDef(
       (s, dir) => {
-        val (lists, centroids) = ivfModel(s, dir)
+        val model = ivfModel(s, dir)
+        val lists = model.lists
         // probe width derived WITH the quantizer size: fixed nprobe=4
         // made the probed fraction shrink as K scaled with the corpus
         // (4/16 at the clamp floor, 4/625 at sf1) — recall silently
         // decayed at scale. The oracle's `np` CTE derives the same
         // value from its `kp`.
-        val nprobe = derivedNprobe(centroids.length)
+        val nprobe = derivedNprobe(model.k)
 
-        // queries probe their nprobe closest lists: centroids as a
-        // BROADCAST relation (K rows), not K unrolled literal
-        // expressions — with K derived from the corpus, an expression
-        // per centroid would blow up codegen at scale while a
-        // (queries × K) broadcast cross join stays tiny (queries are a
-        // batch, K ≤ 65536). Tie-break cl DESC matches the oracle's
-        // ORDER BY sim DESC, cl DESC.
-        import s.implicits._
-        val centDf = centroids.toSeq.zipWithIndex
-          .map { case (c, i) => (i, c) }.toDF("cl", "c")
         val pw = Window.partitionBy("query_id")
           .orderBy(col("csim").desc, col("cl").desc)
-        val probes = lists.where(col("vec_id") < NumQueries)
+        val queries = lists.where(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-          .crossJoin(broadcast(centDf))
-          .withColumn("csim", cosine(s, col("c"), col("qv")))
-          .withColumn("rn", row_number().over(pw))
-          .where(col("rn") <= nprobe)
-          .select("query_id", "qv", "cl")
+        val probes = model.coarse match {
+          case None =>
+            // queries probe their nprobe closest lists: centroids as a
+            // BROADCAST relation (K rows), not K unrolled literal
+            // expressions — with K derived from the corpus, an
+            // expression per centroid would blow up codegen at scale
+            // while a (queries × K) broadcast cross join stays tiny
+            // (queries are a batch, K bounded by the two-level
+            // threshold here). Tie-break cl DESC matches the oracle's
+            // ORDER BY sim DESC, cl DESC.
+            queries
+              .crossJoin(broadcast(model.cents.select("cl", "c")))
+              .withColumn("csim", cosine(s, col("c"), col("qv")))
+              .withColumn("rn", row_number().over(pw))
+              .where(col("rn") <= nprobe)
+              .select("query_id", "qv", "cl")
+          case Some(gc) =>
+            // two-level probe: rank the G groups per query (G ≤ 2048
+            // rows — a tiny broadcast), take enough groups to cover
+            // ~2×nprobe expected centroids (each group holds ~sqrt(K)
+            // ≈ nprobe of them), then rank only those groups'
+            // centroids — the serving-path mirror of the training
+            // assignment, never touching all K per query.
+            import s.implicits._
+            val groupsDf = gc.toSeq.zipWithIndex
+              .map { case (c, i) => (i, c) }.toDF("grp", "gc")
+            val gw = Window.partitionBy("query_id")
+              .orderBy(col("gsim").desc, col("grp").desc)
+            val qgrps = queries
+              .crossJoin(broadcast(groupsDf))
+              .withColumn("gsim", cosine(s, col("gc"), col("qv")))
+              .withColumn("grn", row_number().over(gw))
+              .where(col("grn") <= 2)
+              .select("query_id", "qv", "grp")
+            qgrps.join(model.cents.select("grp", "cl", "c"), "grp")
+              .withColumn("csim", cosine(s, col("c"), col("qv")))
+              .withColumn("rn", row_number().over(pw))
+              .where(col("rn") <= nprobe)
+              .select("query_id", "qv", "cl")
+        }
 
         val scored = lists.join(broadcast(probes), Seq("cl"))
           .where(col("vec_id") =!= col("query_id"))
@@ -943,7 +1108,7 @@ object SimilarityOps {
     "d12_sem_dedup" -> QueryDef(
       (s, dir) => {
         val tau = 0.35
-        val (lists, _) = ivfModel(s, dir)
+        val lists = ivfModel(s, dir).lists
         val slim = lists.select(col("cl"), col("vec_id"), col("embedding"))
         val dropped = slim
           .join(slim.select(col("cl"), col("vec_id").as("prior_id"),

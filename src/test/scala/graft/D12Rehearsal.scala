@@ -36,17 +36,32 @@ object D12Rehearsal {
       (n, k, pairs, mx, secs)
     }
 
+    // third scale (round 13): a 10×-sf1 embeddings-only tile — 200k
+    // vectors, derived K = 6250, PAST the two-level threshold (4096),
+    // so this pass exercises the two-level quantizer's assignment path
+    // and pins that pairs/vector stays ~flat through the dispatch
+    val sf10 = args.lift(2).getOrElse("/root/repo/target/sf10emb")
+    if (!new java.io.File(s"$sf10/embeddings.parquet").exists())
+      ScaleGen.generateEmbeddings(spark, sf1, sf10, 10)
+
     val (n0, k0, p0, m0, t0) = pass(sf01)
     val (n1, k1, p1, m1, t1) = pass(sf1)
+    val (n2, k2, p2, m2, t2) = pass(sf10)
     println(f"${"scale"}%-8s ${"vectors"}%8s ${"K"}%6s ${"cand pairs"}%12s " +
       f"${"max cluster"}%12s ${"secs"}%8s")
     println(f"${"sf0.1"}%-8s $n0%8d $k0%6d $p0%12d $m0%12d $t0%8.2f")
     println(f"${"sf1"}%-8s $n1%8d $k1%6d $p1%12d $m1%12d $t1%8.2f")
+    println(f"${"sf10emb"}%-8s $n2%8d $k2%6d $p2%12d $m2%12d $t2%8.2f")
     val dataRatio = n1.toDouble / n0
     val pairRatio = p1.toDouble / p0
     println(f"data ratio ${dataRatio}%.1fx, candidate-pair ratio " +
       f"${pairRatio}%.1fx => pairs/data ${pairRatio / dataRatio}%.2f " +
       f"(1.0 = perfectly linear; fixed K=16 would read ~${dataRatio}%.0f)")
+    val dataRatio2 = n2.toDouble / n1
+    val pairRatio2 = p2.toDouble / p1
+    println(f"sf1 -> sf10emb (two-level): data ${dataRatio2}%.1fx, " +
+      f"candidate pairs ${pairRatio2}%.1fx => pairs/data " +
+      f"${pairRatio2 / dataRatio2}%.2f")
     spark.stop()
   }
 }

@@ -100,20 +100,23 @@ class OpsSpec extends SparkSuite {
   }
 
   test("ivf quantizer K scales with the corpus: bounded cluster size") {
-    // K ≈ ceil(n / TargetCluster), clamped [16, 65536] — so the
+    // K ≈ ceil(n / TargetCluster), clamped [16, 2^22] — so the
     // expected cluster size n/K stays ≤ TargetCluster (=32) everywhere
     // below the upper clamp, which is what keeps d12's within-cluster
     // pairwise join Σ|cluster|² ≈ n·32 LINEAR in the corpus instead of
-    // the quadratic n²/K a fixed K gives
+    // the quadratic n²/K a fixed K gives. (r13: the clamp moved out
+    // from 65536 to 2^22 — the two-level quantizer removed the
+    // driver-side K×Dim literal that justified the old bound.)
     assert(SimilarityOps.derivedK(1) == 16)
     assert(SimilarityOps.derivedK(500) == 16) // harness floor: sf0.01
     assert(SimilarityOps.derivedK(512) == 16)
     assert(SimilarityOps.derivedK(513) == 17)
     assert(SimilarityOps.derivedK(2000) == 63) // sf0.1
     assert(SimilarityOps.derivedK(20000) == 625) // sf1
-    assert(SimilarityOps.derivedK(1L << 40) == 65536) // upper clamp
+    assert(SimilarityOps.derivedK(1L << 40) == (1 << 22)) // upper clamp
     // expected-cluster-size bound holds for every n below the clamp
-    for (n <- Seq(1L, 100L, 500L, 2000L, 20000L, 1000000L, 2000000L)) {
+    for (n <- Seq(1L, 100L, 500L, 2000L, 20000L, 1000000L, 2000000L,
+        100000000L)) {
       val k = SimilarityOps.derivedK(n).toLong
       assert(n <= k * 32L,
         s"n=$n K=$k: expected cluster size ${n / k} exceeds the target")

@@ -103,7 +103,18 @@ object ScaleGen {
       }), "documents")
 
     // embeddings: per-copy circular dimension shift
-    write(tiled(t("embeddings"), Map("vec_id" -> vecStride), (d, c) =>
+    write(tiledEmbeddings(t("embeddings"), vecStride, copies), "embeddings")
+  }
+
+  /** Tile an embeddings table `copies`× with vec_id offsets and
+    * per-copy circular dimension shifts (norms and within-copy
+    * neighbor structure preserved; cross-copy cosine collapses to
+    * noise).
+    */
+  def tiledEmbeddings(df: DataFrame, vecStride: Long,
+      copies: Int): DataFrame =
+    (0 until copies).map { c =>
+      val d = df.withColumn("vec_id", col("vec_id") + lit(vecStride * c))
       if (c == 0) d
       else {
         val dim = size(col("embedding"))
@@ -115,6 +126,20 @@ object ScaleGen {
         d.withColumn("embedding",
           concat(slice(col("embedding"), shift + 1, dim - shift),
             slice(col("embedding"), lit(1), shift)))
-      }), "embeddings")
+      }
+    }.reduce(_ unionByName _)
+
+  /** EMBEDDINGS-ONLY tile (the D12Rehearsal third scale): tiling every
+    * table would drag ~60M lineitem rows nobody reads.
+    */
+  def generateEmbeddings(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    val df = spark.read.parquet(s"$src/embeddings.parquet")
+    val stride = df.agg(max(col("vec_id").cast("long")))
+      .collect()(0).getLong(0) + 1
+    tiledEmbeddings(df, stride, copies)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scalegen] embeddings-only $out: " +
+      s"${spark.read.parquet(s"$out/embeddings.parquet").count()} rows")
   }
 }

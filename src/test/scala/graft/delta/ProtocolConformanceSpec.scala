@@ -395,7 +395,11 @@ class ProtocolConformanceSpec extends SparkSuite {
     // /var/run/docker.sock absent (no daemon), `import deltalake`
     // ModuleNotFoundError, `pip install deltalake` DNS-fails to the
     // index ("Name or service not known"), duckdb INSTALL delta still
-    // ERROR Connection. Still environment-blocked; the in-repo
+    // ERROR Connection;
+    // r13 2026-08-15: re-probed — unchanged from r12: docker client
+    // present, /var/run/docker.sock absent (no daemon), HTTPS egress
+    // DNS-fails ("Name or service not known"), duckdb INSTALL delta
+    // still ERROR Connection. Still environment-blocked; the in-repo
     // compensating differential is PythonReplayDifferentialSpec +
     // tools/delta_replay.py — an independent python+DuckDB reader
     // implementation (since r12 also covering txn-ledger watermarks
