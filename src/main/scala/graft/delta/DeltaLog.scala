@@ -357,7 +357,14 @@ object DeltaLog {
   private def cacheGet(k: (SparkSession, String)): Option[CachedSnap] =
     cache.synchronized(Option(cache.get(k)))
   private def cachePut(k: (SparkSession, String), v: CachedSnap): Unit =
-    cache.synchronized { cache.put(k, v); () }
+    cache.synchronized {
+      // drop entries pinning stopped sessions (test suites, multi-
+      // session servers): without this sweep a stopped session's whole
+      // object graph plus an O(live files) snapshot master survives
+      // until LRU displacement
+      cache.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+      cache.put(k, v); ()
+    }
 
   /** Drop every cached snapshot — spec hook (e.g. before asserting
     * replay behavior) and escape hatch.

@@ -126,7 +126,7 @@ object GeneratedPruning {
   /** Parse `s` as an offset-bearing (absolute) timestamp string; None
     * for zoneless wall-clock strings.
     */
-  private[delta] def absoluteInstant(s: String): Option[Instant] = {
+  private[graft] def absoluteInstant(s: String): Option[Instant] = {
     val t = s.replace(" ", "T")
     try Some(Instant.parse(t))
     catch {

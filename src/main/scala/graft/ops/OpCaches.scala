@@ -26,6 +26,33 @@ private[graft] object OpCaches {
 
   private val entries = TrieMap.empty[String, (String, DataFrame)]
 
+  /** Non-DataFrame memo (trained models and the like) with the same
+    * (session, key, version) discipline as [[cached]]. Entries may hold
+    * checkpointed DataFrames, so [[clear]] forgets them too — a memo
+    * surviving a deepClean would serve DataFrames whose RDD blocks the
+    * clean just released.
+    */
+  private val objects = TrieMap.empty[String, (String, SparkSession, AnyRef)]
+
+  /** Build-and-memoize an arbitrary value once per (session, key,
+    * version). Unlike [[cached]] nothing is persisted here — `make` is
+    * responsible for its own caching/checkpointing; this only prevents
+    * re-RUNNING an expensive build (e.g. IVF training collects +
+    * checkpoints) when the inputs are unchanged.
+    */
+  def cachedObj[T <: AnyRef](spark: SparkSession, key: String,
+      version: String)(make: => T): T = synchronized {
+    objects.get(key) match {
+      case Some((v, sess, o)) if v == version && (sess eq spark) &&
+          !sess.sparkContext.isStopped =>
+        o.asInstanceOf[T]
+      case _ =>
+        val fresh = make
+        objects.put(key, (version, spark, fresh))
+        fresh
+    }
+  }
+
   /** Build-and-cache once per (session, key, version); later calls from
     * the same session with the same version return the SAME cached
     * DataFrame. `make` must be deterministic for (key, version). An
@@ -97,6 +124,7 @@ private[graft] object OpCaches {
     entries.values.foreach { case (_, df) =>
       if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
     entries.clear()
+    objects.clear()
   }
 
   /** Release EVERYTHING a benchmark pass may have left in storage, not
@@ -114,6 +142,10 @@ private[graft] object OpCaches {
     */
   def deepClean(spark: SparkSession): Unit = {
     clear()
+    // the Delta snapshot cache is part of "everything a pass may have
+    // left": a cold pass that served staging-cached snapshots would
+    // skip log replay and understate a fresh session's first execution
+    graft.delta.DeltaLog.clearSnapshotCache()
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))

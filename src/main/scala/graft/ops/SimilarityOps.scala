@@ -579,6 +579,17 @@ object SimilarityOps {
   private[graft] def derivedNprobe(k: Int): Int =
     math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
 
+  /** Coarse groups a two-level probe ranks per query: enough to
+    * surface ~2×nprobe candidate centroids given ~k/g per group (≈2-3
+    * groups at production sizes where k/g ≈ nprobe; grows when specs
+    * force the threshold down and groups hold few seeds — a literal 2
+    * would surface fewer candidates than nprobe promises there).
+    */
+  private[graft] def probeGroups(k: Int, g: Int, nprobe: Int): Int = {
+    val perGroup = math.max(1.0, k.toDouble / g)
+    math.max(2, math.ceil(2.0 * nprobe / perGroup).toInt)
+  }
+
   /** Fused kernel: one vector pass fans into all K dot accumulators
     * (graft.functions.NearestCentroid) — the assignment step is the
     * O(n·K·D) hot loop, where K composed cosine expressions would each
@@ -606,6 +617,21 @@ object SimilarityOps {
     * reuses the lists.
     */
   private[graft] def ivfModel(s: SparkSession, dir: String): IvfModel = {
+    // memoize the TRAINED model per (corpus version, threshold knob):
+    // training is eager (seed/means collects, and checkpoints on the
+    // two-level path) and would otherwise re-run in full on every
+    // caller (s4, d12, the store builds) even when the assignment
+    // lists below are cache-hits
+    // the threshold knob is part of the KEY, not the version: the
+    // forced-knob differential (s9) and the production path (s4/d12)
+    // alternate within a session and must not thrash one memo slot
+    OpCaches.cachedObj(s, s"sim:ivfmodel:$dir:2l=${twoLevelK(s)}",
+      OpCaches.tableVersion(s, dir, "embeddings")) {
+      buildIvfModel(s, dir)
+    }
+  }
+
+  private def buildIvfModel(s: SparkSession, dir: String): IvfModel = {
     val emb = OpCaches.cached(s, s"sim:emb:$dir",
       OpCaches.tableVersion(s, dir, "embeddings"))(corpus(s, dir))
     val K = derivedK(emb.count())
@@ -676,6 +702,11 @@ object SimilarityOps {
     val coarse0: Array[Seq[Double]] = ordered.limit(g)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble))
+    // a corpus below the group floor (specs force the threshold down)
+    // seeds fewer than g coarse cells — degrade to |corpus| cells like
+    // the single-level path does for K, instead of indexing past the
+    // collected array below
+    val gEff = math.min(g, coarse0.length)
     // K seeds, distributed: cl = md5 rank. The rank window runs over K
     // rows (already limited), not the corpus.
     val rw = Window.orderBy("h", "vec_id")
@@ -685,7 +716,7 @@ object SimilarityOps {
       // under duplicate seed vectors the nearest-coarse tie-break
       // would otherwise leave group i EMPTY, which would break the
       // Lloyd means below. With the pin each group holds its own seed.
-      .withColumn("grp0", when(col("cl") < g, col("cl")).otherwise(
+      .withColumn("grp0", when(col("cl") < gEff, col("cl")).otherwise(
         nearestCentroid(s, coarse0, col("embedding"))))
       .select(col("cl"), col("grp0"),
         col("embedding").cast("array<double>").as("c"))
@@ -705,7 +736,7 @@ object SimilarityOps {
       .select(col("grp0"), col("mv.m").as("gc"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     val coarse1: Array[Seq[Double]] =
-      (0 until g).map(i => coarseMeans.getOrElse(i, coarse0(i))).toArray
+      (0 until gEff).map(i => coarseMeans.getOrElse(i, coarse0(i))).toArray
     // re-group the seeds under the trained cells; cells that end up
     // seedless are DROPPED and the rest re-indexed (a corpus vector
     // routed to a seedless cell would vanish in the assignment join),
@@ -1029,11 +1060,15 @@ object SimilarityOps {
           case Some(gc) =>
             // two-level probe: rank the G groups per query (G ≤ 2048
             // rows — a tiny broadcast), take enough groups to cover
-            // ~2×nprobe expected centroids (each group holds ~sqrt(K)
-            // ≈ nprobe of them), then rank only those groups'
-            // centroids — the serving-path mirror of the training
-            // assignment, never touching all K per query.
+            // ~2×nprobe expected centroids (a group holds ~K/G of
+            // them — ≈ nprobe at the production sizes, so ~2-3 groups
+            // there; the DERIVED count keeps the promise when specs
+            // force the threshold down and K/G shrinks), then rank
+            // only those groups' centroids — the serving-path mirror
+            // of the training assignment, never touching all K per
+            // query.
             import s.implicits._
+            val grpTake = probeGroups(model.k, gc.length, nprobe)
             val groupsDf = gc.toSeq.zipWithIndex
               .map { case (c, i) => (i, c) }.toDF("grp", "gc")
             val gw = Window.partitionBy("query_id")
@@ -1042,7 +1077,7 @@ object SimilarityOps {
               .crossJoin(broadcast(groupsDf))
               .withColumn("gsim", cosine(s, col("gc"), col("qv")))
               .withColumn("grn", row_number().over(gw))
-              .where(col("grn") <= 2)
+              .where(col("grn") <= grpTake)
               .select("query_id", "qv", "grp")
             qgrps.join(model.cents.select("grp", "cl", "c"), "grp")
               .withColumn("csim", cosine(s, col("c"), col("qv")))
@@ -1232,5 +1267,37 @@ object SimilarityOps {
         |  round(COALESCE(h.n_hit, 0) / $TopK.0, 2) AS recall_at_k
         |FROM (SELECT DISTINCT query_id FROM exact) qq
         |LEFT JOIN hits h USING (query_id)
-        |ORDER BY query_id""".stripMargin)))
+        |ORDER BY query_id""".stripMargin)),
+
+    // Driver-checkable differential for the TWO-LEVEL quantizer — the
+    // path every corpus past K=4096 (~131k vectors at the 32-target)
+    // actually serves, which has no SQL twin (group-then-seed
+    // assignment is documented non-replayable above the threshold, so
+    // s4's oracle never exercises it). Forcing the threshold down runs
+    // the identical code path at oracle scale; recall@k against the
+    // exact brute-force top-k must clear a floor. Everything is
+    // deterministic (md5 seeding, fixed tie-breaks), so the measured
+    // recall is a constant per corpus — the floor sits under the
+    // measured sf0.01/sf0.1 values (0.54 / 0.46; the forced-knob
+    // regime is IVF at its most degraded, K=n/32 single-digit-seed
+    // groups — production K/G ratios probe far denser). Same
+    // differential shape as q22_approx_vs_exact and the dedup fast
+    // twins.
+    "s9_twolevel_vs_exact" -> QueryDef(
+      (s, dir) => {
+        val approx = {
+          s.conf.set("graft.ivf.twoLevelK", "8")
+          // the knob is read at PLAN time (model training + probe
+          // widths); the returned frame's execution never re-reads it
+          try defs("s4_ann_ivf").fn(s, dir)
+            .select("query_id", "neighbor_id")
+          finally s.conf.unset("graft.ivf.twoLevelK")
+        }
+        val exact = bruteTopK(s, dir).select("query_id", "neighbor_id")
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .select((col("n_hit") >=
+            math.ceil(0.4 * NumQueries * TopK).toLong).as("recall_ok"))
+      },
+      Some("SELECT true AS recall_ok")))
 }

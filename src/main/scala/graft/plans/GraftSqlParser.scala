@@ -91,14 +91,7 @@ object GraftSqlParser {
       case Literal(s, StringType) if s != null =>
         val raw = s.toString
         val t = raw.replace(" ", "T")
-        val abs =
-          try Some(java.time.Instant.parse(t))
-          catch {
-            case _: Exception =>
-              try Some(java.time.OffsetDateTime.parse(t).toInstant)
-              catch { case _: Exception => None }
-          }
-        abs.orElse {
+        graft.delta.GeneratedPruning.absoluteInstant(raw).orElse {
           val zone = java.time.ZoneId.of(
             org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
           try Some(java.time.LocalDateTime.parse(t).atZone(zone).toInstant)

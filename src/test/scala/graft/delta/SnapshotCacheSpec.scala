@@ -104,6 +104,22 @@ class SnapshotCacheSpec extends SparkSuite {
     assert(DeltaScan.scanSnapshot(head).count() == 15)
   }
 
+  test("deepClean drops cached snapshots — cold passes pay the replay") {
+    val path = tmp()
+    writeRange(path, 10)
+    DeltaLog.clearSnapshotCache()
+    DeltaLog.forPath(spark, path) // populates the cache
+    // the bench's cold family deep-cleans after staging; a snapshot
+    // surviving that clean would let "cold" skip log replay and
+    // understate a fresh session's first execution
+    graft.ops.OpCaches.deepClean(spark)
+    val (r0, _) = counters()
+    DeltaLog.forPath(spark, path)
+    val (r1, _) = counters()
+    assert(r1 - r0 == 1,
+      s"expected a full replay after deepClean, got ${r1 - r0}")
+  }
+
   test("a corrupted .crc is still caught after the snapshot was cached") {
     val path = tmp()
     writeRange(path, 10)

@@ -53,6 +53,63 @@ class TwoLevelIvfSpec extends SparkSuite {
     assert(lists.sorted.sameElements(again.sorted))
   }
 
+  test("a corpus below the coarse-group floor still trains (no overrun)") {
+    // 10 vectors < the g=16 floor: coarse cells degrade to |corpus|,
+    // mirroring the single-level path's K degradation — indexing past
+    // the collected coarse array would throw here
+    val tiny = java.nio.file.Files.createTempDirectory("tiny2l")
+      .toFile.getAbsolutePath
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0L until 10L).map(i => (i, Seq.fill(8)(rnd.nextFloat()), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tiny/embeddings.parquet")
+    val m = forced { SimilarityOps.ivfModel(spark, tiny) }
+    assert(m.coarse.isDefined, "dispatch did not take the two-level path")
+    assert(m.coarse.get.length <= 10)
+    val lists = m.lists.select("vec_id", "cl").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(lists.length == 10)
+    assert(lists.map(_._1).distinct.length == 10)
+    OpCaches.deepClean(spark)
+  }
+
+  test("the trained model is memoized per (corpus version, threshold)") {
+    OpCaches.deepClean(spark)
+    val a = forced { SimilarityOps.ivfModel(spark, dir) }
+    val b = forced { SimilarityOps.ivfModel(spark, dir) }
+    assert(a eq b,
+      "training re-ran for an unchanged corpus and threshold")
+    // a different threshold is a different model: the memo must not
+    // serve the two-level assignment to a single-level caller
+    val single = SimilarityOps.ivfModel(spark, dir)
+    assert(!(single eq a) && single.coarse.isEmpty)
+    // deepClean forgets the memo (its DataFrames' checkpoint blocks
+    // are released by the clean and must not be served afterwards)
+    OpCaches.deepClean(spark)
+    val c = forced { SimilarityOps.ivfModel(spark, dir) }
+    assert(!(c eq a))
+    OpCaches.deepClean(spark)
+  }
+
+  test("probe-group derivation covers 2x nprobe candidates at any K") {
+    for (k <- Seq(16, 64, 256, 4097, 6250, 1 << 20)) {
+      val g = math.max(16, math.min(2048,
+        math.ceil(math.sqrt(k.toDouble)).toInt))
+      val np = SimilarityOps.derivedNprobe(k)
+      val take = SimilarityOps.probeGroups(k, g, np)
+      // enough groups that the expected surfaced centroids reach
+      // 2x nprobe (so the rank-to-nprobe step never starves)...
+      assert(take * math.max(1.0, k.toDouble / g) >= 2.0 * np,
+        s"k=$k g=$g nprobe=$np take=$take under-covers")
+      // ...while staying a handful at production shapes (k/g ~ nprobe)
+      if (k > 4096) assert(take <= 4, s"k=$k take=$take over-probes")
+    }
+    // the regression shape: K=16 forced two-level, g=16 single-seed
+    // groups — a literal 2 surfaced 2 candidates for nprobe=4
+    assert(SimilarityOps.probeGroups(16, 16, 4) == 8)
+  }
+
   test("s4 and d12 stay well-formed through the two-level dispatch") {
     OpCaches.deepClean(spark)
     val (s4, d12) = forced {
