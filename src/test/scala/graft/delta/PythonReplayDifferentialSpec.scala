@@ -602,6 +602,44 @@ class PythonReplayDifferentialSpec extends SparkSuite {
     }
   }
 
+  test("deleteMatching purge: DV masks and stored CDF replay through the python reader") {
+    val path = tmp()
+    // CDF-enabled, partitioned, big enough that the scattered purge
+    // exercises non-trivial bitmaps across several files
+    DeltaWriter.write((1L to 2000L).map(i => (i, s"g${i % 4}", s"r$i"))
+      .toDF("id", "g", "s"), path, partitionBy = Seq("g"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    // the round-13 over-cap retire shape: the purge keys stay a
+    // DISTRIBUTED relation (every 3rd id, plus misses that must not
+    // count) and the delete runs as a key semi-join
+    val keys = spark.range(1L, 2600L).where(col("id") % 3 === 0)
+      .select(col("id"))
+    val removed = DeltaWriter.deleteMatching(spark, path, keys)
+    assert(removed == (1L to 2000L).count(_ % 3 == 0))
+    // partial-file masks, not whole-file removes: DVs must exist
+    assert(DeltaLog.forPath(spark, path).liveFiles
+      .exists(_.deletionVector.isDefined))
+    assertAgrees(path, 2000L - removed)
+    // a second purge over already-deleted + fresh keys merges bitmaps
+    val removed2 = DeltaWriter.deleteMatching(spark, path,
+      spark.range(1L, 2000L).where(col("id") % 5 === 0).select(col("id")))
+    assert(removed2 == (1L to 1999L).count(i => i % 5 == 0 && i % 3 != 0))
+    assertAgrees(path, 2000L - removed - removed2)
+    // the stored change feed carries the purge's delete pre-images
+    val dump = java.nio.file.Files
+      .createTempDirectory("graft_pyrep_dmcdf").toString
+    DeltaLake.scanDeltaCdf(spark, path, -1L)
+      .coalesce(1).write.mode("overwrite").parquet(dump)
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Seq("python3", "tools/delta_replay.py", path, "--cdf", dump) !
+      ProcessLogger(l => out ++= l, l => out ++= l)
+    assert(code == 0, s"python CDF replay diverged: $out")
+    val node = ActionCodec.mapper.readTree(out.toString)
+    assert(node.get("rows").asLong == 2000L + removed + removed2,
+      out.toString)
+  }
+
   test("p8 shard export + stored manifest replay identically") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_pyrep_p8").toString
