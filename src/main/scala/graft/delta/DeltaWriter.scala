@@ -1523,6 +1523,44 @@ object DeltaWriter {
     newlyDeleted
   }
 
+  /** min/max bounds of `src`'s key columns as fail-open zone-map Conds
+    * — the candidate-file pruning [[merge]] and [[deleteMatching]]
+    * share (one tiny agg over the persisted source, so an operation
+    * touching recent partitions never scans cold ones). Only orderable
+    * key types contribute; an all-NULL key never matches (SQL
+    * equality) and yields no bound.
+    */
+  private def keyBounds(src: DataFrame, keyCols: Seq[String],
+      schema: StructType): Seq[Cond] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    def q(n: String) = col(s"`${n.replace("`", "``")}`")
+    val orderableKeys = keyCols.filter(k => schema(k).dataType match {
+      case _: NumericType | StringType | DateType | TimestampType |
+          TimestampNTZType => true
+      case _ => false
+    })
+    def condValue(v: Any): Any = v match {
+      case d: java.sql.Date => d.toLocalDate
+      case t: java.sql.Timestamp => t.toInstant
+      case d: java.math.BigDecimal => BigDecimal(d)
+      case other => other
+    }
+    if (orderableKeys.isEmpty) Nil
+    else {
+      val aggs = orderableKeys.zipWithIndex.flatMap { case (k, i) =>
+        Seq(min(q(k)).as(s"mn_$i"), max(q(k)).as(s"mx_$i"))
+      }
+      val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+      orderableKeys.zipWithIndex.flatMap { case (k, i) =>
+        (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
+          case (Some(mn), Some(mx)) => Seq(
+            Cond(k, ">=", condValue(mn)), Cond(k, "<=", condValue(mx)))
+          case _ => Nil // all-NULL key never matches; no bound
+        }
+      }
+    }
+  }
+
   /** DELETE every row whose key tuple appears in `keys` (a DataFrame
     * holding exactly the key columns) — the join-based twin of
     * [[delete]] for retire sets too large to drive a literal in-list
@@ -1552,35 +1590,7 @@ object DeltaWriter {
     try {
       // key bounds -> candidate-file pruning (merge's move): one tiny
       // agg, so a purge touching recent partitions never scans cold ones
-      val orderableKeys = keyCols.filter(k => schema(k).dataType match {
-        case _: org.apache.spark.sql.types.NumericType |
-            org.apache.spark.sql.types.StringType |
-            org.apache.spark.sql.types.DateType |
-            org.apache.spark.sql.types.TimestampType |
-            org.apache.spark.sql.types.TimestampNTZType => true
-        case _ => false
-      })
-      def condValue(v: Any): Any = v match {
-        case d: java.sql.Date => d.toLocalDate
-        case t: java.sql.Timestamp => t.toInstant
-        case d: java.math.BigDecimal => BigDecimal(d)
-        case other => other
-      }
-      val bounds: Seq[Cond] =
-        if (orderableKeys.isEmpty) Nil
-        else {
-          val aggs = orderableKeys.zipWithIndex.flatMap { case (k, i) =>
-            Seq(min(q(k)).as(s"mn_$i"), max(q(k)).as(s"mx_$i"))
-          }
-          val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
-          orderableKeys.zipWithIndex.flatMap { case (k, i) =>
-            (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
-              case (Some(mn), Some(mx)) => Seq(
-                Cond(k, ">=", condValue(mn)), Cond(k, "<=", condValue(mx)))
-              case _ => Nil // all-NULL keys never match (SQL equality)
-            }
-          }
-        }
+      val bounds = keyBounds(src, keyCols, schema)
       val base = path.stripSuffix("/")
       val candidates = snap.addActionsFiltered(bounds)
       if (candidates.isEmpty) return 0L
@@ -1733,32 +1743,7 @@ object DeltaWriter {
           s"MERGE into $path")
 
         // key bounds → candidate-file pruning (fail-open zone maps)
-        val orderableKeys = keys.filter(k => schema(k).dataType match {
-          case _: NumericType | StringType | DateType | TimestampType |
-              TimestampNTZType => true
-          case _ => false
-        })
-        def condValue(v: Any): Any = v match {
-          case d: java.sql.Date => d.toLocalDate
-          case t: java.sql.Timestamp => t.toInstant
-          case d: java.math.BigDecimal => BigDecimal(d)
-          case other => other
-        }
-        val bounds: Seq[Cond] =
-          if (orderableKeys.isEmpty) Nil
-          else {
-            val aggs = orderableKeys.zipWithIndex.flatMap { case (k, i) =>
-              Seq(min(q(k)).as(s"mn_$i"), max(q(k)).as(s"mx_$i"))
-            }
-            val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
-            orderableKeys.zipWithIndex.flatMap { case (k, i) =>
-              (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
-                case (Some(mn), Some(mx)) => Seq(
-                  Cond(k, ">=", condValue(mn)), Cond(k, "<=", condValue(mx)))
-                case _ => Nil // all-NULL key never matches; no bound
-              }
-            }
-          }
+        val bounds = keyBounds(src, keys, schema)
 
         val base = path.stripSuffix("/")
         val candidates = snap.addActionsFiltered(bounds)

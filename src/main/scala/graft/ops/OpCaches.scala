@@ -39,19 +39,44 @@ private[graft] object OpCaches {
     * responsible for its own caching/checkpointing; this only prevents
     * re-RUNNING an expensive build (e.g. IVF training collects +
     * checkpoints) when the inputs are unchanged.
+    *
+    * `make` runs under a PER-KEY latch, not the global monitor: an IVF
+    * training build is minutes of Spark jobs, and holding the registry
+    * lock through it would block every unrelated [[cached]] caller
+    * (whose makes are microsecond plan builds) for the duration.
+    *
+    * A DISPLACED entry (stale version / new session) is simply
+    * forgotten: dropping the memo's strong reference hands the old
+    * model's checkpoint blocks to Spark's ContextCleaner, which
+    * reclaims them on GC — the same weak-reference discipline all
+    * Spark lineage cleanup uses — and [[deepClean]] reclaims
+    * everything at pass boundaries regardless.
     */
   def cachedObj[T <: AnyRef](spark: SparkSession, key: String,
-      version: String)(make: => T): T = synchronized {
-    objects.get(key) match {
+      version: String)(make: => T): T = {
+    def hit(): Option[T] = objects.get(key) match {
       case Some((v, sess, o)) if v == version && (sess eq spark) &&
           !sess.sparkContext.isStopped =>
-        o.asInstanceOf[T]
-      case _ =>
-        val fresh = make
-        objects.put(key, (version, spark, fresh))
-        fresh
+        Some(o.asInstanceOf[T])
+      case _ => None
+    }
+    hit().getOrElse {
+      val latch = building.computeIfAbsent(key, _ => new Object)
+      latch.synchronized {
+        hit().getOrElse {
+          val fresh = make
+          objects.put(key, (version, spark, fresh))
+          fresh
+        }
+      }
     }
   }
+
+  /** Per-key build latches for [[cachedObj]] (never removed: one small
+    * object per distinct key, bounded by the registry's key space).
+    */
+  private val building =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
 
   /** Build-and-cache once per (session, key, version); later calls from
     * the same session with the same version return the SAME cached

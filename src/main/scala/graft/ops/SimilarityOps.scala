@@ -696,9 +696,35 @@ object SimilarityOps {
     import s.implicits._
     val g = math.max(16, math.min(2048,
       math.ceil(math.sqrt(k.toDouble)).toInt))
-    val ordered = emb
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy("h", "vec_id")
+    val hashed = emb.withColumn("h", md5(col("vec_id").cast("string")))
+    // K seeds, distributed: cl = md5 rank. Neither a global `limit(k)`
+    // nor an unpartitioned rank window may touch this path — both
+    // funnel all K seed rows (each an embedding) through ONE task, and
+    // at the clamp this path exists for (K up to 2^22) that single
+    // partition is gigabytes: exactly the bottleneck the two-level
+    // split removes from the driver. And a full-corpus sort just to
+    // take its K-prefix is corpus-sized shuffle work (measured 1.8x on
+    // the whole 200k-tile training). md5 is UNIFORM over the hex
+    // space, so a cutoff at ~1.3x the target fraction keeps ~1.3K
+    // candidate rows with one shuffle-free corpus pass; only those are
+    // sorted (an O(K) range shuffle), and zipWithIndex over the sorted
+    // candidates IS the global (h, vec_id) rank — output partitions of
+    // a sort are ordered ranges. Correct whenever >= k rows fall under
+    // the cutoff (then the k globally-smallest are all candidates);
+    // below that — possible only in the uniformity tail — widen to the
+    // full corpus.
+    val nRows = emb.count()
+    val frac = math.min(1.0, 1.3 * k.toDouble / math.max(1L, nRows))
+    // 15 hex digits (60 bits) of cutoff precision, padded to h's width
+    val cutLong = math.min((1L << 60) - 1, (frac * (1L << 60)).toLong)
+    val cutoff = f"$cutLong%015x" + "f" * 17
+    val pool =
+      if (frac >= 1.0) hashed
+      else {
+        val cands = hashed.where(col("h") <= cutoff)
+        if (cands.count() >= k) cands else hashed
+      }
+    val ordered = pool.orderBy("h", "vec_id")
     val coarse0: Array[Seq[Double]] = ordered.limit(g)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble))
@@ -707,11 +733,17 @@ object SimilarityOps {
     // the single-level path does for K, instead of indexing past the
     // collected array below
     val gEff = math.min(g, coarse0.length)
-    // K seeds, distributed: cl = md5 rank. The rank window runs over K
-    // rows (already limited), not the corpus.
-    val rw = Window.orderBy("h", "vec_id")
-    val seeds0 = ordered.limit(k)
-      .withColumn("cl", (row_number().over(rw) - 1).cast("int"))
+    val seedSrc = ordered.select(col("vec_id"), col("embedding"))
+    val embType = seedSrc.schema("embedding").dataType
+    val rankedRdd = seedSrc.rdd.zipWithIndex()
+      .filter(_._2 < k)
+      .map { case (r, i) => org.apache.spark.sql.Row(i.toInt, r.get(1)) }
+    val seedsBase = s.createDataFrame(rankedRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cl",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding", embType))))
+    val seeds0 = seedsBase
       // seed i < G IS coarse centroid i: pin it to its own group —
       // under duplicate seed vectors the nearest-coarse tie-break
       // would otherwise leave group i EMPTY, which would break the
@@ -1286,12 +1318,18 @@ object SimilarityOps {
     "s9_twolevel_vs_exact" -> QueryDef(
       (s, dir) => {
         val approx = {
+          // restore any EXPLICIT session threshold afterwards (unset
+          // would silently revert a user-tuned knob to the default)
+          val prior = s.conf.getOption("graft.ivf.twoLevelK")
           s.conf.set("graft.ivf.twoLevelK", "8")
           // the knob is read at PLAN time (model training + probe
           // widths); the returned frame's execution never re-reads it
           try defs("s4_ann_ivf").fn(s, dir)
             .select("query_id", "neighbor_id")
-          finally s.conf.unset("graft.ivf.twoLevelK")
+          finally prior match {
+            case Some(v) => s.conf.set("graft.ivf.twoLevelK", v)
+            case None => s.conf.unset("graft.ivf.twoLevelK")
+          }
         }
         val exact = bruteTopK(s, dir).select("query_id", "neighbor_id")
         exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")

@@ -50,26 +50,59 @@ object DrainHarness {
     * table gone, siblings surviving), which the existence-of-any check
     * below cannot see.
     */
-  private val WatermarkedSidecar = "_graft_watermarked"
+  private[streaming] val WatermarkedSidecar = "_graft_watermarked"
 
-  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
-      ckpt: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$ckpt/$WatermarkedSidecar")
-    if (!fs.exists(p)) Nil
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toVector
-      finally in.close()
-    }
+  /** Last line of a COMPLETE tmp sidecar — what lets the reader tell a
+    * fully-written tmp (the delete→rename crash window) from a torn
+    * one. The main file needs no terminator: it only ever appears via
+    * rename of a complete tmp.
+    */
+  private[streaming] val SidecarTerminator = "#ok"
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Vector[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toVector
+    finally in.close()
   }
 
-  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      ckpt: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$ckpt/$WatermarkedSidecar")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$ckpt/.$WatermarkedSidecar.tmp")
+    if (fs.exists(p)) readLines(fs, p).filterNot(_ == SidecarTerminator)
+    else if (fs.exists(tmp)) {
+      // main absent but tmp present = a crash between the delete and
+      // the rename below; the tmp is trusted ONLY when its terminator
+      // proves the write completed (a torn tmp with no main is a
+      // crashed FIRST write — nothing was watermarked-recorded yet)
+      val lines = readLines(fs, tmp)
+      if (lines.lastOption.contains(SidecarTerminator)) lines.dropRight(1)
+      else Nil
+    } else Nil
+  }
+
+  private[streaming] def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
       ckpt: String, tables: Seq[String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$ckpt/$WatermarkedSidecar")
-    val out = fs.create(p, true)
-    try out.write(tables.mkString("\n").getBytes("UTF-8"))
+    // write-temp-then-rename: fs.create(p, true) truncates the OLD
+    // sidecar before the new bytes land, so a crash mid-write would
+    // leave it empty (silently disarming the partial-deletion guard)
+    // or torn (failing a healthy resume on a phantom missing table).
+    // Every crash point now reads back complete: during the tmp write
+    // the old main survives; between delete and rename the terminated
+    // tmp is read in its place.
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$ckpt/.$WatermarkedSidecar.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((tables :+ SidecarTerminator).mkString("\n")
+      .getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(
+      s"could not move $tmp into place at $p")
   }
 
   def drain(s: SparkSession, srcPath: String, readChangeFeed: Boolean,

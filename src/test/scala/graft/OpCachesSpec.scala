@@ -66,4 +66,48 @@ class OpCachesSpec extends SparkSuite {
     assert(after.isEmpty,
       s"rewritten all-distinct corpus must yield no pairs, got ${after.length}")
   }
+
+  test("cachedObj: a slow build must not block unrelated cache traffic") {
+    // an IVF training inside cachedObj runs MINUTES of Spark jobs; if
+    // make executed under the registry's global monitor (the pre-fix
+    // shape), every concurrent cached()/cachedObj() caller would stall
+    // for the whole build. Deterministic deadlock probe: the slow
+    // build's make BLOCKS until another thread completes a cachedObj
+    // call for a different key — under a global lock that can never
+    // happen and the latch below times out.
+    val otherDone = new java.util.concurrent.CountDownLatch(1)
+    val slowEntered = new java.util.concurrent.CountDownLatch(1)
+    val slow = new Thread(() => {
+      OpCaches.cachedObj(spark, "spec:slow", "v1") {
+        slowEntered.countDown()
+        assert(otherDone.await(30, java.util.concurrent.TimeUnit.SECONDS),
+          "concurrent cachedObj(key2) never completed while " +
+            "cachedObj(key1)'s make was running — global lock regression")
+        new java.lang.Object
+      }
+    })
+    slow.start()
+    try {
+      assert(slowEntered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      val other = OpCaches.cachedObj(spark, "spec:fast", "v1") {
+        "done"
+      }
+      assert(other == "done")
+      otherDone.countDown()
+    } finally {
+      otherDone.countDown() // unblock the build on assertion failure
+      slow.join(30000)
+    }
+    assert(!slow.isAlive, "slow build never finished")
+  }
+
+  test("cachedObj: same (session, key, version) builds once, new version rebuilds") {
+    var builds = 0
+    def make = { builds += 1; Integer.valueOf(builds) }
+    val a = OpCaches.cachedObj(spark, "spec:obj", "v1")(make)
+    val b = OpCaches.cachedObj(spark, "spec:obj", "v1")(make)
+    assert((a eq b) && builds == 1)
+    val c = OpCaches.cachedObj(spark, "spec:obj", "v2")(make)
+    assert(c.intValue == 2 && builds == 2)
+  }
 }
