@@ -1575,7 +1575,7 @@ object DeltaWriter {
     */
   private[graft] def deleteMatching(spark: org.apache.spark.sql.SparkSession,
       path: String, keys: DataFrame): Long = {
-    import org.apache.spark.sql.functions.{col, lit, max, min}
+    import org.apache.spark.sql.functions.{col, lit}
     val snap = DeltaLog.forPath(spark, path)
     snap.checkProtocolSupported()
     Constraints.requireNotAppendOnly(snap.configuration, "DELETE", path)
@@ -1668,7 +1668,7 @@ object DeltaWriter {
         * CDC-apply-with-tombstones shape (DeltaSink.cdcBatch).
         */
       deleteWhen: Option[Column] = None): MergeStats = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, not}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     require(keys.nonEmpty, "merge needs at least one key column")
     val snap = priorSnapshot.getOrElse(DeltaLog.forPath(spark, path))
     snap.checkProtocolSupported()

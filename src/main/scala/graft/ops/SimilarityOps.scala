@@ -634,8 +634,9 @@ object SimilarityOps {
   private def buildIvfModel(s: SparkSession, dir: String): IvfModel = {
     val emb = OpCaches.cached(s, s"sim:emb:$dir",
       OpCaches.tableVersion(s, dir, "embeddings"))(corpus(s, dir))
-    val K = derivedK(emb.count())
-    if (K > twoLevelK(s)) return ivfModelTwoLevel(s, dir, emb, K)
+    val nCorpus = emb.count()
+    val K = derivedK(nCorpus)
+    if (K > twoLevelK(s)) return ivfModelTwoLevel(s, dir, emb, K, nCorpus)
 
     // seed centroids: hash-ordered corpus sample (deterministic,
     // cross-engine: md5 of the decimal id, id tiebreak)
@@ -692,7 +693,7 @@ object SimilarityOps {
     * makes, here applied to training as well as serving.
     */
   private def ivfModelTwoLevel(s: SparkSession, dir: String,
-      emb: DataFrame, k: Int): IvfModel = {
+      emb: DataFrame, k: Int, nRows: Long): IvfModel = {
     import s.implicits._
     val g = math.max(16, math.min(2048,
       math.ceil(math.sqrt(k.toDouble)).toInt))
@@ -713,7 +714,6 @@ object SimilarityOps {
     // the cutoff (then the k globally-smallest are all candidates);
     // below that — possible only in the uniformity tail — widen to the
     // full corpus.
-    val nRows = emb.count()
     val frac = math.min(1.0, 1.3 * k.toDouble / math.max(1L, nRows))
     // 15 hex digits (60 bits) of cutoff precision, padded to h's width
     val cutLong = math.min((1L << 60) - 1, (frac * (1L << 60)).toLong)

@@ -72,16 +72,26 @@ object DrainHarness {
     val p = new org.apache.hadoop.fs.Path(s"$ckpt/$WatermarkedSidecar")
     val tmp = new org.apache.hadoop.fs.Path(
       s"$ckpt/.$WatermarkedSidecar.tmp")
-    if (fs.exists(p)) readLines(fs, p).filterNot(_ == SidecarTerminator)
-    else if (fs.exists(tmp)) {
-      // main absent but tmp present = a crash between the delete and
-      // the rename below; the tmp is trusted ONLY when its terminator
-      // proves the write completed (a torn tmp with no main is a
-      // crashed FIRST write — nothing was watermarked-recorded yet)
-      val lines = readLines(fs, tmp)
-      if (lines.lastOption.contains(SidecarTerminator)) lines.dropRight(1)
+    // a COMPLETE (terminator-proven) tmp outranks the main file: a
+    // successful write renames the tmp away, so a surviving complete
+    // tmp is always the STRICTLY NEWER write (a crash after close,
+    // before the delete/rename below) — preferring the main there
+    // would silently drop the just-watermarked tables from the guard.
+    // A torn tmp (no terminator) is an interrupted write: the main
+    // (if any) is the last complete state; with no main it was a
+    // crashed FIRST write and nothing had been recorded yet.
+    val fromTmp: Option[Seq[String]] =
+      if (!fs.exists(tmp)) None
+      else {
+        val lines = readLines(fs, tmp)
+        if (lines.lastOption.contains(SidecarTerminator))
+          Some(lines.dropRight(1))
+        else None
+      }
+    fromTmp.getOrElse {
+      if (fs.exists(p)) readLines(fs, p).filterNot(_ == SidecarTerminator)
       else Nil
-    } else Nil
+    }
   }
 
   private[streaming] def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,

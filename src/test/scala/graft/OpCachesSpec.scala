@@ -77,12 +77,15 @@ class OpCachesSpec extends SparkSuite {
     // happen and the latch below times out.
     val otherDone = new java.util.concurrent.CountDownLatch(1)
     val slowEntered = new java.util.concurrent.CountDownLatch(1)
+    // outcome captured on the main thread: an assert INSIDE the spawned
+    // thread would be swallowed as an uncaught thread exception and the
+    // suite would go green on exactly the regression this test targets
+    @volatile var sawOtherComplete = false
     val slow = new Thread(() => {
       OpCaches.cachedObj(spark, "spec:slow", "v1") {
         slowEntered.countDown()
-        assert(otherDone.await(30, java.util.concurrent.TimeUnit.SECONDS),
-          "concurrent cachedObj(key2) never completed while " +
-            "cachedObj(key1)'s make was running — global lock regression")
+        sawOtherComplete =
+          otherDone.await(30, java.util.concurrent.TimeUnit.SECONDS)
         new java.lang.Object
       }
     })
@@ -99,6 +102,9 @@ class OpCachesSpec extends SparkSuite {
       slow.join(30000)
     }
     assert(!slow.isAlive, "slow build never finished")
+    assert(sawOtherComplete,
+      "concurrent cachedObj(key2) never completed while " +
+        "cachedObj(key1)'s make was running — global lock regression")
   }
 
   test("cachedObj: same (session, key, version) builds once, new version rebuilds") {

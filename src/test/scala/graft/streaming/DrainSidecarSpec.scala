@@ -59,6 +59,17 @@ class DrainSidecarSpec extends SparkSuite {
     assert(DrainHarness.readSidecar(fs, ckpt) == Seq("/a"))
   }
 
+  test("crash after a REWRITE's tmp close: the newer complete tmp outranks the main") {
+    val (fs, ckpt) = ckptDir()
+    DrainHarness.writeSidecar(fs, ckpt, Seq("/a", "/b"))
+    // the window between tmp close and the delete/rename: both files
+    // exist, the tmp is the strictly newer write — reading the stale
+    // main would drop the just-watermarked /c from the guard
+    put(fs, s"$ckpt/.${DrainHarness.WatermarkedSidecar}.tmp",
+      s"/a\n/b\n/c\n${DrainHarness.SidecarTerminator}")
+    assert(DrainHarness.readSidecar(fs, ckpt) == Seq("/a", "/b", "/c"))
+  }
+
   test("absent sidecar reads as empty (fresh checkpoint)") {
     val (fs, ckpt) = ckptDir()
     assert(DrainHarness.readSidecar(fs, ckpt).isEmpty)
