@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.delta.ScanSettings
-import graft.functions.{LshSignature, NearestCentroid, SimHash64, VectorCosine}
+import graft.functions.{BloomMightContain, LshSignature, NearestCentroid, SimHash64, VectorCosine}
 
 /** Spark-native integration point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or
@@ -38,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NearestCentroid.builder))
     ext.injectFunction(fn("lsh_signature", classOf[LshSignature],
       LshSignature.builder))
+    ext.injectFunction(fn("bloom_might_contain", classOf[BloomMightContain],
+      BloomMightContain.builder))
     // table-valued function: SELECT * FROM graft_delta('/path'[, version])
     // — the pure-SQL entry point to the optimized Delta scan (same
     // DeltaFileIndex single-scan plan as scanDelta: partition pruning,
