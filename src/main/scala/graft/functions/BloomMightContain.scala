@@ -33,17 +33,21 @@ case class BloomMightContain(child: Expression, bloomExpr: Expression)
   override def right: Expression = bloomExpr
 
   override def dataType: DataType = BooleanType
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = child.nullable || bloomExpr.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, bloomExpr.dataType) match {
-      case (StringType, BinaryType) if bloomExpr.foldable =>
+      case (StringType, BinaryType) if bloomExpr.foldable &&
+          bloomExpr.eval() != null =>
         TypeCheckResult.TypeCheckSuccess
       case (StringType, BinaryType) => TypeCheckResult.TypeCheckFailure(
-        "bloom_might_contain's filter must be a constant binary " +
+        "bloom_might_contain's filter must be a non-null constant binary " +
           "(the serialized BloomFilter)")
+      case (StringType, otherFilter) => TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain's filter must be a constant binary (the " +
+          s"serialized BloomFilter), got ${otherFilter.simpleString}")
       case (other, _) => TypeCheckResult.TypeCheckFailure(
-        s"bloom_might_contain requires (string, const binary), got " +
+        s"bloom_might_contain's gram must be a string, got " +
           other.simpleString)
     }
 
@@ -56,10 +60,24 @@ case class BloomMightContain(child: Expression, bloomExpr: Expression)
       bloom.mightContainBinary(g.asInstanceOf[UTF8String].getBytes))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // hand-rolled instead of nullSafeCodeGen: evaluating the right
+    // child would land the serialized BYTES in the codegen references
+    // next to the deserialized filter reference object — two copies of
+    // a structure this mechanism sizes in the hundreds of MB at a real
+    // benchmark suite. Only the gram child is evaluated here; the
+    // filter is the reference object alone.
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val ref = ctx.addReferenceObj("bloom", bloom,
       classOf[BloomFilter].getName)
-    nullSafeCodeGen(ctx, ev, (c, _) =>
-      s"${ev.value} = $ref.mightContainBinary($c.getBytes());")
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = ${childGen.isNull};
+         |boolean ${ev.value} = false;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $ref.mightContainBinary(${childGen.value}.getBytes());
+         |}""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(

@@ -61,6 +61,43 @@ class BloomContaminationSpec extends SparkSuite {
     assert(out.exists(_.isNullAt(0)))
   }
 
+  test("a null constant filter is an analysis error, not an NPE") {
+    // untyped NULL (void) — caught by the filter-type arm
+    val e1 = intercept[Exception] {
+      Seq("x").toDF("g")
+        .select(BloomMightContain.bloomMightContain(spark, col("g"),
+          null.asInstanceOf[Array[Byte]]))
+        .collect()
+    }
+    assert(e1.getMessage.contains("constant binary"),
+      s"expected the type-check message, got: ${e1.getMessage}")
+    // typed NULL (CAST(NULL AS BINARY)) — caught by the non-null check
+    BloomMightContain.register(spark)
+    val e2 = intercept[Exception] {
+      Seq("x").toDF("g")
+        .selectExpr("bloom_might_contain(g, CAST(NULL AS BINARY))")
+        .collect()
+    }
+    assert(e2.getMessage.contains("non-null constant binary"),
+      s"expected the non-null type-check message, got: ${e2.getMessage}")
+  }
+
+  test("t8b is vacuously true on a corpus with zero overlap") {
+    val dir = Files.createTempDirectory("bloomclean").toString
+    // every doc a disjoint word soup: no shared 5-grams anywhere, and
+    // the tiny gram volume makes Bloom false positives overwhelmingly
+    // unlikely — the differential joins zero rows and must report PASS
+    // (NULL-from-empty-agg here once mismatched the oracle's `true`)
+    val rows = (1L to 12L).map { i =>
+      (i, (1 to 10).map(j => s"u$i-$j").mkString(" "))
+    }
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = TextOps.defs("t8b_contamination_bloom").fn(spark, dir).collect()
+    assert(out.length == 1 && !out(0).isNullAt(0) && out(0).getBoolean(0),
+      s"vacuously clean corpus must pass: ${out.mkString(",")}")
+  }
+
   test("t8b differential holds on a corpus with planted contamination") {
     val dir = Files.createTempDirectory("bloomt8b").toString
     // 40 docs: unique word soups plus a SHARED 6-token tail, so every
