@@ -722,7 +722,10 @@ object SimilarityOps {
       if (frac >= 1.0) hashed
       else {
         val cands = hashed.where(col("h") <= cutoff)
-        if (cands.count() >= k) cands else hashed
+        // the pool must hold the g globally-smallest rows too (coarse0
+        // takes limit(g), and g's floor of 16 can exceed k when the
+        // two-level threshold is tuned low), not just the k smallest
+        if (cands.count() >= math.max(k, g)) cands else hashed
       }
     val ordered = pool.orderBy("h", "vec_id")
     val coarse0: Array[Seq[Double]] = ordered.limit(g)
@@ -790,16 +793,25 @@ object SimilarityOps {
 
     // vector -> group (kernel pass) -> nearest of the group's seeds
     // (distributed join, ~K/G candidates each; sim DESC, lowest cl
-    // tie-break like the kernel's)
+    // tie-break like the kernel's). The argmax is a combiner-bound
+    // aggregate, NOT a rank window: the join output is co-partitioned
+    // by grp, so every vector's ~sqrt(K) candidate rows sit in one
+    // partition and the partial max_by collapses them to ONE row
+    // before the shuffle — ~n rows move instead of n*sqrt(K)
+    // embedding-carrying rows (at the 2^22 clamp this path exists
+    // for, the window shape would re-shuffle ~sqrt(K)=2048x the
+    // corpus). max_by over struct(__sim, -cl) is the same total
+    // order as (sim DESC, cl ASC): cl is unique within a candidate
+    // set, so the winner is identical to the window's rank 1.
     def assign(cents: DataFrame): DataFrame = {
-      val aw = Window.partitionBy("vec_id")
-        .orderBy(col("__sim").desc, col("cl"))
       emb.withColumn("grp", nearestCentroid(s, coarse, col("embedding")))
         .join(cents, "grp")
         .withColumn("__sim", cosine(s, col("c"), col("embedding")))
-        .withColumn("__rn", row_number().over(aw))
-        .where(col("__rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cl"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("cl"), col("embedding")),
+          struct(col("__sim"), (-col("cl")).as("__negcl"))).as("__best"))
+        .select(col("vec_id"), col("__best.embedding").as("embedding"),
+          col("__best.cl").as("cl"))
     }
 
     // one Lloyd step, all-distributed: per-cluster means, quantized

@@ -94,6 +94,29 @@ object DrainHarness {
     }
   }
 
+  /** Read-repair run before every sidecar write: a crash between
+    * [[writeSidecar]]'s delete(main) and rename leaves the complete
+    * tmp as the ONLY durable copy, and the next write's truncating
+    * create would destroy it before the new bytes land — a second
+    * crash mid-write would then read back as "nothing recorded",
+    * silently disarming the partial-deletion guard. Promote a complete
+    * (terminator-proven) leftover tmp to main first; a torn leftover
+    * is an interrupted write the surviving main still covers, and is
+    * safe to truncate.
+    */
+  private[streaming] def promoteLeftoverTmp(
+      fs: org.apache.hadoop.fs.FileSystem, ckpt: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$ckpt/$WatermarkedSidecar")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$ckpt/.$WatermarkedSidecar.tmp")
+    if (fs.exists(tmp) &&
+        readLines(fs, tmp).lastOption.contains(SidecarTerminator)) {
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p)) throw new java.io.IOException(
+        s"could not promote leftover complete $tmp to $p")
+    }
+  }
+
   private[streaming] def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
       ckpt: String, tables: Seq[String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$ckpt/$WatermarkedSidecar")
@@ -106,6 +129,7 @@ object DrainHarness {
     // tmp is read in its place.
     val tmp = new org.apache.hadoop.fs.Path(
       s"$ckpt/.$WatermarkedSidecar.tmp")
+    promoteLeftoverTmp(fs, ckpt)
     val out = fs.create(tmp, true)
     try out.write((tables :+ SidecarTerminator).mkString("\n")
       .getBytes("UTF-8"))

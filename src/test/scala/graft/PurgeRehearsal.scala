@@ -109,10 +109,13 @@ object PurgeRehearsal {
             purgeS = time(sync())
         }
         val storeLeft = DeltaLake.scanDelta(spark, store).count()
+        val storeRetired = DeltaLake.scanDelta(spark, store)
+          .where(col("doc_id") >= halfDoc).count()
         val bandLeft = DeltaLake.scanDelta(spark, store + "_bands")
           .where(col("doc_id") >= halfDoc).count()
-        require(bandLeft == 0L,
-          s"purge incomplete: $bandLeft retired band rows survive")
+        require(bandLeft == 0L && storeRetired == 0L,
+          s"purge incomplete: $bandLeft retired band rows and " +
+            s"$storeRetired retired store rows survive")
         println(f"[purge] $label dedup $mode%-8s docs=$nDoc%-7d " +
           f"store-after=$storeLeft%-7d seed=$seedS%6.2f s " +
           f"purge-batch=$purgeS%6.2f s")

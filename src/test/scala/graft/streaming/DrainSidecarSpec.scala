@@ -70,6 +70,34 @@ class DrainSidecarSpec extends SparkSuite {
     assert(DrainHarness.readSidecar(fs, ckpt) == Seq("/a", "/b", "/c"))
   }
 
+  test("rewrite after a crash between delete and rename: the leftover " +
+      "complete tmp is promoted to main BEFORE the truncating create") {
+    val (fs, ckpt) = ckptDir()
+    // the crash window: no main, a COMPLETE tmp is the only durable
+    // copy. Without the read-repair the next write would truncate it
+    // first, so a second crash mid-write would read back as empty.
+    put(fs, s"$ckpt/.${DrainHarness.WatermarkedSidecar}.tmp",
+      s"/a\n/b\n${DrainHarness.SidecarTerminator}")
+    // the repair step writeSidecar runs first: main now holds the
+    // promoted state, so the truncating create never touches the only
+    // durable copy
+    DrainHarness.promoteLeftoverTmp(fs, ckpt)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$ckpt/.${DrainHarness.WatermarkedSidecar}.tmp")))
+    assert(DrainHarness.readSidecar(fs, ckpt) == Seq("/a", "/b"))
+    // and the full rewrite lands the new state cleanly on top
+    DrainHarness.writeSidecar(fs, ckpt, Seq("/a", "/b", "/c"))
+    assert(DrainHarness.readSidecar(fs, ckpt) == Seq("/a", "/b", "/c"))
+  }
+
+  test("a torn leftover tmp is NOT promoted (the main still covers it)") {
+    val (fs, ckpt) = ckptDir()
+    DrainHarness.writeSidecar(fs, ckpt, Seq("/a"))
+    put(fs, s"$ckpt/.${DrainHarness.WatermarkedSidecar}.tmp", "/a\n/b")
+    DrainHarness.promoteLeftoverTmp(fs, ckpt)
+    assert(DrainHarness.readSidecar(fs, ckpt) == Seq("/a"))
+  }
+
   test("absent sidecar reads as empty (fresh checkpoint)") {
     val (fs, ckpt) = ckptDir()
     assert(DrainHarness.readSidecar(fs, ckpt).isEmpty)
