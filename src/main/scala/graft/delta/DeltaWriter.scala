@@ -1574,8 +1574,29 @@ object DeltaWriter {
     * the driver. Returns the newly deleted row count.
     */
   private[graft] def deleteMatching(spark: org.apache.spark.sql.SparkSession,
-      path: String, keys: DataFrame): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
+      path: String, keys: DataFrame): Long =
+    deleteMatchingImpl(spark, path, keys, anyOfCols = None)
+
+  /** [[deleteMatching]] for the both-endpoints retire shape (a pairs
+    * table): DELETE every row where ANY of `anyOfCols` appears in the
+    * single key column of `keys`. One pruned scan and ONE DV commit
+    * replace the per-endpoint [[deleteMatching]] calls (which cost two
+    * full candidate scans + two commits per mass-delete batch on the
+    * heaviest table). Candidate files are the UNION of each endpoint's
+    * zone-map survivors — the AND-only [[Cond]] list cannot express
+    * the endpoint OR — and the row match is ONE hash semi-join against
+    * the exploded endpoint column (an OR-equality join condition would
+    * degrade to a nested-loop join; the explode keeps it hashable).
+    */
+  private[graft] def deleteMatchingAny(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keys: DataFrame, anyOfCols: Seq[String]): Long =
+    deleteMatchingImpl(spark, path, keys, Some(anyOfCols))
+
+  private def deleteMatchingImpl(spark: org.apache.spark.sql.SparkSession,
+      path: String, keys: DataFrame,
+      anyOfCols: Option[Seq[String]]): Long = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit}
     val snap = DeltaLog.forPath(spark, path)
     snap.checkProtocolSupported()
     Constraints.requireNotAppendOnly(snap.configuration, "DELETE", path)
@@ -1583,20 +1604,57 @@ object DeltaWriter {
     def q(n: String) = col(s"`${n.replace("`", "``")}`")
     val keyCols = keys.schema.fieldNames.toSeq
     require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
-    keyCols.foreach(k => require(schema.fieldNames.contains(k),
-      s"delete key '$k' is not a table column"))
+    anyOfCols match {
+      case Some(cols) =>
+        require(keyCols.size == 1,
+          "deleteMatchingAny needs exactly one key column")
+        require(cols.nonEmpty,
+          "deleteMatchingAny needs at least one target column")
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"delete key '$c' is not a table column"))
+        val dts = cols.map(c => schema(c).dataType).distinct
+        require(dts.size == 1,
+          s"deleteMatchingAny target columns must share one type, got $dts")
+      case None =>
+        keyCols.foreach(k => require(schema.fieldNames.contains(k),
+          s"delete key '$k' is not a table column"))
+    }
     val src = keys.distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // key bounds -> candidate-file pruning (merge's move): one tiny
-      // agg, so a purge touching recent partitions never scans cold ones
-      val bounds = keyBounds(src, keyCols, schema)
       val base = path.stripSuffix("/")
-      val candidates = snap.addActionsFiltered(bounds)
+      // key bounds -> candidate-file pruning (merge's move): one tiny
+      // agg, so a purge touching recent partitions never scans cold
+      // ones. In any-of mode the ONE key range prunes per endpoint and
+      // the survivor sets union: a file is a candidate if ANY
+      // endpoint's zone overlaps the keys.
+      val candidates = anyOfCols match {
+        case Some(cols) =>
+          val b0 = keyBounds(src, keyCols, keys.schema)
+          val seen = mutable.LinkedHashMap.empty[String, AddAction]
+          cols.foreach { c =>
+            snap.addActionsFiltered(b0.map(b => Cond(c, b.op, b.value)))
+              .foreach(a => seen.getOrElseUpdate(a.path, a))
+          }
+          seen.values.toSeq
+        case None =>
+          snap.addActionsFiltered(keyBounds(src, keyCols, schema))
+      }
       if (candidates.isEmpty) return 0L
-      val matchedDf = DeltaScan.scanWithRowIndex(snap, candidates)
-        .join(src, keyCols, "left_semi")
-      val matching = matchedDf.select("__graft_file", "__graft_row_index")
+      val scan = DeltaScan.scanWithRowIndex(snap, candidates)
+      val (matchedDf, matching) = anyOfCols match {
+        case Some(cols) =>
+          val ep = scan.select(q("__graft_file"), q("__graft_row_index"),
+            explode(array(cols.map(q): _*)).as("__graft_ep"))
+          val m = ep.join(src.select(q(keyCols.head).as("__graft_ep")),
+              Seq("__graft_ep"), "left_semi")
+            .select("__graft_file", "__graft_row_index").distinct()
+          (scan.join(m, Seq("__graft_file", "__graft_row_index"),
+            "left_semi"), m)
+        case None =>
+          val md = scan.join(src, keyCols, "left_semi")
+          (md, md.select("__graft_file", "__graft_row_index"))
+      }
       val (dvLines, newlyDeleted) =
         dvActionLines(spark, base, snap, candidates, matching)
       if (dvLines.isEmpty) return 0L
@@ -1608,9 +1666,13 @@ object DeltaWriter {
         lines ++= writeCdcFiles(spark, path, snap, cdc)
       }
       val removed = removedPaths(lines.toSeq)
+      val predicate = anyOfCols match {
+        case Some(cols) =>
+          s"key semi-join on any of (${cols.mkString(", ")})"
+        case None => s"key semi-join on (${keyCols.mkString(", ")})"
+      }
       val all = lines.toSeq :+ commitInfoLine("DELETE",
-        params = Map("predicate" ->
-          s"key semi-join on (${keyCols.mkString(", ")})"),
+        params = Map("predicate" -> predicate),
         metrics = Map("numDeletedRows" -> newlyDeleted,
           "numRemovedFiles" -> removed.size.toLong))
       commitDml(spark, path, snap, all, removed, "DELETE",
@@ -5108,3 +5170,4 @@ object DeltaWriter {
     case _ => 0
   }
 }
+

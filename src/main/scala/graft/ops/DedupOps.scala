@@ -682,10 +682,17 @@ object DedupOps {
           graft.DeltaLake.deleteWhere(s, p,
             Seq(graft.delta.Cond(k, "in", ids)))
         }
-        case None => keyCols.foreach { k =>
-          graft.delta.DeltaWriter.deleteMatching(s, p,
-            goneDf.select(col("doc_id").as(k)))
-          ()
+        case None => keyCols match {
+          case Seq(k) =>
+            graft.delta.DeltaWriter.deleteMatching(s, p,
+              goneDf.select(col("doc_id").as(k)))
+            ()
+          case many =>
+            // a pair touches the retired set through EITHER endpoint:
+            // one pruned scan + ONE DV commit for the whole batch, not
+            // one deleteMatching (scan + commit) per endpoint
+            graft.delta.DeltaWriter.deleteMatchingAny(s, p, goneDf, many)
+            ()
         }
       }
       if (tableExists(s, storePath) && !applied(storePath))
@@ -1558,3 +1565,4 @@ object DedupOps {
         |SELECT doc_a, doc_b, hamming FROM ham
         |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin)))
 }
+

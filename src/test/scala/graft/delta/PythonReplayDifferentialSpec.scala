@@ -640,6 +640,37 @@ class PythonReplayDifferentialSpec extends SparkSuite {
       out.toString)
   }
 
+  test("deleteMatchingAny purge: either-endpoint DV masks replay through the python reader") {
+    val path = tmp()
+    // a pairs-shaped table: the purge must retire rows touching the
+    // key set through EITHER endpoint, in ONE commit
+    DeltaWriter.write((1L to 500L).map(i => (i, (i * 7) % 500 + 1, i % 9))
+      .toDF("doc_a", "doc_b", "w"), path,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    val keys = spark.range(400L, 600L).select(col("id").as("doc_id"))
+    val removed = DeltaWriter.deleteMatchingAny(spark, path, keys,
+      Seq("doc_a", "doc_b"))
+    val want = (1L to 500L).count(i =>
+      i >= 400L || ((i * 7) % 500 + 1) >= 400L)
+    assert(removed == want.toLong)
+    // ONE commit carried the whole either-endpoint purge
+    assert(graft.DeltaLake.history(spark, path)
+      .where(col("operation") === "DELETE").count() == 1L)
+    assertAgrees(path, 500L - removed)
+    // the stored change feed carries the purge's delete pre-images
+    val dump = java.nio.file.Files
+      .createTempDirectory("graft_pyrep_dma").toString
+    graft.DeltaLake.scanDeltaCdf(spark, path, -1L)
+      .coalesce(1).write.mode("overwrite").parquet(dump)
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Seq("python3", "tools/delta_replay.py", path, "--cdf", dump) !
+      ProcessLogger(l => out ++= l, l => out ++= l)
+    assert(code == 0, s"python CDF replay diverged: $out")
+    val node = ActionCodec.mapper.readTree(out.toString)
+    assert(node.get("rows").asLong == 500L + removed, out.toString)
+  }
+
   test("p8 shard export + stored manifest replay identically") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_pyrep_p8").toString

@@ -173,6 +173,13 @@ class StreamingDedupSpec extends SparkSuite {
     assert(DeltaLake.scanDelta(spark, store).count() == 30L)
     assert(DeltaLake.scanDelta(spark, DedupOps.bandStorePath(store))
       .select("doc_id").where(col("doc_id") > 30L).count() == 0L)
+    // the both-endpoints pairs retire rode ONE DV commit (a single
+    // pruned scan matching EITHER endpoint), not one deleteMatching
+    // per endpoint — the purge batch must show exactly one DELETE
+    val deletes = DeltaLake.history(spark, pairs)
+      .where(col("operation") === "DELETE").count()
+    assert(deletes == 1L,
+      s"expected the over-cap pairs retire in ONE commit, saw $deletes")
   }
 
   test("CDF crash poison case: replaying an update batch after the pairs leg") {
