@@ -505,6 +505,15 @@ object DedupOps {
     * to the batch's file hits. Readers between legs see the table pair
     * as if the increment had not happened yet (single-writer pipeline
     * assumed, as with any Delta streaming sink).
+    *
+    * Multiple pipelines (distinct appIds) may share one store SERIALLY
+    * — the increment is decided against the committed store, not the
+    * ledger, so a peer's already-signed docs are a no-op and the
+    * per-table (appId, batchId) ledgers never cross-skip or cross-trip
+    * the retire guards (ConcurrentDrainSpec pins the convergence). Two
+    * drains must NOT process the same source commit CONCURRENTLY: each
+    * reads the store before the peer's commit lands, and a mid-batch
+    * race would sign the same docs twice.
     */
   def drainBatch(s: SparkSession, storePath: String, pairsPath: String,
       appId: String)(batch: DataFrame, batchId: Long): Unit =
