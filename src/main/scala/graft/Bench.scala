@@ -244,6 +244,39 @@ object Bench {
         }
         emit("kernels_cold", w1.toSeq)
         emit("kernels", w2.toSeq)
+        // the session snapshot cache, measured per round instead of
+        // asserted by SnapshotCacheSpec alone (r13 verdict stretch):
+        // the same persisted-index probe with the cache disabled vs
+        // default, alternating shots, min-of-3 each. The cache is
+        // CLEARED before every shot in both series — an s6 execution
+        // opens the store once per probe cond-set, so the ON series
+        // measures populate-once-hit-rest within one query, the OFF
+        // series a full log replay per open; the conf is the ONLY
+        // difference between the series.
+        SparkEntry.queries.get("s6_ann_probe_store").foreach { fn =>
+          try { fn(spark, sfDir).count(); () }
+          catch { case _: Throwable => () }
+          val offs = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val ons = scala.collection.mutable.ArrayBuffer.empty[Double]
+          (1 to 3).foreach { _ =>
+            spark.conf.set("graft.delta.snapshotCache", "false")
+            graft.delta.DeltaLog.clearSnapshotCache()
+            offs += (try time(fn(spark, sfDir).count())
+              catch { case _: Throwable => -1.0 })
+            spark.conf.set("graft.delta.snapshotCache", "true")
+            graft.delta.DeltaLog.clearSnapshotCache()
+            ons += (try time(fn(spark, sfDir).count())
+              catch { case _: Throwable => -1.0 })
+          }
+          spark.conf.unset("graft.delta.snapshotCache")
+          def best(xs: Seq[Double]) = {
+            val ok = xs.filter(_ >= 0)
+            if (ok.isEmpty) -1.0 else ok.min
+          }
+          emit("kernels", Seq(
+            "s6_snapcache_off" -> best(offs.toSeq),
+            "s6_snapcache_on" -> best(ons.toSeq)))
+        }
       case "cold" =>
         // deepClean, not clear(): localCheckpoint blocks and memory-sink
         // tables from the staging invocations sit outside the registry

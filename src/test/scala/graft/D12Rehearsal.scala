@@ -62,6 +62,24 @@ object D12Rehearsal {
     println(f"sf1 -> sf10emb (two-level): data ${dataRatio2}%.1fx, " +
       f"candidate pairs ${pairRatio2}%.1fx => pairs/data " +
       f"${pairRatio2 / dataRatio2}%.2f")
+
+    // fourth scale (round 14, `--deep`): a 100x-sf1 embeddings-only
+    // tile — 2,000,000 vectors, derived K = 8,000, G = ceil(sqrt(K)) =
+    // 90 coarse cells — one decade past the 200k tile. Structural
+    // metrics only (the wall-clock columns are one-shot samples; see
+    // SCALE_REHEARSAL's honesty note).
+    if (args.contains("--deep")) {
+      val sf100 = "/root/repo/target/sf100emb"
+      if (!new java.io.File(s"$sf100/embeddings.parquet").exists())
+        ScaleGen.generateEmbeddings(spark, sf1, sf100, 100)
+      val (n3, k3, p3, m3, t3) = pass(sf100)
+      println(f"${"sf100emb"}%-8s $n3%8d $k3%6d $p3%12d $m3%12d $t3%8.2f")
+      val dataRatio3 = n3.toDouble / n2
+      val pairRatio3 = p3.toDouble / p2
+      println(f"sf10emb -> sf100emb (two-level): data ${dataRatio3}%.1fx, " +
+        f"candidate pairs ${pairRatio3}%.1fx => pairs/data " +
+        f"${pairRatio3 / dataRatio3}%.2f")
+    }
     spark.stop()
   }
 }

@@ -109,7 +109,14 @@ object ScaleGen {
   /** Tile an embeddings table `copies`× with vec_id offsets and
     * per-copy circular dimension shifts (norms and within-copy
     * neighbor structure preserved; cross-copy cosine collapses to
-    * noise).
+    * noise). Past 64 copies the 64-dim shift cycle would repeat —
+    * copy 64's rotation equals copy 55's, reintroducing the exact
+    * cross-copy dups the transform exists to avoid — so copies ≥ 64
+    * REVERSE the vector before rotating (a reversed vector is not a
+    * rotation of the original in general, and the reversed copies'
+    * shifts are injective again within their own range). Copies < 64
+    * are byte-identical to what this produced before the deep tile
+    * existed, so the recorded 10-copy rehearsal metrics stand.
     */
   def tiledEmbeddings(df: DataFrame, vecStride: Long,
       copies: Int): DataFrame =
@@ -123,9 +130,10 @@ object ScaleGen {
         // pathology this transform exists to avoid)
         val raw = lit(c * 7) % dim
         val shift = when(raw === 0, lit(1)).otherwise(raw)
+        val base = if (c < 64) col("embedding") else reverse(col("embedding"))
         d.withColumn("embedding",
-          concat(slice(col("embedding"), shift + 1, dim - shift),
-            slice(col("embedding"), lit(1), shift)))
+          concat(slice(base, shift + 1, dim - shift),
+            slice(base, lit(1), shift)))
       }
     }.reduce(_ unionByName _)
 
