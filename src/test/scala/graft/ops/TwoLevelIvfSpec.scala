@@ -74,6 +74,24 @@ class TwoLevelIvfSpec extends SparkSuite {
     OpCaches.deepClean(spark)
   }
 
+  test("the assignment is a combiner-bound argmax, not a rank window") {
+    // the r13 verdict's one scale-shape defect: ranking each vector's
+    // ~sqrt(K) seed candidates with row_number over
+    // Window.partitionBy(vec_id) re-shuffles n*sqrt(K) embedding-
+    // carrying rows. The argmax must be an AGGREGATE (partial max_by
+    // collapses a vector's candidates map-side, in the partition the
+    // grp-join produced them in) with no window anywhere in the plan.
+    OpCaches.deepClean(spark)
+    val m = forced { SimilarityOps.ivfModel(spark, dir) }
+    assert(m.coarse.isDefined)
+    val plan = m.lists.queryExecution.optimizedPlan.toString
+    assert(plan.contains("max_by"),
+      s"two-level assignment lost its max_by aggregate:\n${plan.take(800)}")
+    assert(!plan.toLowerCase.contains("window"),
+      s"two-level assignment regressed to a window:\n${plan.take(800)}")
+    OpCaches.deepClean(spark)
+  }
+
   test("the trained model is memoized per (corpus version, threshold)") {
     OpCaches.deepClean(spark)
     val a = forced { SimilarityOps.ivfModel(spark, dir) }
