@@ -118,19 +118,40 @@ object PipelineOps {
     * materialized export) and the export writer share: content-hash
     * shard (md5 prefix mod `shards`) + hash-ordered sequence inside
     * each shard.
+    *
+    * The dense per-shard `seq` is NOT a rank window:
+    * `row_number().over(partitionBy(shard))` funnels each shard's
+    * whole corpus slice through ONE task — shards is a small constant,
+    * so at 100 TB that task holds terabytes. Instead: one distributed
+    * range-partitioned sort on (shard, h, doc_id), zipWithIndex over
+    * its ordered output partitions (a sort's output partitions are
+    * ordered ranges, so the zip index IS the global rank — the
+    * two-level seed-ranking argument), and a broadcast per-shard
+    * min-offset subtraction. Row-identical to the window definition;
+    * work scales with input splits, not with the shard count.
     */
   private def shardAssignment(s: org.apache.spark.sql.SparkSession,
       dir: String, shards: Int = 8): org.apache.spark.sql.DataFrame = {
     val h = md5(to_binary(
       concat(col("doc_id").cast("string"), lit(":shard")), lit("utf-8")))
     val toks = TextOps.tokens(col("text"))
-    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    table(s, dir, "documents")
+    val sorted = table(s, dir, "documents")
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         h.as("h"))
       .withColumn("shard",
         conv(substring(col("h"), 1, 8), 16, 10).cast("long") % shards)
-      .withColumn("seq", row_number().over(w).cast("long"))
+      .orderBy("shard", "h", "doc_id")
+    val schema = sorted.schema
+      .add(org.apache.spark.sql.types.StructField("__gidx",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val withIdx = s.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    val offsets = withIdx.groupBy("shard").agg(min(col("__gidx")).as("__off"))
+    withIdx.join(broadcast(offsets), "shard")
+      .withColumn("seq", col("__gidx") - col("__off") + 1L)
+      .select("doc_id", "n_tokens", "h", "shard", "seq")
   }
 
   /** p2 MATERIALIZED (r9 verdict item 6): write the sharded corpus as

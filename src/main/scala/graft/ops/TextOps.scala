@@ -14,22 +14,99 @@ object TextOps {
 
   private[ops] def tokens(c: Column): Column = split(lower(c), "\\s+")
 
+  /** Exact per-stratum bottom-q by (h, doc_id) with the rank window's
+    * input CAPPED at ~margin·q rows per stratum — the p5 pattern
+    * (`PipelineOps.stratifiedSampleRefined`) generalized to a
+    * per-stratum, data-dependent quota. A raw
+    * `row_number().over(partitionBy(stratum))` moves every stratum's
+    * ENTIRE row set through one task (at 100 TB with a handful of
+    * sources/langs, that single task holds a corpus share); here only
+    * rows under a 60-bit hash-prefix threshold reach the window. The
+    * numeric prefix is order-preserving (prefix(a) < prefix(b) ⇒
+    * a < b lexicographically), so a threshold admitting ≥ q rows
+    * provably contains the true bottom-q; strata the hash tail
+    * under-fills are re-admitted WHOLE (fail-open, never wrong).
+    * Stratum cardinality is assumed driver-sized — languages, sources —
+    * the same assumption p5 documents. NULL is a stratum like any
+    * other (null-safe joins throughout).
+    *
+    * `df` must carry `doc_id` and a lexicographic md5 hex column `h`;
+    * `quotaOf` maps a stratum's FULL row count to its quota. Returns
+    * df's columns + `n_src` (the full stratum count) + `rk`, filtered
+    * to rk ≤ quota — row-identical to ranking the whole stratum.
+    */
+  private[ops] def bottomQByHash(df: org.apache.spark.sql.DataFrame,
+      stratum: String, quotaOf: Column => Column,
+      margin: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val keyed = df.withColumn("__kp",
+      conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
+    // pass 1: per-stratum counts → quotas and prefix thresholds,
+    // collected once and rebuilt as a literal frame so later
+    // references don't re-run the aggregation
+    val thrRows = keyed.groupBy(stratum)
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("__q", quotaOf(col("n_src")).cast("long"))
+      .withColumn("__t",
+        when(col("n_src") <= lit(margin.toLong) * col("__q"),
+          lit(Long.MaxValue))
+          .otherwise(((lit(margin.toDouble) * col("__q") / col("n_src")) *
+            lit(math.pow(2, 60))).cast("long") + 1L))
+      .collect().toSeq
+    val thr = spark.createDataFrame(
+      spark.sparkContext.parallelize(thrRows, 1),
+      StructType(Seq(df.schema(stratum).copy(name = "__s"),
+        StructField("n_src", LongType, nullable = false),
+        StructField("__q", LongType, nullable = false),
+        StructField("__t", LongType, nullable = false))))
+    val joined = keyed.join(broadcast(thr), col(stratum) <=> col("__s"))
+      .drop("__s")
+    val survivors = joined.where(col("__kp") <= col("__t"))
+    // pass 2 — verify from the COUNTS side: a stratum with zero
+    // survivors is absent from the survivor groupBy and must still be
+    // flagged
+    val bad: Seq[Option[Any]] = thr.select(col("__s"), col("n_src"),
+        col("__q"))
+      .join(survivors.groupBy(stratum).agg(count(lit(1)).as("__m"))
+        .withColumnRenamed(stratum, "__s2"),
+        col("__s") <=> col("__s2"), "left")
+      .where(coalesce(col("__m"), lit(0L)) <
+        least(col("__q"), col("n_src")))
+      .select("__s").collect()
+      .map(r => Option(r.get(0))).toSeq
+    val admitted =
+      if (bad.isEmpty) survivors
+      else {
+        val readmit = bad.map {
+          case None => col(stratum).isNull
+          case Some(v) => col(stratum) === lit(v)
+        }.reduce(_ || _)
+        joined.where(col("__kp") <= col("__t") || readmit)
+      }
+    // pass 3: the exact rank window over ≤ ~margin·q rows per stratum
+    val w = Window.partitionBy(stratum).orderBy("h", "doc_id")
+    admitted
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("__q"))
+      .drop("__kp", "__q", "__t")
+  }
+
   /** Shared sqrt-quota mixture core (t11 and p1_curation): rank each
     * source's rows by a salted md5 of doc_id and keep the bottom
-    * ceil(sqrt(n)) — one shuffle on source; the quota is data-dependent
-    * and computed in the same window pass. Adds `h`/`rk`/`n_src`.
+    * ceil(sqrt(n)) — the quota is data-dependent. Routed through
+    * [[bottomQByHash]], so the rank window never holds a source's
+    * whole corpus. sqrt is IEEE-correctly-rounded on both engines, so
+    * the quota threshold is engine-exact. Adds `h`/`rk`/`n_src`.
     */
   private[ops] def sqrtMixture(
       df: org.apache.spark.sql.DataFrame, salt: String)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = md5(to_binary(
       concat(col("doc_id").cast("string"), lit(salt)), lit("utf-8")))
-    val w = Window.partitionBy("source").orderBy("h", "doc_id")
-    df.withColumn("h", h)
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
-      .where(col("rk") <= ceil(sqrt(col("n_src"))))
+    bottomQByHash(df.withColumn("h", h), "source",
+      n => ceil(sqrt(n.cast("double"))))
   }
 
   /** The session-cached distinct-5-gram relation t8/t8b share.
@@ -199,17 +276,16 @@ object TextOps {
     // Stratified sampling: deterministic bottom-K-by-hash per stratum —
     // the curation primitive for balanced training mixes. Hash-ranked,
     // so every engine (and every rerun) picks the IDENTICAL sample;
-    // one shuffle on the stratum key.
+    // routed through the capped-window helper so no stratum's whole
+    // corpus ever sits in one rank task.
     "t6_sample_stratified" -> QueryDef(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val h = md5(to_binary(
           concat(col("doc_id").cast("string"), lit(":sample")), lit("utf-8")))
-        val w = Window.partitionBy("lang").orderBy("h", "doc_id")
-        table(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), h.as("h"))
-          .withColumn("rk", row_number().over(w))
-          .where(col("rk") <= 5)
+        bottomQByHash(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), h.as("h")),
+          "lang", _ => lit(5L))
           .select("lang", "rk", "doc_id")
           .orderBy("lang", "rk")
       },

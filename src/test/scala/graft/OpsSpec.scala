@@ -687,15 +687,27 @@ class OpsSpec extends SparkSuite {
     assert(plan.contains("Generate"), s"expected an explode:\n${plan.take(800)}")
   }
 
-  test("t11 is one source shuffle plus the final sort (plan shape)") {
+  test("t11 plan: capped rank window, broadcast quota frame only") {
+    // r14 shape (bottomQByHash): the rank window's input is the
+    // hash-prefix survivor set, never a source's whole corpus. In the
+    // plan that means the only join is the BROADCAST of the per-source
+    // quota/threshold literal frame (a sort-merge join against the
+    // corpus would mean the quotas shuffled corpus volume), and the
+    // exchanges are bounded: the broadcast, hash(source) for the one
+    // rank window, and the final presentation sort.
     val df = Registry.all("t11_mixture_sample").fn(spark, dir)
     df.count()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(!plan.contains("Join"), s"mixture sample must not join:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"quota frame must broadcast, not shuffle:\n${plan.take(1500)}")
     val exchanges = "Exchange".r.findAllIn(plan).size
-    assert(exchanges <= 2, // hash(source) for both windows + the orderBy
-      s"expected <=2 exchanges, got $exchanges:\n${plan.take(1500)}")
+    assert(exchanges <= 3,
+      s"expected <=3 exchanges, got $exchanges:\n${plan.take(1500)}")
+    // exactly one rank window, fed by the threshold filter (the
+    // corpus-sized pre-filter rows never reach it)
+    assert("Window".r.findAllIn(plan).size == 1,
+      s"expected exactly one window:\n${plan.take(1500)}")
   }
 
   test("t11 mixture sample: quota is ceil(sqrt(n_src)), deterministic") {
