@@ -5170,4 +5170,3 @@ object DeltaWriter {
     case _ => 0
   }
 }
-

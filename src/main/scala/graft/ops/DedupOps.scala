@@ -1574,4 +1574,3 @@ object DedupOps {
         |SELECT doc_a, doc_b, hamming FROM ham
         |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin)))
 }
-
