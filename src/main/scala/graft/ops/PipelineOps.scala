@@ -231,7 +231,9 @@ object PipelineOps {
               Window.partitionBy("content_h").orderBy("doc_id")))
           .where(col("rk_dup") === 1)
         TextOps.sqrtMixture(
-          deduped.select(col("doc_id"), col("source"), col("lang")), ":cur")
+          deduped.select(col("doc_id"), col("source"), col("lang")), ":cur",
+          cache = Some((s"p1:$dir",
+            OpCaches.tableVersion(s, dir, "documents"))))
           .select("doc_id", "source", "lang")
           .orderBy("doc_id")
       },

@@ -34,48 +34,69 @@ object TextOps {
     * `quotaOf` maps a stratum's FULL row count to its quota. Returns
     * df's columns + `n_src` (the full stratum count) + `rk`, filtered
     * to rk ≤ quota — row-identical to ranking the whole stratum.
+    *
+    * `cache` = (key, version): memoize the collected quota frame and
+    * re-admit list per corpus version (both are deterministic for a
+    * given input), so repeated calls — the warm path — pay only the
+    * final window job, not the two driver collects. The constant those
+    * collects add to a COLD call (~2 extra jobs, ≈1 s at sf0.1) is the
+    * price of the cap; the cap is what survives 100 TB.
     */
   private[ops] def bottomQByHash(df: org.apache.spark.sql.DataFrame,
       stratum: String, quotaOf: Column => Column,
-      margin: Int = 4): org.apache.spark.sql.DataFrame = {
+      margin: Int = 4,
+      cache: Option[(String, String)] = None)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
     val keyed = df.withColumn("__kp",
       conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
-    // pass 1: per-stratum counts → quotas and prefix thresholds,
-    // collected once and rebuilt as a literal frame so later
-    // references don't re-run the aggregation
-    val thrRows = keyed.groupBy(stratum)
-      .agg(count(lit(1)).as("n_src"))
-      .withColumn("__q", quotaOf(col("n_src")).cast("long"))
-      .withColumn("__t",
-        when(col("n_src") <= lit(margin.toLong) * col("__q"),
-          lit(Long.MaxValue))
-          .otherwise(((lit(margin.toDouble) * col("__q") / col("n_src")) *
-            lit(math.pow(2, 60))).cast("long") + 1L))
-      .collect().toSeq
-    val thr = spark.createDataFrame(
-      spark.sparkContext.parallelize(thrRows, 1),
+    def thrOf(rows: Seq[org.apache.spark.sql.Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(df.schema(stratum).copy(name = "__s"),
         StructField("n_src", LongType, nullable = false),
         StructField("__q", LongType, nullable = false),
         StructField("__t", LongType, nullable = false))))
+    def compute(): (Seq[org.apache.spark.sql.Row], Seq[Option[Any]]) = {
+      // pass 1: per-stratum counts → quotas and prefix thresholds,
+      // collected once and rebuilt as a literal frame so later
+      // references don't re-run the aggregation
+      val thrRows = keyed.groupBy(stratum)
+        .agg(count(lit(1)).as("n_src"))
+        .withColumn("__q", quotaOf(col("n_src")).cast("long"))
+        .withColumn("__t",
+          when(col("n_src") <= lit(margin.toLong) * col("__q"),
+            lit(Long.MaxValue))
+            .otherwise(((lit(margin.toDouble) * col("__q") / col("n_src")) *
+              lit(math.pow(2, 60))).cast("long") + 1L))
+        .collect().toSeq
+      val thr0 = thrOf(thrRows)
+      val surv0 = keyed.join(broadcast(thr0), col(stratum) <=> col("__s"))
+        .drop("__s").where(col("__kp") <= col("__t"))
+      // pass 2 — verify from the COUNTS side: a stratum with zero
+      // survivors is absent from the survivor groupBy and must still
+      // be flagged
+      val bad: Seq[Option[Any]] = thr0.select(col("__s"), col("n_src"),
+          col("__q"))
+        .join(surv0.groupBy(stratum).agg(count(lit(1)).as("__m"))
+          .withColumnRenamed(stratum, "__s2"),
+          col("__s") <=> col("__s2"), "left")
+        .where(coalesce(col("__m"), lit(0L)) <
+          least(col("__q"), col("n_src")))
+        .select("__s").collect()
+        .map(r => Option(r.get(0))).toSeq
+      (thrRows, bad)
+    }
+    val (thrRows, bad) = cache match {
+      case Some((key, version)) =>
+        OpCaches.cachedObj(spark, s"bottomq:$key", version)(compute())
+      case None => compute()
+    }
+    val thr = thrOf(thrRows)
     val joined = keyed.join(broadcast(thr), col(stratum) <=> col("__s"))
       .drop("__s")
     val survivors = joined.where(col("__kp") <= col("__t"))
-    // pass 2 — verify from the COUNTS side: a stratum with zero
-    // survivors is absent from the survivor groupBy and must still be
-    // flagged
-    val bad: Seq[Option[Any]] = thr.select(col("__s"), col("n_src"),
-        col("__q"))
-      .join(survivors.groupBy(stratum).agg(count(lit(1)).as("__m"))
-        .withColumnRenamed(stratum, "__s2"),
-        col("__s") <=> col("__s2"), "left")
-      .where(coalesce(col("__m"), lit(0L)) <
-        least(col("__q"), col("n_src")))
-      .select("__s").collect()
-      .map(r => Option(r.get(0))).toSeq
     val admitted =
       if (bad.isEmpty) survivors
       else {
@@ -101,12 +122,13 @@ object TextOps {
     * the quota threshold is engine-exact. Adds `h`/`rk`/`n_src`.
     */
   private[ops] def sqrtMixture(
-      df: org.apache.spark.sql.DataFrame, salt: String)
+      df: org.apache.spark.sql.DataFrame, salt: String,
+      cache: Option[(String, String)] = None)
       : org.apache.spark.sql.DataFrame = {
     val h = md5(to_binary(
       concat(col("doc_id").cast("string"), lit(salt)), lit("utf-8")))
     bottomQByHash(df.withColumn("h", h), "source",
-      n => ceil(sqrt(n.cast("double"))))
+      n => ceil(sqrt(n.cast("double"))), cache = cache)
   }
 
   /** The session-cached distinct-5-gram relation t8/t8b share.
@@ -285,7 +307,9 @@ object TextOps {
         bottomQByHash(
           table(s, dir, "documents")
             .select(col("doc_id"), col("lang"), h.as("h")),
-          "lang", _ => lit(5L))
+          "lang", _ => lit(5L),
+          cache = Some((s"t6:$dir",
+            OpCaches.tableVersion(s, dir, "documents"))))
           .select("lang", "rk", "doc_id")
           .orderBy("lang", "rk")
       },
@@ -469,7 +493,9 @@ object TextOps {
       (s, dir) =>
         sqrtMixture(
           table(s, dir, "documents").select(col("doc_id"), col("source")),
-          ":mix")
+          ":mix",
+          cache = Some((s"t11:$dir",
+            OpCaches.tableVersion(s, dir, "documents"))))
           .select(col("source"), col("n_src"), col("rk"), col("doc_id"))
           .orderBy("source", "rk"),
       Some("""WITH hashed AS (
