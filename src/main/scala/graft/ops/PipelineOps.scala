@@ -154,6 +154,72 @@ object PipelineOps {
       .select("doc_id", "n_tokens", "h", "shard", "seq")
   }
 
+  /** p6's running token sum, computed distributed. A segmented prefix
+    * sum over rows ordered by (shard, doc_id): pass 1 range-sorts on
+    * that key and collects per-(sort-partition, shard) token subtotals
+    * — at most partitions·S rows, metadata-sized; the driver folds
+    * them into per-(partition, shard) cumulative offsets (a range
+    * sort's output partitions are ordered, so every row of the same
+    * shard in an earlier partition precedes every row of it here);
+    * pass 2 carries a per-shard running sum across each already-sorted
+    * partition, seeded from the broadcast offset. Both passes reuse
+    * the ONE sort shuffle. Returns (doc_id, shard, n_tokens, start)
+    * where start = total tokens of same-shard docs with smaller
+    * doc_id — exactly the `sum(...).over(partitionBy(shard)
+    * .orderBy(doc_id).rowsBetween(unboundedPreceding, -1))` window,
+    * without any task ever holding a whole shard.
+    */
+  private[ops] def packedPrefixSums(
+      docs: org.apache.spark.sql.DataFrame,
+      shards: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val s = docs.sparkSession
+    val sorted = docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(shards)).as("shard"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .orderBy("shard", "doc_id")
+    // .rdd materializes the sorted lineage once; both jobs below share
+    // its range partitioner and shuffle files (same argument as
+    // shardAssignment's zipWithIndex)
+    val rdd = sorted.rdd
+    val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val sums = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      it.foreach { r =>
+        val sh = r.getLong(1)
+        sums.update(sh, sums.getOrElse(sh, 0L) + r.getLong(2))
+      }
+      sums.iterator.map { case (sh, t) => (pid, sh, t) }
+    }.collect()
+    val offsets: Map[(Int, Long), Long] = partials.groupBy(_._2).flatMap {
+      case (sh, arr) =>
+        var acc = 0L
+        arr.sortBy(_._1).map { case (pid, _, t) =>
+          val entry = (pid, sh) -> acc
+          acc += t
+          entry
+        }
+    }
+    val bOff = s.sparkContext.broadcast(offsets)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("shard", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("start", LongType, nullable = false)))
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = scala.collection.mutable.HashMap.empty[Long, Long]
+      it.map { r =>
+        val sh = r.getLong(1)
+        val nt = r.getLong(2)
+        val st = bOff.value.getOrElse((pid, sh), 0L) + run.getOrElse(sh, 0L)
+        run.update(sh, run.getOrElse(sh, 0L) + nt)
+        Row(r.getLong(0), sh, nt, st)
+      }
+    }
+    s.createDataFrame(rows, schema)
+  }
+
   /** p2 MATERIALIZED (r9 verdict item 6): write the sharded corpus as
     * a graft Delta table partitioned by shard — through the
     * optimized-write path (one AQE rebalance on the partition column,
@@ -366,26 +432,24 @@ object PipelineOps {
     // (B=256); each document maps to the sequence span
     // [floor(start/B), floor((start+tokens-1)/B)] its tokens land in —
     // the exact bookkeeping a pretraining tokenizer-packer emits
-    // (which sequences a doc occupies, how many it straddles). Pure
-    // window arithmetic: a per-shard running token sum, no recursion,
-    // no state. Scale shape: ONE shuffle on the shard key, the cumsum
-    // window sorts within shards only; shards pack independently, so
-    // at 100 TB the job is embarrassingly parallel across S·(corpus/S)
-    // slices and S is chosen to fit a shard per executor. Token
-    // definition shared with t1 (whitespace tokens), so the packer and
-    // the token-count oracle can never disagree.
+    // (which sequences a doc occupies, how many it straddles).
+    //
+    // The running token sum is NOT a `Window.partitionBy(shard)` —
+    // shard cardinality is a small constant (S=4 here), so that window
+    // funnels corpus/S rows through ONE task at 100 TB. Instead the
+    // prefix sum is DISTRIBUTED, the same two-pass shape
+    // [[shardAssignment]] uses for its dense rank: one range-
+    // partitioned sort on (shard, doc_id), per-partition (partition,
+    // shard) token subtotals collected once (≤ partitions·S rows —
+    // driver-sized metadata), broadcast cumulative offsets, then a
+    // per-partition carry over the already-sorted scan. Row-identical
+    // to the window definition (the oracle SQL below IS that window);
+    // work scales with input splits, never with S. ONE shuffle (the
+    // range sort), no window, no stateful recursion.
     "p6_concat_chunks" -> QueryDef(
       (s, dir) => {
         val B = 256L
-        val docs = table(s, dir, "documents")
-        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        docs
-          .withColumn("shard", pmod(col("doc_id"), lit(4L)))
-          .withColumn("n_tokens",
-            size(TextOps.tokens(col("text"))).cast("long"))
-          .withColumn("start",
-            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        packedPrefixSums(table(s, dir, "documents"), shards = 4L)
           .select(col("doc_id"), col("shard"),
             floor(col("start") / B).cast("long").as("seq_first"),
             floor((col("start") + col("n_tokens") - 1) / B).cast("long")

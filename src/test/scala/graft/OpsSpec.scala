@@ -826,6 +826,45 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("p6 distributed prefix sum is row-identical to the window twin") {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.ops.Registry.all("p6_concat_chunks").fn(spark, dir)
+    // the single-window DEFINITION (what the DuckDB oracle runs),
+    // rebuilt inline: any divergence in the two-pass carry — a wrong
+    // offset at a partition boundary, a shard straddling partitions —
+    // shows up here at test scale, not just in the driver's oracle
+    val B = 256L
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val twin = graft.ops.Registry.table(spark, dir, "documents")
+      .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+      .withColumn("n_tokens",
+        size(split(lower(col("text")), "\\s+")).cast("long"))
+      .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        floor(col("start") / B).cast("long").as("seq_first"),
+        floor((col("start") + col("n_tokens") - 1) / B).cast("long")
+          .as("seq_last"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1L)
+    assert(out.exceptAll(twin).isEmpty && twin.exceptAll(out).isEmpty,
+      "distributed prefix sum diverged from the window definition")
+  }
+
+  test("p6 plan: no window on the constant-shard key (carry path)") {
+    val df = graft.ops.Registry.all("p6_concat_chunks").fn(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // shard = doc_id % 4 is constant-cardinality: a window partitioned
+    // on it holds corpus/4 in ONE task at 100 TB. The r15 shape feeds
+    // the query from the mapPartitions carry (an RDD scan) — no Window
+    // node may appear anywhere in the final plan
+    assert(!plan.contains("Window"),
+      s"p6 regressed to a shard-partitioned window:\n${plan.take(1500)}")
+    assert(plan.contains("ExistingRDD"),
+      s"p6 no longer routes through the distributed carry:\n${plan.take(1500)}")
+  }
+
   test("p7 domain filter: keeps exactly the sources at/above the mean") {
     import org.apache.spark.sql.functions._
     val out = Registry.all("p7_domain_filter").fn(spark, dir)
