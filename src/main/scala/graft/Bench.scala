@@ -50,6 +50,21 @@ import org.apache.spark.sql.SparkSession
   *    session's first execution, populating the operator caches), then
   *    ONE timed pass.
   *
+  * Round-15 additions:
+  *  - kernel adjacent-window pairs are now ENFORCED like warm/cold:
+  *    a >1.5x & >2 s disagreement re-forks the kernels child once
+  *    (box-noise events don't reproduce in a fresh JVM), and fails
+  *    the run if it persists — after the JSON is emitted.
+  *  - `cold_min3`: the top-10 one-shot-cold queries re-measured
+  *    min-of-3 behind per-shot deepCleans in one more fresh JVM. The
+  *    one-shot cold total swung 76.3 -> 100.2 s on identical r14 code
+  *    the same day; round-over-round comparisons should read this
+  *    series first, the one-shot total second.
+  *  - the snapshot-cache probe moved to its own `snapcache` section
+  *    (r14 ADVICE: it rode `kernels`, making the two kernel series'
+  *    key sets asymmetric) and now opens a staged 100-commit table 20
+  *    times instead of running s6 over a ~3-commit store.
+  *
   * Staging itself is idempotent across JVMs (on-disk `._STAGED_OK`
   * markers), so each child pays only the invocation walk.
   *
@@ -106,8 +121,30 @@ object Bench {
         n -> (if (ts.isEmpty) -1.0 else ts.min)
       }
     }
+    // a kernel's two windows are adjacent min-of-3 passes in one JVM
+    // and must agree; the shipped BENCH_r14 carried d7_minhash_md5 at
+    // 6.47 vs 51.2 s — the q22 self-contradiction the r14 rework fixed,
+    // relocated. Enforce the pair the way warm_gt_cold enforces the
+    // operator series: a large adjacent-pair disagreement is box noise
+    // (GC/page-cache event) or a protocol break — retry the whole
+    // kernels fork ONCE in a fresh JVM (noise doesn't reproduce), and
+    // fail the run if the retry still disagrees (after the JSON is out).
+    def kernelBreaches(m: Map[String, Seq[(String, Double)]]): Seq[String] = {
+      val c = m.getOrElse("kernels_cold", Nil).toMap
+      m.getOrElse("kernels", Nil).collect {
+        case (n, w) if w >= 0 && c.get(n).exists(x => x >= 0 &&
+          math.max(w, x) > math.min(w, x) * 1.5 &&
+          math.abs(w - x) > 2.0) => n
+      }.sorted
+    }
     // sequential: these are timing runs on one box
-    val kernels = read(fork("kernels"))
+    var kernels = read(fork("kernels"))
+    var kernelRetried = false
+    if (kernelBreaches(kernels).nonEmpty) {
+      kernelRetried = true
+      kernels = read(fork("kernels"))
+    }
+    val kernelBreach = kernelBreaches(kernels)
     val cold1 = read(fork("cold"))
     val cold2 = read(fork("cold"))
     val warm1 = read(fork("warm"))
@@ -115,12 +152,23 @@ object Bench {
 
     val kCold = kernels.getOrElse("kernels_cold", Nil).sortBy(_._1)
     val kWarm = kernels.getOrElse("kernels", Nil).sortBy(_._1)
+    val snapcache = kernels.getOrElse("snapcache", Nil).sortBy(_._1)
     val cold = minMerge(cold1.getOrElse("cold", Nil).sortBy(_._1),
       cold2.getOrElse("cold", Nil))
     val warm = minMerge(warm1.getOrElse("warm", Nil).sortBy(_._1),
       warm2.getOrElse("warm", Nil))
     val staging = cold1.getOrElse("staging", Nil).headOption.map(_._2)
       .getOrElse(-1.0)
+    // variance-proof sub-headline (r15): the one-shot cold total swung
+    // 76.3 -> 100.2 s on identical r14 code the same day. Re-measure
+    // the top-10 cold queries as min-of-3 (deepClean before every
+    // shot — the QueryColdProbe protocol) in one more fresh JVM; the
+    // round-over-round comparison should read this series first.
+    val top10 = cold.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
+    val coldMin3 =
+      if (top10.isEmpty) Nil
+      else read(fork("coldmin3:" + top10.mkString(",")))
+        .getOrElse("cold_min3", Nil).sortBy(_._1)
 
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -143,14 +191,19 @@ object Bench {
     val warmGtCold = breaches(1.5, 0.5)
     val largeBreaches = breaches(1.5, 2.0)
     val json = s"""{"metric":"total_cold","value":${tot(cold)},"unit":"sec"""" +
-      s""","headline":"cold total (re-anchored r13; value was the warm sum through r12)"""" +
+      s""","headline":"cold total, one-shot (re-anchored r13); cold_min3 is the variance-proof series for round-over-round reads (r15)"""" +
       s""","queries":${obj(warm)},"queries_cold":${obj(cold)}""" +
       s""","kernels":${obj(kWarm)},"kernels_cold":${obj(kCold)}""" +
+      s""","snapcache":${obj(snapcache)}""" +
+      s""","cold_min3":${obj(coldMin3)}""" +
       s""","total_cold_sec":${tot(cold)},"total_warm_sec":${tot(warm)}""" +
+      s""","total_cold_min3_top10_sec":${tot(coldMin3)}""" +
       s""","staging_sec":$staging""" +
       s""","failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","warm_gt_cold":${warmGtCold.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
-      s""","protocol":"forked-jvm-per-pass + per-family deepClean, cold headline (r14)","sf":"$sfDir"}"""
+      s""","kernel_window_breach":${kernelBreach.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","kernel_retried":$kernelRetried""" +
+      s""","protocol":"forked-jvm-per-pass + per-family deepClean + kernel-pair breach gate + cold_min3 top-10 (r15)","sf":"$sfDir"}"""
     println(json)
     // The driver's stdout tail capture truncated this line two rounds
     // running (BENCH_r08/r09 "parsed": null) — persist the full result
@@ -162,6 +215,9 @@ object Bench {
     require(largeBreaches.isEmpty,
       "warm>cold beyond noise (protocol breach): " +
         largeBreaches.mkString(","))
+    require(kernelBreach.isEmpty,
+      "kernel adjacent windows disagree after a fresh-JVM retry: " +
+        kernelBreach.mkString(","))
   }
 
   // ---------------------------------------------------------------
@@ -240,42 +296,57 @@ object Bench {
           try { fn(spark, sfDir).count(); () }
           catch { case _: Throwable => () }
           w1 += minPass(Seq(name -> fn)).head
+          // drain window 1's garbage before window 2 measures — the
+          // amplified md5 kernels generate enough per-shot garbage
+          // that a second adjacent window once read 51 s min-of-3
+          // against its pair's 6.5 s (shipped BENCH_r14)
+          System.gc()
           w2 += minPass(Seq(name -> fn)).head
         }
         emit("kernels_cold", w1.toSeq)
         emit("kernels", w2.toSeq)
         // the session snapshot cache, measured per round instead of
-        // asserted by SnapshotCacheSpec alone (r13 verdict stretch):
-        // the same persisted-index probe with the cache disabled vs
-        // default, alternating shots, min-of-3 each. The cache is
-        // CLEARED before every shot in both series — an s6 execution
-        // opens the store once per probe cond-set, so the ON series
-        // measures populate-once-hit-rest within one query, the OFF
-        // series a full log replay per open; the conf is the ONLY
-        // difference between the series.
-        SparkEntry.queries.get("s6_ann_probe_store").foreach { fn =>
-          try { fn(spark, sfDir).count(); () }
-          catch { case _: Throwable => () }
-          val offs = scala.collection.mutable.ArrayBuffer.empty[Double]
-          val ons = scala.collection.mutable.ArrayBuffer.empty[Double]
-          (1 to 3).foreach { _ =>
-            spark.conf.set("graft.delta.snapshotCache", "false")
-            graft.delta.DeltaLog.clearSnapshotCache()
-            offs += (try time(fn(spark, sfDir).count())
-              catch { case _: Throwable => -1.0 })
-            spark.conf.set("graft.delta.snapshotCache", "true")
-            graft.delta.DeltaLog.clearSnapshotCache()
-            ons += (try time(fn(spark, sfDir).count())
-              catch { case _: Throwable => -1.0 })
+        // asserted by SnapshotCacheSpec alone (r13 verdict stretch).
+        // r15: pointed at a staged 100-commit table — the s6 store has
+        // ~3 commits, where both series read ~1.2 s (measuring
+        // nothing). The probe is 20 back-to-back latest-snapshot opens
+        // with no scan jobs, so the two series isolate exactly what
+        // the cache changes: OFF pays a full log replay (checkpoint
+        // parquet + tail JSON) per open, ON one replay then tail
+        // status checks. Alternating shots, min-of-3 each, cache
+        // cleared before every shot in both series; the conf is the
+        // ONLY difference. Emitted under its own section — r14 rode
+        // the kernels series, leaving kernels/kernels_cold with
+        // asymmetric key sets (r14 ADVICE).
+        locally {
+          val probePath =
+            try Some(graft.ops.DeltaQueries.stageManyCommitTable(spark, sfDir))
+            catch { case _: Throwable => None }
+          probePath.foreach { path =>
+            def opens(): Unit = (1 to 20).foreach { _ =>
+              graft.delta.DeltaLog.forPath(spark, path); () }
+            try { opens() } catch { case _: Throwable => () }
+            val offs = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val ons = scala.collection.mutable.ArrayBuffer.empty[Double]
+            (1 to 3).foreach { _ =>
+              spark.conf.set("graft.delta.snapshotCache", "false")
+              graft.delta.DeltaLog.clearSnapshotCache()
+              offs += (try time(opens())
+                catch { case _: Throwable => -1.0 })
+              spark.conf.set("graft.delta.snapshotCache", "true")
+              graft.delta.DeltaLog.clearSnapshotCache()
+              ons += (try time(opens())
+                catch { case _: Throwable => -1.0 })
+            }
+            spark.conf.unset("graft.delta.snapshotCache")
+            def best(xs: Seq[Double]) = {
+              val ok = xs.filter(_ >= 0)
+              if (ok.isEmpty) -1.0 else ok.min
+            }
+            emit("snapcache", Seq(
+              "snapcache_off_100commits_20opens" -> best(offs.toSeq),
+              "snapcache_on_100commits_20opens" -> best(ons.toSeq)))
           }
-          spark.conf.unset("graft.delta.snapshotCache")
-          def best(xs: Seq[Double]) = {
-            val ok = xs.filter(_ >= 0)
-            if (ok.isEmpty) -1.0 else ok.min
-          }
-          emit("kernels", Seq(
-            "s6_snapcache_off" -> best(offs.toSeq),
-            "s6_snapcache_on" -> best(ons.toSeq)))
         }
       case "cold" =>
         // deepClean, not clear(): localCheckpoint blocks and memory-sink
@@ -298,6 +369,25 @@ object Bench {
             try { fn(spark, sfDir).count(); () }
             catch { case _: Throwable => () } }
           pass(qs)
+        })
+      // `coldmin3:<name,...>`: the variance-proof cold series — for
+      // each named query, three shots each behind a fresh deepClean
+      // (the QueryColdProbe protocol), report the min. One fresh JVM
+      // for the whole series; the per-shot deepClean is what makes
+      // every shot cold, so family grouping doesn't apply here.
+      case cm3 if cm3.startsWith("coldmin3:") =>
+        val names = cm3.stripPrefix("coldmin3:").split(',').toSeq
+          .filter(_.nonEmpty)
+        val byName = ordered.toMap
+        emit("cold_min3", names.flatMap { name =>
+          byName.get(name).map { fn =>
+            val ts = (1 to 3).map { _ =>
+              graft.ops.OpCaches.deepClean(spark)
+              try time(fn(spark, sfDir).count())
+              catch { case _: Throwable => -1.0 }
+            }.filter(_ >= 0)
+            name -> (if (ts.isEmpty) -1.0 else ts.min)
+          }
         })
       case other => sys.error(s"unknown bench family '$other'")
     }

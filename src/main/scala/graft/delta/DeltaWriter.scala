@@ -1615,6 +1615,13 @@ object DeltaWriter {
         val dts = cols.map(c => schema(c).dataType).distinct
         require(dts.size == 1,
           s"deleteMatchingAny target columns must share one type, got $dts")
+        // the key column must match too: a mismatch would fall through
+        // to implicit casts in both the zone-map pruning and the
+        // exploded semi-join, silently weakening matches instead of
+        // failing loudly like every other shape here (r14 ADVICE)
+        require(keys.schema.head.dataType == dts.head,
+          s"deleteMatchingAny key column '${keyCols.head}' has type " +
+            s"${keys.schema.head.dataType}, target columns are ${dts.head}")
       case None =>
         keyCols.foreach(k => require(schema.fieldNames.contains(k),
           s"delete key '$k' is not a table column"))

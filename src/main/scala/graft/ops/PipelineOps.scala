@@ -383,23 +383,26 @@ object PipelineOps {
     // so the sample is exact-size, reproducible across runs/engines,
     // and independent of input order — rand()-based sampling can never
     // sit under a cross-engine hash oracle, and per-stratum
-    // percent-threshold hashing gives only EXPECTED size. Scale shape:
-    // ONE shuffle on the stratum key; the window sorts within each
-    // stratum only. At 100 TB with skewed strata the same semantics
-    // run as threshold refinement — IMPLEMENTED as
-    // [[stratifiedSampleRefined]] / p5_stratified_refined, pinned to
-    // this same oracle — while the hash-rank DEFINITION here is the
-    // semantics both paths must match.
+    // percent-threshold hashing gives only EXPECTED size. r15: routed
+    // through the capped-window helper (TextOps.bottomQByHash, fixed
+    // quota 60) like t6/t11/p1, so the naive constant-cardinality rank
+    // window is extinct in the registry — no stratum's whole corpus
+    // ever sits in one rank task. p5_stratified_refined below is the
+    // SAME semantics through an INDEPENDENT implementation
+    // ([[stratifiedSampleRefined]], the original threshold-refinement
+    // shape bottomQByHash generalized); both are pinned to the one
+    // window-definition oracle SQL, so the pair is a standing
+    // differential of two distinct scale paths.
     "p5_stratified_sample" -> QueryDef(
       (s, dir) => {
-        val cap = 60
-        val docs = table(s, dir, "documents")
         val key = md5(to_binary(
           concat(col("doc_id").cast("string"), lit(":p5")), lit("utf-8")))
-        docs.withColumn("rk",
-          row_number().over(Window.partitionBy(col("lang"))
-            .orderBy(key, col("doc_id"))))
-          .where(col("rk") <= cap)
+        TextOps.bottomQByHash(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), key.as("h")),
+          "lang", _ => lit(60L),
+          cache = Some((s"p5:$dir",
+            OpCaches.tableVersion(s, dir, "documents"))))
           .select(col("doc_id"), col("lang"))
           .orderBy("doc_id")
       },

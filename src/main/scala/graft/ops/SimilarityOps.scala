@@ -802,7 +802,14 @@ object SimilarityOps {
     // for, the window shape would re-shuffle ~sqrt(K)=2048x the
     // corpus). max_by over struct(__sim, -cl) is the same total
     // order as (sim DESC, cl ASC): cl is unique within a candidate
-    // set, so the winner is identical to the window's rank 1.
+    // set, so the winner is identical to the window's rank 1 — with
+    // ONE divergence the equivalence claim must own (r14 ADVICE):
+    // max_by skips rows whose ordering key is NULL, so a vector whose
+    // EVERY candidate cosine were NULL would emit null cl/embedding
+    // where the window kept an arbitrary candidate. Unreachable here —
+    // the pipeline's embeddings are non-null, so cosine never is —
+    // but if a nullable-sim source ever feeds this, coalesce __sim to
+    // -Infinity to restore the window's pick-one behavior.
     def assign(cents: DataFrame): DataFrame = {
       emb.withColumn("grp", nearestCentroid(s, coarse, col("embedding")))
         .join(cents, "grp")

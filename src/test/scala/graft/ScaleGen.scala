@@ -112,30 +112,33 @@ object ScaleGen {
     * noise). Past 64 copies the 64-dim shift cycle would repeat —
     * copy 64's rotation equals copy 55's, reintroducing the exact
     * cross-copy dups the transform exists to avoid — so copies ≥ 64
-    * REVERSE the vector before rotating (a reversed vector is not a
-    * rotation of the original in general, and the reversed copies'
-    * shifts are injective again within their own range). Copies < 64
-    * are byte-identical to what this produced before the deep tile
-    * existed, so the recorded 10-copy rehearsal metrics stand.
+    * REVERSE the vector before rotating. Injectivity (dim 64, 7
+    * coprime to 64): for 1 ≤ c < 64 the shift c·7 mod 64 is nonzero
+    * and injective; for 64 ≤ c < 128 the same map bijects onto
+    * 0..63, and shift 0 is SAFE on a reversed vector (an unrotated
+    * reversal is not a rotation of copy 0) — the r14 shape remapped
+    * it to 1, which collided with c=119's genuine shift 1 (r14
+    * ADVICE). Both cycles repeat at c=128, hence the require. Copies
+    * < 64 are byte-identical to what this produced before the deep
+    * tile existed, so the recorded 10-copy rehearsal metrics stand.
     */
   def tiledEmbeddings(df: DataFrame, vecStride: Long,
-      copies: Int): DataFrame =
+      copies: Int): DataFrame = {
+    require(copies <= 128,
+      s"shift cycles repeat past 128 copies (got $copies)")
     (0 until copies).map { c =>
       val d = df.withColumn("vec_id", col("vec_id") + lit(vecStride * c))
       if (c == 0) d
       else {
         val dim = size(col("embedding"))
-        // never shift by 0 (c*7 ≡ 0 mod dim would leave that copy's
-        // vectors byte-identical to copy 0 — exact cross-copy dups, the
-        // pathology this transform exists to avoid)
-        val raw = lit(c * 7) % dim
-        val shift = when(raw === 0, lit(1)).otherwise(raw)
+        val shift = lit(c * 7) % dim
         val base = if (c < 64) col("embedding") else reverse(col("embedding"))
         d.withColumn("embedding",
           concat(slice(base, shift + 1, dim - shift),
             slice(base, lit(1), shift)))
       }
     }.reduce(_ unionByName _)
+  }
 
   /** EMBEDDINGS-ONLY tile (the D12Rehearsal third scale): tiling every
     * table would drag ~60M lineitem rows nobody reads.
