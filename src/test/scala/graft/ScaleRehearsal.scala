@@ -27,7 +27,13 @@ import org.apache.spark.sql.SparkSession
   * Round 15 ports the bench's per-family deepClean into both passes
   * (see the comment at the pass loop), so the rehearsal's sf0.1 warm
   * total is directly comparable to the bench's warm total — the one
-  * cross-protocol sanity check between the two tools.
+  * cross-protocol sanity check between the two tools. LAUNCH
+  * CONVENTION (r15 finding): fork with the SAME jvm args as Bench's
+  * children — in particular NO -Xmx override. The historical 24g cap
+  * (vs the children's ergonomic ~32g) added a uniform ~30% GC drag
+  * across all 110 operators (sf0.1 warm 67.8 s at 24g vs 49.7 s at
+  * default, bench 52.1 s on the same code/day) — a confounder that
+  * read as protocol accumulation for two rounds.
   *
   * Kernel-flagged entries (d7: deliberately-amplified hash
   * microbenchmarks) are included but marked `[k]` — their ratios
@@ -82,11 +88,19 @@ object ScaleRehearsal {
       graft.ops.OpCaches.deepClean(spark)
       g.map { case (k, fn) => k -> one(fn) }
     }.toMap
+    // warm = min of two adjacent timed passes: the bench's warm is a
+    // min over two symmetric warm FORKS, so a single-shot here would
+    // systematically read above it by per-shot noise alone (measured
+    // ~10-20% suite-wide on this box); both in-JVM passes are
+    // post-prime steady state, so the min estimates the same quantity
     val warm = familyGroups.flatMap { g =>
       graft.ops.OpCaches.deepClean(spark)
       g.foreach { case (_, fn) =>
         try { fn(spark, dir).count(); () } catch { case _: Throwable => () } }
-      g.map { case (k, fn) => k -> one(fn) }
+      val t1 = g.map { case (k, fn) => k -> one(fn) }
+      val t2 = g.map { case (k, fn) => k -> one(fn) }
+      t1.zip(t2).map { case ((k, a), (_, b)) =>
+        k -> (if (a < 0) b else if (b < 0) a else math.min(a, b)) }
     }.toMap
 
     val rounds = {
