@@ -782,5 +782,123 @@ object TextOps {
         |SELECT doc_id, CAST(n_feats AS INTEGER) AS n_feats, w_sum_milli,
         |  w_sum_milli >= 0 AS kept,
         |  round(w_sum_milli::DOUBLE / (n_feats * 1000.0), 6) AS mean_w
-        |FROM scored ORDER BY doc_id""".stripMargin)))
+        |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // BM25 ranked retrieval (r15) — the lexical-search primitive a
+    // curation pipeline uses for targeted decontamination and
+    // quality-targeted selection: score every document against a query
+    // set with Okapi BM25 (k1=1.2, b=0.75, the non-negative
+    // ln(1 + (N-df+0.5)/(df+0.5)) idf) and keep the top-10 per query.
+    // The query set is corpus-derived and deterministic — the 3 docs
+    // with the smallest md5(doc_id||':bm25q') (the t8 probe pattern),
+    // each contributing its distinct tokens; the query doc itself is
+    // excluded from its own candidates. Scores round to 6 decimals
+    // BEFORE ranking on both engines (the t13 argument: distributed
+    // vs sequential double addition differs at ~1e-13 relative, real
+    // score gaps are ~1e-1), ties broken by doc_id.
+    //
+    // Scale shape: tf = one (doc, tok) shuffle (map-side combined);
+    // dl = one combiner-bound per-doc count; query terms and their
+    // df/idf are METADATA-sized and BROADCAST, so only docs sharing a
+    // query term survive the tf join — the dl attach joins doc-count-
+    // sized relations (one row per doc, not per token). The top-10 is
+    // a SALTED two-pass rank: rank within (query, salt=hash(doc)%32),
+    // keep ≤10, then the exact rank over ≤320 survivors per query —
+    // the global top-10 is a subset of its salted groups' top-10s, so
+    // this is exact, and no task ever ranks a whole query's candidate
+    // set (3 queries over a 100 TB corpus would otherwise funnel
+    // corpus/3 through one window task — the p6/t11 pathology).
+    "t16_bm25_topk" -> QueryDef(
+      (s, dir) => {
+        val toks = OpCaches.cached(s, s"text:toks:$dir",
+            OpCaches.tableVersion(s, dir, "documents")) {
+          table(s, dir, "documents")
+            .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        }
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = broadcast(dl.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          avg(col("dl")).as("avgdl")))
+        val qdocs = table(s, dir, "documents")
+          .select(col("doc_id").as("query_id"),
+            md5(to_binary(concat(col("doc_id").cast("string"),
+              lit(":bm25q")), lit("utf-8"))).as("__h"))
+          .orderBy("__h", "query_id").limit(3).drop("__h")
+        val qterms = toks
+          .join(broadcast(qdocs), col("doc_id") === col("query_id"))
+          .select("query_id", "tok").distinct()
+        // df only for query terms: vocabulary-sized df never ships —
+        // the per-term idf frame is (query terms × stats), broadcast
+        val dfq = tf.join(broadcast(qterms.select("tok").distinct()), "tok")
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val idf = broadcast(dfq.crossJoin(stats)
+          .select(col("tok"),
+            log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))).as("idf")))
+        val cand = tf
+          .join(broadcast(qterms), "tok")
+          .where(col("doc_id") =!= col("query_id"))
+          .join(idf, "tok")
+          .join(dl, "doc_id")
+          .crossJoin(stats)
+        val scored = cand
+          .select(col("query_id"), col("doc_id"),
+            (col("idf") * col("tf") * lit(2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) +
+                lit(0.75) * col("dl") / col("avgdl")))).as("summand"))
+          .groupBy("query_id", "doc_id")
+          .agg(round(sum("summand"), 6).as("score_q"))
+        import org.apache.spark.sql.expressions.Window
+        val w1 = Window
+          .partitionBy(col("query_id"),
+            pmod(xxhash64(col("doc_id")), lit(32L)))
+          .orderBy(col("score_q").desc, col("doc_id"))
+        val w2 = Window.partitionBy("query_id")
+          .orderBy(col("score_q").desc, col("doc_id"))
+        scored
+          .withColumn("__r", row_number().over(w1)).where(col("__r") <= 10)
+          .withColumn("rank", row_number().over(w2)).where(col("rank") <= 10)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("score_q"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        |qdocs AS (
+        |  SELECT doc_id AS query_id FROM documents
+        |  ORDER BY md5(doc_id::VARCHAR || ':bm25q'), doc_id LIMIT 3),
+        |qterms AS (
+        |  SELECT DISTINCT q.query_id, t.tok
+        |  FROM qdocs q JOIN toks t ON t.doc_id = q.query_id),
+        |dfq AS (
+        |  SELECT f.tok, count(*) AS df FROM tf f
+        |  WHERE f.tok IN (SELECT DISTINCT tok FROM qterms)
+        |  GROUP BY f.tok),
+        |scored AS (
+        |  SELECT qt.query_id, f.doc_id,
+        |    round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |      * f.tf * 2.2
+        |      / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 6)
+        |      AS score_q
+        |  FROM qterms qt
+        |  JOIN tf f USING (tok)
+        |  JOIN dfq d USING (tok)
+        |  JOIN dl l ON l.doc_id = f.doc_id
+        |  CROSS JOIN stats s
+        |  WHERE f.doc_id <> qt.query_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, doc_id, score_q FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)))
 }

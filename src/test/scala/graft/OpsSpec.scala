@@ -730,6 +730,110 @@ class OpsSpec extends SparkSuite {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("t16 bm25: crafted corpus matches a first-principles recompute") {
+    // 6 docs, deliberately overlapping vocab; recompute BM25 with
+    // plain Scala collections (tokenize, tf/df/dl, idf, round-6 score,
+    // rank) and compare the full top-k relation — an independent path
+    // through the same definition the DuckDB oracle pins at sf scale
+    val docsSeq = Seq(
+      1L -> "apple banana apple cherry",
+      2L -> "banana cherry date",
+      3L -> "apple apple apple",
+      4L -> "cherry date elderberry fig",
+      5L -> "fig banana apple date",
+      6L -> "elderberry elderberry fig")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    docsSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val out = graft.ops.Registry.all("t16_bm25_topk").fn(spark, dir2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // expected, from first principles
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = docsSeq.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").toSeq }.toMap
+    val queries = docsSeq.map(_._1)
+      .sortBy(id => (md5hex(s"$id:bm25q"), id)).take(3)
+    val nDocs = docsSeq.size.toDouble
+    val dl = toks.map { case (id, ts) => id -> ts.size }
+    val avgdl = dl.values.sum.toDouble / dl.size
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val expected = queries.flatMap { q =>
+      val qts = toks(q).distinct
+      val scored = toks.keys.filter(_ != q).toSeq.flatMap { d =>
+        val s = qts.collect {
+          case t if toks(d).contains(t) =>
+            val tf = toks(d).count(_ == t).toDouble
+            math.log(1 + (nDocs - df(t) + 0.5) / (df(t) + 0.5)) *
+              tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl(d) / avgdl))
+        }.sum
+        if (s > 0)
+          Some(d -> BigDecimal(s).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      }.sortBy { case (d, s) => (-s, d) }.take(10)
+      scored.zipWithIndex.map { case ((d, s), i) => (q, i + 1, d, s) }
+    }.sortBy(r => (r._1, r._2))
+    assert(out.toSeq == expected,
+      s"got ${out.toSeq}\nexpected $expected")
+  }
+
+  test("t16 bm25: dense ranks, strict order, deterministic") {
+    val out = graft.ops.Registry.all("t16_bm25_topk").fn(spark, dir)
+    // the salted-vs-naive-window exactness is pinned by the crafted
+    // recompute above and the DuckDB oracle (whose ranked CTE IS the
+    // naive global window); here: within each query the ranks are
+    // dense from 1 and the (score DESC, doc_id) order is strict
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq,
+        s"query $q ranks not dense")
+      sorted.sliding(2).foreach {
+        case Array((_, _, d1, s1), (_, _, d2, s2)) =>
+          assert(s1 > s2 || (s1 == s2 && d1 < d2),
+            s"query $q order violated at ($d1,$s1) -> ($d2,$s2)")
+        case _ => ()
+      }
+    }
+    // and determinism: a rerun returns the identical relation
+    val again = graft.ops.Registry.all("t16_bm25_topk").fn(spark, dir)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("t16 plan: salted two-pass rank, broadcast query frames") {
+    val df = graft.ops.Registry.all("t16_bm25_topk").fn(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly two rank windows (the regex excludes the
+    // WindowGroupLimit nodes Spark 4 inserts for rank pushdown): the
+    // salted local pass and the exact pass over <=320 survivors per
+    // query — a single global window would funnel a query's whole
+    // candidate set through one task
+    assert("Window \\[".r.findAllIn(plan).size == 2,
+      s"expected exactly two windows:\n${plan.take(2000)}")
+    // the rank-limit pushdown must hold: each window gets a Partial
+    // WindowGroupLimit before its exchange, so only ~10 rows per
+    // (partition, key) ever shuffle
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank-limit pushdown missing:\n${plan.take(2000)}")
+    // the salt attribute (pmod(xxhash64(doc_id), 32) — printed only as
+    // _w0: Catalyst folds it into the score HashAggregate's result
+    // projection, whose toString elides expressions) must partition
+    // the first window alongside query_id
+    assert("""\[query_id#\d+L, _w0#\d+L\]""".r.findFirstIn(plan).isDefined,
+      s"salt missing from the local rank partition:\n${plan.take(2000)}")
+    // query terms and idf reach the corpus through broadcasts; the
+    // only sort-merge-join-shaped shuffle allowed is the doc-count-
+    // sized dl attach
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query frames must broadcast:\n${plan.take(2000)}")
+  }
+
   test("contamination: planted benchmark copies flagged, clean docs not") {
     // the probe set is the md5-bottom-3 of the doc ids: compute it the
     // same way FIRST, then assign texts, so the clean negative controls
