@@ -178,7 +178,12 @@ object PipelineOps {
     val sorted = docs
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(shards)).as("shard"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        // coalesce: a null text must count 0 tokens, not null — the
+        // carry pass reads n_tokens with getLong, and a null here would
+        // NPE the whole job (the replaced Window twin silently emitted
+        // a null start instead; 0 is the defined contract now)
+        coalesce(size(TextOps.tokens(col("text"))), lit(0))
+          .cast("long").as("n_tokens"))
       .orderBy("shard", "doc_id")
     // .rdd materializes the sorted lineage once; both jobs below share
     // its range partitioner and shuffle files (same argument as

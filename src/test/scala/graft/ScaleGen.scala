@@ -118,7 +118,14 @@ object ScaleGen {
     * 0..63, and shift 0 is SAFE on a reversed vector (an unrotated
     * reversal is not a rotation of copy 0) — the r14 shape remapped
     * it to 1, which collided with c=119's genuine shift 1 (r14
-    * ADVICE). Both cycles repeat at c=128, hence the require. Copies
+    * ADVICE). GENERICITY ASSUMPTION (r15 ADVICE): "reversal is not a
+    * rotation" holds only for vectors with no reversal-rotation
+    * symmetry — a palindromic embedding would make copy 64
+    * byte-identical to copy 0. Real float embeddings (and the
+    * testdata's hash-derived ones) are generic with overwhelming
+    * probability; ScaleGenSpec pins all 128 copies of a testdata
+    * vector pairwise distinct, which would catch a symmetric source.
+    * Both cycles repeat at c=128, hence the require. Copies
     * < 64 are byte-identical to what this produced before the deep
     * tile existed, so the recorded 10-copy rehearsal metrics stand.
     */

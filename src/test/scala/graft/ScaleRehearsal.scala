@@ -83,7 +83,18 @@ object ScaleRehearsal {
     // a fresh session's first execution populating the operator
     // caches), then the timed pass — structurally the bench's warm
     // child, except for the in-JVM history of the cold pass before it.
-    def familyGroups = qs.groupBy(_._1.head).toSeq.sortBy(_._1).map(_._2)
+    // r15 ADVICE: kernels get their OWN group, not a seat in their
+    // prefix family — Bench's cold/warm children group operators only
+    // (kernels are partitioned out), so letting the amplified d7
+    // kernels run inside the d group's deepClean window gave the
+    // d-family a different in-JVM history than the bench child this
+    // pass claims structural identity with.
+    def familyGroups = {
+      val (kern, ops) = qs.partition { case (k, _) =>
+        graft.ops.Registry.all(k).kernel }
+      ops.groupBy(_._1.head).toSeq.sortBy(_._1).map(_._2) ++
+        (if (kern.isEmpty) Nil else Seq(kern))
+    }
     val cold = familyGroups.flatMap { g =>
       graft.ops.OpCaches.deepClean(spark)
       g.map { case (k, fn) => k -> one(fn) }
@@ -103,6 +114,24 @@ object ScaleRehearsal {
         k -> (if (a < 0) b else if (b < 0) a else math.min(a, b)) }
     }.toMap
 
+    // r16 (r15 verdict item 1): the cold column above is one-shot, and
+    // one-shot cold at the sf1 tile swings 10-100 s on identical
+    // binaries (GC + page cache; the r15 table shipped d3_fast_vs_md5
+    // at 307.8 s against a 1.64 s warm). Port the bench's cold_min3
+    // pattern: the top-10 one-shot-cold queries re-measured min-of-3,
+    // each shot behind a fresh deepClean — the variance-proof series a
+    // scale regression should be read from.
+    val top10 = cold.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map(_._1)
+    val coldMin3 = top10.map { k =>
+      val fn = graft.ops.Registry.all(k).fn
+      val ts = (1 to 3).map { _ =>
+        graft.ops.OpCaches.deepClean(spark)
+        try time(fn(spark, dir).count()) catch { case _: Throwable => -1.0 }
+      }.filter(_ >= 0)
+      k -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+
     val rounds = {
       import org.apache.spark.sql.functions.col
       val edges = graft.ops.DedupOps.minhashPairs(spark, dir)
@@ -117,7 +146,8 @@ object ScaleRehearsal {
     val lines = allKeys.map { k =>
       val kern = if (graft.ops.Registry.all(k).kernel) 1 else 0
       f"$k\t${cold(k)}%.3f\t${warm(k)}%.3f\t$kern"
-    } :+ s"#d6rounds\t$rounds"
+    } ++ coldMin3.map { case (k, v) => f"#coldmin3\t$k\t$v%.3f" } :+
+      s"#d6rounds\t$rounds"
     val p = java.nio.file.Paths.get(out)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p,
@@ -127,18 +157,22 @@ object ScaleRehearsal {
   }
 
   private def merge(sf01Tsv: String, sf1Tsv: String): Unit = {
-    def read(f: String): (Map[String, (Double, Double, Boolean)], Int) = {
+    def read(f: String): (Map[String, (Double, Double, Boolean)], Int,
+        Map[String, Double]) = {
       val ls = scala.io.Source.fromFile(f).getLines().toSeq
       val rounds = ls.find(_.startsWith("#d6rounds"))
         .map(_.split("\t")(1).toInt).getOrElse(-1)
+      val cm3 = ls.filter(_.startsWith("#coldmin3")).map { l =>
+        val a = l.split("\t"); a(1) -> a(2).toDouble
+      }.toMap
       val rows = ls.filterNot(_.startsWith("#")).map { l =>
         val a = l.split("\t")
         a(0) -> (a(1).toDouble, a(2).toDouble, a(3) == "1")
       }.toMap
-      (rows, rounds)
+      (rows, rounds, cm3)
     }
-    val (base, r01) = read(sf01Tsv)
-    val (scaled, r1) = read(sf1Tsv)
+    val (base, r01, cm301) = read(sf01Tsv)
+    val (scaled, r1, cm31) = read(sf1Tsv)
     val keys = base.keys.toSeq.sorted
     println(f"${"query"}%-26s ${"sf0.1 cold"}%10s ${"warm"}%8s " +
       f"${"sf1 cold"}%10s ${"warm"}%8s ${"ratio(warm)"}%12s")
@@ -156,5 +190,21 @@ object ScaleRehearsal {
     println(f"TOTAL warm (operators): sf0.1 $tw0%.2f s, sf1 $tw1%.2f s, " +
       f"ratio ${tw1 / tw0}%.1f")
     println(s"d6 rounds: sf0.1 = $r01, sf1 = $r1")
+    // the variance-proof cold series: min-of-3 per shot behind a fresh
+    // deepClean, over each scale's top-10 one-shot-cold queries. A
+    // cold ratio > 30 (3x over linear on 10x data) is the scale-alarm
+    // threshold; one-shot swings that large are exactly what this
+    // series exists to dismiss.
+    if (cm301.nonEmpty || cm31.nonEmpty) {
+      println(f"%ncold_min3 (per-shot deepClean, each scale's top-10 cold):")
+      (cm301.keySet ++ cm31.keySet).toSeq.sorted.foreach { k =>
+        val c0 = cm301.getOrElse(k, -1.0)
+        val c1 = cm31.getOrElse(k, -1.0)
+        val r = if (c0 > 0 && c1 > 0) f"${c1 / c0}%8.1f" else f"${"n/a"}%8s"
+        val alarm = if (c0 > 0 && c1 > 0 && c1 / c0 > 30) "  <-- >3x linear"
+          else ""
+        println(f"$k%-26s $c0%10.2f $c1%10.2f $r$alarm")
+      }
+    }
   }
 }
