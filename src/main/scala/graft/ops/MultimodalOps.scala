@@ -208,6 +208,127 @@ object MultimodalOps {
     }(enc)
   }
 
+  // ---------------------------------------------------------------
+  // m6: image near-dup via average-hash (r15 verdict item 4) — the
+  // multimodal/dedup bridge. A corpus of REAL PNGs with planted
+  // near-duplicates: docs share a base image per GROUP of 5 (dims and
+  // pixels derive from the group id through the same closed forms as
+  // m5), and copy k = doc_id%5 perturbs ~k% of pixels by +16 per
+  // channel (mod 256) — so within-group pairs decode to almost-equal
+  // images and cross-group pairs to unrelated ones. The aHash is
+  // computed from the DECODED raster (lossless roundtrip ⇒ equals the
+  // generator's closed form, m5's oracle technique), pairs surface
+  // through d5's banded-Hamming pigeonhole — never an all-pairs join.
+  // ---------------------------------------------------------------
+
+  private[graft] def m6Group(id: Long): Long = id / 5
+
+  /** Perturbation mask for copy `k = id%5`: pixel (x,y) shifts by +16
+    * per channel iff (x·31 + y·17) % 101 < k — 0%..4% of pixels, so
+    * same-group aHashes sit within a few Hamming bits.
+    */
+  private[graft] def m6Pert(id: Long, x: Int, y: Int): Int =
+    if ((x * 31 + y * 17) % 101 < (id % 5).toInt) 16 else 0
+
+  private[graft] def m6Sample(id: Long, x: Int, y: Int, c: Int): Int =
+    (genSample(m6Group(id), x, y, c) + m6Pert(id, x, y)) % 256
+
+  /** Seeded near-dup PNG corpus: one blob per doc id, pixels from
+    * [[m6Sample]], dims from the GROUP id (near-dups must agree on
+    * dims for the cell grid to align). Distributed, mapPartitions,
+    * JDK-internal encoder — the [[generatePngs]] shape.
+    */
+  private[graft] def generateNearDupPngs(s: SparkSession, ids: DataFrame)
+      : DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ids.select("doc_id").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val g = m6Group(id)
+        val w = genWidth(g); val h = genHeight(g)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              (m6Sample(id, x, y, 0) << 16) |
+                (m6Sample(id, x, y, 1) << 8) | m6Sample(id, x, y, 2))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row(id, out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** 64-bit average-hash from DECODED pixels, one codec init per
+    * partition ([[decodePng]]'s shape). The 8×8 grid cell of pixel
+    * (x,y) is (i,j) = (x·8/w, y·8/h) (integer division; cells
+    * partition the image for any w,h ≥ 8); gray = R+G+B; bit j·8+i is
+    * set iff the cell's average gray exceeds the IMAGE's average gray
+    * — compared in exact integer cross-multiplication
+    * (S_cell·w·h > T·n_cell), so no float threshold can disagree
+    * between engines. Narrow: no shuffle, scales with input splits.
+    */
+  def aHash64(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    blobs.select("doc_id", "blob").mapPartitions { it =>
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        reader.setInput(iis)
+        val img = reader.read(0)
+        val raster = img.getRaster
+        val w = img.getWidth; val h = img.getHeight
+        val cellSum = new Array[Long](64)
+        val cellN = new Array[Long](64)
+        var total = 0L
+        val px = new Array[Int](raster.getNumBands)
+        var y = 0
+        while (y < h) {
+          val j = y * 8 / h
+          var x = 0
+          while (x < w) {
+            raster.getPixel(x, y, px)
+            val gray = (px(0) + px(1) + px(2)).toLong
+            val b = j * 8 + x * 8 / w
+            cellSum(b) += gray
+            cellN(b) += 1L
+            total += gray
+            x += 1
+          }
+          y += 1
+        }
+        iis.close()
+        val n = w.toLong * h
+        var ahash = 0L
+        var b = 0
+        while (b < 64) {
+          if (cellSum(b) * n > total * cellN(b)) ahash |= (1L << b)
+          b += 1
+        }
+        Row(id, ahash)
+      }
+    }(enc)
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // Typed metadata over the opaque binary column — pure built-ins.
@@ -312,6 +433,94 @@ object MultimodalOps {
         |  CAST(height AS INT) AS height, CAST(3 AS INT) AS channels,
         |  CAST(px_sum AS BIGINT) AS px_sum
         |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // Image near-dup: stage the near-dup PNG corpus once as a Delta
+    // blob table, aHash each DECODED image, pair via d5's banded
+    // Hamming pigeonhole (4 bands × 16 bits: recall EXACT to distance
+    // 3, partial 4..8 — the standard trade that keeps candidates a
+    // bucket join, not all-pairs). The oracle rebuilds the identical
+    // hash from the generator's closed form and mirrors the banding,
+    // so both engines surface exactly the same pairs.
+    "m6_image_neardup" -> QueryDef(
+      (s, dir) => {
+        val path = DeltaQueries.stagedOnce(
+          s, dir, "ahash_blobs", "documents") { p =>
+          graft.delta.DeltaWriter.write(
+            generateNearDupPngs(s, table(s, dir, "documents")), p)
+          ()
+        }
+        val hashed = aHash64(graft.DeltaLake.scanDelta(s, path))
+        val banded = hashed.select(col("doc_id"), col("ahash"),
+          explode(array((0 until 4).map { b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("ahash"), b * 16)
+                .bitwiseAND(lit(0xFFFFL)).as("bits"))
+          }: _*)).as("bk"))
+          .select(col("doc_id"), col("ahash"),
+            col("bk.band").as("band"), col("bk.bits").as("bits"))
+        val l = banded.select(col("band"), col("bits"),
+          col("doc_id").as("doc_a"), col("ahash").as("ah_a"))
+        val r = banded.select(col("band"), col("bits"),
+          col("doc_id").as("doc_b"), col("ahash").as("ah_b"))
+        l.join(r, Seq("band", "bits"))
+          .where(col("doc_a") < col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+          .withColumn("hamming",
+            bit_count(col("ah_a").bitwiseXOR(col("ah_b"))).cast("long"))
+          .where(col("hamming") <= 8)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      // The twin recomputes gray = sum of the three perturbed channel
+      // samples per pixel, folds cells by the same integer grid, sets
+      // bits by the same cross-multiplied threshold, and (like d5)
+      // never assembles the 64-bit value — it derives the four 16-bit
+      // band keys directly and sums per-band popcounts.
+      Some("""WITH dims AS (
+        |  SELECT doc_id, doc_id // 5 AS gid, doc_id % 5 AS k,
+        |    16 + (doc_id // 5) % 48 AS w,
+        |    16 + ((doc_id // 5) * 7) % 48 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (x.j * 8) // d.w AS ci, (y.j * 8) // d.h AS cj,
+        |    (d.gid * 31 + x.j * 3 + y.j * 7 +
+        |       CASE WHEN (x.j * 31 + y.j * 17) % 101 < d.k
+        |         THEN 16 ELSE 0 END) % 256
+        |    + (d.gid * 31 + x.j * 3 + y.j * 7 + 11 +
+        |       CASE WHEN (x.j * 31 + y.j * 17) % 101 < d.k
+        |         THEN 16 ELSE 0 END) % 256
+        |    + (d.gid * 31 + x.j * 3 + y.j * 7 + 22 +
+        |       CASE WHEN (x.j * 31 + y.j * 17) % 101 < d.k
+        |         THEN 16 ELSE 0 END) % 256 AS gray
+        |  FROM dims d
+        |  JOIN range(64) x(j) ON x.j < d.w
+        |  JOIN range(64) y(j) ON y.j < d.h),
+        |cells AS (
+        |  SELECT doc_id, w, h, ci, cj, sum(gray) AS s, count(*) AS n
+        |  FROM px GROUP BY doc_id, w, h, ci, cj),
+        |tot AS (SELECT doc_id, sum(s) AS t FROM cells GROUP BY doc_id),
+        |bits AS (
+        |  SELECT c.doc_id, c.cj * 8 + c.ci AS b,
+        |    CASE WHEN c.s * c.w * c.h > t.t * c.n THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id),
+        |bands AS (
+        |  SELECT doc_id, b // 16 AS band,
+        |    CAST(sum(bit << (b % 16)) AS BIGINT) AS bv
+        |  FROM bits GROUP BY doc_id, b // 16),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM bands a JOIN bands b2
+        |    ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(sum(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bands ba ON ba.doc_id = c.doc_a
+        |  JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b, hamming FROM ham
+        |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Frame sampling over a "video" payload: probe the container for
     // its frame count (stub: 8 + h % 56), then decode 4 evenly spaced

@@ -586,6 +586,63 @@ class OpsSpec extends SparkSuite {
     assert(ids.select(col("doc_id")).count() == 37)
   }
 
+  test("m6 aHash: decoded hash equals the closed form; planted near-dups " +
+      "are near in Hamming, cross-group images far") {
+    // the pure-arithmetic reference: pixels -> cells -> threshold,
+    // straight from the generator's closed form, never touching the
+    // PNG codec — so a lossy stage, band mixup, or cell-grid drift in
+    // the decode path breaks equality here like m5's px_sum check
+    def refAHash(id: Long): Long = {
+      val g = MultimodalOps.m6Group(id)
+      val w = MultimodalOps.genWidth(g); val h = MultimodalOps.genHeight(g)
+      val cs = new Array[Long](64); val cn = new Array[Long](64)
+      var tot = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val gray = (0 until 3).map(c => MultimodalOps.m6Sample(id, x, y, c))
+          .sum.toLong
+        val b = (y * 8 / h) * 8 + (x * 8 / w)
+        cs(b) += gray; cn(b) += 1; tot += gray
+      }
+      val n = w.toLong * h
+      (0 until 64).foldLeft(0L) { (a, b) =>
+        if (cs(b) * n > tot * cn(b)) a | (1L << b) else a
+      }
+    }
+    val ids = spark.range(0, 25).toDF("doc_id").repartition(3)
+    val hashed = MultimodalOps.aHash64(
+      MultimodalOps.generateNearDupPngs(spark, ids))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed.size == 25)
+    hashed.foreach { case (id, ah) =>
+      assert(ah == refAHash(id), s"doc $id: decoded aHash diverged")
+    }
+    // planted structure: every within-group pair within the verify
+    // threshold; the copy-0 docs of distinct groups (unrelated base
+    // images) far apart
+    for (g <- 0L until 5L; a <- 0 until 5; b <- (a + 1) until 5) {
+      val d = java.lang.Long.bitCount(hashed(g * 5 + a) ^ hashed(g * 5 + b))
+      assert(d <= 8, s"group $g copies $a,$b: hamming $d")
+    }
+    val far = for (g1 <- 0L until 5L; g2 <- (g1 + 1) until 5L)
+      yield java.lang.Long.bitCount(hashed(g1 * 5) ^ hashed(g2 * 5))
+    assert(far.count(_ > 8) >= 8,
+      s"cross-group hashes implausibly close: $far")
+  }
+
+  test("m6 plan: banded candidate generation, never an all-pairs join") {
+    val df = Registry.all("m6_image_neardup").fn(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "near-dup corpus surfaced no pairs")
+    assert(rows.forall(_.getLong(2) <= 8))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"m6 candidates degenerated to all-pairs:\n${plan.take(1500)}")
+    // candidates come from the (band, bits) bucket equi-join
+    assert(plan.contains("band"), plan.take(1500))
+  }
+
   test("dedup corpus keeps exactly the cluster representatives") {
     val labels = DedupOps.defs("d6_dedup_components").fn(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
