@@ -266,21 +266,48 @@ object Relational {
         |  abs(p_size - 25) AS size_dist
         |FROM part ORDER BY p_partkey""".stripMargin)),
 
-    // Skew-mitigation pattern under oracle check: salt the fact side,
-    // explode the build side — result must equal the plain join. At scale
-    // this (or AQE skew-join) keeps one hot key from pinning one reducer.
-    // The salt hashes the FULL row key (orderkey, linenumber) — a
-    // low-cardinality salt source (e.g. linenumber alone, ~7 values)
-    // would leave a hot orderkey concentrated in ≤7 salt values.
+    // Skew-mitigation pattern under oracle check: salt ONLY the heavy
+    // hitters, join the rest plain — result must equal the unsalted
+    // join. r15 retired the naive shape (salt everything, explode the
+    // ENTIRE build side ×salts): its blanket ×4 replication was the
+    // worst sf1 warm ratio in the table (5.7×) and inverted warm>cold
+    // in two independent protocols. The skew cure only needs the
+    // replication where the skew is: find the keys whose fact-row
+    // count would pin a reducer (an exact map-side-combined count
+    // here, K output rows; a sampled sketch at 100 TB), broadcast
+    // that K-row set, salt the hot leg, and union the untouched
+    // cold leg. Replicated volume drops from |orders|×salts to
+    // |hot orders|×salts. The salt hashes the FULL row key
+    // (orderkey, linenumber) — a low-cardinality salt source (e.g.
+    // linenumber alone, ~7 values) would leave a hot orderkey
+    // concentrated in ≤7 salt values.
     "q15_salted_join" -> QueryDef(
       (s, dir) => {
         val salts = 4
         val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        // heavy hitters by fact-side row count; the >=7 cutoff is the
+        // top of the TPC-H per-order distribution, keeping both legs
+        // genuinely exercised at every SF
+        val hot = broadcast(
+          li.groupBy(col("l_orderkey").as("hk"))
+            .agg(count(lit(1)).as("cnt"))
+            .where(col("cnt") >= 7).select("hk"))
+        val liHot = li.join(hot, li("l_orderkey") === hot("hk"), "left_semi")
           .withColumn("salt",
             pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
-        val o = table(s, dir, "orders")
+        val liCold = li.join(hot, li("l_orderkey") === hot("hk"), "left_anti")
+        val oHot = o.join(hot, o("o_orderkey") === hot("hk"), "left_semi")
           .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
-        li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+        val oCold = o.join(hot, o("o_orderkey") === hot("hk"), "left_anti")
+        val hotLeg = liHot.join(oHot,
+          liHot("l_orderkey") === oHot("o_orderkey") &&
+            liHot("salt") === oHot("salt"))
+          .select(col("o_orderpriority"), col("l_quantity"))
+        val coldLeg = liCold.join(oCold,
+          liCold("l_orderkey") === oCold("o_orderkey"))
+          .select(col("o_orderpriority"), col("l_quantity"))
+        hotLeg.unionByName(coldLeg)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
           .orderBy("o_orderpriority")

@@ -326,6 +326,31 @@ class OpsSpec extends SparkSuite {
       s"join still shuffles:\n${plan.take(2500)}")
   }
 
+  test("q15 heavy-hitter salting: equals the plain join; replication " +
+      "confined to the hot leg") {
+    val out = Registry.all("q15_salted_join").fn(spark, dir)
+    val li = Registry.table(spark, dir, "lineitem")
+    val o = Registry.table(spark, dir, "orders")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy("o_orderpriority")
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty,
+      "heavy-hitter salted join diverged from the plain join")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the K-row hot set reaches every leg as a broadcast, never a shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-key set not broadcast:\n${plan.take(2000)}")
+    // exactly ONE explode: the hot build leg. The retired r15 shape
+    // replicated the ENTIRE orders side ×salts (its blanket Generate
+    // was the worst sf1 warm ratio in the table); the cold leg must
+    // join plain.
+    assert("Generate".r.findAllIn(plan).length == 1,
+      s"salt replication leaked past the hot leg:\n${plan.take(2500)}")
+  }
+
   test("e3 as-of plan is a window, not a join — no row explosion") {
     val df = Registry.all("e3_asof_join").fn(spark, dir)
     df.count()
