@@ -223,15 +223,36 @@ object MultimodalOps {
 
   private[graft] def m6Group(id: Long): Long = id / 5
 
+  /** Base pixel closed form for the near-dup corpus — multiplicative
+    * mix + xor-shift folding, NOT m5's linear gradient. This is what
+    * keeps the banded join linear: the aHash of a LINEAR pattern
+    * ((g·31 + 3x + 7y + 11c) % 256) is dominated by cell-grid
+    * geometry, so thousands of groups share 16-bit band values — the
+    * measured r16 rehearsal blowup (m6 sf1 warm 197 s, ratio 69.8×
+    * on 10× docs: one hot (band, bits) bucket held ~6% of all
+    * groups, quadratic candidates). With this form the simulated
+    * worst bucket over 2000 groups drops 125 → 8 and candidate
+    * group-pairs 126,772 → 1,424 (~12× over the uniform floor —
+    * residual dims-class structure). Every operand stays positive
+    * and below 2^63 for any realistic id, so `%` and logical shifts
+    * agree between JVM and the DuckDB twin. Uniformity is pinned by
+    * the OpsSpec bucket-skew test.
+    */
+  private[graft] def m6Base(g: Long, x: Int, y: Int, c: Int): Int = {
+    val v = g * 2654435761L + x * 40503L + y * 65537L + c * 11L
+    ((v ^ (v >>> 13) ^ (v >>> 27)) % 256L).toInt
+  }
+
   /** Perturbation mask for copy `k = id%5`: pixel (x,y) shifts by +16
     * per channel iff (x·31 + y·17) % 101 < k — 0%..4% of pixels, so
-    * same-group aHashes sit within a few Hamming bits.
+    * same-group aHashes sit within a few Hamming bits (simulated
+    * max 7, mean 1.0 over 40 groups).
     */
   private[graft] def m6Pert(id: Long, x: Int, y: Int): Int =
     if ((x * 31 + y * 17) % 101 < (id % 5).toInt) 16 else 0
 
   private[graft] def m6Sample(id: Long, x: Int, y: Int, c: Int): Int =
-    (genSample(m6Group(id), x, y, c) + m6Pert(id, x, y)) % 256
+    (m6Base(m6Group(id), x, y, c) + m6Pert(id, x, y)) % 256
 
   /** Seeded near-dup PNG corpus: one blob per doc id, pixels from
     * [[m6Sample]], dims from the GROUP id (near-dups must agree on
@@ -481,21 +502,23 @@ object MultimodalOps {
         |    16 + (doc_id // 5) % 48 AS w,
         |    16 + ((doc_id // 5) * 7) % 48 AS h
         |  FROM documents),
-        |px AS (
-        |  SELECT d.doc_id, d.w, d.h,
-        |    (x.j * 8) // d.w AS ci, (y.j * 8) // d.h AS cj,
-        |    (d.gid * 31 + x.j * 3 + y.j * 7 +
-        |       CASE WHEN (x.j * 31 + y.j * 17) % 101 < d.k
-        |         THEN 16 ELSE 0 END) % 256
-        |    + (d.gid * 31 + x.j * 3 + y.j * 7 + 11 +
-        |       CASE WHEN (x.j * 31 + y.j * 17) % 101 < d.k
-        |         THEN 16 ELSE 0 END) % 256
-        |    + (d.gid * 31 + x.j * 3 + y.j * 7 + 22 +
-        |       CASE WHEN (x.j * 31 + y.j * 17) % 101 < d.k
-        |         THEN 16 ELSE 0 END) % 256 AS gray
+        |pv AS (
+        |  SELECT d.doc_id, d.w, d.h, x.j AS px, y.j AS py,
+        |    d.gid * 2654435761 + x.j * 40503 + y.j * 65537 AS v0,
+        |    CASE WHEN (x.j * 31 + y.j * 17) % 101 < d.k
+        |      THEN 16 ELSE 0 END AS pert
         |  FROM dims d
         |  JOIN range(64) x(j) ON x.j < d.w
         |  JOIN range(64) y(j) ON y.j < d.h),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (px * 8) // w AS ci, (py * 8) // h AS cj,
+        |    (xor(xor(v0, v0 >> 13), v0 >> 27) % 256 + pert) % 256
+        |    + (xor(xor(v0 + 11, (v0 + 11) >> 13), (v0 + 11) >> 27) % 256
+        |       + pert) % 256
+        |    + (xor(xor(v0 + 22, (v0 + 22) >> 13), (v0 + 22) >> 27) % 256
+        |       + pert) % 256 AS gray
+        |  FROM pv),
         |cells AS (
         |  SELECT doc_id, w, h, ci, cj, sum(gray) AS s, count(*) AS n
         |  FROM px GROUP BY doc_id, w, h, ci, cj),

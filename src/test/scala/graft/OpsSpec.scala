@@ -611,28 +611,29 @@ class OpsSpec extends SparkSuite {
     assert(ids.select(col("doc_id")).count() == 37)
   }
 
+  // the pure-arithmetic m6 reference: pixels -> cells -> threshold,
+  // straight from the generator's closed form, never touching the
+  // PNG codec — so a lossy stage, band mixup, or cell-grid drift in
+  // the decode path breaks equality below like m5's px_sum check
+  private def refAHash(id: Long): Long = {
+    val g = MultimodalOps.m6Group(id)
+    val w = MultimodalOps.genWidth(g); val h = MultimodalOps.genHeight(g)
+    val cs = new Array[Long](64); val cn = new Array[Long](64)
+    var tot = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val gray = (0 until 3).map(c => MultimodalOps.m6Sample(id, x, y, c))
+        .sum.toLong
+      val b = (y * 8 / h) * 8 + (x * 8 / w)
+      cs(b) += gray; cn(b) += 1; tot += gray
+    }
+    val n = w.toLong * h
+    (0 until 64).foldLeft(0L) { (a, b) =>
+      if (cs(b) * n > tot * cn(b)) a | (1L << b) else a
+    }
+  }
+
   test("m6 aHash: decoded hash equals the closed form; planted near-dups " +
       "are near in Hamming, cross-group images far") {
-    // the pure-arithmetic reference: pixels -> cells -> threshold,
-    // straight from the generator's closed form, never touching the
-    // PNG codec — so a lossy stage, band mixup, or cell-grid drift in
-    // the decode path breaks equality here like m5's px_sum check
-    def refAHash(id: Long): Long = {
-      val g = MultimodalOps.m6Group(id)
-      val w = MultimodalOps.genWidth(g); val h = MultimodalOps.genHeight(g)
-      val cs = new Array[Long](64); val cn = new Array[Long](64)
-      var tot = 0L
-      for (y <- 0 until h; x <- 0 until w) {
-        val gray = (0 until 3).map(c => MultimodalOps.m6Sample(id, x, y, c))
-          .sum.toLong
-        val b = (y * 8 / h) * 8 + (x * 8 / w)
-        cs(b) += gray; cn(b) += 1; tot += gray
-      }
-      val n = w.toLong * h
-      (0 until 64).foldLeft(0L) { (a, b) =>
-        if (cs(b) * n > tot * cn(b)) a | (1L << b) else a
-      }
-    }
     val ids = spark.range(0, 25).toDF("doc_id").repartition(3)
     val hashed = MultimodalOps.aHash64(
       MultimodalOps.generateNearDupPngs(spark, ids))
@@ -652,6 +653,30 @@ class OpsSpec extends SparkSuite {
       yield java.lang.Long.bitCount(hashed(g1 * 5) ^ hashed(g2 * 5))
     assert(far.count(_ > 8) >= 8,
       s"cross-group hashes implausibly close: $far")
+  }
+
+  test("m6 base-image aHash bands stay near-uniform — the banded join's " +
+      "health condition") {
+    // the r16 rehearsal caught the LINEAR base form funneling ~6% of
+    // all groups into one (band, bits) bucket (m6 sf1 warm 197 s,
+    // ratio 69.8x on 10x docs — quadratic candidates). The mixed form
+    // must keep every bucket small and the candidate count within a
+    // constant of the uniform floor; this is pure closed-form
+    // arithmetic over 1000 base images, no Spark, so a regression in
+    // the generator shows up at test speed.
+    val hashes = (0L until 1000L).map(g => refAHash(g * 5))
+    var worst = 0
+    var cand = 0L
+    for (band <- 0 until 4) {
+      val sizes = hashes.groupBy(h => (h >>> (band * 16)) & 0xFFFFL)
+        .values.map(_.size)
+      worst = math.max(worst, sizes.max)
+      cand += sizes.map(n => n.toLong * (n - 1) / 2).sum
+    }
+    // linear-form measurements at this scale: worst ~125, cand ~31k
+    assert(worst <= 20, s"hot band bucket: $worst of 1000 groups")
+    assert(cand <= 2500, s"candidate group-pairs $cand — banded join " +
+      "headed quadratic")
   }
 
   test("m6 plan: banded candidate generation, never an all-pairs join") {
