@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.delta.ScanSettings
-import graft.functions.{BloomMightContain, LshSignature, NearestCentroid, SimHash64, VectorCosine}
+import graft.functions.{BloomMightContain, LshSignature, MinHashSig, NearestCentroid, SimHash64, VectorCosine, WordNgrams}
 
 /** Spark-native integration point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("simhash64", classOf[SimHash64],
       SimHash64.builder))
+    ext.injectFunction(fn("minhash_sig", classOf[MinHashSig],
+      MinHashSig.builder))
+    ext.injectFunction(fn("word_ngrams", classOf[WordNgrams],
+      WordNgrams.builder))
     ext.injectFunction(fn("vector_cosine", classOf[VectorCosine],
       VectorCosine.builder))
     ext.injectFunction(fn("nearest_centroid", classOf[NearestCentroid],

@@ -47,11 +47,15 @@ object DedupOps {
     * interpreted higher-order functions), so `slice(tokens(text), …)`
     * would re-split the full text once per shingle — measured 90s vs 3s
     * at sf0.1.
+    *
+    * r16: the n-gram projection runs through the fused codegen kernel
+    * (graft.functions.WordNgrams) instead of the interpreted
+    * transform/sequence/slice/concat_ws chain — value-identical
+    * (WordNgramsSpec), one array pass, no per-shingle slice allocation.
     */
-  private def shingles(toks: Column): Column =
+  private def shingles(s: SparkSession, toks: Column): Column =
     when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        j => concat_ws(" ", slice(toks, j + 1, lit(3)))))
+      graft.functions.WordNgrams.wordNgrams(s, toks, 3))
       .otherwise(array(concat_ws(" ", toks)))
 
   /** Fingerprint of the documents table, computed ONCE per op
@@ -81,7 +85,7 @@ object DedupOps {
       s: SparkSession, dir: String, ver: String): DataFrame =
     OpCaches.cached(s, s"dedup:sh:$dir", ver) {
       toksTable(s, dir, ver)
-        .select(col("doc_id"), shingles(col("toks")).as("sh"))
+        .select(col("doc_id"), shingles(s, col("toks")).as("sh"))
     }
 
   private[ops] val NumHashes = 32
@@ -96,13 +100,27 @@ object DedupOps {
     * earlier draft hex-padded them to reuse the string min and the
     * measured "fast" path came out 0.8x of md5, all of it hex/lpad
     * allocation per (shingle x seed).
+    *
+    * r16: computed by the FUSED whole-stage-codegen kernel
+    * (graft.functions.MinHashSig) — one pass over the shingle array
+    * derives all 32 per-seed minima, where the previous composed
+    * `array(array_min(transform(…)) × 32)` form re-traversed the array
+    * 32 times through interpreted (CodegenFallback) higher-order
+    * functions: per (shingle, seed) it allocated a concat + to_binary +
+    * a fresh MessageDigest + a 32-char hex string on the md5 flavor,
+    * and re-hashed the full shingle bytes per seed on the xxhash64
+    * flavor (the seed only enters the FINAL int mix, so 31 of those 32
+    * string hashes computed the same value). Value-identical by
+    * construction — MinHashSigSpec pins both flavors element-for-
+    * element against the composed form, nulls and empties included —
+    * so every persisted signature store and the d3/d4/d6/d9 oracle
+    * family read the same bytes. Measured (d7 kernel pair, min-of-3
+    * post-prime at sf0.1, 3× amplified): md5 1.43/1.45 → 0.44/0.37 s
+    * (3.4×), fast 0.34/0.42 → 0.13/0.14 s (2.7×).
     */
-  private def minhashes(sh: Column, fastHash: Boolean): Column =
-    array((0 until NumHashes).map { i =>
-      if (fastHash) array_min(transform(sh, x => xxhash64(x, lit(i))))
-      else array_min(transform(sh,
-        x => md5(to_binary(concat(x, lit(":" + i)), lit("utf-8")))))
-    }: _*)
+  private def minhashes(
+      s: SparkSession, sh: Column, fastHash: Boolean): Column =
+    graft.functions.MinHashSig.minhashSig(s, sh, NumHashes, fastHash)
 
   /** doc_id + banded minhash signature, one row per band.
     *
@@ -118,7 +136,7 @@ object DedupOps {
       ver: String): DataFrame = {
     val docs = OpCaches.cached(s, s"dedup:mh:$dir:$fastHash", ver) {
       shingleTable(s, dir, ver)
-        .select(col("doc_id"), minhashes(col("sh"), fastHash).as("mh"))
+        .select(col("doc_id"), minhashes(s, col("sh"), fastHash).as("mh"))
     }
     bandedFrom(docs, fastHash)
   }
@@ -156,7 +174,20 @@ object DedupOps {
       ver: Option[String] = None): DataFrame =
     pairsFrom(bandedDocs(s, dir, fastHash, ver.getOrElse(docsVersion(s, dir))))
 
-  /** The LSH candidate join over a banded relation ([[bandedFrom]]). */
+  /** The LSH candidate join over a banded relation ([[bandedFrom]]).
+    *
+    * r16: the similarity estimate is computed BEFORE the pair dedup,
+    * not after. est_jaccard is a pure function of the two signatures,
+    * so every duplicate collision row (a pair colliding in up to 8
+    * bands) carries the identical value and `dropDuplicates` keeps the
+    * same result either way — but carrying the estimate instead of the
+    * two 32-element signature arrays makes the dedup exchange ship ~24
+    * bytes/row instead of ~2 KB (guide §2.3, project before the
+    * exchange) and turns the aggregate from Sort → SortAggregate →
+    * Sort (array-typed first() can't use hash aggregation) into a
+    * plain partial/final HashAggregate — two sorts gone from every
+    * d3/d4/d6 pipeline (plans/r16/d3_minhash_pairs_{before,after}.txt).
+    */
   private def pairsFrom(b: DataFrame): DataFrame = {
     val l = b.select(col("band"), col("sig"),
       col("doc_id").as("doc_a"), col("mh").as("mh_a"))
@@ -164,10 +195,9 @@ object DedupOps {
       col("doc_id").as("doc_b"), col("mh").as("mh_b"))
     l.join(r, Seq("band", "sig"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("mh_a"), col("mh_b"))
+      .select(col("doc_a"), col("doc_b"),
+        estJaccard(col("mh_a"), col("mh_b")).as("est_jaccard"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("est_jaccard", estJaccard(col("mh_a"), col("mh_b")))
-      .select("doc_a", "doc_b", "est_jaccard")
   }
 
   /** Fraction of agreeing minhash positions — the LSH Jaccard
@@ -184,8 +214,9 @@ object DedupOps {
   private def signaturesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles(col("toks")).as("sh"))
-      .select(col("doc_id"), minhashes(col("sh"), fastHash = false).as("mh"))
+      .select(col("doc_id"), shingles(docs.sparkSession, col("toks")).as("sh"))
+      .select(col("doc_id"),
+        minhashes(docs.sparkSession, col("sh"), fastHash = false).as("mh"))
 
   /** PERSISTED incremental signature store — the production shape of
     * corpus dedup at 100 TB: signature computation (shingling + k
@@ -800,7 +831,7 @@ object DedupOps {
     // identically for both flavors, diluting the ratio being measured
     shingleTable(s, dir, docsVersion(s, dir))
       .select(explode(sequence(lit(1), lit(3))).as("rep"), col("sh"))
-      .select(minhashes(col("sh"), fastHash).as("mh"))
+      .select(minhashes(s, col("sh"), fastHash).as("mh"))
       .agg(count(lit(1)).as("n_docs"), max(hash(col("mh"))).as("sig_checksum"))
       // a bare COUNT over an ungrouped agg lets Catalyst prove "1 row"
       // and prune the whole minhash projection — the bench would time
@@ -1505,9 +1536,16 @@ object DedupOps {
     // minhash family); `fast = true` swaps in xxhash64 for production.
     "d5_simhash_pairs" -> QueryDef(
       (s, dir) => {
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id"),
-            SimHash64.simhash64(s, tokens(col("text"))).as("sh"))
+        // r16: the (doc_id, sh) sketch is session-cached (16 bytes/doc)
+        // — both sides of the banded self-join read it, and the
+        // uncached plan re-tokenized and re-simhashed the full corpus
+        // once per side (same decode-once argument as m6)
+        val docs = OpCaches.cached(s, s"dedup:d5sh:$dir",
+            docsVersion(s, dir)) {
+          table(s, dir, "documents")
+            .select(col("doc_id"),
+              SimHash64.simhash64(s, tokens(col("text"))).as("sh"))
+        }
         // 4 bands of 16 bits: a pair within Hamming distance 3 must
         // agree on at least one band (pigeonhole), so recall is EXACT
         // up to distance 3. The hamming<=8 verify filter below keeps

@@ -470,7 +470,17 @@ object MultimodalOps {
             generateNearDupPngs(s, table(s, dir, "documents")), p)
           ()
         }
-        val hashed = aHash64(graft.DeltaLake.scanDelta(s, path))
+        // r16: the (doc_id, ahash) relation is session-cached (16
+        // bytes/doc) — BOTH sides of the banded self-join below read
+        // it, and an uncached plan re-ran the full PNG decode
+        // (MapPartitions) once per side: the m6 cold pass paid every
+        // decode twice (plans/r16/m6_image_neardup_{before,after}.txt;
+        // 2 MapPartitions → 1). The decode is the dominant per-row
+        // cost here, exactly the guide-§8 "decode once" rule.
+        val hashed = OpCaches.cached(s, s"mm:m6hash:$dir",
+            OpCaches.tableVersion(s, dir, "documents")) {
+          aHash64(graft.DeltaLake.scanDelta(s, path))
+        }
         val banded = hashed.select(col("doc_id"), col("ahash"),
           explode(array((0 until 4).map { b =>
             struct(lit(b).as("band"),

@@ -201,11 +201,17 @@ object SimilarityOps {
     val queries = banded.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("tbl"), col("sig"))
+    // r16: cosine BEFORE the candidate dedup — sim is a pure function
+    // of the two vectors, so dup collision rows (≤ tables per pair)
+    // carry identical values and the dedup result is unchanged; the
+    // exchange then ships (ids, sim) instead of two 64-float arrays
+    // and the aggregate hash-aggregates instead of Sort→SortAggregate
+    // (guide §2.3; plans/r16/s2_ann_lsh_{before,after}.txt)
     val scored = banded.join(broadcast(queries), Seq("tbl", "sig"))
       .where(col("vec_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(s, col("qv"), col("embedding")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1227,7 +1233,12 @@ object SimilarityOps {
       (s, dir) => {
         val c = corpus(s, dir)
         val bits = derivedBits(c.count())
-        val emb = c.withColumn("bucket", lshSignature(s, col("embedding"), bits))
+        // r16: bucketed corpus session-cached — both self-join sides
+        // read it; uncached, the LSH projection ran once per side
+        val emb = OpCaches.cached(s, s"sim:s3bucketed:$dir:$bits",
+            OpCaches.tableVersion(s, dir, "embeddings")) {
+          c.withColumn("bucket", lshSignature(s, col("embedding"), bits))
+        }
         val l = emb.select(col("bucket"), col("vec_id").as("vec_a"),
           col("embedding").as("va"))
         val r = emb.select(col("bucket"), col("vec_id").as("vec_b"),

@@ -154,9 +154,10 @@ object TextOps {
     */
   private def grams5Relation(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
+    // r16: fused codegen n-gram kernel (value-identical; WordNgramsSpec)
+    // instead of the interpreted transform/slice/concat_ws chain
     val grams5 = when(size(col("tk")) >= 5,
-      transform(sequence(lit(0), size(col("tk")) - 5),
-        j => concat_ws(" ", slice(col("tk"), j + 1, lit(5)))))
+      graft.functions.WordNgrams.wordNgrams(s, col("tk"), 5))
       .otherwise(array(concat_ws(" ", col("tk"))))
     val ver = OpCaches.tableVersion(s, dir, "documents")
     OpCaches.cached(s, s"text:grams5:$dir", ver) {
@@ -752,9 +753,10 @@ object TextOps {
         table(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .select(col("doc_id"), concat(col("tk"),
+            // r16: fused bigram kernel (WordNgrams) — same values, one
+            // codegen pass instead of the interpreted HOF chain
             when(size(col("tk")) >= 2,
-              transform(sequence(lit(0), size(col("tk")) - 2),
-                j => concat_ws(" ", slice(col("tk"), j + 1, lit(2)))))
+              graft.functions.WordNgrams.wordNgrams(s, col("tk"), 2))
               .otherwise(array().cast("array<string>"))).as("feats"))
           .select(col("doc_id"), size(col("feats")).as("n_feats"),
             aggregate(col("feats"), lit(0L), (acc, f) => acc + w(f))
