@@ -196,16 +196,22 @@ object DedupOps {
     l.join(r, Seq("band", "sig"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        estJaccard(col("mh_a"), col("mh_b")).as("est_jaccard"))
+        estJaccard(b.sparkSession, col("mh_a"), col("mh_b"))
+          .as("est_jaccard"))
       .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Fraction of agreeing minhash positions — the LSH Jaccard
     * estimate, one definition for the batch and store-driven paths.
+    * r16: fused codegen kernel (SigAgreeCount) instead of the
+    * interpreted zip_with + aggregate chain — this is the per-
+    * CANDIDATE-ROW inner loop, the relation that scales with near-dup
+    * density at 100 TB. Value identity pinned by SigAgreeCountSpec.
     */
-  private def estJaccard(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / NumHashes
+  private def estJaccard(
+      s: SparkSession, a: Column, b: Column): Column =
+    graft.functions.SigAgreeCount.sigAgreeCount(s, a, b)
+      .cast("double") / NumHashes
 
   /** Md5-flavor MinHash signatures straight from `(doc_id, text)` rows
     * — the per-document computation [[incrementalSignatures]] runs on
@@ -478,7 +484,8 @@ object DedupOps {
         "doc_a")
       .join(allSigs.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")),
         "doc_b")
-      .withColumn("est_jaccard", estJaccard(col("mh_a"), col("mh_b")))
+      .withColumn("est_jaccard",
+        estJaccard(cand.sparkSession, col("mh_a"), col("mh_b")))
       .where(col("est_jaccard") >= 0.2)
       .select("doc_a", "doc_b", "est_jaccard")
 

@@ -437,11 +437,20 @@ object TextOps {
         val g2 = zip_with(
           slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
           (a, b) => concat_ws(" ", a, b))
-        // the per-doc metrics live in their OWN projection below the
-        // explode: a select sharing the generator would be rewritten
-        // ABOVE the Generate and re-evaluate the (interpreted,
-        // CodegenFallback) lambda tree once per exploded TOKEN instead
-        // of once per document — measured 50x slower at sf0.1
+        // r16: the top-token multiplicity is PER DOCUMENT, so it never
+        // needed cross-row aggregation — the previous explode →
+        // groupBy(doc, token) → groupBy(doc) max(c) chain shuffled the
+        // token stream twice (map-side combine kept the exchanges
+        // vocabulary-proportional, but the explode and both exchanges
+        // still scaled with the corpus). The fused kernel
+        // (graft.functions.TopTokenCount, doc-local hash map — state
+        // bounded by one doc's distinct tokens) computes the identical
+        // number in the same single projection pass as the gram ratio:
+        // t10 is now shuffle-free up to the presentation sort
+        // (plans/r16/t10_repetition_{before,after}.txt: 2 Exchange +
+        // Generate → 0 Exchange). TopTokenCountSpec pins value
+        // identity against the aggregation twin; the where-guard
+        // replicates explode's drop of null/empty token arrays.
         val base = table(s, dir, "documents")
           .select(col("doc_id"),
             size(tk).as("n_tokens"),
@@ -450,15 +459,10 @@ object TextOps {
                 / (size(tk) - 1))
               .otherwise(lit(0.0)).as("dup_2gram_ratio"),
             tk.as("tk"))
+        base.where(col("tk").isNotNull && size(col("tk")) > 0)
           .select(col("doc_id"), col("n_tokens"), col("dup_2gram_ratio"),
-            explode(col("tk")).as("token"))
-        base.groupBy("doc_id", "n_tokens", "dup_2gram_ratio", "token")
-          .agg(count(lit(1)).as("c"))
-          .groupBy("doc_id", "n_tokens", "dup_2gram_ratio")
-          .agg(max(col("c")).as("top_cnt"))
-          .select(col("doc_id"), col("n_tokens"), col("dup_2gram_ratio"),
-            (col("top_cnt").cast("double") / col("n_tokens"))
-              .as("top_token_ratio"))
+            (graft.functions.TopTokenCount.topTokenCount(s, col("tk"))
+              .cast("double") / col("n_tokens")).as("top_token_ratio"))
           .orderBy("doc_id")
       },
       Some("""WITH toks AS (

@@ -779,19 +779,24 @@ class OpsSpec extends SparkSuite {
     assert(out(4L) == ((5, 1.0 - 3.0 / 4, 4.0 / 5)), s"got ${out(4L)}")
   }
 
-  test("t10 computes per-doc metrics below the explode (plan shape)") {
+  test("t10 plan: no explode, no aggregation exchange (fused top-token)") {
+    // r16 shape: the per-doc top-token multiplicity is computed by the
+    // fused TopTokenCount kernel in the same projection pass as the
+    // gram ratio, so the token stream is never exploded and never
+    // shuffled — the plan's only exchange is the presentation sort.
+    // (This supersedes the pre-r16 guard that pinned the dup-ratio
+    // tree BELOW the Generate: with no Generate, the re-evaluation-
+    // per-exploded-token trap it guarded against no longer exists.)
     val df = Registry.all("t10_repetition").fn(spark, dir)
     df.count()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // the interpreted lambda tree (zip_with/array_distinct) must sit
-    // BELOW the Generate: a select sharing the generator is rewritten
-    // above it and re-evaluates the tree once per exploded TOKEN —
-    // the 50x regression this guards against
-    val above = plan.split("Generate")(0)
-    assert(!above.contains("array_distinct") && !above.contains("zip_with"),
-      s"dup-ratio tree evaluated per exploded token:\n${plan.take(2000)}")
-    assert(plan.contains("Generate"), s"expected an explode:\n${plan.take(800)}")
+    assert(!plan.contains("Generate"), s"unexpected explode:\n${plan.take(800)}")
+    assert(plan.contains("toptokencount"),
+      s"expected the fused kernel in the projection:\n${plan.take(2000)}")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"expected only the orderBy exchange:\n${plan.take(2000)}")
   }
 
   test("t11 plan: capped rank window, broadcast quota frame only") {
