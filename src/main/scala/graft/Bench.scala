@@ -177,10 +177,19 @@ object Bench {
     // shot — the QueryColdProbe protocol) in one more fresh JVM; the
     // round-over-round comparison should read this series first.
     val top10 = cold.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
-    val coldMin3 =
-      if (top10.isEmpty) Nil
+    val min3Fork =
+      if (top10.isEmpty) Map.empty[String, Seq[(String, Double)]]
       else read(fork("coldmin3:" + top10.mkString(",")))
-        .getOrElse("cold_min3", Nil).sortBy(_._1)
+    val coldMin3 = min3Fork.getOrElse("cold_min3", Nil).sortBy(_._1)
+    // r17 (verdict item 6): the same child now takes 5 per-shot-clean
+    // shots — cold_min3 stays the min of the FIRST 3 (series definition
+    // unchanged for round-over-round reads), cold_min5 is the min of
+    // all 5, and the per-shot times + GC deltas land in the full JSON
+    // so a box-state event (page cache, GC) is attributable per shot
+    // instead of poisoning the series invisibly.
+    val coldMin5 = min3Fork.getOrElse("cold_min5", Nil).sortBy(_._1)
+    val coldShots = min3Fork.getOrElse("cold_shots", Nil).sortBy(_._1)
+    val coldShotsGc = min3Fork.getOrElse("cold_shots_gc_ms", Nil).sortBy(_._1)
 
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -208,6 +217,9 @@ object Bench {
       s""","kernels":${obj(kWarm)},"kernels_cold":${obj(kCold)}""" +
       s""","snapcache":${obj(snapcache)}""" +
       s""","cold_min3":${obj(coldMin3)}""" +
+      s""","cold_min5":${obj(coldMin5)}""" +
+      s""","cold_min3_shots":${obj(coldShots)}""" +
+      s""","cold_min3_shots_gc_ms":${obj(coldShotsGc)}""" +
       s""","total_cold_sec":${tot(cold)},"total_warm_sec":${tot(warm)}""" +
       s""","total_cold_min3_top10_sec":${tot(coldMin3)}""" +
       s""","staging_sec":$staging""" +
@@ -215,7 +227,7 @@ object Bench {
       s""","warm_gt_cold":${warmGtCold.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","kernel_window_breach":${kernelBreach.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","kernel_retried":$kernelRetried""" +
-      s""","protocol":"forked-jvm-per-pass + per-family deepClean + kernel-pair breach gate + cold_min3 top-10 (r15)","sf":"$sfDir"}"""
+      s""","protocol":"forked-jvm-per-pass + per-family deepClean + kernel-pair breach gate + cold_min3 top-10 (r15); 5-shot cold_min3 instrumentation + compact tail line (r17)","sf":"$sfDir"}"""
     println(json)
     // The driver's stdout tail capture truncated this line two rounds
     // running (BENCH_r08/r09 "parsed": null) — persist the full result
@@ -224,6 +236,40 @@ object Bench {
     java.nio.file.Files.createDirectories(outFile.getParent)
     java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))
     println(s"bench json written to ${outFile.toAbsolutePath}")
+    // r17 (verdict item 2): the full per-query line above is ~4 KB and
+    // the driver's stdout tail capture keeps only the last ~2000 chars
+    // — trailing sbt [info]/[success] lines clipped it two rounds
+    // running (BENCH_r15/r16 "parsed": null), so every round-over-round
+    // per-query/scaling comparison arrived empty. Emit a COMPACT
+    // (<1500 char) JSON as the TRUE last line: same metric/value/unit
+    // contract, `queries` carrying per-family totals (keys that cannot
+    // collide with registry names) plus the two per-query series the
+    // verdicts actually read — cold_min3 and the kernels — at 3-decimal
+    // precision. The full map stays in the first line AND in
+    // target/bench.json; nothing is removed or renamed.
+    def r3(v: Double): Double =
+      if (v < 0) v else math.rint(v * 1000) / 1000
+    def objR(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    def famTotals(rs: Seq[(String, Double)], suffix: String)
+        : Seq[(String, Double)] =
+      rs.filter(_._2 >= 0).groupBy(_._1.head).toSeq.sortBy(_._1)
+        .map { case (p, xs) => (s"${p}_family_$suffix", xs.map(_._2).sum) }
+    val compact =
+      s"""{"metric":"total_cold","value":${r3(tot(cold))},"unit":"sec"""" +
+      s""","compact":true,"full":"target/bench.json"""" +
+      s""","queries":${objR(famTotals(cold, "cold") ++
+        famTotals(warm, "warm") ++ coldMin3 ++ kCold)}""" +
+      s""","total_cold_sec":${r3(tot(cold))}""" +
+      s""","total_warm_sec":${r3(tot(warm))}""" +
+      s""","total_cold_min3_top10_sec":${r3(tot(coldMin3))}""" +
+      s""","staging_sec":${r3(staging)}""" +
+      s""","failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","warm_gt_cold":${warmGtCold.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","kernel_window_breach":${kernelBreach.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","kernel_retried":$kernelRetried,"sf":"$sfDir"}"""
+    println(compact)
     require(largeBreaches.isEmpty,
       "warm>cold beyond noise (protocol breach): " +
         largeBreaches.mkString(","))
@@ -391,16 +437,45 @@ object Bench {
         val names = cm3.stripPrefix("coldmin3:").split(',').toSeq
           .filter(_.nonEmpty)
         val byName = ordered.toMap
-        emit("cold_min3", names.flatMap { name =>
-          byName.get(name).map { fn =>
-            val ts = (1 to 3).map { _ =>
+        // r17 (verdict item 6 — the 1.5-2x same-code cold_min3 swings):
+        // 5 per-shot-clean shots per query instead of 3. cold_min3 keeps
+        // its r15 definition (min of the FIRST 3) so the series stays
+        // comparable; cold_min5 adds the trimmed read, and the per-shot
+        // times + GC-time deltas go to the full JSON so a box event is
+        // visible as ONE outlier shot instead of an unexplained series
+        // swing.
+        import scala.jdk.CollectionConverters._
+        val gcBeans = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.asScala
+        def gcMs(): Long =
+          gcBeans.map(b => math.max(0L, b.getCollectionTime)).sum
+        val min3 = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        val min5 = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        val shots = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        val shotsGc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        names.foreach { name =>
+          byName.get(name).foreach { fn =>
+            val ts = (1 to 5).map { i =>
               graft.ops.OpCaches.deepClean(spark)
-              try time(fn(spark, sfDir).count())
+              val gc0 = gcMs()
+              val t = try time(fn(spark, sfDir).count())
               catch { case _: Throwable => -1.0 }
-            }.filter(_ >= 0)
-            name -> (if (ts.isEmpty) -1.0 else ts.min)
+              shots += (s"$name:$i" -> t)
+              shotsGc += (s"$name:$i" -> (gcMs() - gc0).toDouble)
+              t
+            }
+            def best(xs: Seq[Double]) = {
+              val ok = xs.filter(_ >= 0)
+              if (ok.isEmpty) -1.0 else ok.min
+            }
+            min3 += (name -> best(ts.take(3)))
+            min5 += (name -> best(ts))
           }
-        })
+        }
+        emit("cold_min3", min3.toSeq)
+        emit("cold_min5", min5.toSeq)
+        emit("cold_shots", shots.toSeq)
+        emit("cold_shots_gc_ms", shotsGc.toSeq)
       case other => sys.error(s"unknown bench family '$other'")
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
