@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.delta.ScanSettings
-import graft.functions.{BloomMightContain, LshSignature, MinHashSig, NearestCentroid, SigAgreeCount, SimHash64, TopTokenCount, VectorCosine, WordNgrams}
+import graft.functions.{BloomMightContain, LshSignature, MinHashSig, NearestCentroid, OverlapCount, SigAgreeCount, SimHash64, StridedNgrams, TopTokenCount, VectorCosine, WordNgrams}
 
 /** Spark-native integration point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or
@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSig.builder))
     ext.injectFunction(fn("word_ngrams", classOf[WordNgrams],
       WordNgrams.builder))
+    ext.injectFunction(fn("strided_ngrams", classOf[StridedNgrams],
+      StridedNgrams.builder))
+    ext.injectFunction(fn("overlap_count", classOf[OverlapCount],
+      OverlapCount.builder))
     ext.injectFunction(fn("top_token_count", classOf[TopTokenCount],
       TopTokenCount.builder))
     ext.injectFunction(fn("sig_agree_count", classOf[SigAgreeCount],

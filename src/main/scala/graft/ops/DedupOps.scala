@@ -807,12 +807,21 @@ object DedupOps {
         .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
       val cand = minhashPairs(s, dir, fastHash, Some(ver))
         .select("doc_a", "doc_b")
+      // r17: fused overlap kernel (OverlapCountSpec pins the Jaccard
+      // against the composed array_intersect/array_union form) — one
+      // hash-probe pass per candidate pair instead of two interpreted
+      // set builds materializing intersection AND union arrays; with
+      // both sides array_distinct'ed, |union| = |a| + |b| - overlap,
+      // so the union array never needs to exist. Catalyst's
+      // subexpression elimination evaluates the kernel once per row.
+      val inter = graft.functions.OverlapCount.overlapCount(
+        s, col("sh_a"), col("sh_b"))
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
+          inter.cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - inter))
         .where(col("jaccard") >= 0.1)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -1426,11 +1435,15 @@ object DedupOps {
     "d11_segment_dedup" -> QueryDef(
       (s, dir) => {
         val ver = docsVersion(s, dir)
-        val nSegs = floor((size(col("toks")) + 15) / 16).cast("int")
+        // r17: fused strided-window kernel (StridedNgramsSpec pins it
+        // against the composed transform/slice/concat_ws form, trailing
+        // partial segment included) — one codegen pass, no per-segment
+        // slice copy; width = stride = 16 gives exactly the
+        // ceil(n/16) non-overlapping segments the count column expects
         val segs = toksTable(s, dir, ver)
           .select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), nSegs - 1),
-              j => concat_ws(" ", slice(col("toks"), j * 16 + 1, lit(16)))))
+            posexplode(graft.functions.StridedNgrams.stridedNgrams(
+              s, col("toks"), 16, 16))
               .as(Seq("seg_idx", "seg")))
         val kept = segs
           .groupBy(md5(col("seg")).as("h"))
