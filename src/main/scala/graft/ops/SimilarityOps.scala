@@ -347,16 +347,29 @@ object SimilarityOps {
           (graft.DeltaLake.scanDelta(s, indexPath),
             Seq.empty[Seq[graft.delta.Cond]])
       }
-    val cand = index.join(broadcast(qsig), Seq("tbl", "sig"))
+    // r17 (guide §2.3, verdict item 5): the candidate dedup previously
+    // carried the 64-float query vector through its exchange and the
+    // checkpoint — ~550 B/row for a decision that only needs the two
+    // ids. Ship (query_id, vec_id) (16 B/row) through the dedup, and
+    // re-attach qv afterwards from the batch-sized signed relation
+    // (tbl = 0 selects exactly one row per query — lshTables fans every
+    // query out over all tables) via a broadcast join. qv is a pure
+    // function of query_id (the probe batches key queries uniquely), so
+    // the scored rows are identical.
+    val cand = index
+      .join(broadcast(qsig.select("tbl", "sig", "query_id")),
+        Seq("tbl", "sig"))
       .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
       .dropDuplicates("query_id", "vec_id")
-      .select(col("query_id"), col("qv"), col("vec_id"))
       .localCheckpoint()
     // candidate endpoints prune the vectors lookup the same way
     val (vecs, vecConds) = ProbePushdown.inListScan(s, vecsPath, "vec_id",
       ProbePushdown.collectCapped(cand.select("vec_id"), 8 * cap)
         .map(_.map(_.getLong(0)).toSeq))
+    val qv = qsig.where(col("tbl") === 0).select(col("query_id"), col("qv"))
     val scored = cand.join(vecs, "vec_id")
+      .join(broadcast(qv), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(s, col("qv"), col("embedding")).as("sim"))
     val w = Window.partitionBy("query_id")
@@ -645,14 +658,20 @@ object SimilarityOps {
     if (K > twoLevelK(s)) return ivfModelTwoLevel(s, dir, emb, K, nCorpus)
 
     // seed centroids: hash-ordered corpus sample (deterministic,
-    // cross-engine: md5 of the decimal id, id tiebreak)
+    // cross-engine: md5 of the decimal id, id tiebreak).
+    // DRIVER COLLECT BOUND: <= K rows of K x Dim floats — K =
+    // derivedK(n) is on this path <= twoLevelK (default 4096, the
+    // guard at the top routes anything larger to the two-level build),
+    // so <= 4096 x 64 doubles ~ 2 MB; sf0.1 measures K = 77.
     val seeds: Array[Seq[Double]] = emb
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h", "vec_id").limit(K)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble))
 
-    // one Lloyd step: assign to seed, recompute per-cluster means
+    // one Lloyd step: assign to seed, recompute per-cluster means.
+    // DRIVER COLLECT BOUND: the groupBy reduces to <= K rows (one per
+    // cluster) BEFORE the collect — same <= 4096-row ceiling as seeds.
     val assigned = emb.withColumn("cl",
       nearestCentroid(s, seeds, col("embedding")))
     val means = assigned
@@ -734,6 +753,8 @@ object SimilarityOps {
         if (cands.count() >= math.max(k, g)) cands else hashed
       }
     val ordered = pool.orderBy("h", "vec_id")
+    // DRIVER COLLECT BOUND: exactly g rows, g clamped to [16, 2048]
+    // above — <= 2048 x 64 doubles ~ 1 MB regardless of corpus size
     val coarse0: Array[Seq[Double]] = ordered.limit(g)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble))
@@ -769,6 +790,8 @@ object SimilarityOps {
     // pairs/vector on the 200k rehearsal tile before this step).
     // Re-centering on the per-cell seed mass tightens the partition
     // the corpus routes through.
+    // DRIVER COLLECT BOUND: <= gEff (<= 2048) rows after the groupBy —
+    // the K seed embeddings themselves stay distributed.
     val coarseMeans: Map[Int, Seq[Double]] = seeds0
       .select(col("grp0"), posexplode(col("c")).as(Seq("pos", "x")))
       .groupBy("grp0", "pos").agg(round(avg("x"), 6).as("m"))
@@ -785,6 +808,7 @@ object SimilarityOps {
     // nearest cell within a subset that contains it is unchanged.
     val regrouped = seeds0.withColumn("grp1",
       nearestCentroid(s, coarse1, col("c")))
+    // DRIVER COLLECT BOUND: <= gEff (<= 2048) distinct group ids
     val occupied: Array[Int] = regrouped.select("grp1").distinct()
       .collect().map(_.getInt(0)).sorted
     val remap = occupied.zipWithIndex.toMap

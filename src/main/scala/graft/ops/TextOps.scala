@@ -61,7 +61,10 @@ object TextOps {
     def compute(): (Seq[org.apache.spark.sql.Row], Seq[Option[Any]]) = {
       // pass 1: per-stratum counts → quotas and prefix thresholds,
       // collected once and rebuilt as a literal frame so later
-      // references don't re-run the aggregation
+      // references don't re-run the aggregation.
+      // DRIVER COLLECT BOUND: one row PER STRATUM — strata are
+      // languages/sources (the documented driver-sized assumption of
+      // this helper; sf0.1 measures 4-5 rows), never documents.
       val thrRows = keyed.groupBy(stratum)
         .agg(count(lit(1)).as("n_src"))
         .withColumn("__q", quotaOf(col("n_src")).cast("long"))
@@ -76,7 +79,9 @@ object TextOps {
         .drop("__s").where(col("__kp") <= col("__t"))
       // pass 2 — verify from the COUNTS side: a stratum with zero
       // survivors is absent from the survivor groupBy and must still
-      // be flagged
+      // be flagged.
+      // DRIVER COLLECT BOUND: <= one row per under-filled stratum —
+      // a subset of the stratum set above (usually empty).
       val bad: Seq[Option[Any]] = thr0.select(col("__s"), col("n_src"),
           col("__q"))
         .join(surv0.groupBy(stratum).agg(count(lit(1)).as("__m"))
@@ -353,19 +358,26 @@ object TextOps {
       (s, dir) => {
         val window = 32
         val stride = 16
-        val toksC = tokens(col("text"))
+        // r17: fused strided-window kernel. The composed
+        // transform(sequence(...), i => slice(tk, ...)) form held the
+        // FULL tokenize subtree inside the lambda (tk is a captured
+        // expression, and there is no materialization barrier here), so
+        // interpreted evaluation re-split the document once PER CHUNK —
+        // O(chunks x tokens) per row. The kernel windows one token
+        // array in one codegen pass; the per-chunk token count is
+        // recovered arithmetically (min(window, n - chunk_id*stride) =
+        // size of the slice, trailing partial chunk included), which
+        // StridedNgramsSpec pins against the composed form.
         table(s, dir, "documents")
-          .select(col("doc_id"), toksC.as("tk"))
-          .select(col("doc_id"), posexplode(
-            transform(
-              sequence(lit(0), greatest(lit(0),
-                floor((size(col("tk")) - (window - stride + 1)) / stride))
-                .cast("int")),
-              i => slice(col("tk"), i * stride + 1, lit(window))))
-            .as(Seq("chunk_id", "c")))
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .select(col("doc_id"), size(col("tk")).as("__n"),
+            posexplode(graft.functions.StridedNgrams.stridedNgrams(
+              s, col("tk"), window, stride))
+            .as(Seq("chunk_id", "chunk_text")))
           .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-            size(col("c")).cast("long").as("n_tokens"),
-            array_join(col("c"), " ").as("chunk_text"))
+            least(lit(window), col("__n") - col("chunk_id") * stride)
+              .cast("long").as("n_tokens"),
+            col("chunk_text"))
           .orderBy("doc_id", "chunk_id")
       },
       Some("""WITH toks AS (
@@ -816,6 +828,32 @@ object TextOps {
     // corpus/3 through one window task — the p6/t11 pathology).
     "t16_bm25_topk" -> QueryDef(
       (s, dir) => {
+        // r17 NEGATIVE RESULT, kept deliberately in the r16 shape: the
+        // single-corpus-exchange build (cache tf per corpus version,
+        // derive dl = sum(tf), n_docs/avgdl/df from it — verdict item
+        // 1) was implemented, plan-verified (one (doc,tok) exchange
+        // inside one InMemoryRelation — the dump is committed as
+        // plans/r17/t16_bm25_topk_tfcache_rejected.txt), oracle-green —
+        // and measured SLOWER cold
+        // at sf0.1: interleaved A/B (graft.T16ABProbe, deepClean before
+        // every shot, 5 rounds x 4 variants) reads this shape at
+        // med 2.26/min 1.84 s vs 3.95/2.89 for the tf-cache build,
+        // 3.53/3.12 without the dl cache, 3.15/2.96 deriving dl from
+        // an uncached tf, 2.71/2.35 for a doc-sized dl cache alone.
+        // Materializing the (doc,tok) aggregate into an
+        // InMemoryRelation costs more than the doc-scale
+        // re-aggregations of the already-cached token stream it
+        // deduplicates (guide §1.1's "the ideal plan is usually slower
+        // at first" — here the gotcha is IMR build cost, and it holds
+        // at every cache granularity tried). The five corpus passes
+        // the r16 plan shows are all over the toks IMR with map-side
+        // combine — shuffle bytes are vocabulary/doc-count sized, so
+        // the 100 TB scaling term is unchanged by the revert. The r16
+        // driver's t16 cold_min3 drift (+30%) did not reproduce:
+        // same-code baseline this round reads 1.35 s (driver r16 read
+        // 2.15 on identical code) — box-state, as OPTIMIZATION_r16.md
+        // diagnosed; the 5-shot cold_min3 instrumentation added this
+        // round makes that class of swing attributable per shot.
         val toks = OpCaches.cached(s, s"text:toks:$dir",
             OpCaches.tableVersion(s, dir, "documents")) {
           table(s, dir, "documents")
