@@ -53,9 +53,20 @@ case class MinHashSig(child: Expression, numExpr: Expression,
   @transient private lazy val fast = fastExpr.eval().asInstanceOf[Boolean]
   @transient private lazy val num = numExpr.eval().asInstanceOf[Int]
 
-  override def dataType: DataType =
-    if (fast) ArrayType(LongType, containsNull = true)
+  // defensive against a non-boolean/null third argument from SQL: lean
+  // on `fast` only when fastExpr really folds to a Boolean, defaulting
+  // to the md5 shape otherwise, so analysis paths that touch dataType
+  // before checkInputDataTypes' TypeCheckFailure surfaces see a clean
+  // type instead of a ClassCastException
+  override def dataType: DataType = {
+    val isFast = fastExpr.foldable &&
+      (try fastExpr.eval() match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case _ => false
+      } catch { case _: Exception => false })
+    if (isFast) ArrayType(LongType, containsNull = true)
     else ArrayType(StringType, containsNull = true)
+  }
 
   // a NULL input array yields an array of `num` NULL minima, exactly like
   // the composed array(array_min(transform(null, …)), …) form — so the
@@ -149,6 +160,15 @@ object MinHashSig {
     else if (fast) kernelFast(arr, num)
     else kernelMd5(arr, num)
 
+  /** Whether this JVM's MD5 MessageDigest supports clone() — probed
+    * once; the clone-prefix fast path below falls back to the plain
+    * loop when it does not (r16 ADVICE).
+    */
+  private val md5Cloneable: Boolean =
+    try {
+      java.security.MessageDigest.getInstance("MD5").clone(); true
+    } catch { case _: CloneNotSupportedException => false }
+
   private def kernelMd5(arr: ArrayData, num: Int): ArrayData = {
     val sfx = suffixes(num)
     val mins = new Array[Array[Byte]](num)
@@ -159,16 +179,38 @@ object MinHashSig {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i).getBytes
-        var k = 0
-        while (k < num) {
+        // only the 2-4 byte ":k" suffix differs per seed, so for long
+        // shingles hash the shingle ONCE into a prefix digest state and
+        // per seed clone + absorb the suffix (r16 ADVICE). Below one
+        // MD5 block (64 B) update() only buffers bytes — no compression
+        // is saved and the per-seed clone allocation would cost more
+        // than the memcpy it avoids — so short shingles keep the plain
+        // loop.
+        if (md5Cloneable && s.length >= 64) {
           md.reset()
           md.update(s)
-          md.update(sfx(k))
-          md.digest(buf, 0, 16)
-          if (mins(k) == null) mins(k) = java.util.Arrays.copyOf(buf, 16)
-          else if (less(buf, mins(k)))
-            System.arraycopy(buf, 0, mins(k), 0, 16)
-          k += 1
+          var k = 0
+          while (k < num) {
+            val mk = md.clone().asInstanceOf[java.security.MessageDigest]
+            mk.update(sfx(k))
+            mk.digest(buf, 0, 16)
+            if (mins(k) == null) mins(k) = java.util.Arrays.copyOf(buf, 16)
+            else if (less(buf, mins(k)))
+              System.arraycopy(buf, 0, mins(k), 0, 16)
+            k += 1
+          }
+        } else {
+          var k = 0
+          while (k < num) {
+            md.reset()
+            md.update(s)
+            md.update(sfx(k))
+            md.digest(buf, 0, 16)
+            if (mins(k) == null) mins(k) = java.util.Arrays.copyOf(buf, 16)
+            else if (less(buf, mins(k)))
+              System.arraycopy(buf, 0, mins(k), 0, 16)
+            k += 1
+          }
         }
       }
       i += 1

@@ -59,8 +59,9 @@ object SigAgreeCount {
 
   /** Static kernel shared by interpreted eval and generated code. */
   def kernel(a: ArrayData, b: ArrayData, isString: Boolean): Long = {
-    // zip_with compares over the COMMON prefix; positions past the
-    // shorter side pair with null and contribute 0
+    // zip_with null-pads the SHORTER array to the longer length;
+    // positions past the shorter side pair with null and contribute 0,
+    // so iterating the min length is sufficient (and value-identical)
     val n = math.min(a.numElements(), b.numElements())
     var agree = 0L
     var i = 0

@@ -87,6 +87,22 @@ class MinHashSigSpec extends SparkSuite {
     }
   }
 
+  test("md5 clone-prefix path (shingles >= 64 bytes) equals composed") {
+    // the kernel switches to cloning a shared prefix digest state for
+    // long shingles (r16 ADVICE) — pin that branch against the
+    // composed form with shingles straddling the 64-byte MD5 block
+    // boundary (63/64/65 byte tokens and a multi-block one)
+    val longToks = Seq(
+      "x" * 63, "y" * 64, "z" * 65, "w" * 200,
+      ("long gram " * 12).trim) // 119 bytes, spaces included
+    val df = longToks.map(t => Seq(t, "short", t + "!"))
+      .toDF("sh")
+      .select(composedMd5(col("sh")).as("a"), fused(col("sh"), false).as("b"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("fused kernel participates in whole-stage codegen (no fallback)") {
     // spark.range (not a local Seq): ConvertToLocalRelation would fold a
     // literal frame away and leave nothing but a LocalTableScan to assert on
