@@ -181,15 +181,39 @@ object Bench {
       if (top10.isEmpty) Map.empty[String, Seq[(String, Double)]]
       else read(fork("coldmin3:" + top10.mkString(",")))
     val coldMin3 = min3Fork.getOrElse("cold_min3", Nil).sortBy(_._1)
-    // r17 (verdict item 6): the same child now takes 5 per-shot-clean
-    // shots — cold_min3 stays the min of the FIRST 3 (series definition
+    // r17 (verdict item 6): the child now takes 5 per-shot-clean shots
+    // — cold_min3 stays the min of fork 1's FIRST 3 (series definition
     // unchanged for round-over-round reads), cold_min5 is the min of
-    // all 5, and the per-shot times + GC deltas land in the full JSON
-    // so a box-state event (page cache, GC) is attributable per shot
-    // instead of poisoning the series invisibly.
+    // all 5, and the per-shot times + GC deltas land in the full JSON.
+    // The shot data showed the residual 1.5-1.6x same-code swings are
+    // PER-FORK, not per-shot: a bad fork's shots are uniformly
+    // elevated with matching GC elevation, so min-of-N inside one JVM
+    // cannot escape it. Fork the child a SECOND time (the same remedy
+    // the cold/warm passes already use) and publish the cross-fork
+    // per-key min as `cold_min3_xfork` — the box-state-proof series.
+    val min3Fork2 =
+      if (top10.isEmpty) Map.empty[String, Seq[(String, Double)]]
+      else read(fork("coldmin3:" + top10.mkString(",")))
     val coldMin5 = min3Fork.getOrElse("cold_min5", Nil).sortBy(_._1)
-    val coldShots = min3Fork.getOrElse("cold_shots", Nil).sortBy(_._1)
-    val coldShotsGc = min3Fork.getOrElse("cold_shots_gc_ms", Nil).sortBy(_._1)
+    val coldMin3X = minMerge(
+      min3Fork.getOrElse("cold_min5", Nil).sortBy(_._1),
+      min3Fork2.getOrElse("cold_min5", Nil))
+    def shotRows(m: Map[String, Seq[(String, Double)]], off: Int) = Seq(
+      "cold_shots", "cold_shots_gc_ms").map { sec =>
+      sec -> m.getOrElse(sec, Nil).map { case (k, v) =>
+        if (off == 0) (k, v)
+        else k.split(':') match {
+          case Array(n, i) => (s"$n:${i.toInt + off}", v)
+          case _ => (k, v)
+        }
+      }
+    }.toMap
+    val shots1 = shotRows(min3Fork, 0)
+    val shots2 = shotRows(min3Fork2, 5)
+    val coldShots =
+      (shots1("cold_shots") ++ shots2("cold_shots")).sortBy(_._1)
+    val coldShotsGc =
+      (shots1("cold_shots_gc_ms") ++ shots2("cold_shots_gc_ms")).sortBy(_._1)
 
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -218,6 +242,7 @@ object Bench {
       s""","snapcache":${obj(snapcache)}""" +
       s""","cold_min3":${obj(coldMin3)}""" +
       s""","cold_min5":${obj(coldMin5)}""" +
+      s""","cold_min3_xfork":${obj(coldMin3X)}""" +
       s""","cold_min3_shots":${obj(coldShots)}""" +
       s""","cold_min3_shots_gc_ms":${obj(coldShotsGc)}""" +
       s""","total_cold_sec":${tot(cold)},"total_warm_sec":${tot(warm)}""" +
@@ -227,7 +252,7 @@ object Bench {
       s""","warm_gt_cold":${warmGtCold.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","kernel_window_breach":${kernelBreach.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","kernel_retried":$kernelRetried""" +
-      s""","protocol":"forked-jvm-per-pass + per-family deepClean + kernel-pair breach gate + cold_min3 top-10 (r15); 5-shot cold_min3 instrumentation + compact tail line (r17)","sf":"$sfDir"}"""
+      s""","protocol":"forked-jvm-per-pass + per-family deepClean + kernel-pair breach gate + cold_min3 top-10 (r15); 5-shot 2-fork cold_min3 instrumentation (xfork = cross-fork min) + compact tail line (r17)","sf":"$sfDir"}"""
     println(json)
     // The driver's stdout tail capture truncated this line two rounds
     // running (BENCH_r08/r09 "parsed": null) — persist the full result
